@@ -1,0 +1,642 @@
+"""Frame — the engine's DataFrame wrapper.
+
+Reproduces the reference's Series/DataFrame operator surface
+(reference types.go:54-80, dataframe.go, series.go) as a thin layer over
+``pyspark.sql.DataFrame``. Every method builds a *lazy* plan from
+built-in Catalyst expressions; nothing collects.
+
+The reference distinguishes "label" containers (its index system) from
+"value" containers (types.go:74-80). Here labels are ordinary columns
+tracked by name in ``Frame.labels`` so the defaults that depend on them
+(group-by-all-labels — series.go:948-951; join-key inference from shared
+label names — internal.go:187-213) are reproducible.
+
+The reference's ``InPlace()`` mutator twins (series.go:346-355) have no
+meaning on immutable plans; every method returns a new Frame.
+Sticky-error chaining (internal.go:60-74) maps to plain exceptions at
+plan-build time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from tada_spark.plans.semantics import (
+    ROWID,
+    canon_key,
+    canon_str,
+    normalize_nulls,
+    null_safe_div,
+    sort_exprs,
+    with_rowid,
+)
+
+ColumnLike = Column | str
+
+
+def _col(c: ColumnLike) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class Frame:
+    """Immutable wrapper: Spark DataFrame + label metadata + name."""
+
+    def __init__(self, df: DataFrame, labels: Sequence[str] = (), name: str = ""):
+        missing = [c for c in labels if c not in df.columns]
+        if missing:
+            raise KeyError(f"label columns not in frame: {missing}")
+        self.df = df
+        self.labels = list(labels)
+        self.name = name
+
+    # ------------------------------------------------------------------
+    # construction / plumbing
+    # ------------------------------------------------------------------
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str, labels: Sequence[str] = ()) -> "Frame":
+        """Parquet scan. Files with TIMESTAMP(NANOS) columns (which Spark's
+        vectorized reader rejects) are read via nanosAsLong and converted
+        to micros-truncated timestamps — same truncation DuckDB applies,
+        so oracle comparisons agree. Conversion is a narrow projection
+        folded into the scan; pushdown/pruning unaffected."""
+        nanos_cols: list[str] = []
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
+            nanos_cols = [
+                schema.field(i).name
+                for i in range(len(schema.names))
+                if str(schema.field(i).type) == "timestamp[ns]"
+            ]
+        except Exception:
+            pass
+        if not nanos_cols:
+            return cls(spark.read.parquet(path), labels)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        return cls(df, labels)
+
+    @classmethod
+    def read_csv(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        header: bool = True,
+        infer: bool = False,
+        labels: Sequence[str] = (),
+        blank_as_null: bool = False,
+    ) -> "Frame":
+        """CSV ingest (reference CSVReader io.go:304-359): all-string by
+        default with opt-in inference, null-string shim applied."""
+        df = spark.read.csv(path, header=header, inferSchema=infer)
+        return cls(normalize_nulls(df, blank_as_null=blank_as_null), labels)
+
+    def _wrap(self, df: DataFrame, labels: Sequence[str] | None = None) -> "Frame":
+        labels = self.labels if labels is None else list(labels)
+        return Frame(df, [c for c in labels if c in df.columns], self.name)
+
+    def to_df(self) -> DataFrame:
+        return self.df.drop(ROWID) if ROWID in self.df.columns else self.df
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self.df.columns if c != ROWID]
+
+    @property
+    def value_columns(self) -> list[str]:
+        return [c for c in self.columns if c not in self.labels]
+
+    def set_name(self, name: str) -> "Frame":
+        f = Frame(self.df, self.labels, name)
+        return f
+
+    # ------------------------------------------------------------------
+    # schema assertions / introspection (reference dataframe.go:329-348)
+    # ------------------------------------------------------------------
+    def has_cols(self, *names: str) -> "Frame":
+        missing = [n for n in names if n not in self.df.columns]
+        if missing:
+            raise KeyError(f"has_cols: missing {missing}")
+        return self
+
+    def has_labels(self, *names: str) -> "Frame":
+        missing = [n for n in names if n not in self.labels]
+        if missing:
+            raise KeyError(f"has_labels: missing {missing}")
+        return self
+
+    def dtype(self, name: str) -> T.DataType:
+        return dict((f.name, f.dataType) for f in self.df.schema.fields)[name]
+
+    # ------------------------------------------------------------------
+    # labels (reference dataframe.go:1002-1087)
+    # ------------------------------------------------------------------
+    def set_as_labels(self, *names: str) -> "Frame":
+        self.has_cols(*names)
+        return Frame(self.df, self.labels + [n for n in names if n not in self.labels], self.name)
+
+    def reset_labels(self, *names: str) -> "Frame":
+        drop = set(names or self.labels)
+        return Frame(self.df, [l for l in self.labels if l not in drop], self.name)
+
+    # ------------------------------------------------------------------
+    # projection (reference dataframe.go:539-567, 899-939, 1128-1179)
+    # ------------------------------------------------------------------
+    def cols(self, *names: str) -> "Frame":
+        self.has_cols(*names)
+        keep = self.labels + [n for n in names if n not in self.labels]
+        return self._wrap(self.df.select(*keep))
+
+    def drop_cols(self, *names: str) -> "Frame":
+        return self._wrap(self.df.drop(*names))
+
+    def rename(self, mapping: dict[str, str]) -> "Frame":
+        df = self.df
+        labels = list(self.labels)
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+            labels = [new if l == old else l for l in labels]
+        return Frame(df, labels, self.name)
+
+    def with_col(self, name: str, col: ColumnLike) -> "Frame":
+        return self._wrap(self.df.withColumn(name, _col(col)))
+
+    def reorder_cols(self, *names: str) -> "Frame":
+        """Project into the given order; unlisted columns dropped
+        (reference dataframe.go:1128-1179)."""
+        self.has_cols(*names)
+        return self._wrap(self.df.select(*names))
+
+    def filter_cols(self, fn: Callable[[str], bool]) -> "Frame":
+        keep = [c for c in self.columns if c in self.labels or fn(c)]
+        return self._wrap(self.df.select(*keep))
+
+    # ------------------------------------------------------------------
+    # positional ops — explicit-order discipline (SURVEY §4.3.1)
+    # ------------------------------------------------------------------
+    def ordered(self, *order_by: str) -> "Frame":
+        """Materialize ``__rowid__`` from the given keys (or ingest order
+        when none). Required before positional ops at scale."""
+        return self._wrap(with_rowid(self.df, list(order_by) or None))
+
+    def _require_rowid(self) -> DataFrame:
+        if ROWID not in self.df.columns:
+            return with_rowid(self.df)
+        return self.df
+
+    def head(self, n: int) -> "Frame":
+        if ROWID in self.df.columns:
+            return self._wrap(self.df.filter(F.col(ROWID) < n))
+        return self._wrap(self.df.limit(n))
+
+    def tail(self, n: int) -> "Frame":
+        df = self._require_rowid()
+        total = Window.partitionBy()
+        return self._wrap(
+            df.withColumn("__n__", F.max(ROWID).over(total))
+            .filter(F.col(ROWID) > F.col("__n__") - n)
+            .drop("__n__")
+        )
+
+    def range(self, first: int, last: int) -> "Frame":
+        df = self._require_rowid()
+        return self._wrap(df.filter((F.col(ROWID) >= first) & (F.col(ROWID) < last)))
+
+    def subset(self, positions: Sequence[int]) -> "Frame":
+        df = self._require_rowid()
+        return self._wrap(df.filter(F.col(ROWID).isin(*positions)))
+
+    def drop_row(self, position: int) -> "Frame":
+        df = self._require_rowid()
+        return self._wrap(df.filter(F.col(ROWID) != position))
+
+    def shuffle(self, seed: int) -> "Frame":
+        return self._wrap(self.df.orderBy(F.rand(seed)))
+
+    # ------------------------------------------------------------------
+    # filters (reference series.go:637-673, dataframe.go:1384-1412)
+    # ------------------------------------------------------------------
+    def filter(self, *predicates: Column, **by_col: Column) -> "Frame":
+        """AND of all predicates; null rows never match (reference
+        internal.go:1184 — Spark's tri-valued filter already drops
+        null-valued predicates, matching the reference)."""
+        preds = list(predicates) + [p for p in by_col.values()]
+        if not preds:
+            return self
+        return self._wrap(self.df.filter(_reduce(lambda a, b: a & b, preds)))
+
+    def filter_by_value(self, **values: object) -> "Frame":
+        """Stringified-equality filter (reference internal.go:2775-2789):
+        compares canon_str(col) == canon_str(value) so 1.0 matches "1"."""
+        fields = {f.name: f.dataType for f in self.df.schema.fields}
+        preds = []
+        for name, val in values.items():
+            lit = F.lit(val)
+            preds.append(canon_str(F.col(name), fields.get(name)) == canon_str(lit))
+        return self.filter(*preds)
+
+    def where(self, cond: Column, if_true: ColumnLike, if_false: ColumnLike, as_col: str = "where") -> "Frame":
+        """Per-row ternary; rows where cond is NULL yield NULL (reference
+        series.go:683-703 — null if any filtered container null)."""
+        expr = (
+            F.when(cond.isNull(), F.lit(None))
+            .when(cond, _col(if_true) if not isinstance(if_true, Column) else if_true)
+            .otherwise(_col(if_false) if not isinstance(if_false, Column) else if_false)
+        )
+        return self.with_col(as_col, expr)
+
+    def drop_null(self, *subset: str) -> "Frame":
+        return self._wrap(self.df.na.drop(how="any", subset=list(subset) or None))
+
+    def null_rows(self, *subset: str) -> "Frame":
+        """Keep rows with any null (reference IsNull, series.go:320-323)."""
+        cols = list(subset) or self.columns
+        pred = _reduce(lambda a, b: a | b, [F.col(c).isNull() for c in cols])
+        return self._wrap(self.df.filter(pred))
+
+    # ------------------------------------------------------------------
+    # nulls (reference types.go:178-189, internal.go:936-983)
+    # ------------------------------------------------------------------
+    def fill_null(
+        self,
+        how: str = "zero",
+        *,
+        subset: Sequence[str] | None = None,
+        value: object = None,
+        order_by: Sequence[str] | None = None,
+        partition_by: Sequence[str] | None = None,
+    ) -> "Frame":
+        """zero / value / forward / backward fill.
+
+        forward/backward need a row order: pass ``order_by`` (scale-safe)
+        or pre-call .ordered(). Implemented as last/first-ignorenulls over
+        a running frame — one window, no self-join.
+        """
+        cols = list(subset) if subset else self.value_columns
+        if how == "zero":
+            return self._wrap(self.df.na.fill(0, subset=cols))
+        if how == "value":
+            return self._wrap(self.df.na.fill(value, subset=cols))
+        if how in ("forward", "backward"):
+            df = self.df
+            if order_by:
+                keys = list(order_by)
+            else:
+                df = with_rowid(df)
+                keys = [ROWID]
+            base = Window.partitionBy(*[F.col(c) for c in (partition_by or [])])
+            if how == "forward":
+                w = base.orderBy(*keys).rowsBetween(Window.unboundedPreceding, 0)
+                fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+            else:
+                w = base.orderBy(*keys).rowsBetween(0, Window.unboundedFollowing)
+                fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+            out = df
+            for c in cols:
+                out = out.withColumn(c, fill(c))
+            return self._wrap(out)
+        raise ValueError(f"fill_null: unknown how={how!r}")
+
+    # ------------------------------------------------------------------
+    # casts (reference valueContainers.go:80-122; §1.3 type table)
+    # ------------------------------------------------------------------
+    #: Multi-format datetime parse order (reference options.go:20-23).
+    DATETIME_FORMATS = (
+        "yyyy-MM-dd HH:mm:ss",
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd",
+        "M/d/yyyy",
+        "M/d/yy",
+        "1/2/2006 15:04",
+    )
+
+    def cast(self, **types: str) -> "Frame":
+        """Per-column dtype coercion with parse-failure→null semantics
+        (reference valueContainers.go:65-71: failed parses yield null —
+        Spark's ANSI-off cast and try_to_timestamp match)."""
+        df = self.df
+        for name, dtype in types.items():
+            c = F.col(name)
+            if dtype in ("timestamp", "datetime"):
+                src = self.dtype(name)
+                if isinstance(src, T.StringType):
+                    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in self.DATETIME_FORMATS[:4]]
+                    df = df.withColumn(name, F.coalesce(*attempts))
+                else:
+                    df = df.withColumn(name, c.cast("timestamp"))
+            else:
+                df = df.withColumn(name, c.cast(dtype))
+        return self._wrap(df)
+
+    # ------------------------------------------------------------------
+    # scalar transforms (reference §2.4)
+    # ------------------------------------------------------------------
+    def apply(self, name: str, expr: Column) -> "Frame":
+        """Column-expression apply — the fast path. Arbitrary python
+        lambdas go through apply_pandas (Arrow-vectorized)."""
+        return self.with_col(name, expr)
+
+    def apply_pandas(self, name: str, fn: Callable, return_type: str = "double", *input_cols: str) -> "Frame":
+        """Reference ApplyFn (types.go:195-199) — vectorized pandas_udf,
+        never row-at-a-time python."""
+        udf = F.pandas_udf(fn, returnType=return_type)
+        cols = [F.col(c) for c in (input_cols or [name])]
+        return self.with_col(name, udf(*cols))
+
+    def set_rows(self, name: str, positions: Sequence[int], expr: Column) -> "Frame":
+        """Apply only at given row positions (reference series.go:769-792)."""
+        df = self._require_rowid()
+        out = df.withColumn(name, F.when(F.col(ROWID).isin(*positions), expr).otherwise(F.col(name)))
+        return self._wrap(out)
+
+    def add(self, out: str, a: str, b: str, *, ignore_nulls: bool = False) -> "Frame":
+        return self._arith(out, a, b, "+", ignore_nulls)
+
+    def subtract(self, out: str, a: str, b: str, *, ignore_nulls: bool = False) -> "Frame":
+        return self._arith(out, a, b, "-", ignore_nulls)
+
+    def multiply(self, out: str, a: str, b: str, *, ignore_nulls: bool = False) -> "Frame":
+        return self._arith(out, a, b, "*", ignore_nulls)
+
+    def divide(self, out: str, a: str, b: str) -> "Frame":
+        """÷0 / Inf / NaN → null (reference series.go:930-938)."""
+        return self.with_col(out, null_safe_div(F.col(a).cast("double"), F.col(b).cast("double")))
+
+    def _arith(self, out: str, a: str, b: str, op: str, ignore_nulls: bool) -> "Frame":
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        if ignore_nulls:  # missing treated as 0 (reference combineMath internal.go:1519-1558)
+            ca, cb = F.coalesce(ca, F.lit(0.0)), F.coalesce(cb, F.lit(0.0))
+        expr = {"+": ca + cb, "-": ca - cb, "*": ca * cb}[op]
+        return self.with_col(out, expr)
+
+    # ------------------------------------------------------------------
+    # ordering-dependent transforms (reference §2.4) — explicit keys
+    # ------------------------------------------------------------------
+    def _order_window(self, order_by: Sequence[str], partition_by: Sequence[str] | None):
+        return Window.partitionBy(*[F.col(c) for c in (partition_by or [])]).orderBy(
+            *[F.col(c) for c in order_by]
+        )
+
+    def shift(self, name: str, n: int, *, order_by: Sequence[str], partition_by: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
+        w = self._order_window(order_by, partition_by)
+        return self.with_col(as_col or name, F.lag(F.col(name), n).over(w))
+
+    def cum_sum(self, name: str, *, order_by: Sequence[str], partition_by: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
+        """Running sum, nulls contribute 0 (reference internal.go:2173-2183)."""
+        w = self._order_window(order_by, partition_by).rowsBetween(Window.unboundedPreceding, 0)
+        return self.with_col(as_col or f"cumsum_{name}", F.sum(F.coalesce(F.col(name), F.lit(0))).over(w))
+
+    def rank(self, name: str, *, partition_by: Sequence[str] | None = None, as_col: str | None = None, descending: bool = False) -> "Frame":
+        """Dense ascending rank; ties share; nulls → null rank (reference
+        internal.go:2302-2351 uses -999 sentinel; NULL is the SQL analog)."""
+        key = F.col(name).desc() if descending else F.col(name).asc()
+        # nulls excluded from the ranking domain by partitioning on isNull
+        w = Window.partitionBy(*[F.col(c) for c in (partition_by or [])], F.col(name).isNull()).orderBy(key)
+        r = F.when(F.col(name).isNull(), F.lit(None)).otherwise(F.dense_rank().over(w))
+        return self.with_col(as_col or f"rank_{name}", r)
+
+    def percentile(self, name: str, *, partition_by: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
+        """Exclusive percentile rank: fraction of non-null values strictly
+        below (reference internal.go:2353-2388). rank()-1 counts rows
+        strictly below (ties share min rank), over the non-null domain."""
+        part = [F.col(c) for c in (partition_by or [])]
+        is_null = F.col(name).isNull()
+        w = Window.partitionBy(*part, is_null).orderBy(F.col(name))
+        cnt = F.count("*").over(Window.partitionBy(*part, is_null))
+        pr = F.when(is_null, F.lit(None)).otherwise((F.rank().over(w) - 1) / cnt)
+        return self.with_col(as_col or f"pct_{name}", pr)
+
+    def bin(self, name: str, edges: Sequence[float], *, labels: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
+        """Numeric binning, left-exclusive right-inclusive, nulls
+        uncategorized → null (reference cut internal.go:2208-2300)."""
+        c = F.col(name)
+        expr: Column = F.lit(None).cast("string")
+        for i in range(len(edges) - 1, 0, -1):
+            lo, hi = edges[i - 1], edges[i]
+            lab = labels[i - 1] if labels else f"{_fmt_edge(lo)}-{_fmt_edge(hi)}"
+            expr = F.when((c > lo) & (c <= hi), F.lit(lab)).otherwise(expr)
+        return self.with_col(as_col or f"bin_{name}", expr)
+
+    def percentile_bin(self, name: str, edges: Sequence[float], *, labels: Sequence[str] | None = None, partition_by: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
+        """Bin by percentile edges, left-inclusive right-exclusive
+        (reference pcut internal.go:2392-2408)."""
+        tmp = f"__pct_{name}__"
+        out = self.percentile(name, partition_by=partition_by, as_col=tmp)
+        c = F.col(tmp)
+        expr: Column = F.lit(None).cast("string")
+        for i in range(len(edges) - 1, 0, -1):
+            lo, hi = edges[i - 1], edges[i]
+            lab = labels[i - 1] if labels else f"{_fmt_edge(lo)}-{_fmt_edge(hi)}"
+            cond = (c >= lo) & ((c < hi) | (F.lit(hi) >= 1.0) & (c <= 1.0))
+            expr = F.when(cond, F.lit(lab)).otherwise(expr)
+        return out.with_col(as_col or f"pbin_{name}", expr).drop_cols(tmp)
+
+    def resample(self, name: str, by: str, *, as_col: str | None = None, duration_seconds: int | None = None, week_start: str = "SUNDAY") -> "Frame":
+        """Truncate datetimes by year/month/day/week/duration (reference
+        types.go:244-252, internal.go:2423-2479)."""
+        c = F.col(name)
+        if by in ("year", "month", "day", "hour", "minute"):
+            expr = F.date_trunc(by, c)
+        elif by == "week":
+            # previous-or-same week_start day (reference startOfWeek)
+            day_target = {"SUNDAY": 1, "MONDAY": 2, "TUESDAY": 3, "WEDNESDAY": 4, "THURSDAY": 5, "FRIDAY": 6, "SATURDAY": 7}[week_start]
+            d = F.date_trunc("day", c)
+            delta = (F.dayofweek(d) - F.lit(day_target) + 7) % 7
+            expr = (d - F.make_interval(days=delta.cast("int"))).cast("timestamp")
+        elif by == "duration":
+            secs = int(duration_seconds)
+            expr = F.timestamp_seconds((F.unix_timestamp(c) / secs).cast("long") * secs)
+        else:
+            raise ValueError(f"resample: unknown by={by!r}")
+        return self.with_col(as_col or name, expr)
+
+    # ------------------------------------------------------------------
+    # sort / top-k (reference §2.5)
+    # ------------------------------------------------------------------
+    def sort(self, *specs: tuple[str, bool] | str, cast: dict[str, str] | None = None, stable: bool = False) -> "Frame":
+        """Multi-key sort, nulls always last (reference types.go:165).
+        ``stable=True`` appends __rowid__ as final tiebreaker (Spark sort
+        is not stable; reference sort is — internal.go:1312-1330)."""
+        exprs = sort_exprs(list(specs), cast=cast)
+        df = self.df
+        if stable:
+            df = with_rowid(df)
+            exprs = exprs + [F.col(ROWID).asc()]
+        return self._wrap(df.orderBy(*exprs))
+
+    def top_k(self, k: int, *specs: tuple[str, bool] | str) -> "Frame":
+        return self.sort(*specs).head(k)
+
+    # ------------------------------------------------------------------
+    # set ops (reference §2.2 Append; §2.9)
+    # ------------------------------------------------------------------
+    def append(self, other: "Frame") -> "Frame":
+        """Vertical concat; type-mismatched columns coerce to string
+        (reference internal.go:1159-1170)."""
+        a, b = self.df, other.df
+        a_types = {f.name: f.dataType for f in a.schema.fields}
+        b_types = {f.name: f.dataType for f in b.schema.fields}
+        for name in set(a_types) & set(b_types):
+            if a_types[name] != b_types[name]:
+                a = a.withColumn(name, F.col(name).cast("string"))
+                b = b.withColumn(name, F.col(name).cast("string"))
+        return self._wrap(a.unionByName(b, allowMissingColumns=True))
+
+    def intersect(self, other: "Frame") -> "Frame":
+        return self._wrap(self.to_df().intersect(other.to_df()))
+
+    def except_(self, other: "Frame") -> "Frame":
+        return self._wrap(self.to_df().exceptAll(other.to_df()))
+
+    # ------------------------------------------------------------------
+    # joins (reference §2.6 — lookup semantics: first-match-only)
+    # ------------------------------------------------------------------
+    def lookup(
+        self,
+        other: "Frame",
+        *,
+        how: str = "left",
+        left_on: Sequence[str] | None = None,
+        right_on: Sequence[str] | None = None,
+        first_match: str = "arbitrary",
+        broadcast: bool | None = None,
+    ) -> "Frame":
+        """Dictionary-lookup join: only ONE matching right row is used —
+        no row multiplication (reference internal.go:1486-1517). Keys
+        default to shared label names (internal.go:187-213).
+
+        first_match='ordered' reproduces the reference's first-appearance
+        pick via min-__rowid__; 'arbitrary' (default) is the scale-safe
+        dropDuplicates. ``broadcast`` forces/forbids a broadcast of the
+        deduped right side; default lets AQE decide.
+        """
+        if left_on is None or right_on is None:
+            shared = [l for l in self.labels if l in other.labels] or [
+                c for c in self.columns if c in other.columns
+            ]
+            if not shared:
+                raise ValueError("lookup: no shared keys and none given")
+            left_on = right_on = shared
+        left_on, right_on = list(left_on), list(right_on)
+
+        right = other.df
+        if first_match == "ordered":
+            rdf = with_rowid(right)
+            w = Window.partitionBy(*[F.col(c) for c in right_on]).orderBy(F.col(ROWID))
+            right = rdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", ROWID)
+        else:
+            right = right.dropDuplicates(right_on)
+
+        # cross-type keys compare via canon_str (reference §1.6)
+        lfields = {f.name: f.dataType for f in self.df.schema.fields}
+        rfields = {f.name: f.dataType for f in right.schema.fields}
+        conds = []
+        for lk, rk in zip(left_on, right_on):
+            if type(lfields[lk]) is type(rfields[rk]):
+                conds.append(self.df[lk] == right[rk])
+            else:
+                conds.append(canon_str(self.df[lk], lfields[lk]) == canon_str(right[rk], rfields[rk]))
+        cond = _reduce(lambda a, b: a & b, conds)
+
+        if broadcast:
+            right = F.broadcast(right)
+        joined = self.df.join(right, on=cond, how="left" if how in ("left", "inner") else how)
+        # drop duplicated right key columns
+        for lk, rk in zip(left_on, right_on):
+            if rk in self.df.columns or rk == lk:
+                joined = joined.drop(right[rk])
+        if how == "inner":
+            new_cols = [c for c in other.columns if c not in self.columns]
+            joined = joined.na.drop(how="all", subset=new_cols or None)
+        return self._wrap(joined)
+
+    def merge(self, other: "Frame", **kwargs) -> "Frame":
+        """Lookup + append looked-up columns + name dedupe `_n` suffix
+        (reference dataframe.go:1633-1657)."""
+        overlapping = [c for c in other.value_columns if c in self.columns]
+        renamed = other.rename({c: f"{c}_1" for c in overlapping}) if overlapping else other
+        return self.lookup(renamed, **kwargs)
+
+    # ------------------------------------------------------------------
+    # group-by (reference §2.7) — returns GroupedFrame
+    # ------------------------------------------------------------------
+    def group_by(self, *names: str, canon: bool = False) -> "GroupedFrame":
+        """No names ⇒ group by all labels (reference series.go:948-951).
+        canon=True groups on stringified keys (reference semantics) —
+        needed only when key columns are heterogeneous."""
+        from tada_spark.operators.grouped import GroupedFrame
+
+        keys = list(names) or list(self.labels)
+        if not keys:
+            raise ValueError("group_by: no keys and no labels")
+        return GroupedFrame(self, keys, canon=canon)
+
+    def pivot_table(self, labels: Sequence[str], columns: str, values: str, agg: str = "sum") -> "Frame":
+        """Direct 1:1 with Spark pivot (reference dataframe.go:1791-1829)."""
+        aggfn = {
+            "sum": F.sum, "mean": F.avg, "median": F.median, "stdDev": F.stddev_pop,
+            "count": F.count, "min": F.min, "max": F.max,
+        }[agg]
+        out = self.df.groupBy(*labels).pivot(columns).agg(aggfn(F.col(values)))
+        return Frame(out, list(labels), self.name)
+
+    # ------------------------------------------------------------------
+    # distinct / counts (reference §2.7 tail)
+    # ------------------------------------------------------------------
+    def value_counts(self, name: str) -> "Frame":
+        """value→count map over stringified non-null values (reference
+        internal.go:2481-2496)."""
+        c = canon_str(F.col(name), self.dtype(name))
+        return self._wrap(
+            self.df.filter(F.col(name).isNotNull())
+            .groupBy(c.alias(name))
+            .agg(F.count("*").alias("count")),
+            labels=[],
+        )
+
+    def unique(self, *names: str, include_labels: bool = False, first_appearance: bool = False) -> "Frame":
+        """Distinct rows by value (or value+labels). first_appearance=True
+        reproduces the reference's keep-first-row pick via min-__rowid__
+        (reference internal.go:2512-2537); default keeps an arbitrary row
+        (scale-safe)."""
+        keys = list(names) or self.value_columns
+        if include_labels:
+            keys = self.labels + keys
+        if not first_appearance:
+            return self._wrap(self.df.dropDuplicates(keys))
+        df = self._require_rowid()
+        w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(F.col(ROWID))
+        return self._wrap(df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__"))
+
+    # ------------------------------------------------------------------
+    # whole-frame aggs (reference series.go:999-1073, dataframe.go:1910-1993)
+    # ------------------------------------------------------------------
+    def agg(self, **exprs: Column) -> "Frame":
+        return Frame(self.df.agg(*[e.alias(n) for n, e in exprs.items()]), [], self.name)
+
+    # ------------------------------------------------------------------
+    # sinks
+    # ------------------------------------------------------------------
+    def collect(self):
+        return self.to_df().collect()
+
+    def to_pandas(self):
+        return self.to_df().toPandas()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+
+def _fmt_edge(x: float) -> str:
+    return str(int(x)) if float(x) == int(x) else str(x)

@@ -1,0 +1,227 @@
+"""GroupedFrame — the reference's grouped-operator surface on Spark.
+
+The reference materializes per-group row-index vectors on stringified
+keys (reference internal.go:1382-1431) and runs null-skipping reduction
+kernels per group (internal.go:1979-2170). Here grouping is a lazy
+``groupBy`` plan — Spark's HashAggregate does map-side partial
+aggregation, which is exactly the 100 TB-safe shape.
+
+Semantics reproduced:
+  * all reducers skip nulls; an all-null group yields NULL — Spark's
+    aggregate semantics match natively (SURVEY §1.4).
+  * stdDev is POPULATION std (÷n, reference internal.go:2042-2057) —
+    ``stddev_pop``, not sample stddev.
+  * nunique counts distinct *stringified* non-null values (reference
+    internal.go:2076-2094) — countDistinct over canon_str.
+  * Align() broadcasts reductions back to every source row (reference
+    groupers.go:202-228) — Window.partitionBy, no join.
+  * first/last/nth are order-dependent — they take explicit order keys
+    (reference uses insertion order, which is not a distributed concept;
+    callers pass the keys that define it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tada_spark.frame import Frame
+from tada_spark.plans.semantics import ROWID, canon_key, canon_str, with_rowid
+
+_SIMPLE = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "median": F.median,
+    "std": F.stddev_pop,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "earliest": F.min,
+    "latest": F.max,
+}
+
+
+class GroupedFrame:
+    def __init__(self, frame: Frame, keys: list[str], *, canon: bool = False, aligned: bool = False):
+        frame.has_cols(*keys)
+        self.frame = frame
+        self.keys = keys
+        self.canon = canon
+        self.aligned = aligned
+
+    # -- plumbing -------------------------------------------------------
+    def align(self) -> "GroupedFrame":
+        """Subsequent reductions broadcast to every source row
+        (reference groupers.go:202-228; pandas `transform`)."""
+        return GroupedFrame(self.frame, self.keys, canon=self.canon, aligned=True)
+
+    def _key_cols(self) -> list[Column]:
+        if self.canon:
+            return [canon_key(self.frame.df, [k]).alias(k) for k in self.keys]
+        return [F.col(k) for k in self.keys]
+
+    def _agg(self, exprs: dict[str, Column]) -> Frame:
+        if self.aligned:
+            w = Window.partitionBy(*self._key_cols())
+            df = self.frame.df
+            for name, e in exprs.items():
+                df = df.withColumn(name, e.over(w))
+            return Frame(df, self.frame.labels, self.frame.name)
+        out = self.frame.df.groupBy(*self._key_cols()).agg(
+            *[e.alias(n) for n, e in exprs.items()]
+        )
+        return Frame(out, list(self.keys), self.frame.name)
+
+    # -- reducers (reference groupers.go:137-199) ----------------------
+    def _reduce(self, kind: str, *cols: str, prefix: str | None = None) -> Frame:
+        cols = cols or tuple(c for c in self.frame.value_columns if c not in self.keys)
+        fn = _SIMPLE[kind]
+        pre = kind if prefix is None else prefix
+        exprs: dict[str, Column] = {}
+        for c in cols:
+            src = F.col(c)
+            if kind in ("sum", "mean", "median", "std"):
+                src = src.cast("double")
+            exprs[f"{pre}_{c}"] = fn(src)
+        return self._agg(exprs)
+
+    def sum(self, *cols: str) -> Frame:
+        return self._reduce("sum", *cols)
+
+    def mean(self, *cols: str) -> Frame:
+        return self._reduce("mean", *cols)
+
+    def median(self, *cols: str) -> Frame:
+        return self._reduce("median", *cols)
+
+    def std(self, *cols: str) -> Frame:
+        return self._reduce("std", *cols)
+
+    def min(self, *cols: str) -> Frame:
+        return self._reduce("min", *cols)
+
+    def max(self, *cols: str) -> Frame:
+        return self._reduce("max", *cols)
+
+    def count(self, *cols: str) -> Frame:
+        return self._reduce("count", *cols)
+
+    def earliest(self, *cols: str) -> Frame:
+        return self._reduce("earliest", *cols, prefix="earliest")
+
+    def latest(self, *cols: str) -> Frame:
+        return self._reduce("latest", *cols, prefix="latest")
+
+    def nunique(self, *cols: str) -> Frame:
+        """Distinct stringified non-null (reference internal.go:2076-2094)."""
+        fields = {f.name: f.dataType for f in self.frame.df.schema.fields}
+        exprs = {
+            f"nunique_{c}": F.count_distinct(
+                F.when(F.col(c).isNotNull(), canon_str(F.col(c), fields[c]))
+            )
+            for c in (cols or self.frame.value_columns)
+        }
+        return self._agg(exprs)
+
+    def approx_nunique(self, *cols: str, rsd: float = 0.05) -> Frame:
+        """HyperLogLog++ sketch — the 100 TB path for cardinality
+        (beyond-reference; exact nunique shuffles every distinct value)."""
+        exprs = {f"approx_nunique_{c}": F.approx_count_distinct(F.col(c), rsd) for c in cols}
+        return self._agg(exprs)
+
+    def agg(self, **exprs: Column) -> Frame:
+        """Arbitrary named aggregate expressions (escape hatch)."""
+        return self._agg(exprs)
+
+    # -- positional reducers (reference groupers.go:187-199) -----------
+    def first(self, col: str, *, order_by: Sequence[str]) -> Frame:
+        return self.nth(col, 0, order_by=order_by, out=f"first_{col}")
+
+    def last(self, col: str, *, order_by: Sequence[str]) -> Frame:
+        return self.nth(col, -1, order_by=order_by, out=f"last_{col}")
+
+    def nth(self, col: str, n: int, *, order_by: Sequence[str], out: str | None = None) -> Frame:
+        """Row at position n within group (negative from end; out-of-bounds
+        ⇒ null — reference groupers.go:824-868). One shuffle: min_by/max_by
+        style via sorted collect is avoided; we use row_number windows."""
+        out = out or f"nth_{col}"
+        df = self.frame.df
+        keys = self._key_cols()
+        asc = [F.col(c) for c in order_by]
+        if n >= 0:
+            w = Window.partitionBy(*keys).orderBy(*asc)
+            pos = n + 1
+        else:
+            w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in asc])
+            pos = -n
+        picked = (
+            df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == pos)
+            .select(*keys, F.col(col).alias(out))
+        )
+        # groups whose size <= |n| are absent → reattach with null (OOB ⇒ null)
+        all_groups = df.groupBy(*keys).agg(F.count("*").alias("__sz__")).drop("__sz__")
+        res = all_groups.join(picked, on=self.keys, how="left")
+        return Frame(res, list(self.keys), self.frame.name)
+
+    # -- group filtering (reference groupers.go:232-254) ---------------
+    def having_count(self, pred: Callable[[Column], Column]) -> Frame:
+        """Keep rows of groups whose row count satisfies pred."""
+        w = Window.partitionBy(*self._key_cols())
+        df = self.frame.df.withColumn("__gc__", F.count("*").over(w))
+        out = df.filter(pred(F.col("__gc__"))).drop("__gc__")
+        return Frame(out, self.frame.labels, self.frame.name)
+
+    def get_group(self, **key_values: object) -> Frame:
+        f = self.frame
+        for k, v in key_values.items():
+            f = f.filter(F.col(k) == F.lit(v))
+        return f
+
+    def list_groups(self) -> Frame:
+        return Frame(self.frame.df.select(*self._key_cols()).distinct(), list(self.keys))
+
+    # -- custom UDAF / transform (reference groupers.go:129-135, 38-55) -
+    def reduce(self, out_schema: str, fn: Callable) -> Frame:
+        """Custom per-group reduction via applyInPandas (Arrow-batched).
+        ``fn(pdf) -> pdf`` must return one row per group including keys."""
+        res = self.frame.df.groupBy(*self._key_cols()).applyInPandas(fn, schema=out_schema)
+        return Frame(res, list(self.keys), self.frame.name)
+
+    def apply(self, out_schema: str, fn: Callable) -> Frame:
+        """Per-group same-length transform written back to source rows
+        (reference groupers.go:780-822). fn receives the group pdf and
+        returns a same-length pdf."""
+        res = self.frame.df.groupBy(*self._key_cols()).applyInPandas(fn, schema=out_schema)
+        return Frame(res, self.frame.labels, self.frame.name)
+
+    # -- rolling windows (reference groupers.go:295-345) ----------------
+    def rolling_n(self, n: int, col: str, agg: str, *, order_by: Sequence[str], out: str | None = None, forward: bool = True) -> Frame:
+        """Count-based rolling window. Reference RollingN is FORWARD:
+        group i = rows [i, i+n) (groupers.go:295-314); incomplete tail
+        windows ⇒ null. forward=False gives the conventional trailing
+        window."""
+        fn = _SIMPLE[agg]
+        w = Window.partitionBy(*self._key_cols()).orderBy(*[F.col(c) for c in order_by])
+        frame = w.rowsBetween(0, n - 1) if forward else w.rowsBetween(-(n - 1), 0)
+        cnt = F.count(F.lit(1)).over(frame)
+        val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(frame)
+        expr = F.when(cnt < n, F.lit(None)).otherwise(val)
+        return Frame(self.frame.df.withColumn(out or f"rolling_{agg}_{col}", expr), self.frame.labels, self.frame.name)
+
+    def rolling_duration(self, seconds: int, ts: str, col: str, agg: str, *, out: str | None = None) -> Frame:
+        """Time-based rolling window: per row, rows with timestamp in
+        [t, t+d) (reference groupers.go:317-345) — forward rangeBetween
+        on epoch seconds."""
+        fn = _SIMPLE[agg]
+        df = self.frame.df.withColumn("__ts_s__", F.unix_timestamp(F.col(ts)))
+        w = (
+            Window.partitionBy(*self._key_cols())
+            .orderBy(F.col("__ts_s__"))
+            .rangeBetween(0, seconds - 1)
+        )
+        val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(w)
+        return Frame(df.withColumn(out or f"rolling_{agg}_{col}", val).drop("__ts_s__"), self.frame.labels, self.frame.name)

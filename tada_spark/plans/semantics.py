@@ -1,0 +1,152 @@
+"""The three engine-level semantics shims (SURVEY.md §4.3).
+
+1. ``__rowid__`` discipline — positional semantics on an unordered engine.
+   The reference's universal intermediate is a row-position vector
+   (reference internal.go:2743-2762); Spark rows are unordered, so
+   positional operators (Subset/Head/Tail/Range/first-appearance-Unique)
+   thread an explicit row id. At scale a global contiguous id is a
+   full-sort; we expose it opt-in only and prefer explicit order keys.
+
+2. ``canon_str`` — stringified-key equality. The reference groups, joins,
+   dedupes and filters on *stringified* values (fmt.Sprint semantics:
+   float 1.0 prints "1"; RFC3339 timestamps — reference
+   internal.go:1347-1376, valueContainers.go:194-196). canon_str builds
+   the equivalent Column expression so cross-type keys compare equal.
+
+3. Null normalization — NaN→NULL, the null-string set ("(null)"; blank
+   opt-in — reference options.go:13-17, internal.go:1835-1926),
+   nulls-last sort defaults (reference types.go:165), and
+   parse-failure→null casts (try_cast semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+#: Default null-string set (reference options.go:13-17). Blank string is
+#: opt-in, matching the reference's ``SetOptionEmptyStringAsNull``.
+NULL_STRINGS: tuple[str, ...] = ("(null)",)
+
+ROWID = "__rowid__"
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
+    """Canonical string form of a value for key equality.
+
+    Reproduces Go ``fmt.Sprint`` semantics for the types the reference
+    supports (reference internal.go:1347-1376):
+      * integral-valued floats print with no decimal part ("1", not "1.0")
+      * timestamps print RFC3339 ("2006-01-02T15:04:05Z")
+      * bools print "true"/"false"
+      * NULL prints a sentinel that never equals a real value
+    """
+    if dtype is None:
+        c = col.cast("string")
+        return F.coalesce(c, F.lit("\x00null"))
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        as_long = col.cast("long")
+        c = F.when(col.cast("double") == as_long.cast("double"), as_long.cast("string")).otherwise(
+            col.cast("string")
+        )
+    elif isinstance(dtype, T.TimestampType):
+        c = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    elif isinstance(dtype, T.DateType):
+        c = F.date_format(col, "yyyy-MM-dd")
+    elif isinstance(dtype, T.BooleanType):
+        c = F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    else:
+        c = col.cast("string")
+    return F.coalesce(c, F.lit("\x00null"))
+
+
+def canon_key(df: DataFrame, names: list[str], sep: str = "|") -> Column:
+    """Composite stringified key: per-row concat of canon_str values joined
+    by "|" (reference internal.go:1347-1376)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    return F.concat_ws(sep, *[canon_str(F.col(n), fields.get(n)) for n in names])
+
+
+def normalize_nulls(
+    df: DataFrame,
+    *,
+    nan_is_null: bool = True,
+    null_strings: tuple[str, ...] = NULL_STRINGS,
+    blank_as_null: bool = False,
+) -> DataFrame:
+    """Ingest-time null shim (reference internal.go:1835-1926).
+
+    Spark treats NaN ≠ NULL; the reference treats NaN as null by default
+    (options.go:18). String columns map the null-string set to NULL.
+    Cheap narrow projection — no shuffle; Catalyst folds it into the scan.
+    """
+    strings = set(null_strings) | ({""} if blank_as_null else set())
+    out = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if nan_is_null and isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
+        elif strings and isinstance(f.dataType, T.StringType):
+            c = F.when(c.isin(*strings), F.lit(None)).otherwise(c)
+        out.append(c.alias(f.name))
+    return df.select(*out)
+
+
+def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
+    """Attach a deterministic contiguous ``__rowid__``.
+
+    With ``order_by``: row_number over those keys — scale-safe (one
+    shuffle, AQE-sized) and fully deterministic.
+
+    Without: ingest order via monotonically_increasing_id ranked into a
+    contiguous sequence. For a fresh file scan MID ascends with (partition,
+    offset) so this reproduces file order; it is the zipWithIndex analog.
+    The ranking is a global sort — positional semantics are inherently
+    anti-scale, so callers should pass explicit keys at scale.
+    """
+    if ROWID in df.columns:
+        return df
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+    else:
+        df = df.withColumn("__mid__", F.monotonically_increasing_id())
+        w = Window.orderBy("__mid__")
+    out = df.withColumn(ROWID, F.row_number().over(w) - F.lit(1))
+    return out.drop("__mid__") if "__mid__" in out.columns else out
+
+
+def null_safe_div(num: Column, den: Column) -> Column:
+    """Division with the reference's ÷0/Inf/NaN → null rule
+    (reference series.go:930-938, internal.go:1546-1552)."""
+    res = num / den
+    return F.when(den == 0, F.lit(None)).when(F.isnan(res) | (F.abs(res) == float("inf")), F.lit(None)).otherwise(res)
+
+
+def sort_exprs(
+    specs: list[tuple[str, bool]] | list[str],
+    *,
+    cast: dict[str, str] | None = None,
+) -> list[Column]:
+    """Multi-key sort expressions with the reference's nulls-always-last
+    rule, asc or desc (reference types.go:165, internal.go:1297-1309).
+
+    ``specs`` is [(name, ascending)] or plain names (ascending). ``cast``
+    optionally coerces a key for comparison only (reference Sorter.DType,
+    types.go:161-170).
+    """
+    cast = cast or {}
+    exprs: list[Column] = []
+    for spec in specs:
+        name, asc = (spec, True) if isinstance(spec, str) else spec
+        c = F.col(name)
+        if name in cast:
+            c = c.cast(cast[name])
+        exprs.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+    return exprs
