@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop-format write (full materialization of
+every column — count() would let Catalyst prune the plan and undercount).
+Baseline context (BASELINE.md): the reference's published numbers are
+100k-row single-node micro-benchmarks; the comparable workloads here are
+scan_sum / groupby_sum, plus the engine's headline relational and
+training-data queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def scan_sum(spark, sf):
+    """Single-column sum over parquet scan (BASELINE metric 1-2 analog)."""
+    from tada_spark.frame import Frame
+
+    return Frame.read_parquet(spark, f"{sf}/lineitem.parquet").agg(s=F.sum("l_quantity")).df
+
+
+def multi_sum(spark, sf):
+    """Multi-column sum (BASELINE metric 3 analog)."""
+    from tada_spark.frame import Frame
+
+    li = Frame.read_parquet(spark, f"{sf}/lineitem.parquet")
+    return li.agg(
+        **{f"s{i}": F.sum(c) for i, c in enumerate(["l_quantity", "l_extendedprice", "l_discount", "l_tax"])}
+    ).df
+
+
+def groupby_sum(spark, sf):
+    """Group by one key then sum (BASELINE metric 4 analog)."""
+    from tada_spark.frame import Frame
+
+    li = Frame.read_parquet(spark, f"{sf}/lineitem.parquet")
+    return li.group_by("l_returnflag").sum("l_quantity").df
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tada_spark.queries import CATALOG
+    from tada_spark.session import get_spark
+
+    spark = get_spark("tada_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {
+        "scan_sum": scan_sum,
+        "multi_sum": multi_sum,
+        "groupby_sum": groupby_sum,
+        "q1_pricing_summary": CATALOG["q1_pricing_summary"][0],
+        "q3_top_revenue_orders": CATALOG["q3_top_revenue_orders"][0],
+        "q5_region_revenue": CATALOG["q5_region_revenue"][0],
+        "sort_topk_customers": CATALOG["sort_topk_customers"][0],
+        "rolling_1h_sum": CATALOG["rolling_1h_sum"][0],
+        "dedup_exact_fingerprint": CATALOG["dedup_exact_fingerprint"][0],
+        "minhash_candidate_pairs": CATALOG["minhash_candidate_pairs"][0],
+        "cosine_topk_neighbors": CATALOG["cosine_topk_neighbors"][0],
+    }
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -336,7 +336,8 @@ class Frame:
                 else:
                     df = df.withColumn(name, c.cast("timestamp"))
             else:
-                df = df.withColumn(name, c.cast(dtype))
+                # try_cast: parse-failure→null even under ANSI sessions
+                df = df.withColumn(name, c.try_cast(dtype))
         return self._wrap(df)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,228 @@
+"""Document deduplication at scale.
+
+Four tiers, cheapest first — the standard large-corpus pipeline:
+
+1. exact       — fingerprint groupBy (one shuffle on a 32-char key).
+2. minhash_lsh — MinHash signatures + banded LSH: near-dup candidate
+                 pairs WITHOUT the O(n²) cross join. Shuffle volume is
+                 (n_docs × n_bands) band-key rows; each band bucket
+                 joins only within itself. The 100 TB workhorse.
+3. simhash     — 64-bit fingerprint whose Hamming distance tracks
+                 cosine similarity of token sets; banded by 16-bit
+                 chunks for candidate generation.
+4. ngram_jaccard — exact verification on candidate pairs (or small
+                 blocked sets): character-shingle Jaccard.
+
+Everything is Column-expression / join algebra — no UDFs, no driver
+loops. Oracle-checked ops (exact, jaccard) use md5 so the DuckDB twin
+computes identical values; MinHash uses JVM-native xxhash64 (rows-only
+check) for speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tada_spark.functions.text import char_shingles, fingerprint, word_shingles
+
+
+def _h64(col: Column, seed: int) -> Column:
+    """Deterministic 64-bit-ish hash: first 8 hex digits of md5(seed||v),
+    as BIGINT. Engine-portable (md5 + hex parse exist everywhere)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per normalized-text fingerprint.
+    One hash-aggregate shuffle on the 128-bit key; fully scalable."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_words: int = 3) -> Column:
+    """MinHash signature: array<long> of length num_hashes.
+
+    All num_hashes minima are computed in a SINGLE aggregate pass over
+    the shingle array, with xxhash64(seed_i, shingle) as the hash family
+    — JVM-native, codegen'd, no md5/regex cost, ANSI-safe (no wrapping
+    arithmetic). The shingle array expression is evaluated once
+    regardless of num_hashes (immune to projection-collapse duplication).
+    Deterministic across executors and runs (fixed seeds).
+    """
+    init = F.array(*[F.lit(_MAX_LONG).cast("long")] * num_hashes)
+
+    def step(acc: Column, s: Column) -> Column:
+        return F.array(
+            *[
+                F.least(F.element_at(acc, i + 1), F.xxhash64(F.lit(i), s))
+                for i in range(num_hashes)
+            ]
+        )
+
+    return F.aggregate(word_shingles(col, shingle_words), init, step)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    explode(bands) → groupBy band-key self-join → distinct pairs.
+    No O(n²) cross join: pairs only form inside a band bucket. Skewed
+    buckets (boilerplate docs) are the classic hazard — AQE skew-join
+    handles moderate skew; degenerate buckets should be count-capped
+    upstream in a real pipeline.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_words).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(col: Column, num_bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: bit b of the fingerprint is the
+    majority vote of bit b across token hashes. Column-only construction:
+    sum per bit of ±1 via aggregate over the token array."""
+    def mask(b: int) -> int:
+        # bit 63 of a signed long has mask -(1<<63)
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+    # one xxhash64 per token (element of the aggregate), then a SINGLE
+    # pass accumulating all num_bits votes — not num_bits passes
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    init = F.array(*[F.lit(0)] * num_bits)
+
+    def step(acc: Column, h: Column) -> Column:
+        return F.array(
+            *[
+                F.element_at(acc, b + 1)
+                + F.when(h.bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+                for b in range(num_bits)
+            ]
+        )
+
+    def finish(acc: Column) -> Column:
+        out: Column = F.lit(0).cast("long")
+        for b in range(num_bits):
+            out = out + F.when(F.element_at(acc, b + 1) > 0, F.lit(mask(b)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return F.aggregate(hashes, init, step, finish)
+
+
+def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, chunk_bits: int = 16) -> DataFrame:
+    """Candidate pairs whose 64-bit simhash matches on ≥1 of the 16-bit
+    chunks (Hamming ≤ 3 guarantee within 4 chunks)."""
+    n_chunks = 64 // chunk_bits
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), c * chunk_bits).bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.chunk").alias("chunk"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    block_cols: list[str] | None = None,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Character-n-gram Jaccard similarity over blocked pairs.
+
+    ``block_cols`` bounds the quadratic blowup: pairs form only within a
+    block (e.g. same lang + length bucket). At 100 TB you never run this
+    un-blocked — it's the verification stage after LSH candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("jid"),
+        *[F.col(c) for c in (block_cols or [])],
+        char_shingles(F.col(text_col), ngram).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.jid") < F.col("b.jid")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / union
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.jid").alias("id_a"),
+            F.col("b.jid").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

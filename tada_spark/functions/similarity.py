@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: a blocked cross join
+whose cost is n_queries × n_corpus dot products — fine for small query
+sets, linear in corpus size, embarrassingly parallel (corpus stays
+partitioned; queries broadcast).
+
+The scale path is LSH bucketing (random signed projections → sign
+bits → band join), which turns the cross join into a per-bucket join,
+same shape as MinHash LSH. Both are pure Column algebra: dot products
+via zip_with + aggregate run in codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in double precision, left-to-right (matches the oracle's
+    list_dot_product on DOUBLE[])."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × corpus,
+    rank by cosine desc (tie → lower corpus id).
+
+    Plan shape at scale: corpus scan stays partitioned; broadcast hash
+    join (queries are small by construction); per-query top-k via
+    window — AQE keeps the shuffle at n_queries × k rows.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rk").alias("rank"))
+    )
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over the given
+    planes. Deterministic (planes passed in, not generated here) so
+    results are reproducible and oracle-able."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_cosine_candidates(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-neighbor pairs within LSH buckets — the ANN scale path.
+    Recall is tunable via number of planes / OR-ed tables."""
+    b = lsh_sign_buckets(df, planes, id_col=id_col, vec_col=vec_col)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis column expressions for document pipelines.
+
+All pure Column expressions (whole-stage-codegen'd, no UDFs) so they run
+at scan speed over 100 TB of documents and push down through Catalyst.
+Each has an exact ANSI-SQL twin used by the DuckDB oracle — keep the two
+in lockstep (see tada_spark/queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: language → marker stopwords for the n-gram-free heuristic language ID.
+#: Deterministic and SQL-expressible; not a real langid model (the real
+#: thing would be a fastText-style Pandas UDF — out of container scope).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de", "shi", "zai"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count. size(split) counts empty trailing fields;
+    trim + guard empty string to match the intuitive definition."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles (distinct) from whitespace tokens — the MinHash
+    input unit."""
+    toks = F.split(F.trim(col), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams — Jaccard dedup input."""
+    t = col
+    k = F.length(t) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.substring(t, i, n),
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) == 0, F.lit(None)).otherwise(
+        F.length(stripped) / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(None)).otherwise(n_sw / F.size(toks))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite heuristic quality in [0,1]: rewards mid-length docs,
+    penalizes punctuation soup and stopword-free keyword stuffing."""
+    n = token_count(col)
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    punct = F.coalesce(punct_ratio(col), F.lit(0.0))
+    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            len_score * (1.0 - punct) * (F.lit(0.5) + F.least(sw * 2, F.lit(0.5))),
+        ),
+        6,
+    )
+
+
+#: Tie-break priority for lang_id (first match wins on equal counts).
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+
+def lang_counts(col: Column) -> dict[str, Column]:
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    out = {}
+    for lang in LANG_PRIORITY:
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-stopword language vote; highest count wins, ties broken by
+    LANG_PRIORITY order, no hits ⇒ 'unknown'. Mirrors a CASE ladder so
+    the DuckDB oracle can reproduce it verbatim."""
+    cnt = lang_counts(col)
+    all_max = F.greatest(*cnt.values())
+    expr: Column = F.lit("unknown")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((cnt[lang] > 0) & (cnt[lang] == all_max), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of lowercased,
+    punctuation-stripped, whitespace-collapsed text. Stable across
+    engines (md5 is everywhere) — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+    return F.md5(F.trim(norm))

@@ -1,0 +1,905 @@
+"""Query catalog: the driver-facing inventory of implemented operators.
+
+Each entry pairs a Spark implementation (built on the tada_spark engine
+API — this is what demonstrates operator coverage from SURVEY.md §2)
+with an ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+Aliases MUST match between the two: the driver sorts columns by name and
+hash-compares values.
+
+Float discipline: every floating aggregate is rounded (ROUND(x, 2..6))
+identically on both sides so partial-aggregation order differences
+between engines can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tada_spark.frame import Frame
+from tada_spark.functions import dedup, similarity, text
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
+    return Frame.read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core (reference §2.2-2.7 surface)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: Filter → GroupBy → multi-agg (reference
+    GroupBy+Sum/Mean/Count, groupers.go:137-175)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=F.round(F.sum("l_quantity"), 2),
+            sum_base_price=F.round(F.sum("l_extendedprice"), 2),
+            sum_disc_price=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
+            avg_qty=F.round(F.avg("l_quantity"), 2),
+            avg_price=F.round(F.avg("l_extendedprice"), 2),
+            avg_disc=F.round(F.avg("l_discount"), 4),
+            count_order=F.count("*"),
+        )
+        .to_df()
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2)                          AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2)                     AS avg_price,
+       ROUND(AVG(l_discount), 4)                          AS avg_disc,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf):
+    """Join chain + GroupBy + Sort + top-k (reference Lookup + Sort+Head)."""
+    cust = load(spark, sf, "customer").filter_by_value(c_mktsegment="BUILDING")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    joined = (
+        orders.lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True)
+        .lookup(li.group_by("l_orderkey").agg(revenue=F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                left_on=["o_orderkey"], right_on=["l_orderkey"], how="inner")
+    )
+    return (
+        joined.with_col("revenue", F.round(F.col("revenue"), 2))
+        .sort(("revenue", False), ("o_orderkey", True))
+        .head(10)
+        .cols("o_orderkey", "o_orderdate", "revenue")
+        .to_df()
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, ROUND(rev, 2) AS revenue
+FROM (
+  SELECT o.o_orderkey, o.o_orderdate,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+)
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf):
+    """Multi-hop dimension join (region→nation→customer→orders→lineitem)
+    with broadcast dims, groupBy region."""
+    region = load(spark, sf, "region")
+    nation = load(spark, sf, "nation")
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    dim = (
+        cust.lookup(nation, left_on=["c_nationkey"], right_on=["n_nationkey"], broadcast=True)
+        .lookup(region, left_on=["n_regionkey"], right_on=["r_regionkey"], broadcast=True)
+    )
+    fact = li.lookup(orders, left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner")
+    out = (
+        fact.lookup(dim, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True)
+        .group_by("r_name")
+        .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
+             n_orders=F.count_distinct(F.col("l_orderkey")))
+    )
+    return out.to_df()
+
+
+Q5_SQL = """
+SELECT r.r_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(DISTINCT l.l_orderkey)                          AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q6_revenue_delta(spark, sf):
+    """Selective filter + scalar agg (reference whole-Series Sum)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate") >= F.lit("1996-01-01"),
+            F.col("l_shipdate") < F.lit("1997-01-01"),
+            F.col("l_discount").between(0.05, 0.07),
+            F.col("l_quantity") < 24,
+        )
+        .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2))
+        .df
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def filter_compound(spark, sf):
+    """Compound AND filter + projection (reference Filter, §2.3)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02) & (F.col("l_returnflag") == "R"))
+        .cols("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .to_df()
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+
+
+FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity > 45 AND l_discount < 0.02 AND l_returnflag = 'R'
+"""
+
+
+def filter_by_value_canon(spark, sf):
+    """Stringified-equality filter (reference FilterByValue §1.6): the
+    int-typed size column is matched with a string literal."""
+    part = load(spark, sf, "part")
+    return (
+        part.filter_by_value(p_size="25")
+        .cols("p_partkey", "p_name", "p_size")
+        .to_df()
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+FILTER_BY_VALUE_SQL = "SELECT p_partkey, p_name, p_size FROM part WHERE p_size = 25"
+
+
+def where_price_tier(spark, sf):
+    """Where/case ternary (reference Where §2.3) + groupBy on derived col."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.where(F.col("o_totalprice") > 200000, F.lit("high"), F.lit("low"), as_col="tier")
+        .group_by("tier")
+        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .to_df()
+    )
+
+
+WHERE_SQL = """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS tier,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def sort_topk_customers(spark, sf):
+    """Multi-key sort nulls-last + limit (reference Sort+Head §2.5)."""
+    cust = load(spark, sf, "customer")
+    return (
+        cust.top_k(20, ("c_acctbal", False), ("c_custkey", True))
+        .cols("c_custkey", "c_name", "c_acctbal")
+        .to_df()
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+SORT_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC LIMIT 20
+"""
+
+
+def value_counts_priority(spark, sf):
+    """ValueCounts (reference internal.go:2481-2496)."""
+    return load(spark, sf, "orders").value_counts("o_orderpriority").to_df()
+
+
+VALUE_COUNTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS count FROM orders
+WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+"""
+
+
+def distinct_flag_status(spark, sf):
+    """Unique rows by value (reference Unique §2.7)."""
+    li = load(spark, sf, "lineitem")
+    return li.unique("l_returnflag", "l_linestatus").cols("l_returnflag", "l_linestatus").to_df().select(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def lookup_orders_customer(spark, sf):
+    """Lookup join: first-match dictionary semantics (reference §2.6)."""
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") < 200)
+    cust = load(spark, sf, "customer")
+    return (
+        orders.lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], broadcast=True)
+        .cols("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .to_df()
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+LOOKUP_SQL = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey < 200
+"""
+
+
+def append_union(spark, sf):
+    """Vertical concat (reference Append §2.2) then stable agg."""
+    orders = load(spark, sf, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 300000)
+    lo = orders.filter(F.col("o_totalprice") < 20000)
+    return hi.append(lo).group_by("o_orderstatus").agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2)).to_df()
+
+
+APPEND_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM (
+  SELECT * FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT * FROM orders WHERE o_totalprice < 20000
+) GROUP BY o_orderstatus
+"""
+
+
+def agg_stats_quantity(spark, sf):
+    """Whole-frame aggs incl. population std + exact median (reference
+    series.go:999-1073; std is ÷n — internal.go:2042-2057)."""
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        sum_q=F.round(F.sum("l_quantity"), 2),
+        avg_q=F.round(F.avg("l_quantity"), 4),
+        med_q=F.round(F.median("l_quantity"), 2),
+        std_q=F.round(F.stddev_pop("l_quantity"), 4),
+        min_q=F.min("l_quantity"),
+        max_q=F.max("l_quantity"),
+        n=F.count("l_quantity"),
+    ).df
+
+
+AGG_STATS_SQL = """
+SELECT ROUND(SUM(l_quantity), 2) AS sum_q, ROUND(AVG(l_quantity), 4) AS avg_q,
+       ROUND(MEDIAN(l_quantity), 2) AS med_q, ROUND(STDDEV_POP(l_quantity), 4) AS std_q,
+       MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q, COUNT(l_quantity) AS n
+FROM lineitem
+"""
+
+
+def group_reducers_full(spark, sf):
+    """The full grouped-reducer kernel set in one query (reference
+    groupers.go:137-199): mean/median/std-pop/nunique/earliest/latest."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            mean_q=F.round(F.avg("l_quantity"), 4),
+            med_q=F.round(F.median("l_quantity"), 2),
+            std_q=F.round(F.stddev_pop("l_quantity"), 4),
+            nuniq_part=F.count_distinct("l_partkey"),
+            earliest_ship=F.min("l_shipdate"),
+            latest_ship=F.max("l_shipdate"),
+        )
+        .to_df()
+    )
+
+
+GROUP_REDUCERS_SQL = """
+SELECT l_returnflag,
+       ROUND(AVG(l_quantity), 4) AS mean_q, ROUND(MEDIAN(l_quantity), 2) AS med_q,
+       ROUND(STDDEV_POP(l_quantity), 4) AS std_q,
+       COUNT(DISTINCT l_partkey) AS nuniq_part,
+       MIN(l_shipdate) AS earliest_ship, MAX(l_shipdate) AS latest_ship
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def having_count_nations(spark, sf):
+    """HavingCount group filter (reference groupers.go:232-254)."""
+    cust = load(spark, sf, "customer")
+    return (
+        cust.group_by("c_nationkey")
+        .having_count(lambda c: c >= 40)
+        .group_by("c_nationkey")
+        .agg(n_cust=F.count("*"), avg_bal=F.round(F.avg("c_acctbal"), 2))
+        .to_df()
+    )
+
+
+HAVING_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 2) AS avg_bal
+FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 40
+"""
+
+
+def align_deviation(spark, sf):
+    """Align(): group reduction broadcast back to source rows (reference
+    groupers.go:202-228) — deviation from group mean, no join."""
+    ev = load(spark, sf, "events")
+    aligned = ev.group_by("event_type").align().agg(grp_mean=F.avg("value"))
+    return (
+        aligned.with_col("dev", F.round(F.col("value") - F.col("grp_mean"), 4))
+        .cols("event_id", "event_type", "dev")
+        .to_df()
+        .select("event_id", "event_type", "dev")
+    )
+
+
+ALIGN_SQL = """
+SELECT event_id, event_type,
+       ROUND(value - AVG(value) OVER (PARTITION BY event_type), 4) AS dev
+FROM events
+"""
+
+
+def first_last_per_order(spark, sf):
+    """Per-group first/last by explicit order (reference First/Last
+    groupers.go:187-199)."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    first = li.group_by("l_orderkey").first("l_partkey", order_by=["l_linenumber"])
+    last = li.group_by("l_orderkey").last("l_partkey", order_by=["l_linenumber"])
+    return first.lookup(last, left_on=["l_orderkey"], right_on=["l_orderkey"]).to_df().select(
+        "l_orderkey", "first_l_partkey", "last_l_partkey"
+    )
+
+
+FIRST_LAST_SQL = """
+SELECT l_orderkey,
+       MIN(l_partkey) FILTER (WHERE rn_a = 1)  AS first_l_partkey,
+       MIN(l_partkey) FILTER (WHERE rn_d = 1)  AS last_l_partkey
+FROM (
+  SELECT l_orderkey, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC)  AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC) AS rn_d
+  FROM lineitem WHERE l_orderkey < 500
+) GROUP BY l_orderkey
+"""
+
+
+def pivot_returnflag(spark, sf):
+    """PivotTable (reference dataframe.go:1791-1829): nation × returnflag
+    revenue matrix via Spark pivot."""
+    li = load(spark, sf, "lineitem")
+    sup = load(spark, sf, "supplier")
+    j = li.lookup(sup, left_on=["l_suppkey"], right_on=["s_suppkey"], how="inner", broadcast=True)
+    out = j.with_col("rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))).pivot_table(
+        ["s_nationkey"], "l_returnflag", "rev", "sum"
+    )
+    df = out.to_df()
+    return df.select("s_nationkey", *[F.round(F.col(c), 2).alias(c) for c in df.columns if c != "s_nationkey"])
+
+
+PIVOT_SQL = """
+SELECT s.s_nationkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'A'), 2) AS A,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'N'), 2) AS N,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'R'), 2) AS R
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+def shift_lag_events(spark, sf):
+    """Shift/lag with explicit order (reference Shift series.go:327-340)."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 50)
+    out = ev.shift("value", 1, order_by=["ts", "event_id"], partition_by=["user_id"], as_col="prev_value")
+    return out.with_col("prev_value", F.round("prev_value", 2)).to_df().select("event_id", "user_id", "prev_value")
+
+
+SHIFT_SQL = """
+SELECT event_id, user_id,
+       ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value
+FROM events WHERE user_id < 50
+"""
+
+
+def cumsum_user_value(spark, sf):
+    """Running sum, nulls contribute 0 (reference CumSum internal.go:2173-2183)."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 50)
+    out = ev.cum_sum("value", order_by=["ts", "event_id"], partition_by=["user_id"], as_col="running")
+    return out.with_col("running", F.round("running", 2)).to_df().select("event_id", "user_id", "running")
+
+
+CUMSUM_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(COALESCE(value, 0)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM events WHERE user_id < 50
+"""
+
+
+def rank_customers_in_nation(spark, sf):
+    """Dense rank, nulls excluded (reference Rank internal.go:2302-2351)."""
+    cust = load(spark, sf, "customer")
+    return (
+        cust.rank("c_acctbal", partition_by=["c_nationkey"], as_col="bal_rank", descending=True)
+        .cols("c_custkey", "c_nationkey", "bal_rank")
+        .to_df()
+        .select("c_custkey", "c_nationkey", "bal_rank")
+    )
+
+
+RANK_SQL = """
+SELECT c_custkey, c_nationkey,
+       CASE WHEN c_acctbal IS NULL THEN NULL
+            ELSE DENSE_RANK() OVER (PARTITION BY c_nationkey, c_acctbal IS NULL ORDER BY c_acctbal DESC) END AS bal_rank
+FROM customer
+"""
+
+
+def percentile_totalprice(spark, sf):
+    """Exclusive percentile rank (reference internal.go:2353-2388)."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.percentile("o_totalprice", as_col="pct")
+        .with_col("pct", F.round("pct", 6))
+        .cols("o_orderkey", "pct")
+        .to_df()
+        .select("o_orderkey", "pct")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderkey,
+       ROUND((RANK() OVER (ORDER BY o_totalprice) - 1)::DOUBLE / COUNT(*) OVER (), 6) AS pct
+FROM orders
+"""
+
+
+def bin_quantity(spark, sf):
+    """Numeric binning, left-exclusive right-inclusive, nulls
+    uncategorized (reference cut internal.go:2208-2300)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.bin("l_quantity", [0, 10, 20, 30, 40, 50], as_col="qbin")
+        .group_by("qbin")
+        .agg(n=F.count("*"))
+        .to_df()
+    )
+
+
+BIN_SQL = """
+SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN '0-10'
+            WHEN l_quantity > 10 AND l_quantity <= 20 THEN '10-20'
+            WHEN l_quantity > 20 AND l_quantity <= 30 THEN '20-30'
+            WHEN l_quantity > 30 AND l_quantity <= 40 THEN '30-40'
+            WHEN l_quantity > 40 AND l_quantity <= 50 THEN '40-50'
+            ELSE NULL END AS qbin,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def percentile_bin_price(spark, sf):
+    """Percentile binning, left-inclusive (reference pcut
+    internal.go:2392-2408): quartiles of order price."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.percentile_bin("o_totalprice", [0, 0.25, 0.5, 0.75, 1.0], labels=["q1", "q2", "q3", "q4"], as_col="pbin")
+        .group_by("pbin")
+        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .to_df()
+    )
+
+
+PBIN_SQL = """
+SELECT CASE WHEN pct >= 0 AND pct < 0.25 THEN 'q1'
+            WHEN pct >= 0.25 AND pct < 0.5 THEN 'q2'
+            WHEN pct >= 0.5 AND pct < 0.75 THEN 'q3'
+            WHEN pct >= 0.75 THEN 'q4' END AS pbin,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM (
+  SELECT o_totalprice,
+         (RANK() OVER (ORDER BY o_totalprice) - 1)::DOUBLE / COUNT(*) OVER () AS pct
+  FROM orders
+) GROUP BY 1
+"""
+
+
+def resample_month_revenue(spark, sf):
+    """Resample: truncate datetimes to month (reference
+    internal.go:2423-2479) + grouped sum."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.resample("l_shipdate", "month", as_col="ship_month")
+        .group_by("ship_month")
+        .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .to_df()
+    )
+
+
+RESAMPLE_SQL = """
+SELECT DATE_TRUNC('month', l_shipdate)::TIMESTAMP AS ship_month,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY 1
+"""
+
+
+def resample_week_revenue(spark, sf):
+    """Week resample with custom week start (reference StartOfWeek,
+    internal.go:2444-2462): weeks starting Monday."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.resample("o_orderdate", "week", week_start="MONDAY", as_col="order_week")
+        .group_by("order_week")
+        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .to_df()
+    )
+
+
+RESAMPLE_WEEK_SQL = """
+SELECT DATE_TRUNC('week', o_orderdate)::TIMESTAMP AS order_week,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def rolling3_forward_sum(spark, sf):
+    """RollingN forward window [i, i+n), incomplete tail ⇒ null
+    (reference groupers.go:295-314)."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
+    out = ev.group_by("user_id").rolling_n(3, "value", "sum", order_by=["ts", "event_id"], out="roll3")
+    return out.with_col("roll3", F.round("roll3", 2)).to_df().select("event_id", "user_id", "roll3")
+
+
+ROLLING3_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN COUNT(*) OVER w = 3
+            THEN ROUND(SUM(value) OVER w, 2) END AS roll3
+FROM events WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+"""
+
+
+def rolling_1h_sum(spark, sf):
+    """RollingDuration [t, t+1h) forward range window (reference
+    groupers.go:317-345)."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
+    out = ev.group_by("user_id").rolling_duration(3600, "ts", "value", "sum", out="roll1h")
+    return out.with_col("roll1h", F.round("roll1h", 2)).to_df().select("event_id", "user_id", "roll1h")
+
+
+ROLLING_1H_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY EPOCH(ts)::BIGINT
+         RANGE BETWEEN CURRENT ROW AND 3599 FOLLOWING), 2) AS roll1h
+FROM events WHERE user_id < 30
+"""
+
+
+def ffill_user_value(spark, sf):
+    """Forward fill over explicit order (reference FillNull forward,
+    internal.go:936-983). Nulls constructed identically on both sides."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
+    ev = ev.with_col("v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")))
+    out = ev.fill_null("forward", subset=["v"], order_by=["ts", "event_id"], partition_by=["user_id"])
+    return out.with_col("v", F.round("v", 2)).to_df().select("event_id", "user_id", "v")
+
+
+FFILL_SQL = """
+SELECT event_id, user_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v
+FROM events WHERE user_id < 30
+"""
+
+
+def divide_nullsafe(spark, sf):
+    """÷0 → null arithmetic (reference series.go:930-938)."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 300)
+    out = li.with_col("den", F.col("l_quantity") - 20).divide("ratio", "l_extendedprice", "den")
+    # floor-scaling instead of round: floor is IEEE-exact given identical
+    # double inputs, so no half-way disagreements between engines
+    return (
+        out.with_col("ratio", F.floor(F.col("ratio") * 10000).cast("long"))
+        .to_df()
+        .select("l_orderkey", "l_linenumber", "ratio")
+    )
+
+
+DIVIDE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(CASE WHEN (l_quantity - 20) = 0 THEN NULL
+                  ELSE l_extendedprice / (l_quantity - 20) END * 10000) AS BIGINT) AS ratio
+FROM lineitem WHERE l_orderkey < 300
+"""
+
+
+def json_extract_props(spark, sf):
+    """JSON field extraction + cast-with-null-on-failure (reference Cast
+    parse-failure semantics, valueContainers.go:65-71)."""
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    return (
+        ev.with_col("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .cols("event_id", "k")
+        .to_df()
+        .select("event_id", "k")
+    )
+
+
+JSON_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+FROM events WHERE event_id < 2000
+"""
+
+
+def ordered_range_rows(spark, sf):
+    """Positional Range over explicit ordering (reference Range
+    internal.go:1112-1139 + __rowid__ discipline §4.3)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.ordered("l_orderkey", "l_linenumber")
+        .range(100, 200)
+        .cols("l_orderkey", "l_linenumber", "l_quantity")
+        .to_df()
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+RANGE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+ORDER BY l_orderkey, l_linenumber OFFSET 100 LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (beyond-reference; BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark, sf):
+    """Token counting + char stats over documents (text-analysis tier)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.with_col("n_tokens", text.token_count(F.col("text")))
+        .with_col("punct", F.round(F.coalesce(text.punct_ratio(F.col("text")), F.lit(0.0)), 6))
+        .cols("doc_id", "n_tokens", "punct")
+        .to_df()
+        .select("doc_id", "n_tokens", "punct")
+    )
+
+
+TEXT_TOKENS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
+       ROUND(COALESCE(CASE WHEN LENGTH(text) = 0 THEN NULL
+            ELSE LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / LENGTH(text) END, 0), 6) AS punct
+FROM documents
+"""
+
+
+def text_quality(spark, sf):
+    """Composite quality score (length/punct/stopword heuristic)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.with_col("quality", text.quality_score(F.col("text")))
+        .cols("doc_id", "quality")
+        .to_df()
+        .select("doc_id", "quality")
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
+         COALESCE(CASE WHEN LENGTH(text) = 0 THEN NULL
+              ELSE LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / LENGTH(text) END, 0) AS punct,
+         COALESCE(CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) = 0 THEN NULL
+              ELSE LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                       x -> x IN ('the','a','and','of','to','in')))::DOUBLE
+                   / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) END, 0) AS sw
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(GREATEST(0.0, LEAST(n_tokens / 50.0, 1.0) * (1.0 - punct)
+             * (0.5 + LEAST(sw * 2, 0.5))), 6) AS quality
+FROM t
+"""
+
+
+def lang_id_vote(spark, sf):
+    """Marker-stopword language ID vote (text-analysis tier)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.with_col("lang_pred", text.lang_id(F.col("text")))
+        .group_by("lang_pred")
+        .agg(n=F.count("*"))
+        .to_df()
+    )
+
+
+_LANG_CNT = {
+    lang: "LEN(LIST_FILTER(toks, x -> x IN ({})))".format(
+        ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+    )
+    for lang in text.LANG_PRIORITY
+}
+LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, {exprs} FROM t
+)
+SELECT CASE
+  WHEN c_en > 0 AND c_en >= GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'en'
+  WHEN c_es > 0 AND c_es >= GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'es'
+  WHEN c_de > 0 AND c_de >= GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'de'
+  WHEN c_fr > 0 AND c_fr >= GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'fr'
+  WHEN c_zh > 0 AND c_zh >= GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'zh'
+  ELSE 'unknown' END AS lang_pred,
+  COUNT(*) AS n
+FROM c GROUP BY 1
+""".format(exprs=", ".join(f"{sql} AS c_{lang}" for lang, sql in _LANG_CNT.items()))
+
+
+def dedup_exact_fingerprint(spark, sf):
+    """Exact dedup: min doc per normalized md5 fingerprint."""
+    docs = load(spark, sf, "documents")
+    return dedup.exact_dedup(docs.to_df())
+
+
+DEDUP_EXACT_SQL = """
+SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def jaccard_near_dups(spark, sf):
+    """n-gram Jaccard near-dup pairs, blocked by language (dedup tier)."""
+    docs = load(spark, sf, "documents")
+    return dedup.jaccard_pairs(docs.to_df(), block_cols=["lang"], ngram=4, threshold=0.35)
+
+
+JACCARD_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 3, 1) + 1),
+                       i -> SUBSTR(text, i::INT, 4))) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+      / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.35
+"""
+
+
+def minhash_candidate_pairs(spark, sf):
+    """MinHash + banded LSH candidate pairs — the 100 TB near-dup path.
+    md5-derived hashes, so deterministic; oracle checks rows-only (the
+    banded self-join is not reasonably SQL-expressible)."""
+    docs = load(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(docs.to_df(), num_hashes=16, bands=4)
+
+
+def simhash_candidates(spark, sf):
+    """SimHash 64-bit fingerprints, banded by 16-bit chunks, kept when
+    Hamming distance ≤ 10 (rows-only)."""
+    docs = load(spark, sf, "documents")
+    return dedup.simhash_bands(docs.to_df()).filter(F.col("hamming") <= 10)
+
+
+def cosine_topk_neighbors(spark, sf):
+    """Brute-force cosine top-5 per query vector (similarity tier)."""
+    emb = load(spark, sf, "embeddings").to_df()
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id,
+              LIST_DOT_PRODUCT(qv, cv) / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cos_raw
+       FROM q JOIN c ON query_id != neighbor_id
+     ), ranked AS (
+       SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       FROM scored
+     )
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+#: name → (spark_fn, oracle_sql | None)
+CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),
+    "filter_compound": (filter_compound, FILTER_SQL),
+    "filter_by_value_canon": (filter_by_value_canon, FILTER_BY_VALUE_SQL),
+    "where_price_tier": (where_price_tier, WHERE_SQL),
+    "sort_topk_customers": (sort_topk_customers, SORT_SQL),
+    "value_counts_priority": (value_counts_priority, VALUE_COUNTS_SQL),
+    "distinct_flag_status": (distinct_flag_status, DISTINCT_SQL),
+    "lookup_orders_customer": (lookup_orders_customer, LOOKUP_SQL),
+    "append_union": (append_union, APPEND_SQL),
+    "agg_stats_quantity": (agg_stats_quantity, AGG_STATS_SQL),
+    "group_reducers_full": (group_reducers_full, GROUP_REDUCERS_SQL),
+    "having_count_nations": (having_count_nations, HAVING_SQL),
+    "align_deviation": (align_deviation, ALIGN_SQL),
+    "first_last_per_order": (first_last_per_order, FIRST_LAST_SQL),
+    "pivot_returnflag": (pivot_returnflag, PIVOT_SQL),
+    "shift_lag_events": (shift_lag_events, SHIFT_SQL),
+    "cumsum_user_value": (cumsum_user_value, CUMSUM_SQL),
+    "rank_customers_in_nation": (rank_customers_in_nation, RANK_SQL),
+    "percentile_totalprice": (percentile_totalprice, PERCENTILE_SQL),
+    "bin_quantity": (bin_quantity, BIN_SQL),
+    "percentile_bin_price": (percentile_bin_price, PBIN_SQL),
+    "resample_month_revenue": (resample_month_revenue, RESAMPLE_SQL),
+    "resample_week_revenue": (resample_week_revenue, RESAMPLE_WEEK_SQL),
+    "rolling3_forward_sum": (rolling3_forward_sum, ROLLING3_SQL),
+    "rolling_1h_sum": (rolling_1h_sum, ROLLING_1H_SQL),
+    "ffill_user_value": (ffill_user_value, FFILL_SQL),
+    "divide_nullsafe": (divide_nullsafe, DIVIDE_SQL),
+    "json_extract_props": (json_extract_props, JSON_SQL),
+    "ordered_range_rows": (ordered_range_rows, RANGE_SQL),
+    "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_id_vote": (lang_id_vote, LANG_ID_SQL),
+    "dedup_exact_fingerprint": (dedup_exact_fingerprint, DEDUP_EXACT_SQL),
+    "jaccard_near_dups": (jaccard_near_dups, JACCARD_SQL),
+    "minhash_candidate_pairs": (minhash_candidate_pairs, None),
+    "simhash_candidates": (simhash_candidates, None),
+    "cosine_topk_neighbors": (cosine_topk_neighbors, COSINE_SQL),
+}

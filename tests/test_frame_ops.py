@@ -1,0 +1,172 @@
+"""Operator-surface tests on tiny literal frames (reference test model:
+table-driven per-operator cases, SURVEY §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tada_spark.frame import Frame
+
+
+def _basic(spark) -> Frame:
+    return Frame(
+        spark.createDataFrame(
+            [(0, 1.0, "foo"), (1, 2.0, "bar"), (2, 3.0, "foo"), (3, None, "baz")],
+            "idx long, v double, s string",
+        ),
+        labels=["idx"],
+    )
+
+
+def test_head_tail_range_subset(spark):
+    f = _basic(spark).ordered("idx")
+    assert [r.idx for r in f.head(2).df.collect()] == [0, 1]
+    assert sorted(r.idx for r in f.tail(2).df.collect()) == [2, 3]
+    assert [r.idx for r in f.range(1, 3).sort("idx").df.collect()] == [1, 2]
+    assert sorted(r.idx for r in f.subset([0, 3]).df.collect()) == [0, 3]
+    assert sorted(r.idx for r in f.drop_row(1).df.collect()) == [0, 2, 3]
+
+
+def test_with_col_rename_reorder(spark):
+    f = _basic(spark)
+    assert "v2" in f.with_col("v2", F.col("v") * 2).columns
+    assert "w" in f.rename({"v": "w"}).columns
+    assert f.reorder_cols("s", "v").columns == ["s", "v"]
+    assert f.filter_cols(lambda c: c.startswith("v")).columns == ["idx", "v"]
+
+
+def test_filter_by_value_stringified(spark):
+    f = _basic(spark)
+    assert f.filter_by_value(v="2").df.count() == 1  # string "2" matches 2.0
+    assert f.filter_by_value(s="foo").df.count() == 2
+
+
+def test_where_null_propagation(spark):
+    """Reference Where: null condition ⇒ null output."""
+    f = _basic(spark)
+    rows = {r.idx: r.w for r in f.where(F.col("v") > 1.5, F.lit("hi"), F.lit("lo"), as_col="w").df.collect()}
+    assert rows[0] == "lo" and rows[1] == "hi" and rows[3] is None
+
+
+def test_drop_null_and_null_rows(spark):
+    f = _basic(spark)
+    assert f.drop_null("v").df.count() == 3
+    assert f.null_rows("v").df.count() == 1
+
+
+def test_fill_null_forward_and_zero(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [(0, None), (1, 5.0), (2, None), (3, None), (4, 7.0)], "idx long, v double"
+        )
+    )
+    ff = {r.idx: r.v for r in f.fill_null("forward", subset=["v"], order_by=["idx"]).df.collect()}
+    assert ff == {0: None, 1: 5.0, 2: 5.0, 3: 5.0, 4: 7.0}
+    bf = {r.idx: r.v for r in f.fill_null("backward", subset=["v"], order_by=["idx"]).df.collect()}
+    assert bf == {0: 5.0, 1: 5.0, 2: 7.0, 3: 7.0, 4: 7.0}
+    z = {r.idx: r.v for r in f.fill_null("zero", subset=["v"]).df.collect()}
+    assert z[0] == 0.0 and z[1] == 5.0
+
+
+def test_shift_and_cumsum(spark):
+    f = Frame(spark.createDataFrame([(0, 1.0), (1, None), (2, 3.0)], "idx long, v double"))
+    sh = {r.idx: r.prev for r in f.shift("v", 1, order_by=["idx"], as_col="prev").df.collect()}
+    assert sh == {0: None, 1: 1.0, 2: None}
+    cs = {r.idx: r.c for r in f.cum_sum("v", order_by=["idx"], as_col="c").df.collect()}
+    assert cs == {0: 1.0, 1: 1.0, 2: 4.0}  # nulls contribute 0
+
+
+def test_bin_edges_left_exclusive(spark):
+    """Reference cut: (lo, hi] intervals; nulls and out-of-range ⇒ null."""
+    f = Frame(spark.createDataFrame([(0.0,), (5.0,), (10.0,), (15.0,), (None,)], "v double"))
+    rows = [r.b for r in f.bin("v", [0, 10, 20], labels=["lo", "hi"], as_col="b").df.collect()]
+    assert rows == [None, "lo", "lo", "hi", None]  # 0 excluded, 10 included in lo
+
+
+def test_rank_and_percentile(spark):
+    f = Frame(spark.createDataFrame([(1.0,), (2.0,), (2.0,), (None,)], "v double"))
+    rk = sorted((r.v, r.r) for r in f.rank("v", as_col="r").df.collect() if r.v is not None)
+    assert rk == [(1.0, 1), (2.0, 2), (2.0, 2)]
+    assert [r.r for r in f.rank("v", as_col="r").df.collect() if r.v is None] == [None]
+    pc = sorted((r.v, r.p) for r in f.percentile("v", as_col="p").df.collect() if r.v is not None)
+    assert pc == [(1.0, 0.0), (2.0, 1 / 3), (2.0, 1 / 3)]
+
+
+def test_append_type_coercion(spark):
+    """Reference internal.go:1159-1170: mismatched types coerce to string."""
+    a = Frame(spark.createDataFrame([(1,)], "v long"))
+    b = Frame(spark.createDataFrame([("x",)], "v string"))
+    out = a.append(b)
+    assert dict(out.df.dtypes)["v"] == "string"
+    assert out.df.count() == 2
+
+
+def test_lookup_first_match_ordered(spark):
+    """Reference §2.6: only the FIRST matching right row is used."""
+    left = Frame(spark.createDataFrame([("k1",), ("k2",)], "k string"), labels=["k"])
+    right = Frame(
+        spark.createDataFrame([("k1", "first"), ("k1", "second"), ("k3", "x")], "k string, val string"),
+        labels=["k"],
+    )
+    out = left.lookup(right, first_match="ordered")
+    rows = {r.k: r.val for r in out.df.collect()}
+    assert rows == {"k1": "first", "k2": None}
+    assert out.df.count() == 2  # no row multiplication
+
+
+def test_lookup_inner_drops_unmatched(spark):
+    left = Frame(spark.createDataFrame([("k1",), ("k2",)], "k string"), labels=["k"])
+    right = Frame(spark.createDataFrame([("k1", 1.0)], "k string, v double"), labels=["k"])
+    assert left.lookup(right, how="inner").df.count() == 1
+
+
+def test_unique_first_appearance(spark):
+    f = Frame(spark.createDataFrame([(0, "a"), (1, "b"), (2, "a")], "idx long, s string")).ordered("idx")
+    out = f.unique("s", first_appearance=True)
+    assert sorted(r.idx for r in out.df.collect()) == [0, 1]
+
+
+def test_grouped_first_last_nth_oob(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)], "k string, ord int, v double"
+        )
+    )
+    g = f.group_by("k")
+    first = {r.k: r.first_v for r in g.first("v", order_by=["ord"]).df.collect()}
+    assert first == {"a": 10.0, "b": 30.0}
+    last = {r.k: r.last_v for r in g.last("v", order_by=["ord"]).df.collect()}
+    assert last == {"a": 20.0, "b": 30.0}
+    nth = {r.k: r.nth_v for r in g.nth("v", 1, order_by=["ord"]).df.collect()}
+    assert nth == {"a": 20.0, "b": None}  # out-of-bounds ⇒ null
+    neg = {r.k: r.nth_v for r in g.nth("v", -2, order_by=["ord"]).df.collect()}
+    assert neg == {"a": 10.0, "b": None}
+
+
+def test_rolling_n_forward_null_tail(spark):
+    """Reference RollingN: incomplete tail windows ⇒ null."""
+    f = Frame(spark.createDataFrame([("a", i, float(i)) for i in range(4)], "k string, ord int, v double"))
+    out = {r.ord: r.roll for r in f.group_by("k").rolling_n(2, "v", "sum", order_by=["ord"], out="roll").df.collect()}
+    assert out == {0: 1.0, 1: 3.0, 2: 5.0, 3: None}
+
+
+def test_having_count(spark):
+    f = Frame(spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int"))
+    out = f.group_by("k").having_count(lambda c: c >= 2)
+    assert set(r.k for r in out.df.collect()) == {"a"}
+
+
+def test_pivot_table(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0)], "k string, c string, v double"
+        )
+    )
+    out = {r.k: (r.p, r.q) for r in f.pivot_table(["k"], "c", "v", "sum").df.collect()}
+    assert out == {"x": (1.0, 2.0), "y": (3.0, None)}
+
+
+def test_resample_week_monday(spark):
+    f = Frame(spark.createDataFrame([("2024-01-10",)], "d string")).cast(d="timestamp")
+    out = f.resample("d", "week", week_start="MONDAY").df.first().d
+    assert str(out)[:10] == "2024-01-08"  # Wed Jan 10 → Mon Jan 8

@@ -1,0 +1,125 @@
+"""Tests for the training-data function tier (text/dedup/similarity/multimodal)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tada_spark.functions import dedup, multimodal, similarity, text
+
+
+def test_token_count_and_ratios(spark):
+    df = spark.createDataFrame([("the cat and the hat",), ("",), ("  ",)], "t string")
+    out = df.select(
+        text.token_count(F.col("t")).alias("n"),
+        text.stopword_ratio(F.col("t")).alias("sw"),
+    ).collect()
+    assert out[0].n == 5
+    assert math.isclose(out[0].sw, 3 / 5)
+    assert out[1].n == 0 and out[2].n == 0
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcd",)], "t string")
+    sh = df.select(text.char_shingles(F.col("t"), 3).alias("s")).first().s
+    assert sorted(sh) == ["abc", "bcd"]
+
+
+def test_fingerprint_normalization(spark):
+    """Same text modulo case/punctuation/whitespace ⇒ same fingerprint."""
+    df = spark.createDataFrame([("Hello,  World!",), ("hello world",)], "t string")
+    fps = [r.fp for r in df.select(text.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same doc"), (2, "same doc"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r.keep_id: r.n_dups for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dup_and_is_deterministic(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words about spark distributed data processing engines"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    pairs2 = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert pairs == pairs2  # md5-derived hashing: fully deterministic
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgx"), (3, "zzzzzzzz")], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.5
+    assert (1, 3) not in out
+
+
+def test_simhash_close_for_similar_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_bands(df).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in out}
+    if (1, 2) in ham and (1, 3) in ham:
+        assert ham[(1, 2)] < ham[(1, 3)]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    # numpy reference
+    v = vecs.astype("float64")
+    cos = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cos[0] = -np.inf
+    expect = list(np.argsort(-cos)[:3])
+    assert [g[0] for g in got] == [int(e) for e in expect]
+
+
+def test_lsh_cosine_candidates_contains_true_neighbor(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16).astype("float32")
+    near = base + rng.normal(scale=0.01, size=16).astype("float32")
+    far = rng.normal(size=16).astype("float32")
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near]), (2, [float(x) for x in far])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[float(x) for x in rng.normal(size=16)] for _ in range(4)]
+    out = {(r.id_a, r.id_b) for r in similarity.lsh_cosine_candidates(df, planes, threshold=0.9).collect()}
+    assert (0, 1) in out
+
+
+def test_multimodal_image_features_pipeline(spark):
+    """Distributed decode plumbing: mapInPandas over binary payloads.
+    Decode kernel is a deterministic stub (no image libs in container)."""
+    rows = [(i, bytes([i % 251] * (100 + i))) for i in range(10)] + [(99, b"")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.image_features(df).collect()
+    assert len(out) == 10  # empty payload dropped
+    assert all(r.n_bytes >= 100 for r in out)
+    assert all(16 <= r.width < 80 for r in out)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 90), (2, 10)], "media_id long, n_frames int")
+    out = multimodal.frame_sample_plan(df, every_n=30).collect()
+    got = sorted((r.media_id, r.frame_idx) for r in out)
+    assert got == [(1, 0), (1, 30), (1, 60), (2, 0)]

@@ -1,0 +1,80 @@
+"""Semantics-shim unit tests (reference parity quirks, SURVEY §1.4, §1.6)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tada_spark.frame import Frame
+from tada_spark.plans.semantics import canon_str, normalize_nulls, null_safe_div
+
+
+def test_canon_str_integral_float(spark):
+    """fmt.Sprint parity: 1.0 prints '1', 1.5 prints '1.5'."""
+    df = spark.createDataFrame([(1.0,), (1.5,), (None,)], "v double")
+    out = df.select(canon_str(F.col("v"), T.DoubleType()).alias("s")).collect()
+    assert [r.s for r in out] == ["1", "1.5", "\x00null"]
+
+
+def test_canon_str_cross_type_join_key(spark):
+    """Int 7 and string '7' canonicalize identically (reference §1.6)."""
+    a = spark.createDataFrame([(7,)], "k long")
+    b = spark.createDataFrame([("7",)], "k string")
+    va = a.select(canon_str(F.col("k"), T.LongType()).alias("c")).first().c
+    vb = b.select(canon_str(F.col("k"), T.StringType()).alias("c")).first().c
+    assert va == vb == "7"
+
+
+def test_normalize_nulls_nan_and_null_strings(spark):
+    df = spark.createDataFrame(
+        [(float("nan"), "(null)"), (1.0, "x"), (2.0, "")],
+        "f double, s string",
+    )
+    out = normalize_nulls(df, blank_as_null=True).collect()
+    assert out[0].f is None and out[0].s is None
+    assert out[1].f == 1.0 and out[1].s == "x"
+    assert out[2].s is None
+
+
+def test_null_safe_div(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (6.0, 2.0)], "a double, b double")
+    out = df.select(null_safe_div(F.col("a"), F.col("b")).alias("r")).collect()
+    assert out[0].r is None and out[1].r == 3.0
+
+
+def test_filters_never_match_null(spark):
+    """Reference internal.go:1184: null rows never pass a filter."""
+    f = Frame(spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double"))
+    assert f.filter(F.col("v") != 3.0).df.count() == 1
+    assert f.filter(F.col("v") < 100).df.count() == 2
+
+
+def test_sort_nulls_last_both_directions(spark):
+    f = Frame(spark.createDataFrame([(None,), (2.0,), (1.0,)], "v double"))
+    asc = [r.v for r in f.sort(("v", True)).df.collect()]
+    desc = [r.v for r in f.sort(("v", False)).df.collect()]
+    assert asc == [1.0, 2.0, None]
+    assert desc == [2.0, 1.0, None]
+
+
+def test_all_null_group_aggregates_to_null(spark):
+    """Reference internal.go:1979-2170: all-null group ⇒ null result."""
+    f = Frame(spark.createDataFrame([("a", None), ("a", None), ("b", 1.0)], "k string, v double"))
+    rows = {r.k: r.sum_v for r in f.group_by("k").sum("v").df.collect()}
+    assert rows["a"] is None and rows["b"] == 1.0
+
+
+def test_stddev_is_population(spark):
+    """Reference internal.go:2042-2057: std divides by n, not n-1."""
+    f = Frame(spark.createDataFrame([("a", 1.0), ("a", 3.0)], "k string, v double"))
+    std = f.group_by("k").std("v").df.first().std_v
+    assert math.isclose(std, 1.0)  # pop-std of {1,3}; sample std would be sqrt(2)
+
+
+def test_nunique_stringified(spark):
+    """Reference internal.go:2076-2094: distinct on stringified values."""
+    f = Frame(spark.createDataFrame([("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", None)], "k string, v double"))
+    assert f.group_by("k").nunique("v").df.first().nunique_v == 2

@@ -1,0 +1,130 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark AND its
+oracle_sql() twin on DuckDB against the same parquet tables, then
+compares row count, sorted-column schema, and an order-insensitive
+value hash (columns sorted by name, rows sorted by stringified values,
+values canonicalized). Run before every commit that touches queries or
+operator semantics.
+
+Usage:
+  python tools/check_oracle.py [--sf DIR] [-q NAME ...] [--rows-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+sys.path.insert(0, ".")
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(canon_rows).encode()).hexdigest()[:16]
+    return h, len(rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("-q", "--query", action="append")
+    ap.add_argument("--rows-only", action="store_true", help="also run no-oracle queries")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tada_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.query or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            s_hash, s_n = table_hash(scols, srows)
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            status = "rows-only"
+            print(f"OK?   {name}: {s_n} rows [{status}] ({spark_t:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            d_hash, d_n = table_hash(dcols, drows)
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: schema mismatch spark={sorted(scols)} duckdb={sorted(dcols)}")
+            n_fail += 1
+        elif s_n != d_n:
+            print(f"FAIL  {name}: rowcount spark={s_n} duckdb={d_n}")
+            n_fail += 1
+        elif s_hash != d_hash:
+            print(f"FAIL  {name}: value hash mismatch ({s_n} rows)")
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            sset = sorted("|".join(canon_value(r[i]) for i in order) for r in srows)
+            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            dset = sorted("|".join(canon_value(r[i]) for i in dorder) for r in drows)
+            diffs = [(a, b) for a, b in zip(sset, dset) if a != b]
+            for a, b in diffs[:3]:
+                print(f"      spark : {a[:200]}")
+                print(f"      duckdb: {b[:200]}")
+            print(f"      ({len(diffs)} differing rows)")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {s_n} rows hash={s_hash} ({spark_t:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
