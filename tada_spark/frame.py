@@ -626,6 +626,35 @@ class Frame:
     def agg(self, **exprs: Column) -> "Frame":
         return Frame(self.df.agg(*[e.alias(n) for n, e in exprs.items()]), [], self.name)
 
+    def agg_all(self, aggs: list[str], *cols: str) -> "Frame":
+        """Per-column aggregates melted to one row per column."""
+        from tada_spark.operators.reshape import agg_all
+
+        return agg_all(self, aggs, *cols)
+
+    # ------------------------------------------------------------------
+    # reshaping delegates (operators/reshape.py)
+    # ------------------------------------------------------------------
+    def transpose(self, *, max_rows: int = 10_000) -> "Frame":
+        from tada_spark.operators.reshape import transpose
+
+        return transpose(self, max_rows=max_rows)
+
+    def promote_to_col_level(self, name: str, value_col: str) -> "Frame":
+        from tada_spark.operators.reshape import promote_to_col_level
+
+        return promote_to_col_level(self, name, value_col)
+
+    def cube(self, keys: list[str], **exprs: Column) -> "Frame":
+        from tada_spark.operators.reshape import cube
+
+        return cube(self, keys, **exprs)
+
+    def rollup(self, keys: list[str], **exprs: Column) -> "Frame":
+        from tada_spark.operators.reshape import rollup
+
+        return rollup(self, keys, **exprs)
+
     # ------------------------------------------------------------------
     # sinks
     # ------------------------------------------------------------------

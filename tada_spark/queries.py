@@ -691,6 +691,200 @@ ORDER BY l_orderkey, l_linenumber OFFSET 100 LIMIT 100
 """
 
 
+def rollup_status_priority(spark, sf):
+    """ROLLUP grouping sets (free extension beyond reference §2.7)."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.rollup(["o_orderstatus", "o_orderpriority"], n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .to_df()
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_flag_status(spark, sf):
+    """CUBE grouping sets (free extension)."""
+    li = load(spark, sf, "lineitem")
+    return li.cube(["l_returnflag", "l_linestatus"], sum_qty=F.round(F.sum("l_quantity"), 2)).to_df()
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def nth_line_per_order(spark, sf):
+    """Grouped Nth with out-of-bounds ⇒ null (reference groupers.go:824-868)."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    return (
+        li.group_by("l_orderkey")
+        .nth("l_partkey", 2, order_by=["l_linenumber"], out="third_part")
+        .to_df()
+        .select("l_orderkey", "third_part")
+    )
+
+
+NTH_SQL = """
+SELECT o.l_orderkey, p.third_part
+FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey < 500) o
+LEFT JOIN (
+  SELECT l_orderkey, l_partkey AS third_part
+  FROM (SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        FROM lineitem WHERE l_orderkey < 500)
+  WHERE rn = 3
+) p USING (l_orderkey)
+"""
+
+
+def unique_first_appearance(spark, sf):
+    """First-appearance Unique via min-rowid over explicit order
+    (reference internal.go:2512-2537 + §4.3 __rowid__ discipline)."""
+    ev = load(spark, sf, "events")
+    out = ev.ordered("ts", "event_id").unique("user_id", "event_type", first_appearance=True)
+    return out.to_df().select("event_id", "user_id", "event_type")
+
+
+UNIQUE_FIRST_SQL = """
+SELECT event_id, user_id, event_type
+FROM (SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def agg_all_columns(spark, sf):
+    """Per-column whole-frame aggs melted to rows (reference
+    dataframe.go:1910-1993)."""
+    li = load(spark, sf, "lineitem")
+    out = li.agg_all(["sum", "mean", "min", "max"], "l_quantity", "l_extendedprice", "l_discount")
+    df = out.to_df()
+    return df.select(
+        "column",
+        F.round("sum", 2).alias("sum"),
+        F.round("mean", 4).alias("mean"),
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+    )
+
+
+AGG_ALL_SQL = """
+SELECT 'l_quantity' AS "column", ROUND(SUM(l_quantity), 2) AS sum, ROUND(AVG(l_quantity), 4) AS mean,
+       ROUND(MIN(l_quantity), 4) AS min, ROUND(MAX(l_quantity), 4) AS max FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', ROUND(SUM(l_extendedprice), 2), ROUND(AVG(l_extendedprice), 4),
+       ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4) FROM lineitem
+UNION ALL
+SELECT 'l_discount', ROUND(SUM(l_discount), 2), ROUND(AVG(l_discount), 4),
+       ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4) FROM lineitem
+"""
+
+
+def promote_region_level(spark, sf):
+    """PromoteToColLevel (reference dataframe.go:1269-1373): nation rows,
+    region promoted into 'acctbal|<region>' column level."""
+    from tada_spark.operators.reshape import promote_to_col_level
+
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    j = (
+        cust.lookup(nation, left_on=["c_nationkey"], right_on=["n_nationkey"], broadcast=True)
+        .lookup(region, left_on=["n_regionkey"], right_on=["r_regionkey"], broadcast=True)
+        .group_by("n_name", "r_name")
+        .agg(acctbal=F.round(F.sum("c_acctbal"), 2))
+    )
+    promoted = promote_to_col_level(Frame(j.df, labels=["n_name", "r_name"]), "r_name", "acctbal")
+    return promoted.to_df()
+
+
+# promoted column set depends on region names — known: AFRICA AMERICA ASIA EUROPE MIDDLE EAST
+PROMOTE_SQL = """
+SELECT n.n_name,
+       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'AFRICA'), 2)      AS "acctbal|AFRICA",
+       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'AMERICA'), 2)     AS "acctbal|AMERICA",
+       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'ASIA'), 2)        AS "acctbal|ASIA",
+       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'EUROPE'), 2)      AS "acctbal|EUROPE",
+       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'MIDDLE EAST'), 2) AS "acctbal|MIDDLE EAST"
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name
+"""
+
+
+def sessionize_events(spark, sf):
+    """Batch sessionization: session = run of same-user events with
+    gaps < 30 min, built from engine Shift + CumSum composition
+    (reference-style operator chaining); sessions per user."""
+    ev = load(spark, sf, "events")
+    f = ev.shift("ts", 1, order_by=["ts", "event_id"], partition_by=["user_id"], as_col="prev_ts")
+    f = f.with_col(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) >= 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    f = f.cum_sum("new_sess", order_by=["ts", "event_id"], partition_by=["user_id"], as_col="sess_id")
+    return (
+        f.group_by("user_id")
+        .agg(n_sessions=F.max("sess_id"), n_events=F.count("*"))
+        .to_df()
+        .select("user_id", F.col("n_sessions").cast("long").alias("n_sessions"), "n_events")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH(ts)::BIGINT - EPOCH(LAG(ts) OVER w)::BIGINT >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, MAX(sess_id)::BIGINT AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def token_frequency(spark, sf):
+    """Vocabulary building: explode tokens → count → top-100 (the
+    classic wordcount shape; map-side partial agg then single shuffle)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.to_df().select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    return (
+        toks.filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+TOKEN_FREQ_SQL = r"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS token FROM documents)
+WHERE LENGTH(token) > 0
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (beyond-reference; BASELINE.json north star)
 # ---------------------------------------------------------------------------
@@ -894,6 +1088,14 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "divide_nullsafe": (divide_nullsafe, DIVIDE_SQL),
     "json_extract_props": (json_extract_props, JSON_SQL),
     "ordered_range_rows": (ordered_range_rows, RANGE_SQL),
+    "rollup_status_priority": (rollup_status_priority, ROLLUP_SQL),
+    "cube_flag_status": (cube_flag_status, CUBE_SQL),
+    "nth_line_per_order": (nth_line_per_order, NTH_SQL),
+    "unique_first_appearance": (unique_first_appearance, UNIQUE_FIRST_SQL),
+    "agg_all_columns": (agg_all_columns, AGG_ALL_SQL),
+    "promote_region_level": (promote_region_level, PROMOTE_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "token_frequency": (token_frequency, TOKEN_FREQ_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_vote": (lang_id_vote, LANG_ID_SQL),

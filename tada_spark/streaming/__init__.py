@@ -1,0 +1,15 @@
+"""Structured Streaming extensions."""
+
+from tada_spark.streaming.windows import (
+    run_available_now,
+    stream_resample,
+    stream_session_agg,
+    stream_sliding_agg,
+)
+
+__all__ = [
+    "run_available_now",
+    "stream_resample",
+    "stream_session_agg",
+    "stream_sliding_agg",
+]

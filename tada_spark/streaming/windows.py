@@ -1,0 +1,109 @@
+"""Streaming twins of the reference's time operators (SURVEY §2.10).
+
+The reference is batch-only; its nearest stream analogs are:
+  * Resample (truncate-to-period, internal.go:2423-2442) → tumbling
+    event-time window with watermark,
+  * RollingDuration (forward duration window, groupers.go:317-345) →
+    sliding event-time window,
+plus session windows as the natural free extension.
+
+All functions take/return (streaming) DataFrames and work identically
+on batch DataFrames — the unified Dataset model. State store size is
+bounded by the watermark horizon: late rows beyond it are dropped, and
+window state is evicted once the watermark passes — this is what makes
+the operators runnable forever on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_resample(
+    df: DataFrame,
+    ts_col: str,
+    period: str,
+    aggs: dict[str, F.Column],
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window aggregation: the streaming Resample.
+
+    period: '1 day', '1 hour', ... Result has window_start/window_end
+    instead of the truncated timestamp (equivalent information).
+    """
+    wdf = df.withWatermark(ts_col, watermark)
+    out = wdf.groupBy(
+        F.window(F.col(ts_col), period).alias("w"), *[F.col(k) for k in (keys or [])]
+    ).agg(*[e.alias(n) for n, e in aggs.items()])
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def stream_sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_len: str,
+    slide: str,
+    aggs: dict[str, F.Column],
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window aggregation: the streaming RollingDuration."""
+    wdf = df.withWatermark(ts_col, watermark)
+    out = wdf.groupBy(
+        F.window(F.col(ts_col), window_len, slide).alias("w"),
+        *[F.col(k) for k in (keys or [])],
+    ).agg(*[e.alias(n) for n, e in aggs.items()])
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def stream_session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, F.Column],
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation (gap-based) — free extension."""
+    wdf = df.withWatermark(ts_col, watermark)
+    out = wdf.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"),
+        *[F.col(k) for k in (keys or [])],
+    ).agg(*[e.alias(n) for n, e in aggs.items()])
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, *, timeout_s: int = 120) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (trigger availableNow) into a memory sink and return the batch
+    result — the deterministic test harness for streaming operators."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(query_name)

@@ -1,0 +1,186 @@
+"""Tests for sources/, testing/, reshape, and streaming modules."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from tada_spark.frame import Frame
+from tada_spark.operators import reshape
+from tada_spark.sources import read_records, read_structs, write_records, write_structs
+from tada_spark.streaming import run_available_now, stream_resample, stream_sliding_agg
+from tada_spark.testing import equal_records, equal_structs, write_mock_csv
+
+
+def test_read_records_header_labels_nulls(spark):
+    f = read_records(
+        spark,
+        [["name", "score"], ["alice", "1.5"], ["bob", "(null)"]],
+        header_rows=1,
+        label_levels=1,
+        infer_types=True,
+    )
+    assert f.labels == ["name"]
+    rows = {r.name: r.score for r in f.df.collect()}
+    assert rows["alice"] == 1.5 and rows["bob"] is None
+
+
+def test_read_records_by_column_and_ragged(spark):
+    f = read_records(spark, [["a", "1", "2"], ["b", "3", "4"]], by_column=True)
+    assert f.columns == ["a", "b"]
+    assert f.df.count() == 2
+    try:
+        read_records(spark, [["a", "b"], ["1"]])
+        raise AssertionError("expected ragged error")
+    except ValueError as e:
+        assert "ragged" in str(e)
+
+
+def test_read_records_empty_errors(spark):
+    try:
+        read_records(spark, [])
+        raise AssertionError("expected error")
+    except ValueError as e:
+        assert "at least one record" in str(e)
+
+
+def test_write_records_roundtrip_nulls(spark):
+    f = Frame(spark.createDataFrame([("a", 1.0), ("b", None)], "k string, v double"))
+    recs = write_records(f)
+    assert recs[0] == ["k", "v"]
+    assert ["a", "1"] in recs and ["b", "(null)"] in recs  # fmt.Sprint float + (null)
+
+
+def test_equal_records_diffs(spark):
+    f = Frame(spark.createDataFrame([("a", 1.0)], "k string, v double"))
+    ok, diffs = equal_records(f, [["k", "v"], ["a", "1"]])
+    assert ok, diffs
+    ok, diffs = equal_records(f, [["k", "v"], ["a", "2"]])
+    assert not ok and "[1,1]" in diffs[0]
+
+
+@dataclass
+class Score:
+    name: str
+    mean_score: float
+
+
+def test_struct_io_roundtrip(spark):
+    f = read_structs(spark, [Score("a", 1.0), Score("b", 2.0)])
+    assert f.columns == ["name", "mean_score"]
+    out = write_structs(f, Score)
+    assert sorted(out, key=lambda s: s.name) == [Score("a", 1.0), Score("b", 2.0)]
+    ok, diffs = equal_structs(f, [Score("a", 1.0), Score("b", 2.0)], sort_key="name")
+    assert ok, diffs
+
+
+def test_write_structs_strict_extra_col(spark):
+    f = Frame(spark.createDataFrame([("a", 1.0, 9)], "name string, mean_score double, extra int"))
+    try:
+        write_structs(f, Score, strict=True)
+        raise AssertionError("expected strict error")
+    except KeyError as e:
+        assert "extra" in str(e)
+
+
+def test_write_mock_csv_deterministic():
+    src = "name,score\nalice,1.5\nbob,2.5\n"
+    a = write_mock_csv(src, 5, seed=1)
+    b = write_mock_csv(src, 5, seed=1)
+    assert a == b
+    assert a.splitlines()[0] == "name,score"
+    assert len(a.splitlines()) == 6
+
+
+def test_transpose_small(spark):
+    f = Frame(
+        spark.createDataFrame([("r1", 1.0, 2.0), ("r2", 3.0, 4.0)], "k string, a double, b double"),
+        labels=["k"],
+    )
+    t = f.transpose()
+    assert t.labels == ["name"]
+    rows = {r["name"]: (r["r1"], r["r2"]) for r in t.df.collect()}
+    assert rows["a"] == ("1.0", "3.0") and rows["b"] == ("2.0", "4.0")
+
+
+def test_transpose_cap(spark):
+    f = Frame(spark.range(100).withColumnRenamed("id", "v"))
+    try:
+        f.transpose(max_rows=10)
+        raise AssertionError("expected cap error")
+    except ValueError as e:
+        assert "small-data" in str(e)
+
+
+def test_promote_to_col_level(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [("2024", "east", 1.0), ("2024", "west", 2.0), ("2025", "east", 3.0)],
+            "year string, region string, amount double",
+        ),
+        labels=["year", "region"],
+    )
+    out = f.promote_to_col_level("region", "amount")
+    assert sorted(out.columns) == ["amount|east", "amount|west", "year"]
+    rows = {r.year: (r["amount|east"], r["amount|west"]) for r in out.df.collect()}
+    assert rows["2024"] == (1.0, 2.0) and rows["2025"] == (3.0, None)
+
+
+def test_make_multilevel_labels(spark):
+    f = reshape.make_multilevel_labels(spark, {"year": ["2024", "2025"], "qtr": ["q1", "q2"]})
+    assert f.df.count() == 4
+    assert f.labels == ["year", "qtr"]
+
+
+def test_concat_series(spark):
+    base = Frame(spark.createDataFrame([("a",), ("b",)], "k string"), labels=["k"])
+    s1 = Frame(spark.createDataFrame([("a", 1.0)], "k string, x double"), labels=["k"])
+    s2 = Frame(spark.createDataFrame([("b", 2.0)], "k string, y double"), labels=["k"])
+    out = reshape.concat_series(base, s1, s2)
+    rows = {r.k: (r.x, r.y) for r in out.df.collect()}
+    assert rows == {"a": (1.0, None), "b": (None, 2.0)}
+
+
+def test_agg_all_melted(spark):
+    f = Frame(spark.createDataFrame([(1.0, 10.0), (3.0, 30.0)], "a double, b double"))
+    out = f.agg_all(["sum", "mean"])
+    rows = {r.column: (r.sum, r.mean) for r in out.df.collect()}
+    assert rows == {"a": (4.0, 2.0), "b": (40.0, 20.0)}
+
+
+def test_cube_rollup(spark):
+    f = Frame(spark.createDataFrame([("x", "p", 1.0), ("y", "p", 2.0)], "k1 string, k2 string, v double"))
+    cube_rows = f.cube(["k1", "k2"], s=F.sum("v")).df.count()
+    rollup_rows = f.rollup(["k1", "k2"], s=F.sum("v")).df.count()
+    assert cube_rows == 6  # (x,p),(y,p),(x,·),(y,·),(·,p),(·,·)
+    assert rollup_rows == 5
+
+
+def test_streaming_resample_tumbling(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    batch = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:50:00", "a", 2.0), ("2024-01-01 01:10:00", "a", 4.0)],
+        "ts string, k string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_resample(stream, "ts", "1 hour", {"total": F.sum("v")}, keys=["k"])
+    res = run_available_now(out, "t_resample")
+    rows = {str(r.window_start): r.total for r in res.collect()}
+    assert rows == {"2024-01-01 00:00:00": 3.0, "2024-01-01 01:00:00": 4.0}
+
+
+def test_streaming_sliding(spark, tmp_path):
+    src = str(tmp_path / "stream_src2")
+    batch = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:40:00", 2.0)], "ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_sliding_agg(stream, "ts", "1 hour", "30 minutes", {"total": F.sum("v")})
+    res = run_available_now(out, "t_sliding")
+    rows = {str(r.window_start): r.total for r in res.collect()}
+    # 00:10 lands in windows starting 23:30 and 00:00; 00:40 in 00:00 and 00:30
+    assert rows["2024-01-01 00:00:00"] == 3.0
+    assert rows["2024-01-01 00:30:00"] == 2.0
