@@ -656,6 +656,70 @@ class Frame:
         return rollup(self, keys, **exprs)
 
     # ------------------------------------------------------------------
+    # introspection / cell access (reference §2.11)
+    # ------------------------------------------------------------------
+    def at(self, position: int, column: str):
+        """Cell access by (row position, column) — reference At
+        (dataframe.go:226-238). Positional ⇒ requires ordering; driver-
+        side sink, test-scale only."""
+        df = self._require_rowid()
+        rows = df.filter(F.col(ROWID) == position).select(column).collect()
+        return rows[0][0] if rows else None
+
+    def set_nulls(self, column: str, positions: Sequence[int]) -> "Frame":
+        """Overwrite the null mask at given positions (reference SetNulls
+        dataframe.go:756-769)."""
+        df = self._require_rowid()
+        return self._wrap(
+            df.withColumn(
+                column,
+                F.when(F.col(ROWID).isin(*positions), F.lit(None)).otherwise(F.col(column)),
+            )
+        )
+
+    def deduplicate_names(self) -> "Frame":
+        """Suffix duplicate column names with _n (reference
+        internal.go:2498-2509)."""
+        seen: dict[str, int] = {}
+        new_names = []
+        for c in self.df.columns:
+            if c in seen:
+                seen[c] += 1
+                new_names.append(f"{c}_{seen[c]}")
+            else:
+                seen[c] = 0
+                new_names.append(c)
+        df = self.df.toDF(*new_names)
+        return Frame(df, [l for l in self.labels if l in new_names], self.name)
+
+    def render(self, max_rows: int = 20, *, merge_repeated: bool = False) -> str:
+        """ASCII table with truncation (reference print options,
+        dataframe.go:138-222). Driver-side sink."""
+        df = self.to_df()
+        rows = df.limit(max_rows + 1).collect()
+        truncated = len(rows) > max_rows
+        rows = rows[:max_rows]
+        cols = df.columns
+        cells = [[("(null)" if v is None else str(v)) for v in r] for r in rows]
+        if merge_repeated and cells:
+            for j in range(len(cols)):
+                prev = None
+                for i in range(len(cells)):
+                    cur = cells[i][j]
+                    if cur == prev:
+                        cells[i][j] = ""
+                    else:
+                        prev = cur
+        widths = [max(len(cols[j]), *(len(c[j]) for c in cells)) if cells else len(cols[j]) for j in range(len(cols))]
+        sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+        def fmt(vals):
+            return "|" + "|".join(f" {v:<{w}} " for v, w in zip(vals, widths)) + "|"
+        lines = [sep, fmt(cols), sep, *(fmt(c) for c in cells), sep]
+        if truncated:
+            lines.append(f"... ({max_rows}+ rows)")
+        return "\n".join(lines)
+
+    # ------------------------------------------------------------------
     # sinks
     # ------------------------------------------------------------------
     def collect(self):

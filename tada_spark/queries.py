@@ -861,6 +861,62 @@ FROM s GROUP BY user_id
 """
 
 
+def custom_reduce_weighted_mean(spark, sf):
+    """Custom per-group UDAF via applyInPandas (reference ReduceFn
+    types.go:201-204, groupers.go:129-135): discount-weighted mean price.
+    Arrow-batched; one row out per group."""
+    import pandas as pd
+
+    li = load(spark, sf, "lineitem")
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "wmean_price": [round(float((pdf["l_extendedprice"] * w).sum() / w.sum()), 4)],
+            }
+        )
+
+    return (
+        li.group_by("l_returnflag")
+        .reduce("l_returnflag string, wmean_price double", weighted)
+        .to_df()
+    )
+
+
+CUSTOM_REDUCE_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wmean_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def custom_apply_zscore(spark, sf):
+    """Custom per-group same-length transform via applyInPandas
+    (reference Apply groupers.go:38-55): z-score within event_type.
+    Population std to match the reference's kernel."""
+    import pandas as pd
+
+    ev = load(spark, sf, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        std = float(v.std(ddof=0))
+        z = (v - v.mean()) / std if std > 0 else v * 0.0
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z.round(4)})
+
+    return ev.group_by("event_type").apply("event_id long, z double", zscore).to_df()
+
+
+CUSTOM_APPLY_SQL = """
+SELECT event_id,
+       ROUND((value - AVG(value) OVER w) / STDDEV_POP(value) OVER w, 4) AS z
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 def token_frequency(spark, sf):
     """Vocabulary building: explode tokens → count → top-100 (the
     classic wordcount shape; map-side partial agg then single shuffle)."""
@@ -1096,6 +1152,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "promote_region_level": (promote_region_level, PROMOTE_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "token_frequency": (token_frequency, TOKEN_FREQ_SQL),
+    "custom_reduce_weighted_mean": (custom_reduce_weighted_mean, CUSTOM_REDUCE_SQL),
+    "custom_apply_zscore": (custom_apply_zscore, CUSTOM_APPLY_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_vote": (lang_id_vote, LANG_ID_SQL),

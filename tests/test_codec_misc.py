@@ -1,0 +1,46 @@
+"""Tests for JSON codec, matrix IO, and introspection surface."""
+
+from __future__ import annotations
+
+from tada_spark.frame import Frame
+from tada_spark.sources.codec import frame_from_json, frame_to_json, read_matrix
+
+
+def test_json_codec_roundtrip_with_nulls(spark):
+    f = Frame(
+        spark.createDataFrame([("a", 1.0), ("b", None)], "k string, v double"),
+        labels=["k"],
+        name="t",
+    )
+    payload = frame_to_json(f)
+    back = frame_from_json(spark, payload)
+    assert back.name == "t" and back.labels == ["k"]
+    rows = {r.k: r.v for r in back.df.collect()}
+    assert rows == {"a": 1.0, "b": None}
+
+
+def test_read_matrix(spark):
+    f = read_matrix(spark, [[1, 2], [3, 4]], ["x", "y"])
+    assert dict(f.df.dtypes) == {"x": "double", "y": "double"}
+    assert f.df.count() == 2
+
+
+def test_at_and_set_nulls(spark):
+    f = Frame(spark.createDataFrame([(0, "a"), (1, "b")], "idx long, s string")).ordered("idx")
+    assert f.at(1, "s") == "b"
+    out = f.set_nulls("s", [0])
+    assert {r.idx: r.s for r in out.df.collect()} == {0: None, 1: "b"}
+
+
+def test_deduplicate_names(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int").toDF("x", "x")
+    f = Frame(df).deduplicate_names()
+    assert f.columns == ["x", "x_1"]
+
+
+def test_render_ascii(spark):
+    f = Frame(spark.createDataFrame([("a", 1.0), ("a", None)], "k string, v double"))
+    s = f.render(merge_repeated=True)
+    assert "| k" in s and "(null)" in s
+    # merged repeated group value renders blank the second time
+    assert s.count(" a ") == 1
