@@ -310,15 +310,16 @@ class Frame:
     # ------------------------------------------------------------------
     # casts (reference valueContainers.go:80-122; §1.3 type table)
     # ------------------------------------------------------------------
-    #: Multi-format datetime parse order (reference options.go:20-23).
+    #: Multi-format datetime parse order (reference options.go:20-23),
+    #: tried first-to-last; first successful parse wins.
     DATETIME_FORMATS = (
         "yyyy-MM-dd HH:mm:ss",
         "yyyy-MM-dd'T'HH:mm:ssXXX",
         "yyyy-MM-dd'T'HH:mm:ss",
         "yyyy-MM-dd",
+        "M/d/yyyy H:mm",
         "M/d/yyyy",
         "M/d/yy",
-        "1/2/2006 15:04",
     )
 
     def cast(self, **types: str) -> "Frame":
@@ -331,7 +332,7 @@ class Frame:
             if dtype in ("timestamp", "datetime"):
                 src = self.dtype(name)
                 if isinstance(src, T.StringType):
-                    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in self.DATETIME_FORMATS[:4]]
+                    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in self.DATETIME_FORMATS]
                     df = df.withColumn(name, F.coalesce(*attempts))
                 else:
                     df = df.withColumn(name, c.cast("timestamp"))
@@ -380,6 +381,33 @@ class Frame:
             ca, cb = F.coalesce(ca, F.lit(0.0)), F.coalesce(cb, F.lit(0.0))
         expr = {"+": ca + cb, "-": ca - cb, "*": ca * cb}[op]
         return self.with_col(out, expr)
+
+    def combine(
+        self,
+        other: "Frame",
+        op: str,
+        *,
+        left_col: str,
+        right_col: str,
+        out: str = "result",
+        ignore_nulls: bool = False,
+    ) -> "Frame":
+        """Label-aligned cross-frame arithmetic (reference Series
+        Add/Subtract/Multiply/Divide, series.go:891-938): left-join the
+        other frame on shared labels, then combine columns. ignore_nulls
+        treats a missing/null side as 0; ÷ uses the ÷0→null rule."""
+        rc = right_col if right_col != left_col else f"{right_col}_1"
+        o = other.rename({right_col: rc}) if rc != right_col else other
+        joined = self.lookup(o.cols(rc))
+        if op == "/":
+            return joined.divide(out, left_col, rc).drop_cols(rc)
+        return joined._arith(out, left_col, rc, op, ignore_nulls).drop_cols(rc)
+
+    def filter_index(self, predicate: Column, *, order_by: Sequence[str] | None = None) -> "Frame":
+        """Row positions matching a predicate (reference FilterIndex
+        series.go:613-627) — positions defined by the explicit ordering."""
+        df = with_rowid(self.df, list(order_by) if order_by else None)
+        return Frame(df.filter(predicate).select(F.col(ROWID).alias("position")), [], self.name)
 
     # ------------------------------------------------------------------
     # ordering-dependent transforms (reference §2.4) — explicit keys

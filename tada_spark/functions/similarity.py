@@ -65,6 +65,67 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """IVF list assignment: each vector joins its nearest centroid
+    (by cosine). Centroids broadcast; corpus stays partitioned — the
+    build step of an IVF index. Output: (id, vec, cent_id)."""
+    c = centroids.select(F.col(cent_id), F.col(cent_vec))
+    scored = df.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(c))
+    scored = scored.withColumn("cos", cosine(F.col(vec_col), F.col(cent_vec)))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cent_id).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, vec_col, cent_id)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their nprobe nearest
+    centroid lists only — the search cost drops from |corpus| to
+    |corpus|·(nprobe/n_centroids) dot products per query. This is the
+    ANN scale path; brute-force cosine_topk is the exact baseline."""
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qscored = q.join(F.broadcast(cent)).withColumn("cos", cosine(F.col("qv"), F.col("cent_vec")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
+    probes = (
+        qscored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+
+    cand = probes.join(assigned, on="cent_id").filter(F.col("query_id") != F.col(id_col))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col(vec_col)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_sign_buckets(
     df: DataFrame,
     planes: list[list[float]],

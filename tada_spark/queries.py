@@ -1106,6 +1106,109 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+def combine_series_ratio(spark, sf):
+    """Label-aligned cross-frame division with ÷0→null (reference Series
+    Divide, series.go:891-938): customer vs supplier acctbal per nation."""
+    cust = (
+        load(spark, sf, "customer")
+        .group_by("c_nationkey")
+        .agg(cust_bal=F.sum("c_acctbal"))
+        .rename({"c_nationkey": "nationkey"})
+        .set_as_labels("nationkey")
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .group_by("s_nationkey")
+        .agg(supp_bal=F.sum("s_acctbal"))
+        .rename({"s_nationkey": "nationkey"})
+        .set_as_labels("nationkey")
+    )
+    out = cust.combine(supp, "/", left_col="cust_bal", right_col="supp_bal", out="ratio")
+    return (
+        out.with_col("ratio", F.floor(F.col("ratio") * 1000).cast("long"))
+        .to_df()
+        .select("nationkey", "ratio")
+    )
+
+
+COMBINE_SQL = """
+SELECT c.nationkey,
+       CAST(FLOOR(CASE WHEN s.supp_bal = 0 THEN NULL ELSE c.cust_bal / s.supp_bal END * 1000) AS BIGINT) AS ratio
+FROM (SELECT c_nationkey AS nationkey, SUM(c_acctbal) AS cust_bal FROM customer GROUP BY 1) c
+LEFT JOIN (SELECT s_nationkey AS nationkey, SUM(s_acctbal) AS supp_bal FROM supplier GROUP BY 1) s
+USING (nationkey)
+"""
+
+
+def cast_multiformat_dates(spark, sf):
+    """Multi-format datetime parsing with parse-failure→null (reference
+    Cast + accepted-formats list, options.go:20-23). A mixed-format
+    string column is built deterministically, then cast."""
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000)
+    mixed = orders.with_col(
+        "d_str",
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.lit("not a date")),
+    )
+    out = mixed.cast(d_str="timestamp")
+    return out.to_df().select("o_orderkey", F.col("d_str").alias("parsed"))
+
+
+CAST_DATES_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 4 = 0 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+            WHEN o_orderkey % 4 = 1 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')
+            WHEN o_orderkey % 4 = 2 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+            ELSE NULL END AS parsed
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+def ivf_topk_neighbors(spark, sf):
+    """IVF approximate nearest neighbors — the ANN scale path: probe the
+    nprobe nearest centroid lists instead of the full corpus."""
+    emb = load(spark, sf, "embeddings").to_df()
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
+IVF_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 0
+), corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT c.vec_id, c.v, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             LIST_DOT_PRODUCT(c.v, ct.cv) / (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(ct.cv, ct.cv))) DESC,
+             ct.cent_id ASC) AS rk
+    FROM corpus c CROSS JOIN cent ct
+  ) WHERE rk = 1
+), probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             LIST_DOT_PRODUCT(q.v, ct.cv) / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(ct.cv, ct.cv))) DESC,
+             ct.cent_id ASC) AS rk
+    FROM (SELECT * FROM corpus WHERE vec_id < 5) q CROSS JOIN cent ct
+  ) WHERE rk <= 2
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(LIST_DOT_PRODUCT(p.qv, a.v) / (SQRT(LIST_DOT_PRODUCT(p.qv, p.qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v))), 6) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+           LIST_DOT_PRODUCT(p.qv, a.v) / (SQRT(LIST_DOT_PRODUCT(p.qv, p.qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v))) DESC,
+           a.vec_id ASC) AS rank
+  FROM probes p JOIN assigned a USING (cent_id)
+  WHERE p.query_id != a.vec_id
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1162,4 +1265,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_candidate_pairs": (minhash_candidate_pairs, None),
     "simhash_candidates": (simhash_candidates, None),
     "cosine_topk_neighbors": (cosine_topk_neighbors, COSINE_SQL),
+    "combine_series_ratio": (combine_series_ratio, COMBINE_SQL),
+    "cast_multiformat_dates": (cast_multiformat_dates, CAST_DATES_SQL),
+    "ivf_topk_neighbors": (ivf_topk_neighbors, IVF_SQL),
 }

@@ -1,0 +1,67 @@
+"""Tests: stateful streaming, label-aligned combine, IVF ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tada_spark.frame import Frame
+from tada_spark.functions import similarity
+from tada_spark.streaming.stateful import running_totals
+from tada_spark.streaming.windows import run_available_now
+
+
+def test_combine_label_aligned_divide(spark):
+    a = Frame(spark.createDataFrame([("x", 10.0), ("y", 6.0)], "k string, va double"), labels=["k"])
+    b = Frame(spark.createDataFrame([("x", 2.0), ("z", 3.0)], "k string, vb double"), labels=["k"])
+    out = {r.k: r.result for r in a.combine(b, "/", left_col="va", right_col="vb").df.collect()}
+    assert out == {"x": 5.0, "y": None}  # unmatched label ⇒ null
+
+
+def test_combine_ignore_nulls_add(spark):
+    a = Frame(spark.createDataFrame([("x", 1.0), ("y", 2.0)], "k string, va double"), labels=["k"])
+    b = Frame(spark.createDataFrame([("x", 10.0)], "k string, vb double"), labels=["k"])
+    out = {r.k: r.result for r in a.combine(b, "+", left_col="va", right_col="vb", ignore_nulls=True).df.collect()}
+    assert out == {"x": 11.0, "y": 2.0}  # missing right treated as 0
+
+
+def test_filter_index(spark):
+    f = Frame(spark.createDataFrame([(0, 5.0), (1, 50.0), (2, 7.0)], "idx long, v double"))
+    out = sorted(r.position for r in f.filter_index(F.col("v") > 6, order_by=["idx"]).df.collect())
+    assert out == [1, 2]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3)
+    centroids = df.filter(F.col("vec_id") % 10 == 0)
+    exact = similarity.cosine_topk(df, queries, k=3)
+    approx = similarity.ivf_topk(df, queries, centroids, k=3, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # ANN: probe-limited recall; with 6 lists and nprobe=3 expect >= 50% overlap
+    assert len(e & a) >= len(e) // 2
+    assert all(r.rank <= 3 for r in approx.collect())
+
+
+def test_running_totals_stateful_stream(spark, tmp_path):
+    src = str(tmp_path / "stateful_src")
+    batch = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = running_totals(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.key: (r.n_events, r.total) for r in spark.table("t_stateful").collect()}
+    assert rows == {"a": (2, 3.0), "b": (1, 10.0)}
