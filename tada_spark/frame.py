@@ -446,15 +446,31 @@ class Frame:
         pr = F.when(is_null, F.lit(None)).otherwise((F.rank().over(w) - 1) / cnt)
         return self.with_col(as_col or f"pct_{name}", pr)
 
-    def bin(self, name: str, edges: Sequence[float], *, labels: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
+    def bin(
+        self,
+        name: str,
+        edges: Sequence[float],
+        *,
+        labels: Sequence[str] | None = None,
+        as_col: str | None = None,
+        and_less: bool = False,
+        and_more: bool = False,
+    ) -> "Frame":
         """Numeric binning, left-exclusive right-inclusive, nulls
-        uncategorized → null (reference cut internal.go:2208-2300)."""
+        uncategorized → null (reference cut internal.go:2208-2300).
+        and_less/and_more add open-ended ±Inf edge bins (reference
+        Binner.AndLess/AndMore, types.go:259-263)."""
+        edges = list(edges)
+        labs = list(labels) if labels else [f"{_fmt_edge(edges[i])}-{_fmt_edge(edges[i+1])}" for i in range(len(edges) - 1)]
+        lo_edges = [(edges[i], edges[i + 1], labs[i]) for i in range(len(edges) - 1)]
         c = F.col(name)
         expr: Column = F.lit(None).cast("string")
-        for i in range(len(edges) - 1, 0, -1):
-            lo, hi = edges[i - 1], edges[i]
-            lab = labels[i - 1] if labels else f"{_fmt_edge(lo)}-{_fmt_edge(hi)}"
+        if and_more:
+            expr = F.when(c > edges[-1], F.lit(f">{_fmt_edge(edges[-1])}")).otherwise(expr)
+        for lo, hi, lab in reversed(lo_edges):
             expr = F.when((c > lo) & (c <= hi), F.lit(lab)).otherwise(expr)
+        if and_less:
+            expr = F.when(c <= edges[0], F.lit(f"<={_fmt_edge(edges[0])}")).otherwise(expr)
         return self.with_col(as_col or f"bin_{name}", expr)
 
     def percentile_bin(self, name: str, edges: Sequence[float], *, labels: Sequence[str] | None = None, partition_by: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
@@ -558,6 +574,18 @@ class Frame:
                 raise ValueError("lookup: no shared keys and none given")
             left_on = right_on = shared
         left_on, right_on = list(left_on), list(right_on)
+
+        if how == "right":
+            # reference how=right anchors on the RIGHT labels
+            # (internal.go:1560-1605): swap sides
+            return other.lookup(
+                self,
+                how="left",
+                left_on=right_on,
+                right_on=left_on,
+                first_match=first_match,
+                broadcast=broadcast,
+            )
 
         right = other.df
         if first_match == "ordered":
@@ -755,6 +783,24 @@ class Frame:
 
     def to_pandas(self):
         return self.to_df().toPandas()
+
+    def count(self) -> int:
+        """Row count (reference Len)."""
+        return self.to_df().count()
+
+    def num_columns(self) -> int:
+        return len(self.value_columns)
+
+    def write_csv(self, path: str, *, header: bool = True, mode: str = "overwrite") -> None:
+        """Distributed CSV sink with "(null)" null encoding (reference
+        CSVWriter io.go:341-359)."""
+        self.to_df().write.csv(path, header=header, mode=mode, nullValue="(null)")
+
+    def write_parquet(self, path: str, *, mode: str = "overwrite", partition_by: Sequence[str] | None = None) -> None:
+        w = self.to_df().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)

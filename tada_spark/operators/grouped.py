@@ -184,6 +184,16 @@ class GroupedFrame:
     def list_groups(self) -> Frame:
         return Frame(self.frame.df.select(*self._key_cols()).distinct(), list(self.keys))
 
+    def iter_groups(self, *, max_groups: int = 1000):
+        """Driver-side iteration over (key_tuple, Frame) per group
+        (reference group iterator groupers.go:348-365). Small-data only —
+        collects the key list; each group stays a lazy filtered plan."""
+        keys_rows = self.list_groups().df.limit(max_groups + 1).collect()
+        if len(keys_rows) > max_groups:
+            raise ValueError(f"iter_groups: >{max_groups} groups; driver-side iteration is a small-data op")
+        for row in keys_rows:
+            yield tuple(row), self.get_group(**{k: row[k] for k in self.keys})
+
     # -- custom UDAF / transform (reference groupers.go:129-135, 38-55) -
     def reduce(self, out_schema: str, fn: Callable) -> Frame:
         """Custom per-group reduction via applyInPandas (Arrow-batched).

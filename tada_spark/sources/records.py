@@ -98,6 +98,33 @@ def read_records(
     return f
 
 
+def read_slices(
+    spark: SparkSession,
+    columns: dict[str, list],
+    *,
+    labels: list[str] = (),
+    name: str = "",
+) -> Frame:
+    """Column slices → Frame (reference SliceReader io.go:142-208)."""
+    if not columns:
+        raise ValueError("read_slices: no columns")
+    lengths = {k: len(v) for k, v in columns.items()}
+    if len(set(lengths.values())) > 1:
+        raise ValueError(f"read_slices: unequal column lengths {lengths}")
+    names = list(columns)
+    rows = [tuple(columns[c][i] for c in names) for i in range(next(iter(lengths.values())))]
+    df = spark.createDataFrame(rows, schema=names)
+    return Frame(df, labels=list(labels), name=name)
+
+
+def from_pandas(spark: SparkSession, pdf, *, labels: list[str] = ()) -> Frame:
+    """pandas → Frame via Arrow (reference tada-io Arrow interop,
+    README.md:147-150); NaN→NULL normalization applied."""
+    from tada_spark.plans.semantics import normalize_nulls
+
+    return Frame(normalize_nulls(spark.createDataFrame(pdf)), labels=list(labels))
+
+
 def read_interface_records(spark: SparkSession, records: list[dict], labels: list[str] = ()) -> Frame:
     """[]map records (reference InterfaceRecordReader io.go:363-432)."""
     df = spark.createDataFrame(records)
