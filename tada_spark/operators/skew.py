@@ -1,0 +1,69 @@
+"""Skew-mitigation utilities for hot keys at scale.
+
+Spark's AQE handles skewed JOINS automatically, but a skewed GROUP BY
+key still funnels one key's rows through one reducer when the
+aggregation has no partial-merge shrinkage (e.g. exact distinct
+collection) or when a single key dominates a partition. Two-phase
+salted aggregation spreads a hot key across N sub-keys, aggregates
+partially per (key, salt), then merges the N partials — the canonical
+pattern for algebraic aggregates (sum/count/min/max, and mean via
+sum+count).
+
+For built-in sums Spark's map-side partial aggregation already gives
+the same effect; salting matters when partials can't combine map-side
+(distinct-style states) or when partition-level skew persists. The
+implementation keeps results bit-identical to the unsalted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) partials, then
+    groupBy(keys) merge.
+
+    aggs: out_name → (agg_kind, column); kinds: sum, count, min, max,
+    mean (decomposed into sum+count so the merge stays exact).
+    The salt is a deterministic hash of a physical row marker (partition
+    id + monotonically increasing id), so rows of a hot key scatter
+    uniformly without changing any aggregate's value.
+    """
+    wanted_mean = {n: c for n, (k, c) in aggs.items() if k == "mean"}
+    phase1_aggs: dict[str, tuple[str, str]] = {}
+    for name, (kind, col) in aggs.items():
+        if kind == "mean":
+            phase1_aggs[f"__s_{name}"] = ("sum", col)
+            phase1_aggs[f"__c_{name}"] = ("count", col)
+        elif kind in _PARTIAL:
+            phase1_aggs[name] = (kind, col)
+        else:
+            raise ValueError(f"salted_agg: unsupported kind {kind!r}")
+
+    salted = df.withColumn(
+        "__salt__", F.pmod(F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(salts))
+    )
+    partial = salted.groupBy(*keys, "__salt__").agg(
+        *[_PARTIAL[k](F.col(c)).alias(n) for n, (k, c) in phase1_aggs.items()]
+    )
+    merged = partial.groupBy(*keys).agg(
+        *[_MERGE[k](F.col(n)).alias(n) for n, (k, c) in phase1_aggs.items()]
+    )
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for name, (kind, _col) in aggs.items():
+        if kind == "mean":
+            out_cols.append((F.col(f"__s_{name}") / F.col(f"__c_{name}")).alias(name))
+        else:
+            out_cols.append(F.col(name))
+    return merged.select(*out_cols)

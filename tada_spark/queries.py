@@ -1106,6 +1106,33 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+def salted_group_sum(spark, sf):
+    """Two-phase salted aggregation for skewed keys (operators/skew.py):
+    identical results to a plain groupBy, verified by the oracle."""
+    from tada_spark.operators.skew import salted_agg
+
+    li = load(spark, sf, "lineitem")
+    out = salted_agg(
+        li.to_df(),
+        ["l_returnflag"],
+        {"total_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity"), "avg_price": ("mean", "l_extendedprice")},
+        salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("total_qty", 2).alias("total_qty"),
+        "n",
+        F.round("avg_price", 4).alias("avg_price"),
+    )
+
+
+SALTED_SQL = """
+SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS total_qty,
+       COUNT(l_quantity) AS n, ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def combine_series_ratio(spark, sf):
     """Label-aligned cross-frame division with ÷0→null (reference Series
     Divide, series.go:891-938): customer vs supplier acctbal per nation."""
@@ -1268,4 +1295,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "combine_series_ratio": (combine_series_ratio, COMBINE_SQL),
     "cast_multiformat_dates": (cast_multiformat_dates, CAST_DATES_SQL),
     "ivf_topk_neighbors": (ivf_topk_neighbors, IVF_SQL),
+    "salted_group_sum": (salted_group_sum, SALTED_SQL),
 }
