@@ -618,6 +618,24 @@ class Frame:
             joined = joined.na.drop(how="all", subset=new_cols or None)
         return self._wrap(joined)
 
+    def semi_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
+        """Keep left rows with ≥1 match in other (free extension beyond
+        the reference's lookup-only joins, §2.6). No row multiplication,
+        no right columns — Spark's LeftSemi, broadcast-eligible."""
+        cond = _reduce(
+            lambda a, b: a & b,
+            [self.df[lk] == other.df[rk] for lk, rk in zip(left_on, right_on)],
+        )
+        return self._wrap(self.df.join(other.df, cond, "left_semi"))
+
+    def anti_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
+        """Keep left rows with NO match in other (LeftAnti)."""
+        cond = _reduce(
+            lambda a, b: a & b,
+            [self.df[lk] == other.df[rk] for lk, rk in zip(left_on, right_on)],
+        )
+        return self._wrap(self.df.join(other.df, cond, "left_anti"))
+
     def merge(self, other: "Frame", **kwargs) -> "Frame":
         """Lookup + append looked-up columns + name dedupe `_n` suffix
         (reference dataframe.go:1633-1657)."""

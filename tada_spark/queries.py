@@ -1106,6 +1106,100 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+def semi_join_active_parts(spark, sf):
+    """Semi join: parts that appear in ≥1 high-quantity lineitem
+    (broadcast-eligible LeftSemi; no row multiplication)."""
+    part = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        part.semi_join(li, left_on=["p_partkey"], right_on=["l_partkey"])
+        .cols("p_partkey", "p_name")
+        .to_df()
+        .select("p_partkey", "p_name")
+    )
+
+
+SEMI_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+"""
+
+
+def anti_join_idle_customers(spark, sf):
+    """Anti join: customers with no orders over 400k."""
+    cust = load(spark, sf, "customer")
+    big = load(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.anti_join(big, left_on=["c_custkey"], right_on=["o_custkey"])
+        .cols("c_custkey")
+        .to_df()
+        .select("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def moving_avg_trailing(spark, sf):
+    """Trailing 5-row moving average (rolling_n forward=False)."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 20)
+    out = ev.group_by("user_id").rolling_n(
+        5, "value", "mean", order_by=["ts", "event_id"], out="ma5", forward=False
+    )
+    return out.with_col("ma5", F.round("ma5", 4)).to_df().select("event_id", "user_id", "ma5")
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN COUNT(*) OVER w = 5 THEN ROUND(AVG(value) OVER w, 4) END AS ma5
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def intersect_except_orders(spark, sf):
+    """Set ops (free extension, §2.9): (status, priority) combos seen
+    among 400k+ orders that never occur among 530k+ orders."""
+    orders = load(spark, sf, "orders")
+    hi = Frame(orders.filter(F.col("o_totalprice") > 400000).to_df().select("o_orderstatus", "o_orderpriority").distinct())
+    top = Frame(orders.filter(F.col("o_totalprice") > 530000).to_df().select("o_orderstatus", "o_orderpriority").distinct())
+    return hi.except_(top).to_df()
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 400000
+EXCEPT
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 530000
+"""
+
+
+def top2_orders_per_customer(spark, sf):
+    """Top-N per group: each customer's 2 biggest orders (grouped nth
+    composition via row_number window — no global sort)."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    ranked = orders.with_col("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    return (
+        ranked.with_col("o_totalprice", F.round("o_totalprice", 2))
+        .to_df()
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOP2_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders WHERE o_custkey < 200)
+WHERE rn <= 2
+"""
+
+
 def salted_group_sum(spark, sf):
     """Two-phase salted aggregation for skewed keys (operators/skew.py):
     identical results to a plain groupBy, verified by the oracle."""
@@ -1296,4 +1390,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cast_multiformat_dates": (cast_multiformat_dates, CAST_DATES_SQL),
     "ivf_topk_neighbors": (ivf_topk_neighbors, IVF_SQL),
     "salted_group_sum": (salted_group_sum, SALTED_SQL),
+    "semi_join_active_parts": (semi_join_active_parts, SEMI_SQL),
+    "anti_join_idle_customers": (anti_join_idle_customers, ANTI_SQL),
+    "moving_avg_trailing": (moving_avg_trailing, MOVING_AVG_SQL),
+    "intersect_except_orders": (intersect_except_orders, EXCEPT_SQL),
+    "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
 }
