@@ -1200,6 +1200,136 @@ WHERE rn <= 2
 """
 
 
+def merge_dedupe_names(spark, sf):
+    """Merge with overlapping value-column names → `_1` suffix dedupe
+    (reference Merge + DeduplicateNames, dataframe.go:1633-1657)."""
+    cust = load(spark, sf, "customer").with_col("bal", F.round(F.col("c_acctbal"), 2)).cols(
+        "c_custkey", "c_nationkey", "bal"
+    )
+    nat_avg = (
+        load(spark, sf, "supplier")
+        .group_by("s_nationkey")
+        .agg(bal=F.round(F.avg("s_acctbal"), 2))
+    )
+    merged = cust.merge(nat_avg, left_on=["c_nationkey"], right_on=["s_nationkey"])
+    return merged.to_df().select("c_custkey", "bal", "bal_1")
+
+
+MERGE_SQL = """
+SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS bal, s.bal_1
+FROM customer c
+LEFT JOIN (SELECT s_nationkey, ROUND(AVG(s_acctbal), 2) AS bal_1
+           FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
+def set_rows_patch(spark, sf):
+    """Positional SetRows: lowercase the name at row positions 0,2,4 of
+    the nation table ordered by key (reference series.go:769-792 +
+    __rowid__ discipline §4.3)."""
+    nat = load(spark, sf, "nation").ordered("n_nationkey")
+    out = nat.set_rows("n_name", [0, 2, 4], F.lower(F.col("n_name")))
+    return out.to_df().select("n_nationkey", "n_name")
+
+
+SET_ROWS_SQL = """
+SELECT n_nationkey,
+       CASE WHEN rn IN (0, 2, 4) THEN LOWER(n_name) ELSE n_name END AS n_name
+FROM (SELECT n_nationkey, n_name,
+             ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rn FROM nation)
+"""
+
+
+def multimodal_image_features(spark, sf):
+    """Multimodal decode pipeline: binary payload → mapInPandas Arrow
+    batches → (width, height, n_bytes, mean_luma). The decoder is the
+    deterministic stub (functions/multimodal._decode_image_stub — real
+    deployments swap in PIL); the distributed plumbing (binary column,
+    batch shape, schema) is the thing under test, and the stub is exact
+    enough to oracle-check value-for-value."""
+    from tada_spark.functions import multimodal
+
+    docs = (
+        load(spark, sf, "documents")
+        .to_df()
+        .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload"))
+    )
+    feats = multimodal.image_features(docs)
+    return feats.select(
+        "media_id", "width", "height", "n_bytes", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       16 + ord(text[1]) % 64 AS width,
+       16 + ord(text[-1]) % 64 AS height,
+       length(text) AS n_bytes,
+       ROUND(list_sum(list_transform(string_split(text[1:64], ''), c -> ord(c)))
+             / LEAST(length(text), 64) / 255.0, 6) AS mean_luma
+FROM documents
+"""
+
+
+def embed_near_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup detection: plant perturbed copies
+    (vec_id+1000, first component +0.01) of the first 200 vectors, then
+    find all pairs with cosine ≥ 0.99 — exactly the planted pairs.
+    Brute-force exact here (the oracle-checkable baseline); the LSH
+    bucketed variant (functions/similarity.lsh_cosine_candidates) is
+    the 100 TB path."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .to_df()
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr("concat(array(v[0] + 0.01d), slice(v, 2, size(v) - 1))").alias("v"),
+    )
+    allv = emb.unionByName(planted)
+    a, b = allv.alias("a"), allv.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.99)
+    )
+
+
+NEAR_DUP_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+     planted AS (SELECT vec_id + 1000 AS vec_id, [v[1] + 0.01] || v[2:] AS v FROM base),
+     allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+     pairs AS (
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+                    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos
+       FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+     )
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
+"""
+
+
+def approx_distinct_suppliers(spark, sf):
+    """HyperLogLog++ cardinality sketch per group — the 100 TB path for
+    nunique (exact countDistinct shuffles every distinct value; HLL
+    ships a fixed-size sketch). Rows-only gate: sketch estimates differ
+    between engines by design."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .approx_nunique("l_suppkey", "l_partkey")
+        .to_df()
+        .select("l_returnflag", "approx_nunique_l_suppkey", "approx_nunique_l_partkey")
+    )
+
+
 def salted_group_sum(spark, sf):
     """Two-phase salted aggregation for skewed keys (operators/skew.py):
     identical results to a plain groupBy, verified by the oracle."""
@@ -1395,4 +1525,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "moving_avg_trailing": (moving_avg_trailing, MOVING_AVG_SQL),
     "intersect_except_orders": (intersect_except_orders, EXCEPT_SQL),
     "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
+    "merge_dedupe_names": (merge_dedupe_names, MERGE_SQL),
+    "set_rows_patch": (set_rows_patch, SET_ROWS_SQL),
+    "multimodal_image_features": (multimodal_image_features, MULTIMODAL_SQL),
+    "embed_near_dup_pairs": (embed_near_dup_pairs, NEAR_DUP_SQL),
+    "approx_distinct_suppliers": (approx_distinct_suppliers, None),
 }

@@ -170,3 +170,23 @@ def test_resample_week_monday(spark):
     f = Frame(spark.createDataFrame([("2024-01-10",)], "d string")).cast(d="timestamp")
     out = f.resample("d", "week", week_start="MONDAY").df.first().d
     assert str(out)[:10] == "2024-01-08"  # Wed Jan 10 → Mon Jan 8
+
+
+def test_shuffle_deterministic_permutation(spark):
+    f = _basic(spark)
+    a = [r.idx for r in f.shuffle(7).df.collect()]
+    b = [r.idx for r in f.shuffle(7).df.collect()]
+    assert a == b  # same seed → same order
+    assert sorted(a) == [0, 1, 2, 3]  # permutation, no loss/dup
+
+
+def test_semi_anti_join_partition(spark):
+    left = _basic(spark)
+    right = Frame(spark.createDataFrame([("foo",), ("baz",)], "s string"))
+    semi = left.semi_join(right, left_on=["s"], right_on=["s"])
+    anti = left.anti_join(right, left_on=["s"], right_on=["s"])
+    assert sorted(r.idx for r in semi.df.collect()) == [0, 2, 3]
+    assert sorted(r.idx for r in anti.df.collect()) == [1]
+    # semi + anti partition the left side exactly
+    assert semi.df.count() + anti.df.count() == left.df.count()
+    assert semi.columns == left.columns  # no right columns appended

@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 from tada_spark.frame import Frame
 from tada_spark.operators import reshape
 from tada_spark.sources import read_records, read_structs, write_records, write_structs
-from tada_spark.streaming import run_available_now, stream_resample, stream_sliding_agg
+from tada_spark.streaming import (
+    run_available_now,
+    stream_resample,
+    stream_session_agg,
+    stream_sliding_agg,
+)
 from tada_spark.testing import equal_records, equal_structs, write_mock_csv
 
 
@@ -184,3 +189,44 @@ def test_streaming_sliding(spark, tmp_path):
     # 00:10 lands in windows starting 23:30 and 00:00; 00:40 in 00:00 and 00:30
     assert rows["2024-01-01 00:00:00"] == 3.0
     assert rows["2024-01-01 00:30:00"] == 2.0
+
+
+def test_streaming_session(spark, tmp_path):
+    src = str(tmp_path / "stream_src3")
+    batch = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "a", 1.0),
+            ("2024-01-01 00:03:00", "a", 2.0),  # within 5-min gap → same session
+            ("2024-01-01 00:20:00", "a", 4.0),  # gap > 5 min → new session
+            ("2024-01-01 00:01:00", "b", 8.0),
+        ],
+        "ts string, k string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_session_agg(stream, "ts", "5 minutes", {"total": F.sum("v")}, keys=["k"])
+    res = run_available_now(out, "t_session")
+    rows = {(r.k, str(r.window_start)): r.total for r in res.collect()}
+    assert rows == {
+        ("a", "2024-01-01 00:00:00"): 3.0,
+        ("a", "2024-01-01 00:20:00"): 4.0,
+        ("b", "2024-01-01 00:01:00"): 8.0,
+    }
+
+
+def test_interface_records_roundtrip(spark):
+    from tada_spark.sources import read_interface_records
+
+    f = read_interface_records(
+        spark, [{"name": "alice", "score": 1.5}, {"name": "bob", "score": None}], labels=["name"]
+    )
+    assert f.labels == ["name"]
+    rows = {r.name: r.score for r in f.df.collect()}
+    assert rows == {"alice": 1.5, "bob": None}
+
+
+def test_drop_cols(spark):
+    from tada_spark.frame import Frame
+
+    f = Frame(spark.createDataFrame([(1, 2.0, "x")], "a long, b double, c string"))
+    assert f.drop_cols("b").columns == ["a", "c"]
