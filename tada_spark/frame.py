@@ -556,6 +556,7 @@ class Frame:
         right_on: Sequence[str] | None = None,
         first_match: str = "arbitrary",
         broadcast: bool | None = None,
+        unique_keys: bool = False,
     ) -> "Frame":
         """Dictionary-lookup join: only ONE matching right row is used —
         no row multiplication (reference internal.go:1486-1517). Keys
@@ -565,6 +566,12 @@ class Frame:
         pick via min-__rowid__; 'arbitrary' (default) is the scale-safe
         dropDuplicates. ``broadcast`` forces/forbids a broadcast of the
         deduped right side; default lets AQE decide.
+
+        ``unique_keys=True`` asserts the right keys are already unique
+        (a primary key): the first-match dedupe is then a no-op and is
+        skipped, saving one full shuffle+aggregate of the build side per
+        join — the difference between one exchange and two on every
+        fact→dim hop at scale.
         """
         if left_on is None or right_on is None:
             shared = [l for l in self.labels if l in other.labels] or [
@@ -585,10 +592,13 @@ class Frame:
                 right_on=left_on,
                 first_match=first_match,
                 broadcast=broadcast,
+                unique_keys=unique_keys,
             )
 
         right = other.df
-        if first_match == "ordered":
+        if unique_keys:
+            pass  # caller asserts PK — skip the dedupe exchange entirely
+        elif first_match == "ordered":
             rdf = with_rowid(right)
             w = Window.partitionBy(*[F.col(c) for c in right_on]).orderBy(F.col(ROWID))
             right = rdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", ROWID)

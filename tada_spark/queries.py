@@ -75,9 +75,9 @@ def q3_top_revenue_orders(spark, sf):
     orders = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
     joined = (
-        orders.lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True)
+        orders.lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True, unique_keys=True)
         .lookup(li.group_by("l_orderkey").agg(revenue=F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
-                left_on=["o_orderkey"], right_on=["l_orderkey"], how="inner")
+                left_on=["o_orderkey"], right_on=["l_orderkey"], how="inner", unique_keys=True)
     )
     return (
         joined.with_col("revenue", F.round(F.col("revenue"), 2))
@@ -113,12 +113,12 @@ def q5_region_revenue(spark, sf):
     orders = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
     dim = (
-        cust.lookup(nation, left_on=["c_nationkey"], right_on=["n_nationkey"], broadcast=True)
-        .lookup(region, left_on=["n_regionkey"], right_on=["r_regionkey"], broadcast=True)
+        cust.lookup(nation, left_on=["c_nationkey"], right_on=["n_nationkey"], broadcast=True, unique_keys=True)
+        .lookup(region, left_on=["n_regionkey"], right_on=["r_regionkey"], broadcast=True, unique_keys=True)
     )
-    fact = li.lookup(orders, left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner")
+    fact = li.lookup(orders, left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True)
     out = (
-        fact.lookup(dim, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True)
+        fact.lookup(dim, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True, unique_keys=True)
         .group_by("r_name")
         .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
              n_orders=F.count_distinct(F.col("l_orderkey")))
@@ -257,7 +257,7 @@ def lookup_orders_customer(spark, sf):
     orders = load(spark, sf, "orders").filter(F.col("o_orderkey") < 200)
     cust = load(spark, sf, "customer")
     return (
-        orders.lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], broadcast=True)
+        orders.lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], broadcast=True, unique_keys=True)
         .cols("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
         .to_df()
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
@@ -384,7 +384,7 @@ def first_last_per_order(spark, sf):
     li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
     first = li.group_by("l_orderkey").first("l_partkey", order_by=["l_linenumber"])
     last = li.group_by("l_orderkey").last("l_partkey", order_by=["l_linenumber"])
-    return first.lookup(last, left_on=["l_orderkey"], right_on=["l_orderkey"]).to_df().select(
+    return first.lookup(last, left_on=["l_orderkey"], right_on=["l_orderkey"], unique_keys=True).to_df().select(
         "l_orderkey", "first_l_partkey", "last_l_partkey"
     )
 
@@ -407,7 +407,7 @@ def pivot_returnflag(spark, sf):
     revenue matrix via Spark pivot."""
     li = load(spark, sf, "lineitem")
     sup = load(spark, sf, "supplier")
-    j = li.lookup(sup, left_on=["l_suppkey"], right_on=["s_suppkey"], how="inner", broadcast=True)
+    j = li.lookup(sup, left_on=["l_suppkey"], right_on=["s_suppkey"], how="inner", broadcast=True, unique_keys=True)
     out = j.with_col("rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))).pivot_table(
         ["s_nationkey"], "l_returnflag", "rev", "sum"
     )
@@ -795,8 +795,8 @@ def promote_region_level(spark, sf):
     nation = load(spark, sf, "nation")
     region = load(spark, sf, "region")
     j = (
-        cust.lookup(nation, left_on=["c_nationkey"], right_on=["n_nationkey"], broadcast=True)
-        .lookup(region, left_on=["n_regionkey"], right_on=["r_regionkey"], broadcast=True)
+        cust.lookup(nation, left_on=["c_nationkey"], right_on=["n_nationkey"], broadcast=True, unique_keys=True)
+        .lookup(region, left_on=["n_regionkey"], right_on=["r_regionkey"], broadcast=True, unique_keys=True)
         .group_by("n_name", "r_name")
         .agg(acctbal=F.round(F.sum("c_acctbal"), 2))
     )
@@ -1211,7 +1211,7 @@ def merge_dedupe_names(spark, sf):
         .group_by("s_nationkey")
         .agg(bal=F.round(F.avg("s_acctbal"), 2))
     )
-    merged = cust.merge(nat_avg, left_on=["c_nationkey"], right_on=["s_nationkey"])
+    merged = cust.merge(nat_avg, left_on=["c_nationkey"], right_on=["s_nationkey"], unique_keys=True)
     return merged.to_df().select("c_custkey", "bal", "bal_1")
 
 

@@ -190,3 +190,15 @@ def test_semi_anti_join_partition(spark):
     # semi + anti partition the left side exactly
     assert semi.df.count() + anti.df.count() == left.df.count()
     assert semi.columns == left.columns  # no right columns appended
+
+
+def test_lookup_unique_keys_skips_dedupe(spark):
+    left = _basic(spark)
+    right = Frame(spark.createDataFrame([("foo", 10.0), ("bar", 20.0)], "s string, w double"))
+    a = left.lookup(right, left_on=["s"], right_on=["s"]).df
+    b = left.lookup(right, left_on=["s"], right_on=["s"], unique_keys=True).df
+    assert sorted((r.idx, r.w) for r in a.collect()) == sorted((r.idx, r.w) for r in b.collect())
+    # the PK assertion removes the dedupe aggregate from the plan
+    plan_a = a._jdf.queryExecution().optimizedPlan().toString()
+    plan_b = b._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in plan_a and "Aggregate" not in plan_b
