@@ -1330,6 +1330,81 @@ def approx_distinct_suppliers(spark, sf):
     )
 
 
+def _stream_events(spark, sf):
+    """readStream over the events table. events.ts is TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects — stream it as long
+    (nanosAsLong) and rebuild micros-truncated timestamps, the same shim
+    Frame.read_parquet applies on the batch path."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # streaming file source requires a directory: point at the sf dir
+    # and glob-select the single events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+def stream_hourly_totals(spark, sf):
+    """Structured Streaming tumbling-window rollup (§2.10: Resample's
+    streaming twin) driven to completion with trigger availableNow over
+    the static events table; the complete-mode memory-sink snapshot
+    equals the batch groupBy, so it oracle-checks like any batch query."""
+    from tada_spark.streaming import run_available_now, stream_resample
+
+    stream = _stream_events(spark, sf)
+    out = stream_resample(
+        stream, "ts", "1 hour", {"n": F.count("*"), "total": F.round(F.sum("value"), 4)}
+    )
+    res = run_available_now(out, "q_stream_hourly")
+    return res.select("window_start", "n", "total")
+
+
+STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+FROM events GROUP BY 1
+"""
+
+
+def stream_running_totals_users(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    user running (count, sum) across micro-batches. The events table is
+    one parquet file, so availableNow delivers one batch and the update-
+    mode sink holds exactly the final per-key totals — oracle-checkable."""
+    from tada_spark.streaming.stateful import running_totals
+
+    stream = _stream_events(spark, sf)
+    out = running_totals(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("q_stream_state").select("key", "n_events", F.round("total", 4).alias("total"))
+
+
+STREAM_STATE_SQL = """
+SELECT user_id::VARCHAR AS key, COUNT(value) AS n_events, ROUND(ROUND(SUM(value), 6), 4) AS total
+FROM events GROUP BY user_id
+"""
+
+
 def salted_group_sum(spark, sf):
     """Two-phase salted aggregation for skewed keys (operators/skew.py):
     identical results to a plain groupBy, verified by the oracle."""
@@ -1530,4 +1605,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_SQL),
     "embed_near_dup_pairs": (embed_near_dup_pairs, NEAR_DUP_SQL),
     "approx_distinct_suppliers": (approx_distinct_suppliers, None),
+    "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
+    "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
 }
