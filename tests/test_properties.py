@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the load-bearing semantics.
+
+The reference has no property testing (SURVEY.md §5 "Not present");
+these pin the invariants the whole engine leans on — null discipline,
+canon-key equality, sort stability, fill order — against independent
+pandas replicas on randomized inputs. Examples are kept small and few:
+every example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tada_spark.frame import Frame
+from tada_spark.plans.semantics import canon_str
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+floats = st.one_of(
+    st.none(),
+    st.integers(-1000, 1000).map(float),
+    st.floats(-1e6, 1e6, allow_nan=False, width=32).map(float),
+)
+keys = st.sampled_from(["a", "b", "c", None])
+
+
+@given(data=st.lists(st.tuples(keys, floats), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_grouped_sum_matches_pandas_null_skipping(spark, data):
+    f = Frame(spark.createDataFrame(data, "k string, v double"))
+    got = {r.k: r.sum_v for r in f.group_by("k").agg(sum_v=F.sum("v")).df.collect()}
+    pdf = pd.DataFrame(data, columns=["k", "v"])
+    for k, grp in pdf.groupby("k", dropna=False):
+        k = None if (not isinstance(k, str) and pd.isna(k)) else k
+        vals = grp["v"].dropna()
+        want = None if vals.empty else float(vals.sum())  # all-null group ⇒ null
+        assert got[k] == want or (want is not None and math.isclose(got[k], want))
+
+
+@given(data=st.lists(st.tuples(floats, st.integers(0, 3)), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_sort_nulls_last_and_stable(spark, data):
+    rows = [(i, v, g) for i, (v, g) in enumerate(data)]
+    f = Frame(spark.createDataFrame(rows, "idx long, v double, g long")).ordered("idx")
+    got = [r.idx for r in f.sort(("g", True)).df.collect()]
+    pdf = pd.DataFrame(rows, columns=["idx", "v", "g"])
+    want = list(pdf.sort_values("g", kind="stable", na_position="last")["idx"])
+    assert got == want  # equal keys keep ingest order; nulls always last
+
+
+@given(data=st.lists(floats, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_ffill_bfill_match_pandas(spark, data):
+    rows = list(enumerate(data))
+    f = Frame(spark.createDataFrame(rows, "idx long, v double")).ordered("idx")
+    for how, pd_how in [("forward", "ffill"), ("backward", "bfill")]:
+        got = [r.v for r in f.fill_null(how, subset=["v"], order_by=["idx"]).df.orderBy("idx").collect()]
+        want = list(getattr(pd.Series(data, dtype="float64"), pd_how)())
+        assert all(
+            (g is None and pd.isna(w)) or (g is not None and not pd.isna(w) and g == w)
+            for g, w in zip(got, want)
+        )
+
+
+@given(data=st.lists(st.tuples(keys, floats), min_size=1, max_size=20), thr=floats)
+@settings(**SETTINGS)
+def test_filter_partition_nulls_never_match(spark, data, thr):
+    if thr is None:
+        thr = 0.0
+    f = Frame(spark.createDataFrame(data, "k string, v double"))
+    p = F.col("v") > thr
+    matched = f.filter(p).df.count()
+    inverse = f.filter(~p).df.count()
+    nulls = f.df.filter(F.col("v").isNull()).count()
+    assert matched + inverse + nulls == len(data)  # tri-valued partition
+
+
+@given(vals=st.lists(st.one_of(st.integers(-10**6, 10**6).map(float),
+                               st.floats(-1e6, 1e6, allow_nan=False)),
+                     min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_canon_str_float_fmt_sprint_parity(spark, vals):
+    """Integral floats print with no decimal part — Go fmt.Sprint parity
+    (reference valueContainers.go:194-196): canon('1.0') == canon(1)."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "idx long, v double")
+    got = {
+        r.idx: r.c
+        for r in df.select("idx", canon_str(F.col("v"), df.schema["v"].dataType).alias("c")).collect()
+    }
+    for i, v in rows:
+        if v == int(v) and abs(v) < 2**63:
+            assert got[i] == str(int(v))
+        else:
+            assert got[i] != str(v).rstrip("0").rstrip(".") or "." in got[i] or "E" in got[i]
