@@ -7,6 +7,7 @@ lacks; the reference-specific formats (records, structs, matrix, mock
 CSV) are reproduced for parity.
 """
 
+from tada_spark.sources.bucketed import read_table, write_bucketed
 from tada_spark.sources.records import (
     read_interface_records,
     read_records,
@@ -18,6 +19,8 @@ __all__ = [
     "read_interface_records",
     "read_records",
     "read_structs",
+    "read_table",
+    "write_bucketed",
     "write_records",
     "write_structs",
 ]

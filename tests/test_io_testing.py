@@ -230,3 +230,26 @@ def test_drop_cols(spark):
 
     f = Frame(spark.createDataFrame([(1, 2.0, "x")], "a long, b double, c string"))
     assert f.drop_cols("b").columns == ["a", "c"]
+
+
+def test_bucketed_join_no_shuffle(spark):
+    from tada_spark.sources import read_table, write_bucketed
+
+    left = Frame(
+        spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    )
+    right = Frame(
+        spark.createDataFrame([(i, f"n{i}") for i in range(100)], "k long, name string")
+    )
+    write_bucketed(left, "t_buck_l", bucket_by=["k"], n_buckets=4, sort_by=["k"])
+    write_bucketed(right, "t_buck_r", bucket_by=["k"], n_buckets=4, sort_by=["k"])
+    try:
+        l, r = read_table(spark, "t_buck_l"), read_table(spark, "t_buck_r")
+        joined = l.to_df().hint("merge").join(r.to_df(), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucketing replaces the shuffle
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_buck_l")
+        spark.sql("DROP TABLE IF EXISTS t_buck_r")
