@@ -138,10 +138,16 @@ class GroupedFrame:
 
     # -- positional reducers (reference groupers.go:187-199) -----------
     def first(self, col: str, *, order_by: Sequence[str]) -> Frame:
-        return self.nth(col, 0, order_by=order_by, out=f"first_{col}")
+        """Value at position 0 per group. Unlike the general nth (which
+        needs a row_number window + OOB reattach join), position 0
+        always exists, so this is a single min_by aggregate — one
+        exchange instead of three."""
+        ord_expr = F.struct(*[F.col(c) for c in order_by])
+        return self._agg({f"first_{col}": F.min_by(F.col(col), ord_expr)})
 
     def last(self, col: str, *, order_by: Sequence[str]) -> Frame:
-        return self.nth(col, -1, order_by=order_by, out=f"last_{col}")
+        ord_expr = F.struct(*[F.col(c) for c in order_by])
+        return self._agg({f"last_{col}": F.max_by(F.col(col), ord_expr)})
 
     def nth(self, col: str, n: int, *, order_by: Sequence[str], out: str | None = None) -> Frame:
         """Row at position n within group (negative from end; out-of-bounds

@@ -382,8 +382,10 @@ def first_last_per_order(spark, sf):
     """Per-group first/last by explicit order (reference First/Last
     groupers.go:187-199)."""
     li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
-    first = li.group_by("l_orderkey").first("l_partkey", order_by=["l_linenumber"])
-    last = li.group_by("l_orderkey").last("l_partkey", order_by=["l_linenumber"])
+    # (l_orderkey, l_linenumber) is not unique in the test data —
+    # break ties on l_partkey so first/last are deterministic
+    first = li.group_by("l_orderkey").first("l_partkey", order_by=["l_linenumber", "l_partkey"])
+    last = li.group_by("l_orderkey").last("l_partkey", order_by=["l_linenumber", "l_partkey"])
     return first.lookup(last, left_on=["l_orderkey"], right_on=["l_orderkey"], unique_keys=True).to_df().select(
         "l_orderkey", "first_l_partkey", "last_l_partkey"
     )
@@ -395,8 +397,8 @@ SELECT l_orderkey,
        MIN(l_partkey) FILTER (WHERE rn_d = 1)  AS last_l_partkey
 FROM (
   SELECT l_orderkey, l_partkey,
-         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC)  AS rn_a,
-         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC) AS rn_d
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC,  l_partkey ASC)  AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC) AS rn_d
   FROM lineitem WHERE l_orderkey < 500
 ) GROUP BY l_orderkey
 """
@@ -723,7 +725,7 @@ def nth_line_per_order(spark, sf):
     li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
     return (
         li.group_by("l_orderkey")
-        .nth("l_partkey", 2, order_by=["l_linenumber"], out="third_part")
+        .nth("l_partkey", 2, order_by=["l_linenumber", "l_partkey"], out="third_part")
         .to_df()
         .select("l_orderkey", "third_part")
     )
@@ -735,7 +737,7 @@ FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey < 500) o
 LEFT JOIN (
   SELECT l_orderkey, l_partkey AS third_part
   FROM (SELECT l_orderkey, l_partkey,
-               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
         FROM lineitem WHERE l_orderkey < 500)
   WHERE rn = 3
 ) p USING (l_orderkey)
