@@ -679,7 +679,9 @@ def ordered_range_rows(spark, sf):
     internal.go:1112-1139 + __rowid__ discipline §4.3)."""
     li = load(spark, sf, "lineitem")
     return (
-        li.ordered("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is not unique — add the output
+        # column as final tiebreaker so the slice is deterministic
+        li.ordered("l_orderkey", "l_linenumber", "l_quantity")
         .range(100, 200)
         .cols("l_orderkey", "l_linenumber", "l_quantity")
         .to_df()
@@ -689,7 +691,7 @@ def ordered_range_rows(spark, sf):
 
 RANGE_SQL = """
 SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-ORDER BY l_orderkey, l_linenumber OFFSET 100 LIMIT 100
+ORDER BY l_orderkey, l_linenumber, l_quantity OFFSET 100 LIMIT 100
 """
 
 
