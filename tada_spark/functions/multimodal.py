@@ -17,6 +17,7 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -95,3 +96,47 @@ def frame_sample_plan(df: DataFrame, *, every_n: int = 30, id_col: str = "media_
         id_col,
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, float, float]:
+    """STUB — deterministic fake audio decoder (real: ffmpeg/torchaudio).
+
+    Derives (sample_rate, duration_s, rms) from the payload bytes so the
+    distributed pipeline is exercised end-to-end and test-checkable.
+    """
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+
+    # half-up rounding (SQL ROUND semantics; python round() is half-even)
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    sample_rate = 8000 + (payload[0] % 3) * 4000
+    duration_s = r6(len(payload) / sample_rate)
+    head = payload[:64]
+    rms = r6((sum((b / 255.0) ** 2 for b in head) / len(head)) ** 0.5)
+    return sample_rate, duration_s, rms
+
+
+def audio_features(df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas (Arrow batches).
+
+    Input: df[id_col: long, payload_col: binary]. Output:
+    AUDIO_FEATURES_SCHEMA. Undecodable payloads are dropped.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "duration_s": [], "rms": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, dur, rms = _decode_audio_stub(payload)
+                except Exception:
+                    continue
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["duration_s"].append(dur)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

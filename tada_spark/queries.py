@@ -1276,6 +1276,60 @@ FROM documents
 """
 
 
+def multimodal_audio_features(spark, sf):
+    """Audio decode pipeline twin of multimodal_image_features:
+    binary payload → mapInPandas → (sample_rate, duration_s, rms),
+    deterministic stub decode, oracle-checked value-for-value."""
+    from tada_spark.functions import multimodal
+
+    docs = (
+        load(spark, sf, "documents")
+        .to_df()
+        .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload"))
+    )
+    return multimodal.audio_features(docs)
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, text,
+         8000 + (ord(text[1]) % 3) * 4000 AS sample_rate
+  FROM documents
+)
+SELECT media_id, sample_rate,
+       ROUND(length(text)::DOUBLE / sample_rate, 6) AS duration_s,
+       ROUND(SQRT(list_sum(list_transform(string_split(text[1:64], ''),
+                                          c -> POW(ord(c) / 255.0, 2)))
+                  / LEAST(length(text), 64)), 6) AS rms
+FROM d
+"""
+
+
+def video_frame_sample(spark, sf):
+    """Video frame-sampling plan (functions/multimodal.frame_sample_plan):
+    explode every-30th frame index from metadata WITHOUT decoding — the
+    pruning step that makes 100 TB video tractable. Frame counts derived
+    deterministically from document length for the oracle."""
+    from tada_spark.functions import multimodal
+
+    media = (
+        load(spark, sf, "documents")
+        .to_df()
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("n_chars") % 200 + 30).alias("n_frames"),
+        )
+    )
+    return multimodal.frame_sample_plan(media, every_n=30)
+
+
+VIDEO_SAMPLE_SQL = """
+SELECT doc_id AS media_id, f.frame_idx
+FROM documents,
+     UNNEST(generate_series(0, (n_chars % 200 + 30) - 1, 30)) AS f(frame_idx)
+"""
+
+
 def embed_near_dup_pairs(spark, sf):
     """Embedding-cosine near-dup detection: plant perturbed copies
     (vec_id+1000, first component +0.01) of the first 200 vectors, then
@@ -1607,6 +1661,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "merge_dedupe_names": (merge_dedupe_names, MERGE_SQL),
     "set_rows_patch": (set_rows_patch, SET_ROWS_SQL),
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_SQL),
+    "multimodal_audio_features": (multimodal_audio_features, MULTIMODAL_AUDIO_SQL),
+    "video_frame_sample": (video_frame_sample, VIDEO_SAMPLE_SQL),
     "embed_near_dup_pairs": (embed_near_dup_pairs, NEAR_DUP_SQL),
     "approx_distinct_suppliers": (approx_distinct_suppliers, None),
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),

@@ -123,3 +123,16 @@ def test_frame_sample_plan(spark):
     out = multimodal.frame_sample_plan(df, every_n=30).collect()
     got = sorted((r.media_id, r.frame_idx) for r in out)
     assert got == [(1, 0), (1, 30), (1, 60), (2, 0)]
+
+
+def test_audio_features_stub_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"")), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in multimodal.audio_features(df).collect()}
+    assert set(out) == {1}  # empty/null payloads dropped (null-skipping)
+    r = out[1]
+    assert r.sample_rate == 8000 + (ord("a") % 3) * 4000
+    assert r.duration_s == round(6 / r.sample_rate, 6)
+    assert 0.0 < r.rms < 1.0

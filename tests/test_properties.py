@@ -102,3 +102,19 @@ def test_canon_str_float_fmt_sprint_parity(spark, vals):
             assert got[i] == str(int(v))
         else:
             assert got[i] != str(v).rstrip("0").rstrip(".") or "." in got[i] or "E" in got[i]
+
+
+@given(
+    left=st.lists(st.tuples(keys, floats), min_size=1, max_size=15),
+    right=st.lists(st.tuples(keys, floats), min_size=0, max_size=30),
+)
+@settings(**SETTINGS)
+def test_lookup_never_multiplies_rows(spark, left, right):
+    """Dictionary-lookup joins use ONE right match: whatever the right-
+    side duplication, the left row count is preserved exactly
+    (reference internal.go:1486-1517)."""
+    lf = Frame(spark.createDataFrame(left, "k string, v double"))
+    rf = Frame(spark.createDataFrame(right, "k string, w double") if right
+               else spark.createDataFrame([], "k string, w double"))
+    out = lf.lookup(rf, left_on=["k"], right_on=["k"])
+    assert out.df.count() == len(left)
