@@ -646,6 +646,82 @@ class Frame:
         )
         return self._wrap(self.df.join(other.df, cond, "left_anti"))
 
+    def asof_join(
+        self,
+        other: "Frame",
+        *,
+        on: str,
+        right_on: str | None = None,
+        by: Sequence[str] = (),
+        right_by: Sequence[str] | None = None,
+        value_cols: Sequence[str],
+        strict: bool = False,
+    ) -> "Frame":
+        """Point-in-time (as-of) join: for each left row, take
+        ``value_cols`` from the LATEST right row with right.on <= left.on
+        (strictly < when ``strict``), matched within ``by`` keys. The
+        canonical time-series lookup (trades←quotes) — an operator Spark
+        has no primitive for.
+
+        Scale design: NOT a range join (which explodes to O(n·m) pairs
+        or a broadcast nested loop). Both sides union into one stream,
+        sorted per key by (time, side) inside a single window partition;
+        a running last-ignorenulls carries each right value forward to
+        the left rows that follow it. ONE shuffle on ``by``, zero row
+        multiplication, linear in |left|+|right| — survives 100 TB of
+        tick data as long as single keys fit a partition (salt the `by`
+        key by coarse time-bucket if one instrument dominates).
+        """
+        right_on = right_on or on
+        right_by = list(right_by) if right_by is not None else list(by)
+        by = list(by)
+        if len(right_by) != len(by):
+            raise ValueError("asof_join: by/right_by length mismatch")
+        collide = [c for c in value_cols if c in self.columns]
+        if collide:
+            raise ValueError(f"asof_join: value_cols collide with left columns: {collide}")
+
+        lfields = {f.name: f.dataType for f in self.df.schema.fields}
+        rfields = {f.name: f.dataType for f in other.df.schema.fields}
+        left_cols = [c for c in self.df.columns]
+
+        l = self.df.select(
+            *[F.col(c) for c in left_cols],
+            *[F.lit(None).cast(rfields[c]).alias(c) for c in value_cols],
+            F.lit(1).alias("__side__"),
+        )
+        r = other.df.select(
+            *[
+                F.col(rc).alias(lc) if rc != lc else F.col(lc)
+                for lc, rc in zip(by, right_by)
+            ],
+            F.col(right_on).alias(on) if right_on != on else F.col(on),
+            *[
+                F.lit(None).cast(lfields[c]).alias(c)
+                for c in left_cols
+                if c not in by and c != on
+            ],
+            *[F.col(c) for c in value_cols],
+            F.lit(0).alias("__side__"),
+        ).select(*left_cols, *value_cols, F.lit(0).alias("__side__"))
+
+        # right rows sort before left at equal time ⇒ inclusive (<=);
+        # strict flips the tie so an exactly-simultaneous right row is
+        # not yet visible
+        side_order = F.col("__side__").asc() if not strict else F.col("__side__").desc()
+        w = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = l.unionByName(r)
+        for c in value_cols:
+            filled = filled.withColumn(
+                c, F.last(F.when(F.col("__side__") == 0, F.col(c)), ignorenulls=True).over(w)
+            )
+        out = filled.filter(F.col("__side__") == 1).drop("__side__")
+        return self._wrap(out)
+
     def merge(self, other: "Frame", **kwargs) -> "Frame":
         """Lookup + append looked-up columns + name dedupe `_n` suffix
         (reference dataframe.go:1633-1657)."""

@@ -1374,6 +1374,36 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
 """
 
 
+def asof_last_purchase(spark, sf):
+    """As-of join: each click event picks up the user's most recent
+    prior-or-simultaneous purchase value (Frame.asof_join — union +
+    running window, one shuffle, no row multiplication). Right side
+    pre-deduped per (user, ts) so ties are deterministic on both
+    engines."""
+    ev = load(spark, sf, "events")
+    clicks = Frame(ev.to_df().filter(F.col("event_type") == "click"))
+    purchases = Frame(
+        ev.to_df()
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purch_value"))
+    )
+    out = clicks.asof_join(purchases, on="ts", by=["user_id"], value_cols=["purch_value"])
+    return out.to_df().select("event_id", "user_id", F.round("purch_value", 4).alias("purch_value"))
+
+
+ASOF_SQL = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+     purchases AS (
+       SELECT user_id AS pu, ts AS pts, MAX(value) AS purch_value
+       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+     )
+SELECT c.event_id, c.user_id, ROUND(p.purch_value, 4) AS purch_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.pu AND c.ts >= p.pts
+"""
+
+
 def approx_distinct_suppliers(spark, sf):
     """HyperLogLog++ cardinality sketch per group — the 100 TB path for
     nunique (exact countDistinct shuffles every distinct value; HLL
@@ -1665,6 +1695,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_frame_sample": (video_frame_sample, VIDEO_SAMPLE_SQL),
     "embed_near_dup_pairs": (embed_near_dup_pairs, NEAR_DUP_SQL),
     "approx_distinct_suppliers": (approx_distinct_suppliers, None),
+    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
     "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
 }

@@ -202,3 +202,25 @@ def test_lookup_unique_keys_skips_dedupe(spark):
     plan_a = a._jdf.queryExecution().optimizedPlan().toString()
     plan_b = b._jdf.queryExecution().optimizedPlan().toString()
     assert "Aggregate" in plan_a and "Aggregate" not in plan_b
+
+
+def test_asof_join_backward(spark):
+    trades = Frame(
+        spark.createDataFrame(
+            [("A", 3, 100.0), ("A", 7, 101.0), ("B", 5, 50.0), ("A", 1, 99.0)],
+            "sym string, t long, px double",
+        )
+    )
+    quotes = Frame(
+        spark.createDataFrame(
+            [("A", 2, 9.5), ("A", 7, 9.9), ("B", 9, 4.0)], "sym string, t long, bid double"
+        )
+    )
+    out = trades.asof_join(quotes, on="t", by=["sym"], value_cols=["bid"])
+    got = {(r.sym, r.t): r.bid for r in out.df.collect()}
+    # t=1: no quote yet → null; t=3: quote@2; t=7: quote@7 (inclusive); B t=5: quote@9 is later → null
+    assert got == {("A", 1): None, ("A", 3): 9.5, ("A", 7): 9.9, ("B", 5): None}
+    strict = trades.asof_join(quotes, on="t", by=["sym"], value_cols=["bid"], strict=True)
+    sgot = {(r.sym, r.t): r.bid for r in strict.df.collect()}
+    assert sgot[("A", 7)] == 9.5  # strict: simultaneous quote not yet visible
+    assert out.df.count() == 4  # never multiplies rows
