@@ -1,0 +1,47 @@
+"""Range (interval) join: left timestamps against right [start, end).
+
+Spark plans a raw inequality join as BroadcastNestedLoopJoin (or a
+cartesian) — O(n·m) comparisons, a non-starter at scale. The classic
+fix: quantize time into buckets of width w, explode each interval onto
+the buckets it overlaps (≤ len/w + 1 rows), equi-join on
+(keys…, bucket) — a plain shuffled hash join — then re-check the exact
+bounds. Each (row, interval) pair meets in exactly one bucket (the
+row's), so no dedupe is needed. Work is linear in rows + genuine
+matches; pick w near the typical interval length so explode stays ~2×.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Rows of ``left`` matched to every ``right`` interval containing
+    their timestamp: right.start <= left.ts < right.end, equal ``by``
+    keys. Returns left columns + right columns (names must not collide
+    apart from ``by``)."""
+    w_us = bucket_s * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / w_us)
+    l = left.withColumn("__bucket__", lb)
+
+    start_b = F.floor(F.unix_micros(F.col(right_start)) / w_us)
+    end_b = F.floor((F.unix_micros(F.col(right_end)) - 1) / w_us)  # end exclusive
+    r = right.withColumn("__bucket__", F.explode(F.sequence(start_b, end_b)))
+
+    on = [*by, "__bucket__"]
+    exact: Column = (F.col(right_start) <= F.col(left_ts)) & (
+        F.col(left_ts) < F.col(right_end)
+    )
+    return l.join(r, on=on, how="inner").filter(exact).drop("__bucket__")

@@ -1404,6 +1404,37 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def range_join_purchase_clicks(spark, sf):
+    """Range join: clicks landing inside each purchase's following hour
+    (operators/interval.range_join — bucketed equi-join, never a
+    broadcast nested loop)."""
+    from tada_spark.operators.interval import range_join
+
+    ev = load(spark, sf, "events").to_df()
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_start"))
+        .withColumn("p_end", F.col("p_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    out = range_join(
+        clicks, purchases, left_ts="ts", right_start="p_start", right_end="p_end",
+        by=["user_id"], bucket_s=3600,
+    )
+    return out.select("p_id", "c_id", "user_id")
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id AS p_id, c.event_id AS c_id, c.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+"""
+
+
 def approx_distinct_suppliers(spark, sf):
     """HyperLogLog++ cardinality sketch per group — the 100 TB path for
     nunique (exact countDistinct shuffles every distinct value; HLL
@@ -1696,6 +1727,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embed_near_dup_pairs": (embed_near_dup_pairs, NEAR_DUP_SQL),
     "approx_distinct_suppliers": (approx_distinct_suppliers, None),
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "range_join_purchase_clicks": (range_join_purchase_clicks, RANGE_JOIN_SQL),
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
     "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
 }

@@ -224,3 +224,21 @@ def test_asof_join_backward(spark):
     sgot = {(r.sym, r.t): r.bid for r in strict.df.collect()}
     assert sgot[("A", 7)] == 9.5  # strict: simultaneous quote not yet visible
     assert out.df.count() == 4  # never multiplies rows
+
+
+def test_range_join_bucket_edges(spark):
+    from tada_spark.operators.interval import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:59:59"), (2, "2024-01-01 01:00:00"), (3, "2024-01-01 02:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:30:00", "2024-01-01 02:00:00")], "rid long, s string, e string"
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn("e", F.col("e").cast("timestamp"))
+    out = range_join(left, right, left_ts="ts", right_start="s", right_end="e", bucket_s=3600)
+    got = sorted(r.id for r in out.collect())
+    # interval spans two buckets; id=1 and id=2 inside, id=3 excluded (end-exclusive)
+    assert got == [1, 2]
+    # each (row, interval) pair appears exactly once despite multi-bucket explode
+    assert out.count() == 2
