@@ -1,0 +1,50 @@
+"""Deterministic, content-addressed sampling and dataset splits.
+
+Training pipelines need samples and train/val/test splits that are
+(a) reproducible across runs, engines, and cluster sizes, (b) stable
+under data re-partitioning, and (c) consistent per entity (the same
+document always lands in the same split, so no train/test leakage when
+the corpus is re-processed). ``rand(seed)`` gives none of these — it
+depends on partition layout. Hashing the entity key does: bucket =
+first 8 hex chars of md5(key) as an int, mod n. md5 is identical in
+every engine, so the DuckDB oracle reproduces the exact same rows.
+
+At 100 TB this is a stateless per-row filter — no shuffle, pushes
+nothing, scales with scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n: int = 100) -> Column:
+    """Stable bucket in [0, n): md5-based, engine-independent."""
+    return F.pmod(F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"), n)
+
+
+def deterministic_sample(df: DataFrame, key: str, pct: int, *, n: int = 100) -> DataFrame:
+    """Keep ~pct% of rows, chosen by key content — same rows every run,
+    every engine, every partition count."""
+    return df.filter(hash_bucket(F.col(key), n) < pct)
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    *,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out: str = "split",
+) -> DataFrame:
+    """Add a train/val/test split column keyed on content hash. An
+    entity keeps its split forever — append-only corpora never leak
+    val/test rows into train."""
+    b = hash_bucket(F.col(key), 100)
+    return df.withColumn(
+        out,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

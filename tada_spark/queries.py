@@ -1404,6 +1404,33 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def deterministic_doc_sample(spark, sf):
+    """Content-addressed 20% sample + train/val/test split assignment
+    (functions/sampling): md5-bucketed on doc_id, so the exact same
+    rows fall in the sample on every engine — reproducible pipelines,
+    no rand(seed) partition-layout dependence."""
+    from tada_spark.functions import sampling
+
+    docs = load(spark, sf, "documents").to_df()
+    sampled = sampling.deterministic_sample(docs, "doc_id", 20)
+    split = sampling.assign_split(sampled, "doc_id", train_pct=80, val_pct=10)
+    return split.select("doc_id", "lang", "split")
+
+
+SAMPLE_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b WHERE bucket < 20
+"""
+
+
 def range_join_purchase_clicks(spark, sf):
     """Range join: clicks landing inside each purchase's following hour
     (operators/interval.range_join — bucketed equi-join, never a
@@ -1728,6 +1755,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "approx_distinct_suppliers": (approx_distinct_suppliers, None),
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
     "range_join_purchase_clicks": (range_join_purchase_clicks, RANGE_JOIN_SQL),
+    "deterministic_doc_sample": (deterministic_doc_sample, SAMPLE_SPLIT_SQL),
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
     "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
 }

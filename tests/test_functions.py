@@ -136,3 +136,20 @@ def test_audio_features_stub_pipeline(spark):
     assert r.sample_rate == 8000 + (ord("a") % 3) * 4000
     assert r.duration_s == round(6 / r.sample_rate, 6)
     assert 0.0 < r.rms < 1.0
+
+
+def test_deterministic_sample_partition_invariant(spark):
+    from tada_spark.functions import sampling
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in sampling.deterministic_sample(df, "doc_id", 30).collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.deterministic_sample(df.repartition(17), "doc_id", 30).collect()
+    )
+    assert a == b and 0 < len(a) < 500  # same rows whatever the layout
+    split = sampling.assign_split(df, "doc_id")
+    counts = {r.split: r["count"] for r in split.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 500  # exhaustive + exclusive
+    assert counts["train"] > counts["val"]
