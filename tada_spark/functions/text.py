@@ -122,3 +122,63 @@ def fingerprint(col: Column) -> Column:
     engines (md5 is everywhere) — the exact-dedup key."""
     norm = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
     return F.md5(F.trim(norm))
+
+
+#: GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+#: digit runs, punctuation runs, whitespace. Alternation-only (no
+#: lookarounds) so Java regex (Spark) and RE2 (DuckDB/others) agree.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer split
+    regex. A cheap, JVM-side LLM-token budget estimator (real BPE merges
+    only ever split these pieces further by a roughly constant factor)."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN))
+
+
+def rolling_hashes(col: Column, k: int = 8) -> Column:
+    """Rolling k-gram fingerprint hashes: xxhash64 of every k-char
+    window, as an array column. All JVM expression — no UDF."""
+    n_windows = F.greatest(F.length(col) - F.lit(k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.xxhash64(col.substr(i, F.lit(k))),
+    )
+
+
+def winnow_fingerprint(col: Column, k: int = 8, w: int = 16) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    min hash per sliding window of w rolling k-gram hashes, deduped.
+    Guarantees any shared substring of length >= k + w - 1 contributes a
+    shared fingerprint — the local near-dup detector that, unlike
+    minhash, localizes WHERE the overlap is."""
+    hashes = rolling_hashes(col, k)
+    n = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda j: F.array_min(F.slice(hashes, j, w)))
+    )
+
+
+def winnow_fingerprints_long(
+    df, *, id_col: str, text_col: str, k: int = 8, w: int = 16
+):
+    """Winnowing in long form: (id, fp) rows. Same fingerprints as
+    winnow_fingerprint, but explode + running window-min instead of
+    nested array slicing — the array form evaluates O(len·w) slice
+    expressions per row, this shape is one explode plus a linear
+    window pass per document, and it feeds pair-mining joins directly."""
+    from pyspark.sql.window import Window
+
+    hashes = df.select(
+        F.col(id_col), F.posexplode(rolling_hashes(F.col(text_col), k)).alias("__pos__", "__h__")
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos__").rowsBetween(0, w - 1)
+    n_ok = Window.partitionBy(id_col)
+    return (
+        hashes.withColumn("__fp__", F.min("__h__").over(win))
+        .withColumn("__n__", F.count("*").over(n_ok))
+        .filter(F.col("__pos__") <= F.col("__n__") - w)
+        .select(F.col(id_col), F.col("__fp__").alias("fp"))
+        .distinct()
+    )

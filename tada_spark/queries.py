@@ -1404,6 +1404,50 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def bpe_token_budget(spark, sf):
+    """LLM token-budget estimate per language: whitespace tokens vs
+    BPE-ish pre-tokenizer matches (functions/text.bpe_token_estimate) —
+    the alternation-only regex evaluates identically under Java regex
+    and RE2, so the count oracle-checks exactly."""
+    docs = load(spark, sf, "documents")
+    out = (
+        docs.with_col("ws_tokens", text.token_count(F.col("text")))
+        .with_col("bpe_tokens", text.bpe_token_estimate(F.col("text")))
+        .group_by("lang")
+        .agg(
+            n_docs=F.count("*"),
+            ws_total=F.sum("ws_tokens"),
+            bpe_total=F.sum("bpe_tokens"),
+        )
+    )
+    return out.to_df().select("lang", "n_docs", "ws_total", "bpe_total")
+
+
+BPE_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(trim(text), '\S+'))) AS ws_total,
+       SUM(len(regexp_extract_all(text,
+           e'\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))) AS bpe_total
+FROM documents GROUP BY lang
+"""
+
+
+def winnow_shared_fingerprints(spark, sf):
+    """Winnowing fingerprint overlap (Schleimer et al. SIGMOD'03): doc
+    pairs sharing >= 5 winnowed k-gram hashes — localizes WHERE overlap
+    occurs, unlike minhash. Rows-only gate: xxhash64 has no DuckDB
+    twin."""
+    docs = load(spark, sf, "documents").to_df().filter(F.col("doc_id") < 100)
+    fps = text.winnow_fingerprints_long(docs, id_col="doc_id", text_col="text", k=8, w=16)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+
+
 def deterministic_doc_sample(spark, sf):
     """Content-addressed 20% sample + train/val/test split assignment
     (functions/sampling): md5-bucketed on doc_id, so the exact same
@@ -1756,6 +1800,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
     "range_join_purchase_clicks": (range_join_purchase_clicks, RANGE_JOIN_SQL),
     "deterministic_doc_sample": (deterministic_doc_sample, SAMPLE_SPLIT_SQL),
+    "bpe_token_budget": (bpe_token_budget, BPE_SQL),
+    "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
     "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
 }

@@ -153,3 +153,27 @@ def test_deterministic_sample_partition_invariant(spark):
     assert set(counts) == {"train", "val", "test"}
     assert sum(counts.values()) == 500  # exhaustive + exclusive
     assert counts["train"] > counts["val"]
+
+
+def test_winnow_and_bpe(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "completely different content with no overlap whatsoever here")],
+        "doc_id long, text string",
+    )
+    fps = text.winnow_fingerprints_long(df, id_col="doc_id", text_col="text", k=8, w=4)
+    by_doc = {r.doc_id: set() for r in df.collect()}
+    for r in fps.collect():
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[1] == by_doc[2]  # identical docs → identical fingerprints
+    assert by_doc[1] != by_doc[3]
+    # long form ≡ array form
+    arr = df.filter(F.col("doc_id") == 1).select(
+        F.explode(text.winnow_fingerprint(F.col("text"), k=8, w=4)).alias("fp")
+    )
+    assert {r.fp for r in arr.collect()} == by_doc[1]
+    bpe = {r.doc_id: r.n for r in df.select("doc_id", text.bpe_token_estimate(F.col("text")).alias("n")).collect()}
+    assert bpe[1] == bpe[2] > 10
