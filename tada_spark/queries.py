@@ -1404,6 +1404,47 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def quantiles_price_by_status(spark, sf):
+    """Grouped exact quantiles (25/50/75) — linear-interpolation
+    percentile, same definition as DuckDB quantile_cont."""
+    orders = load(spark, sf, "orders")
+    out = orders.group_by("o_orderstatus").agg(
+        q25=F.round(F.expr("percentile(o_totalprice, 0.25)"), 4),
+        q50=F.round(F.expr("percentile(o_totalprice, 0.5)"), 4),
+        q75=F.round(F.expr("percentile(o_totalprice, 0.75)"), 4),
+    )
+    return out.to_df()
+
+
+QUANTILES_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def ntile_quartile_customers(spark, sf):
+    """NTILE(4) quartile assignment over account balance (free window
+    extension; deterministic via unique c_custkey tiebreaker)."""
+    from pyspark.sql.window import Window
+
+    cust = load(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        cust.with_col("quartile", F.ntile(4).over(w))
+        .to_df()
+        .select("c_custkey", "quartile")
+    )
+
+
+NTILE_SQL = """
+SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+FROM customer
+"""
+
+
 def bpe_token_budget(spark, sf):
     """LLM token-budget estimate per language: whitespace tokens vs
     BPE-ish pre-tokenizer matches (functions/text.bpe_token_estimate) —
@@ -1801,6 +1842,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "range_join_purchase_clicks": (range_join_purchase_clicks, RANGE_JOIN_SQL),
     "deterministic_doc_sample": (deterministic_doc_sample, SAMPLE_SPLIT_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
+    "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
+    "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
     "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
