@@ -1404,6 +1404,61 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def debounce_events(spark, sf):
+    """Debounce: drop events repeating the same (user, type) within
+    5 minutes of the previous occurrence — Shift composition, the
+    standard event-stream noise filter."""
+    ev = load(spark, sf, "events")
+    f = ev.shift(
+        "ts", 1, order_by=["ts", "event_id"], partition_by=["user_id", "event_type"], as_col="prev_ts"
+    )
+    keep = f.filter(
+        F.col("prev_ts").isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) >= 300)
+    )
+    return keep.to_df().select("event_id", "user_id", "event_type")
+
+
+DEBOUNCE_SQL = """
+SELECT event_id, user_id, event_type
+FROM (SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 300
+"""
+
+
+def winsorize_value_per_user(spark, sf):
+    """Winsorize: clip value to the per-user [p05, p95] band (aligned
+    percentile broadcast over a partition window — outlier damping
+    before training). Nulls stay null."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id")
+    lo = F.expr("percentile(value, 0.05)").over(w)
+    hi = F.expr("percentile(value, 0.95)").over(w)
+    clipped = F.when(
+        F.col("value").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(F.col("value"), lo), hi))
+    return (
+        ev.with_col("value_w", F.round(clipped, 4))
+        .to_df()
+        .select("event_id", "user_id", "value_w")
+    )
+
+
+WINSORIZE_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE ROUND(LEAST(GREATEST(value, lo), hi), 4) END AS value_w
+FROM (SELECT event_id, user_id, value,
+             quantile_cont(value, 0.05) OVER (PARTITION BY user_id) AS lo,
+             quantile_cont(value, 0.95) OVER (PARTITION BY user_id) AS hi
+      FROM events WHERE user_id < 30)
+"""
+
+
 def quantiles_price_by_status(spark, sf):
     """Grouped exact quantiles (25/50/75) — linear-interpolation
     percentile, same definition as DuckDB quantile_cont."""
@@ -1843,6 +1898,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "deterministic_doc_sample": (deterministic_doc_sample, SAMPLE_SPLIT_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
+    "debounce_events": (debounce_events, DEBOUNCE_SQL),
+    "winsorize_value_per_user": (winsorize_value_per_user, WINSORIZE_SQL),
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
