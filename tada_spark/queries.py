@@ -1404,6 +1404,30 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def embedding_centroids(spark, sf):
+    """Per-label embedding centroids in long form (label, dim, value):
+    posexplode → groupBy(label, dim) → avg. The scalable element-wise
+    array aggregate — no UDF, no collect, no array re-assembly; at 100 TB
+    the shuffle key (label, dim) spreads each vector across the cluster
+    instead of funneling whole arrays to one reducer per label."""
+    emb = load(spark, sf, "embeddings").to_df()
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+        .select("label", (F.col("dim") + 1).alias("dim"), "centroid_v")
+    )
+
+
+CENTROID_SQL = """
+SELECT label, s.dim, ROUND(AVG((embedding::DOUBLE[])[s.dim]), 6) AS centroid_v
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(dim)
+GROUP BY label, s.dim
+"""
+
+
 def debounce_events(spark, sf):
     """Debounce: drop events repeating the same (user, type) within
     5 minutes of the previous occurrence — Shift composition, the
@@ -1899,6 +1923,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
+    "embedding_centroids": (embedding_centroids, CENTROID_SQL),
     "winsorize_value_per_user": (winsorize_value_per_user, WINSORIZE_SQL),
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
