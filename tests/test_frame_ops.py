@@ -242,3 +242,25 @@ def test_range_join_bucket_edges(spark):
     assert got == [1, 2]
     # each (row, interval) pair appears exactly once despite multi-bucket explode
     assert out.count() == 2
+
+
+def test_error_contract(spark):
+    """The reference poisons chains with sticky errors (internal.go:60-74);
+    our engine raises at plan-build time instead. Pin the failure modes."""
+    import pytest
+
+    f = _basic(spark)
+    with pytest.raises(KeyError, match="has_cols"):
+        f.has_cols("nope")
+    with pytest.raises(KeyError, match="has_labels"):
+        f.has_labels("nope")
+    with pytest.raises(ValueError, match="no shared keys"):
+        f.lookup(Frame(spark.createDataFrame([(1,)], "zz long")))
+    with pytest.raises(ValueError, match="fill_null"):
+        f.fill_null("sideways")
+    with pytest.raises(ValueError, match="resample"):
+        Frame(spark.createDataFrame([("2024-01-01",)], "d string")).cast(d="timestamp").resample("d", "fortnight")
+    with pytest.raises(ValueError, match="value_cols collide"):
+        f.asof_join(f, on="idx", value_cols=["v"])
+    with pytest.raises(ValueError, match="group_by"):
+        Frame(spark.createDataFrame([(1,)], "a long")).group_by()
