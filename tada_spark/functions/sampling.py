@@ -48,3 +48,18 @@ def assign_split(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata_col: str, rates: dict[str, int], *, n: int = 100
+) -> DataFrame:
+    """Per-stratum deterministic sampling: rates maps stratum value →
+    percent kept (unlisted strata drop). The class-rebalancing primitive
+    (downsample dominant languages/sources) with the same
+    content-addressed stability as deterministic_sample."""
+    b = hash_bucket(F.col(key), n)
+    rate = F.coalesce(
+        *[F.when(F.col(strata_col) == F.lit(s), F.lit(p)) for s, p in rates.items()],
+        F.lit(0),
+    )
+    return df.filter(b < rate)

@@ -67,3 +67,49 @@ def salted_agg(
         else:
             out_cols.append(F.col(name))
     return merged.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    hot_keys: DataFrame | None = None,
+    hot_threshold: int = 1_000_000,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot left keys are salted across
+    ``salts`` sub-keys and the matching right rows replicated per salt;
+    cold keys join normally; results union. The manual lever for when
+    AQE's skew-join can't help (e.g. the skewed side feeds a window, or
+    a streaming join where AQE is unavailable).
+
+    ``hot_keys``: single-column DataFrame(s) of hot key tuples; if None,
+    keys exceeding ``hot_threshold`` rows on the left are detected with
+    a count pass. Hot-key sets are assumed driver-broadcastable (they
+    are by construction: a key is only hot if it repeats millions of
+    times, so there are at most |left|/threshold of them).
+    """
+    if hot_keys is None:
+        hot_keys = (
+            left.groupBy(*on).count().filter(F.col("count") > hot_threshold).select(*on)
+        )
+    hot = F.broadcast(hot_keys.withColumn("__hot__", F.lit(True)))
+
+    l = left.join(hot, on=on, how="left")
+    l_hot = l.filter(F.col("__hot__")).drop("__hot__").withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(salts)),
+    )
+    l_cold = l.filter(F.col("__hot__").isNull()).drop("__hot__")
+
+    r = right.join(hot, on=on, how="left")
+    r_hot = r.filter(F.col("__hot__")).drop("__hot__").withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<long>"))
+    )
+    r_cold = r.filter(F.col("__hot__").isNull()).drop("__hot__")
+
+    hot_joined = l_hot.join(r_hot, on=[*on, "__salt__"], how=how).drop("__salt__")
+    cold_joined = l_cold.join(r_cold, on=on, how=how)
+    return hot_joined.unionByName(cold_joined)

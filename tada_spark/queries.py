@@ -1404,6 +1404,69 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def salted_join_events_users(spark, sf):
+    """Skew-resistant salted join (operators/skew.salted_join): results
+    identical to the plain join, verified by the oracle; hot user_ids
+    (threshold 50 at this sf) split across 8 salts."""
+    from tada_spark.operators.skew import salted_join
+
+    ev = load(spark, sf, "events").to_df().select("event_id", "user_id", "value")
+    users = (
+        load(spark, sf, "events")
+        .to_df()
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("user_avg"))
+    )
+    out = salted_join(ev, users, on=["user_id"], hot_threshold=50, salts=8)
+    return out.select("event_id", "user_id", "user_avg")
+
+
+SALTED_JOIN_SQL = """
+SELECT e.event_id, e.user_id, u.user_avg
+FROM events e
+JOIN (SELECT user_id, ROUND(AVG(value), 4) AS user_avg FROM events GROUP BY user_id) u
+  ON e.user_id = u.user_id
+"""
+
+
+def stratified_lang_sample(spark, sf):
+    """Stratified deterministic sample: rebalance the corpus by keeping
+    10% of English docs and 50% of every other language — the class-
+    rebalancing primitive, content-addressed so the oracle reproduces
+    the exact rows."""
+    from tada_spark.functions import sampling
+
+    docs = load(spark, sf, "documents").to_df()
+    rates = {"en": 10, "de": 50, "es": 50, "fr": 50, "zh": 50}
+    return sampling.stratified_sample(docs, "doc_id", "lang", rates).select("doc_id", "lang")
+
+
+STRATIFIED_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 10 ELSE 50 END
+"""
+
+
+def approx_quantiles_sketch(spark, sf):
+    """approx_percentile (KLL-style sketch) — the 100 TB quantile path
+    next to the exact percentile. Rows-only: sketch estimates are
+    engine-specific by design."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            p50=F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"),
+            p95=F.expr("approx_percentile(l_extendedprice, 0.95, 10000)"),
+        )
+        .to_df()
+    )
+
+
 def embedding_centroids(spark, sf):
     """Per-label embedding centroids in long form (label, dim, value):
     posexplode → groupBy(label, dim) → avg. The scalable element-wise
@@ -1924,6 +1987,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
     "embedding_centroids": (embedding_centroids, CENTROID_SQL),
+    "salted_join_events_users": (salted_join_events_users, SALTED_JOIN_SQL),
+    "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SQL),
+    "approx_quantiles_sketch": (approx_quantiles_sketch, None),
     "winsorize_value_per_user": (winsorize_value_per_user, WINSORIZE_SQL),
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),

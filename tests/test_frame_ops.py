@@ -264,3 +264,20 @@ def test_error_contract(spark):
         f.asof_join(f, on="idx", value_cols=["v"])
     with pytest.raises(ValueError, match="group_by"):
         Frame(spark.createDataFrame([(1,)], "a long")).group_by()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from tada_spark.operators.skew import salted_join
+
+    # key "hot" dominates: 200 of 230 left rows
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [(f"k{i}", i) for i in range(30)], "k string, lv long"
+    )
+    right = spark.createDataFrame(
+        [("hot", 99.0)] + [(f"k{i}", float(i)) for i in range(0, 60, 2)], "k string, rv double"
+    )
+    plain = left.join(right, on=["k"], how="inner")
+    salted = salted_join(left, right, on=["k"], hot_threshold=100, salts=4)
+    assert sorted((r.k, r.lv, r.rv) for r in plain.collect()) == sorted(
+        (r.k, r.lv, r.rv) for r in salted.collect()
+    )
