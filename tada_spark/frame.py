@@ -837,6 +837,53 @@ class Frame:
             )
         )
 
+    def index_of(self, name: str, *, in_labels: bool = False) -> int:
+        """Position of a container among values or labels (reference
+        IndexOf dataframe.go:471-500); -1 if absent."""
+        pool = self.labels if in_labels else self.value_columns
+        return pool.index(name) if name in pool else -1
+
+    def name_of_col(self, i: int) -> str:
+        """Name at value position i (reference NameOfCol); raises on OOB."""
+        return self.value_columns[i]
+
+    def name_of_label(self, i: int) -> str:
+        return list(self.labels)[i]
+
+    def list_col_names_at_level(self, level: int) -> list[str]:
+        """Level slice of "a|b"-encoded multi-level names (reference
+        ListColNamesAtLevel dataframe.go:306-326)."""
+        out = []
+        for c in self.value_columns:
+            parts = c.split("|")
+            out.append(parts[level] if level < len(parts) else "")
+        return out
+
+    def has_type(self, type_name: str) -> list[str]:
+        """Names of value columns whose Spark type simpleString matches
+        (reference HasType dataframe.go:258-270, on Spark type names:
+        'double', 'string', 'timestamp', ...)."""
+        return [
+            f.name
+            for f in self.df.schema.fields
+            if f.name in self.value_columns and f.dataType.simpleString() == type_name
+        ]
+
+    def get_values(self, column: str, *, order_by: Sequence[str] | None = None) -> list:
+        """Column values as a local list (reference GetValues
+        series.go:1206-1250) — driver-side sink, test-scale only."""
+        df = self.to_df()
+        if order_by:
+            df = df.orderBy(*order_by)
+        return [r[0] for r in df.select(column).collect()]
+
+    def get_nulls(self, column: str, *, order_by: Sequence[str] | None = None) -> list[bool]:
+        """Null mask as a local list (reference GetNulls)."""
+        df = self.to_df()
+        if order_by:
+            df = df.orderBy(*order_by)
+        return [r[0] for r in df.select(F.col(column).isNull()).collect()]
+
     def deduplicate_names(self) -> "Frame":
         """Suffix duplicate column names with _n (reference
         internal.go:2498-2509)."""

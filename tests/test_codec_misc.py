@@ -44,3 +44,23 @@ def test_render_ascii(spark):
     assert "| k" in s and "(null)" in s
     # merged repeated group value renders blank the second time
     assert s.count(" a ") == 1
+
+
+def test_introspection_tail(spark):
+    from tada_spark.frame import Frame
+    from pyspark.sql import functions as F
+
+    f = Frame(
+        spark.createDataFrame(
+            [(0, 1.5, "x"), (1, None, "y")], "idx long, v double, `lvl|sub` string"
+        ),
+        labels=["idx"],
+    )
+    assert f.index_of("v") == 0 and f.index_of("idx", in_labels=True) == 0
+    assert f.index_of("nope") == -1
+    assert f.name_of_col(1) == "lvl|sub" and f.name_of_label(0) == "idx"
+    assert f.list_col_names_at_level(0) == ["v", "lvl"]
+    assert f.list_col_names_at_level(1) == ["", "sub"]
+    assert f.has_type("double") == ["v"] and f.has_type("string") == ["lvl|sub"]
+    assert f.get_values("v", order_by=["idx"]) == [1.5, None]
+    assert f.get_nulls("v", order_by=["idx"]) == [False, True]
