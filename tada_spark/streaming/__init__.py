@@ -2,6 +2,7 @@
 
 from tada_spark.streaming.windows import (
     run_available_now,
+    stream_interval_join,
     stream_resample,
     stream_session_agg,
     stream_sliding_agg,
@@ -9,6 +10,7 @@ from tada_spark.streaming.windows import (
 
 __all__ = [
     "run_available_now",
+    "stream_interval_join",
     "stream_resample",
     "stream_session_agg",
     "stream_sliding_agg",

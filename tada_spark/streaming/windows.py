@@ -107,3 +107,31 @@ def run_available_now(stream_df: DataFrame, query_name: str, *, timeout_s: int =
     )
     q.awaitTermination(timeout_s)
     return spark.table(query_name)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: right events within
+    [left_ts, left_ts + max_delay]. Both sides carry watermarks so
+    Spark bounds the join state buffer — without the time-range
+    condition a stream-stream join would buffer forever."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"r.{right_ts} >= l.{left_ts}",
+                f"r.{right_ts} <= l.{left_ts} + interval {max_delay}",
+            ]
+        )
+    )
+    return l.alias("l").join(r.alias("r"), cond, "inner")

@@ -253,3 +253,28 @@ def test_bucketed_join_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_buck_l")
         spark.sql("DROP TABLE IF EXISTS t_buck_r")
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    from tada_spark.streaming import stream_interval_join
+
+    lsrc, rsrc = str(tmp_path / "ssj_l"), str(tmp_path / "ssj_r")
+    clicks = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00"), ("u2", "2024-01-01 03:00:00")], "u string, cts string"
+    ).withColumn("cts", F.col("cts").cast("timestamp"))
+    buys = spark.createDataFrame(
+        [("u1", "2024-01-01 00:30:00"), ("u2", "2024-01-01 09:00:00")], "u string, bts string"
+    ).withColumn("bts", F.col("bts").cast("timestamp"))
+    clicks.write.parquet(lsrc)
+    buys.write.parquet(rsrc)
+    ls = spark.readStream.schema(clicks.schema).parquet(lsrc)
+    rs = spark.readStream.schema(buys.schema).parquet(rsrc)
+    out = stream_interval_join(ls, rs, keys=["u"], left_ts="cts", right_ts="bts", max_delay="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("t_ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = [(r["u"], str(r.bts)) for r in spark.table("t_ssj").collect()]
+    # u1's buy is 30 min after the click → joins; u2's is 6 h later → doesn't
+    assert rows == [("u1", "2024-01-01 00:30:00")]
