@@ -278,3 +278,28 @@ def test_streaming_interval_join(spark, tmp_path):
     rows = [(r["u"], str(r.bts)) for r in spark.table("t_ssj").collect()]
     # u1's buy is 30 min after the click → joins; u2's is 6 h later → doesn't
     assert rows == [("u1", "2024-01-01 00:30:00")]
+
+
+def test_streaming_exactly_once_restart(spark, tmp_path):
+    """Checkpointed file sink: re-running the same stream over the same
+    input after a 'restart' emits no duplicate rows (exactly-once)."""
+    src = str(tmp_path / "eo_src")
+    sink = str(tmp_path / "eo_sink")
+    ckpt = str(tmp_path / "eo_ckpt")
+    batch = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    batch.write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # restart over identical input: checkpoint skips it
+    assert spark.read.parquet(sink).count() == 2

@@ -118,3 +118,20 @@ def test_lookup_never_multiplies_rows(spark, left, right):
                else spark.createDataFrame([], "k string, w double"))
     out = lf.lookup(rf, left_on=["k"], right_on=["k"])
     assert out.df.count() == len(left)
+
+
+@given(ints=st.lists(st.integers(-50, 50), min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_canon_grouping_type_blind(spark, ints):
+    """§1.6 stringified-key equality: grouping a DOUBLE column with
+    canon=True lands integral floats in the same group as their integer
+    string form — canon('7.0') == canon(7) == '7'."""
+    f = Frame(
+        spark.createDataFrame([(float(i),) for i in ints], "k double")
+        .select(F.col("k"), F.lit(1).alias("one"))
+    )
+    got = {r.k: r.n for r in f.group_by("k", canon=True).agg(n=F.sum("one")).df.collect()}
+    from collections import Counter
+
+    want = Counter(str(i) for i in ints)
+    assert got == dict(want)  # keys are canon strings, counts match
