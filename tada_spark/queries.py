@@ -1404,6 +1404,25 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def resample_15min_events(spark, sf):
+    """Arbitrary-duration resample (reference Resample by duration,
+    internal.go:2423-2479): epoch-floor to 900 s buckets, then count."""
+    ev = load(spark, sf, "events")
+    out = (
+        ev.resample("ts", "duration", duration_seconds=900, as_col="bucket")
+        .group_by("bucket")
+        .agg(n=F.count("*"), total=F.round(F.sum("value"), 4))
+    )
+    return out.to_df().select("bucket", "n", "total")
+
+
+RESAMPLE_DUR_SQL = """
+SELECT to_timestamp((epoch_us(ts) // 1000000 // 900) * 900) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+FROM events GROUP BY 1
+"""
+
+
 def salted_join_events_users(spark, sf):
     """Skew-resistant salted join (operators/skew.salted_join): results
     identical to the plain join, verified by the oracle; hot user_ids
@@ -1987,6 +2006,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
     "embedding_centroids": (embedding_centroids, CENTROID_SQL),
+    "resample_15min_events": (resample_15min_events, RESAMPLE_DUR_SQL),
     "salted_join_events_users": (salted_join_events_users, SALTED_JOIN_SQL),
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SQL),
     "approx_quantiles_sketch": (approx_quantiles_sketch, None),
