@@ -1,0 +1,80 @@
+"""Physical-plan guardrail: audit every catalog query for anti-patterns.
+
+Flags, per query:
+  * CartesianProduct          — accidental cross joins
+  * BatchEvalPython           — row-at-a-time Python UDFs in the plan
+                                (Arrow variants MapInPandas/ArrowEvalPython
+                                are fine and reported separately)
+  * exchange count            — shuffle budget; review anything that grows
+
+Run after adding operators: a correct-but-shuffle-happy plan is a bug
+at 100 TB even when the oracle passes.
+
+Usage: python tools/plan_audit.py [--sf DIR] [--max-exchanges N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+#: Documented exceptions: queries whose higher shuffle count is the
+#: deliberate design (with the reason).
+ALLOWED_EXCHANGES = {
+    # hot/cold split = detection count + 2 joins + union merge; the
+    # extra exchanges ARE the skew mitigation
+    "salted_join_events_users": 12,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--max-exchanges", type=int, default=8)
+    args = ap.parse_args()
+
+    from tada_spark.queries import CATALOG
+    from tada_spark.session import get_spark
+
+    spark = get_spark("tada_spark_plan_audit", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = 0
+    for name, (fn, _sql) in CATALOG.items():
+        if name.startswith("stream_"):
+            print(f"{name:35s} SKIP (streaming)")
+            continue
+        try:
+            df = fn(spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:35s} ERROR {type(e).__name__}: {str(e)[:100]}")
+            failures += 1
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BatchEvalPython" in plan:
+            flags.append("ROW_PYTHON_UDF")
+        nex = plan.count("Exchange")
+        budget = ALLOWED_EXCHANGES.get(name, args.max_exchanges)
+        if nex > budget:
+            flags.append(f"EXCHANGES>{budget}")
+        arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas") + plan.count(
+            "FlatMapGroupsInPandas"
+        )
+        status = "FLAG" if flags else "ok"
+        if flags:
+            failures += 1
+        print(f"{name:35s} {status:4s} exchanges={nex:2d} arrow_udf={arrow} {' '.join(flags)}")
+
+    print(f"\n{failures} flagged")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    main()
