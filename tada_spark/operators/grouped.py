@@ -181,6 +181,15 @@ class GroupedFrame:
         out = df.filter(pred(F.col("__gc__"))).drop("__gc__")
         return Frame(out, self.frame.labels, self.frame.name)
 
+    def col(self, name: str) -> "GroupedFrame":
+        """Isolate one value column, keeping the grouping (reference
+        GroupedDataFrame.Col groupers.go:556-574)."""
+        self.frame.has_cols(name)
+        projected = Frame(
+            self.frame.df.select(*self.keys, name), list(self.keys), self.frame.name
+        )
+        return GroupedFrame(projected, self.keys, canon=self.canon, aligned=self.aligned)
+
     def get_group(self, **key_values: object) -> Frame:
         f = self.frame
         for k, v in key_values.items():

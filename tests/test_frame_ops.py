@@ -281,3 +281,15 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted((r.k, r.lv, r.rv) for r in plain.collect()) == sorted(
         (r.k, r.lv, r.rv) for r in salted.collect()
     )
+
+
+def test_grouped_col_isolation(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [("a", 1.0, 10.0), ("a", 2.0, 20.0), ("b", 3.0, 30.0)], "k string, x double, y double"
+        )
+    )
+    g = f.group_by("k").col("x")
+    out = {r.k: r.sum_x for r in g.sum("x").df.collect()}
+    assert out == {"a": 3.0, "b": 3.0}
+    assert g.frame.columns == ["k", "x"]  # y projected away, grouping kept
