@@ -135,3 +135,36 @@ def test_canon_grouping_type_blind(spark, ints):
 
     want = Counter(str(i) for i in ints)
     assert got == dict(want)  # keys are canon strings, counts match
+
+
+@given(days=st.lists(st.integers(0, 364), min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_resample_idempotent(spark, days):
+    """resample(resample(x)) == resample(x) for truncations."""
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(days)], "idx long, d long"
+    ).selectExpr("idx", "timestampadd(DAY, d, timestamp'2024-01-01 07:31:00') AS ts")
+    f = Frame(df)
+    for by in ("month", "week"):
+        once = f.resample("ts", by)
+        twice = once.resample("ts", by)
+        a = {r.idx: r.ts for r in once.df.collect()}
+        b = {r.idx: r.ts for r in twice.df.collect()}
+        assert a == b
+
+
+@given(vals=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_bin_edges_left_exclusive_right_inclusive(spark, vals):
+    """Reference Bin semantics (internal.go:2208-2300): (lo, hi] —
+    value == left edge of the lowest bin is uncategorized."""
+    edges = [0.0, 25.0, 50.0, 100.0]
+    f = Frame(spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "idx long, v double"))
+    got = {r.idx: r.bin_v for r in f.bin("v", edges).df.collect()}
+    for i, v in enumerate(vals):
+        if v <= edges[0] or v > edges[-1]:
+            assert got[i] is None
+        else:
+            lo = max(e for e in edges[:-1] if e < v)
+            hi = min(e for e in edges[1:] if v <= e)
+            assert got[i] is not None and f"{lo:g}" in got[i] and f"{hi:g}" in got[i]
