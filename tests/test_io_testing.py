@@ -303,3 +303,18 @@ def test_streaming_exactly_once_restart(spark, tmp_path):
     run_once()
     run_once()  # restart over identical input: checkpoint skips it
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned parquet + a date filter ⇒ the scan plans with
+    partition pruning (only matching directories read) — the layout
+    lever that turns a 100 TB scan into a 1-day scan."""
+    path = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-01", 2.0), ("2024-01-02", 3.0)], "day string, v double"
+    )
+    df.write.partitionBy("day").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("day") == "2024-01-01")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-01" in plan
+    assert scan.count() == 2
