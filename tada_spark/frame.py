@@ -47,13 +47,23 @@ def _col(c: ColumnLike) -> Column:
 class Frame:
     """Immutable wrapper: Spark DataFrame + label metadata + name."""
 
-    def __init__(self, df: DataFrame, labels: Sequence[str] = (), name: str = ""):
+    def __init__(
+        self,
+        df: DataFrame,
+        labels: Sequence[str] = (),
+        name: str = "",
+        order_keys: Sequence[str] | None = None,
+    ):
         missing = [c for c in labels if c not in df.columns]
         if missing:
             raise KeyError(f"label columns not in frame: {missing}")
         self.df = df
         self.labels = list(labels)
         self.name = name
+        #: declared row order (set by .ordered(keys)); lets positional
+        #: ops re-derive fresh positions after row-removing transforms
+        #: instead of reusing a stale __rowid__
+        self.order_keys = list(order_keys) if order_keys else None
 
     # ------------------------------------------------------------------
     # construction / plumbing
@@ -67,9 +77,12 @@ class Frame:
         folded into the scan; pushdown/pruning unaffected."""
         nanos_cols: list[str] = []
         try:
-            import pyarrow.parquet as pq
+            # pyarrow.dataset resolves single files AND directory
+            # datasets — pq.read_schema raises on directories, and a
+            # silently-empty nanos list would hand back raw long nanos
+            import pyarrow.dataset as ds
 
-            schema = pq.read_schema(path)
+            schema = ds.dataset(path, format="parquet").schema
             nanos_cols = [
                 schema.field(i).name
                 for i in range(len(schema.names))
@@ -103,7 +116,16 @@ class Frame:
 
     def _wrap(self, df: DataFrame, labels: Sequence[str] | None = None) -> "Frame":
         labels = self.labels if labels is None else list(labels)
-        return Frame(df, [c for c in labels if c in df.columns], self.name)
+        keys = self.order_keys
+        if keys and any(k not in df.columns for k in keys):
+            keys = None  # order keys projected away
+        return Frame(df, [c for c in labels if c in df.columns], self.name, order_keys=keys)
+
+    def _wrap_reordered(self, df: DataFrame) -> "Frame":
+        """Wrap a result whose row set or row order changed: the old
+        __rowid__ no longer equals position, so drop it; positional ops
+        re-derive from order_keys on demand."""
+        return self._wrap(df.drop(ROWID) if ROWID in df.columns else df)
 
     def to_df(self) -> DataFrame:
         return self.df.drop(ROWID) if ROWID in self.df.columns else self.df
@@ -186,12 +208,15 @@ class Frame:
     # ------------------------------------------------------------------
     def ordered(self, *order_by: str) -> "Frame":
         """Materialize ``__rowid__`` from the given keys (or ingest order
-        when none). Required before positional ops at scale."""
-        return self._wrap(with_rowid(self.df, list(order_by) or None))
+        when none). Required before positional ops at scale. The keys
+        are remembered so positions re-derive correctly after filters."""
+        out = self._wrap(with_rowid(self.df, list(order_by) or None))
+        out.order_keys = list(order_by) or None
+        return out
 
     def _require_rowid(self) -> DataFrame:
         if ROWID not in self.df.columns:
-            return with_rowid(self.df)
+            return with_rowid(self.df, self.order_keys)
         return self.df
 
     def head(self, n: int) -> "Frame":
@@ -202,7 +227,7 @@ class Frame:
     def tail(self, n: int) -> "Frame":
         df = self._require_rowid()
         total = Window.partitionBy()
-        return self._wrap(
+        return self._wrap_reordered(
             df.withColumn("__n__", F.max(ROWID).over(total))
             .filter(F.col(ROWID) > F.col("__n__") - n)
             .drop("__n__")
@@ -210,18 +235,20 @@ class Frame:
 
     def range(self, first: int, last: int) -> "Frame":
         df = self._require_rowid()
-        return self._wrap(df.filter((F.col(ROWID) >= first) & (F.col(ROWID) < last)))
+        return self._wrap_reordered(df.filter((F.col(ROWID) >= first) & (F.col(ROWID) < last)))
 
     def subset(self, positions: Sequence[int]) -> "Frame":
         df = self._require_rowid()
-        return self._wrap(df.filter(F.col(ROWID).isin(*positions)))
+        return self._wrap_reordered(df.filter(F.col(ROWID).isin(*positions)))
 
     def drop_row(self, position: int) -> "Frame":
         df = self._require_rowid()
-        return self._wrap(df.filter(F.col(ROWID) != position))
+        return self._wrap_reordered(df.filter(F.col(ROWID) != position))
 
     def shuffle(self, seed: int) -> "Frame":
-        return self._wrap(self.df.orderBy(F.rand(seed)))
+        out = self._wrap_reordered(self.df.orderBy(F.rand(seed)))
+        out.order_keys = None  # order is the shuffle now, not the old keys
+        return out
 
     # ------------------------------------------------------------------
     # filters (reference series.go:637-673, dataframe.go:1384-1412)
@@ -233,16 +260,24 @@ class Frame:
         preds = list(predicates) + [p for p in by_col.values()]
         if not preds:
             return self
-        return self._wrap(self.df.filter(_reduce(lambda a, b: a & b, preds)))
+        return self._wrap_reordered(self.df.filter(_reduce(lambda a, b: a & b, preds)))
 
     def filter_by_value(self, **values: object) -> "Frame":
         """Stringified-equality filter (reference internal.go:2775-2789):
-        compares canon_str(col) == canon_str(value) so 1.0 matches "1"."""
+        compares canon_str(col) == py_canon(value) so 1.0 matches "1".
+        The literal is canonicalized driver-side (py_canon) — routing it
+        through canon_str(F.lit(v)) with no dtype would render floats as
+        "1.0" and timestamps in the wrong format, matching nothing."""
+        from tada_spark.plans.semantics import py_canon
+
         fields = {f.name: f.dataType for f in self.df.schema.fields}
         preds = []
         for name, val in values.items():
-            lit = F.lit(val)
-            preds.append(canon_str(F.col(name), fields.get(name)) == canon_str(lit))
+            canon_val = py_canon(val)
+            if canon_val is None:
+                preds.append(F.lit(False))  # nulls never match (§1.4)
+            else:
+                preds.append(canon_str(F.col(name), fields.get(name)) == F.lit(canon_val))
         return self.filter(*preds)
 
     def where(self, cond: Column, if_true: ColumnLike, if_false: ColumnLike, as_col: str = "where") -> "Frame":
@@ -256,13 +291,13 @@ class Frame:
         return self.with_col(as_col, expr)
 
     def drop_null(self, *subset: str) -> "Frame":
-        return self._wrap(self.df.na.drop(how="any", subset=list(subset) or None))
+        return self._wrap_reordered(self.df.na.drop(how="any", subset=list(subset) or None))
 
     def null_rows(self, *subset: str) -> "Frame":
         """Keep rows with any null (reference IsNull, series.go:320-323)."""
         cols = list(subset) or self.columns
         pred = _reduce(lambda a, b: a | b, [F.col(c).isNull() for c in cols])
-        return self._wrap(self.df.filter(pred))
+        return self._wrap_reordered(self.df.filter(pred))
 
     # ------------------------------------------------------------------
     # nulls (reference types.go:178-189, internal.go:936-983)
@@ -336,6 +371,12 @@ class Frame:
                     df = df.withColumn(name, F.coalesce(*attempts))
                 else:
                     df = df.withColumn(name, c.cast("timestamp"))
+            elif dtype == "date" and isinstance(self.dtype(name), T.StringType):
+                # same multi-format fallback as timestamp — a bare
+                # try_cast('date') only accepts ISO forms and would
+                # silently null non-ISO columns the inference voted date
+                attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in self.DATETIME_FORMATS]
+                df = df.withColumn(name, F.coalesce(*attempts).cast("date"))
             else:
                 # try_cast: parse-failure→null even under ANSI sessions
                 df = df.withColumn(name, c.try_cast(dtype))
@@ -516,9 +557,11 @@ class Frame:
         exprs = sort_exprs(list(specs), cast=cast)
         df = self.df
         if stable:
-            df = with_rowid(df)
+            df = with_rowid(df, self.order_keys)
             exprs = exprs + [F.col(ROWID).asc()]
-        return self._wrap(df.orderBy(*exprs))
+        out = self._wrap_reordered(df.orderBy(*exprs))
+        out.order_keys = None  # order is now the sort spec, not the old keys
+        return out
 
     def top_k(self, k: int, *specs: tuple[str, bool] | str) -> "Frame":
         return self.sort(*specs).head(k)
@@ -595,18 +638,39 @@ class Frame:
                 unique_keys=unique_keys,
             )
 
+        # dedupe keys: when key types differ the JOIN compares canon
+        # strings, so the dedupe must too — raw-distinct but canon-equal
+        # right rows would otherwise survive dedupe and multiply left
+        # rows (violating the one-match contract)
+        lfields = {f.name: f.dataType for f in self.df.schema.fields}
+        rfields_all = {f.name: f.dataType for f in other.df.schema.fields}
+        canon_keys = [
+            rk
+            for lk, rk in zip(left_on, right_on)
+            if type(lfields[lk]) is not type(rfields_all[rk])
+        ]
+
         right = other.df
+        dedupe_cols = list(right_on)
+        tmp_canon: list[str] = []
+        if canon_keys:
+            for rk in canon_keys:
+                tc = f"__canon_{rk}__"
+                right = right.withColumn(tc, canon_str(F.col(rk), rfields_all[rk]))
+                dedupe_cols[dedupe_cols.index(rk)] = tc
+                tmp_canon.append(tc)
         if unique_keys:
             pass  # caller asserts PK — skip the dedupe exchange entirely
         elif first_match == "ordered":
             rdf = with_rowid(right)
-            w = Window.partitionBy(*[F.col(c) for c in right_on]).orderBy(F.col(ROWID))
+            w = Window.partitionBy(*[F.col(c) for c in dedupe_cols]).orderBy(F.col(ROWID))
             right = rdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", ROWID)
         else:
-            right = right.dropDuplicates(right_on)
+            right = right.dropDuplicates(dedupe_cols)
+        if tmp_canon:
+            right = right.drop(*tmp_canon)
 
         # cross-type keys compare via canon_str (reference §1.6)
-        lfields = {f.name: f.dataType for f in self.df.schema.fields}
         rfields = {f.name: f.dataType for f in right.schema.fields}
         conds = []
         for lk, rk in zip(left_on, right_on):
@@ -618,14 +682,14 @@ class Frame:
 
         if broadcast:
             right = F.broadcast(right)
-        joined = self.df.join(right, on=cond, how="left" if how in ("left", "inner") else how)
+        # inner is a true inner join on the deduped right — emulating it
+        # as left + na.drop silently kept unmatched rows whenever the
+        # right side added no new column names
+        joined = self.df.join(right, on=cond, how=how)
         # drop duplicated right key columns
         for lk, rk in zip(left_on, right_on):
             if rk in self.df.columns or rk == lk:
                 joined = joined.drop(right[rk])
-        if how == "inner":
-            new_cols = [c for c in other.columns if c not in self.columns]
-            joined = joined.na.drop(how="all", subset=new_cols or None)
         return self._wrap(joined)
 
     def semi_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
@@ -709,6 +773,9 @@ class Frame:
         # strict flips the tie so an exactly-simultaneous right row is
         # not yet visible
         side_order = F.col("__side__").asc() if not strict else F.col("__side__").desc()
+        # nulls never match (§1.4): a right row with NULL time would
+        # sort first and forward-fill the whole group
+        r = r.filter(F.col(on).isNotNull())
         w = (
             Window.partitionBy(*[F.col(c) for c in by])
             .orderBy(F.col(on).asc(), side_order)
@@ -724,8 +791,14 @@ class Frame:
 
     def merge(self, other: "Frame", **kwargs) -> "Frame":
         """Lookup + append looked-up columns + name dedupe `_n` suffix
-        (reference dataframe.go:1633-1657)."""
-        overlapping = [c for c in other.value_columns if c in self.columns]
+        (reference dataframe.go:1633-1657). Join keys are exempt from
+        the rename — suffixing a shared-name key would break the join."""
+        keys = list(kwargs.get("right_on") or []) or [
+            c for c in self.labels if c in other.labels
+        ] or [c for c in self.columns if c in other.columns]
+        overlapping = [
+            c for c in other.value_columns if c in self.columns and c not in keys
+        ]
         renamed = other.rename({c: f"{c}_1" for c in overlapping}) if overlapping else other
         return self.lookup(renamed, **kwargs)
 

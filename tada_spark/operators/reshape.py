@@ -55,9 +55,19 @@ def transpose(frame: Frame, *, max_rows: int = 10_000) -> Frame:
     tp.columns = [str(c) for c in tp.columns]
     spark = SparkSession.getActiveSession()
     # heterogeneous rows after transpose ⇒ coerce to string (reference
-    # coerces to interface{}; Spark has no heterogeneous columns, §1.3)
-    tp = tp.astype(str)
-    return Frame(spark.createDataFrame(tp), labels=["name"])
+    # coerces to interface{}; Spark has no heterogeneous columns, §1.3).
+    # NULL/NaN cells must stay NULL — astype(str) would stamp the
+    # literal text 'None'/'nan'
+    import math
+
+    def _cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return str(v)
+
+    tp = tp.map(_cell) if hasattr(tp, "map") else tp.applymap(_cell)
+    schema = ", ".join(f"`{c}` string" for c in tp.columns)
+    return Frame(spark.createDataFrame(tp, schema=schema), labels=["name"])
 
 
 def promote_to_col_level(frame: Frame, name: str, value_col: str) -> Frame:

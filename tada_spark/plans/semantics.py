@@ -67,6 +67,30 @@ def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
     return F.coalesce(c, F.lit("\x00null"))
 
 
+def py_canon(value: object) -> str | None:
+    """Python-side twin of canon_str for driver-known literals: the
+    canonical string a value would render to in a canon-key comparison.
+    Must stay in lockstep with canon_str."""
+    import datetime as _dt
+    import math as _math
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float):
+        if _math.isnan(value):
+            return None
+        if value == int(value) and abs(value) < 2**63:
+            return str(int(value))
+        return str(value)
+    if isinstance(value, _dt.datetime):
+        return value.strftime("%Y-%m-%dT%H:%M:%SZ")
+    if isinstance(value, _dt.date):
+        return value.strftime("%Y-%m-%d")
+    return str(value)
+
+
 def canon_key(df: DataFrame, names: list[str], sep: str = "|") -> Column:
     """Composite stringified key: per-row concat of canon_str values joined
     by "|" (reference internal.go:1347-1376)."""

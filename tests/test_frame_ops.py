@@ -293,3 +293,93 @@ def test_grouped_col_isolation(spark):
     out = {r.k: r.sum_x for r in g.sum("x").df.collect()}
     assert out == {"a": 3.0, "b": 3.0}
     assert g.frame.columns == ["k", "x"]  # y projected away, grouping kept
+
+
+def test_positions_rederive_after_filter(spark):
+    """Stale-__rowid__ regression: positional ops after a filter must
+    use positions of the CURRENT row set (re-derived from the declared
+    order keys), not the pre-filter frame's."""
+    f = Frame(
+        spark.createDataFrame([(i, float(i % 3)) for i in range(10)], "k long, v double")
+    )
+    out = f.ordered("k").filter(F.col("v") > 0).head(3)
+    got = sorted(r.k for r in out.df.collect())
+    # survivors by k: 1,2,4,5,7,8 → first three are 1,2,4 (NOT the
+    # survivors among original positions 0-2, which would be [1, 2])
+    assert got == [1, 2, 4]
+    # range re-derives too: next two survivors
+    mid = f.ordered("k").filter(F.col("v") > 0).range(3, 5)
+    assert sorted(r.k for r in mid.df.collect()) == [5, 7]
+    # tail after subset restarts positions
+    t = f.ordered("k").subset([0, 2, 4, 6]).tail(2)
+    assert sorted(r.k for r in t.df.collect()) == [4, 6]
+
+
+def test_review_fixes_batch(spark):
+    import datetime
+
+    # filter_by_value: float literal canonicalizes ('1.0' matches as '1')
+    f = Frame(spark.createDataFrame([(1, 1.0), (2, 2.5)], "id long, x double"))
+    assert [r.id for r in f.filter_by_value(x=1.0).df.collect()] == [1]
+    assert [r.id for r in f.filter_by_value(x=2.5).df.collect()] == [2]
+    assert f.filter_by_value(x=None).df.count() == 0  # nulls never match
+
+    # merge on a shared-name non-label key must not rename the key
+    a = Frame(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    b = Frame(spark.createDataFrame([(1, 99.0)], "k long, v double"))
+    m = a.merge(b, left_on=["k"], right_on=["k"])
+    assert set(m.columns) == {"k", "v", "v_1"}
+    assert m.df.first().v_1 == 99.0
+
+    # lookup inner: right side adds NO new column names → unmatched
+    # left rows must still drop (was silently behaving as left join)
+    left = Frame(spark.createDataFrame([(1,), (2,)], "k long"))
+    right = Frame(spark.createDataFrame([(1,)], "k long"))
+    assert left.lookup(right, left_on=["k"], right_on=["k"], how="inner").df.count() == 1
+
+    # asof: right rows with NULL time match nothing
+    trades = Frame(spark.createDataFrame([("A", 5)], "sym string, t long"))
+    quotes = Frame(
+        spark.createDataFrame([("A", None, 9.9)], "sym string, t long, bid double")
+    )
+    out = trades.asof_join(quotes, on="t", by=["sym"], value_cols=["bid"])
+    assert out.df.first().bid is None
+
+
+def test_minhash_paths_agree_on_short_docs(spark):
+    from tada_spark.functions.dedup import minhash_signature, minhash_signatures
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "one two three four"), (3, "")], "doc_id long, text string"
+    )
+    sig_long = {
+        r.doc_id: [r[f"h{i}"] for i in range(16)]
+        for r in minhash_signatures(df).collect()
+    }
+    sig_arr = {
+        r.doc_id: list(r.sig)
+        for r in df.select("doc_id", minhash_signature(F.col("text")).alias("sig")).collect()
+    }
+    assert 1 in sig_long  # short doc no longer silently dropped
+    for k in sig_long:
+        assert sig_long[k] == sig_arr[k], k
+
+
+def test_transpose_preserves_nulls(spark):
+    from tada_spark.operators import reshape
+
+    f = Frame(
+        spark.createDataFrame([("r1", 1.5), ("r2", None)], "idx string, v double"),
+        labels=["idx"],
+    )
+    t = reshape.transpose(f)
+    vals = {c: t.df.first()[c] for c in t.df.columns}
+    assert None in vals.values()  # NULL stays NULL, not the text 'None'/'nan'
+    assert "None" not in vals.values() and "nan" not in vals.values()
+
+
+def test_cast_date_multiformat(spark):
+    f = Frame(spark.createDataFrame([("01/15/2020",), ("2021-03-04",)], "d string"))
+    out = [str(r.d) for r in f.cast(d="date").df.collect()]
+    assert out == ["2020-01-15", "2021-03-04"]  # non-ISO no longer nulled
