@@ -124,13 +124,32 @@ class GroupedFrame:
             )
             for c in (cols or self.frame.value_columns)
         }
-        return self._agg(exprs)
+        return self._agg_distinct_safe(exprs)
 
     def approx_nunique(self, *cols: str, rsd: float = 0.05) -> Frame:
         """HyperLogLog++ sketch — the 100 TB path for cardinality
         (beyond-reference; exact nunique shuffles every distinct value)."""
         exprs = {f"approx_nunique_{c}": F.approx_count_distinct(F.col(c), rsd) for c in cols}
-        return self._agg(exprs)
+        return self._agg_distinct_safe(exprs)
+
+    def _agg_distinct_safe(self, exprs: dict[str, Column]) -> Frame:
+        """Distinct-style aggregates cannot run as window functions
+        (Spark: 'Distinct window functions are not supported'), so the
+        aligned path computes the grouped aggregate and broadcast-joins
+        it back onto the source rows (null-safe on keys)."""
+        if not self.aligned:
+            return self._agg(exprs)
+        grouped = self.frame.df.groupBy(*self._key_cols()).agg(
+            *[e.alias(n) for n, e in exprs.items()]
+        )
+        cond = None
+        for k in self.keys:
+            c = self.frame.df[k].eqNullSafe(grouped[k])
+            cond = c if cond is None else (cond & c)
+        joined = self.frame.df.join(F.broadcast(grouped), cond, "left")
+        for k in self.keys:
+            joined = joined.drop(grouped[k])
+        return Frame(joined, self.frame.labels, self.frame.name)
 
     def agg(self, **exprs: Column) -> Frame:
         """Arbitrary named aggregate expressions (escape hatch)."""
@@ -168,9 +187,19 @@ class GroupedFrame:
             .filter(F.col("__rn__") == pos)
             .select(*keys, F.col(col).alias(out))
         )
-        # groups whose size <= |n| are absent → reattach with null (OOB ⇒ null)
+        # groups whose size <= |n| are absent → reattach with null
+        # (OOB ⇒ null); null-SAFE key equality so NULL-keyed groups
+        # still receive their picked value (plain == never matches NULL).
+        # picked keys are renamed first — both sides share lineage, so
+        # dropping by Column reference resolves ambiguously
         all_groups = df.groupBy(*keys).agg(F.count("*").alias("__sz__")).drop("__sz__")
-        res = all_groups.join(picked, on=self.keys, how="left")
+        for k in self.keys:
+            picked = picked.withColumnRenamed(k, f"__p_{k}__")
+        cond = None
+        for k in self.keys:
+            c = all_groups[k].eqNullSafe(picked[f"__p_{k}__"])
+            cond = c if cond is None else (cond & c)
+        res = all_groups.join(picked, cond, "left").drop(*[f"__p_{k}__" for k in self.keys])
         return Frame(res, list(self.keys), self.frame.name)
 
     # -- group filtering (reference groupers.go:232-254) ---------------

@@ -38,7 +38,11 @@ def range_join(
 
     start_b = F.floor(F.unix_micros(F.col(right_start)) / w_us)
     end_b = F.floor((F.unix_micros(F.col(right_end)) - 1) / w_us)  # end exclusive
-    r = right.withColumn("__bucket__", F.explode(F.sequence(start_b, end_b)))
+    # guard degenerate intervals (end <= start): F.sequence defaults to
+    # step -1 when start > stop, which would silently explode a full
+    # DESCENDING bucket list per bad row; null → explode drops the row
+    buckets = F.when(end_b >= start_b, F.sequence(start_b, end_b))
+    r = right.withColumn("__bucket__", F.explode(buckets))
 
     on = [*by, "__bucket__"]
     exact: Column = (F.col(right_start) <= F.col(left_ts)) & (

@@ -31,12 +31,9 @@ def join_levels(levels: list[str]) -> str:
 
 
 def col_names_at_level(frame: Frame, level: int) -> list[str]:
-    """ListColNamesAtLevel (reference dataframe.go:306-326)."""
-    out = []
-    for c in frame.value_columns:
-        parts = split_levels(c)
-        out.append(parts[level] if level < len(parts) else "")
-    return out
+    """ListColNamesAtLevel (reference dataframe.go:306-326) — delegates
+    to the Frame method so the level encoding lives in one place."""
+    return frame.list_col_names_at_level(level)
 
 
 def transpose(frame: Frame, *, max_rows: int = 10_000) -> Frame:
@@ -94,7 +91,13 @@ def make_multilevel_labels(spark: SparkSession, levels: dict[str, list]) -> Fram
     dataframe.go:20-65) via crossJoin of distinct level values."""
     frames = []
     for name, values in levels.items():
-        frames.append(spark.createDataFrame([(v,) for v in values], f"`{name}` string"))
+        # labels are stringly-typed (reference accepts arbitrary slices);
+        # stringify so int/date level values don't fail schema checks
+        frames.append(
+            spark.createDataFrame(
+                [(str(v) if v is not None else None,) for v in values], f"`{name}` string"
+            )
+        )
     df = _reduce(lambda a, b: a.crossJoin(b), frames)
     return Frame(df, labels=list(levels))
 

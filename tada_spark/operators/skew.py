@@ -91,6 +91,11 @@ def salted_join(
     are by construction: a key is only hot if it repeats millions of
     times, so there are at most |left|/threshold of them).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right-preserving joins would emit the per-salt right replicas
+        # that land in non-matching salt buckets as spurious null-padded
+        # rows (up to `salts`x duplication of hot right rows)
+        raise ValueError(f"salted_join: how={how!r} unsupported; use inner/left")
     if hot_keys is None:
         hot_keys = (
             left.groupBy(*on).count().filter(F.col("count") > hot_threshold).select(*on)

@@ -81,6 +81,10 @@ def py_canon(value: object) -> str | None:
     if isinstance(value, float):
         if _math.isnan(value):
             return None
+        if _math.isinf(value):
+            # canon_str: inf != its long-cast, so Spark renders the
+            # string cast — "Infinity"/"-Infinity" (int(inf) would raise)
+            return "Infinity" if value > 0 else "-Infinity"
         if value == int(value) and abs(value) < 2**63:
             return str(int(value))
         return str(value)

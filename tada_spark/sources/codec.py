@@ -30,6 +30,9 @@ def frame_to_json(frame: Frame) -> str:
                 "values": [None if n else _jsonable(v) for v, n in zip(values, nulls)],
                 "nulls": nulls,
                 "is_label": name in frame.labels,
+                # dtype rides along so an all-null column round-trips —
+                # bare-name schema inference fails with no non-null value
+                "dtype": df.schema[name].dataType.simpleString(),
             }
         )
     return json.dumps({"name": frame.name, "columns": cols})
@@ -52,7 +55,16 @@ def frame_from_json(spark: SparkSession, payload: str) -> Frame:
     rows = [
         tuple(None if c["nulls"][i] else c["values"][i] for c in cols) for i in range(n)
     ]
-    df = spark.createDataFrame(rows, schema=names)
+    if all("dtype" in c for c in cols):
+        # timestamps/dates serialized as ISO strings — declare string and
+        # let Frame.cast re-parse; everything else keeps its dtype
+        def sql_type(c):
+            return "string" if c["dtype"] in ("timestamp", "date") else c["dtype"]
+
+        schema = ", ".join(f"`{c['name']}` {sql_type(c)}" for c in cols)
+    else:
+        schema = names  # legacy payloads without dtype hints
+    df = spark.createDataFrame(rows, schema=schema)
     return Frame(df, labels=[c["name"] for c in cols if c.get("is_label")], name=doc.get("name", ""))
 
 

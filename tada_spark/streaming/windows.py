@@ -93,19 +93,34 @@ def stream_session_agg(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, *, timeout_s: int = 120) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    *,
+    timeout_s: int = 120,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (trigger availableNow) into a memory sink and return the batch
-    result — the deterministic test harness for streaming operators."""
+    result — the deterministic test harness for streaming operators.
+
+    ``output_mode``: 'complete' fits aggregation plans (the default);
+    pass 'append' for non-aggregate plans (stream-stream joins) and
+    'update' for stateful update-mode operators — Spark rejects
+    complete mode for those. Raises on timeout instead of returning a
+    partially-populated table while the query runs on in the
+    background."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming query {query_name!r} exceeded {timeout_s}s")
     return spark.table(query_name)
 
 

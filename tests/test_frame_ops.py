@@ -383,3 +383,47 @@ def test_cast_date_multiformat(spark):
     f = Frame(spark.createDataFrame([("01/15/2020",), ("2021-03-04",)], "d string"))
     out = [str(r.d) for r in f.cast(d="date").df.collect()]
     assert out == ["2020-01-15", "2021-03-04"]  # non-ISO no longer nulled
+
+
+def test_review_fixes_batch2(spark):
+    import pytest
+    from tada_spark.operators.skew import salted_join
+    from tada_spark.plans.semantics import py_canon
+
+    # nth on a NULL-keyed group still returns the positional value
+    f = Frame(spark.createDataFrame([(None, 10.0), (None, 20.0)], "k string, v double"))
+    got = {r.k: r.nth_v for r in f.group_by("k").nth("v", 0, order_by=["v"], out="nth_v").df.collect()}
+    assert got == {None: 10.0}
+
+    # aligned nunique no longer plans an (unsupported) distinct window
+    g = Frame(spark.createDataFrame([("a", 1.0), ("a", 1.0), ("b", 2.0)], "k string, v double"))
+    aligned = g.group_by("k").align().nunique("v")
+    assert [r.nunique_v for r in aligned.df.orderBy("k").collect()] == [1, 1, 1]
+
+    # py_canon infinity matches canon_str's render instead of raising
+    assert py_canon(float("inf")) == "Infinity"
+    assert py_canon(float("-inf")) == "-Infinity"
+
+    # salted_join rejects right-preserving joins (per-salt replica leak)
+    l = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    r = spark.createDataFrame([(1, 2.0)], "k long, w double")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(l, r, on=["k"], how="right")
+
+
+def test_codec_all_null_roundtrip(spark):
+    from tada_spark.sources.codec import frame_from_json, frame_to_json
+
+    f = Frame(spark.createDataFrame([(1, None), (2, None)], "id long, v double"))
+    back = frame_from_json(spark, frame_to_json(f))
+    rows = back.df.orderBy("id").collect()
+    assert [r.v for r in rows] == [None, None]
+    assert dict(back.df.dtypes)["v"] == "double"  # dtype survives all-null
+
+
+def test_multilevel_labels_int_values(spark):
+    from tada_spark.operators.reshape import make_multilevel_labels
+
+    f = make_multilevel_labels(spark, {"year": [2020, 2021], "region": ["us", "eu"]})
+    assert f.df.count() == 4
+    assert sorted(set(r.year for r in f.df.collect())) == ["2020", "2021"]
