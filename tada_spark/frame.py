@@ -139,8 +139,7 @@ class Frame:
         return [c for c in self.columns if c not in self.labels]
 
     def set_name(self, name: str) -> "Frame":
-        f = Frame(self.df, self.labels, name)
-        return f
+        return Frame(self.df, self.labels, name, order_keys=self.order_keys)
 
     # ------------------------------------------------------------------
     # schema assertions / introspection (reference dataframe.go:329-348)
@@ -165,11 +164,18 @@ class Frame:
     # ------------------------------------------------------------------
     def set_as_labels(self, *names: str) -> "Frame":
         self.has_cols(*names)
-        return Frame(self.df, self.labels + [n for n in names if n not in self.labels], self.name)
+        return Frame(
+            self.df,
+            self.labels + [n for n in names if n not in self.labels],
+            self.name,
+            order_keys=self.order_keys,
+        )
 
     def reset_labels(self, *names: str) -> "Frame":
         drop = set(names or self.labels)
-        return Frame(self.df, [l for l in self.labels if l not in drop], self.name)
+        return Frame(
+            self.df, [l for l in self.labels if l not in drop], self.name, order_keys=self.order_keys
+        )
 
     # ------------------------------------------------------------------
     # projection (reference dataframe.go:539-567, 899-939, 1128-1179)
@@ -210,7 +216,8 @@ class Frame:
         """Materialize ``__rowid__`` from the given keys (or ingest order
         when none). Required before positional ops at scale. The keys
         are remembered so positions re-derive correctly after filters."""
-        out = self._wrap(with_rowid(self.df, list(order_by) or None))
+        base = self.df.drop(ROWID) if ROWID in self.df.columns else self.df
+        out = self._wrap(with_rowid(base, list(order_by) or None))
         out.order_keys = list(order_by) or None
         return out
 
@@ -268,16 +275,30 @@ class Frame:
         The literal is canonicalized driver-side (py_canon) — routing it
         through canon_str(F.lit(v)) with no dtype would render floats as
         "1.0" and timestamps in the wrong format, matching nothing."""
-        from tada_spark.plans.semantics import py_canon
+        import datetime as _dt
+        import math as _math
 
         fields = {f.name: f.dataType for f in self.df.schema.fields}
+        _PYTYPES = [
+            (bool, T.BooleanType()),
+            (int, T.LongType()),
+            (float, T.DoubleType()),
+            (_dt.datetime, T.TimestampType()),
+            (_dt.date, T.DateType()),
+            (str, T.StringType()),
+        ]
         preds = []
         for name, val in values.items():
-            canon_val = py_canon(val)
-            if canon_val is None:
+            if val is None or (isinstance(val, float) and _math.isnan(val)):
                 preds.append(F.lit(False))  # nulls never match (§1.4)
-            else:
-                preds.append(canon_str(F.col(name), fields.get(name)) == F.lit(canon_val))
+                continue
+            # canonicalize the literal through canon_str with its OWN
+            # Spark type: both sides then use the JVM's exact string
+            # rendering (scientific notation, timestamps) by construction
+            ldt = next(t for py, t in _PYTYPES if isinstance(val, py))
+            preds.append(
+                canon_str(F.col(name), fields.get(name)) == canon_str(F.lit(val), ldt)
+            )
         return self.filter(*preds)
 
     def where(self, cond: Column, if_true: ColumnLike, if_false: ColumnLike, as_col: str = "where") -> "Frame":
@@ -572,14 +593,14 @@ class Frame:
     def append(self, other: "Frame") -> "Frame":
         """Vertical concat; type-mismatched columns coerce to string
         (reference internal.go:1159-1170)."""
-        a, b = self.df, other.df
+        a, b = self.to_df(), other.to_df()  # strip stale rowids pre-union
         a_types = {f.name: f.dataType for f in a.schema.fields}
         b_types = {f.name: f.dataType for f in b.schema.fields}
         for name in set(a_types) & set(b_types):
             if a_types[name] != b_types[name]:
                 a = a.withColumn(name, F.col(name).cast("string"))
                 b = b.withColumn(name, F.col(name).cast("string"))
-        return self._wrap(a.unionByName(b, allowMissingColumns=True))
+        return self._wrap_reordered(a.unionByName(b, allowMissingColumns=True))
 
     def intersect(self, other: "Frame") -> "Frame":
         return self._wrap(self.to_df().intersect(other.to_df()))
@@ -635,7 +656,10 @@ class Frame:
                 right_on=left_on,
                 first_match=first_match,
                 broadcast=broadcast,
-                unique_keys=unique_keys,
+                # the caller asserted OTHER's keys unique; after the
+                # swap the build side is SELF, so the assertion does
+                # not transfer
+                unique_keys=False,
             )
 
         # dedupe keys: when key types differ the JOIN compares canon
@@ -776,17 +800,25 @@ class Frame:
         # nulls never match (§1.4): a right row with NULL time would
         # sort first and forward-fill the whole group
         r = r.filter(F.col(on).isNotNull())
+        # carry ALL value cols as ONE struct keyed on the right row:
+        # per-column last(ignorenulls) would (a) return a stale older
+        # value when the latest right row's field is genuinely NULL and
+        # (b) mix fields from different right rows
         w = (
             Window.partitionBy(*[F.col(c) for c in by])
             .orderBy(F.col(on).asc(), side_order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = l.unionByName(r)
+        filled = l.unionByName(r).withColumn(
+            "__rrow__",
+            F.last(
+                F.when(F.col("__side__") == 0, F.struct(*[F.col(c) for c in value_cols])),
+                ignorenulls=True,
+            ).over(w),
+        )
         for c in value_cols:
-            filled = filled.withColumn(
-                c, F.last(F.when(F.col("__side__") == 0, F.col(c)), ignorenulls=True).over(w)
-            )
-        out = filled.filter(F.col("__side__") == 1).drop("__side__")
+            filled = filled.withColumn(c, F.col("__rrow__")[c])
+        out = filled.filter(F.col("__side__") == 1).drop("__side__", "__rrow__")
         return self._wrap(out)
 
     def merge(self, other: "Frame", **kwargs) -> "Frame":
@@ -848,10 +880,12 @@ class Frame:
         if include_labels:
             keys = self.labels + keys
         if not first_appearance:
-            return self._wrap(self.df.dropDuplicates(keys))
+            return self._wrap_reordered(self.df.dropDuplicates(keys))
         df = self._require_rowid()
         w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(F.col(ROWID))
-        return self._wrap(df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__"))
+        return self._wrap_reordered(
+            df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+        )
 
     # ------------------------------------------------------------------
     # whole-frame aggs (reference series.go:999-1073, dataframe.go:1910-1993)

@@ -132,6 +132,11 @@ def minhash_lsh_pairs(
     skew-join handles moderate skew; degenerate buckets should be
     count-capped upstream in a real pipeline.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # a silent remainder would drop trailing hashes (recall loss);
+        # bands > num_hashes would give empty band keys and degenerate
+        # the bucket join into a full cross join
+        raise ValueError(f"minhash_lsh_pairs: bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_words=shingle_words

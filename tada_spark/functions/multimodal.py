@@ -92,10 +92,13 @@ def frame_sample_plan(df: DataFrame, *, every_n: int = 30, id_col: str = "media_
     (n_frames column) without decoding — decode happens downstream on
     the sampled (media_id, frame_idx) pairs only. This is the pruning
     step that makes 100 TB video tractable."""
-    return df.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+    # n_frames == 0 (corrupt/empty media) ⇒ no frames: sequence(0, -1, +30)
+    # would raise 'Illegal sequence boundaries'; explode of NULL drops the row
+    idxs = F.when(
+        F.col("n_frames") >= 1,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
     )
+    return df.select(id_col, F.explode(idxs).alias("frame_idx"))
 
 
 def _decode_audio_stub(payload: bytes) -> tuple[int, float, float]:

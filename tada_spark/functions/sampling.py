@@ -44,7 +44,8 @@ def assign_split(
     b = hash_bucket(F.col(key), 100)
     return df.withColumn(
         out,
-        F.when(b < train_pct, F.lit("train"))
+        F.when(F.col(key).isNull(), F.lit(None).cast("string"))  # null key ⇒ null split
+        .when(b < train_pct, F.lit("train"))
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )

@@ -139,12 +139,18 @@ def bpe_token_estimate(col: Column) -> Column:
 
 def rolling_hashes(col: Column, k: int = 8) -> Column:
     """Rolling k-gram fingerprint hashes: xxhash64 of every k-char
-    window, as an array column. All JVM expression — no UDF."""
-    n_windows = F.greatest(F.length(col) - F.lit(k - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.xxhash64(col.substr(i, F.lit(k))),
-    )
+    window, as an array column. All JVM expression — no UDF. Strings
+    shorter than k yield an EMPTY array — F.sequence(1, 0) would
+    otherwise produce the descending [1, 0] (its step defaults to -1)
+    and emit two phantom partial-window hashes."""
+    n_windows = F.length(col) - F.lit(k - 1)
+    return F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.xxhash64(col.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprint(col: Column, k: int = 8, w: int = 16) -> Column:
@@ -154,10 +160,16 @@ def winnow_fingerprint(col: Column, k: int = 8, w: int = 16) -> Column:
     shared fingerprint — the local near-dup detector that, unlike
     minhash, localizes WHERE the overlap is."""
     hashes = rolling_hashes(col, k)
-    n = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda j: F.array_min(F.slice(hashes, j, w)))
-    )
+    n = F.size(hashes) - F.lit(w - 1)
+    # docs with fewer than w rolling hashes have no complete window ⇒
+    # empty fingerprint (sequence(1, 0) would descend through the
+    # invalid slice position 0 and crash the job)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda j: F.array_min(F.slice(hashes, j, w)))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprints_long(

@@ -427,3 +427,53 @@ def test_multilevel_labels_int_values(spark):
     f = make_multilevel_labels(spark, {"year": [2020, 2021], "region": ["us", "eu"]})
     assert f.df.count() == 4
     assert sorted(set(r.year for r in f.df.collect())) == ["2020", "2021"]
+
+
+def test_review_fixes_batch3(spark):
+    import pytest
+    from tada_spark.functions import text
+    from tada_spark.functions.dedup import minhash_lsh_pairs
+    from tada_spark.functions.multimodal import frame_sample_plan
+
+    # short docs: empty winnow/rolling fingerprints, no crash
+    df = spark.createDataFrame([(1, "short"), (2, "x" * 50)], "doc_id long, text string")
+    out = df.select("doc_id", F.size(text.winnow_fingerprint(F.col("text"))).alias("n")).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got[1] == 0 and got[2] > 0
+
+    # zero-frame media rows drop instead of crashing
+    media = spark.createDataFrame([(1, 0), (2, 90)], "media_id long, n_frames int")
+    idx = frame_sample_plan(media, every_n=30).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in idx) == [(2, 0), (2, 30), (2, 60)]
+
+    # append strips stale rowids: positional ops on the result re-derive
+    a = Frame(spark.createDataFrame([(0,), (1,)], "k long")).ordered("k")
+    b = Frame(spark.createDataFrame([(2,), (3,)], "k long"))
+    ap = a.append(b)
+    assert ap.df.count() == 4
+    assert sorted(r.k for r in ap.ordered("k").head(3).df.collect()) == [0, 1, 2]
+
+    # re-ordering with new keys takes effect (was a silent no-op)
+    f = Frame(spark.createDataFrame([(1, 9.0), (2, 1.0)], "a long, b double"))
+    assert [r.a for r in f.ordered("a").ordered("b").head(1).df.collect()] == [2]
+
+    # unique() results restart positions
+    u = Frame(spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "k long, s string"))
+    first = u.ordered("k").unique("s", first_appearance=True).head(1)
+    assert [r.k for r in first.df.collect()] == [1]
+
+    # asof: NULL value on the LATEST right row stays null (not stale fill)
+    trades = Frame(spark.createDataFrame([("A", 3)], "sym string, t long"))
+    quotes = Frame(
+        spark.createDataFrame([("A", 1, 10.0), ("A", 2, None)], "sym string, t long, bid double")
+    )
+    got = trades.asof_join(quotes, on="t", by=["sym"], value_cols=["bid"]).df.first()
+    assert got.bid is None
+
+    # filter_by_value: scientific-notation float literal matches
+    sci = Frame(spark.createDataFrame([(1, 1e-07), (2, 2.0)], "id long, x double"))
+    assert [r.id for r in sci.filter_by_value(x=1e-07).df.collect()] == [1]
+
+    # LSH band validation
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, num_hashes=16, bands=5)
