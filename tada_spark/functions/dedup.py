@@ -96,20 +96,24 @@ def minhash_signatures(
     parts = [toks] + [
         F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))) for i in range(1, shingle_words)
     ]
-    zipped = df.select(
-        F.col(id_col),
-        sz.alias("__sz__"),
-        F.posexplode(F.arrays_zip(*parts)).alias("__pos__", "z"),
-    )
-    # keep complete shingles; docs shorter than shingle_words keep ONE
-    # partial head shingle (concat_ws skips the null tail) — same output
-    # as word_shingles, so the two minhash paths agree on short docs
-    complete = F.col("__pos__") + shingle_words <= F.col("__sz__")
-    partial_head = (F.col("__sz__") < shingle_words) & (F.col("__pos__") == 0)
-    sh = zipped.filter(complete | partial_head).select(
+    zipped = df.select(F.col(id_col), F.explode(F.arrays_zip(*parts)).alias("z"))
+    not_null = F.lit(True)
+    for i in range(shingle_words):
+        not_null = not_null & F.col(f"z.{i}").isNotNull()
+    sh = zipped.filter(not_null).select(
         id_col, F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(shingle_words)]).alias("s")
     )
-    sh = sh.filter(F.col("s") != "")  # empty text still drops out
+    # docs shorter than shingle_words have NO complete shingle and would
+    # vanish; a second (near-empty) branch contributes their single
+    # partial-head shingle — same output as word_shingles, so the two
+    # minhash paths agree, and the hot path above stays untouched
+    # (folding a position filter into it measured 3× slower)
+    short = (
+        df.select(F.col(id_col), F.concat_ws(" ", toks).alias("s"), sz.alias("__sz__"))
+        .filter((F.col("__sz__") < shingle_words) & (F.col("s") != ""))
+        .drop("__sz__")
+    )
+    sh = sh.unionByName(short)
     return sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
     )
