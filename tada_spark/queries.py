@@ -1260,9 +1260,13 @@ def multimodal_image_features(spark, sf):
     enough to oracle-check value-for-value."""
     from tada_spark.functions import multimodal
 
+    # the oracle compares byte-based stub arithmetic against DuckDB's
+    # codepoint functions — equal only for ASCII, so pin the contract by
+    # filtering to ASCII docs on BOTH sides (today that is all of them)
     docs = (
         load(spark, sf, "documents")
         .to_df()
+        .filter(F.col("text").rlike(r"^[\x00-\x7F]*$"))
         .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload"))
     )
     feats = multimodal.image_features(docs)
@@ -1278,7 +1282,7 @@ SELECT doc_id AS media_id,
        length(text) AS n_bytes,
        ROUND(list_sum(list_transform(string_split(text[1:64], ''), c -> ord(c)))
              / LEAST(length(text), 64) / 255.0, 6) AS mean_luma
-FROM documents
+FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
 """
 
 
@@ -1291,6 +1295,7 @@ def multimodal_audio_features(spark, sf):
     docs = (
         load(spark, sf, "documents")
         .to_df()
+        .filter(F.col("text").rlike(r"^[\x00-\x7F]*$"))  # ASCII parity pin
         .select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload"))
     )
     return multimodal.audio_features(docs)
@@ -1300,7 +1305,7 @@ MULTIMODAL_AUDIO_SQL = """
 WITH d AS (
   SELECT doc_id AS media_id, text,
          8000 + (ord(text[1]) % 3) * 4000 AS sample_rate
-  FROM documents
+  FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
 )
 SELECT media_id, sample_rate,
        ROUND(length(text)::DOUBLE / sample_rate, 6) AS duration_s,
@@ -1793,7 +1798,9 @@ def stream_running_totals_users(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("stream_running_totals_users did not finish")
     return spark.table("q_stream_state").select("key", "n_events", F.round("total", 4).alias("total"))
 
 

@@ -45,7 +45,7 @@ def equal_records(
     an explicit sort.
     """
     got = write_records(frame, include_labels=include_labels)
-    if sort_rows:
+    if sort_rows and got and want:
         got = [got[0]] + sorted(got[1:])
         want = [want[0]] + sorted(want[1:])
     diffs = diff_records(got, want)

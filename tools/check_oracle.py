@@ -20,7 +20,9 @@ import sys
 import time
 from datetime import date, datetime
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon_value(v) -> str:
@@ -29,6 +31,8 @@ def canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -65,13 +69,19 @@ def main() -> int:
     spark = get_spark(cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from tada_spark.queries import TABLES
+
     con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.query or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}; known: {sorted(qs)[:5]}...")
+        return 2
     n_pass = n_fail = 0
     for name in names:
         fn = qs[name]

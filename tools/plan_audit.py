@@ -18,7 +18,9 @@ from __future__ import annotations
 import argparse
 import sys
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 #: Documented exceptions: queries whose higher shuffle count is the
@@ -59,7 +61,13 @@ def main() -> int:
             flags.append("CARTESIAN")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON_UDF")
-        nex = plan.count("Exchange")
+        # shuffle exchanges only: BroadcastExchange/ReusedExchange are
+        # not shuffles and must not consume the budget
+        nex = (
+            plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange")
+        )
         budget = ALLOWED_EXCHANGES.get(name, args.max_exchanges)
         if nex > budget:
             flags.append(f"EXCHANGES>{budget}")
@@ -77,4 +85,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
