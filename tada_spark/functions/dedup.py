@@ -27,12 +27,6 @@ from pyspark.sql import functions as F
 from tada_spark.functions.text import char_shingles, fingerprint, word_shingles
 
 
-def _h64(col: Column, seed: int) -> Column:
-    """Deterministic 64-bit-ish hash: first 8 hex digits of md5(seed||v),
-    as BIGINT. Engine-portable (md5 + hex parse exist everywhere)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 8), 16, 10).cast("long")
-
-
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id document per normalized-text fingerprint.
     One hash-aggregate shuffle on the 128-bit key; fully scalable."""
