@@ -857,6 +857,17 @@ class Frame:
         out = self.df.groupBy(*labels).pivot(columns).agg(aggfn(F.col(values)))
         return Frame(out, list(labels), self.name)
 
+    def pivot_table_multi(
+        self, labels: Sequence[str], columns: str, aggs: dict[str, Column]
+    ) -> "Frame":
+        """Pivot with several named aggregates per cell (free extension
+        of the reference's single-agg PivotTable): output columns are
+        '<pivotvalue>_<aggname>'."""
+        out = self.df.groupBy(*labels).pivot(columns).agg(
+            *[e.alias(n) for n, e in aggs.items()]
+        )
+        return Frame(out, list(labels), self.name)
+
     # ------------------------------------------------------------------
     # distinct / counts (reference §2.7 tail)
     # ------------------------------------------------------------------

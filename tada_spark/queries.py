@@ -1415,6 +1415,28 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def pivot_multi_agg_flag(spark, sf):
+    """Multi-aggregate pivot (free extension of PivotTable §2.7):
+    per (returnflag, linestatus-pivot) cell, both a sum and a count."""
+    li = load(spark, sf, "lineitem")
+    out = li.pivot_table_multi(
+        ["l_returnflag"],
+        "l_linestatus",
+        {"qty": F.round(F.sum("l_quantity"), 2), "n": F.count(F.lit(1))},
+    )
+    return out.to_df()
+
+
+PIVOT_MULTI_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity) FILTER (l_linestatus = 'F'), 2) AS F_qty,
+       COUNT(*)             FILTER (l_linestatus = 'F')       AS F_n,
+       ROUND(SUM(l_quantity) FILTER (l_linestatus = 'O'), 2) AS O_qty,
+       COUNT(*)             FILTER (l_linestatus = 'O')       AS O_n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def resample_15min_events(spark, sf):
     """Arbitrary-duration resample (reference Resample by duration,
     internal.go:2423-2479): epoch-floor to 900 s buckets, then count."""
@@ -2019,6 +2041,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
     "embedding_centroids": (embedding_centroids, CENTROID_SQL),
+    "pivot_multi_agg_flag": (pivot_multi_agg_flag, PIVOT_MULTI_SQL),
     "resample_15min_events": (resample_15min_events, RESAMPLE_DUR_SQL),
     "salted_join_events_users": (salted_join_events_users, SALTED_JOIN_SQL),
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SQL),
