@@ -3,8 +3,10 @@
 entry(spark)  — flagship query (Q1 shape) on sf0.001, smoke-checked.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data tier); each takes (spark, sf_dir).
-oracle_sql()  — DuckDB-equivalent ANSI SQL per query (omitted for the
-                hash-based LSH ops → rows-only check).
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query. Omitted only for
+                ops that are engine-specific by nature (xxhash64-based
+                LSH/winnowing candidates, HLL / KLL sketch estimates)
+                → rows-only check.
 
 The real inventory lives in tada_spark/queries.py (CATALOG).
 """

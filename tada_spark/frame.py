@@ -130,6 +130,18 @@ class Frame:
     def to_df(self) -> DataFrame:
         return self.df.drop(ROWID) if ROWID in self.df.columns else self.df
 
+    def cache(self) -> "Frame":
+        """Persist the plan's result (MEMORY_AND_DISK) for reuse across
+        several downstream queries — the Spark answer to the reference's
+        materialized-intermediate workflow (every tada op materializes;
+        here materialization is opt-in at reuse points)."""
+        self.df.cache()
+        return self
+
+    def unpersist(self) -> "Frame":
+        self.df.unpersist()
+        return self
+
     @property
     def columns(self) -> list[str]:
         return [c for c in self.df.columns if c != ROWID]

@@ -64,3 +64,13 @@ def test_introspection_tail(spark):
     assert f.has_type("double") == ["v"] and f.has_type("string") == ["lvl|sub"]
     assert f.get_values("v", order_by=["idx"]) == [1.5, None]
     assert f.get_nulls("v", order_by=["idx"]) == [False, True]
+
+
+def test_cache_roundtrip(spark):
+    from tada_spark.frame import Frame
+
+    f = Frame(spark.createDataFrame([(1, 2.0)], "a long, b double")).cache()
+    assert f.df.count() == 1
+    assert f.df.is_cached
+    f.unpersist()
+    assert not f.df.is_cached
