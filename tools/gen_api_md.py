@@ -1,0 +1,89 @@
+"""Generate docs/API.md from docstrings — one line per public callable.
+
+Run after adding public surface: python tools/gen_api_md.py
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def first_line(doc):
+    return doc.strip().splitlines()[0].rstrip(".") if doc else ""
+
+
+def main() -> None:
+    import tada_spark.frame as fr
+    import tada_spark.operators.grouped as gr
+    from tada_spark.operators import interval, reshape, skew
+    from tada_spark.functions import dedup, multimodal, sampling, similarity, text
+    import tada_spark.sources.bucketed as bucketed
+    import tada_spark.sources.codec as codec
+    import tada_spark.sources.records as records
+    import tada_spark.sources.structs as structs
+    import tada_spark.streaming.stateful as stateful
+    import tada_spark.streaming.windows as windows
+    import tada_spark.testing.equal as equal
+    import tada_spark.testing.mock as mock
+
+    out = [
+        "# API — public surface of tada_spark",
+        "",
+        "Generated from docstrings (tools/gen_api_md.py). One line per",
+        "public callable; see the docstring for semantics + reference",
+        "citations.",
+        "",
+    ]
+
+    def clsfuncs(cls):
+        return [
+            (n, m)
+            for n, m in inspect.getmembers(cls, predicate=inspect.isfunction)
+            if not n.startswith("_")
+        ]
+
+    def modfuncs(mod):
+        return [
+            (n, m)
+            for n, m in inspect.getmembers(mod, predicate=inspect.isfunction)
+            if not n.startswith("_") and m.__module__ == mod.__name__
+        ]
+
+    sections = [
+        ("Frame (tada_spark.frame)", clsfuncs(fr.Frame)),
+        ("GroupedFrame (tada_spark.operators.grouped)", clsfuncs(gr.GroupedFrame)),
+        ("Reshape (operators.reshape)", modfuncs(reshape)),
+        ("Skew mitigation (operators.skew)", modfuncs(skew)),
+        ("Range join (operators.interval)", modfuncs(interval)),
+        ("Text analysis (functions.text)", modfuncs(text)),
+        ("Dedup (functions.dedup)", modfuncs(dedup)),
+        ("Similarity / ANN (functions.similarity)", modfuncs(similarity)),
+        ("Sampling & splits (functions.sampling)", modfuncs(sampling)),
+        ("Multimodal (functions.multimodal)", modfuncs(multimodal)),
+        (
+            "Sources (records / structs / codec / bucketed)",
+            modfuncs(records) + modfuncs(structs) + modfuncs(codec) + modfuncs(bucketed),
+        ),
+        ("Streaming (windows / stateful)", modfuncs(windows) + modfuncs(stateful)),
+        ("Testing (equal / mock)", modfuncs(equal) + modfuncs(mock)),
+    ]
+    for title, items in sections:
+        out.append(f"## {title}")
+        out.append("")
+        for n, m in items:
+            doc = first_line(m.__doc__)
+            out.append(f"- `{n}` — {doc}" if doc else f"- `{n}`")
+        out.append("")
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "API.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}: {len(out)} lines")
+
+
+if __name__ == "__main__":
+    main()
