@@ -210,6 +210,19 @@ class GroupedFrame:
         out = df.filter(pred(F.col("__gc__"))).drop("__gc__")
         return Frame(out, self.frame.labels, self.frame.name)
 
+    def top_k(self, k: int, *order_specs: tuple[str, bool] | str, out: str = "rank") -> Frame:
+        """Top-k rows per group by the given (col, ascending) specs —
+        row_number window then filter; no global sort, one exchange.
+        The per-group twin of Frame.top_k."""
+        exprs = []
+        for spec in order_specs:
+            name, asc = (spec, True) if isinstance(spec, str) else spec
+            c = F.col(name)
+            exprs.append(c.asc() if asc else c.desc())
+        w = Window.partitionBy(*self._key_cols()).orderBy(*exprs)
+        df = self.frame.df.withColumn(out, F.row_number().over(w)).filter(F.col(out) <= k)
+        return Frame(df, self.frame.labels, self.frame.name)
+
     def col(self, name: str) -> "GroupedFrame":
         """Isolate one value column, keeping the grouping (reference
         GroupedDataFrame.Col groupers.go:556-574)."""

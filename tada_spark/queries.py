@@ -1187,13 +1187,12 @@ SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 
 
 
 def top2_orders_per_customer(spark, sf):
-    """Top-N per group: each customer's 2 biggest orders (grouped nth
-    composition via row_number window — no global sort)."""
-    from pyspark.sql.window import Window
-
+    """Top-N per group: each customer's 2 biggest orders
+    (GroupedFrame.top_k — row_number window, no global sort)."""
     orders = load(spark, sf, "orders").filter(F.col("o_custkey") < 200)
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    ranked = orders.with_col("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    ranked = orders.group_by("o_custkey").top_k(
+        2, ("o_totalprice", False), ("o_orderkey", True), out="rn"
+    )
     return (
         ranked.with_col("o_totalprice", F.round("o_totalprice", 2))
         .to_df()
