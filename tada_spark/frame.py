@@ -203,10 +203,13 @@ class Frame:
     def rename(self, mapping: dict[str, str]) -> "Frame":
         df = self.df
         labels = list(self.labels)
+        order_keys = list(self.order_keys) if self.order_keys else None
         for old, new in mapping.items():
             df = df.withColumnRenamed(old, new)
+            if order_keys and old in order_keys:
+                order_keys[order_keys.index(old)] = new
             labels = [new if l == old else l for l in labels]
-        return Frame(df, labels, self.name)
+        return Frame(df, labels, self.name, order_keys=order_keys)
 
     def with_col(self, name: str, col: ColumnLike) -> "Frame":
         return self._wrap(self.df.withColumn(name, _col(col)))
@@ -239,8 +242,9 @@ class Frame:
         return self.df
 
     def head(self, n: int) -> "Frame":
-        if ROWID in self.df.columns:
-            return self._wrap(self.df.filter(F.col(ROWID) < n))
+        if ROWID in self.df.columns or self.order_keys:
+            df = self._require_rowid()  # re-derives from order_keys if needed
+            return self._wrap(df.filter(F.col(ROWID) < n))
         return self._wrap(self.df.limit(n))
 
     def tail(self, n: int) -> "Frame":
@@ -307,10 +311,14 @@ class Frame:
             # canonicalize the literal through canon_str with its OWN
             # Spark type: both sides then use the JVM's exact string
             # rendering (scientific notation, timestamps) by construction
-            ldt = next(t for py, t in _PYTYPES if isinstance(val, py))
-            preds.append(
-                canon_str(F.col(name), fields.get(name)) == canon_str(F.lit(val), ldt)
-            )
+            ldt = next((t for py, t in _PYTYPES if isinstance(val, py)), None)
+            if ldt is None:
+                # Decimal / numpy scalars / bytes: stringified fallback
+                preds.append(canon_str(F.col(name), fields.get(name)) == F.lit(str(val)))
+            else:
+                preds.append(
+                    canon_str(F.col(name), fields.get(name)) == canon_str(F.lit(val), ldt)
+                )
         return self.filter(*preds)
 
     def where(self, cond: Column, if_true: ColumnLike, if_false: ColumnLike, as_col: str = "where") -> "Frame":
@@ -686,7 +694,10 @@ class Frame:
             if type(lfields[lk]) is not type(rfields_all[rk])
         ]
 
-        right = other.df
+        # the right side's __rowid__ (its own positions) must not leak
+        # into the join result — it would corrupt (or collide with) the
+        # left side's positional column
+        right = other.df.drop(ROWID) if ROWID in other.df.columns else other.df
         dedupe_cols = list(right_on)
         tmp_canon: list[str] = []
         if canon_keys:
@@ -726,7 +737,8 @@ class Frame:
         for lk, rk in zip(left_on, right_on):
             if rk in self.df.columns or rk == lk:
                 joined = joined.drop(right[rk])
-        return self._wrap(joined)
+        # inner removes left rows ⇒ stale positions; left preserves them
+        return self._wrap_reordered(joined) if how == "inner" else self._wrap(joined)
 
     def semi_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
         """Keep left rows with ≥1 match in other (free extension beyond
@@ -736,7 +748,7 @@ class Frame:
             lambda a, b: a & b,
             [self.df[lk] == other.df[rk] for lk, rk in zip(left_on, right_on)],
         )
-        return self._wrap(self.df.join(other.df, cond, "left_semi"))
+        return self._wrap_reordered(self.df.join(other.df, cond, "left_semi"))
 
     def anti_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
         """Keep left rows with NO match in other (LeftAnti)."""
@@ -744,7 +756,7 @@ class Frame:
             lambda a, b: a & b,
             [self.df[lk] == other.df[rk] for lk, rk in zip(left_on, right_on)],
         )
-        return self._wrap(self.df.join(other.df, cond, "left_anti"))
+        return self._wrap_reordered(self.df.join(other.df, cond, "left_anti"))
 
     def asof_join(
         self,
@@ -803,15 +815,19 @@ class Frame:
             ],
             *[F.col(c) for c in value_cols],
             F.lit(0).alias("__side__"),
-        ).select(*left_cols, *value_cols, F.lit(0).alias("__side__"))
+        )
 
         # right rows sort before left at equal time ⇒ inclusive (<=);
         # strict flips the tie so an exactly-simultaneous right row is
         # not yet visible
         side_order = F.col("__side__").asc() if not strict else F.col("__side__").desc()
         # nulls never match (§1.4): a right row with NULL time would
-        # sort first and forward-fill the whole group
+        # sort first and forward-fill the whole group; a right row with a
+        # NULL by-key would match null-keyed LEFT rows (window partitions
+        # group nulls together, unlike join equality)
         r = r.filter(F.col(on).isNotNull())
+        for k in by:
+            r = r.filter(F.col(k).isNotNull())
         # carry ALL value cols as ONE struct keyed on the right row:
         # per-column last(ignorenulls) would (a) return a stale older
         # value when the latest right row's field is genuinely NULL and

@@ -130,24 +130,47 @@ def normalize_nulls(
 def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Attach a deterministic contiguous ``__rowid__``.
 
-    With ``order_by``: row_number over those keys — scale-safe (one
-    shuffle, AQE-sized) and fully deterministic.
+    With ``order_by``: the zipWithIndex pattern — range-repartition on
+    the keys, per-partition row_number (parallel windows), then add
+    broadcast per-partition offsets. One range shuffle; no partition
+    ever holds more than its range slice (a naive
+    ``Window.orderBy(keys)`` with no partitionBy funnels the WHOLE
+    frame through one task). Deterministic when the keys are unique
+    (the engine's positional discipline).
 
-    Without: ingest order via monotonically_increasing_id ranked into a
-    contiguous sequence. For a fresh file scan MID ascends with (partition,
-    offset) so this reproduces file order; it is the zipWithIndex analog.
-    The ranking is a global sort — positional semantics are inherently
-    anti-scale, so callers should pass explicit keys at scale.
+    Without keys: ingest order via monotonically_increasing_id ranked
+    into a contiguous sequence — this one IS a single global sort;
+    positional semantics without declared keys are inherently
+    anti-scale, so callers pass explicit keys at scale.
     """
     if ROWID in df.columns:
         return df
     if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-    else:
-        df = df.withColumn("__mid__", F.monotonically_increasing_id())
-        w = Window.orderBy("__mid__")
+        keys = [F.col(c) for c in order_by]
+        d = (
+            df.repartitionByRange(*keys)
+            .sortWithinPartitions(*keys)
+            .withColumn("__pid__", F.spark_partition_id())
+        )
+        wp = Window.partitionBy("__pid__").orderBy(*keys)
+        d = d.withColumn("__local__", F.row_number().over(wp))
+        w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            d.groupBy("__pid__")
+            .count()
+            .withColumn("__offset__", F.coalesce(F.sum("count").over(w_off), F.lit(0)))
+            .select("__pid__", "__offset__")
+        )
+        out = (
+            d.join(F.broadcast(offsets), "__pid__")
+            .withColumn(ROWID, (F.col("__offset__") + F.col("__local__") - 1).cast("long"))
+            .drop("__pid__", "__local__", "__offset__")
+        )
+        return out
+    df = df.withColumn("__mid__", F.monotonically_increasing_id())
+    w = Window.orderBy("__mid__")
     out = df.withColumn(ROWID, F.row_number().over(w) - F.lit(1))
-    return out.drop("__mid__") if "__mid__" in out.columns else out
+    return out.drop("__mid__")
 
 
 def null_safe_div(num: Column, den: Column) -> Column:

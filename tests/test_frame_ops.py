@@ -477,3 +477,49 @@ def test_review_fixes_batch3(spark):
     # LSH band validation
     with pytest.raises(ValueError, match="bands"):
         minhash_lsh_pairs(df, num_hashes=16, bands=5)
+
+
+def test_review_fixes_batch5(spark):
+    # head honors declared order after a filter (was limit(n) arbitrary)
+    f = Frame(spark.createDataFrame([(i, float(i % 2)) for i in range(8)], "k long, v double"))
+    got = sorted(r.k for r in f.ordered("k").filter(F.col("v") > 0).head(2).df.collect())
+    assert got == [1, 3]
+
+    # right frame's __rowid__ must not leak through lookup
+    left = Frame(spark.createDataFrame([(1,), (2,)], "k long"))
+    right = Frame(spark.createDataFrame([(1, 9.0), (2, 8.0)], "k long, w double")).ordered("k")
+    out = left.lookup(right, left_on=["k"], right_on=["k"])
+    assert "__rowid__" not in out.df.columns
+
+    # semi/anti results restart positions
+    sj = left.ordered("k").semi_join(
+        Frame(spark.createDataFrame([(2,)], "k long")), left_on=["k"], right_on=["k"]
+    )
+    assert [r.k for r in sj.ordered("k").head(1).df.collect()] == [2]
+
+    # rename keeps (and renames) the declared order keys
+    rn = f.ordered("k").filter(F.col("v") > 0).rename({"k": "key"})
+    assert rn.order_keys == ["key"]
+    assert sorted(r.key for r in rn.head(2).df.collect()) == [1, 3]
+
+    # asof: null by-keys never match (window would group them together)
+    trades = Frame(spark.createDataFrame([(None, 5)], "sym string, t long"))
+    quotes = Frame(spark.createDataFrame([(None, 1, 7.0)], "sym string, t long, bid double"))
+    assert trades.asof_join(quotes, on="t", by=["sym"], value_cols=["bid"]).df.first().bid is None
+
+    # exotic literal types fall back to stringified comparison
+    from decimal import Decimal
+
+    d = Frame(spark.createDataFrame([(1, "1.5")], "id long, x string"))
+    assert d.filter_by_value(x=Decimal("1.5")).df.count() == 1
+
+
+def test_with_rowid_keyed_matches_global_order(spark):
+    """The range-partitioned two-pass rowid must equal the global-sort
+    rank for any key set."""
+    from tada_spark.plans.semantics import with_rowid
+
+    df = spark.createDataFrame([(i * 37 % 101, i) for i in range(101)], "k long, payload long")
+    got = {r.k: r["__rowid__"] for r in with_rowid(df.repartition(7), ["k"]).collect()}
+    want = {k: i for i, k in enumerate(sorted(got))}
+    assert got == want  # contiguous 0..n-1 in key order, across partitions
