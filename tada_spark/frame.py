@@ -313,8 +313,17 @@ class Frame:
             # rendering (scientific notation, timestamps) by construction
             ldt = next((t for py, t in _PYTYPES if isinstance(val, py)), None)
             if ldt is None:
-                # Decimal / numpy scalars / bytes: stringified fallback
-                preds.append(canon_str(F.col(name), fields.get(name)) == F.lit(str(val)))
+                # Decimal / numpy scalars: canonicalize driver-side with
+                # the same integral-float rule canon_str applies (a raw
+                # str() would render Decimal('1.0') as '1.0' and match
+                # nothing against a column canon of '1')
+                from tada_spark.plans.semantics import py_canon
+
+                canon_lit = py_canon(val)
+                if canon_lit is None:
+                    preds.append(F.lit(False))
+                else:
+                    preds.append(canon_str(F.col(name), fields.get(name)) == F.lit(canon_lit))
             else:
                 preds.append(
                     canon_str(F.col(name), fields.get(name)) == canon_str(F.lit(val), ldt)
@@ -694,10 +703,7 @@ class Frame:
             if type(lfields[lk]) is not type(rfields_all[rk])
         ]
 
-        # the right side's __rowid__ (its own positions) must not leak
-        # into the join result — it would corrupt (or collide with) the
-        # left side's positional column
-        right = other.df.drop(ROWID) if ROWID in other.df.columns else other.df
+        right = other.df
         dedupe_cols = list(right_on)
         tmp_canon: list[str] = []
         if canon_keys:
@@ -709,13 +715,21 @@ class Frame:
         if unique_keys:
             pass  # caller asserts PK — skip the dedupe exchange entirely
         elif first_match == "ordered":
-            rdf = with_rowid(right)
+            # honor the right frame's DECLARED order (existing __rowid__
+            # or its order_keys) — re-ranking from physical ingest order
+            # would pick a nondeterministic "first" row
+            rdf = with_rowid(right, other.order_keys)
             w = Window.partitionBy(*[F.col(c) for c in dedupe_cols]).orderBy(F.col(ROWID))
-            right = rdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", ROWID)
+            right = rdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
         else:
             right = right.dropDuplicates(dedupe_cols)
         if tmp_canon:
             right = right.drop(*tmp_canon)
+        # the right side's __rowid__ (its own positions) must not leak
+        # into the join result — it would corrupt (or collide with) the
+        # left side's positional column
+        if ROWID in right.columns:
+            right = right.drop(ROWID)
 
         # cross-type keys compare via canon_str (reference §1.6)
         rfields = {f.name: f.dataType for f in right.schema.fields}
@@ -737,8 +751,10 @@ class Frame:
         for lk, rk in zip(left_on, right_on):
             if rk in self.df.columns or rk == lk:
                 joined = joined.drop(right[rk])
-        # inner removes left rows ⇒ stale positions; left preserves them
-        return self._wrap_reordered(joined) if how == "inner" else self._wrap(joined)
+        # only a LEFT join preserves exactly the left row set; anything
+        # else (inner/outer/full) changes it ⇒ stale positions
+        keeps_rows = how in ("left", "left_outer", "leftouter")
+        return self._wrap(joined) if keeps_rows else self._wrap_reordered(joined)
 
     def semi_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
         """Keep left rows with ≥1 match in other (free extension beyond

@@ -92,6 +92,14 @@ def py_canon(value: object) -> str | None:
         return value.strftime("%Y-%m-%dT%H:%M:%SZ")
     if isinstance(value, _dt.date):
         return value.strftime("%Y-%m-%d")
+    import decimal as _decimal
+
+    if isinstance(value, _decimal.Decimal):
+        if value == int(value):
+            return str(int(value))  # integral rule, like canon_str
+        return str(value.normalize())
+    if hasattr(value, "item"):  # numpy scalars
+        return py_canon(value.item())
     return str(value)
 
 
@@ -131,12 +139,16 @@ def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Attach a deterministic contiguous ``__rowid__``.
 
     With ``order_by``: the zipWithIndex pattern — range-repartition on
-    the keys, per-partition row_number (parallel windows), then add
-    broadcast per-partition offsets. One range shuffle; no partition
-    ever holds more than its range slice (a naive
-    ``Window.orderBy(keys)`` with no partitionBy funnels the WHOLE
-    frame through one task). Deterministic when the keys are unique
-    (the engine's positional discipline).
+    the keys, per-partition local index (monotonically_increasing_id
+    ascends in physical row order), then broadcast per-partition
+    offsets. The offsets branch re-executes the range exchange (the
+    nondeterministic id blocks exchange reuse), so the frame passes
+    through TWO parallel range shuffles — still strictly better than
+    the naive ``Window.orderBy(keys)`` with no partitionBy, which
+    funnels the WHOLE frame through one task. Deterministic when the
+    keys are unique (the engine's positional discipline); verified by a
+    cross-partition stress test. Low-cardinality keys concentrate into
+    few range partitions — inherent to ordering by such keys.
 
     Without keys: ingest order via monotonically_increasing_id ranked
     into a contiguous sequence — this one IS a single global sort;
@@ -147,24 +159,30 @@ def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
         return df
     if order_by:
         keys = [F.col(c) for c in order_by]
+        # local index from monotonically_increasing_id, which ascends in
+        # physical row order within each partition — a per-partition
+        # window here would NOT reuse the range partitioning (window
+        # needs hash partitioning on __pid__) and would re-shuffle the
+        # whole frame a second time
         d = (
             df.repartitionByRange(*keys)
             .sortWithinPartitions(*keys)
             .withColumn("__pid__", F.spark_partition_id())
+            .withColumn("__mid__", F.monotonically_increasing_id())
         )
-        wp = Window.partitionBy("__pid__").orderBy(*keys)
-        d = d.withColumn("__local__", F.row_number().over(wp))
         w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
         offsets = (
             d.groupBy("__pid__")
-            .count()
-            .withColumn("__offset__", F.coalesce(F.sum("count").over(w_off), F.lit(0)))
-            .select("__pid__", "__offset__")
+            .agg(F.count("*").alias("__n__"), F.min("__mid__").alias("__mmin__"))
+            .withColumn("__offset__", F.coalesce(F.sum("__n__").over(w_off), F.lit(0)))
+            .select("__pid__", "__mmin__", "__offset__")
         )
         out = (
             d.join(F.broadcast(offsets), "__pid__")
-            .withColumn(ROWID, (F.col("__offset__") + F.col("__local__") - 1).cast("long"))
-            .drop("__pid__", "__local__", "__offset__")
+            .withColumn(
+                ROWID, (F.col("__offset__") + F.col("__mid__") - F.col("__mmin__")).cast("long")
+            )
+            .drop("__pid__", "__mid__", "__mmin__", "__offset__")
         )
         return out
     df = df.withColumn("__mid__", F.monotonically_increasing_id())

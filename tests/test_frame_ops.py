@@ -519,7 +519,21 @@ def test_with_rowid_keyed_matches_global_order(spark):
     rank for any key set."""
     from tada_spark.plans.semantics import with_rowid
 
-    df = spark.createDataFrame([(i * 37 % 101, i) for i in range(101)], "k long, payload long")
+    df = spark.createDataFrame([(i * 2654435761 % 999983, i) for i in range(20000)], "k long, payload long")
     got = {r.k: r["__rowid__"] for r in with_rowid(df.repartition(7), ["k"]).collect()}
     want = {k: i for i, k in enumerate(sorted(got))}
     assert got == want  # contiguous 0..n-1 in key order, across partitions
+
+
+def test_lookup_ordered_honors_declared_order(spark):
+    left = Frame(spark.createDataFrame([(1,)], "k long"))
+    right = Frame(
+        spark.createDataFrame([(1, "late", 2), (1, "early", 1)], "k long, v string, ord long")
+    ).ordered("ord")
+    got = left.lookup(right, left_on=["k"], right_on=["k"], first_match="ordered").df.first().v
+    assert got == "early"  # declared ord order, not physical ingest order
+    # decimal canon matches integral-float rendering
+    from decimal import Decimal
+
+    d = Frame(spark.createDataFrame([(1, 1.0)], "id long, x double"))
+    assert d.filter_by_value(x=Decimal("1.0")).df.count() == 1
