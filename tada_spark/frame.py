@@ -632,9 +632,21 @@ class Frame:
         return self._wrap_reordered(a.unionByName(b, allowMissingColumns=True))
 
     def intersect(self, other: "Frame") -> "Frame":
+        """SQL INTERSECT — distinct set semantics (one row per distinct
+        match). Bag semantics: ``intersect_all``."""
         return self._wrap(self.to_df().intersect(other.to_df()))
 
     def except_(self, other: "Frame") -> "Frame":
+        """SQL EXCEPT — distinct set semantics, matching ``intersect``.
+        Bag semantics (multiplicity-preserving): ``except_all``."""
+        return self._wrap(self.to_df().subtract(other.to_df()))
+
+    def intersect_all(self, other: "Frame") -> "Frame":
+        """SQL INTERSECT ALL — multiplicity-preserving."""
+        return self._wrap(self.to_df().intersectAll(other.to_df()))
+
+    def except_all(self, other: "Frame") -> "Frame":
+        """SQL EXCEPT ALL — multiplicity-preserving."""
         return self._wrap(self.to_df().exceptAll(other.to_df()))
 
     # ------------------------------------------------------------------
@@ -666,13 +678,17 @@ class Frame:
         join — the difference between one exchange and two on every
         fact→dim hop at scale.
         """
-        if left_on is None or right_on is None:
+        if left_on is None and right_on is None:
             shared = [l for l in self.labels if l in other.labels] or [
                 c for c in self.columns if c in other.columns
             ]
             if not shared:
                 raise ValueError("lookup: no shared keys and none given")
             left_on = right_on = shared
+        elif left_on is None or right_on is None:
+            # one side given: same names on both sides (don't silently
+            # discard the provided keys and re-infer)
+            left_on = right_on = left_on if left_on is not None else right_on
         left_on, right_on = list(left_on), list(right_on)
 
         if how == "right":
@@ -738,7 +754,13 @@ class Frame:
             if type(lfields[lk]) is type(rfields[rk]):
                 conds.append(self.df[lk] == right[rk])
             else:
-                conds.append(canon_str(self.df[lk], lfields[lk]) == canon_str(right[rk], rfields[rk]))
+                # canon_str's NULL sentinel matches itself; join equality
+                # must not (nulls-never-match — same rule as typed ==)
+                conds.append(
+                    self.df[lk].isNotNull()
+                    & right[rk].isNotNull()
+                    & (canon_str(self.df[lk], lfields[lk]) == canon_str(right[rk], rfields[rk]))
+                )
         cond = _reduce(lambda a, b: a & b, conds)
 
         if broadcast:
@@ -756,22 +778,36 @@ class Frame:
         keeps_rows = how in ("left", "left_outer", "leftouter")
         return self._wrap(joined) if keeps_rows else self._wrap_reordered(joined)
 
+    def _key_conds(self, other: "Frame", left_on: Sequence[str], right_on: Sequence[str]) -> Column:
+        """Join condition per key pair; mismatched key types compare via
+        canon_str (same rule as lookup — a cross-typed key must not
+        silently match nothing)."""
+        lfields = {f.name: f.dataType for f in self.df.schema.fields}
+        rfields = {f.name: f.dataType for f in other.df.schema.fields}
+        conds = []
+        for lk, rk in zip(left_on, right_on):
+            if type(lfields[lk]) is type(rfields[rk]):
+                conds.append(self.df[lk] == other.df[rk])
+            else:
+                # null guard: canon_str renders NULL as a sentinel equal on
+                # both sides; joins must keep nulls-never-match semantics
+                conds.append(
+                    self.df[lk].isNotNull()
+                    & other.df[rk].isNotNull()
+                    & (canon_str(self.df[lk], lfields[lk]) == canon_str(other.df[rk], rfields[rk]))
+                )
+        return _reduce(lambda a, b: a & b, conds)
+
     def semi_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
         """Keep left rows with ≥1 match in other (free extension beyond
         the reference's lookup-only joins, §2.6). No row multiplication,
         no right columns — Spark's LeftSemi, broadcast-eligible."""
-        cond = _reduce(
-            lambda a, b: a & b,
-            [self.df[lk] == other.df[rk] for lk, rk in zip(left_on, right_on)],
-        )
+        cond = self._key_conds(other, left_on, right_on)
         return self._wrap_reordered(self.df.join(other.df, cond, "left_semi"))
 
     def anti_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
         """Keep left rows with NO match in other (LeftAnti)."""
-        cond = _reduce(
-            lambda a, b: a & b,
-            [self.df[lk] == other.df[rk] for lk, rk in zip(left_on, right_on)],
-        )
+        cond = self._key_conds(other, left_on, right_on)
         return self._wrap_reordered(self.df.join(other.df, cond, "left_anti"))
 
     def asof_join(

@@ -60,7 +60,14 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_words: int = 3)
             ]
         )
 
-    return F.aggregate(word_shingles(col, shingle_words), init, step)
+    sh = word_shingles(col, shingle_words)
+    # no shingles (empty/whitespace-only doc) ⇒ NULL signature, matching
+    # the long-form minhash_signatures path which drops such docs —
+    # otherwise every empty doc shares the all-MAX_LONG init signature
+    # and they all collide as LSH candidates of each other
+    return F.when(F.size(sh) > 0, F.aggregate(sh, init, step)).otherwise(
+        F.lit(None).cast("array<bigint>")
+    )
 
 
 def minhash_signatures(

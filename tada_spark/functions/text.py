@@ -36,15 +36,20 @@ def char_count(col: Column) -> Column:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """n-word shingles (distinct) from whitespace tokens — the MinHash
-    input unit."""
-    toks = F.split(F.trim(col), r"\s+")
+    input unit. Empty/whitespace-only text yields an EMPTY array (split
+    of '' gives [''], which would otherwise make every empty doc share
+    one fake shingle — and collide as near-dups in the array-path
+    minhash, diverging from the long-form path which drops them)."""
+    trimmed = F.trim(col)
+    toks = F.split(trimmed, r"\s+")
     k = F.size(toks) - (n - 1)
-    return F.array_distinct(
+    shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(shingles)
 
 
 def char_shingles(col: Column, n: int = 3) -> Column:

@@ -122,7 +122,7 @@ class GroupedFrame:
             f"nunique_{c}": F.count_distinct(
                 F.when(F.col(c).isNotNull(), canon_str(F.col(c), fields[c]))
             )
-            for c in (cols or self.frame.value_columns)
+            for c in (cols or tuple(c for c in self.frame.value_columns if c not in self.keys))
         }
         return self._agg_distinct_safe(exprs)
 
@@ -235,7 +235,9 @@ class GroupedFrame:
     def get_group(self, **key_values: object) -> Frame:
         f = self.frame
         for k, v in key_values.items():
-            f = f.filter(F.col(k) == F.lit(v))
+            # null-SAFE equality: a NULL-keyed group is a real group
+            # (grouping treats NULL as a key value) and must be fetchable
+            f = f.filter(F.col(k).eqNullSafe(F.lit(v)))
         return f
 
     def list_groups(self) -> Frame:

@@ -53,15 +53,23 @@ def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
         return F.coalesce(c, F.lit("\x00null"))
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         as_long = col.cast("long")
+        frac = col.cast("string")
+        if isinstance(dtype, T.DecimalType):
+            # Decimal string casts keep scale ("1.50"); Go fmt.Sprint does
+            # not — strip trailing fractional zeros so canon keys agree with
+            # the double rendering of the same value.
+            frac = F.regexp_replace(frac, r"(\.\d*?)0+$", "$1")
+            frac = F.regexp_replace(frac, r"\.$", "")
         c = F.when(col.cast("double") == as_long.cast("double"), as_long.cast("string")).otherwise(
-            col.cast("string")
+            frac
         )
     elif isinstance(dtype, T.TimestampType):
         c = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
     elif isinstance(dtype, T.DateType):
         c = F.date_format(col, "yyyy-MM-dd")
     elif isinstance(dtype, T.BooleanType):
-        c = F.when(col, F.lit("true")).otherwise(F.lit("false"))
+        # NULL must fall through to the coalesce sentinel, not "false"
+        c = F.when(col.isNull(), F.lit(None)).when(col, F.lit("true")).otherwise(F.lit("false"))
     else:
         c = col.cast("string")
     return F.coalesce(c, F.lit("\x00null"))
@@ -97,7 +105,12 @@ def py_canon(value: object) -> str | None:
     if isinstance(value, _decimal.Decimal):
         if value == int(value):
             return str(int(value))  # integral rule, like canon_str
-        return str(value.normalize())
+        # non-scientific render, trailing fractional zeros stripped —
+        # lockstep with canon_str's DecimalType regexp_replace branch
+        s = format(value, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s
     if hasattr(value, "item"):  # numpy scalars
         return py_canon(value.item())
     return str(value)

@@ -358,10 +358,11 @@ def test_minhash_paths_agree_on_short_docs(spark):
         for r in minhash_signatures(df).collect()
     }
     sig_arr = {
-        r.doc_id: list(r.sig)
+        r.doc_id: (list(r.sig) if r.sig is not None else None)
         for r in df.select("doc_id", minhash_signature(F.col("text")).alias("sig")).collect()
     }
     assert 1 in sig_long  # short doc no longer silently dropped
+    assert 3 not in sig_long and sig_arr[3] is None  # empty doc: no signature, both paths
     for k in sig_long:
         assert sig_long[k] == sig_arr[k], k
 
@@ -537,3 +538,54 @@ def test_lookup_ordered_honors_declared_order(spark):
 
     d = Frame(spark.createDataFrame([(1, 1.0)], "id long, x double"))
     assert d.filter_by_value(x=Decimal("1.0")).df.count() == 1
+
+
+def test_semi_anti_cross_type_canon_keys(spark):
+    """Cross-typed semi/anti keys compare via canon_str (same rule as
+    lookup) — and null keys never match."""
+    left = Frame(spark.createDataFrame([(7, "a"), (8, "b"), (None, "c")], "k long, tag string"))
+    right = Frame(spark.createDataFrame([("7",), (None,)], "k string"))
+    semi = left.semi_join(right, left_on=["k"], right_on=["k"])
+    anti = left.anti_join(right, left_on=["k"], right_on=["k"])
+    assert [r.tag for r in semi.df.collect()] == ["a"]
+    assert sorted(r.tag for r in anti.df.collect()) == ["b", "c"]
+
+
+def test_lookup_one_sided_keys(spark):
+    """Providing only left_on (or only right_on) uses those names on both
+    sides instead of silently re-inferring."""
+    left = Frame(spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"))
+    right = Frame(spark.createDataFrame([(1, 10.0), (3, 30.0)], "k long, w double"))
+    out = left.lookup(right, left_on=["k"]).df
+    assert sorted((r.k, r.w) for r in out.collect()) == [(1, 10.0), (2, None)]
+    out2 = left.lookup(right, right_on=["k"]).df
+    assert sorted((r.k, r.w) for r in out2.collect()) == [(1, 10.0), (2, None)]
+
+
+def test_set_op_multiplicity_conventions(spark):
+    """intersect/except_ are distinct (SQL set semantics);
+    intersect_all/except_all preserve multiplicity."""
+    a = Frame(spark.createDataFrame([(1,), (1,), (1,), (2,)], "v long"))
+    b = Frame(spark.createDataFrame([(1,), (3,)], "v long"))
+    assert [r.v for r in a.intersect(b).df.collect()] == [1]
+    assert sorted(r.v for r in a.except_(b).df.collect()) == [2]
+    assert sorted(r.v for r in a.intersect_all(b).df.collect()) == [1]
+    assert sorted(r.v for r in a.except_all(b).df.collect()) == [1, 1, 2]
+
+
+def test_get_group_null_key(spark):
+    """A NULL-keyed group is fetchable (eqNullSafe, not ==)."""
+    f = Frame(spark.createDataFrame([("a", 1.0), (None, 2.0), (None, 3.0)], "k string, v double"))
+    g = f.group_by("k")
+    got = g.get_group(k=None)
+    assert sorted(r.v for r in got.df.collect()) == [2.0, 3.0]
+    assert [r.v for r in g.get_group(k="a").df.collect()] == [1.0]
+
+
+def test_grouped_nunique_excludes_keys(spark):
+    """Default nunique over value columns must not count the grouping
+    key against itself (always 1)."""
+    f = Frame(spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 1.0)], "k string, v double"))
+    out = f.group_by("k").nunique()
+    assert "nunique_k" not in out.columns
+    assert sorted((r.k, r.nunique_v) for r in out.df.collect()) == [("a", 2), ("b", 1)]

@@ -177,3 +177,26 @@ def test_winnow_and_bpe(spark):
     assert {r.fp for r in arr.collect()} == by_doc[1]
     bpe = {r.doc_id: r.n for r in df.select("doc_id", text.bpe_token_estimate(F.col("text")).alias("n")).collect()}
     assert bpe[1] == bpe[2] > 10
+
+
+def test_minhash_empty_docs_no_signature(spark):
+    """Empty/whitespace-only docs get NO signature on either minhash path
+    (array path: NULL; long path: dropped) — they must not collide as
+    LSH candidates of each other."""
+    from tada_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here now")], "doc_id long, text string"
+    )
+    sh = df.select("doc_id", word_shingles(F.col("text")).alias("s")).collect()
+    by_id = {r.doc_id: r.s for r in sh}
+    assert by_id[1] == [] and by_id[2] == []
+    sig = df.select(
+        "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+    ).collect()
+    sig_by_id = {r.doc_id: r.sig for r in sig}
+    assert sig_by_id[1] is None and sig_by_id[2] is None
+    assert sig_by_id[3] is not None and len(sig_by_id[3]) == 16
+    # long-form path: empty docs simply absent
+    long_ids = {r.doc_id for r in dedup.minhash_signatures(df).collect()}
+    assert long_ids == {3}

@@ -78,3 +78,29 @@ def test_nunique_stringified(spark):
     """Reference internal.go:2076-2094: distinct on stringified values."""
     f = Frame(spark.createDataFrame([("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", None)], "k string, v double"))
     assert f.group_by("k").nunique("v").df.first().nunique_v == 2
+
+
+def test_canon_str_null_boolean_hits_sentinel(spark):
+    """NULL boolean must render the null sentinel, not 'false' —
+    otherwise canon-keyed grouping merges NULL with false."""
+    df = spark.createDataFrame([(True,), (False,), (None,)], "b boolean")
+    out = df.select(canon_str(F.col("b"), T.BooleanType()).alias("s")).collect()
+    assert [r.s for r in out] == ["true", "false", "\x00null"]
+
+
+def test_canon_str_decimal_trailing_zeros(spark):
+    """Decimal '1.50' and double 1.5 must canonicalize identically
+    (fmt.Sprint strips scale); integral decimals print as ints."""
+    from decimal import Decimal
+
+    from tada_spark.plans.semantics import py_canon
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"),), (Decimal("2.00"),), (Decimal("0.25"),), (None,)],
+        "d decimal(10,2)",
+    )
+    out = df.select(canon_str(F.col("d"), T.DecimalType(10, 2)).alias("s")).collect()
+    assert [r.s for r in out] == ["1.5", "2", "0.25", "\x00null"]
+    assert py_canon(Decimal("1.50")) == "1.5"
+    assert py_canon(Decimal("2.00")) == "2"
+    assert py_canon(Decimal("0.25")) == "0.25"
