@@ -143,6 +143,52 @@ def lsh_sign_buckets(
     return df.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
 
 
+def random_planes(dim: int, n_planes: int, n_tables: int = 1, seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes for sign-LSH: ``n_tables`` plane
+    sets of ``n_planes`` × ``dim`` Gaussian vectors from a fixed seed.
+    Generated driver-side once (tiny), broadcast as literals into the
+    plan — reproducible across runs/cluster sizes, so LSH results are
+    stable and oracle-checkable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """OR-ed multi-table LSH near-dup pairs with exact cosine re-check.
+
+    Each table buckets independently (AND over its planes); a pair is a
+    candidate if ANY table co-buckets it (OR across tables) — the
+    standard recall amplifier: miss probability decays exponentially in
+    the table count ((1-(1-θ/π)^P)^T). Candidates carry their vectors
+    through the per-bucket equi-join (no cross join anywhere), the exact
+    cosine filters false positives, and a final distinct dedupes pairs
+    found by several tables (cheap — runs on the tiny post-threshold
+    set). The 100 TB-safe replacement for all-pairs cosine scans.
+    """
+    per_table = [
+        lsh_cosine_candidates(
+            df, planes, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
+        for planes in tables
+    ]
+    out = per_table[0]
+    for t in per_table[1:]:
+        out = out.unionByName(t)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def lsh_cosine_candidates(
     df: DataFrame,
     planes: list[list[float]],

@@ -1344,9 +1344,14 @@ def embed_near_dup_pairs(spark, sf):
     """Embedding-cosine near-dup detection: plant perturbed copies
     (vec_id+1000, first component +0.01) of the first 200 vectors, then
     find all pairs with cosine ≥ 0.99 — exactly the planted pairs.
-    Brute-force exact here (the oracle-checkable baseline); the LSH
-    bucketed variant (functions/similarity.lsh_cosine_candidates) is
-    the 100 TB path."""
+
+    Scale path, not all-pairs: 4 OR-ed sign-LSH tables × 8 deterministic
+    planes bucket the vectors (per-bucket equi-join — NO cross join /
+    BroadcastNestedLoopJoin anywhere in the plan), then the exact cosine
+    re-check keeps true pairs only. At cos ≥ 0.99995 (the planted pairs;
+    natural pairs top out ≈0.48) the per-pair miss probability is
+    (1-(1-θ/π)^8)^4 ≈ 4e-7 — and the fixed-seed planes make the result
+    fully deterministic, so the brute-force oracle hash-matches."""
     emb = (
         load(spark, sf, "embeddings")
         .to_df()
@@ -1358,15 +1363,9 @@ def embed_near_dup_pairs(spark, sf):
         F.expr("concat(array(v[0] + 0.01d), slice(v, 2, size(v) - 1))").alias("v"),
     )
     allv = emb.unionByName(planted)
-    a, b = allv.alias("a"), allv.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.99)
+    tables = similarity.random_planes(dim=64, n_planes=8, n_tables=4, seed=7)
+    return similarity.lsh_cosine_pairs(
+        allv, tables, id_col="vec_id", vec_col="v", threshold=0.99
     )
 
 

@@ -200,3 +200,22 @@ def test_minhash_empty_docs_no_signature(spark):
     # long-form path: empty docs simply absent
     long_ids = {r.doc_id for r in dedup.minhash_signatures(df).collect()}
     assert long_ids == {3}
+
+
+def test_lsh_cosine_pairs_multi_table_recall(spark):
+    """OR-ed multi-table sign-LSH finds planted near-dup pairs without
+    any cross join in the plan (per-bucket equi-joins only)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    planted = [(i + 100, [v + (0.001 if j == 0 else 0.0) for j, v in enumerate(vec)]) for i, vec in base]
+    df = spark.createDataFrame(base + planted, "vec_id long, embedding array<double>")
+    tables = similarity.random_planes(dim=16, n_planes=6, n_tables=6, seed=11)
+    out = similarity.lsh_cosine_pairs(df, tables, threshold=0.999)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(i, i + 100) for i in range(30)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # determinism: same seed, same planes
+    assert similarity.random_planes(16, 6, 2, seed=11) == similarity.random_planes(16, 6, 2, seed=11)

@@ -2,6 +2,10 @@
 
 Flags, per query:
   * CartesianProduct          — accidental cross joins
+  * BroadcastNestedLoopJoin   — how Spark plans inequality-only joins:
+                                O(n·m) compares. Allowlisted only where a
+                                small broadcast side makes it the correct
+                                exact algorithm (cosine_topk / IVF probe)
   * BatchEvalPython           — row-at-a-time Python UDFs in the plan
                                 (Arrow variants MapInPandas/ArrowEvalPython
                                 are fine and reported separately)
@@ -29,6 +33,15 @@ ALLOWED_EXCHANGES = {
     # hot/cold split = detection count + 2 joins + union merge; the
     # extra exchanges ARE the skew mitigation
     "salted_join_events_users": 12,
+}
+
+#: Queries where a BroadcastNestedLoopJoin is the deliberate exact
+#: algorithm: a SMALL broadcast side (query set / centroid probes) joined
+#: on an inequality against the partitioned corpus — linear in the
+#: corpus, not quadratic. Everything else must be equi-join shaped.
+ALLOWED_BNLJ = {
+    "cosine_topk_neighbors",  # broadcast query set × corpus (query_id != neighbor_id)
+    "ivf_topk_neighbors",     # broadcast probe set, post-probe inequality filter
 }
 
 
@@ -59,6 +72,8 @@ def main() -> int:
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            flags.append("BNLJ")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON_UDF")
         # shuffle exchanges only: BroadcastExchange/ReusedExchange are
