@@ -51,12 +51,16 @@ def groupby_sum(spark, sf):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from tada_spark.queries import CATALOG
+    from tada_spark.queries import CATALOG, cosine_topk_neighbors, rolling_1h_sum
     from tada_spark.session import get_spark
 
     spark = get_spark("tada_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # rolling_1h_sum / cosine_topk_neighbors are bench headliners kept as
+    # standalone functions (their catalog twins are the consolidated
+    # rolling_n_duration_events / ann_topk_exact_ivf) so round-over-round
+    # bench keys stay comparable
     bench_queries = {
         "scan_sum": scan_sum,
         "multi_sum": multi_sum,
@@ -65,10 +69,10 @@ def main() -> None:
         "q3_top_revenue_orders": CATALOG["q3_top_revenue_orders"][0],
         "q5_region_revenue": CATALOG["q5_region_revenue"][0],
         "sort_topk_customers": CATALOG["sort_topk_customers"][0],
-        "rolling_1h_sum": CATALOG["rolling_1h_sum"][0],
+        "rolling_1h_sum": rolling_1h_sum,
         "dedup_exact_fingerprint": CATALOG["dedup_exact_fingerprint"][0],
         "minhash_candidate_pairs": CATALOG["minhash_candidate_pairs"][0],
-        "cosine_topk_neighbors": CATALOG["cosine_topk_neighbors"][0],
+        "cosine_topk_neighbors": cosine_topk_neighbors,
         "asof_last_purchase": CATALOG["asof_last_purchase"][0],
     }
 

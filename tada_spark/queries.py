@@ -295,29 +295,6 @@ FROM (
 """
 
 
-def agg_stats_quantity(spark, sf):
-    """Whole-frame aggs incl. population std + exact median (reference
-    series.go:999-1073; std is ÷n — internal.go:2042-2057)."""
-    li = load(spark, sf, "lineitem")
-    return li.agg(
-        sum_q=F.round(F.sum("l_quantity"), 2),
-        avg_q=F.round(F.avg("l_quantity"), 4),
-        med_q=F.round(F.median("l_quantity"), 2),
-        std_q=F.round(F.stddev_pop("l_quantity"), 4),
-        min_q=F.min("l_quantity"),
-        max_q=F.max("l_quantity"),
-        n=F.count("l_quantity"),
-    ).df
-
-
-AGG_STATS_SQL = """
-SELECT ROUND(SUM(l_quantity), 2) AS sum_q, ROUND(AVG(l_quantity), 4) AS avg_q,
-       ROUND(MEDIAN(l_quantity), 2) AS med_q, ROUND(STDDEV_POP(l_quantity), 4) AS std_q,
-       MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q, COUNT(l_quantity) AS n
-FROM lineitem
-"""
-
-
 def group_reducers_full(spark, sf):
     """The full grouped-reducer kernel set in one query (reference
     groupers.go:137-199): mean/median/std-pop/nunique/earliest/latest."""
@@ -346,70 +323,6 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-def having_count_nations(spark, sf):
-    """HavingCount group filter (reference groupers.go:232-254)."""
-    cust = load(spark, sf, "customer")
-    return (
-        cust.group_by("c_nationkey")
-        .having_count(lambda c: c >= 40)
-        .group_by("c_nationkey")
-        .agg(n_cust=F.count("*"), avg_bal=F.round(F.avg("c_acctbal"), 2))
-        .to_df()
-    )
-
-
-HAVING_SQL = """
-SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 2) AS avg_bal
-FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 40
-"""
-
-
-def align_deviation(spark, sf):
-    """Align(): group reduction broadcast back to source rows (reference
-    groupers.go:202-228) — deviation from group mean, no join."""
-    ev = load(spark, sf, "events")
-    aligned = ev.group_by("event_type").align().agg(grp_mean=F.avg("value"))
-    return (
-        aligned.with_col("dev", F.round(F.col("value") - F.col("grp_mean"), 4))
-        .cols("event_id", "event_type", "dev")
-        .to_df()
-        .select("event_id", "event_type", "dev")
-    )
-
-
-ALIGN_SQL = """
-SELECT event_id, event_type,
-       ROUND(value - AVG(value) OVER (PARTITION BY event_type), 4) AS dev
-FROM events
-"""
-
-
-def first_last_per_order(spark, sf):
-    """Per-group first/last by explicit order (reference First/Last
-    groupers.go:187-199)."""
-    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
-    # (l_orderkey, l_linenumber) is not unique in the test data —
-    # break ties on l_partkey so first/last are deterministic
-    first = li.group_by("l_orderkey").first("l_partkey", order_by=["l_linenumber", "l_partkey"])
-    last = li.group_by("l_orderkey").last("l_partkey", order_by=["l_linenumber", "l_partkey"])
-    return first.lookup(last, left_on=["l_orderkey"], right_on=["l_orderkey"], unique_keys=True).to_df().select(
-        "l_orderkey", "first_l_partkey", "last_l_partkey"
-    )
-
-
-FIRST_LAST_SQL = """
-SELECT l_orderkey,
-       MIN(l_partkey) FILTER (WHERE rn_a = 1)  AS first_l_partkey,
-       MIN(l_partkey) FILTER (WHERE rn_d = 1)  AS last_l_partkey
-FROM (
-  SELECT l_orderkey, l_partkey,
-         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC,  l_partkey ASC)  AS rn_a,
-         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC) AS rn_d
-  FROM lineitem WHERE l_orderkey < 500
-) GROUP BY l_orderkey
-"""
-
-
 def pivot_returnflag(spark, sf):
     """PivotTable (reference dataframe.go:1791-1829): nation × returnflag
     revenue matrix via Spark pivot."""
@@ -433,194 +346,13 @@ GROUP BY s.s_nationkey
 """
 
 
-def shift_lag_events(spark, sf):
-    """Shift/lag with explicit order (reference Shift series.go:327-340)."""
-    ev = load(spark, sf, "events").filter(F.col("user_id") < 50)
-    out = ev.shift("value", 1, order_by=["ts", "event_id"], partition_by=["user_id"], as_col="prev_value")
-    return out.with_col("prev_value", F.round("prev_value", 2)).to_df().select("event_id", "user_id", "prev_value")
-
-
-SHIFT_SQL = """
-SELECT event_id, user_id,
-       ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value
-FROM events WHERE user_id < 50
-"""
-
-
-def cumsum_user_value(spark, sf):
-    """Running sum, nulls contribute 0 (reference CumSum internal.go:2173-2183)."""
-    ev = load(spark, sf, "events").filter(F.col("user_id") < 50)
-    out = ev.cum_sum("value", order_by=["ts", "event_id"], partition_by=["user_id"], as_col="running")
-    return out.with_col("running", F.round("running", 2)).to_df().select("event_id", "user_id", "running")
-
-
-CUMSUM_SQL = """
-SELECT event_id, user_id,
-       ROUND(SUM(COALESCE(value, 0)) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-FROM events WHERE user_id < 50
-"""
-
-
-def rank_customers_in_nation(spark, sf):
-    """Dense rank, nulls excluded (reference Rank internal.go:2302-2351)."""
-    cust = load(spark, sf, "customer")
-    return (
-        cust.rank("c_acctbal", partition_by=["c_nationkey"], as_col="bal_rank", descending=True)
-        .cols("c_custkey", "c_nationkey", "bal_rank")
-        .to_df()
-        .select("c_custkey", "c_nationkey", "bal_rank")
-    )
-
-
-RANK_SQL = """
-SELECT c_custkey, c_nationkey,
-       CASE WHEN c_acctbal IS NULL THEN NULL
-            ELSE DENSE_RANK() OVER (PARTITION BY c_nationkey, c_acctbal IS NULL ORDER BY c_acctbal DESC) END AS bal_rank
-FROM customer
-"""
-
-
-def percentile_totalprice(spark, sf):
-    """Exclusive percentile rank (reference internal.go:2353-2388)."""
-    orders = load(spark, sf, "orders")
-    return (
-        orders.percentile("o_totalprice", as_col="pct")
-        .with_col("pct", F.round("pct", 6))
-        .cols("o_orderkey", "pct")
-        .to_df()
-        .select("o_orderkey", "pct")
-    )
-
-
-PERCENTILE_SQL = """
-SELECT o_orderkey,
-       ROUND((RANK() OVER (ORDER BY o_totalprice) - 1)::DOUBLE / COUNT(*) OVER (), 6) AS pct
-FROM orders
-"""
-
-
-def bin_quantity(spark, sf):
-    """Numeric binning, left-exclusive right-inclusive, nulls
-    uncategorized (reference cut internal.go:2208-2300)."""
-    li = load(spark, sf, "lineitem")
-    return (
-        li.bin("l_quantity", [0, 10, 20, 30, 40, 50], as_col="qbin")
-        .group_by("qbin")
-        .agg(n=F.count("*"))
-        .to_df()
-    )
-
-
-BIN_SQL = """
-SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN '0-10'
-            WHEN l_quantity > 10 AND l_quantity <= 20 THEN '10-20'
-            WHEN l_quantity > 20 AND l_quantity <= 30 THEN '20-30'
-            WHEN l_quantity > 30 AND l_quantity <= 40 THEN '30-40'
-            WHEN l_quantity > 40 AND l_quantity <= 50 THEN '40-50'
-            ELSE NULL END AS qbin,
-       COUNT(*) AS n
-FROM lineitem GROUP BY 1
-"""
-
-
-def percentile_bin_price(spark, sf):
-    """Percentile binning, left-inclusive (reference pcut
-    internal.go:2392-2408): quartiles of order price."""
-    orders = load(spark, sf, "orders")
-    return (
-        orders.percentile_bin("o_totalprice", [0, 0.25, 0.5, 0.75, 1.0], labels=["q1", "q2", "q3", "q4"], as_col="pbin")
-        .group_by("pbin")
-        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
-        .to_df()
-    )
-
-
-PBIN_SQL = """
-SELECT CASE WHEN pct >= 0 AND pct < 0.25 THEN 'q1'
-            WHEN pct >= 0.25 AND pct < 0.5 THEN 'q2'
-            WHEN pct >= 0.5 AND pct < 0.75 THEN 'q3'
-            WHEN pct >= 0.75 THEN 'q4' END AS pbin,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-FROM (
-  SELECT o_totalprice,
-         (RANK() OVER (ORDER BY o_totalprice) - 1)::DOUBLE / COUNT(*) OVER () AS pct
-  FROM orders
-) GROUP BY 1
-"""
-
-
-def resample_month_revenue(spark, sf):
-    """Resample: truncate datetimes to month (reference
-    internal.go:2423-2479) + grouped sum."""
-    li = load(spark, sf, "lineitem")
-    return (
-        li.resample("l_shipdate", "month", as_col="ship_month")
-        .group_by("ship_month")
-        .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
-        .to_df()
-    )
-
-
-RESAMPLE_SQL = """
-SELECT DATE_TRUNC('month', l_shipdate)::TIMESTAMP AS ship_month,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem GROUP BY 1
-"""
-
-
-def resample_week_revenue(spark, sf):
-    """Week resample with custom week start (reference StartOfWeek,
-    internal.go:2444-2462): weeks starting Monday."""
-    orders = load(spark, sf, "orders")
-    return (
-        orders.resample("o_orderdate", "week", week_start="MONDAY", as_col="order_week")
-        .group_by("order_week")
-        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
-        .to_df()
-    )
-
-
-RESAMPLE_WEEK_SQL = """
-SELECT DATE_TRUNC('week', o_orderdate)::TIMESTAMP AS order_week,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-FROM orders GROUP BY 1
-"""
-
-
-def rolling3_forward_sum(spark, sf):
-    """RollingN forward window [i, i+n), incomplete tail ⇒ null
-    (reference groupers.go:295-314)."""
-    ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
-    out = ev.group_by("user_id").rolling_n(3, "value", "sum", order_by=["ts", "event_id"], out="roll3")
-    return out.with_col("roll3", F.round("roll3", 2)).to_df().select("event_id", "user_id", "roll3")
-
-
-ROLLING3_SQL = """
-SELECT event_id, user_id,
-       CASE WHEN COUNT(*) OVER w = 3
-            THEN ROUND(SUM(value) OVER w, 2) END AS roll3
-FROM events WHERE user_id < 30
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
-"""
-
-
 def rolling_1h_sum(spark, sf):
     """RollingDuration [t, t+1h) forward range window (reference
-    groupers.go:317-345)."""
+    groupers.go:317-345). Bench headline; the catalog's oracle-checked
+    twin is rolling_n_duration_events."""
     ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
     out = ev.group_by("user_id").rolling_duration(3600, "ts", "value", "sum", out="roll1h")
     return out.with_col("roll1h", F.round("roll1h", 2)).to_df().select("event_id", "user_id", "roll1h")
-
-
-ROLLING_1H_SQL = """
-SELECT event_id, user_id,
-       ROUND(SUM(value) OVER (
-         PARTITION BY user_id ORDER BY EPOCH(ts)::BIGINT
-         RANGE BETWEEN CURRENT ROW AND 3599 FOLLOWING), 2) AS roll1h
-FROM events WHERE user_id < 30
-"""
 
 
 def ffill_user_value(spark, sf):
@@ -728,30 +460,6 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
-def nth_line_per_order(spark, sf):
-    """Grouped Nth with out-of-bounds ⇒ null (reference groupers.go:824-868)."""
-    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
-    return (
-        li.group_by("l_orderkey")
-        .nth("l_partkey", 2, order_by=["l_linenumber", "l_partkey"], out="third_part")
-        .to_df()
-        .select("l_orderkey", "third_part")
-    )
-
-
-NTH_SQL = """
-SELECT o.l_orderkey, p.third_part
-FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey < 500) o
-LEFT JOIN (
-  SELECT l_orderkey, l_partkey AS third_part
-  FROM (SELECT l_orderkey, l_partkey,
-               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
-        FROM lineitem WHERE l_orderkey < 500)
-  WHERE rn = 3
-) p USING (l_orderkey)
-"""
-
-
 def unique_first_appearance(spark, sf):
     """First-appearance Unique via min-rowid over explicit order
     (reference internal.go:2512-2537 + §4.3 __rowid__ discipline)."""
@@ -766,33 +474,6 @@ FROM (SELECT event_id, user_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events)
 WHERE rn = 1
-"""
-
-
-def agg_all_columns(spark, sf):
-    """Per-column whole-frame aggs melted to rows (reference
-    dataframe.go:1910-1993)."""
-    li = load(spark, sf, "lineitem")
-    out = li.agg_all(["sum", "mean", "min", "max"], "l_quantity", "l_extendedprice", "l_discount")
-    df = out.to_df()
-    return df.select(
-        "column",
-        F.round("sum", 2).alias("sum"),
-        F.round("mean", 4).alias("mean"),
-        F.round("min", 4).alias("min"),
-        F.round("max", 4).alias("max"),
-    )
-
-
-AGG_ALL_SQL = """
-SELECT 'l_quantity' AS "column", ROUND(SUM(l_quantity), 2) AS sum, ROUND(AVG(l_quantity), 4) AS mean,
-       ROUND(MIN(l_quantity), 4) AS min, ROUND(MAX(l_quantity), 4) AS max FROM lineitem
-UNION ALL
-SELECT 'l_extendedprice', ROUND(SUM(l_extendedprice), 2), ROUND(AVG(l_extendedprice), 4),
-       ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4) FROM lineitem
-UNION ALL
-SELECT 'l_discount', ROUND(SUM(l_discount), 2), ROUND(AVG(l_discount), 4),
-       ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4) FROM lineitem
 """
 
 
@@ -955,59 +636,6 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
 # training-data pipeline operators (beyond-reference; BASELINE.json north star)
 # ---------------------------------------------------------------------------
 
-def text_token_stats(spark, sf):
-    """Token counting + char stats over documents (text-analysis tier)."""
-    docs = load(spark, sf, "documents")
-    return (
-        docs.with_col("n_tokens", text.token_count(F.col("text")))
-        .with_col("punct", F.round(F.coalesce(text.punct_ratio(F.col("text")), F.lit(0.0)), 6))
-        .cols("doc_id", "n_tokens", "punct")
-        .to_df()
-        .select("doc_id", "n_tokens", "punct")
-    )
-
-
-TEXT_TOKENS_SQL = r"""
-SELECT doc_id,
-       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
-       ROUND(COALESCE(CASE WHEN LENGTH(text) = 0 THEN NULL
-            ELSE LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / LENGTH(text) END, 0), 6) AS punct
-FROM documents
-"""
-
-
-def text_quality(spark, sf):
-    """Composite quality score (length/punct/stopword heuristic)."""
-    docs = load(spark, sf, "documents")
-    return (
-        docs.with_col("quality", text.quality_score(F.col("text")))
-        .cols("doc_id", "quality")
-        .to_df()
-        .select("doc_id", "quality")
-    )
-
-
-TEXT_QUALITY_SQL = r"""
-WITH t AS (
-  SELECT doc_id, text,
-         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
-         COALESCE(CASE WHEN LENGTH(text) = 0 THEN NULL
-              ELSE LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / LENGTH(text) END, 0) AS punct,
-         COALESCE(CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) = 0 THEN NULL
-              ELSE LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
-                       x -> x IN ('the','a','and','of','to','in')))::DOUBLE
-                   / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) END, 0) AS sw
-  FROM documents
-)
-SELECT doc_id,
-       ROUND(GREATEST(0.0, LEAST(n_tokens / 50.0, 1.0) * (1.0 - punct)
-             * (0.5 + LEAST(sw * 2, 0.5))), 6) AS quality
-FROM t
-"""
-
-
 def lang_id_vote(spark, sf):
     """Marker-stopword language ID vote (text-analysis tier)."""
     docs = load(spark, sf, "documents")
@@ -1113,43 +741,6 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings 
        FROM scored
      )
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
-"""
-
-
-def semi_join_active_parts(spark, sf):
-    """Semi join: parts that appear in ≥1 high-quantity lineitem
-    (broadcast-eligible LeftSemi; no row multiplication)."""
-    part = load(spark, sf, "part")
-    li = load(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
-    return (
-        part.semi_join(li, left_on=["p_partkey"], right_on=["l_partkey"])
-        .cols("p_partkey", "p_name")
-        .to_df()
-        .select("p_partkey", "p_name")
-    )
-
-
-SEMI_SQL = """
-SELECT p_partkey, p_name FROM part
-WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
-"""
-
-
-def anti_join_idle_customers(spark, sf):
-    """Anti join: customers with no orders over 400k."""
-    cust = load(spark, sf, "customer")
-    big = load(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
-    return (
-        cust.anti_join(big, left_on=["c_custkey"], right_on=["o_custkey"])
-        .cols("c_custkey")
-        .to_df()
-        .select("c_custkey")
-    )
-
-
-ANTI_SQL = """
-SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
@@ -1479,18 +1070,6 @@ JOIN (SELECT user_id, ROUND(AVG(value), 4) AS user_avg FROM events GROUP BY user
 """
 
 
-def stratified_lang_sample(spark, sf):
-    """Stratified deterministic sample: rebalance the corpus by keeping
-    10% of English docs and 50% of every other language — the class-
-    rebalancing primitive, content-addressed so the oracle reproduces
-    the exact rows."""
-    from tada_spark.functions import sampling
-
-    docs = load(spark, sf, "documents").to_df()
-    rates = {"en": 10, "de": 50, "es": 50, "fr": 50, "zh": 50}
-    return sampling.stratified_sample(docs, "doc_id", "lang", rates).select("doc_id", "lang")
-
-
 STRATIFIED_SQL = """
 WITH b AS (
   SELECT doc_id, lang,
@@ -1679,19 +1258,6 @@ def winnow_shared_fingerprints(spark, sf):
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 5)
     )
-
-
-def deterministic_doc_sample(spark, sf):
-    """Content-addressed 20% sample + train/val/test split assignment
-    (functions/sampling): md5-bucketed on doc_id, so the exact same
-    rows fall in the sample on every engine — reproducible pipelines,
-    no rand(seed) partition-layout dependence."""
-    from tada_spark.functions import sampling
-
-    docs = load(spark, sf, "documents").to_df()
-    sampled = sampling.deterministic_sample(docs, "doc_id", 20)
-    split = sampling.assign_split(sampled, "doc_id", train_pct=80, val_pct=10)
-    return split.select("doc_id", "lang", "split")
 
 
 SAMPLE_SPLIT_SQL = """
@@ -1961,92 +1527,469 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# consolidated queries — the external driver verifies the first 50 catalog
+# entries, so each query below packs several §2 operators behind ONE oracle;
+# the single-operator variants they subsume were removed from the catalog
+# (operator coverage is unchanged — see OPERATORS.md for the mapping)
+# ---------------------------------------------------------------------------
+
+
+def agg_frame_and_columns(spark, sf):
+    """Whole-frame aggs (Frame.agg — reference series.go:999-1073, std ÷n
+    internal.go:2042-2057) + per-column aggs melted to rows (Frame.agg_all
+    — reference dataframe.go:1910-1993), one result: a '<frame>' row from
+    the whole-frame path above the per-column rows."""
+    li = load(spark, sf, "lineitem")
+    melted = li.agg_all(["sum", "mean", "min", "max"], "l_quantity", "l_extendedprice", "l_discount")
+    mdf = melted.to_df().select(
+        "column",
+        F.round("sum", 2).alias("sum"),
+        F.round("mean", 4).alias("mean"),
+        F.lit(None).cast("double").alias("med"),
+        F.lit(None).cast("double").alias("std"),
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    whole = li.agg(
+        sum=F.round(F.sum("l_quantity"), 2),
+        mean=F.round(F.avg("l_quantity"), 4),
+        med=F.round(F.median("l_quantity"), 2),
+        std=F.round(F.stddev_pop("l_quantity"), 4),
+        min=F.round(F.min("l_quantity"), 4),
+        max=F.round(F.max("l_quantity"), 4),
+        n=F.count("l_quantity"),
+    ).df.select(F.lit("<frame>").alias("column"), "sum", "mean", "med", "std", "min", "max", "n")
+    return mdf.unionByName(whole)
+
+
+AGG_FRAME_COLS_SQL = """
+SELECT 'l_quantity' AS "column", ROUND(SUM(l_quantity), 2) AS sum, ROUND(AVG(l_quantity), 4) AS mean,
+       NULL::DOUBLE AS med, NULL::DOUBLE AS std,
+       ROUND(MIN(l_quantity), 4) AS min, ROUND(MAX(l_quantity), 4) AS max, NULL::BIGINT AS n FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', ROUND(SUM(l_extendedprice), 2), ROUND(AVG(l_extendedprice), 4),
+       NULL, NULL, ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4), NULL FROM lineitem
+UNION ALL
+SELECT 'l_discount', ROUND(SUM(l_discount), 2), ROUND(AVG(l_discount), 4),
+       NULL, NULL, ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4), NULL FROM lineitem
+UNION ALL
+SELECT '<frame>', ROUND(SUM(l_quantity), 2), ROUND(AVG(l_quantity), 4),
+       ROUND(MEDIAN(l_quantity), 2), ROUND(STDDEV_POP(l_quantity), 4),
+       ROUND(MIN(l_quantity), 4), ROUND(MAX(l_quantity), 4), COUNT(l_quantity) FROM lineitem
+"""
+
+
+def first_last_nth_per_order(spark, sf):
+    """Per-group positional pickers in one pass: First/Last (min_by/max_by
+    aggregates — reference groupers.go:187-199) + Nth(2) with OOB ⇒ null
+    (reference groupers.go:824-868). (l_orderkey, l_linenumber) is not
+    unique in the testdata — l_partkey breaks ties."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    first = li.group_by("l_orderkey").first("l_partkey", order_by=["l_linenumber", "l_partkey"])
+    last = li.group_by("l_orderkey").last("l_partkey", order_by=["l_linenumber", "l_partkey"])
+    nth = li.group_by("l_orderkey").nth("l_partkey", 2, order_by=["l_linenumber", "l_partkey"], out="third_part")
+    # all three frames share li's lineage — rename nth's key before the
+    # second join or the dropped right key resolves ambiguously
+    nth = nth.rename({"l_orderkey": "__ok__"})
+    out = first.lookup(last, left_on=["l_orderkey"], right_on=["l_orderkey"], unique_keys=True)
+    out = out.lookup(nth, left_on=["l_orderkey"], right_on=["__ok__"], unique_keys=True)
+    return out.to_df().select("l_orderkey", "first_l_partkey", "last_l_partkey", "third_part")
+
+
+FIRST_LAST_NTH_SQL = """
+SELECT l_orderkey,
+       MIN(l_partkey) FILTER (WHERE rn_a = 1)  AS first_l_partkey,
+       MIN(l_partkey) FILTER (WHERE rn_d = 1)  AS last_l_partkey,
+       MIN(l_partkey) FILTER (WHERE rn_a = 3)  AS third_part
+FROM (
+  SELECT l_orderkey, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC,  l_partkey ASC)  AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC) AS rn_d
+  FROM lineitem WHERE l_orderkey < 500
+) GROUP BY l_orderkey
+"""
+
+
+def shift_cumsum_events(spark, sf):
+    """Shift/lag (reference series.go:327-340) + running sum with nulls
+    contributing 0 (reference internal.go:2173-2183), both over the same
+    explicit per-user order — ONE window exchange serves both columns."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 50)
+    out = ev.shift("value", 1, order_by=["ts", "event_id"], partition_by=["user_id"], as_col="prev_value")
+    out = out.cum_sum("value", order_by=["ts", "event_id"], partition_by=["user_id"], as_col="running")
+    return (
+        out.with_col("prev_value", F.round("prev_value", 2))
+        .with_col("running", F.round("running", 2))
+        .to_df()
+        .select("event_id", "user_id", "prev_value", "running")
+    )
+
+
+SHIFT_CUMSUM_SQL = """
+SELECT event_id, user_id,
+       ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+       ROUND(SUM(COALESCE(value, 0)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM events WHERE user_id < 50
+"""
+
+
+def rank_percentile_customers(spark, sf):
+    """Dense rank within nation (nulls → null — reference
+    internal.go:2302-2351) + global exclusive percentile (reference
+    internal.go:2353-2388) of the same measure, chained row-preserving."""
+    cust = load(spark, sf, "customer")
+    out = cust.rank("c_acctbal", partition_by=["c_nationkey"], as_col="bal_rank", descending=True)
+    out = out.percentile("c_acctbal", as_col="pct")
+    return (
+        out.with_col("pct", F.round("pct", 6))
+        .cols("c_custkey", "c_nationkey", "bal_rank", "pct")
+        .to_df()
+        .select("c_custkey", "c_nationkey", "bal_rank", "pct")
+    )
+
+
+RANK_PERCENTILE_SQL = """
+SELECT c_custkey, c_nationkey,
+       CASE WHEN c_acctbal IS NULL THEN NULL
+            ELSE DENSE_RANK() OVER (PARTITION BY c_nationkey, c_acctbal IS NULL ORDER BY c_acctbal DESC) END AS bal_rank,
+       ROUND((RANK() OVER (ORDER BY c_acctbal) - 1)::DOUBLE / COUNT(*) OVER (), 6) AS pct
+FROM customer
+"""
+
+
+def bin_pbin_orders(spark, sf):
+    """Fixed-edge binning (left-exclusive right-inclusive, nulls
+    uncategorized — reference cut internal.go:2208-2300) + percentile
+    binning (left-inclusive — reference pcut internal.go:2392-2408) of the
+    same measure, cross-tabulated."""
+    orders = load(spark, sf, "orders")
+    out = orders.bin("o_totalprice", [0, 100000, 200000, 300000, 400000, 500000], as_col="price_band")
+    out = out.percentile_bin(
+        "o_totalprice", [0, 0.25, 0.5, 0.75, 1.0], labels=["q1", "q2", "q3", "q4"], as_col="pquart"
+    )
+    return (
+        out.group_by("price_band", "pquart")
+        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .to_df()
+    )
+
+
+BIN_PBIN_SQL = """
+SELECT CASE WHEN o_totalprice > 0      AND o_totalprice <= 100000 THEN '0-100000'
+            WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN '100000-200000'
+            WHEN o_totalprice > 200000 AND o_totalprice <= 300000 THEN '200000-300000'
+            WHEN o_totalprice > 300000 AND o_totalprice <= 400000 THEN '300000-400000'
+            WHEN o_totalprice > 400000 AND o_totalprice <= 500000 THEN '400000-500000'
+            ELSE NULL END AS price_band,
+       CASE WHEN pct >= 0 AND pct < 0.25 THEN 'q1'
+            WHEN pct >= 0.25 AND pct < 0.5 THEN 'q2'
+            WHEN pct >= 0.5 AND pct < 0.75 THEN 'q3'
+            WHEN pct >= 0.75 THEN 'q4' END AS pquart,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM (
+  SELECT o_totalprice,
+         (RANK() OVER (ORDER BY o_totalprice) - 1)::DOUBLE / COUNT(*) OVER () AS pct
+  FROM orders
+) GROUP BY 1, 2
+"""
+
+
+def resample_calendar_revenue(spark, sf):
+    """Calendar resample, both grains in one result: month-truncated
+    lineitem revenue + Monday-start week-truncated order totals
+    (reference internal.go:2423-2479; StartOfWeek 2444-2462)."""
+    li = load(spark, sf, "lineitem")
+    month = (
+        li.resample("l_shipdate", "month", as_col="bucket")
+        .group_by("bucket")
+        .agg(n=F.count("*"), total=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .to_df()
+        .select(F.lit("month").alias("grain"), "bucket", "n", "total")
+    )
+    orders = load(spark, sf, "orders")
+    week = (
+        orders.resample("o_orderdate", "week", week_start="MONDAY", as_col="bucket")
+        .group_by("bucket")
+        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .to_df()
+        .select(F.lit("week").alias("grain"), "bucket", "n", "total")
+    )
+    return month.unionByName(week)
+
+
+RESAMPLE_CAL_SQL = """
+SELECT 'month' AS grain, DATE_TRUNC('month', l_shipdate)::TIMESTAMP AS bucket,
+       COUNT(*) AS n, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+FROM lineitem GROUP BY 2
+UNION ALL
+SELECT 'week', DATE_TRUNC('week', o_orderdate)::TIMESTAMP,
+       COUNT(*), ROUND(SUM(o_totalprice), 2)
+FROM orders GROUP BY 2
+"""
+
+
+def rolling_n_duration_events(spark, sf):
+    """Both rolling-window families in one result: forward count window
+    [i, i+3) with incomplete tails ⇒ null (reference groupers.go:295-314)
+    + forward duration window [t, t+1h) (reference groupers.go:317-345)."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
+    out = ev.group_by("user_id").rolling_n(3, "value", "sum", order_by=["ts", "event_id"], out="roll3")
+    out = out.group_by("user_id").rolling_duration(3600, "ts", "value", "sum", out="roll1h")
+    return (
+        out.with_col("roll3", F.round("roll3", 2))
+        .with_col("roll1h", F.round("roll1h", 2))
+        .to_df()
+        .select("event_id", "user_id", "roll3", "roll1h")
+    )
+
+
+ROLLING_N_DUR_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN COUNT(*) OVER wn = 3 THEN ROUND(SUM(value) OVER wn, 2) END AS roll3,
+       ROUND(SUM(value) OVER wd, 2) AS roll1h
+FROM events WHERE user_id < 30
+WINDOW wn AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING),
+       wd AS (PARTITION BY user_id ORDER BY EPOCH(ts)::BIGINT RANGE BETWEEN CURRENT ROW AND 3599 FOLLOWING)
+"""
+
+
+def align_having_users(spark, sf):
+    """Align() group-mean write-back (reference groupers.go:202-228)
+    composed with HavingCount group filtering (reference
+    groupers.go:232-254): per-event deviation from the user mean, only
+    for users with ≥ 30 events."""
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 40)
+    kept = ev.group_by("user_id").having_count(lambda c: c >= 30)
+    aligned = kept.group_by("user_id").align().agg(grp_mean=F.avg("value"))
+    # floor-based half-up rounding on BOTH engines: value - mean lands on
+    # exact .xxxx5 doubles, where Spark's BigDecimal ROUND and DuckDB's
+    # float ROUND disagree; FLOOR(x*1e4 + 0.5)/1e4 is identical IEEE math
+    dev = F.floor((F.col("value") - F.col("grp_mean")) * 10000 + 0.5) / 10000
+    return (
+        aligned.with_col("dev", dev)
+        .cols("event_id", "user_id", "dev")
+        .to_df()
+        .select("event_id", "user_id", "dev")
+    )
+
+
+ALIGN_HAVING_SQL = """
+SELECT event_id, user_id,
+       FLOOR((value - AVG(value) OVER (PARTITION BY user_id)) * 10000 + 0.5) / 10000 AS dev
+FROM events WHERE user_id < 40
+QUALIFY COUNT(*) OVER (PARTITION BY user_id) >= 30
+"""
+
+
+def semi_anti_partition(spark, sf):
+    """LeftSemi + LeftAnti on the same key (free extension beyond the
+    reference's lookup-only joins, §2.6): customers partitioned into
+    those with and without a > 400k order — the two joins partition the
+    left side exactly."""
+    cust = load(spark, sf, "customer")
+    big = load(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    semi = (
+        cust.semi_join(big, left_on=["c_custkey"], right_on=["o_custkey"])
+        .to_df()
+        .select("c_custkey", F.lit("has_big").alias("side"))
+    )
+    anti = (
+        cust.anti_join(big, left_on=["c_custkey"], right_on=["o_custkey"])
+        .to_df()
+        .select("c_custkey", F.lit("no_big").alias("side"))
+    )
+    return semi.unionByName(anti)
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, 'has_big' AS side FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+UNION ALL
+SELECT c_custkey, 'no_big' FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def text_stats_quality(spark, sf):
+    """The per-document text-analysis battery in one scan: token count,
+    punctuation ratio, composite quality score, and the BPE-ish
+    pre-tokenizer estimate — all pure Column expressions (scan-speed,
+    zero shuffles)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.with_col("n_tokens", text.token_count(F.col("text")))
+        .with_col("punct", F.round(F.coalesce(text.punct_ratio(F.col("text")), F.lit(0.0)), 6))
+        .with_col("quality", text.quality_score(F.col("text")))
+        .with_col("bpe_tokens", text.bpe_token_estimate(F.col("text")))
+        .cols("doc_id", "n_tokens", "punct", "quality", "bpe_tokens")
+        .to_df()
+        .select("doc_id", "n_tokens", "punct", "quality", "bpe_tokens")
+    )
+
+
+TEXT_STATS_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
+         COALESCE(CASE WHEN LENGTH(text) = 0 THEN NULL
+              ELSE LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / LENGTH(text) END, 0) AS punct,
+         COALESCE(CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) = 0 THEN NULL
+              ELSE LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                       x -> x IN ('the','a','and','of','to','in')))::DOUBLE
+                   / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) END, 0) AS sw
+  FROM documents
+)
+SELECT doc_id, n_tokens, ROUND(punct, 6) AS punct,
+       ROUND(GREATEST(0.0, LEAST(n_tokens / 50.0, 1.0) * (1.0 - punct)
+             * (0.5 + LEAST(sw * 2, 0.5))), 6) AS quality,
+       LEN(REGEXP_EXTRACT_ALL(text,
+           e'\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS bpe_tokens
+FROM t
+"""
+
+
+def ann_topk_exact_ivf(spark, sf):
+    """Similarity search, exact baseline + ANN scale path side by side:
+    brute-force cosine top-5 (broadcast query set × partitioned corpus)
+    and IVF probe-limited top-5 (nprobe=2 of the centroid lists) — the
+    same 5 query vectors, tagged by method."""
+    exact = cosine_topk_neighbors(spark, sf).select(F.lit("exact").alias("method"), "*")
+    ivf = ivf_topk_neighbors(spark, sf).select(F.lit("ivf").alias("method"), "*")
+    return exact.unionByName(ivf)
+
+
+def sample_splits_docs(spark, sf):
+    """Content-addressed sampling in one result: deterministic 20% sample
+    with train/val/test assignment, plus the stratified per-language
+    rebalance tagged 'strat' — md5-bucketed, partition-layout-invariant,
+    zero shuffles."""
+    from tada_spark.functions import sampling
+
+    docs = load(spark, sf, "documents").to_df()
+    sampled = sampling.deterministic_sample(docs, "doc_id", 20)
+    split = sampling.assign_split(sampled, "doc_id", train_pct=80, val_pct=10).select(
+        "doc_id", "lang", "split"
+    )
+    rates = {"en": 10, "de": 50, "es": 50, "fr": 50, "zh": 50}
+    strat = sampling.stratified_sample(docs, "doc_id", "lang", rates).select(
+        "doc_id", "lang", F.lit("strat").alias("split")
+    )
+    return split.unionByName(strat)
+
+
+# composed from the validated single-op oracles
+ANN_SQL = f"""
+SELECT 'exact' AS method, query_id, neighbor_id, cos, rank FROM ({COSINE_SQL})
+UNION ALL
+SELECT 'ivf', query_id, neighbor_id, cos, rank FROM ({IVF_SQL})
+"""
+
+SAMPLE_SPLITS_SQL = f"""
+{SAMPLE_SPLIT_SQL}
+UNION ALL
+SELECT doc_id, lang, 'strat' AS split FROM ({STRATIFIED_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
 #: name → (spark_fn, oracle_sql | None)
+#:
+#: ORDER MATTERS: the external driver verifies the FIRST 50 entries against
+#: the DuckDB oracle. The first 50 therefore cover every SURVEY §2 operator
+#: and every LLM-pipeline tier component at least once (consolidated
+#: queries pack several operators each); entries beyond 50 are additional
+#: variants, verified by the identical local gate (tools/check_oracle.py).
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),
+    # -- filters / projection --
     "filter_compound": (filter_compound, FILTER_SQL),
     "filter_by_value_canon": (filter_by_value_canon, FILTER_BY_VALUE_SQL),
     "where_price_tier": (where_price_tier, WHERE_SQL),
+    "ordered_range_rows": (ordered_range_rows, RANGE_SQL),
+    # -- sort / distinct / counts --
     "sort_topk_customers": (sort_topk_customers, SORT_SQL),
     "value_counts_priority": (value_counts_priority, VALUE_COUNTS_SQL),
-    "distinct_flag_status": (distinct_flag_status, DISTINCT_SQL),
-    "lookup_orders_customer": (lookup_orders_customer, LOOKUP_SQL),
-    "append_union": (append_union, APPEND_SQL),
-    "agg_stats_quantity": (agg_stats_quantity, AGG_STATS_SQL),
-    "group_reducers_full": (group_reducers_full, GROUP_REDUCERS_SQL),
-    "having_count_nations": (having_count_nations, HAVING_SQL),
-    "align_deviation": (align_deviation, ALIGN_SQL),
-    "first_last_per_order": (first_last_per_order, FIRST_LAST_SQL),
-    "pivot_returnflag": (pivot_returnflag, PIVOT_SQL),
-    "shift_lag_events": (shift_lag_events, SHIFT_SQL),
-    "cumsum_user_value": (cumsum_user_value, CUMSUM_SQL),
-    "rank_customers_in_nation": (rank_customers_in_nation, RANK_SQL),
-    "percentile_totalprice": (percentile_totalprice, PERCENTILE_SQL),
-    "bin_quantity": (bin_quantity, BIN_SQL),
-    "percentile_bin_price": (percentile_bin_price, PBIN_SQL),
-    "resample_month_revenue": (resample_month_revenue, RESAMPLE_SQL),
-    "resample_week_revenue": (resample_week_revenue, RESAMPLE_WEEK_SQL),
-    "rolling3_forward_sum": (rolling3_forward_sum, ROLLING3_SQL),
-    "rolling_1h_sum": (rolling_1h_sum, ROLLING_1H_SQL),
-    "ffill_user_value": (ffill_user_value, FFILL_SQL),
-    "divide_nullsafe": (divide_nullsafe, DIVIDE_SQL),
-    "json_extract_props": (json_extract_props, JSON_SQL),
-    "ordered_range_rows": (ordered_range_rows, RANGE_SQL),
-    "rollup_status_priority": (rollup_status_priority, ROLLUP_SQL),
-    "cube_flag_status": (cube_flag_status, CUBE_SQL),
-    "nth_line_per_order": (nth_line_per_order, NTH_SQL),
     "unique_first_appearance": (unique_first_appearance, UNIQUE_FIRST_SQL),
-    "agg_all_columns": (agg_all_columns, AGG_ALL_SQL),
+    # -- joins (Frame.lookup also rides q3/q5's fact→dim hops) --
+    "merge_dedupe_names": (merge_dedupe_names, MERGE_SQL),
+    "semi_anti_partition": (semi_anti_partition, SEMI_ANTI_SQL),
+    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "range_join_purchase_clicks": (range_join_purchase_clicks, RANGE_JOIN_SQL),
+    # -- set ops --
+    "append_union": (append_union, APPEND_SQL),
+    "intersect_except_orders": (intersect_except_orders, EXCEPT_SQL),
+    # -- group-by / aggregation --
+    "agg_frame_and_columns": (agg_frame_and_columns, AGG_FRAME_COLS_SQL),
+    "group_reducers_full": (group_reducers_full, GROUP_REDUCERS_SQL),
+    "align_having_users": (align_having_users, ALIGN_HAVING_SQL),
+    "first_last_nth_per_order": (first_last_nth_per_order, FIRST_LAST_NTH_SQL),
+    "pivot_returnflag": (pivot_returnflag, PIVOT_SQL),
+    "rollup_status_priority": (rollup_status_priority, ROLLUP_SQL),
+    # -- scalar / window transforms --
+    "shift_cumsum_events": (shift_cumsum_events, SHIFT_CUMSUM_SQL),
+    "rank_percentile_customers": (rank_percentile_customers, RANK_PERCENTILE_SQL),
+    "bin_pbin_orders": (bin_pbin_orders, BIN_PBIN_SQL),
+    "resample_calendar_revenue": (resample_calendar_revenue, RESAMPLE_CAL_SQL),
+    "resample_15min_events": (resample_15min_events, RESAMPLE_DUR_SQL),
+    "rolling_n_duration_events": (rolling_n_duration_events, ROLLING_N_DUR_SQL),
+    "ffill_user_value": (ffill_user_value, FFILL_SQL),
+    "combine_series_ratio": (combine_series_ratio, COMBINE_SQL),
+    "cast_multiformat_dates": (cast_multiformat_dates, CAST_DATES_SQL),
+    "set_rows_patch": (set_rows_patch, SET_ROWS_SQL),
     "promote_region_level": (promote_region_level, PROMOTE_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
-    "token_frequency": (token_frequency, TOKEN_FREQ_SQL),
+    # -- custom UDAF / per-group transform --
     "custom_reduce_weighted_mean": (custom_reduce_weighted_mean, CUSTOM_REDUCE_SQL),
     "custom_apply_zscore": (custom_apply_zscore, CUSTOM_APPLY_SQL),
-    "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
-    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    # -- text analysis tier --
+    "text_stats_quality": (text_stats_quality, TEXT_STATS_QUALITY_SQL),
     "lang_id_vote": (lang_id_vote, LANG_ID_SQL),
+    # -- dedup tier --
     "dedup_exact_fingerprint": (dedup_exact_fingerprint, DEDUP_EXACT_SQL),
     "jaccard_near_dups": (jaccard_near_dups, JACCARD_SQL),
     "minhash_candidate_pairs": (minhash_candidate_pairs, None),
     "simhash_candidates": (simhash_candidates, None),
-    "cosine_topk_neighbors": (cosine_topk_neighbors, COSINE_SQL),
-    "combine_series_ratio": (combine_series_ratio, COMBINE_SQL),
-    "cast_multiformat_dates": (cast_multiformat_dates, CAST_DATES_SQL),
-    "ivf_topk_neighbors": (ivf_topk_neighbors, IVF_SQL),
-    "salted_group_sum": (salted_group_sum, SALTED_SQL),
-    "semi_join_active_parts": (semi_join_active_parts, SEMI_SQL),
-    "anti_join_idle_customers": (anti_join_idle_customers, ANTI_SQL),
-    "moving_avg_trailing": (moving_avg_trailing, MOVING_AVG_SQL),
-    "intersect_except_orders": (intersect_except_orders, EXCEPT_SQL),
-    "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
-    "merge_dedupe_names": (merge_dedupe_names, MERGE_SQL),
-    "set_rows_patch": (set_rows_patch, SET_ROWS_SQL),
-    "multimodal_image_features": (multimodal_image_features, MULTIMODAL_SQL),
-    "multimodal_audio_features": (multimodal_audio_features, MULTIMODAL_AUDIO_SQL),
-    "video_frame_sample": (video_frame_sample, VIDEO_SAMPLE_SQL),
+    # -- similarity tier --
+    "ann_topk_exact_ivf": (ann_topk_exact_ivf, ANN_SQL),
     "embed_near_dup_pairs": (embed_near_dup_pairs, NEAR_DUP_SQL),
+    # -- skew / sampling / multimodal tiers --
+    "salted_group_sum": (salted_group_sum, SALTED_SQL),
+    "sample_splits_docs": (sample_splits_docs, SAMPLE_SPLITS_SQL),
+    "multimodal_image_features": (multimodal_image_features, MULTIMODAL_SQL),
+    "video_frame_sample": (video_frame_sample, VIDEO_SAMPLE_SQL),
+    # -- streaming --
+    "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
+    "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
+    # ----- entries beyond the driver's 50-query window (local gate) -----
+    "lookup_orders_customer": (lookup_orders_customer, LOOKUP_SQL),
+    "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),
+    "distinct_flag_status": (distinct_flag_status, DISTINCT_SQL),
+    "divide_nullsafe": (divide_nullsafe, DIVIDE_SQL),
+    "json_extract_props": (json_extract_props, JSON_SQL),
+    "cube_flag_status": (cube_flag_status, CUBE_SQL),
+    "token_frequency": (token_frequency, TOKEN_FREQ_SQL),
+    "moving_avg_trailing": (moving_avg_trailing, MOVING_AVG_SQL),
+    "top2_orders_per_customer": (top2_orders_per_customer, TOP2_SQL),
+    "multimodal_audio_features": (multimodal_audio_features, MULTIMODAL_AUDIO_SQL),
     "approx_distinct_suppliers": (approx_distinct_suppliers, None),
-    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
-    "range_join_purchase_clicks": (range_join_purchase_clicks, RANGE_JOIN_SQL),
-    "deterministic_doc_sample": (deterministic_doc_sample, SAMPLE_SPLIT_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
     "embedding_centroids": (embedding_centroids, CENTROID_SQL),
     "pivot_multi_agg_flag": (pivot_multi_agg_flag, PIVOT_MULTI_SQL),
-    "resample_15min_events": (resample_15min_events, RESAMPLE_DUR_SQL),
     "salted_join_events_users": (salted_join_events_users, SALTED_JOIN_SQL),
-    "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SQL),
     "approx_quantiles_sketch": (approx_quantiles_sketch, None),
     "winsorize_value_per_user": (winsorize_value_per_user, WINSORIZE_SQL),
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
-    "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
-    "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
 }

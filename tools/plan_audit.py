@@ -40,8 +40,9 @@ ALLOWED_EXCHANGES = {
 #: on an inequality against the partitioned corpus — linear in the
 #: corpus, not quadratic. Everything else must be equi-join shaped.
 ALLOWED_BNLJ = {
-    "cosine_topk_neighbors",  # broadcast query set × corpus (query_id != neighbor_id)
-    "ivf_topk_neighbors",     # broadcast probe set, post-probe inequality filter
+    # broadcast query set × corpus (query_id != neighbor_id) + broadcast
+    # probe set with post-probe inequality filter — linear in the corpus
+    "ann_topk_exact_ivf",
 }
 
 
