@@ -214,6 +214,32 @@ class Frame:
     def with_col(self, name: str, col: ColumnLike) -> "Frame":
         return self._wrap(self.df.withColumn(name, _col(col)))
 
+    def with_values(self, name: str, values: Sequence, *, max_rows: int = 100_000) -> "Frame":
+        """Replace-or-append a column from a DRIVER-SIDE sequence by row
+        position (reference WithCol/WithLabel slice input,
+        dataframe.go:842-878): length must equal the frame length;
+        positions follow the frame's declared order (__rowid__
+        discipline). Driver-side data is inherently small — capped like
+        transpose so it can't be misused at scale (the distributed path
+        for new columns is ``with_col`` with a Column expression)."""
+        import pandas as pd
+
+        n = self.df.count()
+        if n > max_rows:
+            raise ValueError(f"with_values: {n} rows > cap {max_rows}; driver-side values are a small-data op")
+        if len(values) != n:
+            raise ValueError(f"with_values: {len(values)} values != {n} rows (reference requires equal length)")
+        df = self._require_rowid()
+        tmp = "__wv__"
+        new = F.broadcast(
+            self.df.sparkSession.createDataFrame(pd.DataFrame({ROWID: range(n), tmp: list(values)}))
+        )
+        base = df.drop(name) if name in self.columns else df
+        joined = base.join(new, ROWID).withColumnRenamed(tmp, name)
+        # keep the original column position on replace; append at end otherwise
+        order = self.columns if name in self.columns else self.columns + [name]
+        return self._wrap(joined.select(*order, ROWID))
+
     def reorder_cols(self, *names: str) -> "Frame":
         """Project into the given order; unlisted columns dropped
         (reference dataframe.go:1128-1179)."""
@@ -397,15 +423,45 @@ class Frame:
     # ------------------------------------------------------------------
     #: Multi-format datetime parse order (reference options.go:20-23),
     #: tried first-to-last; first successful parse wins.
+    #: The reference's full accepted-format list (reference options.go:20-23):
+    #: ISO/RFC3339 forms, US-slash/dash dates, RFC822, Go's default
+    #: "-0700 MST" render, and kitchen time (handled separately below —
+    #: Java 'a' can't match lowercase "pm"). RFC3339Nano's variable-width
+    #: fraction is covered by the 3/6/9-digit variants.
     DATETIME_FORMATS = (
         "yyyy-MM-dd HH:mm:ss",
         "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX",
         "yyyy-MM-dd'T'HH:mm:ss",
         "yyyy-MM-dd",
+        "M-d-yyyy",
         "M/d/yyyy H:mm",
         "M/d/yyyy",
         "M/d/yy",
+        "d MMM yy HH:mm zzz",
+        "d MMM yy HH:mm",
+        "yyyy-MM-dd HH:mm:ss xx zzz",
     )
+
+    @staticmethod
+    def _parse_attempt(c: Column, fmt: str) -> Column:
+        """One try_to_timestamp attempt. Formats with a 2-digit year get
+        the C/Go century convention (69-99 → 19xx): Java 'yy' maps into
+        2000-2099, so the reference (Go Parse) and the C strptime oracle
+        would both disagree with a raw Java parse for years ≥ 2069."""
+        p = F.try_to_timestamp(c, F.lit(fmt))
+        if "yy" in fmt and "yyyy" not in fmt:
+            p = F.when(F.year(p) >= 2069, p - F.make_interval(years=F.lit(100))).otherwise(p)
+        return p
+
+    def _datetime_attempts(self, c: Column) -> list[Column]:
+        attempts = [self._parse_attempt(c, fmt) for fmt in self.DATETIME_FORMATS]
+        # kitchen time "3:04PM" / "3:04pm" (Go time.Kitchen + lowercase):
+        # uppercase the value so Java's case-sensitive 'a' matches both
+        attempts.append(F.try_to_timestamp(F.upper(F.trim(c)), F.lit("h:mma")))
+        return attempts
 
     def cast(self, **types: str) -> "Frame":
         """Per-column dtype coercion with parse-failure→null semantics
@@ -417,16 +473,20 @@ class Frame:
             if dtype in ("timestamp", "datetime"):
                 src = self.dtype(name)
                 if isinstance(src, T.StringType):
-                    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in self.DATETIME_FORMATS]
-                    df = df.withColumn(name, F.coalesce(*attempts))
+                    df = df.withColumn(name, F.coalesce(*self._datetime_attempts(c)))
                 else:
                     df = df.withColumn(name, c.cast("timestamp"))
+            elif dtype == "time":
+                # time-of-day dtype (reference civil.Time, types.go:207-220):
+                # Spark 4.x native TIME — orders chronologically in sorts
+                # (reference sort coercion internal.go:1286-1295); parse
+                # failure → null like every other cast
+                df = df.withColumn(name, c.try_cast("time"))
             elif dtype == "date" and isinstance(self.dtype(name), T.StringType):
                 # same multi-format fallback as timestamp — a bare
                 # try_cast('date') only accepts ISO forms and would
                 # silently null non-ISO columns the inference voted date
-                attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in self.DATETIME_FORMATS]
-                df = df.withColumn(name, F.coalesce(*attempts).cast("date"))
+                df = df.withColumn(name, F.coalesce(*self._datetime_attempts(c)).cast("date"))
             else:
                 # try_cast: parse-failure→null even under ANSI sessions
                 df = df.withColumn(name, c.try_cast(dtype))

@@ -61,26 +61,35 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     return w, h, luma
 
 
-def image_features(df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+def image_features(
+    df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload", decoder=None
+) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
     Input: df[id_col: long, payload_col: binary, ...]. Output:
     IMAGE_FEATURES_SCHEMA. Rows with undecodable payloads are dropped
     (null-skipping, matching the engine's null discipline).
+
+    ``decoder(payload) -> (width, height, mean_luma)`` is the ONLY swap
+    point between the container stub and a real PIL/turbojpeg decode —
+    everything else (schema, Arrow batching, partitioning, error-drop
+    policy) is the production pipeline; the contract test pins this.
     """
+    decode = decoder or _decode_image_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "n_bytes": [], "mean_luma": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    w, h, luma = _decode_image_stub(payload)
+                    n_bytes = len(payload)  # None payload ⇒ undecodable
+                    w, h, luma = decode(payload)
                 except Exception:
                     continue
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["n_bytes"].append(len(payload))
+                out["n_bytes"].append(n_bytes)
                 out["mean_luma"].append(luma)
             yield pd.DataFrame(out)
 
@@ -121,19 +130,26 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, float, float]:
     return sample_rate, duration_s, rms
 
 
-def audio_features(df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+def audio_features(
+    df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload", decoder=None
+) -> DataFrame:
     """Decode + feature-extract audio via mapInPandas (Arrow batches).
 
     Input: df[id_col: long, payload_col: binary]. Output:
     AUDIO_FEATURES_SCHEMA. Undecodable payloads are dropped.
+
+    ``decoder(payload) -> (sample_rate, duration_s, rms)`` is the only
+    stub/real swap point (real: ffmpeg/torchaudio); the surrounding
+    pipeline is production code.
     """
+    decode = decoder or _decode_audio_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "sample_rate": [], "duration_s": [], "rms": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    sr, dur, rms = _decode_audio_stub(payload)
+                    sr, dur, rms = decode(payload)
                 except Exception:
                     continue
                 out["media_id"].append(mid)

@@ -1464,9 +1464,11 @@ def cast_multiformat_dates(spark, sf):
     orders = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000)
     mixed = orders.with_col(
         "d_str",
-        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
-        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        F.when(F.col("o_orderkey") % 6 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 6 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(F.col("o_orderkey") % 6 == 2, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("o_orderkey") % 6 == 3, F.date_format("o_orderdate", "MM-dd-yyyy"))
+        .when(F.col("o_orderkey") % 6 == 4, F.date_format("o_orderdate", "dd MMM yy HH:mm"))
         .otherwise(F.lit("not a date")),
     )
     out = mixed.cast(d_str="timestamp")
@@ -1475,9 +1477,11 @@ def cast_multiformat_dates(spark, sf):
 
 CAST_DATES_SQL = """
 SELECT o_orderkey,
-       CASE WHEN o_orderkey % 4 = 0 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
-            WHEN o_orderkey % 4 = 1 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')
-            WHEN o_orderkey % 4 = 2 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+       CASE WHEN o_orderkey % 6 = 0 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+            WHEN o_orderkey % 6 = 1 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')
+            WHEN o_orderkey % 6 = 2 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+            WHEN o_orderkey % 6 = 3 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%m-%d-%Y'), '%m-%d-%Y')
+            WHEN o_orderkey % 6 = 4 THEN TRY_STRPTIME(STRFTIME(o_orderdate, '%d %b %y %H:%M'), '%d %b %y %H:%M')
             ELSE NULL END AS parsed
 FROM orders WHERE o_orderkey < 3000
 """

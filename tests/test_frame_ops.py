@@ -589,3 +589,67 @@ def test_grouped_nunique_excludes_keys(spark):
     out = f.group_by("k").nunique()
     assert "nunique_k" not in out.columns
     assert sorted((r.k, r.nunique_v) for r in out.df.collect()) == [("a", 2), ("b", 1)]
+
+
+def test_with_values_positional_append_and_replace(spark):
+    """Reference WithCol slice input (dataframe.go:842-878): append a
+    driver-side list by row position (declared order), replace keeps
+    column position, length mismatch raises."""
+    import pytest
+
+    f = Frame(
+        spark.createDataFrame([(2, "b"), (1, "a"), (3, "c")], "k long, v string")
+    ).ordered("k")
+    out = f.with_values("tag", ["x", "y", "z"])
+    assert [(r.k, r.tag) for r in out.sort(("k", True)).df.collect()] == [(1, "x"), (2, "y"), (3, "z")]
+    # replace keeps position
+    out2 = out.with_values("v", ["A", "B", "C"])
+    assert out2.columns == ["k", "v", "tag"]
+    assert [r.v for r in out2.sort(("k", True)).df.collect()] == ["A", "B", "C"]
+    with pytest.raises(ValueError, match="values != "):
+        f.with_values("bad", [1, 2])
+
+
+def test_cast_time_of_day_and_sort(spark):
+    """Time-of-day dtype (reference civil.Time types.go:207-220): parse
+    HH:MM:SS strings, parse-fail -> null, chronological sort coercion
+    (reference internal.go:1286-1295)."""
+    import datetime as dt
+
+    f = Frame(
+        spark.createDataFrame([("09:30:00",), ("15:04:05",), ("7:05:00",), ("nope",)], "t string")
+    ).cast(t="time")
+    got = [r.t for r in f.sort(("t", True)).df.collect()]
+    assert got == [dt.time(7, 5), dt.time(9, 30), dt.time(15, 4, 5), None]  # nulls last
+
+
+def test_multimodal_decoder_swap_contract(spark):
+    """The stub/real swap point is ONE injectable function: swapping the
+    decoder changes decoded values only — schema, batching, and the
+    drop-undecodable policy are production code either side of it."""
+    from tada_spark.functions import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"")), (3, None)],
+        "media_id long, payload binary",
+    )
+    def fake_real_image(p):
+        if not p:
+            raise ValueError("undecodable")  # real decoders raise too
+        return (640, 480, 0.5)
+
+    stub = multimodal.image_features(df)
+    real = multimodal.image_features(df, decoder=fake_real_image)
+    assert stub.schema == real.schema == multimodal.IMAGE_FEATURES_SCHEMA
+    # both drop the undecodable rows (empty/None payloads)
+    assert {r.media_id for r in stub.collect()} == {r.media_id for r in real.collect()} == {1}
+    assert real.first().width == 640 and real.first().mean_luma == 0.5
+    def fake_real_audio(p):
+        if not p:
+            raise ValueError("undecodable")
+        return (44100, 1.5, 0.25)
+
+    a_stub = multimodal.audio_features(df)
+    a_real = multimodal.audio_features(df, decoder=fake_real_audio)
+    assert a_stub.schema == a_real.schema == multimodal.AUDIO_FEATURES_SCHEMA
+    assert a_real.first().sample_rate == 44100

@@ -104,3 +104,38 @@ def test_canon_str_decimal_trailing_zeros(spark):
     assert py_canon(Decimal("1.50")) == "1.5"
     assert py_canon(Decimal("2.00")) == "2"
     assert py_canon(Decimal("0.25")) == "0.25"
+
+
+def test_cast_full_reference_format_list(spark):
+    """Every reference datetime format (reference options.go:20-23)
+    parses; garbage -> null; 2-digit years follow the C/Go century
+    convention (69-99 -> 19xx), not Java's 2000-2099 window."""
+    import datetime as dt
+
+    rows = [
+        ("2006-01-02",),                        # ISO date
+        ("01-02-2006",),                        # US dash
+        ("01/02/2006",),                        # US slash
+        ("1/2/06",),                            # short yy (-> 2006)
+        ("1/2/96",),                            # short yy (-> 1996, not 2096)
+        ("2006-01-02T15:04:05Z",),              # RFC3339
+        ("2006-01-02T15:04:05.999999999Z",),    # RFC3339Nano
+        ("02 Jan 06 15:04",),                   # RFC822 (zone-free)
+        ("3:04PM",),                            # kitchen
+        ("3:04pm",),                            # kitchen lowercase
+        ("definitely not a date",),
+        ("2006-01-02 15:04:05 -0700 MST",),     # Go default render
+    ]
+    f = Frame(spark.createDataFrame(rows, "s string")).cast(s="timestamp")
+    got = [r.s for r in f.df.collect()]
+    d = dt.datetime
+    assert got[0] == d(2006, 1, 2)
+    assert got[1] == got[2] == d(2006, 1, 2)
+    assert got[3] == d(2006, 1, 2)
+    assert got[4] == d(1996, 1, 2)
+    assert got[5] == d(2006, 1, 2, 15, 4, 5)
+    assert got[6] == d(2006, 1, 2, 15, 4, 5, 999999)
+    assert got[7] == d(2006, 1, 2, 15, 4)
+    assert got[8] == got[9] == d(1970, 1, 1, 15, 4)
+    assert got[10] is None
+    assert got[11] == d(2006, 1, 2, 22, 4, 5)  # -0700 -> UTC session tz
