@@ -222,18 +222,24 @@ class Frame:
         discipline). Driver-side data is inherently small — capped like
         transpose so it can't be misused at scale (the distributed path
         for new columns is ``with_col`` with a Column expression)."""
-        import pandas as pd
-
         n = self.df.count()
         if n > max_rows:
             raise ValueError(f"with_values: {n} rows > cap {max_rows}; driver-side values are a small-data op")
         if len(values) != n:
             raise ValueError(f"with_values: {len(values)} values != {n} rows (reference requires equal length)")
+        if n == 0:
+            raise ValueError("with_values: cannot infer a column type from zero values; use with_col with a typed expression")
         df = self._require_rowid()
         tmp = "__wv__"
-        new = F.broadcast(
-            self.df.sparkSession.createDataFrame(pd.DataFrame({ROWID: range(n), tmp: list(values)}))
-        )
+        # Spark's own inference, NOT pandas: pandas coerces int+None to
+        # float64, silently turning a long column into double
+        try:
+            new_rows = self.df.sparkSession.createDataFrame(
+                [(i, v) for i, v in enumerate(values)]
+            ).toDF(ROWID, tmp)
+        except ValueError as e:
+            raise ValueError(f"with_values: could not infer a type for the given values ({e})") from None
+        new = F.broadcast(new_rows)
         base = df.drop(name) if name in self.columns else df
         joined = base.join(new, ROWID).withColumnRenamed(tmp, name)
         # keep the original column position on replace; append at end otherwise
@@ -445,15 +451,28 @@ class Frame:
         "yyyy-MM-dd HH:mm:ss xx zzz",
     )
 
-    @staticmethod
-    def _parse_attempt(c: Column, fmt: str) -> Column:
+    #: Where the 2-digit year sits in each yy-format's SOURCE string. The
+    #: century decision must come from the string, not from year(parsed):
+    #: zoned inputs convert to session-UTC first, so a local 2068/2069
+    #: New-Year's-Eve timestamp would read the wrong year and shift the
+    #: wrong way by a century.
+    _YY_EXTRACT = {
+        "M/d/yy": r"^\s*\d{1,2}/\d{1,2}/(\d{2})\s*$",
+        "d MMM yy HH:mm zzz": r"^\s*\d{1,2} [A-Za-z]{3} (\d{2}) ",
+        "d MMM yy HH:mm": r"^\s*\d{1,2} [A-Za-z]{3} (\d{2}) ",
+    }
+
+    @classmethod
+    def _parse_attempt(cls, c: Column, fmt: str) -> Column:
         """One try_to_timestamp attempt. Formats with a 2-digit year get
         the C/Go century convention (69-99 → 19xx): Java 'yy' maps into
         2000-2099, so the reference (Go Parse) and the C strptime oracle
         would both disagree with a raw Java parse for years ≥ 2069."""
         p = F.try_to_timestamp(c, F.lit(fmt))
-        if "yy" in fmt and "yyyy" not in fmt:
-            p = F.when(F.year(p) >= 2069, p - F.make_interval(years=F.lit(100))).otherwise(p)
+        pat = cls._YY_EXTRACT.get(fmt)
+        if pat is not None:
+            yy = F.regexp_extract(F.trim(c), pat, 1).try_cast("int")
+            p = F.when(yy >= 69, p - F.make_interval(years=F.lit(100))).otherwise(p)
         return p
 
     def _datetime_attempts(self, c: Column) -> list[Column]:
@@ -807,21 +826,9 @@ class Frame:
         if ROWID in right.columns:
             right = right.drop(ROWID)
 
-        # cross-type keys compare via canon_str (reference §1.6)
-        rfields = {f.name: f.dataType for f in right.schema.fields}
-        conds = []
-        for lk, rk in zip(left_on, right_on):
-            if type(lfields[lk]) is type(rfields[rk]):
-                conds.append(self.df[lk] == right[rk])
-            else:
-                # canon_str's NULL sentinel matches itself; join equality
-                # must not (nulls-never-match — same rule as typed ==)
-                conds.append(
-                    self.df[lk].isNotNull()
-                    & right[rk].isNotNull()
-                    & (canon_str(self.df[lk], lfields[lk]) == canon_str(right[rk], rfields[rk]))
-                )
-        cond = _reduce(lambda a, b: a & b, conds)
+        # cross-type keys compare via canon_str (reference §1.6) — same
+        # condition builder as semi/anti so the rule can't diverge
+        cond = self._key_conds_df(right, left_on, right_on)
 
         if broadcast:
             right = F.broadcast(right)
@@ -838,25 +845,28 @@ class Frame:
         keeps_rows = how in ("left", "left_outer", "leftouter")
         return self._wrap(joined) if keeps_rows else self._wrap_reordered(joined)
 
-    def _key_conds(self, other: "Frame", left_on: Sequence[str], right_on: Sequence[str]) -> Column:
-        """Join condition per key pair; mismatched key types compare via
-        canon_str (same rule as lookup — a cross-typed key must not
-        silently match nothing)."""
+    def _key_conds_df(self, right: DataFrame, left_on: Sequence[str], right_on: Sequence[str]) -> Column:
+        """Join condition per key pair against an arbitrary right
+        DataFrame; mismatched key types compare via canon_str, with a
+        null guard (canon_str renders NULL as a sentinel equal on both
+        sides, but join equality must keep nulls-never-match). The ONE
+        copy of this rule — lookup and semi/anti both route here."""
         lfields = {f.name: f.dataType for f in self.df.schema.fields}
-        rfields = {f.name: f.dataType for f in other.df.schema.fields}
+        rfields = {f.name: f.dataType for f in right.schema.fields}
         conds = []
         for lk, rk in zip(left_on, right_on):
             if type(lfields[lk]) is type(rfields[rk]):
-                conds.append(self.df[lk] == other.df[rk])
+                conds.append(self.df[lk] == right[rk])
             else:
-                # null guard: canon_str renders NULL as a sentinel equal on
-                # both sides; joins must keep nulls-never-match semantics
                 conds.append(
                     self.df[lk].isNotNull()
-                    & other.df[rk].isNotNull()
-                    & (canon_str(self.df[lk], lfields[lk]) == canon_str(other.df[rk], rfields[rk]))
+                    & right[rk].isNotNull()
+                    & (canon_str(self.df[lk], lfields[lk]) == canon_str(right[rk], rfields[rk]))
                 )
         return _reduce(lambda a, b: a & b, conds)
+
+    def _key_conds(self, other: "Frame", left_on: Sequence[str], right_on: Sequence[str]) -> Column:
+        return self._key_conds_df(other.df, left_on, right_on)
 
     def semi_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
         """Keep left rows with ≥1 match in other (free extension beyond

@@ -60,14 +60,13 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_words: int = 3)
             ]
         )
 
-    sh = word_shingles(col, shingle_words)
-    # no shingles (empty/whitespace-only doc) ⇒ NULL signature, matching
-    # the long-form minhash_signatures path which drops such docs —
-    # otherwise every empty doc shares the all-MAX_LONG init signature
-    # and they all collide as LSH candidates of each other
-    return F.when(F.size(sh) > 0, F.aggregate(sh, init, step)).otherwise(
-        F.lit(None).cast("array<bigint>")
-    )
+    # empty/whitespace-only docs: word_shingles yields NULL, aggregate
+    # propagates it ⇒ NULL signature, matching the long-form
+    # minhash_signatures path which drops such docs (otherwise every
+    # empty doc would share the all-MAX_LONG init signature and collide
+    # as LSH candidates). Single evaluation of the shingle expression —
+    # a size() guard here would compute it twice per row.
+    return F.aggregate(word_shingles(col, shingle_words), init, step)
 
 
 def minhash_signatures(

@@ -207,11 +207,14 @@ def lsh_cosine_candidates(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("cos", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+        # float discipline: threshold the ROUNDED cosine — oracles compare
+        # ROUND(cos, 6) >= t, and a raw-value filter would drop pairs
+        # whose true cosine sits in [t - 5e-7, t)
+        .withColumn("cos", F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round("cos", 6).alias("cos"),
+            "cos",
         )
     )

@@ -36,10 +36,13 @@ def char_count(col: Column) -> Column:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """n-word shingles (distinct) from whitespace tokens — the MinHash
-    input unit. Empty/whitespace-only text yields an EMPTY array (split
-    of '' gives [''], which would otherwise make every empty doc share
-    one fake shingle — and collide as near-dups in the array-path
-    minhash, diverging from the long-form path which drops them)."""
+    input unit. Empty/whitespace-only text yields NULL (split of ''
+    gives [''], which would otherwise make every empty doc share one
+    fake shingle — and collide as near-dups in the array-path minhash,
+    diverging from the long-form path which drops them). NULL rather
+    than an empty array so downstream aggregate() propagates it in a
+    single evaluation — an empty-array convention would force callers
+    into a size() guard that evaluates this whole expression twice."""
     trimmed = F.trim(col)
     toks = F.split(trimmed, r"\s+")
     k = F.size(toks) - (n - 1)
@@ -49,7 +52,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(shingles)
+    return F.when(trimmed == "", F.lit(None).cast("array<string>")).otherwise(shingles)
 
 
 def char_shingles(col: Column, n: int = 3) -> Column:

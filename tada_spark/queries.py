@@ -1659,7 +1659,9 @@ RANK_PERCENTILE_SQL = """
 SELECT c_custkey, c_nationkey,
        CASE WHEN c_acctbal IS NULL THEN NULL
             ELSE DENSE_RANK() OVER (PARTITION BY c_nationkey, c_acctbal IS NULL ORDER BY c_acctbal DESC) END AS bal_rank,
-       ROUND((RANK() OVER (ORDER BY c_acctbal) - 1)::DOUBLE / COUNT(*) OVER (), 6) AS pct
+       CASE WHEN c_acctbal IS NULL THEN NULL
+            ELSE ROUND((RANK() OVER (PARTITION BY (c_acctbal IS NULL) ORDER BY c_acctbal) - 1)::DOUBLE
+                       / COUNT(*) OVER (PARTITION BY (c_acctbal IS NULL)), 6) END AS pct
 FROM customer
 """
 

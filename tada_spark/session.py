@@ -38,7 +38,6 @@ def get_spark(app_name: str = "tada_spark", cpus: int | None = None) -> SparkSes
         # native TIME type (time-of-day — the reference's civil.Time
         # dtype, types.go:207-220); flag-gated in Spark 4.x
         .config("spark.sql.timeType.enabled", "true")
-        .config("spark.sql.types.timeType.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -653,3 +653,16 @@ def test_multimodal_decoder_swap_contract(spark):
     a_real = multimodal.audio_features(df, decoder=fake_real_audio)
     assert a_stub.schema == a_real.schema == multimodal.AUDIO_FEATURES_SCHEMA
     assert a_real.first().sample_rate == 44100
+
+
+def test_with_values_preserves_int_type_with_none(spark):
+    """int values with a None must land as a LONG column with a null —
+    not pandas' silent float64 coercion."""
+    f = Frame(spark.createDataFrame([(1,), (2,), (3,)], "k long")).ordered("k")
+    out = f.with_values("x", [10, None, 30])
+    assert dict(out.df.dtypes)["x"] == "bigint"
+    assert [r.x for r in out.sort(("k", True)).df.collect()] == [10, None, 30]
+    import pytest
+
+    with pytest.raises(ValueError, match="zero values"):
+        Frame(spark.createDataFrame([], "k long")).ordered("k").with_values("x", [])

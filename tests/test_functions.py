@@ -190,7 +190,7 @@ def test_minhash_empty_docs_no_signature(spark):
     )
     sh = df.select("doc_id", word_shingles(F.col("text")).alias("s")).collect()
     by_id = {r.doc_id: r.s for r in sh}
-    assert by_id[1] == [] and by_id[2] == []
+    assert by_id[1] is None and by_id[2] is None  # NULL, single-eval convention
     sig = df.select(
         "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
     ).collect()

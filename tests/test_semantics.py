@@ -139,3 +139,19 @@ def test_cast_full_reference_format_list(spark):
     assert got[8] == got[9] == d(1970, 1, 1, 15, 4)
     assert got[10] is None
     assert got[11] == d(2006, 1, 2, 22, 4, 5)  # -0700 -> UTC session tz
+
+
+def test_cast_yy_century_from_source_string_not_utc_year(spark):
+    """The 69/99 century rule must read the 2-digit year from the SOURCE
+    string: a zoned local-2068 New-Year's-Eve timestamp crosses into
+    UTC-2069 and would otherwise be shifted back a century."""
+    import datetime as dt
+
+    rows = [
+        ("31 Dec 68 23:30 EST",),   # local 2068 -> UTC 2069-01-01 04:30; stays 2068-source
+        ("02 Jan 69 15:04",),       # 69 -> 1969
+    ]
+    f = Frame(spark.createDataFrame(rows, "s string")).cast(s="timestamp")
+    got = [r.s for r in f.df.collect()]
+    assert got[0] == dt.datetime(2069, 1, 1, 4, 30)   # NOT shifted to 1969
+    assert got[1] == dt.datetime(1969, 1, 2, 15, 4)
