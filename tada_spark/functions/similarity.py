@@ -200,7 +200,9 @@ def lsh_cosine_candidates(
     """Near-neighbor pairs within LSH buckets — the ANN scale path.
     Recall is tunable via number of planes / OR-ed tables."""
     b = lsh_sign_buckets(df, planes, id_col=id_col, vec_col=vec_col)
-    a, c = b.alias("a"), b.alias("b")
+    # shuffle self-join so the plane-projection pipeline runs once per
+    # table instead of once per broadcast side (see dedup.minhash_lsh_pairs)
+    a, c = b.alias("a").hint("shuffle_hash"), b.alias("b")
     return (
         a.join(
             c,

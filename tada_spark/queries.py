@@ -1251,7 +1251,8 @@ def winnow_shared_fingerprints(spark, sf):
     twin."""
     docs = load(spark, sf, "documents").to_df().filter(F.col("doc_id") < 100)
     fps = text.winnow_fingerprints_long(docs, id_col="doc_id", text_col="text", k=8, w=16)
-    a, b = fps.alias("a"), fps.alias("b")
+    # shuffle self-join: winnowing is window-heavy, recompute-per-side is waste
+    a, b = fps.alias("a").hint("shuffle_hash"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
