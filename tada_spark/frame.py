@@ -232,13 +232,28 @@ class Frame:
         df = self._require_rowid()
         tmp = "__wv__"
         # Spark's own inference, NOT pandas: pandas coerces int+None to
-        # float64, silently turning a long column into double
+        # float64, silently turning a long column into double. Mixed
+        # int/float lists DO coerce to double (Spark's merger refuses
+        # long+double, but a numerically mixed driver-side list means
+        # double was intended).
+        vals = list(values)
+        if any(type(v) is float for v in vals) and all(
+            v is None or type(v) in (int, float) for v in vals
+        ):
+            vals = [None if v is None else float(v) for v in vals]
+        kinds = {type(v) for v in vals if v is not None}
+        if len(kinds) > 1:
+            # the reference takes typed slices; a heterogeneous list has
+            # no single column type — fail here, not lazily inside Spark
+            raise ValueError(
+                f"with_values: could not infer a single type for the given values (mixed {sorted(k.__name__ for k in kinds)})"
+            )
         try:
             new_rows = self.df.sparkSession.createDataFrame(
-                [(i, v) for i, v in enumerate(values)]
+                [(i, v) for i, v in enumerate(vals)]
             ).toDF(ROWID, tmp)
-        except ValueError as e:
-            raise ValueError(f"with_values: could not infer a type for the given values ({e})") from None
+        except (ValueError, TypeError) as e:
+            raise ValueError(f"with_values: could not infer a single type for the given values ({e})") from None
         new = F.broadcast(new_rows)
         base = df.drop(name) if name in self.columns else df
         joined = base.join(new, ROWID).withColumnRenamed(tmp, name)
@@ -469,8 +484,12 @@ class Frame:
         2000-2099, so the reference (Go Parse) and the C strptime oracle
         would both disagree with a raw Java parse for years ≥ 2069."""
         p = F.try_to_timestamp(c, F.lit(fmt))
-        pat = cls._YY_EXTRACT.get(fmt)
-        if pat is not None:
+        if "yy" in fmt and "yyyy" not in fmt:
+            pat = cls._YY_EXTRACT.get(fmt)
+            if pat is None:
+                # fail loudly: a yy-format without an extractor would
+                # silently lose the 69-99 → 19xx century convention
+                raise ValueError(f"cast: 2-digit-year format {fmt!r} has no _YY_EXTRACT pattern")
             yy = F.regexp_extract(F.trim(c), pat, 1).try_cast("int")
             p = F.when(yy >= 69, p - F.make_interval(years=F.lit(100))).otherwise(p)
         return p

@@ -52,7 +52,13 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    return F.when(trimmed == "", F.lit(None).cast("array<string>")).otherwise(shingles)
+    # NULL input must hit the guard too: F.when(trimmed == "") is NULL
+    # for NULL text and would fall to the otherwise branch, where
+    # concat_ws over the NULL token slice fabricates the same '' shingle
+    # for every null doc — the exact collision class this guard exists for
+    return F.when(
+        F.coalesce(trimmed, F.lit("")) == "", F.lit(None).cast("array<string>")
+    ).otherwise(shingles)
 
 
 def char_shingles(col: Column, n: int = 3) -> Column:

@@ -666,3 +666,17 @@ def test_with_values_preserves_int_type_with_none(spark):
 
     with pytest.raises(ValueError, match="zero values"):
         Frame(spark.createDataFrame([], "k long")).ordered("k").with_values("x", [])
+
+
+def test_with_values_mixed_numerics_coerce_to_double(spark):
+    """Mixed int/float driver-side values coerce to double (a mixed
+    numeric list means double was intended); non-numeric mixes raise
+    the friendly ValueError, not a raw Spark merge error."""
+    import pytest
+
+    f = Frame(spark.createDataFrame([(1,), (2,)], "k long")).ordered("k")
+    out = f.with_values("x", [1, 2.5])
+    assert dict(out.df.dtypes)["x"] == "double"
+    assert [r.x for r in out.sort(("k", True)).df.collect()] == [1.0, 2.5]
+    with pytest.raises(ValueError, match="could not infer"):
+        f.with_values("y", [1, "zzz"])

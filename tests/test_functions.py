@@ -219,3 +219,18 @@ def test_lsh_cosine_pairs_multi_table_recall(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     # determinism: same seed, same planes
     assert similarity.random_planes(16, 6, 2, seed=11) == similarity.random_planes(16, 6, 2, seed=11)
+
+
+def test_minhash_null_text_no_signature(spark):
+    """NULL text must behave like empty text on the array path: NULL
+    shingles, NULL signature — not a shared fabricated '' shingle that
+    makes every null-text doc a candidate pair of every other."""
+    from tada_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real words here now")], "doc_id long, text string"
+    )
+    sh = {r.doc_id: r.s for r in df.select("doc_id", word_shingles(F.col("text")).alias("s")).collect()}
+    assert sh[1] is None and sh[2] is None
+    sig = {r.doc_id: r.sig for r in df.select("doc_id", dedup.minhash_signature(F.col("text")).alias("sig")).collect()}
+    assert sig[1] is None and sig[2] is None and sig[3] is not None
