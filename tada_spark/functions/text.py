@@ -208,3 +208,106 @@ def winnow_fingerprints_long(
         .select(F.col(id_col), F.col("__fp__").alias("fp"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 quality-filter rules (Rae et al. 2021 "Scaling Language
+# Models" §A1.1; Raffel et al. 2020 C4 heuristics). Pure Column algebra —
+# scan-speed, zero shuffles, and every rule is RE2-compatible so the
+# DuckDB oracle reproduces it verbatim.
+# ---------------------------------------------------------------------------
+
+#: Gopher's "must contain 2 of these" stop words.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def mean_word_length(col: Column) -> Column:
+    """Mean non-whitespace characters per whitespace token (Gopher keeps
+    docs with mean word length in [3, 10])."""
+    n = token_count(col)
+    chars = F.length(F.regexp_replace(col, r"\s", ""))
+    return F.when(n == 0, F.lit(None)).otherwise(F.round(chars / n, 6))
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# of '#' or '...' symbols) / words — Gopher drops docs > 0.1."""
+    n = token_count(col)
+    syms = F.regexp_count(col, F.lit(r"#|\.\.\."))
+    return F.when(n == 0, F.lit(None)).otherwise(F.round(syms / n, 6))
+
+
+def alpha_word_fraction(col: Column) -> Column:
+    """Fraction of words containing ≥1 alphabetic character (Gopher
+    keeps > 0.8)."""
+    toks = F.split(F.trim(col), r"\s+")
+    n = token_count(col)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n == 0, F.lit(None)).otherwise(F.round(alpha / n, 6))
+
+
+def gopher_stop_hits(col: Column) -> Column:
+    """How many distinct Gopher stop words appear (keep ≥ 2)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    return F.size(F.array_intersect(toks, sw))
+
+
+def line_fractions(col: Column) -> dict[str, Column]:
+    """Per-line C4/Gopher shape rules as fractions of lines: bullet
+    starts (drop ≥ 0.9), ellipsis ends (drop ≥ 0.3), terminal-punctuation
+    ends (C4 keeps such lines)."""
+    lines = F.split(col, r"\n")
+    nl = F.size(lines)
+    def frac(pred):
+        return F.when(nl == 0, F.lit(None)).otherwise(
+            F.round(F.size(F.filter(lines, pred)) / nl, 6)
+        )
+    return {
+        "bullet_line_frac": frac(lambda x: x.rlike(r"^\s*[-*•]")),
+        "ellipsis_line_frac": frac(lambda x: x.rlike(r"\.\.\.\s*$")),
+        "end_punct_line_frac": frac(lambda x: x.rlike(r"[.!?\"]\s*$")),
+    }
+
+
+def gopher_keep(col: Column, *, min_words: int = 50, max_words: int = 100_000) -> Column:
+    """The combined Gopher quality gate as one boolean Column. Every
+    sub-rule uses the ROUNDED fraction (float discipline: comparisons
+    happen on the same 6-dp values the oracle computes)."""
+    n = token_count(col)
+    lf = line_fractions(col)
+    return (
+        n.between(min_words, max_words)
+        & mean_word_length(col).between(3, 10)
+        & (symbol_word_ratio(col) < 0.1)
+        & (lf["bullet_line_frac"] < 0.9)
+        & (lf["ellipsis_line_frac"] < 0.3)
+        & (alpha_word_fraction(col) > 0.8)
+        & (gopher_stop_hits(col) >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the standard pre-training redaction pass. Patterns are
+# RE2-compatible (no lookarounds) so the DuckDB oracle matches exactly.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts — the audit half of the scrub."""
+    return {k: F.regexp_count(col, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with a fixed token. Order matters: emails
+    first (an email contains dots that the ipv4 pattern could chew on),
+    then phones, then IPs."""
+    out = col
+    for kind in ("email", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], replacement)
+    return out

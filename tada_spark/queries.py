@@ -1888,6 +1888,108 @@ def sample_splits_docs(spark, sf):
     return split.unionByName(strat)
 
 
+def gopher_quality_filters(spark, sf):
+    """Gopher/C4 quality-filter rules (Rae et al. 2021 §A1.1; Raffel et
+    al. 2020) over documents: word-count window, mean word length,
+    symbol-to-word ratio, alpha-word fraction, stop-word hits, per-line
+    shape fractions — and the combined keep gate. All Column algebra,
+    scan-speed; the standard pre-training corpus filter pass."""
+    docs = load(spark, sf, "documents")
+    lf = text.line_fractions(F.col("text"))
+    out = (
+        docs.with_col("n_words", text.token_count(F.col("text")))
+        .with_col("mean_wlen", text.mean_word_length(F.col("text")))
+        .with_col("alpha_frac", text.alpha_word_fraction(F.col("text")))
+        .with_col("stop_hits", text.gopher_stop_hits(F.col("text")))
+        .with_col("end_punct_frac", lf["end_punct_line_frac"])
+        .with_col("keep", text.gopher_keep(F.col("text")))
+    )
+    return out.to_df().select(
+        "doc_id", "n_words", "mean_wlen", "alpha_frac", "stop_hits", "end_punct_frac", "keep"
+    )
+
+
+GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_words,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks,
+         REGEXP_SPLIT_TO_ARRAY(text, '\n') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words, 6) END AS mean_wlen,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE ROUND(LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words, 6) END AS symbol_ratio,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE ROUND(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE / n_words, 6) END AS alpha_frac,
+         LEN(LIST_INTERSECT(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'), x -> x),
+                            ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+         CASE WHEN LEN(lines) = 0 THEN NULL
+              ELSE ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE / LEN(lines), 6) END AS bullet_frac,
+         CASE WHEN LEN(lines) = 0 THEN NULL
+              ELSE ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE / LEN(lines), 6) END AS ellipsis_frac,
+         CASE WHEN LEN(lines) = 0 THEN NULL
+              ELSE ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '[.!?"]\s*$')))::DOUBLE / LEN(lines), 6) END AS end_punct_frac
+  FROM t
+)
+SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits, end_punct_frac,
+       (n_words BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3 AND 10)
+       AND (symbol_ratio < 0.1) AND (bullet_frac < 0.9) AND (ellipsis_frac < 0.3)
+       AND (alpha_frac > 0.8) AND (stop_hits >= 2) AS keep
+FROM m
+"""
+
+
+def pii_scrub_docs(spark, sf):
+    """PII audit + redaction pass (functions/text.redact_pii): PII is
+    planted deterministically (synthetic docs contain none), counted per
+    kind, and scrubbed; the md5 of the redacted text proves the scrub is
+    byte-identical on both engines."""
+    docs = load(spark, sf, "documents")
+    aug = docs.with_col(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit(" call +1 555-000-"), F.col("doc_id")))
+            .when(F.col("doc_id") % 5 == 2, F.lit(" from 10.0.0.7 today"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    counts = text.pii_counts(F.col("aug"))
+    out = (
+        aug.with_col("n_email", counts["email"])
+        .with_col("n_phone", counts["phone"])
+        .with_col("n_ipv4", counts["ipv4"])
+        .with_col("redacted_md5", F.md5(text.redact_pii(F.col("aug"))))
+    )
+    return out.to_df().select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted_md5")
+
+
+PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com'
+                      WHEN doc_id % 5 = 1 THEN ' call +1 555-000-' || doc_id
+                      WHEN doc_id % 5 = 2 THEN ' from 10.0.0.7 today'
+                      ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       LEN(REGEXP_EXTRACT_ALL(aug, '\+?\d[\d\- ]{7,}\d')) AS n_phone,
+       LEN(REGEXP_EXTRACT_ALL(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\+?\d[\d\- ]{7,}\d', '[PII]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
 # composed from the validated single-op oracles
 ANN_SQL = f"""
 SELECT 'exact' AS method, query_id, neighbor_id, cos, rank FROM ({COSINE_SQL})
@@ -1999,4 +2101,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winsorize_value_per_user": (winsorize_value_per_user, WINSORIZE_SQL),
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
+    "gopher_quality_filters": (gopher_quality_filters, GOPHER_SQL),
+    "pii_scrub_docs": (pii_scrub_docs, PII_SQL),
 }

@@ -234,3 +234,50 @@ def test_minhash_null_text_no_signature(spark):
     assert sh[1] is None and sh[2] is None
     sig = {r.doc_id: r.sig for r in df.select("doc_id", dedup.minhash_signature(F.col("text")).alias("sig")).collect()}
     assert sig[1] is None and sig[2] is None and sig[3] is not None
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher/C4 rule edges: a clean long doc keeps; short docs,
+    symbol soup, bullet lists, and stopword-free keyword stuffing drop."""
+    clean = ("the data and the model be good to train with that set have " * 10).strip()
+    short = "the and of to"
+    symbols = ("# tag " * 60).strip()
+    bullets = "\n".join("- the data and model be good to train with that set have" for _ in range(20))
+    stuffing = ("keyword spam vector table index column row batch " * 10).strip()
+    df = spark.createDataFrame(
+        [(1, clean), (2, short), (3, symbols), (4, bullets), (5, stuffing)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        text.gopher_keep(F.col("text")).alias("keep"),
+        text.mean_word_length(F.col("text")).alias("mwl"),
+        text.symbol_word_ratio(F.col("text")).alias("swr"),
+        text.gopher_stop_hits(F.col("text")).alias("hits"),
+    ).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False          # too few words
+    assert out[3].keep is False and out[3].swr > 0.1
+    assert out[4].keep is False          # bullet-heavy
+    assert out[5].keep is False and out[5].hits == 0
+    # line fractions on a multi-line doc
+    lf = text.line_fractions(F.col("text"))
+    row = df.filter(F.col("doc_id") == 4).select(
+        lf["bullet_line_frac"].alias("b"), lf["end_punct_line_frac"].alias("e")
+    ).first()
+    assert row.b == 1.0 and row.e == 0.0
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or call +1 555-123-4567 from 192.168.1.1 ok"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    c = text.pii_counts(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", c["email"].alias("e"), c["phone"].alias("p"), c["ipv4"].alias("i"),
+        text.redact_pii(F.col("text")).alias("red"),
+    ).collect()}
+    assert (out[1].e, out[1].p, out[1].i) == (1, 1, 1)
+    assert out[1].red == "mail [PII] or call [PII] from [PII] ok"
+    assert out[2].red == "clean text" and out[2].e == out[2].p == out[2].i == 0
