@@ -1943,6 +1943,53 @@ FROM m
 """
 
 
+def repetition_ngram_stats(spark, sf):
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, the
+    duplicate-fraction half): per document, the fraction of word-2-gram
+    occurrences taken by the single most frequent 2-gram, plus distinct
+    vs total 2-gram counts. Scale shape: explode → two-level aggregate
+    (per-(doc,gram) count, then per-doc max/sum) — shuffle volume is the
+    gram stream, map-side partial aggregation compresses it, never a
+    per-doc driver loop."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sz = F.size(toks)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                sz >= 2,
+                F.zip_with(toks, F.slice(toks, 2, F.greatest(sz - 1, F.lit(1))),
+                           lambda a, b: F.concat_ws(" ", a, b)),
+            )
+        ).alias("g"),
+    ).filter(F.col("g").contains(" "))  # drop the tail partial gram
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    out = per_gram.groupBy("doc_id").agg(
+        F.sum("n").alias("total_2grams"),
+        F.count("*").alias("distinct_2grams"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_2gram_frac"),
+    )
+    return out.select("doc_id", "total_2grams", "distinct_2grams", "top_2gram_frac")
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id, SUM(n) AS total_2grams, COUNT(*) AS distinct_2grams,
+       ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS top_2gram_frac
+FROM per_gram GROUP BY doc_id
+"""
+
+
 def pii_scrub_docs(spark, sf):
     """PII audit + redaction pass (functions/text.redact_pii): PII is
     planted deterministically (synthetic docs contain none), counted per
@@ -2103,4 +2150,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "gopher_quality_filters": (gopher_quality_filters, GOPHER_SQL),
     "pii_scrub_docs": (pii_scrub_docs, PII_SQL),
+    "repetition_ngram_stats": (repetition_ngram_stats, REPETITION_SQL),
 }

@@ -281,3 +281,19 @@ def test_pii_counts_and_redaction(spark):
     assert (out[1].e, out[1].p, out[1].i) == (1, 1, 1)
     assert out[1].red == "mail [PII] or call [PII] from [PII] ok"
     assert out[2].red == "clean text" and out[2].e == out[2].p == out[2].i == 0
+
+
+def test_repetition_ngram_stats_query(spark):
+    """Repetitive doc -> high top-2-gram fraction; varied doc -> low."""
+    import tada_spark.queries as q
+    import os, tempfile
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam"), (1, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in q.repetition_ngram_stats(spark, d).collect()}
+    assert out[0].top_2gram_frac == 1.0 and out[0].distinct_2grams == 1
+    assert out[1].distinct_2grams == 5 and out[1].top_2gram_frac == 0.2
