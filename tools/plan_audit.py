@@ -33,6 +33,10 @@ ALLOWED_EXCHANGES = {
     # hot/cold split = detection count + 2 joins + union merge; the
     # extra exchanges ARE the skew mitigation
     "salted_join_events_users": 12,
+    # 4 OR-ed LSH tables × shuffled self-join (2 small exchanges each)
+    # + final pair dedupe; the shuffles replace a broadcast that would
+    # recompute the bucket pipeline once per join side
+    "embed_near_dup_pairs": 10,
 }
 
 #: Queries where a BroadcastNestedLoopJoin is the deliberate exact
