@@ -77,16 +77,17 @@ class Frame:
         folded into the scan; pushdown/pruning unaffected."""
         nanos_cols: list[str] = []
         try:
-            # pyarrow.dataset resolves single files AND directory
-            # datasets — pq.read_schema raises on directories, and a
-            # silently-empty nanos list would hand back raw long nanos
-            import pyarrow.dataset as ds
+            # pyarrow resolves single files AND directory datasets; a
+            # silently-empty nanos list would hand back raw long nanos.
+            # Non-nanos timestamps (naive us/ms -> TIMESTAMP_NTZ,
+            # tz-adjusted -> TIMESTAMP) are read natively — operators
+            # are family-robust (plans/timeutil.py), so no cast here.
+            from tada_spark.plans.timeutil import parquet_time_columns
 
-            schema = ds.dataset(path, format="parquet").schema
             nanos_cols = [
-                schema.field(i).name
-                for i in range(len(schema.names))
-                if str(schema.field(i).type) == "timestamp[ns]"
+                name
+                for name, (unit, _tz) in parquet_time_columns(path).items()
+                if unit == "ns"
             ]
         except Exception:
             pass
@@ -678,19 +679,30 @@ class Frame:
 
     def resample(self, name: str, by: str, *, as_col: str | None = None, duration_seconds: int | None = None, week_start: str = "SUNDAY") -> "Frame":
         """Truncate datetimes by year/month/day/week/duration (reference
-        types.go:244-252, internal.go:2423-2479)."""
+        types.go:244-252, internal.go:2423-2479).
+
+        The rebuilt bucket keeps the input column's timestamp family
+        (NTZ in, NTZ out) — `date_trunc` already preserves it, but the
+        week/duration arithmetic would otherwise leak LTZ
+        (interval math on NTZ promotes; `timestamp_seconds` is
+        LTZ-only), breaking schema parity with the source."""
+        from tada_spark.plans.timeutil import as_family, epoch_us, timestamp_from_us
+
         c = F.col(name)
+        dt = self.dtype(name)
         if by in ("year", "month", "day", "hour", "minute"):
-            expr = F.date_trunc(by, c)
+            # date_trunc returns LTZ even for NTZ input — restore family
+            expr = as_family(F.date_trunc(by, c), dt)
         elif by == "week":
             # previous-or-same week_start day (reference startOfWeek)
             day_target = {"SUNDAY": 1, "MONDAY": 2, "TUESDAY": 3, "WEDNESDAY": 4, "THURSDAY": 5, "FRIDAY": 6, "SATURDAY": 7}[week_start]
             d = F.date_trunc("day", c)
             delta = (F.dayofweek(d) - F.lit(day_target) + 7) % 7
-            expr = (d - F.make_interval(days=delta.cast("int"))).cast("timestamp")
+            expr = as_family(d - F.make_interval(days=delta.cast("int")), dt)
         elif by == "duration":
             secs = int(duration_seconds)
-            expr = F.timestamp_seconds((F.unix_timestamp(c) / secs).cast("long") * secs)
+            w_us = secs * 1_000_000
+            expr = timestamp_from_us(F.floor(epoch_us(c, dt) / w_us) * w_us, dt)
         else:
             raise ValueError(f"resample: unknown by={by!r}")
         return self.with_col(as_col or name, expr)

@@ -32,12 +32,16 @@ def range_join(
     their timestamp: right.start <= left.ts < right.end, equal ``by``
     keys. Returns left columns + right columns (names must not collide
     apart from ``by``)."""
+    from tada_spark.plans.timeutil import epoch_us
+
+    ldt = {f.name: f.dataType for f in left.schema.fields}
+    rdt = {f.name: f.dataType for f in right.schema.fields}
     w_us = bucket_s * 1_000_000
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / w_us)
+    lb = F.floor(epoch_us(F.col(left_ts), ldt[left_ts]) / w_us)
     l = left.withColumn("__bucket__", lb)
 
-    start_b = F.floor(F.unix_micros(F.col(right_start)) / w_us)
-    end_b = F.floor((F.unix_micros(F.col(right_end)) - 1) / w_us)  # end exclusive
+    start_b = F.floor(epoch_us(F.col(right_start), rdt[right_start]) / w_us)
+    end_b = F.floor((epoch_us(F.col(right_end), rdt[right_end]) - 1) / w_us)  # end exclusive
     # guard degenerate intervals (end <= start): F.sequence defaults to
     # step -1 when start > stop, which would silently explode a full
     # DESCENDING bucket list per bad row; null → explode drops the row

@@ -63,7 +63,10 @@ def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
         c = F.when(col.cast("double") == as_long.cast("double"), as_long.cast("string")).otherwise(
             frac
         )
-    elif isinstance(dtype, T.TimestampType):
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ wall clock renders identically to the reference's
+        # RFC3339-UTC form (session zone is pinned UTC, so LTZ and NTZ
+        # of the same ingested naive value canon-compare equal)
         c = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
     elif isinstance(dtype, T.DateType):
         c = F.date_format(col, "yyyy-MM-dd")

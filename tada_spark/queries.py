@@ -1039,7 +1039,7 @@ def resample_15min_events(spark, sf):
 
 
 RESAMPLE_DUR_SQL = """
-SELECT to_timestamp((epoch_us(ts) // 1000000 // 900) * 900) AS bucket,
+SELECT to_timestamp((epoch_us(ts) // 1000000 // 900) * 900)::TIMESTAMP AS bucket,
        COUNT(*) AS n, ROUND(SUM(value), 4) AS total
 FROM events GROUP BY 1
 """
@@ -1321,17 +1321,30 @@ def approx_distinct_suppliers(spark, sf):
 
 
 def _stream_events(spark, sf):
-    """readStream over the events table. events.ts is TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects — stream it as long
-    (nanosAsLong) and rebuild micros-truncated timestamps, the same shim
-    Frame.read_parquet applies on the batch path."""
+    """readStream over the events table, robust to the file's actual
+    timestamp encoding (the batch twin is Frame.read_parquet):
+
+      * TIMESTAMP(NANOS) — Spark's parquet reader rejects it; stream ts
+        as long (nanosAsLong) and rebuild micros-truncated timestamps.
+      * naive micros/millis — read natively as TIMESTAMP_NTZ (what the
+        batch reader infers), no rebuild. A hard-coded /1000 here would
+        silently land every event in January 1970 — detect, don't assume.
+      * tz-adjusted — read natively as TIMESTAMP (LTZ).
+    """
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from tada_spark.plans.timeutil import parquet_time_columns
+
+    unit, tz = parquet_time_columns(f"{sf}/events.parquet").get("ts", ("us", None))
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type: T.DataType = T.LongType()
+    else:
+        ts_type = T.TimestampType() if tz else T.TimestampNTZType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -1345,7 +1358,11 @@ def _stream_events(spark, sf):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    if unit == "ns":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return stream
 
 
 def stream_hourly_totals(spark, sf):
@@ -1473,7 +1490,13 @@ def cast_multiformat_dates(spark, sf):
         .otherwise(F.lit("not a date")),
     )
     out = mixed.cast(d_str="timestamp")
-    return out.to_df().select("o_orderkey", F.col("d_str").alias("parsed"))
+    # cast parses to an INSTANT (LTZ — zoned formats in the accepted
+    # list denote real instants, like the reference's tz-normalized
+    # time.Time); render the canonical UTC wall clock (NTZ) to match
+    # the strptime oracle's naive timestamps
+    return out.to_df().select(
+        "o_orderkey", F.col("d_str").cast("timestamp_ntz").alias("parsed")
+    )
 
 
 CAST_DATES_SQL = """

@@ -16,8 +16,23 @@ the operators runnable forever on an unbounded 100 TB/day stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _event_time(df: DataFrame, ts_col: str):
+    """Spark's watermark/window machinery hard-requires TIMESTAMP (LTZ)
+    event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ). Cast NTZ
+    input to LTZ for the stateful pipeline and hand back a restore
+    function so window bounds leave in the INPUT's family — the same
+    family-preserving convention as batch (plans/timeutil.py). Exact
+    round trip under the pinned UTC session zone."""
+    dt = {f.name: f.dataType for f in df.schema.fields}[ts_col]
+    if isinstance(dt, T.TimestampNTZType):
+        out = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return out, (lambda c: c.cast("timestamp_ntz"))
+    return df, (lambda c: c)
 
 
 def stream_resample(
@@ -34,13 +49,14 @@ def stream_resample(
     period: '1 day', '1 hour', ... Result has window_start/window_end
     instead of the truncated timestamp (equivalent information).
     """
+    df, restore = _event_time(df, ts_col)
     wdf = df.withWatermark(ts_col, watermark)
     out = wdf.groupBy(
         F.window(F.col(ts_col), period).alias("w"), *[F.col(k) for k in (keys or [])]
     ).agg(*[e.alias(n) for n, e in aggs.items()])
     return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
+        restore(F.col("w.start")).alias("window_start"),
+        restore(F.col("w.end")).alias("window_end"),
         *(keys or []),
         *aggs.keys(),
     )
@@ -57,14 +73,15 @@ def stream_sliding_agg(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Sliding-window aggregation: the streaming RollingDuration."""
+    df, restore = _event_time(df, ts_col)
     wdf = df.withWatermark(ts_col, watermark)
     out = wdf.groupBy(
         F.window(F.col(ts_col), window_len, slide).alias("w"),
         *[F.col(k) for k in (keys or [])],
     ).agg(*[e.alias(n) for n, e in aggs.items()])
     return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
+        restore(F.col("w.start")).alias("window_start"),
+        restore(F.col("w.end")).alias("window_end"),
         *(keys or []),
         *aggs.keys(),
     )
@@ -80,14 +97,15 @@ def stream_session_agg(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Session-window aggregation (gap-based) — free extension."""
+    df, restore = _event_time(df, ts_col)
     wdf = df.withWatermark(ts_col, watermark)
     out = wdf.groupBy(
         F.session_window(F.col(ts_col), gap).alias("w"),
         *[F.col(k) for k in (keys or [])],
     ).agg(*[e.alias(n) for n, e in aggs.items()])
     return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
+        restore(F.col("w.start")).alias("window_start"),
+        restore(F.col("w.end")).alias("window_end"),
         *(keys or []),
         *aggs.keys(),
     )
@@ -138,6 +156,8 @@ def stream_interval_join(
     [left_ts, left_ts + max_delay]. Both sides carry watermarks so
     Spark bounds the join state buffer — without the time-range
     condition a stream-stream join would buffer forever."""
+    left, _lr = _event_time(left, left_ts)
+    right, _rr = _event_time(right, right_ts)
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = F.expr(

@@ -37,6 +37,13 @@ def canon_value(v) -> str:
             return str(int(v))
         return repr(v)
     if isinstance(v, datetime):
+        # tz-aware values (DuckDB TIMESTAMPTZ) canon differently from
+        # naive on purpose: an engine emitting the wrong timestamp
+        # family must hash-mismatch here, like it does at the driver
+        if v.tzinfo is not None:
+            from datetime import timezone
+
+            return v.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, date):
         return v.strftime("%Y-%m-%d")
@@ -45,6 +52,58 @@ def canon_value(v) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     return str(v)
+
+
+def spark_type_class(dt) -> str:
+    """Coarse dtype class for cross-engine schema comparison. Integer
+    widths collapse (DuckDB SUM(BIGINT) is HUGEINT) but the timestamp
+    FAMILIES stay distinct — NTZ vs LTZ drift is exactly the schema bug
+    the driver catches and a names-only check missed in round 2."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "ts_ntz"
+    if isinstance(dt, T.TimestampType):
+        return "ts_ltz"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return "other"
+
+
+def duckdb_type_class(name: str) -> str:
+    u = name.upper()
+    if u.endswith("[]"):
+        return "list"
+    if u.startswith("DECIMAL"):
+        return "decimal"
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if u in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if u == "VARCHAR":
+        return "str"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if "TIMESTAMP" in u and "TIME ZONE" in u:
+        return "ts_ltz"
+    if u.startswith("TIMESTAMP"):
+        return "ts_ntz"
+    return "other"
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
@@ -89,6 +148,7 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
+            stypes = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
             srows = [tuple(r) for r in sdf.collect()]
             s_hash, s_n = table_hash(scols, srows)
         except Exception as e:
@@ -102,6 +162,10 @@ def main() -> int:
             n_pass += 1
             continue
         try:
+            dtypes = {
+                r[0]: duckdb_type_class(r[1])
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            }
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -110,8 +174,16 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
+        type_diffs = {
+            c: (stypes.get(c), dtypes.get(c))
+            for c in set(scols) | set(dcols)
+            if stypes.get(c) != dtypes.get(c)
+        }
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: schema mismatch spark={sorted(scols)} duckdb={sorted(dcols)}")
+            n_fail += 1
+        elif type_diffs:
+            print(f"FAIL  {name}: dtype mismatch (spark, duckdb): {type_diffs}")
             n_fail += 1
         elif s_n != d_n:
             print(f"FAIL  {name}: rowcount spark={s_n} duckdb={d_n}")
