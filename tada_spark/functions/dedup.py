@@ -162,12 +162,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # shuffle_hash, NOT broadcast: with a broadcast build side the whole
-    # signature pipeline (scan + explode + 16-way min-agg) executes twice
-    # — once per join side. A shuffled self-join lets the runtime reuse
-    # the one shuffle of the (cheap) banded rows instead; measured 2.2×
-    # at sf0.1, and at cluster scale the banded frame isn't
-    # broadcast-able anyway.
+    # shuffle_hash, NOT broadcast: at cluster scale the banded frame
+    # (n_docs × bands rows) isn't broadcast-able, and a planner-time
+    # broadcast of the un-staged pipeline would execute the signature
+    # computation (scan + explode + 16-way min-agg) once per join side.
+    # Controlled A/B at sf0.1 (3 reps, same session): shuffle_hash
+    # 0.618s / explicit broadcast 0.594s / unhinted 0.587s minimum —
+    # a tie within noise, because under AQE every strategy reuses the
+    # materialized signature shuffle stage. The pin is kept for the
+    # deterministic, scale-safe plan, not for a local win. (An earlier
+    # "2.2×" claim was measured against the pre-AQE-stage double
+    # execution, not against round 1's plan.)
     left = banded.alias("a").hint("shuffle_hash")
     right = banded.alias("b")
     pairs = (
