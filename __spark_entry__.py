@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = [
     "range_join_purchase_clicks",
     "resample_15min_events",
     "stream_hourly_totals",
+    # new this round: event-time-dependent stateful canary
+    "stream_session_stats_users",
     # (c) timestamp-family rework touched these paths
     "resample_calendar_revenue",
     "cast_multiformat_dates",

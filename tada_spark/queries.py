@@ -1414,6 +1414,46 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_session_stats_users(spark, sf):
+    """Event-TIME-dependent custom stateful operator
+    (streaming/stateful.session_stats, applyInPandasWithState): per-user
+    session count/span with a 30-min gap rule. Every output column is a
+    function of the actual ts values, so a corrupted timestamp ingest
+    (round 2's /1000 bug) turns this row red instead of hiding behind a
+    time-agnostic aggregate like stream_running_totals_users."""
+    from tada_spark.streaming.stateful import session_stats
+
+    stream = _stream_events(spark, sf)
+    out = session_stats(stream, "user_id", "ts", gap_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("stream_session_stats_users did not finish")
+    return spark.table("q_stream_sessions").select(
+        "user_id", "n_events", "n_sessions", "span_seconds"
+    )
+
+
+STREAM_SESSION_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_seconds
+FROM (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+) GROUP BY user_id
+"""
+
+
 def salted_group_sum(spark, sf):
     """Two-phase salted aggregation for skewed keys (operators/skew.py):
     identical results to a plain groupBy, verified by the oracle."""
@@ -2149,6 +2189,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- streaming --
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
     "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
+    "stream_session_stats_users": (stream_session_stats_users, STREAM_SESSION_SQL),
     # ----- entries beyond the driver's 50-query window (local gate) -----
     "lookup_orders_customer": (lookup_orders_customer, LOOKUP_SQL),
     "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),

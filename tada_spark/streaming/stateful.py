@@ -38,6 +38,102 @@ RUNNING_STATE = StructType(
 )
 
 
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("span_seconds", LongType()),
+    ]
+)
+
+#: (first_us, last_us, n_sessions, n_events)
+SESSION_STATE = StructType(
+    [
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def merge_session_batch(
+    state: tuple[int | None, int | None, int, int], us_sorted, gap_us: int
+) -> tuple[int, int, int, int]:
+    """Fold one sorted epoch-us batch into (first_us, last_us,
+    n_sessions, n_events) session state. Pure — unit-testable without a
+    state store; micro-batch order is the event-time order guarantee the
+    caller provides (availableNow over a static table = one batch)."""
+    first_us, last_us, n_sessions, n_events = state
+    if len(us_sorted) == 0:
+        return state
+    if first_us is None:
+        first_us = int(us_sorted[0])
+    gaps = us_sorted[1:] - us_sorted[:-1]
+    n_sessions += int((gaps >= gap_us).sum())
+    # boundary with the previous batch (or stream start)
+    if last_us is None or us_sorted[0] - last_us >= gap_us:
+        n_sessions += 1
+    return first_us, int(us_sorted[-1]), n_sessions, n_events + len(us_sorted)
+
+
+def session_stats(
+    df: DataFrame, key_col: str, ts_col: str, *, gap_s: int = 1800
+) -> DataFrame:
+    """Per-key event-time session statistics across micro-batches: a new
+    session starts when the gap to the previous event is >= gap_s
+    (same rule as the batch sessionize query). Emits per key the
+    cumulative (n_events, n_sessions, span_seconds).
+
+    Unlike running_totals — whose output ignores event time and so
+    stayed green through round 2's corrupted-timestamp ingest — every
+    output column here DEPENDS on the actual ts values, which makes
+    this query a streaming-ingest canary as well as an operator.
+
+    State is 4 longs per key regardless of history length; epoch math
+    is done in microseconds after an explicit datetime64[us] cast so
+    the pandas arrow unit (ns vs us) can't skew it.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else (None, None, 0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = (
+                pdf[ts_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .sort_values()
+                .to_numpy()
+            )
+            st = merge_session_batch(st, us, gap_s * 1_000_000)
+        first_us, last_us, n_sessions, n_events = st
+        state.update(st)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+                "span_seconds": [(last_us - first_us) // 1_000_000],
+            }
+        )
+
+    grouped = df.select(
+        df[key_col].cast("long").alias("user_id"), df[ts_col].alias(ts_col)
+    ).groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key running (count, sum) across micro-batches.
 
