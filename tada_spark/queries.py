@@ -1414,6 +1414,78 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_sliding_hourly(spark, sf):
+    """Streaming sliding-window rollup (§2.10: RollingDuration's
+    streaming twin — streaming/windows.stream_sliding_agg): 1-hour
+    windows sliding every 30 min, driven to completion with
+    availableNow. Each event lands in exactly len/slide = 2 windows;
+    the oracle replays that membership with an UNNEST cross join."""
+    from tada_spark.streaming import run_available_now, stream_sliding_agg
+
+    stream = _stream_events(spark, sf)
+    out = stream_sliding_agg(
+        stream,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        {"n": F.count("*"), "total": F.round(F.sum("value"), 4)},
+    )
+    res = run_available_now(out, "q_stream_sliding")
+    return res.select("window_start", "n", "total")
+
+
+STREAM_SLIDING_SQL = """
+SELECT to_timestamp(((epoch_us(ts) // 1000000) // 1800 - o) * 1800)::TIMESTAMP AS window_start,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
+GROUP BY 1
+"""
+
+
+def stream_session_windows(spark, sf):
+    """Streaming session windows (§2.10 free extension —
+    streaming/windows.stream_session_agg): per-user 30-min-gap sessions.
+    Spark merges an event into a session iff it lands strictly inside
+    last_event + gap, i.e. a new session starts at diff >= gap — the
+    same rule as the batch sessionize query and the LAG/cumsum oracle."""
+    from tada_spark.streaming import run_available_now, stream_session_agg
+
+    stream = _stream_events(spark, sf)
+    out = stream_session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        {"n_events": F.count("*")},
+        keys=["user_id"],
+    )
+    res = run_available_now(out, "q_stream_sessions_w")
+    return res.select(
+        "user_id", F.col("window_start").alias("session_start"), "n_events"
+    )
+
+
+STREAM_SESSION_WINDOWS_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 def stream_session_stats_users(spark, sf):
     """Event-TIME-dependent custom stateful operator
     (streaming/stateful.session_stats, applyInPandasWithState): per-user
@@ -2190,6 +2262,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_hourly_totals": (stream_hourly_totals, STREAM_HOURLY_SQL),
     "stream_running_totals_users": (stream_running_totals_users, STREAM_STATE_SQL),
     "stream_session_stats_users": (stream_session_stats_users, STREAM_SESSION_SQL),
+    "stream_sliding_hourly": (stream_sliding_hourly, STREAM_SLIDING_SQL),
+    "stream_session_windows": (stream_session_windows, STREAM_SESSION_WINDOWS_SQL),
     # ----- entries beyond the driver's 50-query window (local gate) -----
     "lookup_orders_customer": (lookup_orders_customer, LOOKUP_SQL),
     "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),
