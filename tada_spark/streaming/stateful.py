@@ -103,9 +103,13 @@ def session_stats(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            s = pdf[ts_col]
+            # LTZ input arrives tz-aware in some Arrow paths; normalize
+            # to UTC wall clock so epoch math is family-independent
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             us = (
-                pdf[ts_col]
-                .astype("datetime64[us]")
+                s.astype("datetime64[us]")
                 .astype("int64")
                 .sort_values()
                 .to_numpy()

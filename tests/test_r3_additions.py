@@ -183,6 +183,19 @@ def test_merge_session_batch_boundary():
     assert empty == merged
 
 
+def test_session_stats_tz_aware_pandas_path():
+    """LTZ input can surface as tz-aware pandas series; the epoch
+    normalization must agree with the naive path (UTC session zone)."""
+    naive = pd.Series(pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]))
+    aware = naive.dt.tz_localize("UTC")
+    s = aware
+    if getattr(s.dtype, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    a = s.astype("datetime64[us]").astype("int64")
+    b = naive.astype("datetime64[us]").astype("int64")
+    assert (a == b).all()
+
+
 def test_session_stats_batch_mode(spark):
     """session_stats on a static frame (batch execution of the same
     applyInPandasWithState plan is not supported; emulate via pandas
