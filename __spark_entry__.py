@@ -59,6 +59,8 @@ _DRIVER_PRIORITY = [
     "stream_session_stats_users",
     "stream_sliding_hourly",
     "stream_session_windows",
+    "near_dup_components",
+    "decontamination_check",
     # (c) timestamp-family rework touched these paths
     "resample_calendar_revenue",
     "cast_multiformat_dates",

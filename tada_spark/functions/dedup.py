@@ -188,6 +188,73 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: the clustering step
+    between candidate generation (LSH) and canonical-doc selection —
+    every doc in a component keeps `component` = the min doc id, so
+    `keep = (node = component)` dedupes whole clusters, not just pairs
+    (pairwise keep-min deletes BOTH b and c for a chain a-b, b-c).
+
+    Iterative min-label propagation (the GraphX/Pregel scheme expressed
+    in DataFrame algebra): each round every node takes the min label in
+    its closed neighborhood; rounds = graph diameter, which for
+    near-dup clusters is small (they are dense blobs, not paths). Each
+    round is one shuffle over the edge list plus a label join; labels
+    are cached and the previous iteration unpersisted. Convergence is
+    checked with a count of changed labels — O(diameter) actions total,
+    the standard Spark shape for iterative algorithms.
+    """
+    # undirected: propagate both ways
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels.cache()
+    for _ in range(max_iter):
+        # min neighbor label per node, then min with own label
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("label", "nmin").alias("label"))
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+    edges.unpersist()
+    return labels.select(
+        F.col("node"),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
 def simhash(col: Column, num_bits: int = 64) -> Column:
     """SimHash over whitespace tokens: bit b of the fingerprint is the
     majority vote of bit b across token hashes. Column-only construction:

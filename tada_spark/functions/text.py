@@ -311,3 +311,49 @@ def redact_pii(col: Column, replacement: str = "[PII]") -> Column:
     for kind in ("email", "phone", "ipv4"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], replacement)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs that share verbatim
+# n-gram content with an evaluation/benchmark set. The standard
+# pre-training hygiene pass (GPT-3 appendix C / PaLM style: substring
+# n-gram collision against the eval corpus).
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(
+    corpus,
+    benchmark,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_chars: int = 24,
+):
+    """Per-corpus-doc count of DISTINCT character n-grams shared with
+    any benchmark document. Returns (id_col, n_hits) for docs with
+    >= 1 hit.
+
+    100 TB shape: the benchmark side is tiny by nature (eval sets are
+    MBs) — its distinct shingle set broadcasts, so the corpus side is
+    one scan + explode with a map-side join, then a single count-distinct
+    shuffle keyed by doc id. The corpus never self-joins and never
+    shuffles its text.
+    """
+    from pyspark.sql import DataFrame  # local to keep module import light
+    from pyspark.sql import functions as F
+
+    bench_shingles = (
+        benchmark.select(
+            F.explode(char_shingles(F.col(text_col), ngram_chars)).alias("sh")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), ngram_chars)).alias("sh"),
+    ).distinct()
+    return (
+        corpus_shingles.join(F.broadcast(bench_shingles), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

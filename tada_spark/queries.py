@@ -706,6 +706,76 @@ WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
 """
 
 
+def near_dup_components(spark, sf):
+    """Connected components over the Jaccard near-dup pair graph
+    (functions/dedup.connected_components): min-label propagation in
+    DataFrame algebra, the clustering step that turns pairwise near-dups
+    into keep-one-per-cluster decisions. Oracle: recursive-CTE
+    transitive closure over the identical pair set."""
+    docs = load(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs.to_df(), block_cols=["lang"], ngram=4, threshold=0.35
+    )
+    return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
+NEAR_DUP_CC_SQL = """
+WITH RECURSIVE s AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 3, 1) + 1),
+                       i -> SUBSTR(text, i::INT, 4))) AS sh
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+        / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.35
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node, LEAST(node, MIN(r)) AS component,
+       node = LEAST(node, MIN(r)) AS keep
+FROM reach GROUP BY node
+"""
+
+
+def decontamination_check(spark, sf):
+    """Benchmark decontamination (functions/text.contamination_hits):
+    training docs sharing >= 1 distinct 24-char shingle with the
+    benchmark subset (doc_id % 50 = 0 stands in for an eval set). The
+    benchmark shingle set broadcasts; the corpus side is scan + explode
+    + map-side join + one count shuffle."""
+    from tada_spark.functions.text import contamination_hits
+
+    docs = load(spark, sf, "documents").to_df()
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(corpus, bench, ngram_chars=24)
+
+
+DECONTAMINATION_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 23, 1) + 1),
+                i -> SUBSTR(text, i::INT, 24)))) AS g
+  FROM documents
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0
+), corp AS (
+  SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 50 != 0
+)
+SELECT c.doc_id, COUNT(*) AS n_hits
+FROM corp c JOIN bench b USING (g)
+GROUP BY c.doc_id
+"""
+
+
 def minhash_candidate_pairs(spark, sf):
     """MinHash + banded LSH candidate pairs — the 100 TB near-dup path.
     md5-derived hashes, so deterministic; oracle checks rows-only (the
@@ -2248,6 +2318,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- dedup tier --
     "dedup_exact_fingerprint": (dedup_exact_fingerprint, DEDUP_EXACT_SQL),
     "jaccard_near_dups": (jaccard_near_dups, JACCARD_SQL),
+    "near_dup_components": (near_dup_components, NEAR_DUP_CC_SQL),
+    "decontamination_check": (decontamination_check, DECONTAMINATION_SQL),
     "minhash_candidate_pairs": (minhash_candidate_pairs, None),
     "simhash_candidates": (simhash_candidates, None),
     # -- similarity tier --

@@ -211,3 +211,54 @@ def test_session_stats_batch_mode(spark):
         (None, None, 0, 0), us_units.sort_values().to_numpy(), GAP
     )
     assert out[2] == 2  # 1h gap >= 30m -> two sessions
+
+
+# ---------------------------------------------------------------------------
+# connected components + decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_pair(spark):
+    """Chain 1-2-3 collapses to one component (pairwise keep-min would
+    wrongly delete both 2 and 3); 10-11 is separate; convergence stops
+    early."""
+    from tada_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: (r["component"], r["keep"]) for r in connected_components(pairs).collect()}
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+    }
+
+
+def test_connected_components_no_convergence_raises(spark):
+    from tada_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(pairs, max_iter=0)
+
+
+def test_contamination_hits(spark):
+    from tada_spark.functions.text import contamination_hits
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx the quick brown fox jumps over the lazy dog yy"),  # overlaps
+            (2, "completely different content with no shared shingles at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in contamination_hits(corpus, bench).collect()}
+    assert 1 in got and got[1] > 0
+    assert 2 not in got
