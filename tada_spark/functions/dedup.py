@@ -216,12 +216,18 @@ def connected_components(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct()
     edges.cache()
+    # localCheckpoint (eager) per iteration, NOT cache: each round's plan
+    # would otherwise nest the previous round's full lineage — after k
+    # iterations the logical plan is exponentially large, which blows up
+    # optimizer time (and any plan introspection) long before data size
+    # matters. Lineage truncation is the standard posture for iterative
+    # DataFrame algorithms.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    labels.cache()
     for _ in range(max_iter):
         # min neighbor label per node, then min with own label
         neigh = (
@@ -233,15 +239,14 @@ def connected_components(
         new_labels = (
             labels.join(neigh, "node", "left")
             .select("node", F.least("label", "nmin").alias("label"))
+            .localCheckpoint()
         )
-        new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

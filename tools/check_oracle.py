@@ -118,6 +118,10 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--query", action="append")
     ap.add_argument("--rows-only", action="store_true", help="also run no-oracle queries")
+    ap.add_argument(
+        "--cpus", type=int, default=8,
+        help="local[N] parallelism — run the gate at two different N to prove partition-count invariance",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -125,7 +129,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from tada_spark.session import get_spark
 
-    spark = get_spark(cpus=8)
+    spark = get_spark(cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     from tada_spark.queries import TABLES
