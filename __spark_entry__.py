@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = [
     "stream_session_windows",
     "near_dup_components",
     "decontamination_check",
+    "corpus_prep_pipeline",
     # (c) timestamp-family rework touched these paths
     "resample_calendar_revenue",
     "cast_multiformat_dates",

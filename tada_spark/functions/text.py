@@ -269,10 +269,18 @@ def line_fractions(col: Column) -> dict[str, Column]:
     }
 
 
-def gopher_keep(col: Column, *, min_words: int = 50, max_words: int = 100_000) -> Column:
+def gopher_keep(
+    col: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> Column:
     """The combined Gopher quality gate as one boolean Column. Every
     sub-rule uses the ROUNDED fraction (float discipline: comparisons
-    happen on the same 6-dp values the oracle computes)."""
+    happen on the same 6-dp values the oracle computes). Thresholds are
+    knobs — real pipelines tune them per corpus (the stop-hit rule in
+    particular assumes natural English prose)."""
     n = token_count(col)
     lf = line_fractions(col)
     return (
@@ -282,7 +290,7 @@ def gopher_keep(col: Column, *, min_words: int = 50, max_words: int = 100_000) -
         & (lf["bullet_line_frac"] < 0.9)
         & (lf["ellipsis_line_frac"] < 0.3)
         & (alpha_word_fraction(col) > 0.8)
-        & (gopher_stop_hits(col) >= 2)
+        & (gopher_stop_hits(col) >= min_stop_hits)
     )
 
 

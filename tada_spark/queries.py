@@ -2148,6 +2148,77 @@ FROM m
 """
 
 
+def corpus_prep_pipeline(spark, sf):
+    """The full pre-training corpus-prep chain as ONE Catalyst plan —
+    quality gate (Gopher rules) → exact dedup (fingerprint, keep min
+    doc id) → per-language yield report. This is the composition a
+    reference user actually runs end-to-end; each stage is the
+    already-verified operator, and the whole chain stays a single
+    declarative plan: scan → Column-expression filter → one window over
+    the fingerprint → one aggregate. Two shuffles total at any scale.
+    Gate thresholds tuned to the synthetic corpus (min_words=30,
+    min_stop_hits=1 — the default 2 assumes natural English prose and
+    would zero out the synthetic table, proving nothing)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents")
+    kept = (
+        docs.filter(text.gopher_keep(F.col("text"), min_words=30, min_stop_hits=1))
+        .with_col("n_words", text.token_count(F.col("text")))
+        .with_col("fp", text.fingerprint(F.col("text")))
+    )
+    w = Window.partitionBy("fp")
+    flagged = kept.to_df().withColumn("keep_id", F.min("doc_id").over(w))
+    is_canon = (F.col("doc_id") == F.col("keep_id")).cast("long")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(is_canon).alias("n_unique"),
+            F.sum(is_canon * F.col("n_words")).alias("n_tokens"),
+        )
+        .select("lang", "n_kept", "n_unique", "n_tokens")
+    )
+
+
+CORPUS_PREP_SQL = r"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_words,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks,
+         REGEXP_SPLIT_TO_ARRAY(text, '\n') AS lines
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, text, n_words FROM m
+  WHERE (n_words BETWEEN 30 AND 100000)
+    AND (CASE WHEN n_words = 0 THEN NULL
+              ELSE LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words END
+         BETWEEN 3 AND 10)
+    AND (LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words < 0.1)
+    AND (LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE
+         / LEN(lines) < 0.9)
+    AND (LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE
+         / LEN(lines) < 0.3)
+    AND (LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE
+         / n_words > 0.8)
+    AND (LEN(LIST_INTERSECT(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'), x -> x),
+             ['the','be','to','of','and','that','have','with'])) >= 1)
+), fp AS (
+  SELECT doc_id, lang, n_words,
+         MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM f
+), flagged AS (
+  SELECT lang, n_words,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS canon
+  FROM fp
+)
+SELECT lang, COUNT(*) AS n_kept, SUM(canon)::BIGINT AS n_unique,
+       SUM(canon * n_words)::BIGINT AS n_tokens
+FROM flagged GROUP BY lang
+"""
+
+
 def repetition_ngram_stats(spark, sf):
     """Gopher repetition filters (Rae et al. 2021 §A1.1, the
     duplicate-fraction half): per document, the fraction of word-2-gram
@@ -2359,6 +2430,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "gopher_quality_filters": (gopher_quality_filters, GOPHER_SQL),
+    "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "pii_scrub_docs": (pii_scrub_docs, PII_SQL),
     "repetition_ngram_stats": (repetition_ngram_stats, REPETITION_SQL),
 }
