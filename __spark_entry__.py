@@ -62,6 +62,8 @@ _DRIVER_PRIORITY = [
     "near_dup_components",
     "decontamination_check",
     "corpus_prep_pipeline",
+    "tfidf_top_terms",
+    "stream_dedup_fingerprints",
     # (c) timestamp-family rework touched these paths
     "resample_calendar_revenue",
     "cast_multiformat_dates",

@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tada_spark.frame import Frame
 from tada_spark.functions import dedup, similarity, text
@@ -1556,6 +1557,43 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
+def stream_dedup_fingerprints(spark, sf):
+    """Streaming exact dedup — the ingestion-time twin of
+    dedup.exact_dedup: dropDuplicates on the content fingerprint keeps
+    state per distinct key and emits each fingerprint once, however
+    many times it recurs across micro-batches. In production the state
+    is watermark-bounded (dedup horizon); here the full-history variant
+    is driven to completion with availableNow. Emits the fingerprint
+    set only: WHICH doc of a duplicate group survives ingestion order
+    is racy by nature, the fingerprint set is deterministic."""
+    from tada_spark.functions.text import fingerprint
+    from tada_spark.streaming.windows import run_available_now
+
+    # documents streamed like events: explicit schema, one-file glob
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    out = stream.select(fingerprint(F.col("text")).alias("fp")).dropDuplicates(["fp"])
+    return run_available_now(out, "q_stream_dedup", output_mode="append")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
 def stream_session_stats_users(spark, sf):
     """Event-TIME-dependent custom stateful operator
     (streaming/stateful.session_stats, applyInPandasWithState): per-user
@@ -2148,6 +2186,58 @@ FROM m
 """
 
 
+def tfidf_top_terms(spark, sf):
+    """Per-document TF-IDF top-3 terms (classic relevance scoring over
+    the corpus): explode lowercase word tokens → per-(doc, term) TF →
+    per-term document frequency → idf = ln(N/df) → rank by score with a
+    deterministic (score desc, term asc) tiebreak. Scale shape: the
+    term stream shuffles once per aggregate with map-side partials; the
+    per-term DF table is vocabulary-sized (≪ corpus) and broadcasts
+    back onto the TF stream, so the corpus text never re-shuffles."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+TFIDF_SQL = r"""
+WITH terms AS (
+  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term != '' GROUP BY doc_id, term
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents)::DOUBLE / df_t.df), 6) AS tfidf
+  FROM tf JOIN df_t USING (term)
+)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 def corpus_prep_pipeline(spark, sf):
     """The full pre-training corpus-prep chain as ONE Catalyst plan —
     quality gate (Gopher rules) → exact dedup (fingerprint, keep min
@@ -2431,6 +2521,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "gopher_quality_filters": (gopher_quality_filters, GOPHER_SQL),
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "stream_dedup_fingerprints": (stream_dedup_fingerprints, STREAM_DEDUP_SQL),
     "pii_scrub_docs": (pii_scrub_docs, PII_SQL),
     "repetition_ngram_stats": (repetition_ngram_stats, REPETITION_SQL),
 }
