@@ -205,8 +205,10 @@ def connected_components(
     in DataFrame algebra): each round every node takes the min label in
     its closed neighborhood; rounds = graph diameter, which for
     near-dup clusters is small (they are dense blobs, not paths). Each
-    round is one shuffle over the edge list plus a label join; labels
-    are cached and the previous iteration unpersisted. Convergence is
+    round is one shuffle over the edge list plus a label join; each
+    round's labels are localCheckpointed (lineage cut) and superseded
+    checkpoints are released by Spark's ContextCleaner once rebinding
+    drops the last reference. Convergence is
     checked with a count of changed labels — O(diameter) actions total,
     the standard Spark shape for iterative algorithms.
     """
@@ -222,37 +224,41 @@ def connected_components(
     # optimizer time (and any plan introspection) long before data size
     # matters. Lineage truncation is the standard posture for iterative
     # DataFrame algorithms.
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        # min neighbor label per node, then min with own label
-        neigh = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select("node", F.least("label", "nmin").alias("label"))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
-    edges.unpersist()
+        for _ in range(max_iter):
+            # min neighbor label per node, then min with own label
+            neigh = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "label")
+                .groupBy("node")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neigh, "node", "left")
+                .select("node", F.least("label", "nmin").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} iters"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(
         F.col("node"),
         F.col("label").alias("component"),

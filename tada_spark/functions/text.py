@@ -342,14 +342,12 @@ def contamination_hits(
     >= 1 hit.
 
     100 TB shape: the benchmark side is tiny by nature (eval sets are
-    MBs) — its distinct shingle set broadcasts, so the corpus side is
-    one scan + explode with a map-side join, then a single count-distinct
-    shuffle keyed by doc id. The corpus never self-joins and never
-    shuffles its text.
+    MBs) — its distinct shingle set broadcasts, and the corpus explode
+    joins it MAP-SIDE before anything shuffles, so only the hit rows
+    (normally a vanishing fraction) reach the count-distinct aggregate
+    keyed by doc id. The corpus never self-joins and never shuffles
+    its text.
     """
-    from pyspark.sql import DataFrame  # local to keep module import light
-    from pyspark.sql import functions as F
-
     bench_shingles = (
         benchmark.select(
             F.explode(char_shingles(F.col(text_col), ngram_chars)).alias("sh")
@@ -359,9 +357,9 @@ def contamination_hits(
     corpus_shingles = corpus.select(
         F.col(id_col),
         F.explode(char_shingles(F.col(text_col), ngram_chars)).alias("sh"),
-    ).distinct()
+    )
     return (
         corpus_shingles.join(F.broadcast(bench_shingles), "sh")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("sh").alias("n_hits"))
     )

@@ -2283,15 +2283,15 @@ WITH m AS (
   SELECT doc_id, lang, text, n_words FROM m
   WHERE (n_words BETWEEN 30 AND 100000)
     AND (CASE WHEN n_words = 0 THEN NULL
-              ELSE LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words END
+              ELSE ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words, 6) END
          BETWEEN 3 AND 10)
-    AND (LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words < 0.1)
-    AND (LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE
-         / LEN(lines) < 0.9)
-    AND (LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE
-         / LEN(lines) < 0.3)
-    AND (LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE
-         / n_words > 0.8)
+    AND (ROUND(LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words, 6) < 0.1)
+    AND (ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE
+         / LEN(lines), 6) < 0.9)
+    AND (ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE
+         / LEN(lines), 6) < 0.3)
+    AND (ROUND(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE
+         / n_words, 6) > 0.8)
     AND (LEN(LIST_INTERSECT(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'), x -> x),
              ['the','be','to','of','and','that','have','with'])) >= 1)
 ), fp AS (

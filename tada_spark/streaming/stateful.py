@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -100,6 +101,13 @@ def session_stats(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         st = state.get if state.exists else (None, None, 0, 0)
+        # one key's micro-batch rows can arrive as SEVERAL Arrow chunks
+        # (maxRecordsPerBatch splits, multiple upstream mappers) with no
+        # cross-chunk ordering — merging chunk-by-chunk would treat an
+        # earlier-timestamped later chunk as a session continuation and
+        # move last_us backwards. Gather the whole invocation, sort
+        # once, merge once.
+        parts = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -108,12 +116,9 @@ def session_stats(
             # to UTC wall clock so epoch math is family-independent
             if getattr(s.dtype, "tz", None) is not None:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            us = (
-                s.astype("datetime64[us]")
-                .astype("int64")
-                .sort_values()
-                .to_numpy()
-            )
+            parts.append(s.astype("datetime64[us]").astype("int64").to_numpy())
+        if parts:
+            us = np.sort(np.concatenate(parts))
             st = merge_session_batch(st, us, gap_s * 1_000_000)
         first_us, last_us, n_sessions, n_events = st
         state.update(st)

@@ -156,8 +156,8 @@ def stream_interval_join(
     [left_ts, left_ts + max_delay]. Both sides carry watermarks so
     Spark bounds the join state buffer — without the time-range
     condition a stream-stream join would buffer forever."""
-    left, _lr = _event_time(left, left_ts)
-    right, _rr = _event_time(right, right_ts)
+    left, l_restore = _event_time(left, left_ts)
+    right, r_restore = _event_time(right, right_ts)
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = F.expr(
@@ -169,4 +169,17 @@ def stream_interval_join(
             ]
         )
     )
-    return l.alias("l").join(r.alias("r"), cond, "inner")
+    out = l.alias("l").join(r.alias("r"), cond, "inner")
+    # leave in the INPUT's family on both sides (same convention as the
+    # window operators — the LTZ cast above exists only for the
+    # watermark machinery)
+    return out.select(
+        *[
+            (l_restore(F.col(f"l.{c}")) if c == left_ts else F.col(f"l.{c}")).alias(c)
+            for c in left.columns
+        ],
+        *[
+            (r_restore(F.col(f"r.{c}")) if c == right_ts else F.col(f"r.{c}")).alias(c)
+            for c in right.columns
+        ],
+    )

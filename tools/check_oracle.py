@@ -135,6 +135,10 @@ def main() -> int:
     from tada_spark.queries import TABLES
 
     con = duckdb.connect()
+    # Spark pins spark.sql.session.timeZone=UTC; DuckDB defaults to the
+    # SYSTEM zone — any instant->naive cast in an oracle (::TIMESTAMP on
+    # to_timestamp) would shift by the local offset on a non-UTC machine
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
