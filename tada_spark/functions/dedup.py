@@ -127,14 +127,19 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
     signatures → explode(bands) → band-bucket self-join → distinct
     pairs. No O(n²) cross join: pairs only form inside a band bucket.
     Skewed buckets (boilerplate docs) are the classic hazard — AQE
-    skew-join handles moderate skew; degenerate buckets should be
-    count-capped upstream in a real pipeline.
+    skew-join handles moderate skew; ``max_bucket`` drops degenerate
+    buckets outright (a bucket of m docs yields m² comparisons; at
+    m = 10⁵ boilerplate docs that is 10¹⁰ pairs nobody wants — such
+    groups are better handled by exact dedup first). The oversized-key
+    set is tiny and broadcasts into an anti-join, so the cap costs one
+    count aggregate over the banded rows, not a shuffle of the corpus.
     """
     if bands <= 0 or num_hashes % bands != 0:
         # a silent remainder would drop trailing hashes (recall loss);
@@ -162,6 +167,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(oversized), ["band", "key"], "left_anti")
     # shuffle_hash, NOT broadcast: at cluster scale the banded frame
     # (n_docs × bands rows) isn't broadcast-able, and a planner-time
     # broadcast of the un-staged pipeline would execute the signature

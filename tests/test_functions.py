@@ -297,3 +297,26 @@ def test_repetition_ngram_stats_query(spark):
         out = {r.doc_id: r for r in q.repetition_ngram_stats(spark, d).collect()}
     assert out[0].top_2gram_frac == 1.0 and out[0].distinct_2grams == 1
     assert out[1].distinct_2grams == 5 and out[1].top_2gram_frac == 0.2
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket drops degenerate LSH buckets: identical boilerplate
+    docs stop pairing once their bucket exceeds the cap, distinct docs
+    are untouched, and the default (None) behavior is unchanged."""
+    from pyspark.sql import functions as F
+
+    from tada_spark.functions.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "exact same boilerplate text repeated again and again") for i in range(6)]
+    uniq = [
+        (100, "first genuinely distinct document body with several words"),
+        (101, "first genuinely distinct document body with several worms"),
+    ]
+    df = spark.createDataFrame(boiler + uniq, ["doc_id", "text"])
+    uncapped = minhash_lsh_pairs(df, num_hashes=8, bands=2)
+    capped = minhash_lsh_pairs(df, num_hashes=8, bands=2, max_bucket=3)
+    unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap  # near-dup pair survives
+    assert any(a < 6 and b < 6 for a, b in unc)  # boilerplate pairs uncapped
+    assert not any(a < 6 and b < 6 for a, b in cap)  # ...and capped away

@@ -128,3 +128,42 @@ def test_stream_resample_preserves_family(spark, family):
     out = stream_resample(df, "ts", "2 seconds", {"n": F.count("*")})
     assert ts_family(out.schema["window_start"].dataType) == family
     assert out.count() == 3  # 0-2, 2-4, 4-6
+
+
+def test_ns_encoded_parquet_roundtrip(spark, tmp_path):
+    """The driver wrote timestamp[ns] parquet in round 1 and naive us in
+    round 2+ — if it flips back, the ns shim must still produce working
+    micros-truncated timestamps on BOTH the batch and streaming paths."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-06-01T00:00:00", "ns")
+    ts = base + np.arange(10) * np.timedelta64(90, "m") + np.timedelta64(123456789, "ns")
+    table = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([i % 3 for i in range(10)], pa.int64()),
+            "event_type": pa.array(["click"] * 10),
+            "value": pa.array([float(i) for i in range(10)]),
+            "props": pa.array(["{}"] * 10),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    batch = Frame.read_parquet(spark, str(tmp_path / "events.parquet"))
+    got = batch.df.schema["ts"].dataType
+    assert ts_family(got) == "ltz", got  # ns shim rebuilds micros LTZ
+    lo, hi = batch.df.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024 and hi - lo == dt.timedelta(minutes=90 * 9)
+
+    from tada_spark.queries import _stream_events
+    from tada_spark.streaming.windows import run_available_now
+
+    stream = _stream_events(spark, str(tmp_path))
+    res = run_available_now(
+        stream.select("event_id", "ts"), "q_ns_roundtrip", output_mode="append"
+    )
+    s_lo, s_hi = res.agg(F.min("ts"), F.max("ts")).first()
+    assert (s_lo, s_hi) == (lo, hi)  # stream == batch, micros-truncated
