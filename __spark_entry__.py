@@ -64,6 +64,10 @@ _DRIVER_PRIORITY = [
     "corpus_prep_pipeline",
     "tfidf_top_terms",
     "stream_dedup_fingerprints",
+    "q10_returned_customers",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
     # (c) timestamp-family rework touched these paths
     "resample_calendar_revenue",
     "cast_multiformat_dates",

@@ -169,6 +169,153 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q10_returned_customers(spark, sf):
+    """TPC-H Q10 shape: revenue lost to returns per customer — 3-way
+    join (lineitem ⋈ orders ⋈ customer ⋈ nation, dims broadcast),
+    filtered agg, top-20. Exercises the lookup-join + group + top-k
+    chain on the largest tables."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01"),
+        F.col("o_orderdate") < F.lit("1996-07-01"),
+    )
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    j = (
+        li.lookup(orders.cols("o_orderkey", "o_custkey"), left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True)
+        .lookup(cust.cols("c_custkey", "c_name", "c_nationkey", "c_acctbal"), left_on=["o_custkey"], right_on=["c_custkey"], how="inner", unique_keys=True)
+        .lookup(nation.cols("n_nationkey", "n_name"), left_on=["c_nationkey"], right_on=["n_nationkey"], how="inner", unique_keys=True)
+    )
+    out = (
+        j.group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .to_df()
+    )
+    from tada_spark.frame import Frame
+
+    return (
+        Frame(out)
+        .top_k(20, ("revenue", False), ("c_custkey", True))
+        .to_df()
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_shipmode_priority(spark, sf):
+    """TPC-H Q12 shape: conditional aggregation — line counts split by
+    the joined order's priority class per return-flag/status group (the
+    synthetic lineitem has no l_shipmode column; l_returnflag +
+    l_linestatus stand in as the low-cardinality grouping). Map-side
+    CASE folding into one aggregate; the join stays a broadcast
+    lookup."""
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01"),
+        F.col("l_shipdate") < F.lit("1997-01-01"),
+    )
+    orders = load(spark, sf, "orders")
+    j = li.lookup(
+        orders.cols("o_orderkey", "o_orderpriority"),
+        left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True,
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        j.group_by("l_returnflag", "l_linestatus")
+        .agg(high_line_count=F.sum(is_high), low_line_count=F.sum(1 - is_high))
+        .to_df()
+        .select("l_returnflag", "l_linestatus", "high_line_count", "low_line_count")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: promo revenue share — conditional sum over a
+    broadcast part join, one scalar output. The ratio folds both sums
+    into a single aggregate pass."""
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-03-01"),
+        F.col("l_shipdate") < F.lit("1996-04-01"),
+    )
+    part = load(spark, sf, "part")
+    j = li.lookup(
+        part.cols("p_partkey", "p_type"),
+        left_on=["l_partkey"], right_on=["p_partkey"], how="inner", unique_keys=True,
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    # same association as the oracle: (100 * sum) / sum, then round
+    return (
+        j.agg(promo_revenue=F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)).df
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING over a grouped sum (orders whose total
+    quantity exceeds a threshold) joined back to customers — the
+    group-filter-join composition (GroupedFrame + HavingCount family)."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.group_by("l_orderkey")
+        .agg(sum_qty=F.round(F.sum("l_quantity"), 2))
+        .to_df()
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    from tada_spark.frame import Frame
+
+    j = (
+        Frame(big)
+        .lookup(orders.cols("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"), left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True)
+        .lookup(cust.cols("c_custkey", "c_name"), left_on=["o_custkey"], right_on=["c_custkey"], how="inner", unique_keys=True)
+    )
+    return j.to_df().select(
+        "c_name", "c_custkey", F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_totalprice", "sum_qty"
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 250
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def filter_compound(spark, sf):
     """Compound AND filter + projection (reference Filter, §2.3)."""
     li = load(spark, sf, "lineitem")
@@ -2433,6 +2580,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q10_returned_customers": (q10_returned_customers, Q10_SQL),
+    "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     # -- filters / projection --
     "filter_compound": (filter_compound, FILTER_SQL),
     "filter_by_value_canon": (filter_by_value_canon, FILTER_BY_VALUE_SQL),
