@@ -137,9 +137,11 @@ def minhash_lsh_pairs(
     skew-join handles moderate skew; ``max_bucket`` drops degenerate
     buckets outright (a bucket of m docs yields m² comparisons; at
     m = 10⁵ boilerplate docs that is 10¹⁰ pairs nobody wants — such
-    groups are better handled by exact dedup first). The oversized-key
-    set is tiny and broadcasts into an anti-join, so the cap costs one
-    count aggregate over the banded rows, not a shuffle of the corpus.
+    groups are better handled by exact dedup first). Cost: one (band,
+    key) count aggregate — its exchange is near the banded frame's size
+    when buckets are mostly unique (map-side combine compresses little)
+    — plus a broadcast anti-join on the tiny oversized-key set. Worth
+    it exactly when skew would otherwise dominate the self-join.
     """
     if bands <= 0 or num_hashes % bands != 0:
         # a silent remainder would drop trailing hashes (recall loss);

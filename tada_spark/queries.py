@@ -186,15 +186,9 @@ def q10_returned_customers(spark, sf):
         .lookup(cust.cols("c_custkey", "c_name", "c_nationkey", "c_acctbal"), left_on=["o_custkey"], right_on=["c_custkey"], how="inner", unique_keys=True)
         .lookup(nation.cols("n_nationkey", "n_name"), left_on=["c_nationkey"], right_on=["n_nationkey"], how="inner", unique_keys=True)
     )
-    out = (
+    return (
         j.group_by("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
-        .to_df()
-    )
-    from tada_spark.frame import Frame
-
-    return (
-        Frame(out)
         .top_k(20, ("revenue", False), ("c_custkey", True))
         .to_df()
         .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
@@ -232,10 +226,16 @@ def q12_shipmode_priority(spark, sf):
         orders.cols("o_orderkey", "o_orderpriority"),
         left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True,
     )
-    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # mirror the oracle's CASE exactly: a NULL priority counts as low
+    # (isin().cast() would yield NULL and silently drop the row from
+    # BOTH sums if the driver ever regenerates data with NULLs)
+    cond = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         j.group_by("l_returnflag", "l_linestatus")
-        .agg(high_line_count=F.sum(is_high), low_line_count=F.sum(1 - is_high))
+        .agg(
+            high_line_count=F.sum(F.when(cond, 1).otherwise(0)),
+            low_line_count=F.sum(F.when(cond, 0).otherwise(1)),
+        )
         .to_df()
         .select("l_returnflag", "l_linestatus", "high_line_count", "low_line_count")
     )
@@ -288,15 +288,12 @@ def q18_large_orders(spark, sf):
     big = (
         li.group_by("l_orderkey")
         .agg(sum_qty=F.round(F.sum("l_quantity"), 2))
-        .to_df()
         .filter(F.col("sum_qty") > 250)
     )
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")
-    from tada_spark.frame import Frame
-
     j = (
-        Frame(big)
+        big
         .lookup(orders.cols("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"), left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True)
         .lookup(cust.cols("c_custkey", "c_name"), left_on=["o_custkey"], right_on=["c_custkey"], how="inner", unique_keys=True)
     )
