@@ -79,13 +79,14 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # best-of-2: single-VM timings vary ±40% with neighbor load; the min
-    # is the standard steady-state estimator and what a throughput claim
-    # at scale should report
+    # best-of-3: single-VM timings vary ±40% with neighbor load (the
+    # round-2 record shows the same code drifting 7.9s -> 5.7s across
+    # runs); the min over three is the standard steady-state estimator
+    # and what a throughput claim at scale should report
     times: dict[str, float] = {}
     for name, fn in bench_queries.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
