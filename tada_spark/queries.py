@@ -830,8 +830,12 @@ FROM documents GROUP BY 1
 
 
 def jaccard_near_dups(spark, sf):
-    """n-gram Jaccard near-dup pairs, blocked by language (dedup tier)."""
-    docs = load(spark, sf, "documents")
+    """n-gram Jaccard near-dup pairs, blocked by language (dedup tier).
+    Run over a deterministic 20% sample: all-pairs verify is quadratic
+    in block size by design — the production chain confines it to LSH
+    candidate pairs; the sample keeps the oracle-checkable demo bounded
+    at every SF (2500-doc blocks measured ~6M intersects at sf0.1)."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
     return dedup.jaccard_pairs(docs.to_df(), block_cols=["lang"], ngram=4, threshold=0.35)
 
 
@@ -840,7 +844,7 @@ WITH s AS (
   SELECT doc_id, lang,
          LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 3, 1) + 1),
                        i -> SUBSTR(text, i::INT, 4))) AS sh
-  FROM documents
+  FROM documents WHERE doc_id % 5 = 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
@@ -856,8 +860,16 @@ def near_dup_components(spark, sf):
     (functions/dedup.connected_components): min-label propagation in
     DataFrame algebra, the clustering step that turns pairwise near-dups
     into keep-one-per-cluster decisions. Oracle: recursive-CTE
-    transitive closure over the identical pair set."""
-    docs = load(spark, sf, "documents")
+    transitive closure over the identical pair set.
+
+    The pair GENERATION here is all-pairs Jaccard within a deterministic
+    20% doc sample — all-pairs verify is quadratic in block size (the
+    10× sweep measured 2500-doc lang blocks at ~6M array-intersects, a
+    wall on both engines), and the production chain feeds CC from LSH
+    candidates (minhash_lsh_pairs → jaccard on candidates) instead. The
+    CC operator itself is pair-source-agnostic; the sample keeps this
+    oracle-checkable demo bounded at every SF."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
     pairs = dedup.jaccard_pairs(
         docs.to_df(), block_cols=["lang"], ngram=4, threshold=0.35
     )
@@ -869,7 +881,7 @@ WITH RECURSIVE s AS (
   SELECT doc_id, lang,
          LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 3, 1) + 1),
                        i -> SUBSTR(text, i::INT, 4))) AS sh
-  FROM documents
+  FROM documents WHERE doc_id % 5 = 0
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
