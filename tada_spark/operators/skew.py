@@ -11,8 +11,12 @@ sum+count).
 
 For built-in sums Spark's map-side partial aggregation already gives
 the same effect; salting matters when partials can't combine map-side
-(distinct-style states) or when partition-level skew persists. The
-implementation keeps results bit-identical to the unsalted plan.
+(distinct-style states) or when partition-level skew persists. Results
+are identical to the unsalted plan for exact types (int, decimal,
+min/max/count); double sums are reassociated like ANY repartitioning
+reassociates them — callers needing cross-engine/rounding-stable
+totals over floats should aggregate a decimal cast (see
+salted_join_events_users), which this pattern keeps exact.
 """
 
 from __future__ import annotations

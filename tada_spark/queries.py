@@ -659,15 +659,19 @@ def sessionize_events(spark, sf):
     """Batch sessionization: session = run of same-user events with
     gaps < 30 min, built from engine Shift + CumSum composition
     (reference-style operator chaining); sessions per user."""
+    from tada_spark.plans.timeutil import epoch_us
+
     ev = load(spark, sf, "events")
     f = ev.shift("ts", 1, order_by=["ts", "event_id"], partition_by=["user_id"], as_col="prev_ts")
+    # exact microsecond gap: truncated-seconds (unix_timestamp) vs the
+    # oracle's rounded EPOCH()::BIGINT diverge on sub-second data — the
+    # 10x sweep caught exactly that; integer µs arithmetic is identical
+    # on both engines and strictly more faithful
+    dts = f.dtype("ts")
+    gap_us = epoch_us(F.col("ts"), dts) - epoch_us(F.col("prev_ts"), dts)
     f = f.with_col(
         "new_sess",
-        F.when(
-            F.col("prev_ts").isNull()
-            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) >= 1800),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+        F.when(F.col("prev_ts").isNull() | (gap_us >= 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     f = f.cum_sum("new_sess", order_by=["ts", "event_id"], partition_by=["user_id"], as_col="sess_id")
     return (
@@ -682,7 +686,7 @@ SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR EPOCH(ts)::BIGINT - EPOCH(LAG(ts) OVER w)::BIGINT >= 1800
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1279,20 +1283,28 @@ def salted_join_events_users(spark, sf):
     from tada_spark.operators.skew import salted_join
 
     ev = load(spark, sf, "events").to_df().select("event_id", "user_id", "value")
+    # exact-decimal total, NOT a rounded double mean: double AVG is
+    # summation-order-dependent, and 2-dp data makes the true mean land
+    # EXACTLY on .00005 round boundaries (10x sweep: 3147.69/56 =
+    # 56.20875 rounded differently per engine; DuckDB has no exact
+    # decimal division to pin it). A decimal SUM is order-independent
+    # and bit-identical everywhere — and the query's point is the
+    # salted JOIN, not the statistic.
     users = (
         load(spark, sf, "events")
         .to_df()
         .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 4).alias("user_avg"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("user_total"))
     )
     out = salted_join(ev, users, on=["user_id"], hot_threshold=50, salts=8)
-    return out.select("event_id", "user_id", "user_avg")
+    return out.select("event_id", "user_id", "user_total")
 
 
 SALTED_JOIN_SQL = """
-SELECT e.event_id, e.user_id, u.user_avg
+SELECT e.event_id, e.user_id, u.user_total
 FROM events e
-JOIN (SELECT user_id, ROUND(AVG(value), 4) AS user_avg FROM events GROUP BY user_id) u
+JOIN (SELECT user_id, SUM(value::DECIMAL(18,2)) AS user_total
+      FROM events GROUP BY user_id) u
   ON e.user_id = u.user_id
 """
 
@@ -1351,14 +1363,17 @@ def debounce_events(spark, sf):
     """Debounce: drop events repeating the same (user, type) within
     5 minutes of the previous occurrence — Shift composition, the
     standard event-stream noise filter."""
+    from tada_spark.plans.timeutil import epoch_us
+
     ev = load(spark, sf, "events")
     f = ev.shift(
         "ts", 1, order_by=["ts", "event_id"], partition_by=["user_id", "event_type"], as_col="prev_ts"
     )
-    keep = f.filter(
-        F.col("prev_ts").isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) >= 300)
-    )
+    # exact µs gap (see sessionize_events: truncated seconds diverge
+    # from the oracle on sub-second data)
+    dts = f.dtype("ts")
+    gap_us = epoch_us(F.col("ts"), dts) - epoch_us(F.col("prev_ts"), dts)
+    keep = f.filter(F.col("prev_ts").isNull() | (gap_us >= 300 * 1_000_000))
     return keep.to_df().select("event_id", "user_id", "event_type")
 
 
@@ -1367,7 +1382,7 @@ SELECT event_id, user_id, event_type
 FROM (SELECT event_id, user_id, event_type, ts,
              LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
       FROM events)
-WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 300
+WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 300 * 1000000
 """
 
 
@@ -1796,23 +1811,28 @@ def salted_group_sum(spark, sf):
     from tada_spark.operators.skew import salted_agg
 
     li = load(spark, sf, "lineitem")
+    # decimal cast before the salted sum: 2-dp prices summed as doubles
+    # are reassociation-sensitive, and the rounded mean can land on a
+    # .00005 boundary (same class the 10x sweep caught in the salted
+    # join); the decimal partials merge exactly
+    df = li.to_df().withColumn("__price_dec", F.col("l_extendedprice").cast("decimal(18,2)"))
     out = salted_agg(
-        li.to_df(),
+        df,
         ["l_returnflag"],
-        {"total_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity"), "avg_price": ("mean", "l_extendedprice")},
+        {"total_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity"), "price_total": ("sum", "__price_dec")},
         salts=16,
     )
     return out.select(
         "l_returnflag",
         F.round("total_qty", 2).alias("total_qty"),
         "n",
-        F.round("avg_price", 4).alias("avg_price"),
+        F.col("price_total"),
     )
 
 
 SALTED_SQL = """
 SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS total_qty,
-       COUNT(l_quantity) AS n, ROUND(AVG(l_extendedprice), 4) AS avg_price
+       COUNT(l_quantity) AS n, SUM(l_extendedprice::DECIMAL(18,2)) AS price_total
 FROM lineitem GROUP BY l_returnflag
 """
 
