@@ -35,21 +35,53 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
 # relational core (reference §2.2-2.7 surface)
 # ---------------------------------------------------------------------------
 
+#: Money columns are 2-dp; TPC-H specifies exact types and so do we
+#: inside aggregates: double sums are summation-order-dependent and
+#: true sums/means of 2-dp data land EXACTLY on round boundaries (the
+#: 10x sweep caught this class). The scaled-integer pattern keeps the
+#: hot aggregation on Tungsten's LONG fast path (decimal sums spill to
+#: Int128 and cost ~2x): values become exact integer cents / 1e-4
+#: units, the SUM is exact, and rounding is integer arithmetic —
+#: bit-identical on every engine. Division back to a double at the end
+#: is a correctly-rounded IEEE op on identical inputs, so it cannot
+#: disagree either.
+_DEC = "decimal(18,2)"
+
+
+def _cents(col: str):
+    """Exact integer cents of a 2-dp double column (long)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _rev_e4():
+    """Exact revenue term in 1e-4 units: cents(price) * (100 - cents(discount))."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def _round2_e4(sum_e4):
+    """Half-up 2-dp rounding of an exact 1e-4-unit long sum, as double:
+    integer (x+50) div 100 -> cents, then one exact double division."""
+    return ((sum_e4 + F.lit(50)).cast("long") - F.pmod(sum_e4 + F.lit(50), 100)) / F.lit(10000.0)
+
+
 def q1_pricing_summary(spark, sf):
     """TPC-H Q1 shape: Filter → GroupBy → multi-agg (reference
-    GroupBy+Sum/Mean/Count, groupers.go:137-175)."""
+    GroupBy+Sum/Mean/Count, groupers.go:137-175). Money aggregates in
+    exact decimal (see _DEC)."""
     li = load(spark, sf, "lineitem")
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .group_by("l_returnflag", "l_linestatus")
         .agg(
-            sum_qty=F.round(F.sum("l_quantity"), 2),
-            sum_base_price=F.round(F.sum("l_extendedprice"), 2),
-            sum_disc_price=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
-            avg_qty=F.round(F.avg("l_quantity"), 2),
-            avg_price=F.round(F.avg("l_extendedprice"), 2),
-            avg_disc=F.round(F.avg("l_discount"), 4),
-            count_order=F.count("*"),
+            # sums of 2-dp values have <= 2 dp: cents/100 IS the rounded sum
+            sum_qty=F.sum(_cents("l_quantity")) / F.lit(100.0),
+            sum_base_price=F.sum(_cents("l_extendedprice")) / F.lit(100.0),
+            sum_disc_price=_round2_e4(F.sum(_rev_e4())),
+            avg_qty=F.round(F.sum(_cents("l_quantity")) / F.lit(100.0) / n, 2),
+            avg_price=F.round(F.sum(_cents("l_extendedprice")) / F.lit(100.0) / n, 2),
+            avg_disc=F.round(F.sum(_cents("l_discount")) / F.lit(100.0) / n, 4),
+            count_order=n,
         )
         .to_df()
     )
@@ -57,12 +89,14 @@ def q1_pricing_summary(spark, sf):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-       ROUND(AVG(l_quantity), 2)                          AS avg_qty,
-       ROUND(AVG(l_extendedprice), 2)                     AS avg_price,
-       ROUND(AVG(l_discount), 4)                          AS avg_disc,
+       SUM(ROUND(l_quantity * 100)::BIGINT) / 100.0      AS sum_qty,
+       SUM(ROUND(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+       (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50
+        - (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50) % 100
+       ) / 10000.0                                        AS sum_disc_price,
+       ROUND(SUM(ROUND(l_quantity * 100)::BIGINT) / 100.0 / COUNT(*), 2)      AS avg_qty,
+       ROUND(SUM(ROUND(l_extendedprice * 100)::BIGINT) / 100.0 / COUNT(*), 2) AS avg_price,
+       ROUND(SUM(ROUND(l_discount * 100)::BIGINT) / 100.0 / COUNT(*), 4)      AS avg_disc,
        COUNT(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -77,11 +111,11 @@ def q3_top_revenue_orders(spark, sf):
     li = load(spark, sf, "lineitem")
     joined = (
         orders.lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True, unique_keys=True)
-        .lookup(li.group_by("l_orderkey").agg(revenue=F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+        .lookup(li.group_by("l_orderkey").agg(rev_e4=F.sum(_rev_e4())),
                 left_on=["o_orderkey"], right_on=["l_orderkey"], how="inner", unique_keys=True)
     )
     return (
-        joined.with_col("revenue", F.round(F.col("revenue"), 2))
+        joined.with_col("revenue", _round2_e4(F.col("rev_e4")))
         .sort(("revenue", False), ("o_orderkey", True))
         .head(10)
         .cols("o_orderkey", "o_orderdate", "revenue")
@@ -91,10 +125,11 @@ def q3_top_revenue_orders(spark, sf):
 
 
 Q3_SQL = """
-SELECT o_orderkey, o_orderdate, ROUND(rev, 2) AS revenue
+SELECT o_orderkey, o_orderdate,
+       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
 FROM (
   SELECT o.o_orderkey, o.o_orderdate,
-         SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+         SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) AS rev_e4
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -124,18 +159,18 @@ def q5_region_revenue(spark, sf):
     # two-phase distinct: pre-aggregate per (region, order) then merge —
     # avoids count_distinct's Expand operator, which doubles shuffle
     # volume; identical results (verified vs the same oracle)
-    per_order = joined.group_by("r_name", "l_orderkey").agg(
-        rev_o=F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    )
+    per_order = joined.group_by("r_name", "l_orderkey").agg(rev_e4=F.sum(_rev_e4()))
     out = per_order.group_by("r_name").agg(
-        revenue=F.round(F.sum("rev_o"), 2), n_orders=F.count("*")
+        revenue=_round2_e4(F.sum("rev_e4")), n_orders=F.count("*")
     )
     return out.to_df().select("r_name", "revenue", "n_orders")
 
 
 Q5_SQL = """
 SELECT r.r_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       (SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) + 50
+        - (SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) + 50) % 100
+       ) / 10000.0                                           AS revenue,
        COUNT(DISTINCT l.l_orderkey)                          AS n_orders
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -156,13 +191,15 @@ def q6_revenue_delta(spark, sf):
             F.col("l_discount").between(0.05, 0.07),
             F.col("l_quantity") < 24,
         )
-        .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2))
+        .agg(revenue=_round2_e4(F.sum(_cents("l_extendedprice") * _cents("l_discount"))))
         .df
     )
 
 
 Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT (SUM(ROUND(l_extendedprice * 100)::BIGINT * ROUND(l_discount * 100)::BIGINT) + 50
+        - (SUM(ROUND(l_extendedprice * 100)::BIGINT * ROUND(l_discount * 100)::BIGINT) + 50) % 100
+       ) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -188,7 +225,7 @@ def q10_returned_customers(spark, sf):
     )
     return (
         j.group_by("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .agg(revenue=_round2_e4(F.sum(_rev_e4())))
         .top_k(20, ("revenue", False), ("c_custkey", True))
         .to_df()
         .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
@@ -197,7 +234,9 @@ def q10_returned_customers(spark, sf):
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50
+        - (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50) % 100
+       ) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -264,17 +303,22 @@ def q14_promo_revenue(spark, sf):
         part.cols("p_partkey", "p_type"),
         left_on=["l_partkey"], right_on=["p_partkey"], how="inner", unique_keys=True,
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
-    # same association as the oracle: (100 * sum) / sum, then round
-    return (
-        j.agg(promo_revenue=F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)).df
-    )
+    rev = _rev_e4()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    # exact long sums, then ONE double division + round: the quotient
+    # doubles are bit-identical across engines
+    return j.agg(
+        promo_revenue=F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+        )
+    ).df
 
 
 Q14_SQL = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)
+                              ELSE 0 END)::DOUBLE
+             / SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT))::DOUBLE, 4) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
 """
@@ -287,8 +331,10 @@ def q18_large_orders(spark, sf):
     li = load(spark, sf, "lineitem")
     big = (
         li.group_by("l_orderkey")
-        .agg(sum_qty=F.round(F.sum("l_quantity"), 2))
-        .filter(F.col("sum_qty") > 250)
+        .agg(qty_c=F.sum(_cents("l_quantity")))
+        .filter(F.col("qty_c") > 250 * 100)  # exact integer threshold
+        .with_col("sum_qty", F.col("qty_c") / F.lit(100.0))
+        .drop_cols("qty_c")
     )
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")
@@ -305,8 +351,9 @@ def q18_large_orders(spark, sf):
 Q18_SQL = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM (
-  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
-  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 250
+  SELECT l_orderkey, SUM(ROUND(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(ROUND(l_quantity * 100)::BIGINT) > 250 * 100
 ) big
 JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
