@@ -39,13 +39,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
 #: inside aggregates: double sums are summation-order-dependent and
 #: true sums/means of 2-dp data land EXACTLY on round boundaries (the
 #: 10x sweep caught this class). The scaled-integer pattern keeps the
-#: hot aggregation on Tungsten's LONG fast path (decimal sums spill to
-#: Int128 and cost ~2x): values become exact integer cents / 1e-4
-#: units, the SUM is exact, and rounding is integer arithmetic —
-#: bit-identical on every engine. Division back to a double at the end
-#: is a correctly-rounded IEEE op on identical inputs, so it cannot
-#: disagree either.
-_DEC = "decimal(18,2)"
+#: hot aggregation on Tungsten's LONG fast path (a decimal intermediate
+#: measured ~1.8x slower on q1): values become exact integer cents /
+#: 1e-4 units, the SUM is exact, and rounding of the big sums is pure
+#: integer arithmetic — bit-identical on every engine. Small-magnitude
+#: quotients (means, ratios) round via the floor(x*s + 0.5)/s idiom:
+#: identical IEEE ops on identical doubles, never each engine's own
+#: ROUND implementation (Spark rounds the shortest decimal repr via
+#: BigDecimal, DuckDB multiplies and std::rounds — they can disagree on
+#: boundary quotients).
+#: Scale bound: e4-unit long sums stay below int64 overflow to roughly
+#: SF 2e4 per aggregation group (~9e18 / ~5e14-per-SF0.1-group); at the
+#: 100 TB extreme switch the SUM to decimal(38,0) — Int128, still
+#: exact, ~2x agg cost — without touching the rounding algebra.
 
 
 def _cents(col: str):
@@ -60,14 +66,24 @@ def _rev_e4():
 
 def _round2_e4(sum_e4):
     """Half-up 2-dp rounding of an exact 1e-4-unit long sum, as double:
-    integer (x+50) div 100 -> cents, then one exact double division."""
-    return ((sum_e4 + F.lit(50)).cast("long") - F.pmod(sum_e4 + F.lit(50), 100)) / F.lit(10000.0)
+    integer (x+50) - (x+50)%100 -> e4 multiple of 100, one exact double
+    division. Integer-only until the final /1e4 — no float rounding."""
+    return (sum_e4 + F.lit(50) - F.pmod(sum_e4 + F.lit(50), 100)) / F.lit(10000.0)
+
+
+def _round_det(x, digits: int):
+    """Cross-engine-deterministic rounding of a SMALL-magnitude double
+    (|x|*10^digits well under 2^53): floor(x*s + 0.5)/s — identical
+    IEEE multiply/add/floor on identical input doubles, bypassing the
+    engines' divergent ROUND implementations."""
+    s = float(10 ** digits)
+    return F.floor(x * s + F.lit(0.5)) / F.lit(s)
 
 
 def q1_pricing_summary(spark, sf):
     """TPC-H Q1 shape: Filter → GroupBy → multi-agg (reference
     GroupBy+Sum/Mean/Count, groupers.go:137-175). Money aggregates in
-    exact decimal (see _DEC)."""
+    exact scaled integers (see _cents / _round2_e4 / _round_det)."""
     li = load(spark, sf, "lineitem")
     n = F.count("*")
     return (
@@ -78,9 +94,9 @@ def q1_pricing_summary(spark, sf):
             sum_qty=F.sum(_cents("l_quantity")) / F.lit(100.0),
             sum_base_price=F.sum(_cents("l_extendedprice")) / F.lit(100.0),
             sum_disc_price=_round2_e4(F.sum(_rev_e4())),
-            avg_qty=F.round(F.sum(_cents("l_quantity")) / F.lit(100.0) / n, 2),
-            avg_price=F.round(F.sum(_cents("l_extendedprice")) / F.lit(100.0) / n, 2),
-            avg_disc=F.round(F.sum(_cents("l_discount")) / F.lit(100.0) / n, 4),
+            avg_qty=_round_det(F.sum(_cents("l_quantity")) / F.lit(100.0) / n, 2),
+            avg_price=_round_det(F.sum(_cents("l_extendedprice")) / F.lit(100.0) / n, 2),
+            avg_disc=_round_det(F.sum(_cents("l_discount")) / F.lit(100.0) / n, 4),
             count_order=n,
         )
         .to_df()
@@ -89,18 +105,24 @@ def q1_pricing_summary(spark, sf):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(ROUND(l_quantity * 100)::BIGINT) / 100.0      AS sum_qty,
-       SUM(ROUND(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
-       (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50
-        - (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50) % 100
-       ) / 10000.0                                        AS sum_disc_price,
-       ROUND(SUM(ROUND(l_quantity * 100)::BIGINT) / 100.0 / COUNT(*), 2)      AS avg_qty,
-       ROUND(SUM(ROUND(l_extendedprice * 100)::BIGINT) / 100.0 / COUNT(*), 2) AS avg_price,
-       ROUND(SUM(ROUND(l_discount * 100)::BIGINT) / 100.0 / COUNT(*), 4)      AS avg_disc,
-       COUNT(*)                                           AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       qty_c / 100.0                                     AS sum_qty,
+       price_c / 100.0                                   AS sum_base_price,
+       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0     AS sum_disc_price,
+       FLOOR(qty_c / 100.0 / n * 100 + 0.5) / 100        AS avg_qty,
+       FLOOR(price_c / 100.0 / n * 100 + 0.5) / 100      AS avg_price,
+       FLOOR(disc_c / 100.0 / n * 10000 + 0.5) / 10000   AS avg_disc,
+       n                                                 AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         SUM(ROUND(l_quantity * 100)::BIGINT)      AS qty_c,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT) AS price_c,
+         SUM(ROUND(l_discount * 100)::BIGINT)      AS disc_c,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) AS rev_e4,
+         COUNT(*) AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 """
 
 
@@ -167,17 +189,20 @@ def q5_region_revenue(spark, sf):
 
 
 Q5_SQL = """
-SELECT r.r_name,
-       (SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) + 50
-        - (SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) + 50) % 100
-       ) / 10000.0                                           AS revenue,
-       COUNT(DISTINCT l.l_orderkey)                          AS n_orders
-FROM lineitem l
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n   ON c.c_nationkey = n.n_nationkey
-JOIN region r   ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
+SELECT r_name,
+       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue,
+       n_orders
+FROM (
+  SELECT r.r_name,
+         SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) AS rev_e4,
+         COUNT(DISTINCT l.l_orderkey) AS n_orders
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name
+)
 """
 
 
@@ -197,12 +222,13 @@ def q6_revenue_delta(spark, sf):
 
 
 Q6_SQL = """
-SELECT (SUM(ROUND(l_extendedprice * 100)::BIGINT * ROUND(l_discount * 100)::BIGINT) + 50
-        - (SUM(ROUND(l_extendedprice * 100)::BIGINT * ROUND(l_discount * 100)::BIGINT) + 50) % 100
-       ) / 10000.0 AS revenue
+SELECT (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
+FROM (
+SELECT SUM(ROUND(l_extendedprice * 100)::BIGINT * ROUND(l_discount * 100)::BIGINT) AS rev_e4
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+)
 """
 
 
@@ -234,16 +260,18 @@ def q10_returned_customers(spark, sf):
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50
-        - (SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) + 50) % 100
-       ) / 10000.0 AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
-GROUP BY c_custkey, c_name, c_acctbal, n_name
+       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
@@ -305,20 +333,22 @@ def q14_promo_revenue(spark, sf):
     )
     rev = _rev_e4()
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
-    # exact long sums, then ONE double division + round: the quotient
-    # doubles are bit-identical across engines
+    # exact long sums, then ONE double division + deterministic floor
+    # rounding: the quotient doubles are bit-identical across engines
+    # and _round_det never invokes an engine's own ROUND
     return j.agg(
-        promo_revenue=F.round(
+        promo_revenue=_round_det(
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
         )
     ).df
 
 
 Q14_SQL = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+SELECT FLOOR(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                               THEN ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)
                               ELSE 0 END)::DOUBLE
-             / SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT))::DOUBLE, 4) AS promo_revenue
+             / SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT))::DOUBLE
+             * 10000 + 0.5) / 10000 AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
 """
