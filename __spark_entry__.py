@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "corpus_prep_pipeline",
     "tfidf_top_terms",
     "stream_dedup_fingerprints",
+    "q4_order_priority",
     "q10_returned_customers",
     "q12_shipmode_priority",
     "q14_promo_revenue",

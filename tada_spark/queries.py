@@ -232,6 +232,40 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q4_order_priority(spark, sf):
+    """TPC-H Q4 shape: EXISTS-style order-priority count — a SEMI join
+    at fact scale (orders semi-joined to late lineitems), not a
+    broadcast dim lookup: the build side is itself big, so this is the
+    shuffled-semi-join path, then a small conditional aggregate."""
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01"),
+        F.col("o_orderdate") < F.lit("1996-04-01"),
+    )
+    late = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-02-01"))
+        .cols("l_orderkey")
+    )
+    return (
+        orders.semi_join(late, left_on=["o_orderkey"], right_on=["l_orderkey"])
+        .group_by("o_orderpriority")
+        .agg(order_count=F.count("*"))
+        .to_df()
+        .select("o_orderpriority", "order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1996-02-01')
+GROUP BY o_orderpriority
+"""
+
+
 def q10_returned_customers(spark, sf):
     """TPC-H Q10 shape: revenue lost to returns per customer — 3-way
     join (lineitem ⋈ orders ⋈ customer ⋈ nation, dims broadcast),
@@ -2686,6 +2720,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q10_returned_customers": (q10_returned_customers, Q10_SQL),
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
