@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "tfidf_top_terms",
     "stream_dedup_fingerprints",
     "q4_order_priority",
+    "q7_nation_volume",
     "q10_returned_customers",
     "q12_shipmode_priority",
     "q14_promo_revenue",

@@ -266,6 +266,60 @@ GROUP BY o_orderpriority
 """
 
 
+def q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape: shipping volume between nation pairs — TWO
+    independent broadcast paths into the same dimension (supplier→nation
+    aliased vs customer→nation aliased) meeting at the lineitem fact,
+    then (supp_nation, cust_nation, year) revenue. Exercises dimension
+    aliasing, which a single lookup chain can't express."""
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier").cols("s_suppkey", "s_nationkey")
+    cust = load(spark, sf, "customer").cols("c_custkey", "c_nationkey")
+    orders = load(spark, sf, "orders").cols("o_orderkey", "o_custkey")
+    nation = load(spark, sf, "nation").cols("n_nationkey", "n_name")
+    s_nation = Frame(nation.to_df().select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    c_nation = Frame(nation.to_df().select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    j = (
+        li.lookup(supp, left_on=["l_suppkey"], right_on=["s_suppkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(s_nation, left_on=["s_nationkey"], right_on=["sn_key"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(orders, left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True)
+        .lookup(cust, left_on=["o_custkey"], right_on=["c_custkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(c_nation, left_on=["c_nationkey"], right_on=["cn_key"], how="inner", broadcast=True, unique_keys=True)
+        .with_col("l_year", F.year("l_shipdate"))
+    )
+    return (
+        j.group_by("supp_nation", "cust_nation", "l_year")
+        .agg(rev_e4=F.sum(_rev_e4()))
+        .to_df()
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            ((F.col("rev_e4") + 50 - F.pmod(F.col("rev_e4") + 50, 100)) / 10000.0).alias("revenue"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         YEAR(l.l_shipdate) AS l_year,
+         SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)
+)
+"""
+
+
 def q10_returned_customers(spark, sf):
     """TPC-H Q10 shape: revenue lost to returns per customer — 3-way
     join (lineitem ⋈ orders ⋈ customer ⋈ nation, dims broadcast),
@@ -2721,6 +2775,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q10_returned_customers": (q10_returned_customers, Q10_SQL),
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
