@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "corpus_prep_pipeline",
     "tfidf_top_terms",
     "stream_dedup_fingerprints",
+    "stream_interval_join_purchases",
     "q4_order_priority",
     "q7_nation_volume",
     "q10_returned_customers",

@@ -1930,6 +1930,47 @@ FROM documents
 """
 
 
+def stream_interval_join_purchases(spark, sf):
+    """Watermarked stream-stream interval join (§2.10 —
+    streaming/windows.stream_interval_join): clicks within [purchase,
+    purchase + 1h] per user, both sides streamed. The watermarks bound
+    the join state buffer; availableNow drives it to completion so the
+    append-mode result equals the batch interval join the oracle
+    replays. The last streaming operator to gain a hard oracle row."""
+    from tada_spark.streaming.windows import run_available_now, stream_interval_join
+
+    purchases = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+    )
+    clicks = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts"))
+    )
+    out = stream_interval_join(
+        purchases, clicks, keys=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        max_delay="1 hour",
+    )
+    res = run_available_now(
+        out.select("p_id", "c_id", F.col("p_ts").alias("purchase_ts")),
+        "q_stream_ivj",
+        output_mode="append",
+        timeout_s=240,
+    )
+    return res
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS p_id, c.event_id AS c_id, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+"""
+
+
 def stream_session_stats_users(spark, sf):
     """Event-TIME-dependent custom stateful operator
     (streaming/stateful.session_stats, applyInPandasWithState): per-user
@@ -2870,6 +2911,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "stream_dedup_fingerprints": (stream_dedup_fingerprints, STREAM_DEDUP_SQL),
+    "stream_interval_join_purchases": (stream_interval_join_purchases, STREAM_INTERVAL_JOIN_SQL),
     "pii_scrub_docs": (pii_scrub_docs, PII_SQL),
     "repetition_ngram_stats": (repetition_ngram_stats, REPETITION_SQL),
 }
