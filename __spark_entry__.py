@@ -26,60 +26,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver verifies the FIRST 50 queries() entries per round; the
-#: catalog has more. Order so every entry earns a hard driver row across
-#: rounds: (a) entries with no green driver row in r01∪r02 yet, (b) the
-#: three r02-red queries fixed this round, (c) queries whose code paths
-#: the timestamp-family rework touched, (d) the rest in catalog order
-#: (all double-verified in earlier rounds).
+#: catalog has more. Rolling-freshness goal (VERDICT r3 ask #3): every
+#: catalog entry green in the union of the last three rounds. r04 order:
+#: (a) the four r03 hash-reds, fixed via driver-canon-safe oracle output
+#: types, plus salted_group_sum whose latent DECIMAL(38,2) got the same
+#: fix; (b) the seven queries whose only green row is r01 (predates the
+#: timestamp rework); (c) queries whose oracle SQL changed this round
+#: (sign-safe % rounding idiom) and must re-earn their green; (d) the
+#: thirteen whose last green is r02 (freshness rotation); (e) the
+#: r02-only-green remainder; (f) the two rows-only entries absent from
+#: r03's window.
 _DRIVER_PRIORITY = [
-    # (a) never driver-verified
-    "moving_avg_trailing",
-    "top2_orders_per_customer",
-    "multimodal_audio_features",
-    "approx_distinct_suppliers",
+    # new this round: reference README pipeline, EqualRecords-certified
+    "readme_pipeline_golden",
+    # (a) r03 hash-reds, fixed + the latent same-class fix
+    "q12_shipmode_priority",
     "bpe_token_budget",
-    "quantiles_price_by_status",
-    "debounce_events",
-    "embedding_centroids",
-    "pivot_multi_agg_flag",
-    "salted_join_events_users",
-    "approx_quantiles_sketch",
-    "winsorize_value_per_user",
-    "ntile_quartile_customers",
-    "winnow_shared_fingerprints",
-    "gopher_quality_filters",
-    "pii_scrub_docs",
     "repetition_ngram_stats",
-    # (b) red in r02, fixed this round
-    "range_join_purchase_clicks",
-    "resample_15min_events",
-    "stream_hourly_totals",
-    # new this round: event-time-dependent stateful canary + the
-    # sliding/session streaming windows' first oracle-checked rows
-    "stream_session_stats_users",
-    "stream_sliding_hourly",
-    "stream_session_windows",
-    "near_dup_components",
-    "decontamination_check",
-    "corpus_prep_pipeline",
-    "tfidf_top_terms",
-    "stream_dedup_fingerprints",
-    "stream_interval_join_purchases",
-    "q4_order_priority",
+    "salted_join_events_users",
+    "salted_group_sum",
+    # (b) green only in r01
+    "lookup_orders_customer",
+    "q6_revenue_delta",
+    "distinct_flag_status",
+    "divide_nullsafe",
+    "json_extract_props",
+    "cube_flag_status",
+    "token_frequency",
+    # (c) oracle SQL changed this round (sign-safe remainder)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
     "q7_nation_volume",
     "q10_returned_customers",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    # (c) timestamp-family rework touched these paths
-    "resample_calendar_revenue",
-    "cast_multiformat_dates",
-    "stream_running_totals_users",
-    "asof_last_purchase",
-    "rolling_n_duration_events",
-    "sessionize_events",
-    "shift_cumsum_events",
-    "ffill_user_value",
+    # (d) last green r02
+    "append_union",
+    "custom_apply_zscore",
+    "custom_reduce_weighted_mean",
+    "dedup_exact_fingerprint",
+    "group_reducers_full",
+    "jaccard_near_dups",
+    "lang_id_vote",
+    "pivot_returnflag",
+    "promote_region_level",
+    "rollup_status_priority",
+    "sort_topk_customers",
+    "unique_first_appearance",
+    "value_counts_priority",
+    # (e) green only in r02
+    "agg_frame_and_columns",
+    "align_having_users",
+    "ann_topk_exact_ivf",
+    "bin_pbin_orders",
+    "combine_series_ratio",
+    "embed_near_dup_pairs",
+    "first_last_nth_per_order",
+    "intersect_except_orders",
+    "merge_dedupe_names",
+    "multimodal_image_features",
+    "rank_percentile_customers",
+    "sample_splits_docs",
+    "semi_anti_partition",
+    "set_rows_patch",
+    "text_stats_quality",
+    "video_frame_sample",
+    # (f) rows-only entries not in r03's window
+    "minhash_candidate_pairs",
+    "simhash_candidates",
 ]
 
 

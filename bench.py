@@ -100,6 +100,9 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
+                # estimator pinned since r03: best of n=3 runs per query
+                # (recorded so cross-round deltas are estimator-stable)
+                "n": 3,
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -353,6 +353,12 @@ class Frame:
         ]
         preds = []
         for name, val in values.items():
+            if hasattr(val, "item") and not isinstance(val, (bool, int, float, str)):
+                # numpy scalars: unwrap BEFORE type dispatch so they take
+                # the JVM-side canon_str(F.lit) route — the driver-side
+                # py_canon float render can differ from Java's in the
+                # rare cases Java 17 emits non-shortest digits (2^-24)
+                val = val.item()
             if val is None or (isinstance(val, float) and _math.isnan(val)):
                 preds.append(F.lit(False))  # nulls never match (§1.4)
                 continue

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container has no decode libraries (PIL/ffmpeg/torchaudio), so the
-decode kernels are STUBBED — clearly marked below — but everything
-Spark-side is real and tested: schemas, Arrow batch shapes, mapInPandas
-partition flow, metadata propagation. Swapping the stub body for a real
-decoder is a one-function change; the distributed plan is already right.
+Decode status by modality: AUDIO is REAL for PCM WAV (wav_audio_decoder,
+stdlib wave + numpy — no external libs); IMAGE decode is wired for PIL
+(pil_image_decoder) but the container has no Pillow, so the default
+stays the clearly-marked deterministic stub; compressed audio/video
+need ffmpeg/torchaudio and stay stubbed. Everything Spark-side is real
+and tested either way: schemas, Arrow batch shapes, mapInPandas
+partition flow, metadata propagation. The decoder parameter is the ONLY
+swap point, pinned by the swap-contract tests (schema + plan shape +
+drop policy identical across decoders).
 
 Design for 100 TB of media:
   * binary payloads stay columnar (parquet BINARY); metadata (width,
@@ -128,6 +132,60 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, float, float]:
     head = payload[:64]
     rms = r6((sum((b / 255.0) ** 2 for b in head) / len(head)) ** 0.5)
     return sample_rate, duration_s, rms
+
+
+def wav_audio_decoder(payload: bytes) -> tuple[int, float, float]:
+    """REAL audio decoder for PCM WAV — stdlib ``wave`` + numpy, no
+    external libraries. Pass as ``audio_features(..., decoder=
+    wav_audio_decoder)`` when payloads are RIFF/WAV; compressed formats
+    (mp3/ogg/flac) still need ffmpeg/torchaudio and keep the stub in
+    this container. Returns (sample_rate, duration_s, rms) with the same
+    half-up 6-dp rounding as the stub so either decoder satisfies the
+    swap contract."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned, offset-128
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if samples.size == 0 or sr <= 0:
+        raise ValueError("no samples")
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rms = float(np.sqrt(np.mean(samples**2)))
+    return sr, r6(n / sr), r6(rms)
+
+
+def pil_image_decoder(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decoder via PIL — raises ImportError in this container
+    (no PIL; documented constraint). Wired so the moment the environment
+    gains Pillow, ``image_features(..., decoder=pil_image_decoder)`` is
+    the production path; the swap-contract test exercises it when the
+    import succeeds and skips otherwise."""
+    import io
+
+    from PIL import Image  # noqa: F401 — the one non-baked dependency
+
+    img = Image.open(io.BytesIO(bytes(payload)))
+    w, h = img.size
+    hist = img.convert("L").histogram()
+    total = sum(hist)
+    mean_luma = (sum(i * c for i, c in enumerate(hist)) / total / 255.0) if total else 0.0
+    return w, h, mean_luma
 
 
 def audio_features(

@@ -47,12 +47,27 @@ def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
       * timestamps print RFC3339 ("2006-01-02T15:04:05Z")
       * bools print "true"/"false"
       * NULL prints a sentinel that never equals a real value
+
+    Deliberate divergence: NON-integral floats outside [1e-3, 1e7) render
+    with the host engine's (Java Double.toString) scientific-notation
+    thresholds ("5.0E-4"), not Go %v's ("0.0005") — canon strings are
+    internal key material, and staying on Spark's native string cast keeps
+    the hot path in codegen; py_canon mirrors the Java layout exactly.
     """
     if dtype is None:
         c = col.cast("string")
         return F.coalesce(c, F.lit("\x00null"))
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
-        as_long = col.cast("long")
+        # try_cast, not cast: ANSI mode (Spark 4 default) THROWS on
+        # |v| >= 2^63 — a plain cast would crash any canon-key plan the
+        # moment one huge double appears. try_cast SATURATES at
+        # MIN/MAX_LONG rather than nulling, so the integral rule is
+        # additionally range-guarded: outside [-2^63, 2^63) the value
+        # falls through to the string render (2^63 as a double equals
+        # double(MAX_LONG), which would otherwise print ...807 for a
+        # value that is ...808)
+        as_long = col.try_cast("long")
+        in_range = (col >= F.lit(float(-(2**63)))) & (col < F.lit(float(2**63)))
         frac = col.cast("string")
         if isinstance(dtype, T.DecimalType):
             # Decimal string casts keep scale ("1.50"); Go fmt.Sprint does
@@ -60,9 +75,16 @@ def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
             # the double rendering of the same value.
             frac = F.regexp_replace(frac, r"(\.\d*?)0+$", "$1")
             frac = F.regexp_replace(frac, r"\.$", "")
-        c = F.when(col.cast("double") == as_long.cast("double"), as_long.cast("string")).otherwise(
-            frac
-        )
+        if isinstance(dtype, T.DecimalType):
+            # exact integral test: the double-comparison shortcut loses
+            # precision past ~16 significant digits (Decimal
+            # '123456789012345678.9' double-rounds equal to its floor
+            # and rendered truncated); the remainder stays in decimal
+            # arithmetic, and try_cast long is exact for in-range values
+            integral = F.pmod(col, F.lit(1)) == F.lit(0)
+        else:
+            integral = col.cast("double") == as_long.cast("double")
+        c = F.when(in_range & integral, as_long.cast("string")).otherwise(frac)
     elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         # NTZ wall clock renders identically to the reference's
         # RFC3339-UTC form (session zone is pinned UTC, so LTZ and NTZ
@@ -78,10 +100,52 @@ def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
     return F.coalesce(c, F.lit("\x00null"))
 
 
+def _java_double_str(v: float) -> str:
+    """Java ``Double.toString`` layout from Python's shortest-repr digits:
+    plain decimal (with at least one fractional digit) for 1e-3 <= |v| <
+    1e7, else ``d.dddEn`` scientific — the rendering Spark's double->string
+    cast produces, which canon_str's non-integral branch inherits. Known
+    divergence: subnormals (|v| < 2.3e-308), where Java 17's legacy digit
+    generator is not shortest ("4.9E-324" vs repr "5e-324")."""
+    s = repr(v)
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    mant, _, exp = s.partition("e")
+    e = int(exp) if exp else 0
+    ip, _, fp = mant.partition(".")
+    if ip == "0":
+        digits = fp.lstrip("0")
+        e10 = -(len(fp) - len(digits)) - 1 + e
+    else:
+        digits = ip + fp
+        e10 = len(ip) - 1 + e
+    digits = digits.rstrip("0") or "0"
+    if -3 <= e10 <= 6:
+        if e10 >= 0:
+            ipart = digits[: e10 + 1].ljust(e10 + 1, "0")
+            fpart = digits[e10 + 1 :] or "0"
+        else:
+            ipart = "0"
+            fpart = "0" * (-e10 - 1) + digits
+        out = f"{ipart}.{fpart}"
+    else:
+        out = f"{digits[0]}.{digits[1:] or '0'}E{e10}"
+    return "-" + out if neg else out
+
+
 def py_canon(value: object) -> str | None:
     """Python-side twin of canon_str for driver-known literals: the
     canonical string a value would render to in a canon-key comparison.
-    Must stay in lockstep with canon_str."""
+
+    Lockstep contract (pinned by tests/test_canon_lockstep.py): exact
+    string equality with canon_str for Decimal / datetime / date / bool /
+    int — the types it is load-bearing for (filter_by_value's non-lit
+    fallback). For floats it emits Java Double.toString LAYOUT from
+    Python's shortest digits; Java 17's legacy digit generator is
+    occasionally non-shortest (2^-24 -> 17 digits), so float strings are
+    value-equal but not always byte-equal — engine paths route float
+    literals JVM-side (canon_str(F.lit(v))) and never hit this."""
     import datetime as _dt
     import math as _math
 
@@ -96,13 +160,20 @@ def py_canon(value: object) -> str | None:
             # canon_str: inf != its long-cast, so Spark renders the
             # string cast — "Infinity"/"-Infinity" (int(inf) would raise)
             return "Infinity" if value > 0 else "-Infinity"
-        if value == int(value) and abs(value) < 2**63:
+        if value == int(value) and -(2**63) <= value < 2**63:
             return str(int(value))
-        return str(value)
+        # non-integral (or too big for the long-cast integral rule):
+        # lockstep with canon_str's string cast = Java Double.toString
+        # layout, NOT Python str() — they disagree outside [1e-3, 1e7)
+        # ("5.0E-4" vs "0.0005"), which silently broke filter_by_value
+        # on such literals until the r4 property suite caught it
+        return _java_double_str(value)
     if isinstance(value, _dt.datetime):
-        return value.strftime("%Y-%m-%dT%H:%M:%SZ")
+        # isoformat, not strftime: %Y drops leading zeros for years <
+        # 1000 on glibc ('999'), while Spark's date_format pads ('0999')
+        return value.replace(microsecond=0).isoformat(sep="T") + "Z"
     if isinstance(value, _dt.date):
-        return value.strftime("%Y-%m-%d")
+        return value.isoformat()
     import decimal as _decimal
 
     if isinstance(value, _decimal.Decimal):

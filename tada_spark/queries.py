@@ -66,8 +66,11 @@ def _rev_e4():
 
 def _round2_e4(sum_e4):
     """Half-up 2-dp rounding of an exact 1e-4-unit long sum, as double:
-    integer (x+50) - (x+50)%100 -> e4 multiple of 100, one exact double
-    division. Integer-only until the final /1e4 — no float rounding."""
+    integer (x+50) - pmod(x+50, 100) -> e4 multiple of 100, one exact
+    double division. Integer-only until the final /1e4 — no float
+    rounding. Sign-safe: pmod is always non-negative, and the SQL
+    oracles mirror it with ((x % 100) + 100) % 100 (DuckDB's bare %
+    takes the dividend's sign, which would diverge on negative sums)."""
     return (sum_e4 + F.lit(50) - F.pmod(sum_e4 + F.lit(50), 100)) / F.lit(10000.0)
 
 
@@ -107,7 +110,7 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        qty_c / 100.0                                     AS sum_qty,
        price_c / 100.0                                   AS sum_base_price,
-       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0     AS sum_disc_price,
+       (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0     AS sum_disc_price,
        FLOOR(qty_c / 100.0 / n * 100 + 0.5) / 100        AS avg_qty,
        FLOOR(price_c / 100.0 / n * 100 + 0.5) / 100      AS avg_price,
        FLOOR(disc_c / 100.0 / n * 10000 + 0.5) / 10000   AS avg_disc,
@@ -148,7 +151,7 @@ def q3_top_revenue_orders(spark, sf):
 
 Q3_SQL = """
 SELECT o_orderkey, o_orderdate,
-       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
+       (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0 AS revenue
 FROM (
   SELECT o.o_orderkey, o.o_orderdate,
          SUM(ROUND(l.l_extendedprice * 100)::BIGINT * (100 - ROUND(l.l_discount * 100)::BIGINT)) AS rev_e4
@@ -190,7 +193,7 @@ def q5_region_revenue(spark, sf):
 
 Q5_SQL = """
 SELECT r_name,
-       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue,
+       (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0 AS revenue,
        n_orders
 FROM (
   SELECT r.r_name,
@@ -222,7 +225,7 @@ def q6_revenue_delta(spark, sf):
 
 
 Q6_SQL = """
-SELECT (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
+SELECT (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0 AS revenue
 FROM (
 SELECT SUM(ROUND(l_extendedprice * 100)::BIGINT * ROUND(l_discount * 100)::BIGINT) AS rev_e4
 FROM lineitem
@@ -304,7 +307,7 @@ def q7_nation_volume(spark, sf):
 
 Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
+       (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0 AS revenue
 FROM (
   SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          YEAR(l.l_shipdate) AS l_year,
@@ -348,7 +351,7 @@ def q10_returned_customers(spark, sf):
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       (rev_e4 + 50 - (rev_e4 + 50) % 100) / 10000.0 AS revenue
+       (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0 AS revenue
 FROM (
   SELECT c_custkey, c_name, c_acctbal, n_name,
          SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) AS rev_e4
@@ -398,8 +401,8 @@ def q12_shipmode_priority(spark, sf):
 
 Q12_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag, l_linestatus
@@ -1448,18 +1451,20 @@ def salted_join_events_users(spark, sf):
     from tada_spark.operators.skew import salted_join
 
     ev = load(spark, sf, "events").to_df().select("event_id", "user_id", "value")
-    # exact-decimal total, NOT a rounded double mean: double AVG is
+    # exact total, NOT a rounded double mean: double AVG is
     # summation-order-dependent, and 2-dp data makes the true mean land
     # EXACTLY on .00005 round boundaries (10x sweep: 3147.69/56 =
     # 56.20875 rounded differently per engine; DuckDB has no exact
-    # decimal division to pin it). A decimal SUM is order-independent
-    # and bit-identical everywhere — and the query's point is the
-    # salted JOIN, not the statistic.
+    # decimal division to pin it). q1's cents-long idiom: the SUM is an
+    # exact integer, the one /100.0 is a single exact double division —
+    # and the driver-visible output is a canon-safe DOUBLE (r3 lesson:
+    # a decimal(28,2) vs DECIMAL(38,2) output hash-diverged at the
+    # driver even with identical values).
     users = (
         load(spark, sf, "events")
         .to_df()
         .groupBy("user_id")
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("user_total"))
+        .agg((F.sum(_cents("value")) / F.lit(100.0)).alias("user_total"))
     )
     out = salted_join(ev, users, on=["user_id"], hot_threshold=50, salts=8)
     return out.select("event_id", "user_id", "user_total")
@@ -1468,7 +1473,7 @@ def salted_join_events_users(spark, sf):
 SALTED_JOIN_SQL = """
 SELECT e.event_id, e.user_id, u.user_total
 FROM events e
-JOIN (SELECT user_id, SUM(value::DECIMAL(18,2)) AS user_total
+JOIN (SELECT user_id, SUM(ROUND(value * 100)::BIGINT) / 100.0 AS user_total
       FROM events GROUP BY user_id) u
   ON e.user_id = u.user_id
 """
@@ -1644,9 +1649,9 @@ def bpe_token_budget(spark, sf):
 
 BPE_SQL = r"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(trim(text), '\S+'))) AS ws_total,
+       SUM(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS ws_total,
        SUM(len(regexp_extract_all(text,
-           e'\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))) AS bpe_total
+           e'\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))::BIGINT AS bpe_total
 FROM documents GROUP BY lang
 """
 
@@ -2017,28 +2022,30 @@ def salted_group_sum(spark, sf):
     from tada_spark.operators.skew import salted_agg
 
     li = load(spark, sf, "lineitem")
-    # decimal cast before the salted sum: 2-dp prices summed as doubles
-    # are reassociation-sensitive, and the rounded mean can land on a
-    # .00005 boundary (same class the 10x sweep caught in the salted
-    # join); the decimal partials merge exactly
-    df = li.to_df().withColumn("__price_dec", F.col("l_extendedprice").cast("decimal(18,2)"))
+    # cents-long cast before the salted sum: 2-dp prices summed as
+    # doubles are reassociation-sensitive (same class the 10x sweep
+    # caught in the salted join); integer-cent partials merge exactly,
+    # and the final /100.0 yields a driver-canon-safe DOUBLE (a wide
+    # decimal output is the r3 hash-red class)
+    df = li.to_df().withColumn("__price_c", _cents("l_extendedprice"))
     out = salted_agg(
         df,
         ["l_returnflag"],
-        {"total_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity"), "price_total": ("sum", "__price_dec")},
+        {"total_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity"), "price_c": ("sum", "__price_c")},
         salts=16,
     )
     return out.select(
         "l_returnflag",
         F.round("total_qty", 2).alias("total_qty"),
         "n",
-        F.col("price_total"),
+        (F.col("price_c") / F.lit(100.0)).alias("price_total"),
     )
 
 
 SALTED_SQL = """
 SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS total_qty,
-       COUNT(l_quantity) AS n, SUM(l_extendedprice::DECIMAL(18,2)) AS price_total
+       COUNT(l_quantity) AS n,
+       SUM(ROUND(l_extendedprice * 100)::BIGINT) / 100.0 AS price_total
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -2732,7 +2739,7 @@ WITH toks AS (
 ), per_gram AS (
   SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g
 )
-SELECT doc_id, SUM(n) AS total_2grams, COUNT(*) AS distinct_2grams,
+SELECT doc_id, SUM(n)::BIGINT AS total_2grams, COUNT(*) AS distinct_2grams,
        ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS top_2gram_frac
 FROM per_gram GROUP BY doc_id
 """
@@ -2799,6 +2806,51 @@ SELECT doc_id, lang, 'strat' AS split FROM ({STRATIFIED_SQL})
 """
 
 
+def readme_pipeline_golden(spark, sf):
+    """The reference's README pipeline test, re-expressed on the testdata
+    customer table (readme_test.go:13-28 / 29-59): HasCols gate → Cast to
+    float → Filter to the valid value range (nulls never match) → GroupBy
+    + Mean → Sort. Spark-first reordering: the reference sorts the fact
+    rows BEFORE grouping (its group output follows sort order); here the
+    sort moves AFTER the aggregate — same rows, and no fact-scale global
+    sort in the plan. The result then round-trips through the test
+    harness itself (RecordWriter → RecordReader with type inference →
+    EqualRecords, io.go:271-299/213-268/562-574): the query raises if the
+    harness identity breaks, so this driver row also certifies
+    equal_records end-to-end."""
+    from tada_spark.sources.records import read_records, write_records
+    from tada_spark.testing.equal import equal_records
+
+    cust = load(spark, sf, "customer").has_cols("c_mktsegment", "c_acctbal")
+    n = F.count("*")
+    res = (
+        cust.cast(c_acctbal="double")
+        .filter(F.col("c_acctbal") >= 0, F.col("c_acctbal") <= 5000)
+        .group_by("c_mktsegment")
+        .agg(
+            mean_acctbal=_round_det(F.sum(_cents("c_acctbal")) / F.lit(100.0) / n, 2),
+            n_customers=n,
+        )
+        .sort("c_mktsegment")
+    )
+    golden = write_records(res)  # tiny: one row per market segment
+    roundtrip = read_records(spark, golden, infer_types=True)
+    ok, diffs = equal_records(roundtrip, golden)
+    if not ok:
+        raise AssertionError(f"EqualRecords harness identity broke: {diffs[:5]}")
+    return res.to_df()
+
+
+README_PIPELINE_SQL = """
+SELECT c_mktsegment,
+       FLOOR(SUM(ROUND(c_acctbal * 100)::BIGINT) / 100.0 / COUNT(*) * 100 + 0.5) / 100 AS mean_acctbal,
+       COUNT(*) AS n_customers
+FROM customer
+WHERE c_acctbal >= 0 AND c_acctbal <= 5000
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2821,6 +2873,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
+    # -- reference README pipeline + test-harness identity --
+    "readme_pipeline_golden": (readme_pipeline_golden, README_PIPELINE_SQL),
     # -- filters / projection --
     "filter_compound": (filter_compound, FILTER_SQL),
     "filter_by_value_canon": (filter_by_value_canon, FILTER_BY_VALUE_SQL),

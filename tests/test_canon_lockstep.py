@@ -1,0 +1,201 @@
+"""Property suite: canon_str (Spark) / py_canon (driver) lockstep.
+
+py_canon is the driver-side twin of canon_str — filter_by_value routes
+user literals through it while the column side renders via canon_str
+(frame.py:336-380), so any rendering divergence is a silent wrong-result
+bug. This suite (VERDICT r3 ask #8) hammers the pair with randomized
+float / decimal / NTZ / LTZ / date values, batched many-per-Spark-job.
+
+It already earned its keep: writing it surfaced (a) an ANSI-mode crash —
+canon_str's integral-rule ``cast("long")`` THREW on |v| >= 2^63 under
+Spark 4's default ANSI mode (now try_cast), and (b) py_canon rendering
+floats Python-style ("0.0005") where Spark's string cast is Java-style
+("5.0E-4") outside [1e-3, 1e7) — both fixed in plans/semantics.py.
+
+Known exclusions, documented at _java_double_str: subnormal doubles
+(|v| < 2.3e-308, Java 17's legacy digit generator is not shortest) and
+NaN (normalized to NULL at ingest by the null shim, never reaches canon).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tada_spark.frame import Frame
+from tada_spark.plans.semantics import canon_str, py_canon
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# normal-range doubles only: subnormals documented-divergent (Java 17
+# legacy Double.toString is not shortest below ~2.3e-308)
+_doubles = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, allow_subnormal=False),
+    st.integers(-(10**18), 10**18).map(float),
+    st.floats(-1e-3, 1e-3, allow_nan=False, allow_subnormal=False),
+    st.floats(1e6, 1e20, allow_nan=False, allow_infinity=False),
+)
+
+# the r3 probe's divergence corpus — every one of these disagreed (or
+# crashed) before the r4 fixes; keep them as pinned examples
+_EDGE_DOUBLES = [
+    0.0005, -0.0005, 2.5e-4, 1e-7, 12345678.5, 1234567.5, 9999999.5,
+    1e7, 1e16, 1e19, 1000000000000000.5, 1.7976931348623157e308,
+    0.30000000000000004, -0.0, 0.001, 0.0011, float(2**63), float(2**63 - 512),
+]
+
+
+@given(vals=st.lists(_doubles, min_size=1, max_size=64))
+@example(vals=_EDGE_DOUBLES)
+@settings(**SETTINGS)
+def test_canon_double_lockstep(spark, vals):
+    """Doubles: value-exact lockstep. Byte-equality can't hold globally —
+    Java 17's legacy Double.toString occasionally emits non-shortest
+    digits (2^-24 -> '5.9604644775390625E-8' vs repr's 16) — so the
+    invariant is: equal strings, OR both strings parse back to exactly
+    the original double. This still catches every value-level bug this
+    suite found pre-fix: the ANSI long-cast crash, and try_cast's
+    MAX_LONG saturation rendering 2^63 as ...807 (parse-back != v)."""
+    schema = T.StructType(
+        [T.StructField("idx", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    got = {
+        r["idx"]: r["c"]
+        for r in df.select(
+            "idx", canon_str(F.col("v"), T.DoubleType()).alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        p = py_canon(v)
+        if got[i] == p:
+            continue
+        assert float(got[i]) == v and float(p) == v, (repr(v), got[i], p)
+
+
+@given(vals=st.lists(_doubles, min_size=1, max_size=16, unique=True))
+@example(vals=_EDGE_DOUBLES)
+@settings(**SETTINGS)
+def test_filter_by_value_double_roundtrip(spark, vals):
+    """End-to-end: a double stored in a column is FOUND by
+    filter_by_value with that same double as the literal — the actual
+    load-bearing property behind the canon lockstep (literal routed
+    JVM-side through canon_str(F.lit(v)))."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    f = Frame(
+        spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+            ),
+        )
+    )
+    probe = vals[0]
+    want = sorted(i for i, v in rows if v == probe)  # -0.0 == 0.0 duplicates
+    got = sorted(r.id for r in f.filter_by_value(v=probe).df.collect())
+    assert got == want, (repr(probe), got, want)
+
+
+_decimals = st.decimals(
+    min_value=Decimal("-1e20"),
+    max_value=Decimal("1e20"),
+    allow_nan=False,
+    allow_infinity=False,
+    places=6,
+)
+
+
+@given(vals=st.lists(_decimals, min_size=1, max_size=64))
+@example(vals=[Decimal("1.500000"), Decimal("2.000000"), Decimal("0.250000"),
+               Decimal("10000000000000000001.000000"),  # integral > 2^63: long-cast null path
+               Decimal("-0.000001"), Decimal("123456789012345678.900000")])
+@settings(**SETTINGS)
+def test_canon_decimal_lockstep(spark, vals):
+    """DecimalType(38,6): scale-preserving string cast + trailing-zero
+    strip must agree with py_canon's format(v, 'f') rendering, including
+    integral values too large for the long-cast integral rule (try_cast
+    NULL -> plain-digits fallback, not an ANSI throw)."""
+    schema = T.StructType(
+        [T.StructField("idx", T.LongType()), T.StructField("v", T.DecimalType(38, 6))]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    got = {
+        r["idx"]: r["c"]
+        for r in df.select(
+            "idx", canon_str(F.col("v"), T.DecimalType(38, 6)).alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == py_canon(v), (repr(v), got[i], py_canon(v))
+
+
+_datetimes = st.datetimes(
+    min_value=dt.datetime(1900, 1, 1), max_value=dt.datetime(2262, 1, 1)
+)
+
+
+@given(vals=st.lists(_datetimes, min_size=1, max_size=64))
+@settings(**SETTINGS)
+def test_canon_timestamp_families_lockstep(spark, vals):
+    """NTZ and LTZ columns holding the same wall clock render identically
+    to each other AND to py_canon, including sub-second truncation (both
+    sides floor to whole seconds; session zone pinned UTC)."""
+    schema = T.StructType(
+        [T.StructField("idx", T.LongType()), T.StructField("v", T.TimestampNTZType())]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema).withColumn(
+        "v_ltz", F.col("v").cast("timestamp")
+    )
+    got = {
+        r["idx"]: (r["c_ntz"], r["c_ltz"])
+        for r in df.select(
+            "idx",
+            canon_str(F.col("v"), T.TimestampNTZType()).alias("c_ntz"),
+            canon_str(F.col("v_ltz"), T.TimestampType()).alias("c_ltz"),
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        want = py_canon(v)
+        assert got[i] == (want, want), (v, got[i], want)
+
+
+@given(
+    vals=st.lists(
+        st.dates(min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 31)),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(**SETTINGS)
+def test_canon_date_lockstep(spark, vals):
+    schema = T.StructType(
+        [T.StructField("idx", T.LongType()), T.StructField("v", T.DateType())]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    got = {
+        r["idx"]: r["c"]
+        for r in df.select("idx", canon_str(F.col("v"), T.DateType()).alias("c")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == py_canon(v), (v, got[i], py_canon(v))
+
+
+def test_filter_by_value_extreme_float_literals(spark):
+    """End-to-end regression for the divergence this suite caught:
+    filter_by_value with a literal outside Java's plain-decimal range
+    must still match the stored value (pre-fix, py_canon rendered
+    '0.0005' vs the column's '5.0E-4' -> silent empty result)."""
+    rows = [(1, 0.0005), (2, 12345678.5), (3, 1e19), (4, 7.0), (5, 0.25)]
+    f = Frame(spark.createDataFrame(rows, "id long, v double"))
+    for rid, v in rows:
+        got = [r.id for r in f.filter_by_value(v=v).df.collect()]
+        assert got == [rid], (v, got)

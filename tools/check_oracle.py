@@ -106,6 +106,35 @@ def duckdb_type_class(name: str) -> str:
     return "other"
 
 
+def spark_unsafe(dt) -> str | None:
+    """Driver-canon-unsafe Spark output type, or None. The driver's
+    canonicalizer renders wide decimals via a float path ('56.2') while
+    narrow engines keep scale ('56.20') — every round-3 hash-red traced
+    to this class. Output columns must be long/double/narrow types."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType) and dt.precision > 18:
+        return f"decimal({dt.precision},{dt.scale})"
+    return None
+
+
+def duckdb_unsafe(name: str) -> str | None:
+    """Driver-canon-unsafe DuckDB oracle output type, or None. Bare
+    SUM(int) is HUGEINT (int128 -> driver float path -> '123.0' vs
+    Spark LONG '123'); SUM(DECIMAL(18,2)) widens to DECIMAL(38,2).
+    Oracles must cast sums ::BIGINT / ::DOUBLE or use the cents idiom."""
+    u = name.upper()
+    if u == "HUGEINT" or u == "UHUGEINT":
+        return u
+    if u.startswith("DECIMAL"):
+        import re
+
+        m = re.match(r"DECIMAL\((\d+)", u)
+        if m and int(m.group(1)) > 18:
+            return u
+    return None
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon_rows = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
@@ -157,6 +186,9 @@ def main() -> int:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
             stypes = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
+            s_unsafe = {
+                f.name: u for f in sdf.schema.fields if (u := spark_unsafe(f.dataType))
+            }
             srows = [tuple(r) for r in sdf.collect()]
             s_hash, s_n = table_hash(scols, srows)
         except Exception as e:
@@ -164,16 +196,23 @@ def main() -> int:
             n_fail += 1
             continue
         spark_t = time.time() - t0
+        if s_unsafe:
+            print(f"FAIL  {name}: driver-canon-unsafe spark output types: {s_unsafe}")
+            n_fail += 1
+            continue
         if name not in oracles:
             status = "rows-only"
             print(f"OK?   {name}: {s_n} rows [{status}] ({spark_t:.1f}s)")
             n_pass += 1
             continue
         try:
-            dtypes = {
-                r[0]: duckdb_type_class(r[1])
-                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
-            }
+            draw = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()}
+            dtypes = {c: duckdb_type_class(t) for c, t in draw.items()}
+            d_unsafe = {c: u for c, t in draw.items() if (u := duckdb_unsafe(t))}
+            if d_unsafe:
+                print(f"FAIL  {name}: driver-canon-unsafe oracle output types: {d_unsafe}")
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
