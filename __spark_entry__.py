@@ -37,8 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: r02-only-green remainder; (f) the two rows-only entries absent from
 #: r03's window.
 _DRIVER_PRIORITY = [
-    # new this round: reference README pipeline, EqualRecords-certified
+    # new this round: reference README pipeline, EqualRecords-certified;
+    # plus the first of ten new TPC-H analogs (q2/q8/q9/q11/q13/q15/q16/
+    # q17/q19/q22 — local-gate green; the rest rotate in next rounds)
     "readme_pipeline_golden",
+    "q2_min_cost_supplier",
     # (a) r03 hash-reds, fixed + the latent same-class fix
     "q12_shipmode_priority",
     "bpe_token_budget",

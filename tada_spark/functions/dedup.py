@@ -397,3 +397,65 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def paragraph_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Explode documents into fixed-width word chunks — the 'paragraph'
+    unit for corpora without newline structure (CCNet, Wenzek et al.
+    2020, dedupes at paragraph granularity). Chunks are built by array
+    SLICING, not collect_list, so chunk text is deterministic under any
+    partitioning. Returns (id, cid, chunk) with empty chunks dropped."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(chunk_words))).cast("int")
+    cids = F.when(n >= 1, F.sequence(F.lit(0), n_chunks - 1))
+    chunks = F.transform(
+        cids, lambda c: F.array_join(F.slice(toks, c * chunk_words + 1, chunk_words), " ")
+    )
+    out = df.select(id_col, F.posexplode(chunks).alias("cid", "chunk"))
+    return out.filter(F.col("chunk") != "")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (CCNet-style): every
+    chunk occurrence except the global first (by (doc, position)) is a
+    duplicate. Per document: chunk counts, duplicate fraction, and the
+    md5 of the text REBUILT from only first-occurrence chunks.
+
+    Scale shape: explode → ONE shuffle hash-partitioned by chunk
+    fingerprint (the window) → one groupBy(doc). Shuffle volume is the
+    chunk stream — ∝ corpus tokens / chunk_words — never a pairwise
+    comparison. The rebuilt text sorts each doc's kept chunks by
+    position via array_sort over structs (collect_list order is
+    partition-dependent; the sort makes it deterministic)."""
+    from pyspark.sql.window import Window
+
+    ch = paragraph_chunks(df, id_col=id_col, text_col=text_col, chunk_words=chunk_words)
+    w = Window.partitionBy("fp").orderBy(id_col, "cid")
+    flagged = ch.withColumn("fp", F.md5("chunk")).withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+    dup = F.when(F.col("keep"), 0).otherwise(1)
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("cid", "chunk")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+        F.round(F.sum(dup) / F.count("*"), 6).alias("dup_frac"),
+        F.md5(
+            F.array_join(F.transform(kept_sorted, lambda s: s["chunk"]), " ")
+        ).alias("kept_md5"),
+    )

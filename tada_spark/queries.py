@@ -481,6 +481,468 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT outer
+    fact join + two-level aggregation (synthetic orders has no o_comment;
+    the NOT-LIKE exclusion is stood in by dropping 1-URGENT orders).
+    Plan: orders aggregate once by custkey (one shuffle), customers LEFT
+    lookup the unique-keyed counts, then a tiny histogram aggregate —
+    the fact table is never joined row-to-row against customers."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = orders.group_by("o_custkey").agg(c_count=F.count("*"))
+    withc = cust.lookup(
+        per_cust, left_on=["c_custkey"], right_on=["o_custkey"], how="left", unique_keys=True
+    ).fill_null("zero", subset=["c_count"])
+    return (
+        withc.group_by("c_count")
+        .agg(custdist=F.count("*"))
+        .sort(("custdist", False), ("c_count", False))
+        .to_df()
+        .select("c_count", "custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: revenue view + global-argmax join-back. The max
+    is taken with an unpartitioned window OVER THE PER-SUPPLIER AGGREGATE
+    (|suppliers| rows post-shuffle, never the fact table), then supplier
+    names broadcast in — the classic two-phase argmax that avoids both a
+    driver collect and a fact-scale global sort."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01"),
+        F.col("l_shipdate") < F.lit("1996-04-01"),
+    )
+    rev = li.group_by("l_suppkey").agg(rev_e4=F.sum(_rev_e4()))
+    top = (
+        rev.with_col("max_e4", F.max("rev_e4").over(Window.partitionBy()))
+        .filter(F.col("rev_e4") == F.col("max_e4"))
+        .with_col("total_revenue", _round2_e4(F.col("rev_e4")))
+    )
+    supp = load(spark, sf, "supplier")
+    return (
+        top.lookup(
+            supp.cols("s_suppkey", "s_name"),
+            left_on=["l_suppkey"], right_on=["s_suppkey"], how="inner",
+            broadcast=True, unique_keys=True,
+        )
+        .to_df()
+        .select(F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape: correlated per-part avg, decorrelated — one
+    aggregate computes each part's (sum_qty, n) pair, joined back to the
+    branded lines; the 'qty < 0.2 * avg' threshold becomes the
+    integer-exact 5*qty_c*n < sum_qc so no float boundary can flip a row
+    between engines. One scalar output (avg weekly-ish revenue /7)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter_by_value(p_brand="Brand#23")
+    branded = li.lookup(
+        part.cols("p_partkey"),
+        left_on=["l_partkey"], right_on=["p_partkey"], how="inner",
+        broadcast=True, unique_keys=True,
+    )
+    per_part = branded.group_by("l_partkey").agg(
+        sum_qc=F.sum(_cents("l_quantity")), n_lines=F.count("*")
+    )
+    j = branded.lookup(
+        per_part.rename({"l_partkey": "pk"}),
+        left_on=["l_partkey"], right_on=["pk"], how="inner", unique_keys=True,
+    )
+    small = j.filter(F.lit(5) * _cents("l_quantity") * F.col("n_lines") < F.col("sum_qc"))
+    return small.agg(
+        avg_yearly=_round_det(F.sum(_cents("l_extendedprice")) / F.lit(100.0) / F.lit(7.0), 2)
+    ).to_df()
+
+
+Q17_SQL = """
+SELECT FLOOR(SUM(ROUND(l_extendedprice * 100)::BIGINT) / 100.0 / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+JOIN (
+  SELECT l_partkey AS pk, SUM(ROUND(l_quantity * 100)::BIGINT) AS sum_qc, COUNT(*) AS n_lines
+  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+  GROUP BY l_partkey
+) a ON a.pk = l.l_partkey
+WHERE 5 * ROUND(l_quantity * 100)::BIGINT * n_lines < sum_qc
+"""
+
+
+def q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape: ONE equi-join on partkey with an OR-of-ANDs
+    residual (brand × size-band × quantity-band). Catalyst keeps the
+    single broadcast hash join and evaluates the disjunction as a
+    post-join filter — not a union of three separate joins."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    j = li.lookup(
+        part.cols("p_partkey", "p_brand", "p_size"),
+        left_on=["l_partkey"], right_on=["p_partkey"], how="inner",
+        broadcast=True, unique_keys=True,
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        revenue=_round2_e4(F.sum(_rev_e4())), n_lines=F.count("*")
+    ).to_df()
+
+
+Q19_SQL = """
+SELECT (rev_e4 + 50 - (((rev_e4 + 50) % 100) + 100) % 100) / 10000.0 AS revenue,
+       n_lines
+FROM (
+  SELECT SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) AS rev_e4,
+         COUNT(*) AS n_lines
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+)
+"""
+
+
+def q22_inactive_customers(spark, sf):
+    """TPC-H Q22 shape: global-scalar threshold + anti join. The scalar
+    avg of positive balances is a 1-row aggregate cross-broadcast onto
+    customers (no driver collect, no second scan); 'no orders' is a
+    fact-side LEFT ANTI join; the threshold comparison is integer-exact
+    (bal_c * n > sum_c). Final aggregate is segment-tiny. (Synthetic
+    data quirk: every customer has at least one order, so 'inactive'
+    means no URGENT order — same plan shape, non-empty result.)"""
+    cust = load(spark, sf, "customer")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        sum_c=F.sum(_cents("c_acctbal")), n=F.count("*")
+    )
+    # 1-row scalar broadcast: physically a BroadcastNestedLoopJoin, but
+    # with exactly one broadcast row it is O(|customer|) — allowlisted in
+    # plan_audit (a constant-key equi-join folds back to this anyway)
+    rich = Frame(
+        cust.to_df().crossJoin(F.broadcast(thr.to_df()))
+    ).filter(_cents("c_acctbal") * F.col("n") > F.col("sum_c"))
+    urgent = load(spark, sf, "orders").filter_by_value(o_orderpriority="1-URGENT")
+    inactive = rich.anti_join(urgent.cols("o_custkey"), left_on=["c_custkey"], right_on=["o_custkey"])
+    return (
+        inactive.group_by("c_mktsegment")
+        .agg(
+            numcust=F.count("*"),
+            totacctbal=F.sum(_cents("c_acctbal")) / F.lit(100.0),
+        )
+        .to_df()
+        .select("c_mktsegment", "numcust", "totacctbal")
+    )
+
+
+Q22_SQL = """
+WITH t AS (
+  SELECT SUM(ROUND(c_acctbal * 100)::BIGINT) AS sum_c, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       SUM(ROUND(c_acctbal * 100)::BIGINT) / 100.0 AS totacctbal
+FROM customer, t
+WHERE ROUND(c_acctbal * 100)::BIGINT * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: per-group min + equality join-back, region-
+    constrained (no partsupp table in the synthetic schema — lineitem is
+    the part↔supplier relation and line price the 'cost'). All dims
+    broadcast; the min table is part-keyed and joined back on the exact
+    integer cents pair (l_partkey, price_c) so no float boundary decides
+    membership; deterministic top-100 via total-order tiebreak."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter_by_value(p_size="15")
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    reg = load(spark, sf, "region").filter_by_value(r_name="EUROPE")
+    eur = (
+        li.lookup(part.cols("p_partkey"), left_on=["l_partkey"], right_on=["p_partkey"],
+                  how="inner", broadcast=True, unique_keys=True)
+        .lookup(supp.cols("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+                left_on=["l_suppkey"], right_on=["s_suppkey"], how="inner",
+                broadcast=True, unique_keys=True)
+        .lookup(nat.cols("n_nationkey", "n_name", "n_regionkey"),
+                left_on=["s_nationkey"], right_on=["n_nationkey"], how="inner",
+                broadcast=True, unique_keys=True)
+        .lookup(reg.cols("r_regionkey"), left_on=["n_regionkey"], right_on=["r_regionkey"],
+                how="inner", broadcast=True, unique_keys=True)
+        .with_col("price_c", _cents("l_extendedprice"))
+    )
+    mins = eur.group_by("l_partkey").agg(min_c=F.min("price_c")).rename({"l_partkey": "pk"})
+    best = eur.lookup(
+        mins, left_on=["l_partkey", "price_c"], right_on=["pk", "min_c"],
+        how="inner", unique_keys=True,
+    )
+    return (
+        best.cols("s_acctbal", "s_name", "n_name", "l_partkey", "price_c")
+        .to_df()
+        .distinct()
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("price_c") / F.lit(100.0)).alias("price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH eur AS (
+  SELECT s_acctbal, s_name, n_name, l_partkey, l_suppkey,
+         ROUND(l_extendedprice * 100)::BIGINT AS price_c
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey AND p_size = 15
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+), m AS (
+  SELECT l_partkey AS pk, MIN(price_c) AS min_c FROM eur GROUP BY l_partkey
+)
+SELECT DISTINCT s_acctbal, s_name, n_name, l_partkey AS p_partkey, price_c / 100.0 AS price
+FROM eur JOIN m ON pk = l_partkey AND min_c = price_c
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 100
+"""
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape: market share — a conditional-sum ratio per year,
+    with nation reached via TWO dimension paths (customer→nation→region
+    gates the market; supplier→nation flags the share numerator). The
+    ratio divides two exact e4-unit long sums as doubles (both < 2^53),
+    then deterministic 6-dp rounding."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    reg = load(spark, sf, "region").filter_by_value(r_name="AMERICA")
+    market = (
+        li.lookup(orders.cols("o_orderkey", "o_custkey", "o_orderdate"),
+                  left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True)
+        .lookup(cust.cols("c_custkey", "c_nationkey"), left_on=["o_custkey"],
+                right_on=["c_custkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(nat.cols("n_nationkey", "n_regionkey").rename({"n_nationkey": "cn_key", "n_regionkey": "cn_region"}),
+                left_on=["c_nationkey"], right_on=["cn_key"], how="inner",
+                broadcast=True, unique_keys=True)
+        .lookup(reg.cols("r_regionkey"), left_on=["cn_region"], right_on=["r_regionkey"],
+                how="inner", broadcast=True, unique_keys=True)
+        .lookup(supp.cols("s_suppkey", "s_nationkey"), left_on=["l_suppkey"],
+                right_on=["s_suppkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(nat.cols("n_nationkey", "n_name").rename({"n_nationkey": "sn_key", "n_name": "supp_nation"}),
+                left_on=["s_nationkey"], right_on=["sn_key"], how="inner",
+                broadcast=True, unique_keys=True)
+    )
+    flagged = market.with_col("o_year", F.year("o_orderdate")).with_col(
+        "brazil_e4", F.when(F.col("supp_nation") == "NATION_7", _rev_e4()).otherwise(F.lit(0))
+    )
+    return (
+        flagged.group_by("o_year")
+        .agg(num_e4=F.sum("brazil_e4"), den_e4=F.sum(_rev_e4()))
+        .with_col("mkt_share", _round_det(F.col("num_e4").cast("double") / F.col("den_e4").cast("double"), 6))
+        .sort(("o_year", True))
+        .to_df()
+        .select("o_year", "mkt_share")
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       FLOOR(num_e4::DOUBLE / den_e4::DOUBLE * 1000000 + 0.5) / 1000000 AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+         SUM(CASE WHEN sn.n_name = 'NATION_7'
+                  THEN ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)
+                  ELSE 0 END) AS num_e4,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)) AS den_e4
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  GROUP BY 1
+)
+"""
+
+
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name substring filter (no ps_supplycost in the synthetic
+    schema — cost analog is the part's full retail price × quantity).
+    Profit stays in exact 1e-4-unit longs end to end: rev_e4 −
+    retail_c·qty_c, both products of cents."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    part = load(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    j = (
+        li.lookup(part.cols("p_partkey", "p_retailprice"), left_on=["l_partkey"],
+                  right_on=["p_partkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(supp.cols("s_suppkey", "s_nationkey"), left_on=["l_suppkey"],
+                right_on=["s_suppkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(nat.cols("n_nationkey", "n_name"), left_on=["s_nationkey"],
+                right_on=["n_nationkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(orders.cols("o_orderkey", "o_orderdate"), left_on=["l_orderkey"],
+                right_on=["o_orderkey"], how="inner", unique_keys=True)
+    )
+    profit_e4 = _rev_e4() - _cents("p_retailprice") * _cents("l_quantity")
+    return (
+        j.with_col("o_year", F.year("o_orderdate"))
+        .group_by("n_name", "o_year")
+        .agg(sum_profit=_round2_e4(F.sum(profit_e4)))
+        .sort(("n_name", True), ("o_year", False))
+        .to_df()
+        .select("n_name", "o_year", "sum_profit")
+    )
+
+
+Q9_SQL = """
+SELECT n_name, o_year,
+       (p_e4 + 50 - (((p_e4 + 50) % 100) + 100) % 100) / 10000.0 AS sum_profit
+FROM (
+  SELECT n_name, EXTRACT(year FROM o_orderdate)::INT AS o_year,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT * (100 - ROUND(l_discount * 100)::BIGINT)
+             - ROUND(p_retailprice * 100)::BIGINT * ROUND(l_quantity * 100)::BIGINT) AS p_e4
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  GROUP BY n_name, 2
+)
+"""
+
+
+def q11_important_parts(spark, sf):
+    """TPC-H Q11 shape: per-part value vs a global-share threshold. The
+    global total is a 1-row aggregate cross-broadcast onto the per-part
+    values (no collect, no second fact scan); 'share > 0.1%' is the
+    integer-exact val·1000 > total."""
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation").filter_by_value(n_name="NATION_7")
+    n7 = (
+        li.lookup(supp.cols("s_suppkey", "s_nationkey"), left_on=["l_suppkey"],
+                  right_on=["s_suppkey"], how="inner", broadcast=True, unique_keys=True)
+        .lookup(nat.cols("n_nationkey"), left_on=["s_nationkey"], right_on=["n_nationkey"],
+                how="inner", broadcast=True, unique_keys=True)
+    )
+    vals = n7.group_by("l_partkey").agg(
+        val_e4=F.sum(_cents("l_extendedprice") * _cents("l_quantity"))
+    )
+    total = vals.agg(total_e4=F.sum("val_e4"))
+    # 1-row scalar broadcast (see q22): linear by construction,
+    # allowlisted in plan_audit
+    keep = Frame(
+        vals.to_df().crossJoin(F.broadcast(total.to_df()))
+    ).filter(F.col("val_e4") * F.lit(1000) > F.col("total_e4"))
+    return (
+        keep.with_col("value", _round2_e4(F.col("val_e4")))
+        .sort(("value", False), ("l_partkey", True))
+        .to_df()
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT * ROUND(l_quantity * 100)::BIGINT) AS val_e4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+  GROUP BY l_partkey
+), g AS (SELECT SUM(val_e4) AS total_e4 FROM v)
+SELECT l_partkey AS p_partkey,
+       (val_e4 + 50 - (((val_e4 + 50) % 100) + 100) % 100) / 10000.0 AS value
+FROM v, g
+WHERE val_e4 * 1000 > total_e4
+"""
+
+
+def q16_supplier_counts(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, with an excluded-supplier ANTI join (no partsupp — lineitem
+    is the part↔supplier relation; the 'complaints' exclusion is stood
+    in by a supplier-name substring). Distinct count shuffles once on
+    the attribute triple after the anti-joined fact projection."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(
+        F.col("p_brand") != "Brand#45", ~F.col("p_type").startswith("MEDIUM"),
+        F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22),
+    )
+    bad = load(spark, sf, "supplier").filter(F.col("s_name").contains("77"))
+    j = (
+        li.anti_join(bad.cols("s_suppkey"), left_on=["l_suppkey"], right_on=["s_suppkey"])
+        .lookup(part.cols("p_partkey", "p_brand", "p_type", "p_size"),
+                left_on=["l_partkey"], right_on=["p_partkey"], how="inner",
+                broadcast=True, unique_keys=True)
+    )
+    return (
+        j.group_by("p_brand", "p_type", "p_size")
+        .agg(supplier_cnt=F.count_distinct("l_suppkey"))
+        .sort(("supplier_cnt", False), ("p_brand", True), ("p_type", True), ("p_size", True))
+        .to_df()
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def filter_compound(spark, sf):
     """Compound AND filter + projection (reference Filter, §2.3)."""
     li = load(spark, sf, "lineitem")
@@ -2851,6 +3313,39 @@ GROUP BY c_mktsegment
 """
 
 
+def paragraph_dedup_docs(spark, sf):
+    """CCNet-style paragraph-level exact dedup (functions/dedup.
+    paragraph_dedup): 20-word chunks, global first-occurrence wins,
+    per-doc duplicate fraction + md5 of the rebuilt deduped text. One
+    fingerprint-partitioned shuffle over the chunk stream — the standard
+    corpus-prep step between doc-level exact dedup and MinHash."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return dedup.paragraph_dedup(docs, chunk_words=20).select(
+        "doc_id", "n_chunks", "n_dup_chunks", "dup_frac", "kept_md5"
+    )
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t FROM documents
+), chunks AS (
+  SELECT doc_id, c.cid,
+         array_to_string(t[c.cid * 20 + 1 : c.cid * 20 + 20], ' ') AS chunk
+  FROM toks, UNNEST(generate_series(0, CAST(CEIL(len(t) / 20.0) AS INT) - 1)) c(cid)
+  WHERE len(t) >= 1
+), fps AS (
+  SELECT doc_id, cid, chunk,
+         ROW_NUMBER() OVER (PARTITION BY MD5(chunk) ORDER BY doc_id, cid) = 1 AS keep
+  FROM chunks WHERE chunk <> ''
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       SUM(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN keep THEN 0 ELSE 1 END)::DOUBLE / COUNT(*), 6) AS dup_frac,
+       MD5(COALESCE(STRING_AGG(CASE WHEN keep THEN chunk END, ' ' ORDER BY cid), '')) AS kept_md5
+FROM fps GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2873,6 +3368,18 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_inactive_customers": (q22_inactive_customers, Q22_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
+    # -- corpus prep: paragraph-level exact dedup (CCNet-style) --
+    "paragraph_dedup_docs": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     # -- reference README pipeline + test-harness identity --
     "readme_pipeline_golden": (readme_pipeline_golden, README_PIPELINE_SQL),
     # -- filters / projection --

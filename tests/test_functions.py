@@ -320,3 +320,28 @@ def test_minhash_bucket_cap(spark):
     assert (100, 101) in unc and (100, 101) in cap  # near-dup pair survives
     assert any(a < 6 and b < 6 for a, b in unc)  # boilerplate pairs uncapped
     assert not any(a < 6 and b < 6 for a, b in cap)  # ...and capped away
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """CCNet-style chunk dedup: the global first occurrence (by doc,
+    position) of a 20-word chunk is kept; later occurrences count as
+    duplicates and vanish from the rebuilt text."""
+    from tada_spark.functions.dedup import paragraph_dedup
+
+    A = " ".join(f"a{i}" for i in range(20))
+    B = " ".join(f"b{i}" for i in range(20))
+    C = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"{A} {B}"), (2, f"{A} {C}"), (3, "short tail")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(docs, chunk_words=20).collect()}
+    assert got[1].n_chunks == 2 and got[1].n_dup_chunks == 0
+    assert got[2].n_chunks == 2 and got[2].n_dup_chunks == 1
+    assert got[2].dup_frac == 0.5
+    import hashlib
+
+    assert got[2].kept_md5 == hashlib.md5(C.encode()).hexdigest()
+    # the sub-chunk-width doc is its own single chunk, never dropped
+    assert got[3].n_chunks == 1 and got[3].n_dup_chunks == 0
+    assert got[3].kept_md5 == hashlib.md5(b"short tail").hexdigest()

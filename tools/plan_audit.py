@@ -47,6 +47,12 @@ ALLOWED_BNLJ = {
     # broadcast query set × corpus (query_id != neighbor_id) + broadcast
     # probe set with post-probe inequality filter — linear in the corpus
     "ann_topk_exact_ivf",
+    # 1-row scalar broadcast (global threshold aggregate crossJoined onto
+    # the scan): with exactly one broadcast row the nested loop is
+    # O(left side) — the correct plan for a scalar subquery at scale
+    # (an unpartitioned window over the scan would funnel to 1 partition)
+    "q22_inactive_customers",
+    "q11_important_parts",
 }
 
 
