@@ -860,8 +860,10 @@ FROM (
 def q11_important_parts(spark, sf):
     """TPC-H Q11 shape: per-part value vs a global-share threshold. The
     global total is a 1-row aggregate cross-broadcast onto the per-part
-    values (no collect, no second fact scan); 'share > 0.1%' is the
-    integer-exact val·1000 > total."""
+    values (no collect, no second fact scan). TPC-H's fixed share
+    fraction shrinks with SF and empties the result at sf0.1, so the
+    threshold here is scale-invariant — value above 2× the mean part
+    value — still integer-exact: val·n_parts > 2·total."""
     li = load(spark, sf, "lineitem")
     supp = load(spark, sf, "supplier")
     nat = load(spark, sf, "nation").filter_by_value(n_name="NATION_7")
@@ -874,12 +876,12 @@ def q11_important_parts(spark, sf):
     vals = n7.group_by("l_partkey").agg(
         val_e4=F.sum(_cents("l_extendedprice") * _cents("l_quantity"))
     )
-    total = vals.agg(total_e4=F.sum("val_e4"))
+    total = vals.agg(total_e4=F.sum("val_e4"), n_parts=F.count("*"))
     # 1-row scalar broadcast (see q22): linear by construction,
     # allowlisted in plan_audit
     keep = Frame(
         vals.to_df().crossJoin(F.broadcast(total.to_df()))
-    ).filter(F.col("val_e4") * F.lit(1000) > F.col("total_e4"))
+    ).filter(F.col("val_e4") * F.col("n_parts") > F.lit(2) * F.col("total_e4"))
     return (
         keep.with_col("value", _round2_e4(F.col("val_e4")))
         .sort(("value", False), ("l_partkey", True))
@@ -896,11 +898,11 @@ WITH v AS (
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
   GROUP BY l_partkey
-), g AS (SELECT SUM(val_e4) AS total_e4 FROM v)
+), g AS (SELECT SUM(val_e4) AS total_e4, COUNT(*) AS n_parts FROM v)
 SELECT l_partkey AS p_partkey,
        (val_e4 + 50 - (((val_e4 + 50) % 100) + 100) % 100) / 10000.0 AS value
 FROM v, g
-WHERE val_e4 * 1000 > total_e4
+WHERE val_e4 * n_parts > 2 * total_e4
 """
 
 
