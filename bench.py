@@ -26,16 +26,16 @@ from pyspark.sql import functions as F
 
 def scan_sum(spark, sf):
     """Single-column sum over parquet scan (BASELINE metric 1-2 analog)."""
-    from tada_spark.frame import Frame
+    from tada_spark.queries import load
 
-    return Frame.read_parquet(spark, f"{sf}/lineitem.parquet").agg(s=F.sum("l_quantity")).df
+    return load(spark, sf, "lineitem").agg(s=F.sum("l_quantity")).df
 
 
 def multi_sum(spark, sf):
     """Multi-column sum (BASELINE metric 3 analog)."""
-    from tada_spark.frame import Frame
+    from tada_spark.queries import load
 
-    li = Frame.read_parquet(spark, f"{sf}/lineitem.parquet")
+    li = load(spark, sf, "lineitem")
     return li.agg(
         **{f"s{i}": F.sum(c) for i, c in enumerate(["l_quantity", "l_extendedprice", "l_discount", "l_tax"])}
     ).df
@@ -43,9 +43,9 @@ def multi_sum(spark, sf):
 
 def groupby_sum(spark, sf):
     """Group by one key then sum (BASELINE metric 4 analog)."""
-    from tada_spark.frame import Frame
+    from tada_spark.queries import load
 
-    li = Frame.read_parquet(spark, f"{sf}/lineitem.parquet")
+    li = load(spark, sf, "lineitem")
     return li.group_by("l_returnflag").sum("l_quantity").df
 
 

@@ -27,8 +27,23 @@ TABLES = (
 )
 
 
+#: Session-scoped scan-plan cache: spark.read.parquet costs ~100 ms of
+#: driver-side analysis (file listing + footer schema) per call, and a
+#: 5-table star pays it five times per query. DataFrames are immutable
+#: logical plans, so sharing the scan node across queries is safe — this
+#: is what a table catalog/metastore gives a real deployment. Keyed by
+#: session id so a restarted session never sees stale plans; each call
+#: still returns a FRESH Frame wrapper.
+_SCAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
-    return Frame.read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = Frame.read_parquet(spark, key[1]).df
+        _SCAN_CACHE[key] = df
+    return Frame(df)
 
 
 # ---------------------------------------------------------------------------

@@ -199,3 +199,19 @@ def test_filter_by_value_extreme_float_literals(spark):
     for rid, v in rows:
         got = [r.id for r in f.filter_by_value(v=v).df.collect()]
         assert got == [rid], (v, got)
+
+
+def test_canon_time_of_day_lockstep(spark):
+    """TIME dtype (reference civil.Time): canon renders 'HH:MM:SS' on
+    both sides, and a datetime.time literal round-trips filter_by_value
+    through the py_canon fallback path."""
+    f = Frame(
+        spark.createDataFrame([("09:30:00",), ("15:04:05",), ("00:00:00",)], "t string")
+    ).cast(t="time")
+    ttype = f.df.schema["t"].dataType
+    got = sorted(
+        r.c for r in f.df.select(canon_str(F.col("t"), ttype).alias("c")).collect()
+    )
+    want = sorted(py_canon(v) for v in (dt.time(9, 30), dt.time(15, 4, 5), dt.time(0)))
+    assert got == want, (got, want)
+    assert [r.t for r in f.filter_by_value(t=dt.time(9, 30)).df.collect()] == [dt.time(9, 30)]
