@@ -69,6 +69,25 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_words: int = 3)
     return F.aggregate(word_shingles(col, shingle_words), init, step)
 
 
+def _minhash_hash(seed: int, s: Column, family: str) -> Column:
+    """One member of the minhash hash family applied to shingle ``s``.
+
+    'xxhash64' (default) is JVM-native and codegen'd — the production
+    path. 'md5' derives a 32-bit value from the md5 hex prefix with the
+    exact idiom DuckDB replicates (('0x'||md5(seed||'#'||s)[1:8])::
+    BIGINT — same as functions/sampling), so an md5-family minhash run
+    is fully ORACLE-CHECKABLE, upgrading LSH verification from
+    rows-only to hash-matched. ~3× slower; use for verification tiers,
+    not the 100 TB hot path."""
+    if family == "xxhash64":
+        return F.xxhash64(F.lit(seed), s)
+    if family == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, 8), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown minhash hash family: {family}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -76,6 +95,7 @@ def minhash_signatures(
     *,
     num_hashes: int = 16,
     shingle_words: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures via explode → hash → groupBy-min.
 
@@ -115,7 +135,10 @@ def minhash_signatures(
     )
     sh = sh.unionByName(short)
     return sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(_minhash_hash(i, F.col("s"), hash_family)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -128,6 +151,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_words: int = 3,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
@@ -150,7 +174,8 @@ def minhash_lsh_pairs(
         raise ValueError(f"minhash_lsh_pairs: bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_words=shingle_words
+        df, text_col, id_col,
+        num_hashes=num_hashes, shingle_words=shingle_words, hash_family=hash_family,
     )
     banded = sig.select(
         id_col,

@@ -64,3 +64,40 @@ def stratified_sample(
         F.lit(0),
     )
     return df.filter(b < rate)
+
+
+def sequence_pack(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    shard_col: str = "source",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Contiguous sequence packing for training-batch assembly: within
+    each shard, documents are laid out in id order as one token stream
+    and each doc is assigned the fixed-length sequence its FIRST token
+    lands in (bin = start_offset // seq_len).
+
+    Packing is inherently sequential, so the distributed contract is
+    shard-local: one shuffle on ``shard_col`` (the corpus's natural
+    sharding — source, crawl snapshot, path prefix), a running-sum
+    window WITHIN the shard, never a global single-partition window.
+    Deterministic: same inputs → same layout on any cluster. Output:
+    (id, shard, n_tokens, start_offset, bin) — a downstream writer
+    groups by (shard, bin) to emit packed sequences.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(token_count_col).over(w) - F.col(token_count_col)).alias("start_offset")
+    return df.select(
+        id_col,
+        shard_col,
+        F.col(token_count_col),
+        start,
+    ).withColumn("bin", (F.col("start_offset") / seq_len).cast("long"))

@@ -363,3 +363,72 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_hits"))
     )
+
+
+def bigram_familiarity(
+    docs: "DataFrame",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Corpus-LM familiarity score per document — the CCNet-style
+    quality signal (Wenzek et al. 2020 use KenLM perplexity; this is
+    the transcendental-free analog): the mean add-one-smoothed corpus
+    bigram probability p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) over the
+    document's bigrams. Low scores flag out-of-distribution / garbled
+    text exactly like high perplexity does.
+
+    Determinism design: probabilities use only +,/,* on exact integer
+    counts (single IEEE ops — identical on every engine), each p is
+    floored to integer 1e-6 units BEFORE summing, so the per-doc sum is
+    exact integer arithmetic and the result oracle-checks hash-exactly.
+    (True log-perplexity needs ln(), whose last-ulp differs across
+    libm implementations — that variant would be rows-only.)
+
+    100 TB shape: two corpus-wide count aggregates (unigram, bigram —
+    map-side partials over the gram stream), both joined back to the
+    per-doc gram stream on the gram key; the unigram/bigram count
+    tables are vocabulary-sized, not corpus-sized. One final
+    groupBy(doc).
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sz = F.size(toks)
+    words = docs.select(id_col, F.explode(toks).alias("w")).filter(F.col("w") != "")
+    grams = (
+        docs.select(
+            id_col,
+            F.explode(
+                F.when(
+                    sz >= 2,
+                    F.zip_with(
+                        toks,
+                        F.slice(toks, 2, F.greatest(sz - 1, F.lit(1))),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").contains(" "))
+    )
+    uni = words.groupBy("w").agg(F.count("*").alias("cu"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    big = grams.groupBy("g").agg(F.count("*").alias("cb"))
+    j = (
+        grams.withColumn("w1", F.split(F.col("g"), " ")[0])
+        .join(F.broadcast(big), "g")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p6 = F.floor((F.col("cb") + 1) / (F.col("cu") + F.col("v")) * 1e6 + 0.5).cast("long")
+    return (
+        j.withColumn("p6", p6)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.floor(F.sum("p6") / F.count("*") + F.lit(0.5)) / F.lit(1e6)).alias(
+                "familiarity"
+            ),
+        )
+    )

@@ -1592,6 +1592,52 @@ def minhash_candidate_pairs(spark, sf):
     return dedup.minhash_lsh_pairs(docs.to_df(), num_hashes=16, bands=4)
 
 
+def minhash_lsh_oracle(spark, sf):
+    """The SAME MinHash+banded-LSH pipeline as minhash_candidate_pairs,
+    run with the md5 hash family (dedup._minhash_hash) that DuckDB can
+    replicate bit-for-bit — upgrading LSH verification from rows-only to
+    full hash-match: shingling, per-seed minima, banding, and the bucket
+    self-join are all checked value-exactly. 8 hashes × 4 bands keeps
+    the oracle SQL readable; xxhash64 remains the production family."""
+    docs = load(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs.to_df(), num_hashes=8, bands=4, hash_family="md5"
+    )
+
+
+MINHASH_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+  WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') AS s
+  FROM toks WHERE len(t) < 3 AND array_to_string(t, ' ') <> ''
+), sig AS (
+  SELECT doc_id,
+         MIN(('0x' || md5('0#' || s)[1:8])::BIGINT) AS h0,
+         MIN(('0x' || md5('1#' || s)[1:8])::BIGINT) AS h1,
+         MIN(('0x' || md5('2#' || s)[1:8])::BIGINT) AS h2,
+         MIN(('0x' || md5('3#' || s)[1:8])::BIGINT) AS h3,
+         MIN(('0x' || md5('4#' || s)[1:8])::BIGINT) AS h4,
+         MIN(('0x' || md5('5#' || s)[1:8])::BIGINT) AS h5,
+         MIN(('0x' || md5('6#' || s)[1:8])::BIGINT) AS h6,
+         MIN(('0x' || md5('7#' || s)[1:8])::BIGINT) AS h7
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, h0 || ',' || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
 def simhash_candidates(spark, sf):
     """SimHash 64-bit fingerprints, banded by 16-bit chunks, kept when
     Hamming distance ≤ 10 (rows-only)."""
@@ -3363,6 +3409,71 @@ FROM fps GROUP BY doc_id
 """
 
 
+def bigram_familiarity_docs(spark, sf):
+    """Corpus-LM familiarity score (functions/text.bigram_familiarity):
+    CCNet-style quality signal — mean smoothed corpus-bigram probability
+    per doc, transcendental-free so it hash-checks exactly (true KenLM
+    perplexity needs ln(), whose last ulp differs across libms)."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return text.bigram_familiarity(docs).select("doc_id", "n_bigrams", "familiarity")
+
+
+BIGRAM_FAMILIARITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t FROM documents
+), words AS (
+  SELECT doc_id, t[i] AS w
+  FROM toks, UNNEST(generate_series(1, len(t))) u(i)
+  WHERE t[i] <> ''
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g, t[i] AS w1
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 2
+), uni AS (
+  SELECT w, COUNT(*) AS cu FROM words GROUP BY w
+), vc AS (
+  SELECT COUNT(*) AS v FROM uni
+), big AS (
+  SELECT g, COUNT(*) AS cb FROM grams GROUP BY g
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       FLOOR(SUM(FLOOR((cb + 1)::DOUBLE / (cu + v) * 1000000 + 0.5)::BIGINT)
+             / COUNT(*) + 0.5) / 1000000.0 AS familiarity
+FROM grams JOIN big USING (g) JOIN uni ON uni.w = grams.w1, vc
+GROUP BY doc_id
+"""
+
+
+def sequence_pack_docs(spark, sf):
+    """Training-batch sequence packing (functions/sampling.sequence_pack):
+    shard-local contiguous layout — each doc assigned the 256-token
+    sequence its first token lands in. One shuffle on the shard key
+    (source), running-sum window WITHIN shards, never a global
+    single-partition window."""
+    from tada_spark.functions.sampling import sequence_pack
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "source", "text")
+    counted = docs.withColumn("n_tokens", text.token_count(F.col("text"))).drop("text")
+    return sequence_pack(counted, seq_len=256).select(
+        "doc_id", "source", "n_tokens", "start_offset", "bin"
+    )
+
+
+SEQUENCE_PACK_SQL = r"""
+WITH c AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(TRIM(text), '\S+'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       (SUM(n_tokens) OVER w - n_tokens)::BIGINT AS start_offset,
+       ((SUM(n_tokens) OVER w - n_tokens) // 256)::BIGINT AS bin
+FROM c
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3397,6 +3508,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
     # -- corpus prep: paragraph-level exact dedup (CCNet-style) --
     "paragraph_dedup_docs": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
+    # -- corpus-LM familiarity (CCNet quality signal, exact analog) --
+    "bigram_familiarity_docs": (bigram_familiarity_docs, BIGRAM_FAMILIARITY_SQL),
+    # -- training-batch sequence packing (shard-local) --
+    "sequence_pack_docs": (sequence_pack_docs, SEQUENCE_PACK_SQL),
     # -- reference README pipeline + test-harness identity --
     "readme_pipeline_golden": (readme_pipeline_golden, README_PIPELINE_SQL),
     # -- filters / projection --
@@ -3448,6 +3563,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "near_dup_components": (near_dup_components, NEAR_DUP_CC_SQL),
     "decontamination_check": (decontamination_check, DECONTAMINATION_SQL),
     "minhash_candidate_pairs": (minhash_candidate_pairs, None),
+    "minhash_lsh_oracle": (minhash_lsh_oracle, MINHASH_ORACLE_SQL),
     "simhash_candidates": (simhash_candidates, None),
     # -- similarity tier --
     "ann_topk_exact_ivf": (ann_topk_exact_ivf, ANN_SQL),

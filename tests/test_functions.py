@@ -345,3 +345,52 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     # the sub-chunk-width doc is its own single chunk, never dropped
     assert got[3].n_chunks == 1 and got[3].n_dup_chunks == 0
     assert got[3].kept_md5 == hashlib.md5(b"short tail").hexdigest()
+
+
+def test_minhash_md5_family_matches_reference_py(spark):
+    """The md5 hash family (the oracle-checkable one) is pinned against
+    a pure-python replica of the same idiom on a literal doc."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tada_spark.functions.dedup import minhash_signatures
+
+    text = "w1 w2 w3 w4"
+    shingles = ["w1 w2 w3", "w2 w3 w4"]
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = minhash_signatures(df, num_hashes=2, hash_family="md5").first()
+    for seed in (0, 1):
+        want = min(
+            int(hashlib.md5(f"{seed}#{s}".encode()).hexdigest()[:8], 16) for s in shingles
+        )
+        assert row[f"h{seed}"] == want
+
+
+def test_bigram_familiarity_hand_computed(spark):
+    """Smoothed p(w2|w1) = (c(bigram)+1)/(c(w1)+V) against hand math:
+    corpus 'a b' + 'a b' + 'a c' -> V=3, c(a)=3, c(a b)=2, c(a c)=1."""
+    from tada_spark.functions.text import bigram_familiarity
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_familiarity(docs).collect()}
+    # docs 1,2: p = (2+1)/(3+3) = 0.5 ; doc 3: p = (1+1)/(3+3) = 1/3
+    assert got[1].familiarity == 0.5 and got[2].familiarity == 0.5
+    assert got[3].familiarity == 0.333333
+    assert all(got[i].n_bigrams == 1 for i in (1, 2, 3))
+
+
+def test_sequence_pack_shard_local_layout(spark):
+    """Contiguous packing: offsets accumulate in id order within each
+    shard and reset across shards; bin = start // seq_len."""
+    from tada_spark.functions.sampling import sequence_pack
+
+    rows = [(1, "s1", 100), (2, "s1", 200), (3, "s1", 300), (4, "s2", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r.doc_id: (r.start_offset, r.bin) for r in sequence_pack(df, seq_len=256).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (100, 0)
+    assert got[3] == (300, 1)
+    assert got[4] == (0, 0)  # new shard restarts the stream

@@ -53,6 +53,8 @@ ALLOWED_BNLJ = {
     # (an unpartitioned window over the scan would funnel to 1 partition)
     "q22_inactive_customers",
     "q11_important_parts",
+    # 1-row vocabulary-size broadcast in the smoothing denominator
+    "bigram_familiarity_docs",
 }
 
 
