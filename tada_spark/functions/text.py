@@ -151,18 +151,28 @@ def bpe_token_estimate(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN))
 
 
-def rolling_hashes(col: Column, k: int = 8) -> Column:
+def rolling_hashes(col: Column, k: int = 8, hash_family: str = "xxhash64") -> Column:
     """Rolling k-gram fingerprint hashes: xxhash64 of every k-char
     window, as an array column. All JVM expression — no UDF. Strings
     shorter than k yield an EMPTY array — F.sequence(1, 0) would
     otherwise produce the descending [1, 0] (its step defaults to -1)
-    and emit two phantom partial-window hashes."""
+    and emit two phantom partial-window hashes.
+
+    hash_family='md5' swaps in the DuckDB-replicable 32-bit idiom
+    (('0x'||md5(gram)[1:8])::BIGINT) so winnowing can be oracle-checked
+    hash-exactly; xxhash64 stays the production family."""
+    if hash_family == "xxhash64":
+        h = lambda g: F.xxhash64(g)  # noqa: E731
+    elif hash_family == "md5":
+        h = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash family: {hash_family}")
     n_windows = F.length(col) - F.lit(k - 1)
     return F.when(
         n_windows >= 1,
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda i: F.xxhash64(col.substr(i, F.lit(k))),
+            lambda i: h(col.substr(i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
@@ -187,7 +197,8 @@ def winnow_fingerprint(col: Column, k: int = 8, w: int = 16) -> Column:
 
 
 def winnow_fingerprints_long(
-    df, *, id_col: str, text_col: str, k: int = 8, w: int = 16
+    df, *, id_col: str, text_col: str, k: int = 8, w: int = 16,
+    hash_family: str = "xxhash64",
 ):
     """Winnowing in long form: (id, fp) rows. Same fingerprints as
     winnow_fingerprint, but explode + running window-min instead of
@@ -197,7 +208,8 @@ def winnow_fingerprints_long(
     from pyspark.sql.window import Window
 
     hashes = df.select(
-        F.col(id_col), F.posexplode(rolling_hashes(F.col(text_col), k)).alias("__pos__", "__h__")
+        F.col(id_col),
+        F.posexplode(rolling_hashes(F.col(text_col), k, hash_family)).alias("__pos__", "__h__"),
     )
     win = Window.partitionBy(id_col).orderBy("__pos__").rowsBetween(0, w - 1)
     n_ok = Window.partitionBy(id_col)

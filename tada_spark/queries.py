@@ -3474,6 +3474,35 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
 """
 
 
+def winnow_fingerprints_oracle(spark, sf):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03) with the md5
+    hash family — DuckDB replicates the rolling k-gram hashes AND the
+    w-window minima, so the previously rows-only winnowing core is
+    hash-verified end to end (same doc_id<100 slice as the pair query;
+    xxhash64 remains the production family)."""
+    docs = load(spark, sf, "documents").to_df().filter(F.col("doc_id") < 100)
+    return text.winnow_fingerprints_long(
+        docs, id_col="doc_id", text_col="text", k=8, w=16, hash_family="md5"
+    )
+
+
+WINNOW_ORACLE_SQL = """
+WITH pos AS (
+  SELECT doc_id, i,
+         ('0x' || md5(substr(text, i, 8))[1:8])::BIGINT AS h,
+         LENGTH(text) - 7 AS n
+  FROM documents, UNNEST(generate_series(1, GREATEST(LENGTH(text) - 7, 0))) u(i)
+  WHERE doc_id < 100
+), wins AS (
+  SELECT doc_id, i, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+  FROM pos
+)
+SELECT DISTINCT doc_id, fp FROM wins WHERE i <= n - 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3601,6 +3630,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winsorize_value_per_user": (winsorize_value_per_user, WINSORIZE_SQL),
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
+    "winnow_fingerprints_oracle": (winnow_fingerprints_oracle, WINNOW_ORACLE_SQL),
     "gopher_quality_filters": (gopher_quality_filters, GOPHER_SQL),
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),

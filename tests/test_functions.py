@@ -394,3 +394,27 @@ def test_sequence_pack_shard_local_layout(spark):
     assert got[2] == (100, 0)
     assert got[3] == (300, 1)
     assert got[4] == (0, 0)  # new shard restarts the stream
+
+
+def test_winnow_md5_family_matches_reference_py(spark):
+    """md5-family winnowing pinned against a pure-python replica:
+    rolling 8-gram hashes, min per 16-window, distinct."""
+    import hashlib
+
+    from tada_spark.functions.text import winnow_fingerprints_long
+
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    k, w = 8, 16
+    hashes = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    want = sorted({min(hashes[j : j + w]) for j in range(len(hashes) - w + 1)})
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        r.fp
+        for r in winnow_fingerprints_long(
+            df, id_col="doc_id", text_col="text", k=k, w=w, hash_family="md5"
+        ).collect()
+    )
+    assert got == want
