@@ -33,15 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: fix; (b) the seven queries whose only green row is r01 (predates the
 #: timestamp rework); (c) queries whose oracle SQL changed this round
 #: (sign-safe % rounding idiom) and must re-earn their green; (d) the
-#: thirteen whose last green is r02 (freshness rotation); (e) the
-#: r02-only-green remainder; (f) the two rows-only entries absent from
-#: r03's window.
+#: seventeen brand-new round-4 entries (TPC-H analog shapes, paragraph
+#: dedup, LM familiarity, sequence packing, md5-family LSH oracles,
+#: README-pipeline golden) with no driver row yet; (e)+(f) last-green-r02
+#: entries filling the remaining slots — the rest of that cohort stays
+#: union-covered through r05 and rotates in next round.
 _DRIVER_PRIORITY = [
-    # new this round: reference README pipeline, EqualRecords-certified;
-    # plus the first of ten new TPC-H analogs (q2/q8/q9/q11/q13/q15/q16/
-    # q17/q19/q22 — local-gate green; the rest rotate in next rounds)
-    "readme_pipeline_golden",
-    "q2_min_cost_supplier",
     # (a) r03 hash-reds, fixed + the latent same-class fix
     "q12_shipmode_priority",
     "bpe_token_budget",
@@ -62,7 +59,26 @@ _DRIVER_PRIORITY = [
     "q5_region_revenue",
     "q7_nation_volume",
     "q10_returned_customers",
-    # (d) last green r02
+    # (d) brand-new round-4 entries — no driver row exists yet, so they
+    # outrank the r02-greens (whose union membership holds through r05)
+    "readme_pipeline_golden",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_inactive_customers",
+    "paragraph_dedup_docs",
+    "bigram_familiarity_docs",
+    "sequence_pack_docs",
+    "minhash_lsh_oracle",
+    "winnow_fingerprints_oracle",
+    "simhash_oracle",
+    # (e) last green r02
     "append_union",
     "custom_apply_zscore",
     "custom_reduce_weighted_mean",
@@ -76,26 +92,12 @@ _DRIVER_PRIORITY = [
     "sort_topk_customers",
     "unique_first_appearance",
     "value_counts_priority",
-    # (e) green only in r02
+    # (f) green only in r02 — fills the remaining slots; the rest of
+    # this group (and the rows-only pair) are union-covered through r05
+    # and rotate in next round
     "agg_frame_and_columns",
     "align_having_users",
     "ann_topk_exact_ivf",
-    "bin_pbin_orders",
-    "combine_series_ratio",
-    "embed_near_dup_pairs",
-    "first_last_nth_per_order",
-    "intersect_except_orders",
-    "merge_dedupe_names",
-    "multimodal_image_features",
-    "rank_percentile_customers",
-    "sample_splits_docs",
-    "semi_anti_partition",
-    "set_rows_patch",
-    "text_stats_quality",
-    "video_frame_sample",
-    # (f) rows-only entries not in r03's window
-    "minhash_candidate_pairs",
-    "simhash_candidates",
 ]
 
 

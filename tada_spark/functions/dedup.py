@@ -306,18 +306,27 @@ def connected_components(
     )
 
 
-def simhash(col: Column, num_bits: int = 64) -> Column:
+def simhash(col: Column, num_bits: int = 64, hash_family: str = "xxhash64") -> Column:
     """SimHash over whitespace tokens: bit b of the fingerprint is the
     majority vote of bit b across token hashes. Column-only construction:
-    sum per bit of ±1 via aggregate over the token array."""
+    sum per bit of ±1 via aggregate over the token array.
+
+    hash_family='md5' (use with num_bits=32) derives token hashes with
+    the DuckDB-replicable idiom so the fingerprint is oracle-checkable;
+    xxhash64/64-bit is the production configuration."""
     def mask(b: int) -> int:
         # bit 63 of a signed long has mask -(1<<63)
         return (1 << b) if b < 63 else -(1 << 63)
 
     toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
-    # one xxhash64 per token (element of the aggregate), then a SINGLE
+    # one hash per token (element of the aggregate), then a SINGLE
     # pass accumulating all num_bits votes — not num_bits passes
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_family == "md5":
+        hashes = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
     init = F.array(*[F.lit(0)] * num_bits)
 
     def step(acc: Column, h: Column) -> Column:

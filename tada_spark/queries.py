@@ -3503,6 +3503,36 @@ SELECT DISTINCT doc_id, fp FROM wins WHERE i <= n - 15
 """
 
 
+def simhash_oracle(spark, sf):
+    """32-bit md5-family SimHash fingerprints, hash-verified against
+    DuckDB's replica of the per-bit majority vote (the third LSH family
+    upgraded from rows-only; 64-bit xxhash64 stays production)."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return docs.select(
+        "doc_id", dedup.simhash(F.col("text"), num_bits=32, hash_family="md5").alias("sh")
+    )
+
+
+_V = ",\n         ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+)
+_S = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+SIMHASH_ORACLE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(regexp_split_to_array(lower(TRIM(text)), '\s+'))) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || md5(t)[1:8])::BIGINT AS hv FROM toks
+), votes AS (
+  SELECT doc_id,
+         {_V}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({_S})::BIGINT AS sh FROM votes
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3631,6 +3661,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ntile_quartile_customers": (ntile_quartile_customers, NTILE_SQL),
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "winnow_fingerprints_oracle": (winnow_fingerprints_oracle, WINNOW_ORACLE_SQL),
+    "simhash_oracle": (simhash_oracle, SIMHASH_ORACLE_SQL),
     "gopher_quality_filters": (gopher_quality_filters, GOPHER_SQL),
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),

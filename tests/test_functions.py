@@ -418,3 +418,25 @@ def test_winnow_md5_family_matches_reference_py(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_simhash_md5_family_matches_reference_py(spark):
+    """32-bit md5-family simhash pinned against a pure-python replica of
+    the per-bit majority vote over distinct lowercased tokens."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tada_spark.functions.dedup import simhash
+
+    text = "Alpha beta GAMMA beta"
+    toks = {"alpha", "beta", "gamma"}
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in sorted(toks)]
+    want = 0
+    for b in range(32):
+        vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if vote > 0:
+            want |= 1 << b
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = df.select(simhash(F.col("text"), num_bits=32, hash_family="md5").alias("sh")).first().sh
+    assert got == want
