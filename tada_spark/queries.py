@@ -3533,6 +3533,58 @@ SELECT doc_id, ({_S})::BIGINT AS sh FROM votes
 """
 
 
+def stream_corpus_prep(spark, sf):
+    """Ingestion-time corpus prep: the batch corpus_prep_pipeline's
+    gate→dedup stages as ONE Structured Streaming job — Gopher quality
+    gate (stateless filter) → exact dedup (dropDuplicates keyed state on
+    the content fingerprint) → per-language kept-fingerprint counts.
+    Driven to completion with availableNow; in production the dedup
+    state is watermark-bounded to the dedup horizon. Deterministic
+    oracle: WHICH doc of a dup group survives is arrival-order racy, but
+    the fingerprint SET per language (and so its count) is not."""
+    from tada_spark.functions.text import fingerprint, gopher_keep
+    from tada_spark.streaming.windows import run_available_now
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    kept = (
+        # same tuned gate as the batch corpus_prep_pipeline (defaults
+        # assume natural prose and would zero out the synthetic corpus);
+        # dedup keyed per (lang, fp) so per-language counts stay
+        # deterministic even if one fingerprint appears under two langs
+        stream.filter(gopher_keep(F.col("text"), min_words=30, min_stop_hits=1))
+        .select("lang", fingerprint(F.col("text")).alias("fp"))
+        .dropDuplicates(["lang", "fp"])
+    )
+    batch = run_available_now(kept, "q_stream_corpus_prep", output_mode="append")
+    return batch.groupBy("lang").agg(F.count("*").alias("n_unique_docs"))
+
+
+# same gate CTEs as CORPUS_PREP_SQL; only the tail differs (distinct
+# fingerprints per language, the arrival-order-independent statistic)
+STREAM_CORPUS_PREP_SQL = (
+    CORPUS_PREP_SQL.split("), fp AS")[0]
+    + r"""), fp AS (
+  SELECT lang, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM f
+)
+SELECT lang, COUNT(DISTINCT fp) AS n_unique_docs FROM fp GROUP BY lang
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3662,6 +3714,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winnow_shared_fingerprints": (winnow_shared_fingerprints, None),
     "winnow_fingerprints_oracle": (winnow_fingerprints_oracle, WINNOW_ORACLE_SQL),
     "simhash_oracle": (simhash_oracle, SIMHASH_ORACLE_SQL),
+    "stream_corpus_prep": (stream_corpus_prep, STREAM_CORPUS_PREP_SQL),
     "gopher_quality_filters": (gopher_quality_filters, GOPHER_SQL),
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
