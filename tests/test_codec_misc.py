@@ -74,3 +74,16 @@ def test_cache_roundtrip(spark):
     assert f.df.is_cached
     f.unpersist()
     assert not f.df.is_cached
+
+
+def test_load_scan_cache_reuses_plan_per_session(spark):
+    """queries.load keeps one immutable scan DataFrame per (session,
+    path) — repeated loads share the plan (no repeated driver-side file
+    analysis) but wrap it in fresh Frame objects."""
+    from tada_spark import queries as Q
+
+    a = Q.load(spark, "/root/testdata/sf0.001", "region")
+    b = Q.load(spark, "/root/testdata/sf0.001", "region")
+    assert a.df is b.df          # shared logical plan
+    assert a is not b            # independent Frame wrappers
+    assert a.df.count() == b.df.count() == 5
