@@ -32,13 +32,15 @@ TABLES = (
 #: 5-table star pays it five times per query. DataFrames are immutable
 #: logical plans, so sharing the scan node across queries is safe — this
 #: is what a table catalog/metastore gives a real deployment. Keyed by
-#: session id so a restarted session never sees stale plans; each call
-#: still returns a FRESH Frame wrapper.
-_SCAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: the context's applicationId — unique per started context, unlike
+#: id(spark), which CPython can reuse after a stopped session is
+#: collected and would hand a new session stale plans. Each call still
+#: returns a FRESH Frame wrapper.
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
-    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
     df = _SCAN_CACHE.get(key)
     if df is None:
         df = Frame.read_parquet(spark, key[1]).df
