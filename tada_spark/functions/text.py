@@ -427,10 +427,14 @@ def bigram_familiarity(
     uni = words.groupBy("w").agg(F.count("*").alias("cu"))
     vocab = uni.agg(F.count("*").alias("v"))
     big = grams.groupBy("g").agg(F.count("*").alias("cb"))
+    # count tables are vocabulary-sized; no forced broadcast — AQE
+    # broadcasts them when they fit and falls back to a shuffled join
+    # when a web-scale vocabulary (100M+ types) would OOM an executor.
+    # Only the 1-row vocab count is explicitly broadcast.
     j = (
         grams.withColumn("w1", F.split(F.col("g"), " ")[0])
-        .join(F.broadcast(big), "g")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .join(big, "g")
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
     )
     p6 = F.floor((F.col("cb") + 1) / (F.col("cu") + F.col("v")) * 1e6 + 0.5).cast("long")
