@@ -700,6 +700,116 @@ GROUP BY c_mktsegment
 """
 
 
+def q20_dominant_suppliers(spark, sf):
+    """TPC-H Q20 shape: nested semi-joins off an aggregate threshold (no
+    partsupp — 'excess stock' becomes 'dominant supplier': shipped more
+    than 30% of a red part's 1996 volume). Plan: one (supplier, part)
+    aggregate, one per-part total joined back (integer-exact 10·sq >
+    3·pq), then suppliers SEMI-joined to the qualifying pair set —
+    supplier rows are never multiplied."""
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01"),
+        F.col("l_shipdate") < F.lit("1997-01-01"),
+    )
+    red = load(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    rli = li.lookup(
+        red.cols("p_partkey"), left_on=["l_partkey"], right_on=["p_partkey"],
+        how="inner", broadcast=True, unique_keys=True,
+    )
+    per_sp = rli.group_by("l_suppkey", "l_partkey").agg(sq=F.sum(_cents("l_quantity")))
+    per_p = rli.group_by("l_partkey").agg(pq=F.sum(_cents("l_quantity"))).rename(
+        {"l_partkey": "pk"}
+    )
+    dominant = per_sp.lookup(
+        per_p, left_on=["l_partkey"], right_on=["pk"], how="inner", unique_keys=True
+    ).filter(F.lit(10) * F.col("sq") > F.lit(3) * F.col("pq"))
+    supp = load(spark, sf, "supplier")
+    return (
+        supp.semi_join(dominant.cols("l_suppkey"), left_on=["s_suppkey"], right_on=["l_suppkey"])
+        .sort(("s_suppkey", True))
+        .to_df()
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = """
+WITH rli AS (
+  SELECT l_suppkey, l_partkey, ROUND(l_quantity * 100)::BIGINT AS qc
+  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+), per_sp AS (
+  SELECT l_suppkey, l_partkey, SUM(qc) AS sq FROM rli GROUP BY 1, 2
+), per_p AS (
+  SELECT l_partkey AS pk, SUM(qc) AS pq FROM rli GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_sp JOIN per_p ON pk = l_partkey WHERE 10 * sq > 3 * pq
+)
+"""
+
+
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS self-join, decorrelated
+    (no receipt/commit dates — 'late' is shipped >60 days after the
+    order date). A supplier 'kept an order waiting' when it had a late
+    line on a multi-supplier order where NO other supplier was late.
+    Fact-scale: one (order, supplier, any_late) aggregate, one per-order
+    aggregate (distinct suppliers, distinct late suppliers), join back —
+    the correlated EXISTS pair never runs per row."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    j = li.lookup(
+        orders.cols("o_orderkey", "o_orderdate"),
+        left_on=["l_orderkey"], right_on=["o_orderkey"], how="inner", unique_keys=True,
+    ).with_col(
+        "late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    per_os = j.group_by("l_orderkey", "l_suppkey").agg(any_late=F.max("late"))
+    per_o = per_os.group_by("l_orderkey").agg(
+        n_supp=F.count("*"), n_late=F.sum("any_late")
+    ).rename({"l_orderkey": "ok"})
+    waiting = (
+        per_os.filter(F.col("any_late") == 1)
+        .lookup(per_o, left_on=["l_orderkey"], right_on=["ok"], how="inner", unique_keys=True)
+        .filter(F.col("n_supp") >= 2, F.col("n_late") == 1)
+    )
+    supp = load(spark, sf, "supplier")
+    return (
+        waiting.group_by("l_suppkey")
+        .agg(numwait=F.count("*"))
+        .lookup(supp.cols("s_suppkey", "s_name"), left_on=["l_suppkey"],
+                right_on=["s_suppkey"], how="inner", broadcast=True, unique_keys=True)
+        .top_k(20, ("numwait", False), ("s_name", True))
+        .to_df()
+        .select("s_name", "numwait")
+    )
+
+
+Q21_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS any_late FROM j GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey AS ok, COUNT(*) AS n_supp, SUM(any_late)::BIGINT AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_os
+JOIN per_o    ON ok = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE any_late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 def q2_min_cost_supplier(spark, sf):
     """TPC-H Q2 shape: per-group min + equality join-back, region-
     constrained (no partsupp table in the synthetic schema — lineitem is
@@ -3619,6 +3729,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     # -- corpus prep: paragraph-level exact dedup (CCNet-style) --
     "paragraph_dedup_docs": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     # -- corpus-LM familiarity (CCNet quality signal, exact analog) --
