@@ -35,9 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (sign-safe % rounding idiom) and must re-earn their green; (d) the
 #: seventeen brand-new round-4 entries (TPC-H analog shapes, paragraph
 #: dedup, LM familiarity, sequence packing, md5-family LSH oracles,
-#: README-pipeline golden) with no driver row yet; (e)+(f) last-green-r02
-#: entries filling the remaining slots — the rest of that cohort stays
-#: union-covered through r05 and rotates in next round.
+#: streaming corpus prep, README-pipeline golden, the Q20/Q21 shape
+#: completions) with no driver row yet; (e) last-green-r02 entries fill
+#: the remaining slots — the rest of that cohort stays union-covered
+#: through r05 and rotates in next round.
 _DRIVER_PRIORITY = [
     # (a) r03 hash-reds, fixed + the latent same-class fix
     "q12_shipmode_priority",
@@ -78,6 +79,9 @@ _DRIVER_PRIORITY = [
     "minhash_lsh_oracle",
     "winnow_fingerprints_oracle",
     "simhash_oracle",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "stream_corpus_prep",
     # (e) last green r02
     "append_union",
     "custom_apply_zscore",
@@ -92,12 +96,6 @@ _DRIVER_PRIORITY = [
     "sort_topk_customers",
     "unique_first_appearance",
     "value_counts_priority",
-    # (f) green only in r02 — fills the remaining slots; the rest of
-    # this group (and the rows-only pair) are union-covered through r05
-    # and rotate in next round
-    "agg_frame_and_columns",
-    "align_having_users",
-    "ann_topk_exact_ivf",
 ]
 
 
