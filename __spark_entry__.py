@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: fix; (b) the seven queries whose only green row is r01 (predates the
 #: timestamp rework); (c) queries whose oracle SQL changed this round
 #: (sign-safe % rounding idiom) and must re-earn their green; (d) the
-#: seventeen brand-new round-4 entries (TPC-H analog shapes, paragraph
+#: twenty brand-new round-4 entries (TPC-H analog shapes, paragraph
 #: dedup, LM familiarity, sequence packing, md5-family LSH oracles,
 #: streaming corpus prep, README-pipeline golden, the Q20/Q21 shape
 #: completions) with no driver row yet; (e) last-green-r02 entries fill
