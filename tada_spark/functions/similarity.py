@@ -220,3 +220,76 @@ def lsh_cosine_candidates(
             "cos",
         )
     )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over embeddings, made cross-engine EXACT: vectors
+    quantize to integer 1e-6 units (floor(x*1e6 + 0.5) — identical IEEE
+    ops on identical inputs), so every squared-L2 distance is pure
+    integer arithmetic and every centroid update is one deterministic
+    rounding (floor(sum/n + 0.5)) back onto the integer grid. No float
+    accumulation anywhere ⇒ assignments hash-match any engine that
+    replays the same recipe (the DuckDB oracle unrolls the iterations).
+
+    Init: the k lowest-id vectors (deterministic). Ties in assignment
+    break toward the lower centroid id.
+
+    100 TB shape: centroids are k rows — broadcast each round onto the
+    partitioned corpus (a 1-row-per-centroid nested loop is O(n·k), the
+    correct plan); the update is one (cluster, dim) aggregate with
+    map-side partials; centroid lineage is cut per round with
+    localCheckpoint (k·dim values) so the plan stays O(1) across
+    iterations, like connected_components.
+    """
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("v"),
+    )
+    cents = (
+        q.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+    def assign(cents_df):
+        pairs = q.crossJoin(F.broadcast(cents_df)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("vid").orderBy("dist", "cid")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+            .select("vid", "cid", "v")
+        )
+
+    assigned = assign(cents)
+    for _ in range(iters - 1):
+        dims = assigned.select("cid", F.posexplode(F.col("v")).alias("dim", "val"))
+        upd = dims.groupBy("cid", "dim").agg(
+            F.floor(F.sum("val") / F.count("*") + F.lit(0.5)).cast("long").alias("cval")
+        )
+        cents = (
+            upd.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+        assigned = assign(cents)
+    return assigned.select(F.col("vid").alias(id_col), F.col("cid").alias("cluster"))

@@ -3697,6 +3697,47 @@ SELECT lang, COUNT(DISTINCT fp) AS n_unique_docs FROM fp GROUP BY lang
 )
 
 
+def kmeans_embeddings(spark, sf):
+    """Quantized k-means over the embeddings table (functions/similarity.
+    kmeans_quantized, k=4, 2 assignment rounds): an ITERATIVE ML
+    primitive whose every arithmetic step is integer-exact or
+    deterministically rounded, so the final assignments hash-match
+    DuckDB's unrolled replica — the same exactness discipline as the
+    relational tier, applied to Lloyd's algorithm."""
+    from tada_spark.functions.similarity import kmeans_quantized
+
+    emb = load(spark, sf, "embeddings").to_df().select("vec_id", "embedding")
+    return kmeans_quantized(emb, k=4, iters=2).select("vec_id", "cluster")
+
+
+KMEANS_SQL = """
+WITH qd AS (
+  SELECT vec_id AS vid, i - 1 AS dim,
+         FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i)
+), c0 AS (
+  SELECT vid AS cid, dim, val AS cval FROM qd WHERE vid < 4
+), d1 AS (
+  SELECT q.vid, c.cid, SUM((q.val - c.cval) * (q.val - c.cval)) AS dist
+  FROM qd q JOIN c0 c ON q.dim = c.dim GROUP BY q.vid, c.cid
+), a1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d1
+  ) WHERE rn = 1
+), c1 AS (
+  SELECT a1.cid, q.dim,
+         FLOOR(SUM(q.val)::DOUBLE / COUNT(*) + 0.5)::BIGINT AS cval
+  FROM a1 JOIN qd q ON q.vid = a1.vid GROUP BY a1.cid, q.dim
+), d2 AS (
+  SELECT q.vid, c.cid, SUM((q.val - c.cval) * (q.val - c.cval)) AS dist
+  FROM qd q JOIN c1 c ON q.dim = c.dim GROUP BY q.vid, c.cid
+)
+SELECT vid AS vec_id, cid AS cluster FROM (
+  SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d2
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3737,6 +3778,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bigram_familiarity_docs": (bigram_familiarity_docs, BIGRAM_FAMILIARITY_SQL),
     # -- training-batch sequence packing (shard-local) --
     "sequence_pack_docs": (sequence_pack_docs, SEQUENCE_PACK_SQL),
+    # -- iterative ML primitive: exact quantized k-means --
+    "kmeans_embeddings": (kmeans_embeddings, KMEANS_SQL),
     # -- reference README pipeline + test-harness identity --
     "readme_pipeline_golden": (readme_pipeline_golden, README_PIPELINE_SQL),
     # -- filters / projection --

@@ -65,3 +65,21 @@ def test_running_totals_stateful_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r.key: (r.n_events, r.total) for r in spark.table("t_stateful").collect()}
     assert rows == {"a": (2, 3.0), "b": (1, 10.0)}
+
+
+def test_kmeans_quantized_separates_planted_clusters(spark):
+    """Two well-separated planted blobs end in two distinct clusters,
+    assignments deterministic: with k=2 init on the first two vectors
+    (one in each blob), the blob memberships are recovered exactly."""
+    from tada_spark.functions.similarity import kmeans_quantized
+
+    blob_a = [1.0, 1.0, 0.0]
+    blob_b = [-1.0, -1.0, 0.0]
+    rows = []
+    for i in range(6):
+        base = blob_a if i % 2 == 0 else blob_b  # vec 0 in A, vec 1 in B
+        rows.append((i, [x + 0.01 * i for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in kmeans_quantized(df, k=2, iters=2).collect()}
+    assert {got[i] for i in (0, 2, 4)} == {0}
+    assert {got[i] for i in (1, 3, 5)} == {1}

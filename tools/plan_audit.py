@@ -55,6 +55,9 @@ ALLOWED_BNLJ = {
     "q11_important_parts",
     # 1-row vocabulary-size broadcast in the smoothing denominator
     "bigram_familiarity_docs",
+    # k-row centroid broadcast × partitioned corpus: O(n·k), THE
+    # k-means assignment plan (k is a constant, never corpus-sized)
+    "kmeans_embeddings",
 }
 
 
