@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "stream_corpus_prep",
+    "kmeans_embeddings",
     # (e) last green r02
     "append_union",
     "custom_apply_zscore",
@@ -95,7 +96,6 @@ _DRIVER_PRIORITY = [
     "rollup_status_priority",
     "sort_topk_customers",
     "unique_first_appearance",
-    "value_counts_priority",
 ]
 
 
