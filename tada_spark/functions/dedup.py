@@ -82,9 +82,9 @@ def _minhash_hash(seed: int, s: Column, family: str) -> Column:
     if family == "xxhash64":
         return F.xxhash64(F.lit(seed), s)
     if family == "md5":
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, 8), 16, 10
-        ).cast("long")
+        from tada_spark.functions.text import md5_hash32
+
+        return md5_hash32(F.concat(F.lit(f"{seed}#"), s))
     raise ValueError(f"unknown minhash hash family: {family}")
 
 
@@ -322,9 +322,9 @@ def simhash(col: Column, num_bits: int = 64, hash_family: str = "xxhash64") -> C
     # one hash per token (element of the aggregate), then a SINGLE
     # pass accumulating all num_bits votes — not num_bits passes
     if hash_family == "md5":
-        hashes = F.transform(
-            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        )
+        from tada_spark.functions.text import md5_hash32
+
+        hashes = F.transform(toks, md5_hash32)
     else:
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
     init = F.array(*[F.lit(0)] * num_bits)
@@ -488,7 +488,10 @@ def paragraph_dedup(
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_chunks"),
         F.sum(dup).alias("n_dup_chunks"),
-        F.round(F.sum(dup) / F.count("*"), 6).alias("dup_frac"),
+        # floor(x*1e6+0.5)/1e6, not engine ROUND: Spark's BigDecimal
+        # HALF_UP and DuckDB's std::round can disagree on boundary
+        # quotients (the divergence class _round_det exists for)
+        (F.floor(F.sum(dup) / F.count("*") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("dup_frac"),
         F.md5(
             F.array_join(F.transform(kept_sorted, lambda s: s["chunk"]), " ")
         ).alias("kept_md5"),

@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 def hash_bucket(key: Column, n: int = 100) -> Column:
     """Stable bucket in [0, n): md5-based, engine-independent."""
-    return F.pmod(F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"), n)
+    from tada_spark.functions.text import md5_hash32
+
+    return F.pmod(md5_hash32(key.cast("string")), n)
 
 
 def deterministic_sample(df: DataFrame, key: str, pct: int, *, n: int = 100) -> DataFrame:
@@ -100,4 +102,14 @@ def sequence_pack(
         shard_col,
         F.col(token_count_col),
         start,
-    ).withColumn("bin", (F.col("start_offset") / seq_len).cast("long"))
+    ).withColumn(
+        # integer-exact floor division: (a - a%s)/s divides an exact
+        # multiple, so the double quotient is exact — plain a/s trunc
+        # could land on the wrong side of an integer boundary at large
+        # offsets, where DuckDB's // never does
+        "bin",
+        (
+            (F.col("start_offset") - F.pmod(F.col("start_offset"), F.lit(seq_len)))
+            / F.lit(seq_len)
+        ).cast("long"),
+    )

@@ -23,6 +23,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def md5_hash32(col: Column) -> Column:
+    """The oracle-replicable 32-bit hash: first 8 hex chars of md5, as a
+    long. DuckDB twin, byte-for-byte: ``('0x' || md5(x)[1:8])::BIGINT``.
+    THE single definition — minhash, simhash, winnowing, and sampling
+    all route through here so the Spark idiom can never drift from the
+    SQL oracles one site at a time."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count. size(split) counts empty trailing fields;
     trim + guard empty string to match the intuitive definition."""
@@ -164,7 +173,7 @@ def rolling_hashes(col: Column, k: int = 8, hash_family: str = "xxhash64") -> Co
     if hash_family == "xxhash64":
         h = lambda g: F.xxhash64(g)  # noqa: E731
     elif hash_family == "md5":
-        h = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")  # noqa: E731
+        h = md5_hash32
     else:
         raise ValueError(f"unknown hash family: {hash_family}")
     n_windows = F.length(col) - F.lit(k - 1)

@@ -84,7 +84,14 @@ def canon_str(col: Column, dtype: T.DataType | None = None) -> Column:
             integral = F.pmod(col, F.lit(1)) == F.lit(0)
         else:
             integral = col.cast("double") == as_long.cast("double")
-        c = F.when(in_range & integral, as_long.cast("string")).otherwise(frac)
+        # as_long.isNotNull() closes the decimal MIN_LONG gap: an integral
+        # decimal in [-2^63-1024, -2^63-1] double-rounds to exactly -2^63
+        # (passing in_range) while try_cast returns NULL — without the
+        # guard the when-branch would emit NULL and coalesce the sentinel
+        # for a real value
+        c = F.when(in_range & as_long.isNotNull() & integral, as_long.cast("string")).otherwise(
+            frac
+        )
     elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         # NTZ wall clock renders identically to the reference's
         # RFC3339-UTC form (session zone is pinned UTC, so LTZ and NTZ
@@ -170,7 +177,12 @@ def py_canon(value: object) -> str | None:
         return _java_double_str(value)
     if isinstance(value, _dt.datetime):
         # isoformat, not strftime: %Y drops leading zeros for years <
-        # 1000 on glibc ('999'), while Spark's date_format pads ('0999')
+        # 1000 on glibc ('999'), while Spark's date_format pads ('0999').
+        # Aware values normalize to UTC wall clock first — a bare
+        # isoformat would keep the '+00:00' offset and never match
+        # canon_str's '...Z' rendering
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return value.replace(microsecond=0).isoformat(sep="T") + "Z"
     if isinstance(value, _dt.date):
         return value.isoformat()

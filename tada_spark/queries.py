@@ -40,9 +40,14 @@ _SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
-    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    key = (app, f"{sf_dir}/{name}.parquet")
     df = _SCAN_CACHE.get(key)
     if df is None:
+        # evict dead sessions' plans on miss: a long-lived driver that
+        # cycles SparkSessions would otherwise pin py4j handles forever
+        for k in [k for k in _SCAN_CACHE if k[0] != app]:
+            del _SCAN_CACHE[k]
         df = Frame.read_parquet(spark, key[1]).df
         _SCAN_CACHE[key] = df
     return Frame(df)
@@ -3515,7 +3520,7 @@ WITH toks AS (
 )
 SELECT doc_id, COUNT(*) AS n_chunks,
        SUM(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dup_chunks,
-       ROUND(SUM(CASE WHEN keep THEN 0 ELSE 1 END)::DOUBLE / COUNT(*), 6) AS dup_frac,
+       FLOOR(SUM(CASE WHEN keep THEN 0 ELSE 1 END)::DOUBLE / COUNT(*) * 1000000 + 0.5) / 1000000 AS dup_frac,
        MD5(COALESCE(STRING_AGG(CASE WHEN keep THEN chunk END, ' ' ORDER BY cid), '')) AS kept_md5
 FROM fps GROUP BY doc_id
 """

@@ -117,6 +117,11 @@ _decimals = st.decimals(
 @given(vals=st.lists(_decimals, min_size=1, max_size=64))
 @example(vals=[Decimal("1.500000"), Decimal("2.000000"), Decimal("0.250000"),
                Decimal("10000000000000000001.000000"),  # integral > 2^63: long-cast null path
+               # just below MIN_LONG: double-rounds to exactly -2^63 so the
+               # range guard alone passes while try_cast nulls — pre-fix this
+               # rendered the NULL sentinel for a real value
+               Decimal("-9223372036854775809.000000"),
+               Decimal("-9223372036854776833.000000"),
                Decimal("-0.000001"), Decimal("123456789012345678.900000")])
 @settings(**SETTINGS)
 def test_canon_decimal_lockstep(spark, vals):
