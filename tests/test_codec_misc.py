@@ -87,3 +87,17 @@ def test_load_scan_cache_reuses_plan_per_session(spark):
     assert a.df is b.df          # shared logical plan
     assert a is not b            # independent Frame wrappers
     assert a.df.count() == b.df.count() == 5
+
+
+def test_load_scan_cache_evicts_dead_sessions(spark):
+    """On a cache miss, plans keyed to other (dead) applicationIds are
+    dropped so cycling SparkSessions can't accumulate py4j handles."""
+    from tada_spark import queries as Q
+
+    dead = ("app-that-stopped", "/nowhere.parquet")
+    Q._SCAN_CACHE[dead] = "sentinel"
+    app = spark.sparkContext.applicationId
+    Q._SCAN_CACHE.pop((app, "/root/testdata/sf0.001/nation.parquet"), None)  # force a miss
+    Q.load(spark, "/root/testdata/sf0.001", "nation")
+    assert dead not in Q._SCAN_CACHE
+    assert (app, "/root/testdata/sf0.001/nation.parquet") in Q._SCAN_CACHE
