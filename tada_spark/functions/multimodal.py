@@ -153,7 +153,12 @@ def wav_audio_decoder(payload: bytes) -> tuple[int, float, float]:
         sr = w.getframerate()
         n = w.getnframes()
         width = w.getsampwidth()
+        nch = w.getnchannels()
         raw = w.readframes(n)
+    if nch != 1:
+        # interleaved multi-channel would silently blend channels into
+        # one RMS; refuse (drop policy) like the unsupported-width path
+        raise ValueError(f"unsupported channel count {nch} (mono PCM only)")
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:  # 8-bit WAV is unsigned, offset-128

@@ -3302,7 +3302,11 @@ def corpus_prep_pipeline(spark, sf):
     )
 
 
-CORPUS_PREP_SQL = r"""
+# Gopher-gate CTEs shared verbatim by CORPUS_PREP_SQL and
+# STREAM_CORPUS_PREP_SQL — a named constant (not a string-splice of one
+# oracle out of the other) so a gate rewording can never silently
+# malform the streaming oracle.
+_GATE_CTES_SQL = r"""
 WITH m AS (
   SELECT doc_id, lang, text,
          CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
@@ -3325,7 +3329,9 @@ WITH m AS (
          / n_words, 6) > 0.8)
     AND (LEN(LIST_INTERSECT(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'), x -> x),
              ['the','be','to','of','and','that','have','with'])) >= 1)
-), fp AS (
+)"""
+
+CORPUS_PREP_SQL = _GATE_CTES_SQL + r""", fp AS (
   SELECT doc_id, lang, n_words,
          MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
   FROM f
@@ -3625,7 +3631,10 @@ def simhash_oracle(spark, sf):
     DuckDB's replica of the per-bit majority vote (the third LSH family
     upgraded from rows-only; 64-bit xxhash64 stays production)."""
     docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
-    return docs.select(
+    # pin the NULL-text contract explicitly: the oracle's UNNEST drops
+    # NULL-text docs entirely, while a Spark aggregate over a NULL token
+    # array would emit a row with a NULL fingerprint — filter both sides
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id", dedup.simhash(F.col("text"), num_bits=32, hash_family="md5").alias("sh")
     )
 
@@ -3638,7 +3647,7 @@ SIMHASH_ORACLE_SQL = rf"""
 WITH toks AS (
   SELECT doc_id,
          UNNEST(list_distinct(regexp_split_to_array(lower(TRIM(text)), '\s+'))) AS t
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), h AS (
   SELECT doc_id, ('0x' || md5(t)[1:8])::BIGINT AS hv FROM toks
 ), votes AS (
@@ -3689,11 +3698,12 @@ def stream_corpus_prep(spark, sf):
     return batch.groupBy("lang").agg(F.count("*").alias("n_unique_docs"))
 
 
-# same gate CTEs as CORPUS_PREP_SQL; only the tail differs (distinct
-# fingerprints per language, the arrival-order-independent statistic)
+# same gate CTEs as CORPUS_PREP_SQL (the shared _GATE_CTES_SQL
+# constant); only the tail differs (distinct fingerprints per language,
+# the arrival-order-independent statistic)
 STREAM_CORPUS_PREP_SQL = (
-    CORPUS_PREP_SQL.split("), fp AS")[0]
-    + r"""), fp AS (
+    _GATE_CTES_SQL
+    + r""", fp AS (
   SELECT lang, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
   FROM f
 )
@@ -3721,7 +3731,11 @@ WITH qd AS (
          FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT AS val
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i)
 ), c0 AS (
-  SELECT vid AS cid, dim, val AS cval FROM qd WHERE vid < 4
+  -- init = the k smallest vids (same rule as kmeans_quantized's
+  -- orderBy(vid).limit(k)), NOT an id-space assumption like vid < 4
+  SELECT vid AS cid, dim, val AS cval
+  FROM (SELECT *, DENSE_RANK() OVER (ORDER BY vid) AS vrk FROM qd)
+  WHERE vrk <= 4
 ), d1 AS (
   SELECT q.vid, c.cid, SUM((q.val - c.cval) * (q.val - c.cval)) AS dist
   FROM qd q JOIN c0 c ON q.dim = c.dim GROUP BY q.vid, c.cid
