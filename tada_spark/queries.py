@@ -34,22 +34,37 @@ TABLES = (
 #: is what a table catalog/metastore gives a real deployment. Keyed by
 #: the context's applicationId — unique per started context, unlike
 #: id(spark), which CPython can reuse after a stopped session is
-#: collected and would hand a new session stale plans. Each call still
-#: returns a FRESH Frame wrapper.
-_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: collected and would hand a new session stale plans. Each app id maps
+#: to (its SparkContext, path → plan); the context handle exists so
+#: eviction can ask liveness — only STOPPED apps' plans are dropped, so
+#: two live interleaved sessions never thrash each other's cache. Each
+#: call still returns a FRESH Frame wrapper.
+_SCAN_CACHE: dict[str, tuple[object, dict[str, DataFrame]]] = {}
+
+
+def _ctx_stopped(sc) -> bool:
+    """True iff a cached SparkContext is no longer usable (stop() nulls
+    _jsc; a dropped gateway raises — either way the app is dead)."""
+    try:
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
-    app = spark.sparkContext.applicationId
-    key = (app, f"{sf_dir}/{name}.parquet")
-    df = _SCAN_CACHE.get(key)
+    sc = spark.sparkContext
+    app = sc.applicationId
+    path = f"{sf_dir}/{name}.parquet"
+    plans = _SCAN_CACHE[app][1] if app in _SCAN_CACHE else _SCAN_CACHE.setdefault(app, (sc, {}))[1]
+    df = plans.get(path)
     if df is None:
-        # evict dead sessions' plans on miss: a long-lived driver that
-        # cycles SparkSessions would otherwise pin py4j handles forever
-        for k in [k for k in _SCAN_CACHE if k[0] != app]:
+        # evict DEAD sessions' plans on miss: a long-lived driver that
+        # cycles SparkSessions would otherwise pin py4j handles forever;
+        # live sibling sessions keep theirs (no cross-session thrash)
+        for k in [k for k, (octx, _) in _SCAN_CACHE.items() if k != app and _ctx_stopped(octx)]:
             del _SCAN_CACHE[k]
-        df = Frame.read_parquet(spark, key[1]).df
-        _SCAN_CACHE[key] = df
+        df = Frame.read_parquet(spark, path).df
+        plans[path] = df
     return Frame(df)
 
 

@@ -89,15 +89,49 @@ def test_load_scan_cache_reuses_plan_per_session(spark):
     assert a.df.count() == b.df.count() == 5
 
 
+class _FakeCtx:
+    """Stand-in SparkContext with a controllable liveness answer."""
+
+    def __init__(self, stopped: bool):
+        self._jsc = None if stopped else self
+
+    def sc(self):  # py4j shape: sc._jsc.sc().isStopped()
+        return self
+
+    def isStopped(self):
+        return False
+
+
 def test_load_scan_cache_evicts_dead_sessions(spark):
-    """On a cache miss, plans keyed to other (dead) applicationIds are
+    """On a cache miss, plans keyed to STOPPED applicationIds are
     dropped so cycling SparkSessions can't accumulate py4j handles."""
     from tada_spark import queries as Q
 
-    dead = ("app-that-stopped", "/nowhere.parquet")
-    Q._SCAN_CACHE[dead] = "sentinel"
+    Q._SCAN_CACHE["app-that-stopped"] = (_FakeCtx(stopped=True), {"/nowhere.parquet": "x"})
     app = spark.sparkContext.applicationId
-    Q._SCAN_CACHE.pop((app, "/root/testdata/sf0.001/nation.parquet"), None)  # force a miss
+    if app in Q._SCAN_CACHE:  # force a miss
+        Q._SCAN_CACHE[app][1].pop("/root/testdata/sf0.001/nation.parquet", None)
     Q.load(spark, "/root/testdata/sf0.001", "nation")
-    assert dead not in Q._SCAN_CACHE
-    assert (app, "/root/testdata/sf0.001/nation.parquet") in Q._SCAN_CACHE
+    assert "app-that-stopped" not in Q._SCAN_CACHE
+    assert "/root/testdata/sf0.001/nation.parquet" in Q._SCAN_CACHE[app][1]
+
+
+def test_load_scan_cache_keeps_live_sibling_sessions(spark):
+    """Two LIVE interleaved sessions must not evict each other's plans
+    on every call (r4 verdict nit): a miss evicts only stopped apps."""
+    from tada_spark import queries as Q
+
+    sibling = "app-still-live"
+    Q._SCAN_CACHE[sibling] = (_FakeCtx(stopped=False), {"/sibling.parquet": "plan"})
+    try:
+        app = spark.sparkContext.applicationId
+        if app in Q._SCAN_CACHE:  # force a miss so the eviction path runs
+            Q._SCAN_CACHE[app][1].pop("/root/testdata/sf0.001/region.parquet", None)
+        a = Q.load(spark, "/root/testdata/sf0.001", "region")
+        assert sibling in Q._SCAN_CACHE  # live sibling survived the miss
+        assert Q._SCAN_CACHE[sibling][1] == {"/sibling.parquet": "plan"}
+        # and the current session re-uses its plan (no re-read) afterwards
+        b = Q.load(spark, "/root/testdata/sf0.001", "region")
+        assert a.df is b.df
+    finally:
+        Q._SCAN_CACHE.pop(sibling, None)
