@@ -87,3 +87,20 @@ def test_q21_decorrelated_no_nested_loop(spark, catalog):
     plan = plan_of(catalog["q21_waiting_suppliers"][0](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_catalog_entry_zero_join_exchanges(spark, catalog):
+    """bucketed_join_orders_customer: the sort-merge join must consume
+    bucketed table layout directly — the ONLY exchange in the plan is
+    the final per-segment aggregate, none below the join."""
+    try:
+        df = catalog["bucketed_join_orders_customer"][0](spark, SF)
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan
+        pre_join = plan.split("SortMergeJoin")[-1]  # subtree below the join
+        assert "Exchange" not in pre_join  # co-located: bucketing replaced the shuffle
+        assert plan.count("Exchange") == 1  # the aggregate only
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q_buck_orders")
+        spark.sql("DROP TABLE IF EXISTS q_buck_customer")
