@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tada_spark.functions.text import char_shingles, fingerprint, word_shingles
+from tada_spark.plans.semantics import round_det
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -427,7 +428,7 @@ def jaccard_pairs(
         .select(
             F.col("a.jid").alias("id_a"),
             F.col("b.jid").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            round_det(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from tada_spark.plans.semantics import round_det
 from pyspark.sql.window import Window
 
 
@@ -61,7 +63,7 @@ def cosine_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rk").alias("rank"))
+        .select("query_id", "neighbor_id", round_det("cos", 6).alias("cos"), F.col("rk").alias("rank"))
     )
 
 
@@ -122,7 +124,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", F.col(id_col).alias("neighbor_id"), round_det("cos", 6).alias("cos"), "rank")
     )
 
 
@@ -212,7 +214,7 @@ def lsh_cosine_candidates(
         # float discipline: threshold the ROUNDED cosine — oracles compare
         # ROUND(cos, 6) >= t, and a raw-value filter would drop pairs
         # whose true cosine sits in [t - 5e-7, t)
-        .withColumn("cos", F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6))
+        .withColumn("cos", round_det(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

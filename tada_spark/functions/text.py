@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from tada_spark.plans.semantics import round_det
+
 #: language → marker stopwords for the n-gram-free heuristic language ID.
 #: Deterministic and SQL-expressible; not a real langid model (the real
 #: thing would be a fastText-style Pandas UDF — out of container scope).
@@ -105,7 +107,7 @@ def quality_score(col: Column) -> Column:
     len_score = F.least(n / F.lit(50.0), F.lit(1.0))
     punct = F.coalesce(punct_ratio(col), F.lit(0.0))
     sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
-    return F.round(
+    return round_det(
         F.greatest(
             F.lit(0.0),
             len_score * (1.0 - punct) * (F.lit(0.5) + F.least(sw * 2, F.lit(0.5))),
@@ -247,14 +249,14 @@ def mean_word_length(col: Column) -> Column:
     docs with mean word length in [3, 10])."""
     n = token_count(col)
     chars = F.length(F.regexp_replace(col, r"\s", ""))
-    return F.when(n == 0, F.lit(None)).otherwise(F.round(chars / n, 6))
+    return F.when(n == 0, F.lit(None)).otherwise(round_det(chars / n, 6))
 
 
 def symbol_word_ratio(col: Column) -> Column:
     """(# of '#' or '...' symbols) / words — Gopher drops docs > 0.1."""
     n = token_count(col)
     syms = F.regexp_count(col, F.lit(r"#|\.\.\."))
-    return F.when(n == 0, F.lit(None)).otherwise(F.round(syms / n, 6))
+    return F.when(n == 0, F.lit(None)).otherwise(round_det(syms / n, 6))
 
 
 def alpha_word_fraction(col: Column) -> Column:
@@ -263,7 +265,7 @@ def alpha_word_fraction(col: Column) -> Column:
     toks = F.split(F.trim(col), r"\s+")
     n = token_count(col)
     alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    return F.when(n == 0, F.lit(None)).otherwise(F.round(alpha / n, 6))
+    return F.when(n == 0, F.lit(None)).otherwise(round_det(alpha / n, 6))
 
 
 def gopher_stop_hits(col: Column) -> Column:
@@ -281,7 +283,7 @@ def line_fractions(col: Column) -> dict[str, Column]:
     nl = F.size(lines)
     def frac(pred):
         return F.when(nl == 0, F.lit(None)).otherwise(
-            F.round(F.size(F.filter(lines, pred)) / nl, 6)
+            round_det(F.size(F.filter(lines, pred)) / nl, 6)
         )
     return {
         "bullet_line_frac": frac(lambda x: x.rlike(r"^\s*[-*•]")),

@@ -290,6 +290,21 @@ def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     return out.drop("__mid__")
 
 
+def round_det(x: Column | str, digits: int) -> Column:
+    """Cross-engine-deterministic rounding of a SMALL-magnitude double
+    (|x|·10^digits well under 2^53): floor(x·s + 0.5)/s — identical
+    IEEE multiply/add/floor on identical input doubles, bypassing the
+    engines' divergent ROUND implementations (Spark rounds the shortest
+    decimal repr via BigDecimal; DuckDB multiplies and std::rounds —
+    they can disagree on boundary values). Oracle SQL mirrors it as
+    FLOOR(x * 10^digits + 0.5) / 10^digits; a check_oracle.py lint
+    rejects any two-arg ROUND() left in oracle outputs."""
+    if isinstance(x, str):
+        x = F.col(x)
+    s = float(10**digits)
+    return F.floor(x * s + F.lit(0.5)) / F.lit(s)
+
+
 def null_safe_div(num: Column, den: Column) -> Column:
     """Division with the reference's ÷0/Inf/NaN → null rule
     (reference series.go:930-938, internal.go:1546-1552)."""

@@ -6,13 +6,19 @@ with an ANSI-SQL oracle that DuckDB runs on the same parquet tables.
 Aliases MUST match between the two: the driver sorts columns by name and
 hash-compares values.
 
-Float discipline: every floating aggregate is rounded (ROUND(x, 2..6))
-identically on both sides so partial-aggregation order differences
-between engines can't flip the hash.
+Float discipline: every floating aggregate is rounded to 2..6 dp with
+the SAME floor idiom on both sides — FLOOR(x * 10^n + 0.5) / 10^n in
+SQL, _round_det on Spark — so partial-aggregation order differences
+between engines can't flip the hash, and no site depends on an engine's
+own two-arg ROUND (Spark BigDecimal vs DuckDB std::round diverge on
+boundary values; check_oracle.py lints two-arg ROUND out of oracles).
+The only sanctioned ROUND is the single-arg exact-cents idiom
+ROUND(x * 100)::BIGINT ↔ F.round(col * 100).cast("long").
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,13 +117,7 @@ def _round2_e4(sum_e4):
     return (sum_e4 + F.lit(50) - F.pmod(sum_e4 + F.lit(50), 100)) / F.lit(10000.0)
 
 
-def _round_det(x, digits: int):
-    """Cross-engine-deterministic rounding of a SMALL-magnitude double
-    (|x|*10^digits well under 2^53): floor(x*s + 0.5)/s — identical
-    IEEE multiply/add/floor on identical input doubles, bypassing the
-    engines' divergent ROUND implementations."""
-    s = float(10 ** digits)
-    return F.floor(x * s + F.lit(0.5)) / F.lit(s)
+from tada_spark.plans.semantics import round_det as _round_det  # noqa: E402 — shared floor-idiom rounding
 
 
 def q1_pricing_summary(spark, sf):
@@ -1131,14 +1131,14 @@ def where_price_tier(spark, sf):
     return (
         orders.where(F.col("o_totalprice") > 200000, F.lit("high"), F.lit("low"), as_col="tier")
         .group_by("tier")
-        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .agg(n=F.count("*"), total=_round_det(F.sum("o_totalprice"), 2))
         .to_df()
     )
 
 
 WHERE_SQL = """
 SELECT CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS tier,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       COUNT(*) AS n, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
 FROM orders GROUP BY 1
 """
 
@@ -1206,11 +1206,11 @@ def append_union(spark, sf):
     orders = load(spark, sf, "orders")
     hi = orders.filter(F.col("o_totalprice") > 300000)
     lo = orders.filter(F.col("o_totalprice") < 20000)
-    return hi.append(lo).group_by("o_orderstatus").agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2)).to_df()
+    return hi.append(lo).group_by("o_orderstatus").agg(n=F.count("*"), total=_round_det(F.sum("o_totalprice"), 2)).to_df()
 
 
 APPEND_SQL = """
-SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+SELECT o_orderstatus, COUNT(*) AS n, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
 FROM (
   SELECT * FROM orders WHERE o_totalprice > 300000
   UNION ALL
@@ -1226,9 +1226,9 @@ def group_reducers_full(spark, sf):
     return (
         li.group_by("l_returnflag")
         .agg(
-            mean_q=F.round(F.avg("l_quantity"), 4),
-            med_q=F.round(F.median("l_quantity"), 2),
-            std_q=F.round(F.stddev_pop("l_quantity"), 4),
+            mean_q=_round_det(F.avg("l_quantity"), 4),
+            med_q=_round_det(F.median("l_quantity"), 2),
+            std_q=_round_det(F.stddev_pop("l_quantity"), 4),
             nuniq_part=F.count_distinct("l_partkey"),
             earliest_ship=F.min("l_shipdate"),
             latest_ship=F.max("l_shipdate"),
@@ -1239,8 +1239,8 @@ def group_reducers_full(spark, sf):
 
 GROUP_REDUCERS_SQL = """
 SELECT l_returnflag,
-       ROUND(AVG(l_quantity), 4) AS mean_q, ROUND(MEDIAN(l_quantity), 2) AS med_q,
-       ROUND(STDDEV_POP(l_quantity), 4) AS std_q,
+       FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS mean_q, FLOOR((MEDIAN(l_quantity)) * 100 + 0.5) / 100 AS med_q,
+       FLOOR((STDDEV_POP(l_quantity)) * 10000 + 0.5) / 10000 AS std_q,
        COUNT(DISTINCT l_partkey) AS nuniq_part,
        MIN(l_shipdate) AS earliest_ship, MAX(l_shipdate) AS latest_ship
 FROM lineitem GROUP BY l_returnflag
@@ -1257,14 +1257,14 @@ def pivot_returnflag(spark, sf):
         ["s_nationkey"], "l_returnflag", "rev", "sum"
     )
     df = out.to_df()
-    return df.select("s_nationkey", *[F.round(F.col(c), 2).alias(c) for c in df.columns if c != "s_nationkey"])
+    return df.select("s_nationkey", *[_round_det(F.col(c), 2).alias(c) for c in df.columns if c != "s_nationkey"])
 
 
 PIVOT_SQL = """
 SELECT s.s_nationkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'A'), 2) AS A,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'N'), 2) AS N,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'R'), 2) AS R
+       FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'A')) * 100 + 0.5) / 100 AS A,
+       FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'N')) * 100 + 0.5) / 100 AS N,
+       FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)) FILTER (WHERE l_returnflag = 'R')) * 100 + 0.5) / 100 AS R
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey
 """
@@ -1276,7 +1276,7 @@ def rolling_1h_sum(spark, sf):
     twin is rolling_n_duration_events."""
     ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
     out = ev.group_by("user_id").rolling_duration(3600, "ts", "value", "sum", out="roll1h")
-    return out.with_col("roll1h", F.round("roll1h", 2)).to_df().select("event_id", "user_id", "roll1h")
+    return out.with_col("roll1h", _round_det("roll1h", 2)).to_df().select("event_id", "user_id", "roll1h")
 
 
 def ffill_user_value(spark, sf):
@@ -1285,14 +1285,14 @@ def ffill_user_value(spark, sf):
     ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
     ev = ev.with_col("v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")))
     out = ev.fill_null("forward", subset=["v"], order_by=["ts", "event_id"], partition_by=["user_id"])
-    return out.with_col("v", F.round("v", 2)).to_df().select("event_id", "user_id", "v")
+    return out.with_col("v", _round_det("v", 2)).to_df().select("event_id", "user_id", "v")
 
 
 FFILL_SQL = """
 SELECT event_id, user_id,
-       ROUND(LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) OVER (
+       FLOOR((LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS v
 FROM events WHERE user_id < 30
 """
 
@@ -1361,13 +1361,13 @@ def rollup_status_priority(spark, sf):
     """ROLLUP grouping sets (free extension beyond reference §2.7)."""
     orders = load(spark, sf, "orders")
     return (
-        orders.rollup(["o_orderstatus", "o_orderpriority"], n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        orders.rollup(["o_orderstatus", "o_orderpriority"], n=F.count("*"), total=_round_det(F.sum("o_totalprice"), 2))
         .to_df()
     )
 
 
 ROLLUP_SQL = """
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -1375,11 +1375,11 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 def cube_flag_status(spark, sf):
     """CUBE grouping sets (free extension)."""
     li = load(spark, sf, "lineitem")
-    return li.cube(["l_returnflag", "l_linestatus"], sum_qty=F.round(F.sum("l_quantity"), 2)).to_df()
+    return li.cube(["l_returnflag", "l_linestatus"], sum_qty=_round_det(F.sum("l_quantity"), 2)).to_df()
 
 
 CUBE_SQL = """
-SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, l_linestatus, FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -1413,7 +1413,7 @@ def promote_region_level(spark, sf):
         cust.lookup(nation, left_on=["c_nationkey"], right_on=["n_nationkey"], broadcast=True, unique_keys=True)
         .lookup(region, left_on=["n_regionkey"], right_on=["r_regionkey"], broadcast=True, unique_keys=True)
         .group_by("n_name", "r_name")
-        .agg(acctbal=F.round(F.sum("c_acctbal"), 2))
+        .agg(acctbal=_round_det(F.sum("c_acctbal"), 2))
     )
     promoted = promote_to_col_level(Frame(j.df, labels=["n_name", "r_name"]), "r_name", "acctbal")
     return promoted.to_df()
@@ -1422,11 +1422,11 @@ def promote_region_level(spark, sf):
 # promoted column set depends on region names — known: AFRICA AMERICA ASIA EUROPE MIDDLE EAST
 PROMOTE_SQL = """
 SELECT n.n_name,
-       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'AFRICA'), 2)      AS "acctbal|AFRICA",
-       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'AMERICA'), 2)     AS "acctbal|AMERICA",
-       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'ASIA'), 2)        AS "acctbal|ASIA",
-       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'EUROPE'), 2)      AS "acctbal|EUROPE",
-       ROUND(SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'MIDDLE EAST'), 2) AS "acctbal|MIDDLE EAST"
+       FLOOR((SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'AFRICA')) * 100 + 0.5) / 100      AS "acctbal|AFRICA",
+       FLOOR((SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'AMERICA')) * 100 + 0.5) / 100     AS "acctbal|AMERICA",
+       FLOOR((SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'ASIA')) * 100 + 0.5) / 100        AS "acctbal|ASIA",
+       FLOOR((SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'EUROPE')) * 100 + 0.5) / 100      AS "acctbal|EUROPE",
+       FLOOR((SUM(c.c_acctbal) FILTER (WHERE r.r_name = 'MIDDLE EAST')) * 100 + 0.5) / 100 AS "acctbal|MIDDLE EAST"
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -1493,7 +1493,8 @@ def custom_reduce_weighted_mean(spark, sf):
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "wmean_price": [round(float((pdf["l_extendedprice"] * w).sum() / w.sum()), 4)],
+                # floor half-up idiom, not python round() (half-even) — oracle parity
+                "wmean_price": [math.floor(float((pdf["l_extendedprice"] * w).sum() / w.sum()) * 1e4 + 0.5) / 1e4],
             }
         )
 
@@ -1506,7 +1507,7 @@ def custom_reduce_weighted_mean(spark, sf):
 
 CUSTOM_REDUCE_SQL = """
 SELECT l_returnflag,
-       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wmean_price
+       FLOOR((SUM(l_extendedprice * l_quantity) / SUM(l_quantity)) * 10000 + 0.5) / 10000 AS wmean_price
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1530,7 +1531,7 @@ def custom_apply_zscore(spark, sf):
 
 CUSTOM_APPLY_SQL = """
 SELECT event_id,
-       ROUND((value - AVG(value) OVER w) / STDDEV_POP(value) OVER w, 4) AS z
+       FLOOR(((value - AVG(value) OVER w) / STDDEV_POP(value) OVER w) * 10000 + 0.5) / 10000 AS z
 FROM events
 WINDOW w AS (PARTITION BY event_type)
 """
@@ -1630,8 +1631,8 @@ WITH s AS (
   FROM documents WHERE doc_id % 5 = 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
-             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6) AS jaccard
+       FLOOR((LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
       / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.35
@@ -1792,7 +1793,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings 
               LIST_DOT_PRODUCT(qv, cv) / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cos_raw
        FROM q JOIN c ON query_id != neighbor_id
      ), ranked AS (
-       SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos,
+       SELECT query_id, neighbor_id, FLOOR((cos_raw) * 1000000 + 0.5) / 1000000 AS cos,
               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
        FROM scored
      )
@@ -1806,12 +1807,12 @@ def moving_avg_trailing(spark, sf):
     out = ev.group_by("user_id").rolling_n(
         5, "value", "mean", order_by=["ts", "event_id"], out="ma5", forward=False
     )
-    return out.with_col("ma5", F.round("ma5", 4)).to_df().select("event_id", "user_id", "ma5")
+    return out.with_col("ma5", _round_det("ma5", 4)).to_df().select("event_id", "user_id", "ma5")
 
 
 MOVING_AVG_SQL = """
 SELECT event_id, user_id,
-       CASE WHEN COUNT(*) OVER w = 5 THEN ROUND(AVG(value) OVER w, 4) END AS ma5
+       CASE WHEN COUNT(*) OVER w = 5 THEN FLOOR((AVG(value) OVER w) * 10000 + 0.5) / 10000 END AS ma5
 FROM events WHERE user_id < 20
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
@@ -1841,14 +1842,14 @@ def top2_orders_per_customer(spark, sf):
         2, ("o_totalprice", False), ("o_orderkey", True), out="rn"
     )
     return (
-        ranked.with_col("o_totalprice", F.round("o_totalprice", 2))
+        ranked.with_col("o_totalprice", _round_det("o_totalprice", 2))
         .to_df()
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
 
 
 TOP2_SQL = """
-SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn
+SELECT o_custkey, o_orderkey, FLOOR((o_totalprice) * 100 + 0.5) / 100 AS o_totalprice, rn
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       FROM orders WHERE o_custkey < 200)
@@ -1859,22 +1860,22 @@ WHERE rn <= 2
 def merge_dedupe_names(spark, sf):
     """Merge with overlapping value-column names → `_1` suffix dedupe
     (reference Merge + DeduplicateNames, dataframe.go:1633-1657)."""
-    cust = load(spark, sf, "customer").with_col("bal", F.round(F.col("c_acctbal"), 2)).cols(
+    cust = load(spark, sf, "customer").with_col("bal", _round_det(F.col("c_acctbal"), 2)).cols(
         "c_custkey", "c_nationkey", "bal"
     )
     nat_avg = (
         load(spark, sf, "supplier")
         .group_by("s_nationkey")
-        .agg(bal=F.round(F.avg("s_acctbal"), 2))
+        .agg(bal=_round_det(F.avg("s_acctbal"), 2))
     )
     merged = cust.merge(nat_avg, left_on=["c_nationkey"], right_on=["s_nationkey"], unique_keys=True)
     return merged.to_df().select("c_custkey", "bal", "bal_1")
 
 
 MERGE_SQL = """
-SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS bal, s.bal_1
+SELECT c.c_custkey, FLOOR((c.c_acctbal) * 100 + 0.5) / 100 AS bal, s.bal_1
 FROM customer c
-LEFT JOIN (SELECT s_nationkey, ROUND(AVG(s_acctbal), 2) AS bal_1
+LEFT JOIN (SELECT s_nationkey, FLOOR((AVG(s_acctbal)) * 100 + 0.5) / 100 AS bal_1
            FROM supplier GROUP BY s_nationkey) s
   ON c.c_nationkey = s.s_nationkey
 """
@@ -1917,7 +1918,7 @@ def multimodal_image_features(spark, sf):
     )
     feats = multimodal.image_features(docs)
     return feats.select(
-        "media_id", "width", "height", "n_bytes", F.round("mean_luma", 6).alias("mean_luma")
+        "media_id", "width", "height", "n_bytes", _round_det("mean_luma", 6).alias("mean_luma")
     )
 
 
@@ -1926,8 +1927,8 @@ SELECT doc_id AS media_id,
        16 + ord(text[1]) % 64 AS width,
        16 + ord(text[-1]) % 64 AS height,
        length(text) AS n_bytes,
-       ROUND(list_sum(list_transform(string_split(text[1:64], ''), c -> ord(c)))
-             / LEAST(length(text), 64) / 255.0, 6) AS mean_luma
+       FLOOR((list_sum(list_transform(string_split(text[1:64], ''), c -> ord(c)))
+             / LEAST(length(text), 64) / 255.0) * 1000000 + 0.5) / 1000000 AS mean_luma
 FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
 """
 
@@ -1954,10 +1955,10 @@ WITH d AS (
   FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7f]*$')
 )
 SELECT media_id, sample_rate,
-       ROUND(length(text)::DOUBLE / sample_rate, 6) AS duration_s,
-       ROUND(SQRT(list_sum(list_transform(string_split(text[1:64], ''),
+       FLOOR((length(text)::DOUBLE / sample_rate) * 1000000 + 0.5) / 1000000 AS duration_s,
+       FLOOR((SQRT(list_sum(list_transform(string_split(text[1:64], ''),
                                           c -> POW(ord(c) / 255.0, 2)))
-                  / LEAST(length(text), 64)), 6) AS rms
+                  / LEAST(length(text), 64))) * 1000000 + 0.5) / 1000000 AS rms
 FROM d
 """
 
@@ -2080,8 +2081,8 @@ WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_
      allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
      pairs AS (
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              ROUND(LIST_DOT_PRODUCT(a.v, b.v)
-                    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos
+              FLOOR((LIST_DOT_PRODUCT(a.v, b.v)
+                    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v)))) * 1000000 + 0.5) / 1000000 AS cos
        FROM allv a JOIN allv b ON a.vec_id < b.vec_id
      )
 SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
@@ -2103,7 +2104,7 @@ def asof_last_purchase(spark, sf):
         .agg(F.max("value").alias("purch_value"))
     )
     out = clicks.asof_join(purchases, on="ts", by=["user_id"], value_cols=["purch_value"])
-    return out.to_df().select("event_id", "user_id", F.round("purch_value", 4).alias("purch_value"))
+    return out.to_df().select("event_id", "user_id", _round_det("purch_value", 4).alias("purch_value"))
 
 
 ASOF_SQL = """
@@ -2112,7 +2113,7 @@ WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
        SELECT user_id AS pu, ts AS pts, MAX(value) AS purch_value
        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
      )
-SELECT c.event_id, c.user_id, ROUND(p.purch_value, 4) AS purch_value
+SELECT c.event_id, c.user_id, FLOOR((p.purch_value) * 10000 + 0.5) / 10000 AS purch_value
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.pu AND c.ts >= p.pts
 """
@@ -2125,16 +2126,16 @@ def pivot_multi_agg_flag(spark, sf):
     out = li.pivot_table_multi(
         ["l_returnflag"],
         "l_linestatus",
-        {"qty": F.round(F.sum("l_quantity"), 2), "n": F.count(F.lit(1))},
+        {"qty": _round_det(F.sum("l_quantity"), 2), "n": F.count(F.lit(1))},
     )
     return out.to_df()
 
 
 PIVOT_MULTI_SQL = """
 SELECT l_returnflag,
-       ROUND(SUM(l_quantity) FILTER (l_linestatus = 'F'), 2) AS F_qty,
+       FLOOR((SUM(l_quantity) FILTER (l_linestatus = 'F')) * 100 + 0.5) / 100 AS F_qty,
        COUNT(*)             FILTER (l_linestatus = 'F')       AS F_n,
-       ROUND(SUM(l_quantity) FILTER (l_linestatus = 'O'), 2) AS O_qty,
+       FLOOR((SUM(l_quantity) FILTER (l_linestatus = 'O')) * 100 + 0.5) / 100 AS O_qty,
        COUNT(*)             FILTER (l_linestatus = 'O')       AS O_n
 FROM lineitem GROUP BY l_returnflag
 """
@@ -2147,14 +2148,14 @@ def resample_15min_events(spark, sf):
     out = (
         ev.resample("ts", "duration", duration_seconds=900, as_col="bucket")
         .group_by("bucket")
-        .agg(n=F.count("*"), total=F.round(F.sum("value"), 4))
+        .agg(n=F.count("*"), total=_round_det(F.sum("value"), 4))
     )
     return out.to_df().select("bucket", "n", "total")
 
 
 RESAMPLE_DUR_SQL = """
 SELECT to_timestamp((epoch_us(ts) // 1000000 // 900) * 900)::TIMESTAMP AS bucket,
-       COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+       COUNT(*) AS n, FLOOR((SUM(value)) * 10000 + 0.5) / 10000 AS total
 FROM events GROUP BY 1
 """
 
@@ -2308,13 +2309,13 @@ def embedding_centroids(spark, sf):
     )
     return (
         exploded.groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+        .agg(_round_det(F.avg("v"), 6).alias("centroid_v"))
         .select("label", (F.col("dim") + 1).alias("dim"), "centroid_v")
     )
 
 
 CENTROID_SQL = """
-SELECT label, s.dim, ROUND(AVG((embedding::DOUBLE[])[s.dim]), 6) AS centroid_v
+SELECT label, s.dim, FLOOR((AVG((embedding::DOUBLE[])[s.dim])) * 1000000 + 0.5) / 1000000 AS centroid_v
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(dim)
 GROUP BY label, s.dim
 """
@@ -2361,7 +2362,7 @@ def winsorize_value_per_user(spark, sf):
         F.col("value").isNull(), F.lit(None).cast("double")
     ).otherwise(F.least(F.greatest(F.col("value"), lo), hi))
     return (
-        ev.with_col("value_w", F.round(clipped, 4))
+        ev.with_col("value_w", _round_det(clipped, 4))
         .to_df()
         .select("event_id", "user_id", "value_w")
     )
@@ -2370,7 +2371,7 @@ def winsorize_value_per_user(spark, sf):
 WINSORIZE_SQL = """
 SELECT event_id, user_id,
        CASE WHEN value IS NULL THEN NULL
-            ELSE ROUND(LEAST(GREATEST(value, lo), hi), 4) END AS value_w
+            ELSE FLOOR((LEAST(GREATEST(value, lo), hi)) * 10000 + 0.5) / 10000 END AS value_w
 FROM (SELECT event_id, user_id, value,
              quantile_cont(value, 0.05) OVER (PARTITION BY user_id) AS lo,
              quantile_cont(value, 0.95) OVER (PARTITION BY user_id) AS hi
@@ -2383,18 +2384,18 @@ def quantiles_price_by_status(spark, sf):
     percentile, same definition as DuckDB quantile_cont."""
     orders = load(spark, sf, "orders")
     out = orders.group_by("o_orderstatus").agg(
-        q25=F.round(F.expr("percentile(o_totalprice, 0.25)"), 4),
-        q50=F.round(F.expr("percentile(o_totalprice, 0.5)"), 4),
-        q75=F.round(F.expr("percentile(o_totalprice, 0.75)"), 4),
+        q25=_round_det(F.expr("percentile(o_totalprice, 0.25)"), 4),
+        q50=_round_det(F.expr("percentile(o_totalprice, 0.5)"), 4),
+        q75=_round_det(F.expr("percentile(o_totalprice, 0.75)"), 4),
     )
     return out.to_df()
 
 
 QUANTILES_SQL = """
 SELECT o_orderstatus,
-       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
-       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
-       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
+       FLOOR((quantile_cont(o_totalprice, 0.25)) * 10000 + 0.5) / 10000 AS q25,
+       FLOOR((quantile_cont(o_totalprice, 0.50)) * 10000 + 0.5) / 10000 AS q50,
+       FLOOR((quantile_cont(o_totalprice, 0.75)) * 10000 + 0.5) / 10000 AS q75
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -2577,14 +2578,14 @@ def stream_hourly_totals(spark, sf):
 
     stream = _stream_events(spark, sf)
     out = stream_resample(
-        stream, "ts", "1 hour", {"n": F.count("*"), "total": F.round(F.sum("value"), 4)}
+        stream, "ts", "1 hour", {"n": F.count("*"), "total": _round_det(F.sum("value"), 4)}
     )
     res = run_available_now(out, "q_stream_hourly")
     return res.select("window_start", "n", "total")
 
 
 STREAM_HOURLY_SQL = """
-SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n, FLOOR((SUM(value)) * 10000 + 0.5) / 10000 AS total
 FROM events GROUP BY 1
 """
 
@@ -2608,11 +2609,11 @@ def stream_running_totals_users(spark, sf):
     if not q.awaitTermination(240):
         q.stop()
         raise TimeoutError("stream_running_totals_users did not finish")
-    return spark.table("q_stream_state").select("key", "n_events", F.round("total", 4).alias("total"))
+    return spark.table("q_stream_state").select("key", "n_events", _round_det("total", 4).alias("total"))
 
 
 STREAM_STATE_SQL = """
-SELECT user_id::VARCHAR AS key, COUNT(value) AS n_events, ROUND(ROUND(SUM(value), 6), 4) AS total
+SELECT user_id::VARCHAR AS key, COUNT(value) AS n_events, FLOOR((FLOOR((SUM(value)) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS total
 FROM events GROUP BY user_id
 """
 
@@ -2631,7 +2632,7 @@ def stream_sliding_hourly(spark, sf):
         "ts",
         "1 hour",
         "30 minutes",
-        {"n": F.count("*"), "total": F.round(F.sum("value"), 4)},
+        {"n": F.count("*"), "total": _round_det(F.sum("value"), 4)},
     )
     res = run_available_now(out, "q_stream_sliding")
     return res.select("window_start", "n", "total")
@@ -2639,7 +2640,7 @@ def stream_sliding_hourly(spark, sf):
 
 STREAM_SLIDING_SQL = """
 SELECT to_timestamp(((epoch_us(ts) // 1000000) // 1800 - o) * 1800)::TIMESTAMP AS window_start,
-       COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+       COUNT(*) AS n, FLOOR((SUM(value)) * 10000 + 0.5) / 10000 AS total
 FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
 GROUP BY 1
 """
@@ -2827,14 +2828,14 @@ def salted_group_sum(spark, sf):
     )
     return out.select(
         "l_returnflag",
-        F.round("total_qty", 2).alias("total_qty"),
+        _round_det("total_qty", 2).alias("total_qty"),
         "n",
         (F.col("price_c") / F.lit(100.0)).alias("price_total"),
     )
 
 
 SALTED_SQL = """
-SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS total_qty,
+SELECT l_returnflag, FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS total_qty,
        COUNT(l_quantity) AS n,
        SUM(ROUND(l_extendedprice * 100)::BIGINT) / 100.0 AS price_total
 FROM lineitem GROUP BY l_returnflag
@@ -2944,7 +2945,7 @@ WITH cent AS (
 )
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         ROUND(LIST_DOT_PRODUCT(p.qv, a.v) / (SQRT(LIST_DOT_PRODUCT(p.qv, p.qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v))), 6) AS cos,
+         FLOOR((LIST_DOT_PRODUCT(p.qv, a.v) / (SQRT(LIST_DOT_PRODUCT(p.qv, p.qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v)))) * 1000000 + 0.5) / 1000000 AS cos,
          ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
            LIST_DOT_PRODUCT(p.qv, a.v) / (SQRT(LIST_DOT_PRODUCT(p.qv, p.qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v))) DESC,
            a.vec_id ASC) AS rank
@@ -2971,40 +2972,40 @@ def agg_frame_and_columns(spark, sf):
     melted = li.agg_all(["sum", "mean", "min", "max"], "l_quantity", "l_extendedprice", "l_discount")
     mdf = melted.to_df().select(
         "column",
-        F.round("sum", 2).alias("sum"),
-        F.round("mean", 4).alias("mean"),
+        _round_det("sum", 2).alias("sum"),
+        _round_det("mean", 4).alias("mean"),
         F.lit(None).cast("double").alias("med"),
         F.lit(None).cast("double").alias("std"),
-        F.round("min", 4).alias("min"),
-        F.round("max", 4).alias("max"),
+        _round_det("min", 4).alias("min"),
+        _round_det("max", 4).alias("max"),
         F.lit(None).cast("long").alias("n"),
     )
     whole = li.agg(
-        sum=F.round(F.sum("l_quantity"), 2),
-        mean=F.round(F.avg("l_quantity"), 4),
-        med=F.round(F.median("l_quantity"), 2),
-        std=F.round(F.stddev_pop("l_quantity"), 4),
-        min=F.round(F.min("l_quantity"), 4),
-        max=F.round(F.max("l_quantity"), 4),
+        sum=_round_det(F.sum("l_quantity"), 2),
+        mean=_round_det(F.avg("l_quantity"), 4),
+        med=_round_det(F.median("l_quantity"), 2),
+        std=_round_det(F.stddev_pop("l_quantity"), 4),
+        min=_round_det(F.min("l_quantity"), 4),
+        max=_round_det(F.max("l_quantity"), 4),
         n=F.count("l_quantity"),
     ).df.select(F.lit("<frame>").alias("column"), "sum", "mean", "med", "std", "min", "max", "n")
     return mdf.unionByName(whole)
 
 
 AGG_FRAME_COLS_SQL = """
-SELECT 'l_quantity' AS "column", ROUND(SUM(l_quantity), 2) AS sum, ROUND(AVG(l_quantity), 4) AS mean,
+SELECT 'l_quantity' AS "column", FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum, FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS mean,
        NULL::DOUBLE AS med, NULL::DOUBLE AS std,
-       ROUND(MIN(l_quantity), 4) AS min, ROUND(MAX(l_quantity), 4) AS max, NULL::BIGINT AS n FROM lineitem
+       FLOOR((MIN(l_quantity)) * 10000 + 0.5) / 10000 AS min, FLOOR((MAX(l_quantity)) * 10000 + 0.5) / 10000 AS max, NULL::BIGINT AS n FROM lineitem
 UNION ALL
-SELECT 'l_extendedprice', ROUND(SUM(l_extendedprice), 2), ROUND(AVG(l_extendedprice), 4),
-       NULL, NULL, ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4), NULL FROM lineitem
+SELECT 'l_extendedprice', FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100, FLOOR((AVG(l_extendedprice)) * 10000 + 0.5) / 10000,
+       NULL, NULL, FLOOR((MIN(l_extendedprice)) * 10000 + 0.5) / 10000, FLOOR((MAX(l_extendedprice)) * 10000 + 0.5) / 10000, NULL FROM lineitem
 UNION ALL
-SELECT 'l_discount', ROUND(SUM(l_discount), 2), ROUND(AVG(l_discount), 4),
-       NULL, NULL, ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4), NULL FROM lineitem
+SELECT 'l_discount', FLOOR((SUM(l_discount)) * 100 + 0.5) / 100, FLOOR((AVG(l_discount)) * 10000 + 0.5) / 10000,
+       NULL, NULL, FLOOR((MIN(l_discount)) * 10000 + 0.5) / 10000, FLOOR((MAX(l_discount)) * 10000 + 0.5) / 10000, NULL FROM lineitem
 UNION ALL
-SELECT '<frame>', ROUND(SUM(l_quantity), 2), ROUND(AVG(l_quantity), 4),
-       ROUND(MEDIAN(l_quantity), 2), ROUND(STDDEV_POP(l_quantity), 4),
-       ROUND(MIN(l_quantity), 4), ROUND(MAX(l_quantity), 4), COUNT(l_quantity) FROM lineitem
+SELECT '<frame>', FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100, FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000,
+       FLOOR((MEDIAN(l_quantity)) * 100 + 0.5) / 100, FLOOR((STDDEV_POP(l_quantity)) * 10000 + 0.5) / 10000,
+       FLOOR((MIN(l_quantity)) * 10000 + 0.5) / 10000, FLOOR((MAX(l_quantity)) * 10000 + 0.5) / 10000, COUNT(l_quantity) FROM lineitem
 """
 
 
@@ -3047,8 +3048,8 @@ def shift_cumsum_events(spark, sf):
     out = ev.shift("value", 1, order_by=["ts", "event_id"], partition_by=["user_id"], as_col="prev_value")
     out = out.cum_sum("value", order_by=["ts", "event_id"], partition_by=["user_id"], as_col="running")
     return (
-        out.with_col("prev_value", F.round("prev_value", 2))
-        .with_col("running", F.round("running", 2))
+        out.with_col("prev_value", _round_det("prev_value", 2))
+        .with_col("running", _round_det("running", 2))
         .to_df()
         .select("event_id", "user_id", "prev_value", "running")
     )
@@ -3056,10 +3057,10 @@ def shift_cumsum_events(spark, sf):
 
 SHIFT_CUMSUM_SQL = """
 SELECT event_id, user_id,
-       ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
-       ROUND(SUM(COALESCE(value, 0)) OVER (
+       FLOOR((LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100 + 0.5) / 100 AS prev_value,
+       FLOOR((SUM(COALESCE(value, 0)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running
 FROM events WHERE user_id < 50
 """
 
@@ -3072,7 +3073,7 @@ def rank_percentile_customers(spark, sf):
     out = cust.rank("c_acctbal", partition_by=["c_nationkey"], as_col="bal_rank", descending=True)
     out = out.percentile("c_acctbal", as_col="pct")
     return (
-        out.with_col("pct", F.round("pct", 6))
+        out.with_col("pct", _round_det("pct", 6))
         .cols("c_custkey", "c_nationkey", "bal_rank", "pct")
         .to_df()
         .select("c_custkey", "c_nationkey", "bal_rank", "pct")
@@ -3084,8 +3085,8 @@ SELECT c_custkey, c_nationkey,
        CASE WHEN c_acctbal IS NULL THEN NULL
             ELSE DENSE_RANK() OVER (PARTITION BY c_nationkey, c_acctbal IS NULL ORDER BY c_acctbal DESC) END AS bal_rank,
        CASE WHEN c_acctbal IS NULL THEN NULL
-            ELSE ROUND((RANK() OVER (PARTITION BY (c_acctbal IS NULL) ORDER BY c_acctbal) - 1)::DOUBLE
-                       / COUNT(*) OVER (PARTITION BY (c_acctbal IS NULL)), 6) END AS pct
+            ELSE FLOOR(((RANK() OVER (PARTITION BY (c_acctbal IS NULL) ORDER BY c_acctbal) - 1)::DOUBLE
+                       / COUNT(*) OVER (PARTITION BY (c_acctbal IS NULL))) * 1000000 + 0.5) / 1000000 END AS pct
 FROM customer
 """
 
@@ -3102,7 +3103,7 @@ def bin_pbin_orders(spark, sf):
     )
     return (
         out.group_by("price_band", "pquart")
-        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .agg(n=F.count("*"), total=_round_det(F.sum("o_totalprice"), 2))
         .to_df()
     )
 
@@ -3118,7 +3119,7 @@ SELECT CASE WHEN o_totalprice > 0      AND o_totalprice <= 100000 THEN '0-100000
             WHEN pct >= 0.25 AND pct < 0.5 THEN 'q2'
             WHEN pct >= 0.5 AND pct < 0.75 THEN 'q3'
             WHEN pct >= 0.75 THEN 'q4' END AS pquart,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       COUNT(*) AS n, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
 FROM (
   SELECT o_totalprice,
          (RANK() OVER (ORDER BY o_totalprice) - 1)::DOUBLE / COUNT(*) OVER () AS pct
@@ -3135,7 +3136,7 @@ def resample_calendar_revenue(spark, sf):
     month = (
         li.resample("l_shipdate", "month", as_col="bucket")
         .group_by("bucket")
-        .agg(n=F.count("*"), total=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+        .agg(n=F.count("*"), total=_round_det(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
         .to_df()
         .select(F.lit("month").alias("grain"), "bucket", "n", "total")
     )
@@ -3143,7 +3144,7 @@ def resample_calendar_revenue(spark, sf):
     week = (
         orders.resample("o_orderdate", "week", week_start="MONDAY", as_col="bucket")
         .group_by("bucket")
-        .agg(n=F.count("*"), total=F.round(F.sum("o_totalprice"), 2))
+        .agg(n=F.count("*"), total=_round_det(F.sum("o_totalprice"), 2))
         .to_df()
         .select(F.lit("week").alias("grain"), "bucket", "n", "total")
     )
@@ -3152,11 +3153,11 @@ def resample_calendar_revenue(spark, sf):
 
 RESAMPLE_CAL_SQL = """
 SELECT 'month' AS grain, DATE_TRUNC('month', l_shipdate)::TIMESTAMP AS bucket,
-       COUNT(*) AS n, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+       COUNT(*) AS n, FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS total
 FROM lineitem GROUP BY 2
 UNION ALL
 SELECT 'week', DATE_TRUNC('week', o_orderdate)::TIMESTAMP,
-       COUNT(*), ROUND(SUM(o_totalprice), 2)
+       COUNT(*), FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100
 FROM orders GROUP BY 2
 """
 
@@ -3169,8 +3170,8 @@ def rolling_n_duration_events(spark, sf):
     out = ev.group_by("user_id").rolling_n(3, "value", "sum", order_by=["ts", "event_id"], out="roll3")
     out = out.group_by("user_id").rolling_duration(3600, "ts", "value", "sum", out="roll1h")
     return (
-        out.with_col("roll3", F.round("roll3", 2))
-        .with_col("roll1h", F.round("roll1h", 2))
+        out.with_col("roll3", _round_det("roll3", 2))
+        .with_col("roll1h", _round_det("roll1h", 2))
         .to_df()
         .select("event_id", "user_id", "roll3", "roll1h")
     )
@@ -3178,8 +3179,8 @@ def rolling_n_duration_events(spark, sf):
 
 ROLLING_N_DUR_SQL = """
 SELECT event_id, user_id,
-       CASE WHEN COUNT(*) OVER wn = 3 THEN ROUND(SUM(value) OVER wn, 2) END AS roll3,
-       ROUND(SUM(value) OVER wd, 2) AS roll1h
+       CASE WHEN COUNT(*) OVER wn = 3 THEN FLOOR((SUM(value) OVER wn) * 100 + 0.5) / 100 END AS roll3,
+       FLOOR((SUM(value) OVER wd) * 100 + 0.5) / 100 AS roll1h
 FROM events WHERE user_id < 30
 WINDOW wn AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING),
        wd AS (PARTITION BY user_id ORDER BY EPOCH(ts)::BIGINT RANGE BETWEEN CURRENT ROW AND 3599 FOLLOWING)
@@ -3251,7 +3252,7 @@ def text_stats_quality(spark, sf):
     docs = load(spark, sf, "documents")
     return (
         docs.with_col("n_tokens", text.token_count(F.col("text")))
-        .with_col("punct", F.round(F.coalesce(text.punct_ratio(F.col("text")), F.lit(0.0)), 6))
+        .with_col("punct", _round_det(F.coalesce(text.punct_ratio(F.col("text")), F.lit(0.0)), 6))
         .with_col("quality", text.quality_score(F.col("text")))
         .with_col("bpe_tokens", text.bpe_token_estimate(F.col("text")))
         .cols("doc_id", "n_tokens", "punct", "quality", "bpe_tokens")
@@ -3273,9 +3274,9 @@ WITH t AS (
                    / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) END, 0) AS sw
   FROM documents
 )
-SELECT doc_id, n_tokens, ROUND(punct, 6) AS punct,
-       ROUND(GREATEST(0.0, LEAST(n_tokens / 50.0, 1.0) * (1.0 - punct)
-             * (0.5 + LEAST(sw * 2, 0.5))), 6) AS quality,
+SELECT doc_id, n_tokens, FLOOR((punct) * 1000000 + 0.5) / 1000000 AS punct,
+       FLOOR((GREATEST(0.0, LEAST(n_tokens / 50.0, 1.0) * (1.0 - punct)
+             * (0.5 + LEAST(sw * 2, 0.5)))) * 1000000 + 0.5) / 1000000 AS quality,
        LEN(REGEXP_EXTRACT_ALL(text,
            e'\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS bpe_tokens
 FROM t
@@ -3343,19 +3344,19 @@ WITH t AS (
 ), m AS (
   SELECT doc_id, n_words,
          CASE WHEN n_words = 0 THEN NULL
-              ELSE ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words, 6) END AS mean_wlen,
+              ELSE FLOOR((LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 END AS mean_wlen,
          CASE WHEN n_words = 0 THEN NULL
-              ELSE ROUND(LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words, 6) END AS symbol_ratio,
+              ELSE FLOOR((LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 END AS symbol_ratio,
          CASE WHEN n_words = 0 THEN NULL
-              ELSE ROUND(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE / n_words, 6) END AS alpha_frac,
+              ELSE FLOOR((LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 END AS alpha_frac,
          LEN(LIST_INTERSECT(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'), x -> x),
                             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
          CASE WHEN LEN(lines) = 0 THEN NULL
-              ELSE ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE / LEN(lines), 6) END AS bullet_frac,
+              ELSE FLOOR((LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE / LEN(lines)) * 1000000 + 0.5) / 1000000 END AS bullet_frac,
          CASE WHEN LEN(lines) = 0 THEN NULL
-              ELSE ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE / LEN(lines), 6) END AS ellipsis_frac,
+              ELSE FLOOR((LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE / LEN(lines)) * 1000000 + 0.5) / 1000000 END AS ellipsis_frac,
          CASE WHEN LEN(lines) = 0 THEN NULL
-              ELSE ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '[.!?"]\s*$')))::DOUBLE / LEN(lines), 6) END AS end_punct_frac
+              ELSE FLOOR((LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '[.!?"]\s*$')))::DOUBLE / LEN(lines)) * 1000000 + 0.5) / 1000000 END AS end_punct_frac
   FROM t
 )
 SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits, end_punct_frac,
@@ -3387,7 +3388,7 @@ def tfidf_top_terms(spark, sf):
     scored = tf.join(F.broadcast(df_t), "term").select(
         "doc_id",
         "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        _round_det(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
@@ -3407,7 +3408,7 @@ WITH terms AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
 ), scored AS (
   SELECT tf.doc_id, tf.term,
-         ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents)::DOUBLE / df_t.df), 6) AS tfidf
+         FLOOR((tf.tf * LN((SELECT COUNT(*) FROM documents)::DOUBLE / df_t.df)) * 1000000 + 0.5) / 1000000 AS tfidf
   FROM tf JOIN df_t USING (term)
 )
 SELECT doc_id, term, tfidf, rk FROM (
@@ -3467,15 +3468,15 @@ WITH m AS (
   SELECT doc_id, lang, text, n_words FROM m
   WHERE (n_words BETWEEN 30 AND 100000)
     AND (CASE WHEN n_words = 0 THEN NULL
-              ELSE ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words, 6) END
+              ELSE FLOOR((LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 END
          BETWEEN 3 AND 10)
-    AND (ROUND(LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words, 6) < 0.1)
-    AND (ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE
-         / LEN(lines), 6) < 0.9)
-    AND (ROUND(LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE
-         / LEN(lines), 6) < 0.3)
-    AND (ROUND(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE
-         / n_words, 6) > 0.8)
+    AND (FLOOR((LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.'))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 < 0.1)
+    AND (FLOOR((LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '^\s*[-*•]')))::DOUBLE
+         / LEN(lines)) * 1000000 + 0.5) / 1000000 < 0.9)
+    AND (FLOOR((LEN(LIST_FILTER(lines, x -> REGEXP_MATCHES(x, '\.\.\.\s*$')))::DOUBLE
+         / LEN(lines)) * 1000000 + 0.5) / 1000000 < 0.3)
+    AND (FLOOR((LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE
+         / n_words) * 1000000 + 0.5) / 1000000 > 0.8)
     AND (LEN(LIST_INTERSECT(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'), x -> x),
              ['the','be','to','of','and','that','have','with'])) >= 1)
 )"""
@@ -3520,7 +3521,7 @@ def repetition_ngram_stats(spark, sf):
     out = per_gram.groupBy("doc_id").agg(
         F.sum("n").alias("total_2grams"),
         F.count("*").alias("distinct_2grams"),
-        F.round(F.max("n") / F.sum("n"), 6).alias("top_2gram_frac"),
+        _round_det(F.max("n") / F.sum("n"), 6).alias("top_2gram_frac"),
     )
     return out.select("doc_id", "total_2grams", "distinct_2grams", "top_2gram_frac")
 
@@ -3537,7 +3538,7 @@ WITH toks AS (
   SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g
 )
 SELECT doc_id, SUM(n)::BIGINT AS total_2grams, COUNT(*) AS distinct_2grams,
-       ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS top_2gram_frac
+       FLOOR((MAX(n)::DOUBLE / SUM(n)) * 1000000 + 0.5) / 1000000 AS top_2gram_frac
 FROM per_gram GROUP BY doc_id
 """
 

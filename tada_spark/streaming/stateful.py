@@ -11,6 +11,7 @@ eligible for ProcessingTimeTimeout eviction in a production config.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -158,7 +159,11 @@ def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
             n += int(pdf[value_col].count())
             s += float(pdf[value_col].sum())
         state.update((n, s))
-        yield pd.DataFrame({"key": [str(key[0])], "n_events": [n], "total": [round(s, 6)]})
+        # floor half-up idiom, not python round() (half-even) — matches
+        # the oracle's FLOOR(x*1e6 + 0.5)/1e6 bit-for-bit
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "n_events": [n], "total": [math.floor(s * 1e6 + 0.5) / 1e6]}
+        )
 
     grouped = df.select(
         df[key_col].cast("string").alias("key"), df[value_col].alias(value_col)

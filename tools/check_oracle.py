@@ -135,6 +135,39 @@ def duckdb_unsafe(name: str) -> str | None:
     return None
 
 
+def round_lint(sql: str) -> list[str]:
+    """Two-arg ROUND(x, n) left in oracle SQL — the engine-native-ROUND
+    divergence class (Spark BigDecimal vs DuckDB std::round disagree on
+    boundary values; r4 verdict 'what's wrong' #1). Oracles must use the
+    floor idiom FLOOR(x * 10^n + 0.5) / 10^n; the ONLY sanctioned ROUND
+    is the single-arg exact-cents idiom ROUND(x * 100)::BIGINT. Returns
+    the offending call snippets (paren-aware, so FILTER/OVER clauses and
+    nested calls don't fool it)."""
+    import re
+
+    hits = []
+    pos = 0
+    while True:
+        i = sql.find("ROUND(", pos)
+        if i < 0:
+            return hits
+        depth, j, top_commas = 0, i + 5, 0
+        while j < len(sql):
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "," and depth == 1:
+                top_commas += 1
+            j += 1
+        if top_commas >= 1:
+            hits.append(re.sub(r"\s+", " ", sql[i : j + 1])[:80])
+        pos = j + 1
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon_rows = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
@@ -204,6 +237,10 @@ def main() -> int:
             status = "rows-only"
             print(f"OK?   {name}: {s_n} rows [{status}] ({spark_t:.1f}s)")
             n_pass += 1
+            continue
+        if rl := round_lint(oracles[name]):
+            print(f"FAIL  {name}: engine-native two-arg ROUND in oracle SQL: {rl[:3]}")
+            n_fail += 1
             continue
         try:
             draw = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()}
