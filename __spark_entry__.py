@@ -26,76 +26,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver verifies the FIRST 50 queries() entries per round; the
-#: catalog has more. Rolling-freshness goal (VERDICT r3 ask #3): every
-#: catalog entry green in the union of the last three rounds. r04 order:
-#: (a) the four r03 hash-reds, fixed via driver-canon-safe oracle output
-#: types, plus salted_group_sum whose latent DECIMAL(38,2) got the same
-#: fix; (b) the seven queries whose only green row is r01 (predates the
-#: timestamp rework); (c) queries whose oracle SQL changed this round
-#: (sign-safe % rounding idiom) and must re-earn their green; (d) the
-#: twenty brand-new round-4 entries (TPC-H analog shapes, paragraph
-#: dedup, LM familiarity, sequence packing, md5-family LSH oracles,
-#: streaming corpus prep, README-pipeline golden, the Q20/Q21 shape
-#: completions) with no driver row yet; (e) last-green-r02 entries fill
-#: the remaining slots — the rest of that cohort stays union-covered
-#: through r05 and rotates in next round.
+#: catalog has more. Rolling-freshness goal: every oracle-able catalog
+#: entry green in the union of the last three driver rounds. r05 order
+#: (r4 verdict ask #1): (a) the 17 entries whose newest green is r02 —
+#: they expire from the rolling r03∪r04∪r05 union unless re-earned THIS
+#: round; (b) the four brand-new round-5 entries (bounded-error sketch
+#: checks, real end-to-end WAV decode, bucketed co-located join) with no
+#: driver row yet; (c) 29 of the 38 r03-latest entries, prioritizing the
+#: verdict-named cohort (the stream_* rows, near_dup_components,
+#: decontamination_check, tfidf_top_terms, q4/q14/q18, cast/resample/
+#: rolling family) — they'd expire after r06 otherwise. The 9 deferred
+#: r03 entries (filter_compound, filter_by_value_canon, where_price_tier,
+#: ordered_range_rows, ffill_user_value, sessionize_events,
+#: moving_avg_trailing, debounce_events, pivot_multi_agg_flag) stay
+#: union-covered through r06 and MUST lead the r06 window.
 _DRIVER_PRIORITY = [
-    # (a) r03 hash-reds, fixed + the latent same-class fix
-    "q12_shipmode_priority",
-    "bpe_token_budget",
-    "repetition_ngram_stats",
-    "salted_join_events_users",
-    "salted_group_sum",
-    # (b) green only in r01
-    "lookup_orders_customer",
-    "q6_revenue_delta",
-    "distinct_flag_status",
-    "divide_nullsafe",
-    "json_extract_props",
-    "cube_flag_status",
-    "token_frequency",
-    # (c) oracle SQL changed this round (sign-safe remainder)
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "q10_returned_customers",
-    # (d) brand-new round-4 entries — no driver row exists yet, so they
-    # outrank the r02-greens (whose union membership holds through r05)
-    "readme_pipeline_golden",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_inactive_customers",
-    "paragraph_dedup_docs",
-    "bigram_familiarity_docs",
-    "sequence_pack_docs",
-    "minhash_lsh_oracle",
-    "winnow_fingerprints_oracle",
-    "simhash_oracle",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "stream_corpus_prep",
-    "kmeans_embeddings",
-    # (e) last green r02
-    "append_union",
-    "custom_apply_zscore",
-    "custom_reduce_weighted_mean",
-    "dedup_exact_fingerprint",
-    "group_reducers_full",
-    "jaccard_near_dups",
-    "lang_id_vote",
-    "pivot_returnflag",
-    "promote_region_level",
-    "rollup_status_priority",
-    "sort_topk_customers",
-    "unique_first_appearance",
+    # (a) newest green is r02 — re-earn now or fall out of the union
+    "value_counts_priority",
+    "merge_dedupe_names",
+    "semi_anti_partition",
+    "intersect_except_orders",
+    "agg_frame_and_columns",
+    "align_having_users",
+    "first_last_nth_per_order",
+    "rank_percentile_customers",
+    "bin_pbin_orders",
+    "combine_series_ratio",
+    "set_rows_patch",
+    "text_stats_quality",
+    "ann_topk_exact_ivf",
+    "embed_near_dup_pairs",
+    "sample_splits_docs",
+    "multimodal_image_features",
+    "video_frame_sample",
+    # (b) brand-new round-5 entries — no driver row yet
+    "approx_distinct_checked",
+    "approx_quantiles_checked",
+    "wav_decode_real",
+    "bucketed_join_orders_customer",
+    # (c) r03-latest cohort re-earning before their r06 expiry
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "asof_last_purchase",
+    "range_join_purchase_clicks",
+    "shift_cumsum_events",
+    "resample_calendar_revenue",
+    "resample_15min_events",
+    "rolling_n_duration_events",
+    "cast_multiformat_dates",
+    "near_dup_components",
+    "decontamination_check",
+    "tfidf_top_terms",
+    "top2_orders_per_customer",
+    "multimodal_audio_features",
+    "quantiles_price_by_status",
+    "embedding_centroids",
+    "winsorize_value_per_user",
+    "ntile_quartile_customers",
+    "gopher_quality_filters",
+    "corpus_prep_pipeline",
+    "pii_scrub_docs",
+    "stream_hourly_totals",
+    "stream_running_totals_users",
+    "stream_session_stats_users",
+    "stream_sliding_hourly",
+    "stream_session_windows",
+    "stream_dedup_fingerprints",
+    "stream_interval_join_purchases",
 ]
 
 

@@ -79,6 +79,17 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # drift context (r4 verdict ask #6): the machine's timings swing ±40%
+    # with neighbor load — record the OS load average plus a fixed
+    # synthetic calibration query (no IO, no shuffle) so a round-over-
+    # round delta can be attributed to plan changes vs a busy box
+    load_start = os.getloadavg()[0]
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).agg(F.sum("id")).write.format("noop").mode("overwrite").save()
+        calib = min(calib, time.time() - t0)
+
     # best-of-3: single-VM timings vary ±40% with neighbor load (the
     # round-2 record shows the same code drifting 7.9s -> 5.7s across
     # runs); the min over three is the standard steady-state estimator
@@ -103,6 +114,13 @@ def main() -> None:
                 # estimator pinned since r03: best of n=3 runs per query
                 # (recorded so cross-round deltas are estimator-stable)
                 "n": 3,
+                # drift context: 1-min load average at start/end and a
+                # fixed in-memory calibration query (best of 3) — compare
+                # calibration_sec across rounds before reading a total
+                # delta as a regression
+                "load_1m_start": round(load_start, 2),
+                "load_1m_end": round(os.getloadavg()[0], 2),
+                "calibration_sec": round(calib, 3),
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
