@@ -206,6 +206,82 @@ def test_filter_by_value_extreme_float_literals(spark):
         assert got == [rid], (v, got)
 
 
+def test_canon_decimal_scale_family_lockstep(spark):
+    """DECIMAL(38,x) beyond the property suite's fixed scale 6 (r4
+    verdict stretch #9): scales 0 / 2 / 18 each exercise the integral
+    rule, the trailing-zero strip, and the beyond-long fallback. Scale
+    18 additionally pins the double-precision-loss fix: its beyond-long
+    boundary values were exactly the class the r4 lockstep sweep caught
+    (decimal-integral canon routed through a lossy double pre-fix)."""
+    from decimal import Decimal
+
+    cases = {
+        0: ["0", "-1", "42", "9223372036854775807", "-9223372036854775808",
+            "9223372036854775808", "-9223372036854775809",
+            "99999999999999999999999999999999999999"],
+        2: ["0.00", "1.50", "-0.25", "123456789012345678.90",
+            "92233720368547758.08", "-92233720368547758.09",
+            "999999999999999999999999999999999999.99"],
+        18: ["0.000000000000000000", "1.000000000000000001",
+             "-2.500000000000000000", "9.223372036854775807",
+             "-9.223372036854775809", "12345678901234567890.000000000000000000"],
+    }
+    for scale, strs in cases.items():
+        vals = [Decimal(s) for s in strs]
+        schema = T.StructType(
+            [T.StructField("idx", T.LongType()), T.StructField("v", T.DecimalType(38, scale))]
+        )
+        df = spark.createDataFrame(list(enumerate(vals)), schema)
+        got = {
+            r["idx"]: r["c"]
+            for r in df.select(
+                "idx", canon_str(F.col("v"), T.DecimalType(38, scale)).alias("c")
+            ).collect()
+        }
+        for i, v in enumerate(vals):
+            assert got[i] == py_canon(v), (scale, repr(v), got[i], py_canon(v))
+
+
+def test_canon_subnormal_divergence_boundary(spark):
+    """Pin the documented Java-17 subnormal rendering divergence
+    (semantics.py _java_double_str docstring) with tests instead of
+    prose (r4 verdict stretch #9): AT and ABOVE the smallest normal
+    double the two sides agree byte-for-byte; BELOW it Java's legacy
+    digit generator may emit non-shortest digits, so the contract
+    weakens to parse-back equality (both strings are still the same
+    VALUE — the driver hash would differ, which is why subnormal
+    columns are documented out of oracle outputs)."""
+    import sys
+
+    tiny = sys.float_info.min  # 2.2250738585072014e-308, smallest normal
+    normals = [tiny, 2 * tiny, -tiny, 1e-300, 4.9e-307]
+    subnormals = [5e-324, -5e-324, 1e-320, tiny / 2]
+
+    def spark_canon(vals):
+        schema = T.StructType(
+            [T.StructField("idx", T.LongType()), T.StructField("v", T.DoubleType())]
+        )
+        df = spark.createDataFrame(list(enumerate(vals)), schema)
+        return {
+            r["idx"]: r["c"]
+            for r in df.select(
+                "idx", canon_str(F.col("v"), T.DoubleType()).alias("c")
+            ).collect()
+        }
+
+    got_n = spark_canon(normals)
+    for i, v in enumerate(normals):
+        assert got_n[i] == py_canon(v), (repr(v), got_n[i], py_canon(v))
+
+    got_s = spark_canon(subnormals)
+    for i, v in enumerate(subnormals):
+        s = got_s[i]
+        assert float(s) == v, (repr(v), s)  # value-level lockstep always
+    # the boundary is real: the canonical subnormal renders differently
+    # byte-wise on Java 17 (legacy '4.9E-324') vs py_canon (shortest)
+    assert float(got_s[0]) == float(py_canon(5e-324)) == 5e-324
+
+
 def test_canon_time_of_day_lockstep(spark):
     """TIME dtype (reference civil.Time): canon renders 'HH:MM:SS' on
     both sides, and a datetime.time literal round-trips filter_by_value
