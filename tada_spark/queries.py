@@ -61,7 +61,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
     sc = spark.sparkContext
     app = sc.applicationId
     path = f"{sf_dir}/{name}.parquet"
-    plans = _SCAN_CACHE[app][1] if app in _SCAN_CACHE else _SCAN_CACHE.setdefault(app, (sc, {}))[1]
+    plans = _SCAN_CACHE.setdefault(app, (sc, {}))[1]
     df = plans.get(path)
     if df is None:
         # evict DEAD sessions' plans on miss: a long-lived driver that
@@ -1630,12 +1630,16 @@ WITH s AS (
                        i -> SUBSTR(text, i::INT, 4))) AS sh
   FROM documents WHERE doc_id % 5 = 0
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       FLOOR((LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
-             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
-FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
-      / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.35
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         FLOOR((LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+-- threshold the ROUNDED value, matching jaccard_pairs (which filters on
+-- the round_det'ed column) — a raw-value WHERE would disagree for pairs
+-- landing within 5e-7 below the threshold
+WHERE jaccard >= 0.35
 """
 
 
@@ -1667,10 +1671,13 @@ WITH RECURSIVE s AS (
                        i -> SUBSTR(text, i::INT, 4))) AS sh
   FROM documents WHERE doc_id % 5 = 0
 ), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-  WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
-        / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.35
+  -- rounded-value threshold, mirroring jaccard_pairs (see JACCARD_SQL)
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR((LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.35
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION

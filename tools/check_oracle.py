@@ -148,10 +148,13 @@ def round_lint(sql: str) -> list[str]:
     hits = []
     pos = 0
     while True:
-        i = sql.find("ROUND(", pos)
-        if i < 0:
+        # case-insensitive, whitespace-tolerant: 'round (x, 2)' is legal
+        # DuckDB and must not slip past the gate
+        m = re.compile(r"\bROUND\s*\(", re.IGNORECASE).search(sql, pos)
+        if m is None:
             return hits
-        depth, j, top_commas = 0, i + 5, 0
+        i, j = m.start(), m.end() - 1
+        depth, top_commas = 0, 0
         while j < len(sql):
             c = sql[j]
             if c == "(":
@@ -206,6 +209,15 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # lint EVERY oracle string up front (pure string check, milliseconds)
+    # so a violation is reported before any Spark run pays for it, and a
+    # -q-filtered invocation still gates the whole catalog
+    lint_hits = {n: rl for n, sql in oracles.items() if (rl := round_lint(sql))}
+    if lint_hits:
+        for n, rl in lint_hits.items():
+            print(f"LINT  {n}: engine-native two-arg ROUND in oracle SQL: {rl[:3]}")
+        print(f"\n{len(lint_hits)} oracle(s) fail the ROUND lint — fix before running")
+        return 1
     names = args.query or list(qs)
     unknown = [n for n in names if n not in qs]
     if unknown:
@@ -237,10 +249,6 @@ def main() -> int:
             status = "rows-only"
             print(f"OK?   {name}: {s_n} rows [{status}] ({spark_t:.1f}s)")
             n_pass += 1
-            continue
-        if rl := round_lint(oracles[name]):
-            print(f"FAIL  {name}: engine-native two-arg ROUND in oracle SQL: {rl[:3]}")
-            n_fail += 1
             continue
         try:
             draw = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()}
