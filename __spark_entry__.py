@@ -32,13 +32,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: they expire from the rolling r03∪r04∪r05 union unless re-earned THIS
 #: round; (b) the four brand-new round-5 entries (bounded-error sketch
 #: checks, real end-to-end WAV decode, bucketed co-located join) with no
-#: driver row yet; (c) 29 of the 38 r03-latest entries, prioritizing the
+#: driver row yet; (c) 25 of the 38 r03-latest entries, prioritizing the
 #: verdict-named cohort (the stream_* rows, near_dup_components,
 #: decontamination_check, tfidf_top_terms, q4/q14/q18, cast/resample/
-#: rolling family) — they'd expire after r06 otherwise. The 9 deferred
-#: r03 entries (filter_compound, filter_by_value_canon, where_price_tier,
+#: rolling family) — they'd expire after r06 otherwise; plus the four
+#: round-5 LLM-pipeline ops. The 13 deferred r03 entries
+#: (filter_compound, filter_by_value_canon, where_price_tier,
 #: ordered_range_rows, ffill_user_value, sessionize_events,
-#: moving_avg_trailing, debounce_events, pivot_multi_agg_flag) stay
+#: moving_avg_trailing, debounce_events, pivot_multi_agg_flag,
+#: top2_orders_per_customer, quantiles_price_by_status,
+#: winsorize_value_per_user, ntile_quartile_customers) stay
 #: union-covered through r06 and MUST lead the r06 window.
 _DRIVER_PRIORITY = [
     # (a) newest green is r02 — re-earn now or fall out of the union
@@ -78,15 +81,19 @@ _DRIVER_PRIORITY = [
     "near_dup_components",
     "decontamination_check",
     "tfidf_top_terms",
-    "top2_orders_per_customer",
     "multimodal_audio_features",
-    "quantiles_price_by_status",
     "embedding_centroids",
-    "winsorize_value_per_user",
-    "ntile_quartile_customers",
     "gopher_quality_filters",
     "corpus_prep_pipeline",
     "pii_scrub_docs",
+    # (b2) round-5 LLM-pipeline additions (displace four unnamed-cohort
+    # r03 entries — top2_orders_per_customer, quantiles_price_by_status,
+    # winsorize_value_per_user, ntile_quartile_customers — which stay
+    # union-covered through r06 and join the r06 leads)
+    "duplicate_span_stats_docs",
+    "chunk_windows_docs",
+    "key_skew_profile_events",
+    "domain_mix_weights_langs",
     "stream_hourly_totals",
     "stream_running_totals_users",
     "stream_session_stats_users",

@@ -497,3 +497,64 @@ def paragraph_dedup(
             F.array_join(F.transform(kept_sorted, lambda s: s["chunk"]), " ")
         ).alias("kept_md5"),
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN statistics — the substring-level
+    member of the dedup family (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better": repeated >= k-token spans across
+    documents, the duplication exact doc/paragraph dedup cannot see).
+    Every k-token window is fingerprinted; an occurrence is DUPLICATE if
+    the identical span occurs earlier in the corpus (smaller
+    (doc, pos) key — the same keep-first rule as exact_dedup). Emits per
+    doc the span count, duplicated-span count, and duplicate fraction —
+    the measurement that decides whether span-removal is worth running,
+    and the per-doc signal a filtering pass thresholds on.
+
+    100 TB design: posexplode the k-gram stream -> ONE fingerprint-keyed
+    shuffle (map-side combine computes the per-fp min key before it
+    ships) -> equi-join back on fp -> per-doc aggregate. Shuffle volume
+    is proportional to corpus tokens, never pairwise; no all-pairs stage
+    exists. Fingerprints are md5 of the joined tokens so the DuckDB
+    oracle replays them exactly.
+
+    Positions are packed into one long key (doc_id * 2^20 + pos); pos is
+    bounded by per-doc token count, far under 2^20 for any chunked
+    corpus (chunk upstream if a doc exceeds a million tokens).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    spans = (
+        df.select(F.col(id_col).alias("sid"), toks.alias("toks"), n.alias("n"))
+        .filter(F.col("n") >= k)
+        .select(
+            "sid",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
+                )
+            ).alias("pos", "span"),
+        )
+        .select("sid", "pos", F.md5(F.col("span")).alias("fp"),
+                (F.col("sid") * F.lit(1 << 20) + F.col("pos")).alias("occ"))
+    )
+    first = spans.groupBy("fp").agg(F.min("occ").alias("first_occ"))
+    dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0)
+    return (
+        spans.join(first, "fp")
+        .groupBy(F.col("sid").alias(id_col))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            (F.floor(F.sum(dup) / F.count("*") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(
+                "dup_span_frac"
+            ),
+        )
+    )

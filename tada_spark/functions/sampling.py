@@ -113,3 +113,45 @@ def sequence_pack(
             / F.lit(seq_len)
         ).cast("long"),
     )
+
+
+def domain_mix_weights(
+    df: DataFrame, domain_col: str, *, temperature_sqrt: bool = True
+) -> DataFrame:
+    """Temperature-based domain mixing weights — the multilingual /
+    multi-domain sampling knob (alpha-smoothed sampling a la mC4/XLM-R):
+    raw proportional sampling starves low-resource domains, so weights
+    are computed on n^alpha instead of n. alpha = 0.5 here (sqrt), the
+    one exponent whose float path is EXACT cross-engine: IEEE sqrt is
+    correctly rounded, the result is quantized to integer 1e-6 units
+    (floor(x*1e6 + 0.5)), and the normalizing sum is integer — no
+    transcendental pow(), no order-dependent double accumulation, so
+    the oracle hash-matches bit-for-bit.
+
+    Output per domain: n_docs, weight (share of the alpha-smoothed
+    mass), boost (weight / raw share — >1 means the domain is
+    up-sampled). 100 TB shape: one hash-agg shuffle to k domain rows,
+    then k-row arithmetic with two 1-row scalar broadcasts.
+    """
+    from tada_spark.plans.semantics import round_det
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    # integer-quantized sqrt(n): exact on both engines
+    q = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    quant = counts.select("domain", "n_docs", q.alias("q"))
+    totals = quant.agg(
+        F.sum("q").alias("q_total"), F.sum("n_docs").alias("n_total")
+    )
+    return (
+        quant.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "n_docs",
+            round_det(F.col("q") / F.col("q_total"), 6).alias("weight"),
+            round_det(
+                (F.col("q") / F.col("q_total")) / (F.col("n_docs") / F.col("n_total")), 6
+            ).alias("boost"),
+        )
+    )

@@ -459,3 +459,50 @@ def bigram_familiarity(
             ),
         )
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    for RAG indexing and fixed-length training examples: chunks of
+    ``size`` tokens starting every ``stride`` tokens (overlap =
+    size - stride keeps boundary-spanning content retrievable). Emits
+    (doc, chunk_idx, start_tok, n_chunk_tokens, chunk_md5); the md5 is
+    the chunk's content address for downstream dedup / ANN indexing —
+    payload text stays columnar and is re-sliced on demand rather than
+    duplicated into every row.
+
+    100 TB design: pure per-row explode — stateless, no shuffle, scales
+    with scan bandwidth; chunk count per doc is ceil(n/stride), so
+    output rows ~ corpus_tokens/stride. The window rule (starts at
+    0, stride, 2*stride, ... while start < n; tail chunks run short) is
+    trivially replayable in any engine.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
+        .select(
+            id_col,
+            "toks",
+            "n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+            ).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.least(F.lit(size), F.col("n") - F.col("start_tok")).alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("start_tok") + 1, size))
+            ).alias("chunk_md5"),
+        )
+    )

@@ -122,3 +122,35 @@ def salted_join(
     hot_joined = l_hot.join(r_hot, on=[*on, "__salt__"], how=how).drop("__salt__")
     cold_joined = l_cold.join(r_cold, on=on, how=how)
     return hot_joined.unionByName(cold_joined)
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, *, top_n: int = 10, round_digits: int = 6
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a shuffle key — the measurement that
+    decides whether salted_agg / salted_join are worth their overhead:
+    the top-N keys by row count with each key's share of the table.
+    A top-1 share near 1/num_partitions or above means one reducer owns
+    a partition-sized slice and the salting path should engage.
+
+    100 TB design: one hash-aggregate shuffle (map-side combine ships
+    one row per key per mapper), a 1-row global-count broadcast
+    (crossJoin of a scalar aggregate — O(left) with exactly one
+    broadcast row, the sanctioned scalar-subquery plan), and a
+    TakeOrderedAndProject for the top-N — never a global sort. Ties
+    break by key value so the output is deterministic.
+    """
+    from tada_spark.plans.semantics import round_det
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("cnt"))
+    total = df.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            round_det(F.col("cnt") / F.col("total"), round_digits).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

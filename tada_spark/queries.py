@@ -3914,6 +3914,99 @@ SELECT vid AS vec_id, cid AS cluster FROM (
 """
 
 
+def duplicate_span_stats_docs(spark, sf):
+    """Cross-document duplicate-span statistics (functions/dedup.
+    duplicate_span_stats, k=8 tokens): the substring-level dedup
+    measurement (Lee et al. 2021) complementing doc-level exact_dedup,
+    paragraph_dedup and the LSH families. One fingerprint-keyed shuffle
+    over the k-gram stream; never pairwise."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return dedup.duplicate_span_stats(docs, k=8)
+
+
+DUP_SPAN_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS fp,
+         doc_id * 1048576 + u.i AS occ
+  FROM t, UNNEST(generate_series(0, len(toks) - 8)) u(i)
+  WHERE len(toks) >= 8
+), c AS (
+  SELECT fp, MIN(occ) AS first_occ FROM g GROUP BY fp
+)
+SELECT g.doc_id, COUNT(*) AS n_spans,
+       SUM(CASE WHEN g.occ <> c.first_occ THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       FLOOR((SUM(CASE WHEN g.occ <> c.first_occ THEN 1 ELSE 0 END)::DOUBLE / COUNT(*))
+             * 1000000 + 0.5) / 1000000 AS dup_span_frac
+FROM g JOIN c USING (fp)
+GROUP BY g.doc_id
+"""
+
+
+def chunk_windows_docs(spark, sf):
+    """Overlapping token-window chunking (functions/text.chunk_windows,
+    size=64 stride=48): RAG / fixed-length-example prep. Stateless
+    per-row explode — no shuffle, scan-bandwidth scaling."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return text.chunk_windows(docs, size=64, stride=48)
+
+
+CHUNK_WINDOWS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+)
+SELECT doc_id, u.s // 48 AS chunk_idx, u.s AS start_tok,
+       LEAST(64, len(toks) - u.s) AS n_chunk_tokens,
+       md5(array_to_string(toks[u.s + 1 : u.s + 64], ' ')) AS chunk_md5
+FROM t, UNNEST(generate_series(0, len(toks) - 1, 48)) u(s)
+"""
+
+
+def key_skew_profile_events(spark, sf):
+    """Heavy-hitter key diagnosis (operators/skew.key_skew_profile) on
+    the events join key — the measurement that decides whether the
+    salted_agg / salted_join paths should engage. One hash-agg shuffle +
+    1-row scalar broadcast + TakeOrderedAndProject."""
+    from tada_spark.operators.skew import key_skew_profile
+
+    ev = load(spark, sf, "events").to_df()
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
+SKEW_PROFILE_SQL = """
+WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),
+     t AS (SELECT COUNT(*) AS total FROM events)
+SELECT key, cnt, FLOOR((cnt::DOUBLE / total) * 1000000 + 0.5) / 1000000 AS share
+FROM c, t
+ORDER BY cnt DESC, key ASC LIMIT 10
+"""
+
+
+def domain_mix_weights_langs(spark, sf):
+    """Temperature (alpha=0.5) domain mixing weights per language
+    (functions/sampling.domain_mix_weights): the multilingual sampling
+    knob, made hash-exact via integer-quantized sqrt (IEEE sqrt is
+    correctly rounded; the normalizing sum is integer)."""
+    from tada_spark.functions.sampling import domain_mix_weights
+
+    docs = load(spark, sf, "documents").to_df()
+    return domain_mix_weights(docs, "lang")
+
+
+MIX_WEIGHTS_SQL = """
+WITH c AS (SELECT lang AS domain, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+     q AS (SELECT domain, n_docs, FLOOR(SQRT(n_docs) * 1000000 + 0.5)::BIGINT AS q FROM c),
+     t AS (SELECT SUM(q)::BIGINT AS q_total, SUM(n_docs)::BIGINT AS n_total FROM q)
+SELECT domain, n_docs,
+       FLOOR((q::DOUBLE / q_total) * 1000000 + 0.5) / 1000000 AS weight,
+       FLOOR(((q::DOUBLE / q_total) / (n_docs::DOUBLE / n_total)) * 1000000 + 0.5) / 1000000 AS boost
+FROM q, t
+"""
+
+
 def bucketed_join_orders_customer(spark, sf):
     """Bucketed co-located join through sources/bucketed.py (r4 verdict
     stretch #8 — driver evidence for the pytest-only module): both sides
@@ -4087,6 +4180,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "approx_quantiles_checked": (approx_quantiles_checked, APPROX_QUANTILES_CHECKED_SQL),
     "wav_decode_real": (wav_decode_real, WAV_DECODE_REAL_SQL),
     "bucketed_join_orders_customer": (bucketed_join_orders_customer, BUCKETED_JOIN_SQL),
+    "duplicate_span_stats_docs": (duplicate_span_stats_docs, DUP_SPAN_SQL),
+    "chunk_windows_docs": (chunk_windows_docs, CHUNK_WINDOWS_SQL),
+    "key_skew_profile_events": (key_skew_profile_events, SKEW_PROFILE_SQL),
+    "domain_mix_weights_langs": (domain_mix_weights_langs, MIX_WEIGHTS_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

@@ -440,3 +440,65 @@ def test_simhash_md5_family_matches_reference_py(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = df.select(simhash(F.col("text"), num_bits=32, hash_family="md5").alias("sh")).first().sh
     assert got == want
+
+
+def test_duplicate_span_stats_keep_first(spark):
+    """k=3 spans: doc 1 repeats doc 0's text entirely (every span dup);
+    doc 2 shares a 3-token span mid-text; doc 0 (smallest key) owns the
+    canonical occurrences so its spans are never 'duplicate'."""
+    rows = [
+        (0, "a b c d e"),          # spans: abc bcd cde (all first)
+        (1, "a b c d e"),          # identical -> 3/3 dup
+        (2, "x y a b c z"),        # spans: xya yab abc bcz -> 1/4 dup
+        (3, "short"),              # < k tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+        for r in dedup.duplicate_span_stats(df, k=3).collect()
+    }
+    assert got[0] == (3, 0, 0.0)
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (4, 1, 0.25)
+    assert 3 not in got
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    """size=4 stride=3 over 10 tokens: starts 0,3,6,9; tail chunk runs
+    short; chunk text is the joined token slice (verified via md5)."""
+    import hashlib
+
+    toks = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame([(7, toks), (8, "")], "doc_id long, text string")
+    out = sorted(
+        text.chunk_windows(df, size=4, stride=3).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.doc_id for r in out] == [7, 7, 7, 7]  # empty doc dropped
+    assert [(r.chunk_idx, r.start_tok, r.n_chunk_tokens) for r in out] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1),
+    ]
+    want = hashlib.md5("t3 t4 t5 t6".encode()).hexdigest()
+    assert out[1].chunk_md5 == want
+
+
+def test_key_skew_profile_top_n_and_ties(spark):
+    from tada_spark.operators.skew import key_skew_profile
+
+    rows = [(k,) for k in [1] * 5 + [2] * 3 + [3] * 3 + [4] * 1]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    assert [(r.key, r.cnt) for r in out] == [(1, 5), (2, 3), (3, 3)]  # tie: key asc
+    assert out[0].share == round(5 / 12, 6) or abs(out[0].share - 5 / 12) < 1e-6
+
+
+def test_domain_mix_weights_boosts_low_resource(spark):
+    from tada_spark.functions.sampling import domain_mix_weights
+
+    rows = [("en",)] * 90 + [("sw",)] * 10
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.domain: r for r in domain_mix_weights(df, "lang").collect()}
+    # sqrt smoothing: en 90->9.4868, sw 10->3.1623; weights ~0.75/0.25
+    assert abs(out["en"].weight - 0.75) < 0.01 and abs(out["sw"].weight - 0.25) < 0.01
+    assert out["sw"].boost > 1.0 > out["en"].boost  # low-resource up-sampled
+    assert abs(out["en"].weight + out["sw"].weight - 1.0) < 1e-5

@@ -55,6 +55,10 @@ ALLOWED_BNLJ = {
     "q11_important_parts",
     # 1-row vocabulary-size broadcast in the smoothing denominator
     "bigram_familiarity_docs",
+    # 1-row global-count / normalizing-total broadcasts (same scalar-
+    # subquery shape as q11/q22)
+    "key_skew_profile_events",
+    "domain_mix_weights_langs",
     # k-row centroid broadcast × partitioned corpus: O(n·k), THE
     # k-means assignment plan (k is a constant, never corpus-sized)
     "kmeans_embeddings",
