@@ -135,3 +135,31 @@ def test_load_scan_cache_keeps_live_sibling_sessions(spark):
         assert a.df is b.df
     finally:
         Q._SCAN_CACHE.pop(sibling, None)
+
+
+def test_round_lint_contract():
+    """Pin tools/check_oracle.round_lint: two-arg ROUND in any spelling
+    is flagged; the single-arg exact-cents idiom and the floor idiom
+    pass. (The lint runs up-front over every oracle at gate start.)"""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rl = mod.round_lint
+    assert rl("SELECT ROUND(SUM(x), 2) AS t") == ["ROUND(SUM(x), 2)"]
+    assert rl("select round(sum(x), 2)") == ["round(sum(x), 2)"]     # case
+    assert rl("ROUND (SUM(x), 2)") == ["ROUND (SUM(x), 2)"]          # space
+    assert rl("ROUND(ROUND(x, 6), 4)") == ["ROUND(ROUND(x, 6), 4)"]  # nested: outer flagged
+    assert rl("SUM(ROUND(x * 100)::BIGINT)") == []                   # cents idiom OK
+    assert rl("FLOOR((SUM(x)) * 100 + 0.5) / 100") == []             # floor idiom OK
+    assert rl("AROUND(x, 2)") == []                                  # word boundary
+    # and the live catalog is clean
+    import __spark_entry__ as entrymod
+
+    assert {n: h for n, sql in entrymod.oracle_sql().items() if (h := rl(sql))} == {}
