@@ -558,3 +558,38 @@ def duplicate_span_stats(
             ),
         )
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (delta) exact dedup — the daily-ingest pattern: a new
+    batch is admitted only where its normalized fingerprint (a) does not
+    already exist in the standing corpus and (b) is the first occurrence
+    within the batch (min id, the exact_dedup keep-first rule). Returns
+    the accepted (id, fp) rows.
+
+    100 TB design: fingerprint both sides at scan speed, LEFT ANTI join
+    the delta against the corpus fingerprints on fp, then one
+    fingerprint-keyed aggregate for within-batch dedup. The anti-join is
+    a plain equi-join: with the corpus fingerprint table maintained
+    BUCKETED BY fp (sources/bucketed.py), a daily delta shuffles only
+    itself — the standing corpus is never re-shuffled; a bloom-filter
+    pre-pass can cut the probe volume further but never changes the
+    result.
+    """
+    from tada_spark.functions.text import fingerprint
+
+    new_fp = new_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    corpus_fp = corpus_df.select(fingerprint(F.col(text_col)).alias("fp"))
+    fresh = new_fp.join(corpus_fp, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )

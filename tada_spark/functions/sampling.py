@@ -155,3 +155,34 @@ def domain_mix_weights(
             ).alias("boost"),
         )
     )
+
+
+def domain_cap(
+    df: DataFrame, domain_col: str, key: str, cap: int
+) -> DataFrame:
+    """Hard per-domain cap — keep at most ``cap`` rows per domain,
+    chosen by content-addressed hash order (md5 of the entity key), the
+    companion primitive to temperature weighting: weights rebalance the
+    sampler, the cap bounds any single domain's absolute volume (the
+    anti-boilerplate guard for over-crawled domains). Hash order makes
+    the kept set reproducible across runs, engines and partition
+    layouts — never rand() or arrival order.
+
+    100 TB shape: one shuffle on the domain key; the per-domain
+    row_number window is the standard top-N-per-group plan (per-
+    partition heaps under AQE). Heavily skewed domains (one domain =
+    half the corpus) should pre-filter with a percentage gate
+    (stratified_sample) before the exact cap.
+    """
+    from pyspark.sql.window import Window
+
+    from tada_spark.functions.text import md5_hash32
+
+    w = Window.partitionBy(domain_col).orderBy(
+        md5_hash32(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= cap)
+        .drop("__rn__")
+    )

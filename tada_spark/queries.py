@@ -4007,6 +4007,64 @@ FROM q, t
 """
 
 
+def incremental_dedup_delta(spark, sf):
+    """Incremental (delta) exact dedup (functions/dedup.incremental_dedup)
+    — the daily-ingest pattern: the standing corpus is the deterministic
+    80% of documents by md5(doc_id) bucket (same split rule as
+    sampling.hash_bucket), the delta is the other 20%; delta docs are
+    admitted iff their fingerprint is absent from the corpus AND
+    first-in-batch. LEFT ANTI equi-join + one fp aggregate; with the
+    corpus fp table bucketed by fp, a daily delta shuffles only itself."""
+    from tada_spark.functions.sampling import hash_bucket
+
+    docs = load(spark, sf, "documents").to_df()
+    bucket = hash_bucket(F.col("doc_id").cast("string"))
+    corpus = docs.filter(bucket < 80)
+    delta = docs.filter(bucket >= 80)
+    return dedup.incremental_dedup(delta, corpus)
+
+
+INCR_DEDUP_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 AS bucket
+  FROM documents
+), corpus AS (
+  SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM b WHERE bucket < 80
+), delta AS (
+  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM b WHERE bucket >= 80
+)
+SELECT MIN(doc_id) AS doc_id, fp
+FROM delta WHERE fp NOT IN (SELECT fp FROM corpus)
+GROUP BY fp
+"""
+
+
+def domain_cap_docs(spark, sf):
+    """Per-domain hard cap (functions/sampling.domain_cap): keep at most
+    40 docs per language, chosen by content-addressed md5 order —
+    reproducible across runs/engines/partition layouts, the
+    over-crawled-domain volume guard beside temperature weighting."""
+    from tada_spark.functions.sampling import domain_cap
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "lang")
+    return domain_cap(docs, "lang", "doc_id", cap=40)
+
+
+DOMAIN_CAP_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
 def bucketed_join_orders_customer(spark, sf):
     """Bucketed co-located join through sources/bucketed.py (r4 verdict
     stretch #8 — driver evidence for the pytest-only module): both sides
@@ -4184,6 +4242,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "chunk_windows_docs": (chunk_windows_docs, CHUNK_WINDOWS_SQL),
     "key_skew_profile_events": (key_skew_profile_events, SKEW_PROFILE_SQL),
     "domain_mix_weights_langs": (domain_mix_weights_langs, MIX_WEIGHTS_SQL),
+    "incremental_dedup_delta": (incremental_dedup_delta, INCR_DEDUP_SQL),
+    "domain_cap_docs": (domain_cap_docs, DOMAIN_CAP_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

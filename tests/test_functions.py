@@ -502,3 +502,35 @@ def test_domain_mix_weights_boosts_low_resource(spark):
     assert abs(out["en"].weight - 0.75) < 0.01 and abs(out["sw"].weight - 0.25) < 0.01
     assert out["sw"].boost > 1.0 > out["en"].boost  # low-resource up-sampled
     assert abs(out["en"].weight + out["sw"].weight - 1.0) < 1e-5
+
+
+def test_incremental_dedup_admits_only_fresh_first(spark):
+    """Delta doc admitted iff fp absent from corpus AND first-in-batch."""
+    corpus = spark.createDataFrame([(0, "Known doc!")], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [
+            (10, "known DOC"),    # normalizes to corpus fp -> rejected
+            (11, "fresh one"),    # admitted
+            (12, "fresh  one!"),  # same normalized fp as 11 -> batch dup
+            (13, "another"),      # admitted
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in dedup.incremental_dedup(delta, corpus).collect())
+    assert got == [11, 13]
+
+
+def test_domain_cap_deterministic_hash_order(spark):
+    from tada_spark.functions.sampling import domain_cap, hash_bucket
+
+    rows = [(i, "en" if i < 8 else "sw") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = domain_cap(df, "lang", "doc_id", cap=3)
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 3          # capped
+    assert sorted(by_lang["sw"]) == [8, 9]  # under cap: all kept
+    # reproducible: a second run keeps the identical set
+    out2 = {r.doc_id for r in domain_cap(df, "lang", "doc_id", cap=3).collect()}
+    assert {r.doc_id for r in out.collect()} == out2
