@@ -32,17 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: they expire from the rolling r03∪r04∪r05 union unless re-earned THIS
 #: round; (b) the four brand-new round-5 entries (bounded-error sketch
 #: checks, real end-to-end WAV decode, bucketed co-located join) with no
-#: driver row yet; (c) 25 of the 38 r03-latest entries, prioritizing the
+#: driver row yet; (c) 23 of the 38 r03-latest entries, prioritizing the
 #: verdict-named cohort (the stream_* rows, near_dup_components,
 #: decontamination_check, tfidf_top_terms, q4/q14/q18, cast/resample/
-#: rolling family) — they'd expire after r06 otherwise; plus the four
-#: round-5 LLM-pipeline ops. The 13 deferred r03 entries
+#: rolling family) — they'd expire after r06 otherwise; plus the six
+#: round-5 LLM-pipeline ops. The 15 deferred r03 entries
 #: (filter_compound, filter_by_value_canon, where_price_tier,
 #: ordered_range_rows, ffill_user_value, sessionize_events,
 #: moving_avg_trailing, debounce_events, pivot_multi_agg_flag,
 #: top2_orders_per_customer, quantiles_price_by_status,
-#: winsorize_value_per_user, ntile_quartile_customers) stay
-#: union-covered through r06 and MUST lead the r06 window.
+#: winsorize_value_per_user, ntile_quartile_customers,
+#: embedding_centroids, pii_scrub_docs) stay union-covered through r06
+#: and MUST lead the r06 window.
 _DRIVER_PRIORITY = [
     # (a) newest green is r02 — re-earn now or fall out of the union
     "value_counts_priority",
@@ -82,18 +83,19 @@ _DRIVER_PRIORITY = [
     "decontamination_check",
     "tfidf_top_terms",
     "multimodal_audio_features",
-    "embedding_centroids",
     "gopher_quality_filters",
     "corpus_prep_pipeline",
-    "pii_scrub_docs",
-    # (b2) round-5 LLM-pipeline additions (displace four unnamed-cohort
+    # (b2) round-5 LLM-pipeline additions (displace six unnamed-cohort
     # r03 entries — top2_orders_per_customer, quantiles_price_by_status,
-    # winsorize_value_per_user, ntile_quartile_customers — which stay
-    # union-covered through r06 and join the r06 leads)
+    # winsorize_value_per_user, ntile_quartile_customers,
+    # embedding_centroids, pii_scrub_docs — which stay union-covered
+    # through r06 and join the r06 leads)
     "duplicate_span_stats_docs",
     "chunk_windows_docs",
     "key_skew_profile_events",
     "domain_mix_weights_langs",
+    "incremental_dedup_delta",
+    "domain_cap_docs",
     "stream_hourly_totals",
     "stream_running_totals_users",
     "stream_session_stats_users",
