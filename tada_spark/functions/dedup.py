@@ -593,3 +593,83 @@ def incremental_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "fp")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN REMOVAL — the acting half of
+    substring dedup (duplicate_span_stats is the measuring half; Lee et
+    al. 2021 remove the repeated substring itself, not the document).
+    Rule: a k-gram occurrence is duplicate if an identical span occurs
+    earlier in the corpus (keep-first, as everywhere in this module); a
+    TOKEN is removed iff EVERY k-gram window covering it is duplicate —
+    so the canonical copy survives verbatim and later copies lose
+    exactly their repeated runs while unique interleaved text stays.
+    Docs shorter than k tokens have no spans and pass through intact.
+
+    Emits (id, n_tokens, n_removed, cleaned_md5) — the rebuilt text is
+    content-addressed rather than materialized into the result row
+    (rebuild is a projection away for a writer that wants the text).
+
+    100 TB design: the span stream shuffles ONCE on fingerprint (map-
+    side combined min-key), coverage is a k-wide explode of that stream
+    (k is a small constant ⇒ k·tokens rows, linear), and the rebuild is
+    one per-doc aggregate over sorted (pos, token) structs — the
+    paragraph_dedup rebuild pattern. Nothing is pairwise; no driver
+    loops.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("sid"), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    long_docs = base.filter(F.col("n") >= k)
+
+    spans = long_docs.select(
+        "sid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
+            )
+        ).alias("pos", "span"),
+    ).select(
+        "sid", "pos", F.md5(F.col("span")).alias("fp"),
+        (F.col("sid") * F.lit(1 << 20) + F.col("pos")).alias("occ"),
+    )
+    first = spans.groupBy("fp").agg(F.min("occ").alias("first_occ"))
+    dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0).alias("dup")
+    # span at pos covers tokens pos..pos+k-1; spans cover every token of
+    # an n>=k doc, so min(dup) exists for every (sid, t)
+    cover = (
+        spans.join(first, "fp")
+        .select("sid", dup, F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("t"))
+        .groupBy("sid", "t")
+        .agg(F.min("dup").alias("all_dup"))
+    )
+    tokens = long_docs.select("sid", F.posexplode("toks").alias("t", "tok"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("all_dup") == 0, F.struct("t", "tok")))
+    )
+    rebuilt = (
+        tokens.join(cover, ["sid", "t"])
+        .groupBy("sid")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("all_dup").alias("n_removed"),
+            F.md5(
+                F.array_join(F.transform(kept_sorted, lambda s: s["tok"]), " ")
+            ).alias("cleaned_md5"),
+        )
+    )
+    short_docs = base.filter(F.col("n") < k).select(
+        "sid",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("toks"))).alias("cleaned_md5"),
+    )
+    return rebuilt.unionByName(short_docs).withColumnRenamed("sid", id_col)

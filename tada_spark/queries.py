@@ -3945,6 +3945,53 @@ GROUP BY g.doc_id
 """
 
 
+def remove_duplicate_spans_docs(spark, sf):
+    """Duplicate-span REMOVAL (functions/dedup.remove_duplicate_spans,
+    k=8): the acting half of substring dedup — later copies lose exactly
+    their repeated runs (token kept iff ANY covering k-gram is canonical),
+    the canonical copy survives verbatim. Content-addressed rebuilt text
+    (md5) so the oracle verifies the exact surviving token sequence."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return dedup.remove_duplicate_spans(docs, k=8)
+
+
+REMOVE_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS fp,
+         doc_id * 1048576 + u.i AS occ
+  FROM t, UNNEST(generate_series(0, len(toks) - 8)) u(i)
+  WHERE len(toks) >= 8
+), c AS (
+  SELECT fp, MIN(occ) AS first_occ FROM g GROUP BY fp
+), cover AS (
+  SELECT g.doc_id, ct.t,
+         MIN(CASE WHEN g.occ <> c.first_occ THEN 1 ELSE 0 END) AS all_dup
+  FROM g JOIN c USING (fp), UNNEST(generate_series(g.pos, g.pos + 7)) ct(t)
+  GROUP BY g.doc_id, ct.t
+), tok AS (
+  SELECT doc_id, s.t, toks[s.t + 1] AS tk
+  FROM t, UNNEST(generate_series(0, len(toks) - 1)) s(t)
+)
+SELECT cover.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(all_dup)::BIGINT AS n_removed,
+       -- COALESCE: a fully-duplicated doc keeps zero tokens; Spark's
+       -- collect_list gives [] -> md5('') while a bare LIST aggregate
+       -- over zero filtered rows is NULL
+       md5(COALESCE(array_to_string(LIST(tok.tk ORDER BY cover.t)
+                                    FILTER (WHERE all_dup = 0), ' '), '')) AS cleaned_md5
+FROM cover JOIN tok ON cover.doc_id = tok.doc_id AND cover.t = tok.t
+GROUP BY cover.doc_id
+UNION ALL
+SELECT doc_id, len(toks) AS n_tokens, 0::BIGINT AS n_removed,
+       md5(array_to_string(toks, ' ')) AS cleaned_md5
+FROM t WHERE len(toks) < 8
+"""
+
+
 def chunk_windows_docs(spark, sf):
     """Overlapping token-window chunking (functions/text.chunk_windows,
     size=64 stride=48): RAG / fixed-length-example prep. Stateless
@@ -4244,6 +4291,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_mix_weights_langs": (domain_mix_weights_langs, MIX_WEIGHTS_SQL),
     "incremental_dedup_delta": (incremental_dedup_delta, INCR_DEDUP_SQL),
     "domain_cap_docs": (domain_cap_docs, DOMAIN_CAP_SQL),
+    "remove_duplicate_spans_docs": (remove_duplicate_spans_docs, REMOVE_SPANS_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

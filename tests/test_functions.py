@@ -534,3 +534,34 @@ def test_domain_cap_deterministic_hash_order(spark):
     # reproducible: a second run keeps the identical set
     out2 = {r.doc_id for r in domain_cap(df, "lang", "doc_id", cap=3).collect()}
     assert {r.doc_id for r in out.collect()} == out2
+
+
+def test_remove_duplicate_spans_surgical(spark):
+    """k=3: doc 1 repeats doc 0 verbatim inside unique framing text —
+    only the repeated run is removed, the frame survives; doc 0 (the
+    canonical copy) is untouched; an exact full copy (doc 2) empties."""
+    import hashlib
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "u v a b c d e x y"),   # interior copy of doc 0
+        (2, "a b c d e"),           # exact copy -> fully removed
+        (3, "tiny doc"),            # n < k -> intact
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.remove_duplicate_spans(df, k=3).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[0].n_removed, got[0].cleaned_md5) == (0, md5("a b c d e"))
+    # doc 1: spans abc..cde are dups; tokens a..e each fully covered by
+    # dup windows EXCEPT a,b (covered by uva/vab) and d,e (cde only at
+    # the tail?) — compute: dup spans are (a b c),(b c d),(c d e);
+    # token 'c' (t=4) is covered only by dup windows + (v a b)? no —
+    # windows covering t=4: (a b c),(b c d),(c d e) all dup -> removed.
+    # tokens a(t=2): windows (u v a),(v a b),(a b c) — first two unique
+    # -> kept. Net: only 'c' and 'd'? d(t=5): (b c d),(c d e),(d e x);
+    # (d e x) unique -> kept. So exactly one token removed: 'c'.
+    assert got[1].n_removed == 1
+    assert got[1].cleaned_md5 == md5("u v a b d e x y")
+    assert (got[2].n_removed, got[2].cleaned_md5) == (5, md5(""))
+    assert (got[3].n_tokens, got[3].n_removed, got[3].cleaned_md5) == (2, 0, md5("tiny doc"))
