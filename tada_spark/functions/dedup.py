@@ -489,10 +489,7 @@ def paragraph_dedup(
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_chunks"),
         F.sum(dup).alias("n_dup_chunks"),
-        # floor(x*1e6+0.5)/1e6, not engine ROUND: Spark's BigDecimal
-        # HALF_UP and DuckDB's std::round can disagree on boundary
-        # quotients (the divergence class _round_det exists for)
-        (F.floor(F.sum(dup) / F.count("*") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("dup_frac"),
+        round_det(F.sum(dup) / F.count("*"), 6).alias("dup_frac"),
         F.md5(
             F.array_join(F.transform(kept_sorted, lambda s: s["chunk"]), " ")
         ).alias("kept_md5"),
@@ -528,10 +525,29 @@ def duplicate_span_stats(
     bounded by per-doc token count, far under 2^20 for any chunked
     corpus (chunk upstream if a doc exceeds a million tokens).
     """
+    spans, first = _span_stream(df, text_col, id_col, k)
+    dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0)
+    return (
+        spans.join(first, "fp")
+        .groupBy(F.col("sid").alias(id_col))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            round_det(F.sum(dup) / F.count("*"), 6).alias("dup_span_frac"),
+        )
+    )
+
+
+def _span_stream(df: DataFrame, text_col: str, id_col: str, k: int):
+    """Shared k-gram span stream for the substring-dedup pair
+    (duplicate_span_stats / remove_duplicate_spans): per doc with >= k
+    tokens, every k-token window as (sid, pos, fp, occ) plus the per-fp
+    minimum occurrence key. ONE definition so the fingerprint recipe and
+    the 2^20 position packing can never drift between the measuring and
+    acting halves (the md5_hash32 single-definition rule)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
     spans = (
-        df.select(F.col(id_col).alias("sid"), toks.alias("toks"), n.alias("n"))
+        df.select(F.col(id_col).alias("sid"), toks.alias("toks"), F.size(toks).alias("n"))
         .filter(F.col("n") >= k)
         .select(
             "sid",
@@ -546,18 +562,7 @@ def duplicate_span_stats(
                 (F.col("sid") * F.lit(1 << 20) + F.col("pos")).alias("occ"))
     )
     first = spans.groupBy("fp").agg(F.min("occ").alias("first_occ"))
-    dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0)
-    return (
-        spans.join(first, "fp")
-        .groupBy(F.col("sid").alias(id_col))
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(dup).alias("n_dup_spans"),
-            (F.floor(F.sum(dup) / F.count("*") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(
-                "dup_span_frac"
-            ),
-        )
-    )
+    return spans, first
 
 
 def incremental_dedup(
@@ -583,10 +588,16 @@ def incremental_dedup(
     """
     from tada_spark.functions.text import fingerprint
 
+    # NULL-text rows fingerprint to NULL; drop them explicitly so the
+    # anti-join contract is NULL-free on both sides (a NULL fp would
+    # survive left_anti here while SQL NOT IN/NOT EXISTS semantics
+    # differ — the oracle pins the same filter)
     new_fp = new_df.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    corpus_fp = corpus_df.select(fingerprint(F.col(text_col)).alias("fp")).filter(
+        F.col("fp").isNotNull()
     )
-    corpus_fp = corpus_df.select(fingerprint(F.col(text_col)).alias("fp"))
     fresh = new_fp.join(corpus_fp, "fp", "left_anti")
     return (
         fresh.groupBy("fp")
@@ -624,24 +635,13 @@ def remove_duplicate_spans(
     loops.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(
-        F.col(id_col).alias("sid"), toks.alias("toks"), F.size(toks).alias("n")
-    )
+    # token_count convention: whitespace-only / empty text is ZERO
+    # tokens, not the phantom [''] that size(split) reports
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    base = df.select(F.col(id_col).alias("sid"), toks.alias("toks"), n.alias("n"))
     long_docs = base.filter(F.col("n") >= k)
 
-    spans = long_docs.select(
-        "sid",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n") - k),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
-            )
-        ).alias("pos", "span"),
-    ).select(
-        "sid", "pos", F.md5(F.col("span")).alias("fp"),
-        (F.col("sid") * F.lit(1 << 20) + F.col("pos")).alias("occ"),
-    )
-    first = spans.groupBy("fp").agg(F.min("occ").alias("first_occ"))
+    spans, first = _span_stream(df, text_col, id_col, k)
     dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0).alias("dup")
     # span at pos covers tokens pos..pos+k-1; spans cover every token of
     # an n>=k doc, so min(dup) exists for every (sid, t)

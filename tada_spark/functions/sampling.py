@@ -178,8 +178,12 @@ def domain_cap(
 
     from tada_spark.functions.text import md5_hash32
 
+    # nulls-LAST on both sort keys: a NULL entity key hashes to NULL,
+    # which Spark's bare asc() ranks FIRST (always kept at the expense
+    # of a real row) while SQL ASC ranks it last — pin the SQL order
     w = Window.partitionBy(domain_col).orderBy(
-        md5_hash32(F.col(key).cast("string")).asc(), F.col(key).asc()
+        md5_hash32(F.col(key).cast("string")).asc_nulls_last(),
+        F.col(key).asc_nulls_last(),
     )
     return (
         df.withColumn("__rn__", F.row_number().over(w))

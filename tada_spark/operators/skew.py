@@ -151,6 +151,9 @@ def key_skew_profile(
             "cnt",
             round_det(F.col("cnt") / F.col("total"), round_digits).alias("share"),
         )
-        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        # nulls-LAST tie-break: Spark's bare asc() is nulls-first while
+        # SQL ORDER BY ASC defaults NULLS LAST — a NULL key tied at the
+        # cutoff would otherwise make the two engines keep different rows
+        .orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
         .limit(top_n)
     )

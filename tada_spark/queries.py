@@ -3986,9 +3986,15 @@ SELECT cover.doc_id,
 FROM cover JOIN tok ON cover.doc_id = tok.doc_id AND cover.t = tok.t
 GROUP BY cover.doc_id
 UNION ALL
-SELECT doc_id, len(toks) AS n_tokens, 0::BIGINT AS n_removed,
+-- token_count convention: whitespace-only text is 0 tokens, not the
+-- phantom [''] that the split reports (mirrors the Spark-side guard)
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+       0::BIGINT AS n_removed,
        md5(array_to_string(toks, ' ')) AS cleaned_md5
-FROM t WHERE len(toks) < 8
+FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents)
+WHERE CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len(toks) END < 8
 """
 
 
@@ -4028,7 +4034,7 @@ WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),
      t AS (SELECT COUNT(*) AS total FROM events)
 SELECT key, cnt, FLOOR((cnt::DOUBLE / total) * 1000000 + 0.5) / 1000000 AS share
 FROM c, t
-ORDER BY cnt DESC, key ASC LIMIT 10
+ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 10
 """
 
 
@@ -4083,8 +4089,13 @@ WITH b AS (
   SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
   FROM b WHERE bucket >= 80
 )
+-- NOT EXISTS, never NOT IN: one NULL corpus fingerprint would make
+-- NOT IN return zero rows, and a NULL delta fp would be dropped where
+-- Spark's left_anti keeps it (review finding; NULL fps are filtered on
+-- both sides anyway — this pins the join semantics too)
 SELECT MIN(doc_id) AS doc_id, fp
-FROM delta WHERE fp NOT IN (SELECT fp FROM corpus)
+FROM delta d WHERE fp IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = d.fp)
 GROUP BY fp
 """
 
@@ -4105,7 +4116,8 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT ASC, doc_id ASC
+           ORDER BY ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT ASC NULLS LAST,
+                    doc_id ASC NULLS LAST
          ) AS rn
   FROM documents
 ) WHERE rn <= 40
