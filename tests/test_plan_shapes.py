@@ -89,6 +89,31 @@ def test_q21_decorrelated_no_nested_loop(spark, catalog):
     assert "CartesianProduct" not in plan
 
 
+def test_key_skew_profile_is_takeordered_not_global_sort(spark, catalog):
+    """Top-N heavy hitters must come from per-partition heaps
+    (TakeOrderedAndProject), never a global sort."""
+    plan = plan_of(catalog["key_skew_profile_events"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # the 1-row total is a broadcast
+
+
+def test_duplicate_span_ops_no_pairwise_no_python(spark, catalog):
+    """The substring-dedup pair: fingerprint-keyed equi-joins only —
+    no nested-loop/cartesian stage, no Python in the plan."""
+    for name in ("duplicate_span_stats_docs", "remove_duplicate_spans_docs"):
+        plan = plan_of(catalog[name][0](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_chunk_windows_zero_shuffle(spark, catalog):
+    """Chunking is a stateless per-row explode — zero exchanges, scan
+    bandwidth is the only cost."""
+    plan = plan_of(catalog["chunk_windows_docs"][0](spark, SF))
+    assert "Exchange" not in plan
+
+
 def test_bucketed_join_catalog_entry_zero_join_exchanges(spark, catalog):
     """bucketed_join_orders_customer: the sort-merge join must consume
     bucketed table layout directly — the ONLY exchange in the plan is
