@@ -565,3 +565,65 @@ def test_remove_duplicate_spans_surgical(spark):
     assert got[1].cleaned_md5 == md5("u v a b d e x y")
     assert (got[2].n_removed, got[2].cleaned_md5) == (5, md5(""))
     assert (got[3].n_tokens, got[3].n_removed, got[3].cleaned_md5) == (2, 0, md5("tiny doc"))
+
+
+def test_span_ops_property_invariants(spark):
+    """Property check over randomized corpora (hypothesis): the span
+    pair's global accounting invariants hold for any token stream.
+    - per doc with n >= k tokens: n_spans == n - k + 1
+    - corpus-wide: sum(n_dup_spans) == total_spans - distinct_fingerprints
+      (keep-first means exactly one occurrence per fp is canonical)
+    - removal: 0 <= n_removed <= n_tokens per doc; an all-unique corpus
+      removes nothing."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    k = 3
+    tok = st.sampled_from(["a", "b", "c", "d"])
+    docs_strategy = st.lists(
+        st.lists(tok, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(texts=docs_strategy)
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = {r.doc_id: r for r in dedup.duplicate_span_stats(df, k=k).collect()}
+        total_spans = 0
+        fps = set()
+        for i, t in rows:
+            toks = t.split()
+            if len(toks) >= k:
+                expect_spans = len(toks) - k + 1
+                assert stats[i].n_spans == expect_spans, (t, stats[i])
+                assert 0 <= stats[i].n_dup_spans <= expect_spans
+                total_spans += expect_spans
+                for p in range(expect_spans):
+                    fps.add(" ".join(toks[p : p + k]))
+            else:
+                assert i not in stats
+        assert sum(r.n_dup_spans for r in stats.values()) == total_spans - len(fps)
+
+        removed = {r.doc_id: r for r in dedup.remove_duplicate_spans(df, k=k).collect()}
+        for i, t in rows:
+            r = removed[i]
+            n = len(t.split())
+            assert r.n_tokens == n
+            assert 0 <= r.n_removed <= r.n_tokens
+
+    check()
+
+
+def test_remove_duplicate_spans_unique_corpus_removes_nothing(spark):
+    import hashlib
+
+    rows = [(0, "p q r s"), (1, "w x y z"), (2, "m n o")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(df, k=3).collect()}
+    for i, t in rows:
+        assert out[i].n_removed == 0
+        assert out[i].cleaned_md5 == hashlib.md5(t.encode()).hexdigest()
