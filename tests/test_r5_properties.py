@@ -1,0 +1,134 @@
+"""Round-5 property suites: as-of join and the rolling windows checked
+against independent brute-force Python oracles on randomized inputs
+(the reference repo's test model, SURVEY §5 — same style as
+test_r3_properties, applied to the window/join surface the floor-idiom
+migration touched this round).
+
+Each example builds ONE small DataFrame and compares every output row,
+so a window-frame off-by-one (rowsBetween vs rangeBetween bounds,
+inclusive vs strict as-of) cannot hide behind aggregate statistics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tada_spark.frame import Frame
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# asof_join ≡ per-left-row argmax over right times <= t (or < t, strict)
+# ---------------------------------------------------------------------------
+
+_asof_inputs = st.tuples(
+    # left: (sym, t) pairs; right: sym -> {t: bid} (unique right times per
+    # sym so the expected value is unambiguous)
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 40)),
+        min_size=1, max_size=12,
+    ),
+    st.dictionaries(
+        st.sampled_from(["A", "B"]),
+        st.dictionaries(st.integers(0, 40), st.integers(1, 9), min_size=1, max_size=8),
+        min_size=1, max_size=2,
+    ),
+    st.booleans(),
+)
+
+
+@given(args=_asof_inputs)
+@settings(**SETTINGS)
+def test_asof_join_equals_bruteforce(spark, args):
+    lefts, rights, strict = args
+    left_rows = [(s, t, i) for i, (s, t) in enumerate(lefts)]
+    right_rows = [(s, t, float(b)) for s, ts in rights.items() for t, b in ts.items()]
+    trades = Frame(spark.createDataFrame(left_rows, "sym string, t long, rid long"))
+    quotes = Frame(spark.createDataFrame(right_rows, "sym string, t long, bid double"))
+    out = trades.asof_join(quotes, on="t", by=["sym"], value_cols=["bid"], strict=strict)
+    got = {r.rid: r.bid for r in out.df.collect()}
+    assert len(got) == len(left_rows)  # never multiplies or drops rows
+    for s, t, rid in left_rows:
+        cand = [
+            (rt, b) for rt, b in rights.get(s, {}).items()
+            if (rt < t if strict else rt <= t)
+        ]
+        want = float(max(cand)[1]) if cand else None
+        assert got[rid] == want, (s, t, strict, got[rid], want)
+
+
+# ---------------------------------------------------------------------------
+# rolling_n (forward & trailing) ≡ python slice over the ordered group
+# ---------------------------------------------------------------------------
+
+_roll_inputs = st.tuples(
+    st.lists(
+        st.tuples(st.sampled_from([10, 20]), st.integers(-5, 5)),
+        min_size=1, max_size=14,
+    ),
+    st.integers(1, 4),
+    st.booleans(),
+)
+
+
+@given(args=_roll_inputs)
+@settings(**SETTINGS)
+def test_rolling_n_equals_python_slices(spark, args):
+    rows, n, forward = args
+    data = [(uid, i, float(v)) for i, (uid, v) in enumerate(rows)]
+    f = Frame(spark.createDataFrame(data, "uid long, seq long, v double"))
+    out = (
+        f.group_by("uid")
+        .rolling_n(n, "v", "sum", order_by=["seq"], out="r", forward=forward)
+        .df.collect()
+    )
+    by_uid: dict[int, list] = {}
+    for uid, seq, v in data:
+        by_uid.setdefault(uid, []).append((seq, v))
+    want = {}
+    for uid, items in by_uid.items():
+        items.sort()
+        vals = [v for _, v in items]
+        for i, (seq, _) in enumerate(items):
+            window = vals[i : i + n] if forward else vals[max(0, i - n + 1) : i + 1]
+            want[(uid, seq)] = sum(window) if len(window) == n else None
+    got = {(r.uid, r.seq): r.r for r in out}
+    assert got == pytest.approx(want)
+
+
+# ---------------------------------------------------------------------------
+# rolling_duration ≡ python filter over [t, t+d), duplicate times included
+# ---------------------------------------------------------------------------
+
+_dur_inputs = st.tuples(
+    st.lists(
+        st.tuples(st.sampled_from([1, 2]), st.integers(0, 30), st.integers(-4, 4)),
+        min_size=1, max_size=14,
+    ),
+    st.integers(1, 10),
+)
+
+
+@given(args=_dur_inputs)
+@settings(**SETTINGS)
+def test_rolling_duration_equals_python_filter(spark, args):
+    rows, seconds = args
+    data = [(uid, e, float(v), i) for i, (uid, e, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, epoch long, v double, rid long").withColumn(
+        "ts", F.timestamp_seconds(F.col("epoch"))
+    )
+    out = (
+        Frame(df).group_by("uid").rolling_duration(seconds, "ts", "v", "sum", out="r").df.collect()
+    )
+    got = {r.rid: r.r for r in out}
+    for uid, e, v, rid in data:
+        want = sum(v2 for u2, e2, v2, _ in data if u2 == uid and e <= e2 < e + seconds)
+        assert got[rid] == pytest.approx(want), (uid, e, seconds)
