@@ -43,9 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: top2_orders_per_customer, quantiles_price_by_status,
 #: winsorize_value_per_user, ntile_quartile_customers,
 #: embedding_centroids, pii_scrub_docs) stay union-covered through r06
-#: and MUST lead the r06 window, alongside remove_duplicate_spans_docs —
-#: the one round-5 entry deliberately deferred to r06 (added after the
-#: window filled; local-gate green at sf0.01 and sf0.1).
+#: and MUST lead the r06 window, alongside remove_duplicate_spans_docs
+#: and curation_report_langs — the two round-5 entries deliberately
+#: deferred to r06 (added after the window filled; local-gate green at
+#: sf0.001, sf0.01 and sf0.1).
 _DRIVER_PRIORITY = [
     # (a) newest green is r02 — re-earn now or fall out of the union
     "value_counts_priority",

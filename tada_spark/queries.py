@@ -4124,6 +4124,96 @@ SELECT doc_id, lang FROM (
 """
 
 
+def curation_report_langs(spark, sf):
+    """End-to-end curation REPORT — the summary a data-curation run
+    produces per language before anyone commits GPU-hours: corpus size,
+    Gopher-gate survivors, cross-doc duplicate-span fraction, and the
+    chunk inventory the corpus would yield. Composes the validated
+    pieces (gopher_keep gate, duplicate_span_stats, chunk_windows'
+    window rule) into ONE plan with per-lang aggregates; every number is
+    integer-exact or floor-rounded so the composition hash-checks like
+    its parts. Zero-survivor languages report 0 (left join + coalesce on
+    BOTH engines); a zero-span language reports a NULL fraction (never a
+    divide — Spark 4 ANSI would throw)."""
+    from tada_spark.functions.text import gopher_keep
+
+    docs = load(spark, sf, "documents").to_df()
+    base = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    kept = (
+        docs.filter(gopher_keep(F.col("text"), min_words=30, min_stop_hits=1))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_gate_kept"))
+    )
+    spans = (
+        dedup.duplicate_span_stats(docs.select("doc_id", "text"), k=8)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_spans").alias("spans"), F.sum("n_dup_spans").alias("dups"))
+    )
+    chunks = (
+        text.chunk_windows(docs.select("doc_id", "text"), size=64, stride=48)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_chunks"))
+    )
+    return (
+        base.join(kept, "lang", "left")
+        .join(spans, "lang", "left")
+        .join(chunks, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_gate_kept", F.lit(0)).alias("n_gate_kept"),
+            F.when(
+                F.coalesce("spans", F.lit(0)) == 0, F.lit(None).cast("double")
+            ).otherwise(_round_det(F.col("dups") / F.col("spans"), 6)).alias("dup_span_frac"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        )
+    )
+
+
+CURATION_REPORT_SQL = (
+    _GATE_CTES_SQL
+    + r""", kept AS (
+  SELECT lang, COUNT(*) AS n_gate_kept FROM f GROUP BY lang
+), base AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), tk AS (
+  SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT tk.lang, tk.doc_id * 1048576 + u.i AS occ,
+         md5(array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS fp
+  FROM tk, UNNEST(generate_series(0, len(toks) - 8)) u(i)
+  WHERE len(toks) >= 8
+), cmin AS (
+  SELECT fp, MIN(occ) AS first_occ FROM g GROUP BY fp
+), sp AS (
+  SELECT lang, COUNT(*) AS spans,
+         SUM(CASE WHEN g.occ <> cmin.first_occ THEN 1 ELSE 0 END) AS dups
+  FROM g JOIN cmin USING (fp) GROUP BY lang
+), ch AS (
+  -- chunk count per doc = |sequence(0, n-1, 48)| = (n-1)//48 + 1, the
+  -- chunk_windows window rule in closed form (empty docs yield none)
+  SELECT lang,
+         SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE (len(toks) - 1) // 48 + 1 END)::BIGINT AS n_chunks
+  FROM tk GROUP BY lang
+)
+SELECT base.lang, base.n_docs,
+       COALESCE(kept.n_gate_kept, 0) AS n_gate_kept,
+       CASE WHEN COALESCE(sp.spans, 0) = 0 THEN NULL
+            ELSE FLOOR((sp.dups::DOUBLE / sp.spans) * 1000000 + 0.5) / 1000000
+       END AS dup_span_frac,
+       COALESCE(ch.n_chunks, 0) AS n_chunks
+FROM base
+LEFT JOIN kept USING (lang)
+LEFT JOIN sp USING (lang)
+LEFT JOIN ch USING (lang)
+"""
+)
+
+
 def bucketed_join_orders_customer(spark, sf):
     """Bucketed co-located join through sources/bucketed.py (r4 verdict
     stretch #8 — driver evidence for the pytest-only module): both sides
@@ -4304,6 +4394,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_dedup_delta": (incremental_dedup_delta, INCR_DEDUP_SQL),
     "domain_cap_docs": (domain_cap_docs, DOMAIN_CAP_SQL),
     "remove_duplicate_spans_docs": (remove_duplicate_spans_docs, REMOVE_SPANS_SQL),
+    "curation_report_langs": (curation_report_langs, CURATION_REPORT_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
