@@ -4135,12 +4135,10 @@ def curation_report_langs(spark, sf):
     its parts. Zero-survivor languages report 0 (left join + coalesce on
     BOTH engines); a zero-span language reports a NULL fraction (never a
     divide — Spark 4 ANSI would throw)."""
-    from tada_spark.functions.text import gopher_keep
-
     docs = load(spark, sf, "documents").to_df()
     base = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     kept = (
-        docs.filter(gopher_keep(F.col("text"), min_words=30, min_stop_hits=1))
+        docs.filter(text.gopher_keep(F.col("text"), min_words=30, min_stop_hits=1))
         .groupBy("lang")
         .agg(F.count("*").alias("n_gate_kept"))
     )

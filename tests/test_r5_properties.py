@@ -54,8 +54,9 @@ def test_asof_join_equals_bruteforce(spark, args):
     trades = Frame(spark.createDataFrame(left_rows, "sym string, t long, rid long"))
     quotes = Frame(spark.createDataFrame(right_rows, "sym string, t long, bid double"))
     out = trades.asof_join(quotes, on="t", by=["sym"], value_cols=["bid"], strict=strict)
-    got = {r.rid: r.bid for r in out.df.collect()}
-    assert len(got) == len(left_rows)  # never multiplies or drops rows
+    rows = out.df.collect()
+    assert len(rows) == len(left_rows)  # never multiplies or drops rows
+    got = {r.rid: r.bid for r in rows}
     for s, t, rid in left_rows:
         cand = [
             (rt, b) for rt, b in rights.get(s, {}).items()
