@@ -43,10 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: top2_orders_per_customer, quantiles_price_by_status,
 #: winsorize_value_per_user, ntile_quartile_customers,
 #: embedding_centroids, pii_scrub_docs) stay union-covered through r06
-#: and MUST lead the r06 window, alongside remove_duplicate_spans_docs
-#: and curation_report_langs — the two round-5 entries deliberately
-#: deferred to r06 (added after the window filled; local-gate green at
-#: sf0.001, sf0.01 and sf0.1).
+#: and MUST lead the r06 window — 16 entries now that
+#: multimodal_audio_features also rotated out (its audio pipeline gets
+#: fresher driver evidence through wav_decode_real's REAL-decoder run) —
+#: alongside remove_duplicate_spans_docs and curation_report_langs, the
+#: two round-5 entries deliberately deferred to r06 (added after the
+#: window filled; local-gate green at sf0.001, sf0.01 and sf0.1).
 _DRIVER_PRIORITY = [
     # (a) newest green is r02 — re-earn now or fall out of the union
     "value_counts_priority",
@@ -85,7 +87,6 @@ _DRIVER_PRIORITY = [
     "near_dup_components",
     "decontamination_check",
     "tfidf_top_terms",
-    "multimodal_audio_features",
     "gopher_quality_filters",
     "corpus_prep_pipeline",
     # (b2) round-5 LLM-pipeline additions (displace six unnamed-cohort
@@ -99,6 +100,7 @@ _DRIVER_PRIORITY = [
     "domain_mix_weights_langs",
     "incremental_dedup_delta",
     "domain_cap_docs",
+    "png_decode_real",
     "stream_hourly_totals",
     "stream_running_totals_users",
     "stream_session_stats_users",

@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 Decode status by modality: AUDIO is REAL for PCM WAV (wav_audio_decoder,
-stdlib wave + numpy — no external libs); IMAGE decode is wired for PIL
-(pil_image_decoder) but the container has no Pillow, so the default
-stays the clearly-marked deterministic stub; compressed audio/video
-need ffmpeg/torchaudio and stay stubbed. Everything Spark-side is real
-and tested either way: schemas, Arrow batch shapes, mapInPandas
-partition flow, metadata propagation. The decoder parameter is the ONLY
-swap point, pinned by the swap-contract tests (schema + plan shape +
-drop policy identical across decoders).
+stdlib wave + numpy — no external libs); IMAGE is REAL for PNG
+(png_image_decoder, stdlib zlib + numpy — all five scanline filters,
+gray/RGB/alpha color types), with the PIL twin (pil_image_decoder)
+wired for JPEG the moment an environment has Pillow; compressed
+audio/video need ffmpeg/torchaudio and stay stubbed. Everything
+Spark-side is real and tested either way: schemas, Arrow batch shapes,
+mapInPandas partition flow, metadata propagation. The decoder parameter
+is the ONLY swap point, pinned by the swap-contract tests (schema +
+plan shape + drop policy identical across decoders).
 
 Design for 100 TB of media:
   * binary payloads stay columnar (parquet BINARY); metadata (width,
@@ -222,3 +223,136 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def png_image_decoder(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decoder for PNG — stdlib ``zlib`` + ``struct`` + numpy,
+    no external libraries (the image twin of wav_audio_decoder, closing
+    the 'image decode is dormant' gap without Pillow). Handles
+    non-interlaced 8-bit-depth PNGs in all five standard scanline
+    filters (None/Sub/Up/Average/Paeth) and color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA); palette, 16-bit and interlaced
+    images raise (drop policy, like unsupported PCM widths). Returns
+    (width, height, mean_luma) where luma uses the ITU-R 601 integer
+    weights (299R + 587G + 114B)/1000 and mean_luma is floor-half-up
+    rounded at 6 dp — one exact integer sum then one double division,
+    so an analytic oracle reproduces it bit-for-bit.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("no IHDR")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+        raise ValueError(f"unsupported PNG (depth={depth} color={color} interlace={interlace})")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated image data")
+
+    prev = np.zeros(stride, dtype=np.int64)
+    rows = []
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up — vectorized
+            rec = (line + prev) & 255
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0  # left
+                bb = prev[x]  # up
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + bb) // 2
+                else:
+                    c = prev[x - ch] if x >= ch else 0  # up-left
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 255
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        rows.append(rec)
+        prev = rec
+    px = np.stack(rows).reshape(h, w, ch)
+    if color == 0:
+        luma_milli = px[:, :, 0].astype(np.int64) * 1000  # gray: weight 1000/1000
+    elif color == 4:
+        luma_milli = px[:, :, 0].astype(np.int64) * 1000  # gray+alpha: ignore alpha
+    else:  # RGB / RGBA: ITU-R 601 integer weights
+        luma_milli = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        )
+    total = int(luma_milli.sum())  # exact integer
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return w, h, r6(total / (w * h * 1000 * 255))
+
+
+def encode_png_gray8(width: int, height: int, pixel_fn, *, filter_type: int = 0) -> bytes:
+    """Minimal REAL PNG encoder (grayscale, 8-bit, non-interlaced) —
+    stdlib only; used to build deterministic test payloads whose decoded
+    features an analytic oracle can reproduce. ``pixel_fn(x, y) -> int``
+    gives the 0..255 value; ``filter_type`` 0 (None) or 2 (Up) selects
+    the per-scanline filter so round-trip tests can cover the filtered
+    decode paths with hand-checkable algebra. Chunks carry valid CRCs —
+    any standards-compliant reader accepts the output."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rows = [[pixel_fn(x, y) & 255 for x in range(width)] for y in range(height)]
+    raw = bytearray()
+    for y, row in enumerate(rows):
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += bytes(row)
+        elif filter_type == 2:  # Up: store row - previous row (mod 256)
+            prev = rows[y - 1] if y > 0 else [0] * width
+            raw += bytes((v - p) & 255 for v, p in zip(row, prev))
+        else:
+            raise ValueError("encoder supports filter types 0 and 2")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )

@@ -627,3 +627,114 @@ def test_remove_duplicate_spans_unique_corpus_removes_nothing(spark):
     for i, t in rows:
         assert out[i].n_removed == 0
         assert out[i].cleaned_md5 == hashlib.md5(t.encode()).hexdigest()
+
+
+def _png_chunks(ihdr_fields, idat_raw):
+    """Assemble a PNG from raw (pre-compression) scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+        + chunk(b"IDAT", zlib.compress(idat_raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_filter0_vs_filter2_roundtrip():
+    """The same image encoded with filter None and filter Up must decode
+    identically, and the luma must equal the hand-computed pixel mean."""
+    from tada_spark.functions.multimodal import encode_png_gray8, png_image_decoder
+
+    w, h = 5, 4
+    fn = lambda x, y: (37 * y + 11 * x) % 256
+    a = png_image_decoder(encode_png_gray8(w, h, fn, filter_type=0))
+    b = png_image_decoder(encode_png_gray8(w, h, fn, filter_type=2))
+    assert a == b
+    total = sum(fn(x, y) for y in range(h) for x in range(w))
+    import math
+
+    want = math.floor(total / (w * h * 255) * 1e6 + 0.5) / 1e6
+    assert a == (w, h, want)
+
+
+def test_png_decoder_sub_average_paeth_filters():
+    """Hand-filter three grayscale rows with Sub(1) / Average(3) /
+    Paeth(4) per the PNG spec and check the decoder reconstructs the
+    intended pixels (asserted via the exact mean luma)."""
+    import math
+
+    from tada_spark.functions.multimodal import png_image_decoder
+
+    target = [
+        [10, 20, 30, 255],
+        [5, 130, 200, 0],
+        [77, 78, 200, 13],
+    ]
+    w, h = 4, 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    # row 0: Sub — filt = v - left
+    raw.append(1)
+    raw += bytes((target[0][x] - (target[0][x - 1] if x else 0)) & 255 for x in range(w))
+    # row 1: Average — filt = v - (left + up)//2
+    raw.append(3)
+    raw += bytes(
+        (target[1][x] - ((target[1][x - 1] if x else 0) + target[0][x]) // 2) & 255
+        for x in range(w)
+    )
+    # row 2: Paeth — filt = v - paeth(left, up, up-left)
+    raw.append(4)
+    raw += bytes(
+        (
+            target[2][x]
+            - paeth(target[2][x - 1] if x else 0, target[1][x], target[1][x - 1] if x else 0)
+        )
+        & 255
+        for x in range(w)
+    )
+    png = _png_chunks((w, h, 8, 0, 0, 0, 0), bytes(raw))
+    got = png_image_decoder(png)
+    total = sum(sum(r) for r in target)
+    want = math.floor(total / (w * h * 255) * 1e6 + 0.5) / 1e6
+    assert got == (w, h, want)
+
+
+def test_png_decoder_rgb_and_unsupported():
+    """RGB uses the ITU-R 601 integer weights; palette / 16-bit /
+    truncated payloads raise (the image_features drop policy)."""
+    import math
+
+    import pytest as _pytest
+
+    from tada_spark.functions.multimodal import png_image_decoder
+
+    # 2x1 RGB, filter 0: red-ish and gray pixels
+    pixels = [(200, 10, 40), (128, 128, 128)]
+    raw = bytes([0]) + b"".join(bytes(p) for p in pixels)
+    png = _png_chunks((2, 1, 8, 2, 0, 0, 0), raw)
+    w, h, luma = png_image_decoder(png)
+    total_milli = sum(299 * r + 587 * g + 114 * b for r, g, b in pixels)
+    want = math.floor(total_milli / (2 * 1 * 1000 * 255) * 1e6 + 0.5) / 1e6
+    assert (w, h, luma) == (2, 1, want)
+
+    with _pytest.raises(ValueError):  # palette color type
+        png_image_decoder(_png_chunks((1, 1, 8, 3, 0, 0, 0), bytes([0, 0])))
+    with _pytest.raises(ValueError):  # 16-bit depth
+        png_image_decoder(_png_chunks((1, 1, 16, 0, 0, 0, 0), bytes([0, 0, 0])))
+    with _pytest.raises(Exception):  # truncated IDAT
+        png_image_decoder(_png_chunks((4, 4, 8, 0, 0, 0, 0), bytes([0, 1, 2])))
+    with _pytest.raises(ValueError):  # not a PNG at all
+        png_image_decoder(b"RIFF not a png")
