@@ -506,3 +506,114 @@ def chunk_windows(
             ).alias("chunk_md5"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_postings: int = 16,
+) -> DataFrame:
+    """Build a term → postings inverted index over the corpus — the
+    retrieval-side complement of the chunking/dedup tier (a reference
+    user doing search-over-corpus gets this from the same token stream
+    the dedup operators already verified). Emits one row per term:
+    document frequency, total term frequency, and the ``max_postings``
+    lowest doc ids as a comma-joined string (a bounded preview of the
+    posting list — full lists would be written as a keyed table, not
+    collected into one row).
+
+    100 TB design: explode → two hash aggregates, both with map-side
+    partials; the term stream shuffles once on (term, doc) and once on
+    term. Output cardinality is vocabulary-sized (≪ corpus). The
+    posting-list preview is capped BEFORE leaving the aggregate
+    (slice of the sorted collect_list), so no row grows with corpus
+    size beyond the cap.
+    """
+    terms = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_list(F.col(id_col))), 1, max_postings)
+            ).alias("top_postings"),
+        )
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed bag of query
+    terms — the classic retrieval scorer, hash-exact across engines:
+    each per-term contribution is quantized to integer millionths
+    (floor(x*1e6+0.5)) BEFORE the cross-term sum, so the final score is
+    an exact integer sum — immune to float summation order — and every
+    double op before the quantize is the same IEEE expression tree on
+    both engines. The idf is the rational Robertson-Sparck-Jones form
+    ((N - df + 0.5)/(df + 0.5)) WITHOUT the log: log is monotone, so
+    ranking is unchanged, and the score stays transcendental-free
+    (the repo's oracle discipline; see bigram_familiarity).
+
+    100 TB design: one token-stream explode feeding two aggregates
+    (per-doc length; per-(doc, query-term) tf after a broadcast-sized
+    IN-list filter), a vocabulary-row df table broadcast back, and a
+    1-row corpus-stats broadcast (allowlisted BNLJ) — the corpus text
+    never shuffles, only the doc-keyed count tables do. Top-k is
+    TakeOrderedAndProject, no global sort.
+    """
+    nonblank = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    toks = nonblank.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # corpus stats: N = ALL docs (blank docs count toward avgdl's
+    # denominator — pinned convention, mirrored in the oracle)
+    stats = df.select(F.lit(1).alias("one")).groupBy().agg(F.count("*").alias("n_docs")).crossJoin(
+        toks.groupBy().agg(F.count("*").alias("total_toks"))
+    )
+    qterms = list(query_terms)
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs").cast("double")
+    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.floor((idf * tf_part) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("c_e6"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("c_e6").alias("score_e6"), F.count("*").alias("n_terms_hit")
+    )
+    return scored.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(top_k)

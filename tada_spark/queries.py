@@ -4312,6 +4312,129 @@ GROUP BY c_mktsegment
 """
 
 
+def inverted_index_terms(spark, sf):
+    """Term → postings inverted index over the corpus
+    (functions/text.inverted_index): df, total_tf, and the 16 lowest
+    doc ids per term — the retrieval-side index build. Two hash
+    aggregates with map-side partials; vocabulary-sized output."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    idx = text.inverted_index(docs, max_postings=16)
+    return idx.select("term", "df", "total_tf", "top_postings")
+
+
+INVERTED_INDEX_SQL = r"""
+WITH terms AS (
+  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM terms WHERE term != '' GROUP BY term, doc_id
+)
+SELECT term, COUNT(*) AS df, SUM(tf)::BIGINT AS total_tf,
+       ARRAY_TO_STRING(LIST_TRANSFORM((LIST(doc_id ORDER BY doc_id ASC))[1:16], x -> x::VARCHAR), ',') AS top_postings
+FROM tf GROUP BY term
+"""
+
+
+#: BM25 demo query — a fixed bag of terms present in the synthetic corpus.
+BM25_QUERY_TERMS = ("spark", "window", "merge", "scan")
+
+
+def bm25_search_docs(spark, sf):
+    """BM25 top-20 (functions/text.bm25_rank, k1=1.2 b=0.75) for a fixed
+    query over the corpus, hash-exact across engines: rational
+    Robertson-Sparck-Jones idf (log-free — log is monotone so ranking
+    is unchanged), per-term contributions quantized to integer
+    millionths BEFORE the cross-term sum (float-order-free), top-k via
+    TakeOrderedAndProject."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return text.bm25_rank(docs, BM25_QUERY_TERMS, top_k=20)
+
+
+BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents WHERE LENGTH(TRIM(text)) > 0) t(doc_id, term)
+  WHERE term != ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM toks) AS total_toks
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'window', 'merge', 'scan') GROUP BY doc_id, term
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  -- expression tree mirrors functions/text.bm25_rank token for token:
+  -- idf = ((N - df) + 0.5)/(df + 0.5); tf_part with k1=1.2 b=0.75;
+  -- floor-quantize to e6 BEFORE the cross-term sum
+  SELECT tf.doc_id,
+         FLOOR(((((n_docs - df) + 0.5) / (df + 0.5))
+                * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (total_toks::DOUBLE / n_docs::DOUBLE))))))
+               * 1000000 + 0.5)::BIGINT AS c_e6
+  FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, SUM(c_e6)::BIGINT AS score_e6, COUNT(*) AS n_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def sq8_ann_topk(spark, sf):
+    """SQ8 compressed-domain ANN with exact re-rank
+    (functions/similarity.sq8_topk): per-dim min/max train (in-plan
+    1-row broadcast), uint8 codes, integer-dot shortlist of 10, exact
+    cosine re-rank to top-5 for the 5 lowest-id probes. The integer
+    phase needs no rounding idiom at all (exact longs); only the final
+    cosine uses the floor idiom."""
+    emb = load(spark, sf, "embeddings").to_df()
+    return similarity.sq8_topk(emb, n_probes=5, k=5, shortlist=10)
+
+
+SQ8_ANN_SQL = """
+WITH e AS (
+  SELECT vec_id, s.dim AS dim, (embedding::DOUBLE[])[s.dim] AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(dim)
+), st AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim
+), q AS (
+  SELECT vec_id, e.dim,
+         CASE WHEN mx > mn
+              THEN LEAST(255, GREATEST(0, FLOOR(((x - mn) * 255.0) / (mx - mn) + 0.5)::INT))
+              ELSE 0 END AS c
+  FROM e JOIN st ON e.dim = st.dim
+), probes AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 5
+), dots AS (
+  SELECT pq.vec_id AS query_id, dq.vec_id AS neighbor_id, SUM(pq.c * dq.c)::BIGINT AS q_score
+  FROM q pq JOIN q dq ON dq.dim = pq.dim AND dq.vec_id != pq.vec_id
+  WHERE pq.vec_id IN (SELECT vec_id FROM probes)
+  GROUP BY pq.vec_id, dq.vec_id
+), cand AS (
+  SELECT query_id, neighbor_id, q_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY q_score DESC, neighbor_id ASC) AS srk
+  FROM dots
+), rer AS (
+  SELECT c.query_id, c.neighbor_id, c.q_score,
+         LIST_DOT_PRODUCT(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])
+         / (SQRT(LIST_DOT_PRODUCT(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+            * SQRT(LIST_DOT_PRODUCT(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))) AS cos_raw
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+  WHERE c.srk <= 10
+)
+SELECT query_id, neighbor_id, q_score,
+       FLOOR((cos_raw) * 1000000 + 0.5) / 1000000 AS cos, rank
+FROM (SELECT query_id, neighbor_id, q_score, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+      FROM rer)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4446,6 +4569,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_cap_docs": (domain_cap_docs, DOMAIN_CAP_SQL),
     "remove_duplicate_spans_docs": (remove_duplicate_spans_docs, REMOVE_SPANS_SQL),
     "curation_report_langs": (curation_report_langs, CURATION_REPORT_SQL),
+    # -- retrieval tier (round 5, second batch): index build + BM25 + SQ8 ANN --
+    "inverted_index_terms": (inverted_index_terms, INVERTED_INDEX_SQL),
+    "bm25_search_docs": (bm25_search_docs, BM25_SQL),
+    "sq8_ann_topk": (sq8_ann_topk, SQ8_ANN_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

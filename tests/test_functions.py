@@ -738,3 +738,93 @@ def test_png_decoder_rgb_and_unsupported():
         png_image_decoder(_png_chunks((4, 4, 8, 0, 0, 0, 0), bytes([0, 1, 2])))
     with _pytest.raises(ValueError):  # not a PNG at all
         png_image_decoder(b"RIFF not a png")
+
+
+# ---------------------------------------------------------------------------
+# retrieval tier: inverted index, BM25, SQ8 ANN
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_counts_and_postings(spark):
+    df = spark.createDataFrame(
+        [(3, "b a a"), (1, "a b"), (2, "a"), (4, "   "), (5, None)],
+        "doc_id long, text string",
+    )
+    idx = {r.term: r for r in text.inverted_index(df).collect()}
+    assert set(idx) == {"a", "b"}
+    assert idx["a"].df == 3 and idx["a"].total_tf == 4
+    assert idx["b"].df == 2 and idx["b"].total_tf == 2
+    assert idx["a"].top_postings == "1,2,3"  # sorted doc ids, blank/null docs absent
+    assert idx["b"].top_postings == "1,3"
+
+
+def test_inverted_index_posting_cap(spark):
+    df = spark.createDataFrame([(i, "x") for i in range(30)], "doc_id long, text string")
+    row = text.inverted_index(df, max_postings=16).first()
+    assert row.df == 30  # df counts ALL docs ...
+    assert row.top_postings == ",".join(str(i) for i in range(16))  # ... preview is capped
+
+
+def test_bm25_rank_matches_python_reference(spark):
+    corpus = [(1, "a b c a"), (2, "a a a a"), (3, "b b"), (4, "c"), (5, "d d d")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: (r.score_e6, r.n_terms_hit) for r in
+           text.bm25_rank(df, ("a", "b"), top_k=10).collect()}
+
+    # brute-force replica of the documented formula (k1=1.2, b=0.75,
+    # rational idf, e6 floor-quantized per-term contributions)
+    import math as _m
+    toks = {d: t.split() for d, t in corpus}
+    n_docs = len(corpus)
+    total = sum(len(v) for v in toks.values())
+    avgdl = total / n_docs
+    want = {}
+    for term in ("a", "b"):
+        dft = sum(1 for v in toks.values() if term in v)
+        for d, v in toks.items():
+            tf = v.count(term)
+            if not tf:
+                continue
+            idf = ((n_docs - dft) + 0.5) / (dft + 0.5)
+            tf_part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl)))
+            s, n = want.get(d, (0, 0))
+            want[d] = (s + _m.floor(idf * tf_part * 1e6 + 0.5), n + 1)
+    assert out == want
+
+
+def test_sq8_codes_bounds_and_constant_dim(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0, 7.0]), (2, [10.0, 5.0, 3.0]), (3, [5.0, 5.0, 11.0])],
+        "vec_id long, embedding array<float>",
+    )
+    stats = similarity.sq8_dim_stats(df)
+    codes = {r.vec_id: r.codes for r in similarity.sq8_codes(df, stats).collect()}
+    # dim0 spans [0,10]: 0→0, 10→255, 5→128 (floor(127.5+0.5))
+    assert [codes[1][0], codes[2][0], codes[3][0]] == [0, 255, 128]
+    # dim1 constant ⇒ all 0
+    assert [codes[d][1] for d in (1, 2, 3)] == [0, 0, 0]
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+
+
+def test_sq8_topk_agrees_with_exact_on_separated_clusters(spark):
+    import numpy as _np
+
+    rng = _np.random.default_rng(11)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(24):
+        v = base[i % 4] + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.sq8_topk(df, n_probes=4, k=3, shortlist=8).collect()
+    assert {r.query_id for r in out} == {0, 1, 2, 3}
+    for r in out:
+        # same cluster (ids ≡ query mod 4) and never self
+        assert r.neighbor_id % 4 == r.query_id % 4
+        assert r.neighbor_id != r.query_id
+        assert r.cos > 0.9
+    # ranks are 1..k per query, ordered by the exact re-rank cosine
+    for qid in range(4):
+        rs = sorted([r for r in out if r.query_id == qid], key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert rs[0].cos >= rs[1].cos >= rs[2].cos

@@ -62,6 +62,13 @@ ALLOWED_BNLJ = {
     # k-row centroid broadcast × partitioned corpus: O(n·k), THE
     # k-means assignment plan (k is a constant, never corpus-sized)
     "kmeans_embeddings",
+    # 1-row corpus-stats broadcast (N, total_tokens → avgdl) crossJoined
+    # onto the doc-keyed tf table — same scalar-subquery shape as q11/q22
+    "bm25_search_docs",
+    # 1-row SQ8 dim-stats broadcast (quantizer codebook) + broadcast
+    # probe-codes set × corpus (query_id != neighbor_id) — the same
+    # broadcast-probe inequality as ann_topk_exact_ivf, linear in corpus
+    "sq8_ann_topk",
 }
 
 
