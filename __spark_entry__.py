@@ -46,10 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: and MUST lead the r06 window — 16 entries now that
 #: multimodal_audio_features also rotated out (its audio pipeline gets
 #: fresher driver evidence through wav_decode_real's REAL-decoder run) —
-#: alongside remove_duplicate_spans_docs, curation_report_langs, and the
+#: alongside remove_duplicate_spans_docs, curation_report_langs, the
 #: retrieval tier (inverted_index_terms, bm25_search_docs, sq8_ann_topk)
-#: — the round-5 entries deliberately deferred to r06 (added after the
-#: window filled; each local-gate green at sf0.001, sf0.01 and sf0.1).
+#: and the curation/ops tier (source_overlap_matrix,
+#: validate_expectations_orders, temperature_resample_docs,
+#: stream_trending_types) — the round-5 entries deliberately deferred to
+#: r06 (added after the window filled; each local-gate green at
+#: sf0.001, sf0.01 and sf0.1).
 _DRIVER_PRIORITY = [
     # (a) newest green is r02 — re-earn now or fall out of the union
     "value_counts_priority",

@@ -673,3 +673,62 @@ def remove_duplicate_spans(
         F.md5(F.concat_ws(" ", F.col("toks"))).alias("cleaned_md5"),
     )
     return rebuilt.unionByName(short_docs).withColumnRenamed("sid", id_col)
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_chars: int = 16,
+) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every pair of sources,
+    how many distinct character ``shingle_chars``-grams they share and
+    the Jaccard of their shingle sets — the corpus-curation view that
+    says WHICH crawls/feeds duplicate each other (doc-level dedup says
+    which rows; this says where they come from, the decision input for
+    dropping or down-weighting a whole feed).
+
+    100 TB shape: distinct (source, shingle) is one shuffle on the
+    shingle; the self-join is shingle-keyed, and each shingle's pair
+    fan-out is bounded by n_sources² (sources are tens, never
+    corpus-sized) — so the pair stream is |shared shingles| × O(1),
+    never doc-pairwise. Per-source set sizes are a k-row broadcast.
+    """
+    from tada_spark.functions.text import char_shingles
+
+    sh = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(group_col).alias("src"),
+            F.explode(char_shingles(F.col(text_col), shingle_chars)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull() & (F.col("g") != ""))
+        .distinct()
+    )
+    counts = sh.groupBy("src").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("src").alias("source_a"), "g")
+    b = sh.select(F.col("src").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    from tada_spark.plans.semantics import round_det
+
+    ca = counts.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            round_det(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -190,3 +190,54 @@ def domain_cap(
         .filter(F.col("__rn__") <= cap)
         .drop("__rn__")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    target_total: int,
+) -> DataFrame:
+    """The ACTING half of temperature mixing (domain_mix_weights is the
+    report): materialize a ``target_total``-row corpus whose per-domain
+    quotas follow the alpha=0.5 smoothed weights, rows chosen per
+    domain by content-addressed md5 order (reproducible across runs,
+    engines and partition layouts — the domain_cap discipline).
+
+    Quotas stay integer end-to-end: q = floor(sqrt(n)*1e6+0.5),
+    quota_d = floor(q_d * target_total / q_total) — exact long
+    arithmetic, no float shares, so engines agree on every quota (a
+    domain with fewer rows than its quota just yields what it has;
+    floor keeps Σ quotas ≤ target_total).
+
+    100 TB shape: one hash-agg to k domain rows, the k-row quota table
+    broadcasts back onto the corpus, and the per-domain selection is
+    the standard top-N-per-group window on the domain shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    from tada_spark.functions.text import md5_hash32
+
+    counts = df.groupBy(F.col(domain_col).alias("__dom__")).agg(F.count("*").alias("n_docs"))
+    q = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    quant = counts.select("__dom__", q.alias("q"))
+    totals = quant.agg(F.sum("q").alias("q_total"))
+    quotas = (
+        quant.crossJoin(F.broadcast(totals))
+        .select(
+            "__dom__",
+            F.floor(F.col("q") * F.lit(int(target_total)) / F.col("q_total"))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        md5_hash32(F.col(key).cast("string")).asc_nulls_last(),
+        F.col(key).asc_nulls_last(),
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .join(F.broadcast(quotas), F.col(domain_col) == F.col("__dom__"))
+        .filter(F.col("__rn__") <= F.col("quota"))
+        .drop("__dom__", "__rn__", "quota")
+    )

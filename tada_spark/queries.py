@@ -4435,6 +4435,155 @@ WHERE rank <= 5
 """
 
 
+def source_overlap_matrix(spark, sf):
+    """Cross-source contamination matrix (functions/dedup.source_overlap,
+    char 16-gram shingles): which feeds duplicate each other, as shared
+    distinct-shingle counts + set Jaccard per source pair. The
+    feed-level complement of doc-level dedup."""
+    docs = load(spark, sf, "documents").to_df()
+    return dedup.source_overlap(docs, "source", "text", "doc_id", shingle_chars=16)
+
+
+SOURCE_OVERLAP_SQL = """
+WITH sh AS (
+  SELECT DISTINCT source AS src, g FROM (
+    SELECT source,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 15, 1) + 1),
+                  i -> SUBSTR(text, i::INT, 16)))) AS g
+    FROM documents WHERE LENGTH(TRIM(text)) > 0
+  ) WHERE g IS NOT NULL AND g != ''
+), c AS (
+  SELECT src, COUNT(*) AS n FROM sh GROUP BY src
+), p AS (
+  SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT source_a, source_b, n_shared,
+       FLOOR((n_shared::DOUBLE / (ca.n + cb.n - n_shared)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM p JOIN c ca ON ca.src = p.source_a JOIN c cb ON cb.src = p.source_b
+"""
+
+
+def validate_expectations_orders(spark, sf):
+    """Declarative data-quality audit (operators/validate): six rules
+    over orders — completeness (not_null), key uniqueness, a price
+    range, a status value-set, a priority regex — ALL computed in one
+    aggregate pass (one scan however many rules). The range and set
+    rules are deliberately violated by the data (totalprice > 400k
+    exists; status 'P' exists) so the report's nonzero path is
+    exercised, not just the all-green path."""
+    from tada_spark.operators.validate import (
+        expect_in_set,
+        expect_not_null,
+        expect_range,
+        expect_regex,
+        expect_unique,
+        validate,
+    )
+
+    orders = load(spark, sf, "orders").to_df()
+    return validate(
+        orders,
+        [
+            expect_not_null("o_orderkey"),
+            expect_unique("o_orderkey"),
+            expect_not_null("o_custkey"),
+            expect_range("o_totalprice", 0.0, 400000.0),
+            expect_in_set("o_orderstatus", ("O", "F")),
+            expect_regex("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+
+
+VALIDATE_EXPECT_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS total,
+         COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v0,
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v1, COUNT(o_orderkey) AS c1,
+         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS v2,
+         COUNT(CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice >= 0.0 AND o_totalprice <= 400000.0) THEN 1 END) AS v3,
+         COUNT(o_totalprice) AS c3,
+         COUNT(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F') THEN 1 END) AS v4,
+         COUNT(o_orderstatus) AS c4,
+         COUNT(CASE WHEN o_orderpriority IS NOT NULL AND NOT REGEXP_MATCHES(o_orderpriority, '^[1-5]-') THEN 1 END) AS v5,
+         COUNT(o_orderpriority) AS c5
+  FROM orders
+)
+SELECT 'not_null' AS rule, 'o_orderkey' AS column_name, v0::BIGINT AS n_violations, total::BIGINT AS n_checked, v0 = 0 AS ok FROM s
+UNION ALL SELECT 'unique', 'o_orderkey', v1::BIGINT, c1::BIGINT, v1 = 0 FROM s
+UNION ALL SELECT 'not_null', 'o_custkey', v2::BIGINT, total::BIGINT, v2 = 0 FROM s
+UNION ALL SELECT 'range', 'o_totalprice', v3::BIGINT, c3::BIGINT, v3 = 0 FROM s
+UNION ALL SELECT 'in_set', 'o_orderstatus', v4::BIGINT, c4::BIGINT, v4 = 0 FROM s
+UNION ALL SELECT 'regex', 'o_orderpriority', v5::BIGINT, c5::BIGINT, v5 = 0 FROM s
+"""
+
+
+def temperature_resample_docs(spark, sf):
+    """The ACTING half of temperature mixing
+    (functions/sampling.temperature_resample): materialize a 300-row
+    corpus whose per-language quotas follow the alpha=0.5 weights —
+    integer quota arithmetic (quota = floor(q·T/q_total) on exact
+    longs), rows picked per language by content-addressed md5 order."""
+    from tada_spark.functions.sampling import temperature_resample
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "lang")
+    return temperature_resample(docs, "lang", "doc_id", 300)
+
+
+TEMPERATURE_RESAMPLE_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+     q AS (SELECT lang, FLOOR(SQRT(n_docs) * 1000000 + 0.5)::BIGINT AS q FROM c),
+     t AS (SELECT SUM(q)::BIGINT AS q_total FROM q),
+     quota AS (SELECT lang, FLOOR(q * 300 / q_total)::BIGINT AS quota FROM q, t),
+     r AS (
+       SELECT doc_id, lang,
+              ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT ASC NULLS LAST,
+                         doc_id ASC NULLS LAST
+              ) AS rn
+       FROM documents
+     )
+SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rn <= quota
+"""
+
+
+def stream_trending_types(spark, sf):
+    """Streaming trending-items: per-hour event-type counts via the
+    streaming tumbling window (keys=[event_type]), then top-3 types per
+    hour ranked on the completed snapshot — the dashboard query every
+    event pipeline serves. Arrival-order-independent: the rank reads
+    the final complete-mode counts, ties broken by type name."""
+    from pyspark.sql.window import Window
+
+    from tada_spark.streaming import run_available_now, stream_resample
+
+    stream = _stream_events(spark, sf)
+    out = stream_resample(
+        stream, "ts", "1 hour", {"n": F.count("*")}, keys=["event_type"]
+    )
+    snap = run_available_now(out, "q_stream_trending")
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        snap.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n", "rk")
+    )
+
+
+STREAM_TRENDING_SQL = """
+SELECT window_start, event_type, n, rk FROM (
+  SELECT window_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, event_type ASC) AS rk
+  FROM (
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4573,6 +4722,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "inverted_index_terms": (inverted_index_terms, INVERTED_INDEX_SQL),
     "bm25_search_docs": (bm25_search_docs, BM25_SQL),
     "sq8_ann_topk": (sq8_ann_topk, SQ8_ANN_SQL),
+    # -- curation/ops tier (round 5, third batch) --
+    "source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),
+    "validate_expectations_orders": (validate_expectations_orders, VALIDATE_EXPECT_SQL),
+    "temperature_resample_docs": (temperature_resample_docs, TEMPERATURE_RESAMPLE_SQL),
+    "stream_trending_types": (stream_trending_types, STREAM_TRENDING_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

@@ -828,3 +828,77 @@ def test_sq8_topk_agrees_with_exact_on_separated_clusters(spark):
         rs = sorted([r for r in out if r.query_id == qid], key=lambda r: r.rank)
         assert [r.rank for r in rs] == [1, 2, 3]
         assert rs[0].cos >= rs[1].cos >= rs[2].cos
+
+
+# ---------------------------------------------------------------------------
+# curation/ops tier: source overlap, expectations, temperature resample
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_disjoint_and_identical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqr", "s1"),   # shares all shingles with doc 2
+            (2, "abcdefghijklmnopqr", "s2"),
+            (3, "zzzzzzzzzzzzzzzzzzzz", "s3"),  # disjoint from everyone
+            (4, None, "s4"),
+            (5, "  ", "s5"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r for r in
+           dedup.source_overlap(df, shingle_chars=16).collect()}
+    assert set(out) == {("s1", "s2")}  # only the identical pair overlaps
+    r = out[("s1", "s2")]
+    assert r.jaccard == 1.0 and r.n_shared == 3  # 18 chars → 3 distinct 16-grams
+
+
+def test_validate_expectations_single_pass_report(spark):
+    from tada_spark.operators.validate import (
+        expect_in_set, expect_not_null, expect_range, expect_regex, expect_unique, validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 99.0, "b"), (2, -1.0, None), (None, 5.0, "zz")],
+        "k long, v double, s string",
+    )
+    rows = {(r.rule, r.column_name): r for r in validate(df, [
+        expect_not_null("k"),
+        expect_unique("k"),
+        expect_range("v", 0.0, 50.0),
+        expect_in_set("s", ("a", "b")),
+        expect_regex("s", "^[ab]$"),
+    ]).collect()}
+    assert rows[("not_null", "k")].n_violations == 1          # the None key
+    assert rows[("not_null", "k")].n_checked == 4             # all rows
+    assert rows[("unique", "k")].n_violations == 1            # one dup of k=2
+    assert rows[("unique", "k")].n_checked == 3               # non-null keys
+    assert rows[("range", "v")].n_violations == 2             # 99.0 and -1.0
+    assert rows[("in_set", "s")].n_violations == 1            # 'zz'; null SKIPPED
+    assert rows[("in_set", "s")].n_checked == 3               # non-null only
+    assert rows[("regex", "s")].n_violations == 1
+    assert not rows[("range", "v")].ok and rows[("not_null", "k")].ok is False
+    assert len(rows) == 5
+
+
+def test_temperature_resample_quotas_and_determinism(spark):
+    from tada_spark.functions.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, "lang", "doc_id", 50)
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    # integer quota replica: q = floor(sqrt(n)*1e6+0.5); quota = floor(q*T/q_total)
+    import math as _m
+    qb, qs = _m.floor(_m.sqrt(90) * 1e6 + 0.5), _m.floor(_m.sqrt(10) * 1e6 + 0.5)
+    qt = qb + qs
+    # a domain with fewer rows than its quota yields what it has
+    assert by_lang == {"big": min(90, _m.floor(qb * 50 / qt)),
+                       "small": min(10, _m.floor(qs * 50 / qt))}
+    # smoothing up-weights the small domain vs its raw 10% share
+    assert by_lang["small"] / 50 > 0.10
+    # content-addressed: same input → identical kept set across runs
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in temperature_resample(df, "lang", "doc_id", 50).collect())
+    assert ids1 == ids2

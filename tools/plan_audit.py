@@ -69,6 +69,9 @@ ALLOWED_BNLJ = {
     # probe-codes set × corpus (query_id != neighbor_id) — the same
     # broadcast-probe inequality as ann_topk_exact_ivf, linear in corpus
     "sq8_ann_topk",
+    # 1-row q_total scalar broadcast into the k-domain quota table —
+    # same scalar-subquery shape as domain_mix_weights
+    "temperature_resample_docs",
 }
 
 
