@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: retrieval tier (inverted_index_terms, bm25_search_docs, sq8_ann_topk)
 #: and the curation/ops tier (source_overlap_matrix,
 #: validate_expectations_orders, temperature_resample_docs,
-#: stream_trending_types) — the round-5 entries deliberately deferred to
+#: stream_trending_types, snapshot_diff_docs, dedup_threshold_sweep_docs,
+#: bpe_merge_docs) — the round-5 entries deliberately deferred to
 #: r06 (added after the window filled; each local-gate green at
 #: sf0.001, sf0.01 and sf0.1).
 _DRIVER_PRIORITY = [

@@ -732,3 +732,77 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the incremental-ingest ops view: which
+    keys were added, removed, or content-changed between two snapshots
+    (changed = canonical fingerprint differs; unchanged rows are
+    dropped, so output ∝ churn, not corpus). The audit that decides
+    whether a delta run or a full rebuild is warranted.
+
+    100 TB shape: each side reduces to (key, fp) at scan speed, then
+    ONE full-outer equi-join on the key — with both snapshots bucketed
+    by key this is the zero-exchange diff; output is churn-sized.
+    Null-safety pinned: presence comes from explicit flags (never from
+    fp nullness — a null-text doc has a null fp but still EXISTS) and
+    the change test is null-safe equality, mirrored in the oracle with
+    IS DISTINCT FROM.
+    """
+    from tada_spark.functions.text import fingerprint
+
+    of = old.select(
+        F.col(key), fingerprint(F.col(text_col)).alias("fp_old"), F.lit(1).alias("in_old")
+    )
+    nf = new.select(
+        F.col(key), fingerprint(F.col(text_col)).alias("fp_new"), F.lit(1).alias("in_new")
+    )
+    j = of.join(nf, key, "full_outer")
+    status = (
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(~F.col("fp_old").eqNullSafe(F.col("fp_new")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(key), status.alias("status")).filter(F.col("status") != "unchanged")
+
+
+def dedup_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    ngram: int = 4,
+) -> DataFrame:
+    """Dedup threshold PARAMETER SWEEP in one pass: for each candidate
+    Jaccard threshold, how many near-dup pairs fire and how many docs a
+    keep-lowest-id dedup would drop. The measure-before-committing
+    report a curation run does before picking τ — computed from ONE
+    blocked pair materialization (the quadratic work happens once;
+    the sweep is an explode over a constant array).
+
+    Thresholds compare against the ROUNDED (floor-e6) jaccard — the
+    jaccard_pairs convention — so every engine agrees on boundary
+    pairs. Thresholds with zero firing pairs emit no row (both engines).
+    """
+    pairs = jaccard_pairs(
+        df,
+        text_col,
+        id_col,
+        block_cols=block_cols,
+        ngram=ngram,
+        threshold=min(thresholds),
+    )
+    th = F.explode(F.array(*[F.lit(float(t)) for t in sorted(thresholds)])).alias("threshold")
+    swept = pairs.select("id_b", "jaccard", th).filter(F.col("jaccard") >= F.col("threshold"))
+    return swept.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_docs_removed"),
+    )

@@ -617,3 +617,41 @@ def bm25_rank(
         F.sum("c_e6").alias("score_e6"), F.count("*").alias("n_terms_hit")
     )
     return scored.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(top_k)
+
+
+def bpe_merge_candidates(df: DataFrame, text_col: str = "text", *, top_k: int = 20) -> DataFrame:
+    """First round of BPE tokenizer training over the corpus: count
+    adjacent character-pair occurrences inside words, weighted by word
+    frequency — the statistic whose argmax IS the first BPE merge rule
+    (Sennrich et al.; subsequent rounds re-run this on the merged symbol
+    stream). Emits the ``top_k`` candidate merges.
+
+    100 TB shape: the corpus collapses to the WORD-FREQUENCY table
+    first (vocabulary-sized — the classic BPE-training trick), so the
+    quadratic-ish pair explode runs over the vocabulary, not the token
+    stream; one final pair aggregate + TakeOrderedAndProject.
+    """
+    words = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    pairs = wc.select(
+        "n",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

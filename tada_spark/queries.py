@@ -4584,6 +4584,110 @@ SELECT window_start, event_type, n, rk FROM (
 """
 
 
+def snapshot_diff_docs(spark, sf):
+    """Corpus snapshot diff (functions/dedup.snapshot_diff): added /
+    removed / content-changed keys between two deterministic synthetic
+    snapshots of documents (old = doc_id%10 != 0; new = doc_id%7 != 0
+    with ' v2' appended to every doc_id%13 == 0 text) — the
+    incremental-ingest churn audit. One full-outer equi-join on
+    fingerprint-reduced sides; output is churn-sized."""
+    docs = load(spark, sf, "documents").to_df()
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.snapshot_diff(old, new)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH oldt AS (
+  SELECT doc_id,
+         MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_old,
+         1 AS in_old
+  FROM documents WHERE doc_id % 10 != 0
+), newt AS (
+  SELECT doc_id,
+         MD5(TRIM(REGEXP_REPLACE(LOWER(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END),
+                                 '[^a-z0-9]+', ' ', 'g'))) AS fp_new,
+         1 AS in_new
+  FROM documents WHERE doc_id % 7 != 0
+)
+SELECT doc_id, status FROM (
+  SELECT doc_id,
+         CASE WHEN in_old IS NULL THEN 'added'
+              WHEN in_new IS NULL THEN 'removed'
+              WHEN fp_old IS DISTINCT FROM fp_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM oldt FULL OUTER JOIN newt USING (doc_id)
+) WHERE status != 'unchanged'
+"""
+
+
+def dedup_threshold_sweep_docs(spark, sf):
+    """Dedup threshold parameter sweep (functions/dedup
+    .dedup_threshold_sweep): per candidate τ, firing near-dup pairs and
+    docs a keep-lowest-id dedup would drop — same 20% sample / lang
+    blocks / 4-gram Jaccard as jaccard_near_dups, the quadratic pair
+    work done ONCE and swept by an explode."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.dedup_threshold_sweep(
+        docs.to_df(), (0.35, 0.5, 0.75, 0.9), block_cols=["lang"], ngram=4
+    )
+
+
+THRESHOLD_SWEEP_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 3, 1) + 1),
+                       i -> SUBSTR(text, i::INT, 4))) AS sh
+  FROM documents WHERE doc_id % 5 = 0
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         FLOOR((LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+), fired AS (
+  SELECT t.th AS threshold, id_b, jaccard
+  FROM pr CROSS JOIN (SELECT UNNEST([0.35, 0.5, 0.75, 0.9]::DOUBLE[]) AS th) t
+  WHERE jaccard >= t.th
+)
+SELECT threshold, COUNT(*) AS n_pairs, COUNT(DISTINCT id_b) AS n_docs_removed
+FROM fired GROUP BY threshold
+"""
+
+
+def bpe_merge_docs(spark, sf):
+    """First BPE tokenizer-training round (functions/text
+    .bpe_merge_candidates): top-20 adjacent character-pair merges by
+    word-frequency-weighted count. The corpus collapses to the
+    vocabulary table before the pair explode — the classic BPE trick
+    that makes training corpus-size-independent past the word count."""
+    docs = load(spark, sf, "documents").to_df().select("text")
+    return text.bpe_merge_candidates(docs, top_k=20)
+
+
+BPE_MERGE_SQL = r"""
+WITH words AS (
+  SELECT t.w FROM (
+    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS w
+    FROM documents WHERE LENGTH(TRIM(text)) > 0
+  ) t WHERE t.w != ''
+), wc AS (
+  SELECT w, COUNT(*) AS n FROM words GROUP BY w
+), pairs AS (
+  SELECT SUBSTR(w, i::INT, 2) AS pair, n
+  FROM wc, UNNEST(RANGE(1, LENGTH(w))) t(i)
+  WHERE LENGTH(w) >= 2
+)
+SELECT pair, SUM(n)::BIGINT AS n_occ
+FROM pairs GROUP BY pair
+ORDER BY n_occ DESC, pair ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4727,6 +4831,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "validate_expectations_orders": (validate_expectations_orders, VALIDATE_EXPECT_SQL),
     "temperature_resample_docs": (temperature_resample_docs, TEMPERATURE_RESAMPLE_SQL),
     "stream_trending_types": (stream_trending_types, STREAM_TRENDING_SQL),
+    "snapshot_diff_docs": (snapshot_diff_docs, SNAPSHOT_DIFF_SQL),
+    "dedup_threshold_sweep_docs": (dedup_threshold_sweep_docs, THRESHOLD_SWEEP_SQL),
+    "bpe_merge_docs": (bpe_merge_docs, BPE_MERGE_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

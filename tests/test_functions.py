@@ -902,3 +902,61 @@ def test_temperature_resample_quotas_and_determinism(spark):
     ids1 = sorted(r.doc_id for r in out.collect())
     ids2 = sorted(r.doc_id for r in temperature_resample(df, "lang", "doc_id", 50).collect())
     assert ids1 == ids2
+
+
+# ---------------------------------------------------------------------------
+# ops tier: snapshot diff, threshold sweep, BPE merges
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (5, "brand new"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in dedup.snapshot_diff(old, new).collect()}
+    # 1 unchanged (dropped), 4 null→null unchanged (null-safe compare)
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_fingerprint_normalizes(spark):
+    # case/punctuation churn is NOT a content change (canonical fp)
+    old = spark.createDataFrame([(1, "Hello, World!")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert dedup.snapshot_diff(old, new).count() == 0
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    rows = [
+        (1, "aaaa bbbb cccc dddd", "en"),
+        (2, "aaaa bbbb cccc dddd", "en"),     # exact dup of 1
+        (3, "aaaa bbbb cccc xxxx", "en"),     # near dup
+        (4, "totally different words", "en"),
+        (5, "aaaa bbbb cccc dddd", "de"),     # other block: never pairs with 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.threshold: (r.n_pairs, r.n_docs_removed) for r in
+           dedup.dedup_threshold_sweep(df, (0.3, 0.9), block_cols=["lang"]).collect()}
+    assert out[0.9] == (1, 1)                  # only the exact dup fires at 0.9
+    assert out[0.3][0] >= out[0.9][0]          # pair count monotone in τ
+    assert out[0.3][1] >= out[0.9][1]
+    # blocking: doc 5 never pairs across langs, so it is never "removed"
+    assert out[0.3][1] <= 2
+
+
+def test_bpe_merge_candidates_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [("ab ab cd",), ("ab x",), ("",)], "text string"
+    )  # 'ab' appears 3×, 'cd' 1×, 'x' has no pair
+    out = {r.pair: r.n_occ for r in text.bpe_merge_candidates(df, top_k=10).collect()}
+    assert out == {"ab": 3, "cd": 1}
+
+
+def test_bpe_merge_candidates_overlapping_pairs(spark):
+    df = spark.createDataFrame([("aaa",)], "text string")
+    out = {r.pair: r.n_occ for r in text.bpe_merge_candidates(df).collect()}
+    assert out == {"aa": 2}  # positions 1-2 and 2-3 both count
