@@ -129,3 +129,54 @@ def test_bucketed_join_catalog_entry_zero_join_exchanges(spark, catalog):
     finally:
         spark.sql("DROP TABLE IF EXISTS q_buck_orders")
         spark.sql("DROP TABLE IF EXISTS q_buck_customer")
+
+
+def test_bm25_topk_and_no_python(spark, catalog):
+    plan = plan_of(catalog["bm25_search_docs"][0](spark, SF))
+    # top-k compiles to per-partition heaps, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # the corpus-stats scalar is a broadcast, not a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row allowlisted shape
+
+
+def test_inverted_index_two_aggregates_no_join(spark, catalog):
+    plan = plan_of(catalog["inverted_index_terms"][0](spark, SF))
+    assert "Join" not in plan  # pure two-level aggregation
+    assert "BatchEvalPython" not in plan
+
+
+def test_sq8_codes_scan_stays_partitioned(spark, catalog):
+    plan = plan_of(catalog["sq8_ann_topk"][0](spark, SF))
+    # integer-dot phase: probe codes broadcast against the corpus —
+    # the corpus-side codes scan must never itself be broadcast into
+    # a nested loop as the BUILD side; the only BNLJ carries the
+    # n_probes-row build (BuildRight with the broadcast probe set)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # exact re-rank joins are broadcast hash joins on the shortlist
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_single_join(spark, catalog):
+    plan = plan_of(catalog["snapshot_diff_docs"][0](spark, SF))
+    # fp-reduce then ONE full-outer join; no window, no python
+    assert plan.count("SortMergeJoin") <= 1
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_temperature_resample_no_global_window(spark, catalog):
+    plan = plan_of(catalog["temperature_resample_docs"][0](spark, SF))
+    # per-domain row_number: window is partitioned (never an empty
+    # partitionBy => single-partition funnel)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[1].split("\n")[0]
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_merge_vocab_sized_explode(spark, catalog):
+    plan = plan_of(catalog["bpe_merge_docs"][0](spark, SF))
+    # word-frequency aggregate BEFORE the pair explode + final TakeOrdered
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
