@@ -424,3 +424,56 @@ def sq8_topk(
             round_det("cos_raw", 6).alias("cos"), "rank",
         )
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-label embedding OUTLIER detection — the mislabeled/corrupt-
+    vector audit an embedding pipeline runs before training: each
+    vector's squared L2 distance to its own label's centroid, top-k
+    farthest per label flagged. Built on the kmeans_quantized exactness
+    discipline: vectors quantize to integer 1e-6 units, the centroid is
+    one deterministic rounding back onto the grid, and every distance
+    is pure long arithmetic — no float accumulation, so the flagged set
+    hash-matches any engine replaying the recipe.
+
+    100 TB shape: one (label, dim) aggregate with map-side partials
+    builds the centroid table (labels × dims rows ≪ corpus), which
+    broadcasts back onto the partitioned corpus; per-label ranking is
+    the standard top-N-per-group window.
+    """
+    q = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("v"),
+    )
+    dims = q.select(label_col, F.posexplode("v").alias("dim", "val"))
+    cents = dims.groupBy(label_col, "dim").agg(
+        F.floor(F.sum("val") / F.count("*") + F.lit(0.5)).cast("long").alias("cval")
+    )
+    cent_arr = cents.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s["cval"]
+        ).alias("cv")
+    )
+    j = q.join(F.broadcast(cent_arr), label_col)
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select(F.col(id_col), F.col(label_col), dist2.alias("dist2"))
+    w = Window.partitionBy(label_col).orderBy(F.col("dist2").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, label_col, "dist2", "rank")
+    )

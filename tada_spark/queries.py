@@ -4688,6 +4688,37 @@ ORDER BY n_occ DESC, pair ASC LIMIT 20
 """
 
 
+def embedding_outliers_labels(spark, sf):
+    """Per-label embedding outlier audit (functions/similarity
+    .embedding_outliers): top-3 farthest-from-own-centroid vectors per
+    label on the integer-exact grid (kmeans_quantized discipline:
+    e6-quantized values, deterministically rounded centroid, pure long
+    distances) — the mislabeled/corrupt-vector detector."""
+    emb = load(spark, sf, "embeddings").to_df()
+    return similarity.embedding_outliers(emb, top_k=3)
+
+
+EMBEDDING_OUTLIERS_SQL = """
+WITH qd AS (
+  SELECT vec_id AS vid, label, i - 1 AS dim,
+         FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i)
+), c AS (
+  SELECT label, dim, FLOOR(SUM(val) / COUNT(*) + 0.5)::BIGINT AS cval
+  FROM qd GROUP BY label, dim
+), d AS (
+  SELECT q.vid, q.label, SUM((q.val - c.cval) * (q.val - c.cval))::BIGINT AS dist2
+  FROM qd q JOIN c ON q.label = c.label AND q.dim = c.dim
+  GROUP BY q.vid, q.label
+)
+SELECT vid AS vec_id, label, dist2, rank FROM (
+  SELECT vid, label, dist2,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vid ASC) AS rank
+  FROM d
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4834,6 +4865,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "snapshot_diff_docs": (snapshot_diff_docs, SNAPSHOT_DIFF_SQL),
     "dedup_threshold_sweep_docs": (dedup_threshold_sweep_docs, THRESHOLD_SWEEP_SQL),
     "bpe_merge_docs": (bpe_merge_docs, BPE_MERGE_SQL),
+    "embedding_outliers_labels": (embedding_outliers_labels, EMBEDDING_OUTLIERS_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

@@ -133,3 +133,126 @@ def test_rolling_duration_equals_python_filter(spark, args):
     for uid, e, v, rid in data:
         want = sum(v2 for u2, e2, v2, _ in data if u2 == uid and e <= e2 < e + seconds)
         assert got[rid] == pytest.approx(want), (uid, e, seconds)
+
+
+# ---------------------------------------------------------------------------
+# bm25_rank ≡ brute-force python replica over randomized corpora
+# ---------------------------------------------------------------------------
+
+_bm25_inputs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+    min_size=1, max_size=10,
+)
+
+
+@given(docs=_bm25_inputs)
+@settings(**SETTINGS)
+def test_bm25_rank_equals_bruteforce(spark, docs):
+    import math
+
+    from tada_spark.functions.text import bm25_rank
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.score_e6, r.n_terms_hit)
+           for r in bm25_rank(df, ("a", "b"), top_k=100).collect()}
+
+    toks = {i: t for i, t in enumerate(docs)}
+    n_docs = len(docs)
+    total = sum(len(t) for t in toks.values())
+    want = {}
+    if total:
+        avgdl = total / n_docs
+        for term in ("a", "b"):
+            dft = sum(1 for t in toks.values() if term in t)
+            for d, t in toks.items():
+                tf = t.count(term)
+                if not tf:
+                    continue
+                idf = ((n_docs - dft) + 0.5) / (dft + 0.5)
+                tf_part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(t) / avgdl)))
+                s, n = want.get(d, (0, 0))
+                want[d] = (s + math.floor(idf * tf_part * 1e6 + 0.5), n + 1)
+    assert out == want
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff ≡ dict-based python diff on randomized snapshots
+# ---------------------------------------------------------------------------
+
+_snap_inputs = st.tuples(
+    st.dictionaries(st.integers(0, 15), st.sampled_from(["x", "y", "z", None]),
+                    min_size=0, max_size=12),
+    st.dictionaries(st.integers(0, 15), st.sampled_from(["x", "y", "z", None]),
+                    min_size=0, max_size=12),
+)
+
+
+@given(args=_snap_inputs)
+@settings(**SETTINGS)
+def test_snapshot_diff_equals_dict_diff(spark, args):
+    from tada_spark.functions.dedup import snapshot_diff
+
+    old_d, new_d = args
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(list(old_d.items()) or [(None, None)], schema).filter(
+        F.col("doc_id").isNotNull()
+    )
+    new = spark.createDataFrame(list(new_d.items()) or [(None, None)], schema).filter(
+        F.col("doc_id").isNotNull()
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            want[k] = "added"
+        elif k not in new_d:
+            want[k] = "removed"
+        elif old_d[k] != new_d[k]:  # null-safe: None == None is unchanged
+            want[k] = "changed"
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers ≡ numpy replica on the integer grid
+# ---------------------------------------------------------------------------
+
+_emb_inputs = st.lists(
+    st.tuples(
+        st.integers(0, 1),  # label
+        st.lists(st.floats(-2, 2, allow_nan=False, width=32), min_size=4, max_size=4),
+    ),
+    min_size=2, max_size=10,
+)
+
+
+@given(rows=_emb_inputs)
+@settings(**SETTINGS)
+def test_embedding_outliers_equals_numpy_grid(spark, rows):
+    import math
+
+    from tada_spark.functions.similarity import embedding_outliers
+
+    data = [(i, lab, [float(x) for x in v]) for i, (lab, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "vec_id long, label int, embedding array<float>")
+    got = {(r.label, r.rank): (r.vec_id, r.dist2)
+           for r in embedding_outliers(df, top_k=2).collect()}
+
+    # python replica: quantize float32 values through the same double path
+    import numpy as np
+
+    by_label = {}
+    for i, lab, v in data:
+        q = [math.floor(float(np.float32(x)) * 1e6 + 0.5) for x in v]
+        by_label.setdefault(lab, []).append((i, q))
+    want = {}
+    for lab, vecs in by_label.items():
+        dims = list(zip(*[q for _, q in vecs]))
+        cent = [math.floor(sum(d) / len(d) + 0.5) for d in dims]
+        scored = sorted(
+            ((sum((a - c) * (a - c) for a, c in zip(q, cent)), i) for i, q in vecs),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rk, (d2, i) in enumerate(scored[:2], 1):
+            want[(lab, rk)] = (i, d2)
+    assert got == want
