@@ -679,7 +679,6 @@ def source_overlap(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
     *,
     shingle_chars: int = 16,
 ) -> DataFrame:
@@ -696,8 +695,6 @@ def source_overlap(
     corpus-sized) — so the pair stream is |shared shingles| × O(1),
     never doc-pairwise. Per-source set sizes are a k-row broadcast.
     """
-    from tada_spark.functions.text import char_shingles
-
     sh = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
@@ -716,8 +713,6 @@ def source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    from tada_spark.plans.semantics import round_det
-
     ca = counts.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
     return (
@@ -754,8 +749,6 @@ def snapshot_diff(
     the change test is null-safe equality, mirrored in the oracle with
     IS DISTINCT FROM.
     """
-    from tada_spark.functions.text import fingerprint
-
     of = old.select(
         F.col(key), fingerprint(F.col(text_col)).alias("fp_old"), F.lit(1).alias("in_old")
     )

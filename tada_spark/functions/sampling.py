@@ -205,10 +205,13 @@ def temperature_resample(
     engines and partition layouts — the domain_cap discipline).
 
     Quotas stay integer end-to-end: q = floor(sqrt(n)*1e6+0.5),
-    quota_d = floor(q_d * target_total / q_total) — exact long
-    arithmetic, no float shares, so engines agree on every quota (a
-    domain with fewer rows than its quota just yields what it has;
-    floor keeps Σ quotas ≤ target_total).
+    quota_d = (q_d · target_total) div q_total — integral division on a
+    DECIMAL(38,0) product (Int128: a 1e9-row domain gives q ≈ 3.2e10,
+    and q·target_total would overflow a long for targets ≥ ~3e8; the
+    decimal product cannot, and DIV is exact — no double division
+    anywhere, so engines agree on every quota; the oracle mirrors with
+    HUGEINT `//`). A domain with fewer rows than its quota just yields
+    what it has; flooring keeps Σ quotas ≤ target_total.
 
     100 TB shape: one hash-agg to k domain rows, the k-row quota table
     broadcasts back onto the corpus, and the per-domain selection is
@@ -224,12 +227,14 @@ def temperature_resample(
     totals = quant.agg(F.sum("q").alias("q_total"))
     quotas = (
         quant.crossJoin(F.broadcast(totals))
-        .select(
-            "__dom__",
-            F.floor(F.col("q") * F.lit(int(target_total)) / F.col("q_total"))
-            .cast("long")
-            .alias("quota"),
+        .withColumn(
+            "quota",
+            F.expr(
+                f"CAST((CAST(q AS DECIMAL(38,0)) * CAST({int(target_total)} AS DECIMAL(38,0)))"
+                " DIV q_total AS BIGINT)"
+            ),
         )
+        .select("__dom__", "quota")
     )
     w = Window.partitionBy(domain_col).orderBy(
         md5_hash32(F.col(key).cast("string")).asc_nulls_last(),

@@ -384,7 +384,15 @@ def sq8_topk(
     (n_probes × shortlist rows) is the only thing that joins back to
     the full-precision vectors — compressed-domain scan, full-precision
     touch only on candidates, the standard SQ/ADC serving shape.
+
+    Contract (mirrored by the oracle): null/empty embeddings are
+    dropped up front — a null vector would otherwise ride a NULL
+    q_score into an under-filled top-k on the Spark side while the
+    oracle's per-row UNNEST drops it. Vectors are assumed fixed-width
+    (the table's schema contract, same as kmeans_quantized); ragged
+    rows are a caller error, not a silent partial score.
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     stats = sq8_dim_stats(corpus, vec_col=vec_col)
     coded = sq8_codes(corpus, stats, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cc")

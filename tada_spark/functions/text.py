@@ -527,10 +527,15 @@ def inverted_index(
     100 TB design: explode → two hash aggregates, both with map-side
     partials; the term stream shuffles once on (term, doc) and once on
     term. Output cardinality is vocabulary-sized (≪ corpus). The
-    posting-list preview is capped BEFORE leaving the aggregate
-    (slice of the sorted collect_list), so no row grows with corpus
-    size beyond the cap.
+    posting preview is capped BEFORE the aggregation buffer: a
+    row_number over (term, doc-id order) marks the ``max_postings``
+    lowest ids, and collect_list gathers ONLY those — a stopword term
+    in 1e8 docs buffers 16 longs, never 1e8 (the window's term-keyed
+    shuffle is the same exchange the final aggregate needs, so this
+    costs no extra shuffle).
     """
+    from pyspark.sql.window import Window
+
     terms = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
@@ -540,13 +545,21 @@ def inverted_index(
         .filter(F.col("term") != "")
     )
     tf = terms.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    tf = tf.withColumn("__prn__", F.row_number().over(w))
     return (
         tf.groupBy("term")
         .agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("total_tf"),
             F.concat_ws(
-                ",", F.slice(F.array_sort(F.collect_list(F.col(id_col))), 1, max_postings)
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("__prn__") <= max_postings, F.col(id_col)))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
             ).alias("top_postings"),
         )
     )

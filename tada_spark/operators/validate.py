@@ -53,10 +53,17 @@ def expect_regex(column: str, pattern: str) -> Expectation:
     return Expectation("regex", column, F.col(column).rlike(pattern))
 
 
+REPORT_SCHEMA = "rule string, column_name string, n_violations long, n_checked long, ok boolean"
+
+
 def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Run all expectations in ONE aggregate pass; returns one row per
-    rule: (rule, column_name, n_violations, n_checked, ok)."""
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__total__")]
+    rule: (rule, column_name, n_violations, n_checked, ok). An empty
+    rule list returns an empty report, not an error (rules often come
+    from config)."""
+    if not expectations:
+        return df.sparkSession.createDataFrame([], REPORT_SCHEMA)
+    aggs: list[Column] = []
     for i, e in enumerate(expectations):
         c = F.col(e.column)
         if e.rule == "not_null":

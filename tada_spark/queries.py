@@ -4441,7 +4441,7 @@ def source_overlap_matrix(spark, sf):
     distinct-shingle counts + set Jaccard per source pair. The
     feed-level complement of doc-level dedup."""
     docs = load(spark, sf, "documents").to_df()
-    return dedup.source_overlap(docs, "source", "text", "doc_id", shingle_chars=16)
+    return dedup.source_overlap(docs, "source", "text", shingle_chars=16)
 
 
 SOURCE_OVERLAP_SQL = """
@@ -4535,7 +4535,9 @@ TEMPERATURE_RESAMPLE_SQL = """
 WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
      q AS (SELECT lang, FLOOR(SQRT(n_docs) * 1000000 + 0.5)::BIGINT AS q FROM c),
      t AS (SELECT SUM(q)::BIGINT AS q_total FROM q),
-     quota AS (SELECT lang, FLOOR(q * 300 / q_total)::BIGINT AS quota FROM q, t),
+     -- HUGEINT product // exact integral division: mirrors the Spark
+     -- side's DECIMAL(38,0) DIV (no double division, no long overflow)
+     quota AS (SELECT lang, ((q::HUGEINT * 300) // q_total)::BIGINT AS quota FROM q, t),
      r AS (
        SELECT doc_id, lang,
               ROW_NUMBER() OVER (

@@ -960,3 +960,23 @@ def test_bpe_merge_candidates_overlapping_pairs(spark):
     df = spark.createDataFrame([("aaa",)], "text string")
     out = {r.pair: r.n_occ for r in text.bpe_merge_candidates(df).collect()}
     assert out == {"aa": 2}  # positions 1-2 and 2-3 both count
+
+
+def test_validate_empty_rules_returns_empty_report(spark):
+    from tada_spark.operators.validate import validate
+
+    df = spark.createDataFrame([(1,)], "k long")
+    out = validate(df, [])
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == [
+        "rule", "column_name", "n_violations", "n_checked", "ok",
+    ]
+
+
+def test_sq8_topk_drops_null_and_empty_vectors(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, None), (4, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.sq8_topk(df, n_probes=2, k=2, shortlist=3).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert 3 not in ids and 4 not in ids  # null/empty rows never appear
+    assert all(r.q_score is not None and r.cos is not None for r in out)

@@ -168,10 +168,12 @@ def test_snapshot_diff_single_join(spark, catalog):
 
 def test_temperature_resample_no_global_window(spark, catalog):
     plan = plan_of(catalog["temperature_resample_docs"][0](spark, SF))
-    # per-domain row_number: window is partitioned (never an empty
-    # partitionBy => single-partition funnel)
+    # per-domain row_number: the window's exchange is KEYED on the
+    # domain (a global window would show Exchange SinglePartition as
+    # its child instead; the only SinglePartition allowed in this plan
+    # is the 1-row quota-total scalar aggregate)
     assert "Window" in plan
-    assert "SinglePartition" not in plan.split("Window")[1].split("\n")[0]
+    assert "hashpartitioning(lang" in plan
     assert "BatchEvalPython" not in plan
 
 
