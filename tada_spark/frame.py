@@ -115,6 +115,33 @@ class Frame:
         df = spark.read.csv(path, header=header, inferSchema=infer)
         return cls(normalize_nulls(df, blank_as_null=blank_as_null), labels)
 
+    @classmethod
+    def read_jsonl(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        schema: str | None = None,
+        labels: Sequence[str] = (),
+    ) -> "Frame":
+        """Line-delimited JSON ingest — the interchange format every
+        crawl/annotation pipeline emits. Schema is explicit when given
+        (the 100 TB path: inference samples the data and costs an extra
+        scan; a declared schema also pins types across heterogeneous
+        producers), inferred otherwise. Splittable like CSV: one JSON
+        doc per line, so executors scan ranges independently."""
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return cls(reader.json(path), labels)
+
+    def write_jsonl(self, path: str, *, mode: str = "overwrite") -> None:
+        """Distributed line-delimited JSON sink (one object per line;
+        null fields are omitted per JSON-lines convention — the codec
+        module's column-oriented JSON keeps explicit null masks when
+        exact null round-trip matters)."""
+        self.to_df().write.mode(mode).json(path)
+
     def _wrap(self, df: DataFrame, labels: Sequence[str] | None = None) -> "Frame":
         labels = self.labels if labels is None else list(labels)
         keys = self.order_keys

@@ -2,6 +2,7 @@
 
 from tada_spark.streaming.windows import (
     run_available_now,
+    stream_to_parquet,
     stream_interval_join,
     stream_resample,
     stream_session_agg,
@@ -10,6 +11,7 @@ from tada_spark.streaming.windows import (
 
 __all__ = [
     "run_available_now",
+    "stream_to_parquet",
     "stream_interval_join",
     "stream_resample",
     "stream_session_agg",

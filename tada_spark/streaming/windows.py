@@ -183,3 +183,32 @@ def stream_interval_join(
             for c in right.columns
         ],
     )
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    timeout_s: int = 240,
+) -> None:
+    """Drive a streaming plan to completion (trigger availableNow) into
+    a PARQUET file sink with exactly-once checkpointing — the durable
+    twin of run_available_now's memory sink, and the shape a production
+    ingest job runs on a schedule: each invocation processes exactly
+    the files not yet recorded in the checkpoint, appends results, and
+    exits. Append output mode, so it fits stateless transforms and
+    watermark-finalized aggregations (complete-mode snapshots belong in
+    the memory sink; a table that is REPLACED per run is a batch write).
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream_to_parquet({path}) did not finish in {timeout_s}s")

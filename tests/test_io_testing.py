@@ -318,3 +318,53 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-01" in plan
     assert scan.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# JSONL file source/sink + streaming parquet sink
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, None, None), (3, "gamma", -2.0)],
+        "id long, name string, score double",
+    )
+    out = str(tmp_path / "docs.jsonl")
+    Frame(df).write_jsonl(out)
+    back = Frame.read_jsonl(spark, out, schema="id long, name string, score double")
+    rows = {r.id: (r.name, r.score) for r in back.df.collect()}
+    assert rows == {1: ("alpha", 1.5), 2: (None, None), 3: ("gamma", -2.0)}
+
+
+def test_jsonl_inferred_schema(spark, tmp_path):
+    out = str(tmp_path / "infer.jsonl")
+    spark.createDataFrame([(7, "x")], "k long, v string").write.json(out)
+    back = Frame.read_jsonl(spark, out)
+    assert back.df.count() == 1 and set(back.df.columns) == {"k", "v"}
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    from tada_spark.streaming import stream_to_parquet
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").write.parquet(src)
+
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    out = stream.filter(F.col("id") % 2 == 0)
+    stream_to_parquet(out, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 50
+
+    # second invocation with the SAME checkpoint: no new input files,
+    # so nothing is appended (exactly-once per input file)
+    stream2 = spark.readStream.schema("id long, v long").parquet(src)
+    stream_to_parquet(stream2.filter(F.col("id") % 2 == 0), sink, ckpt)
+    assert spark.read.parquet(sink).count() == 50
+
+    # new file arrives -> only IT is processed on the next run
+    spark.range(100, 120).selectExpr("id", "id * 2 AS v").write.mode("append").parquet(src)
+    stream3 = spark.readStream.schema("id long, v long").parquet(src)
+    stream_to_parquet(stream3.filter(F.col("id") % 2 == 0), sink, ckpt)
+    assert spark.read.parquet(sink).count() == 60
