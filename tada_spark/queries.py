@@ -4721,6 +4721,35 @@ SELECT vid AS vec_id, label, dist2, rank FROM (
 """
 
 
+def jsonl_pipeline_golden(spark, sf):
+    """JSONL interchange round-trip certified end-to-end: documents →
+    Frame.write_jsonl → Frame.read_jsonl (explicit schema) → per-lang
+    aggregate. The query RAISES if the round-trip loses or mutates rows
+    (count identity + anti-join emptiness), so this driver row certifies
+    the JSONL source/sink pair, and the aggregate is ordinary
+    oracle-checkable output computed FROM THE ROUND-TRIPPED data."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tada_jsonl_")
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "lang", "n_chars")
+    Frame(docs).write_jsonl(f"{d}/docs")
+    back = Frame.read_jsonl(
+        spark, f"{d}/docs", schema="doc_id long, lang string, n_chars long"
+    ).df
+    lost = docs.join(back, ["doc_id", "lang", "n_chars"], "left_anti").count()
+    if lost or back.count() != docs.count():
+        raise AssertionError(f"JSONL round-trip identity broke: {lost} rows lost/mutated")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+JSONL_PIPELINE_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4868,6 +4897,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_threshold_sweep_docs": (dedup_threshold_sweep_docs, THRESHOLD_SWEEP_SQL),
     "bpe_merge_docs": (bpe_merge_docs, BPE_MERGE_SQL),
     "embedding_outliers_labels": (embedding_outliers_labels, EMBEDDING_OUTLIERS_SQL),
+    "jsonl_pipeline_golden": (jsonl_pipeline_golden, JSONL_PIPELINE_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
