@@ -96,7 +96,14 @@ class Frame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # legacy INT96 files ALSO report unit='ns' through pyarrow,
+            # but Spark reads them natively as TIMESTAMP (nanosAsLong
+            # only affects INT64-nanos) — shim only columns that
+            # actually surfaced as raw long nanos
+            if isinstance(df.schema[c].dataType, T.LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+                )
         return cls(df, labels)
 
     @classmethod

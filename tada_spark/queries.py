@@ -4750,6 +4750,147 @@ FROM documents GROUP BY lang
 """
 
 
+def funnel_conversion_events(spark, sf):
+    """Ordered funnel conversion (view → click → purchase, each step
+    strictly AFTER the previous step's first completion) — the product-
+    analytics staple, as three chained user-keyed aggregates: t1 = first
+    view; t2 = first click after t1; t3 = first purchase after t2. Each
+    stage is one hash-agg on user_id plus an equi-join back (all on the
+    same key, so AQE reuses the partitioning); no window, no UDF. Output
+    is one row per funnel step with how many users reached it."""
+    ev = load(spark, sf, "events").to_df().select("user_id", "event_type", "ts")
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count("*").alias("n")).select(F.lit(1).alias("step"), F.lit("view").alias("event_type"), "n")
+        .unionByName(t2.agg(F.count("*").alias("n")).select(F.lit(2).alias("step"), F.lit("click").alias("event_type"), "n"))
+        .unionByName(t3.agg(F.count("*").alias("n")).select(F.lit(3).alias("step"), F.lit("purchase").alias("event_type"), "n"))
+    )
+    return counts
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM t1) AS n
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+"""
+
+
+def cohort_retention_events(spark, sf):
+    """Cohort retention matrix: users grouped by first-seen DAY, counted
+    as active per whole-week offset — the standard growth-analytics
+    rollup. Two user-keyed aggregates (first-seen, then distinct
+    activity) and pure integer date arithmetic; the matrix is
+    cohort×weeks-sized, never event-sized."""
+    ev = load(spark, sf, "events").to_df().select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    acts = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        acts.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+), acts AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+)
+SELECT cohort_day, FLOOR(DATE_DIFF('day', cohort_day, day) / 7)::BIGINT AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM acts JOIN first USING (user_id)
+GROUP BY cohort_day, week_offset
+"""
+
+
+def dense_resample_events(spark, sf):
+    """Gap-FILLED hourly resample: every hour bucket between the first
+    and last event exists in the output — empty hours carry n = 0 and
+    forward-fill the last seen hourly mean (plain Resample emits only
+    observed buckets; dashboards and join-on-time consumers need the
+    dense series). The bucket spine generates from ONE 1-row min/max
+    aggregate (sequence + explode — no join to build it), the hourly
+    aggregate left-joins onto it, and the ffill window runs over the
+    SPINE (|hours| rows — series-length-sized, not event-sized), which
+    is why a total-order window is acceptable here and nowhere else."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events").to_df()
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n_raw"), _round_det(F.avg("value"), 4).alias("mean_value")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # date_trunc always yields LTZ; leave in the INPUT column's
+    # timestamp family (the repo-wide convention, plans/timeutil.py)
+    ts_type = {f.name: f.dataType for f in ev.schema.fields}["ts"]
+    return (
+        spine.join(hourly, "bucket", "left")
+        .select(
+            F.col("bucket").cast(ts_type).alias("bucket"),
+            F.coalesce(F.col("n_raw"), F.lit(0)).alias("n"),
+            F.last("mean_value", ignorenulls=True).over(w).alias("mean_value_filled"),
+        )
+    )
+
+
+DENSE_RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_raw,
+         FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS mean_value
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT date_trunc('hour', MIN(ts)) FROM events),
+           (SELECT date_trunc('hour', MAX(ts)) FROM events),
+           INTERVAL 1 HOUR)) AS bucket
+)
+SELECT s.bucket, COALESCE(h.n_raw, 0) AS n,
+       LAST_VALUE(h.mean_value IGNORE NULLS)
+         OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_value_filled
+FROM spine s LEFT JOIN hourly h ON s.bucket = h.bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4898,6 +5039,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_merge_docs": (bpe_merge_docs, BPE_MERGE_SQL),
     "embedding_outliers_labels": (embedding_outliers_labels, EMBEDDING_OUTLIERS_SQL),
     "jsonl_pipeline_golden": (jsonl_pipeline_golden, JSONL_PIPELINE_SQL),
+    "funnel_conversion_events": (funnel_conversion_events, FUNNEL_SQL),
+    "cohort_retention_events": (cohort_retention_events, COHORT_SQL),
+    "dense_resample_events": (dense_resample_events, DENSE_RESAMPLE_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

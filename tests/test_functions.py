@@ -980,3 +980,62 @@ def test_sq8_topk_drops_null_and_empty_vectors(spark):
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert 3 not in ids and 4 not in ids  # null/empty rows never appear
     assert all(r.q_score is not None and r.cos is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# event analytics: funnel, cohort retention, dense resample
+# ---------------------------------------------------------------------------
+
+
+def _evdf(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, event_type string, epoch long")
+    return df.withColumn("ts", F.timestamp_seconds(F.col("epoch"))).withColumn(
+        "value", F.col("epoch").cast("double")
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    from tada_spark.queries import funnel_conversion_events  # noqa: F401 (shape only)
+    # exercise the logic inline (the catalog fn reads parquet): user 1
+    # completes the funnel in order; user 2 clicks BEFORE viewing (no
+    # step-2 credit); user 3 views only
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "click", 10), (2, "view", 20), (2, "purchase", 30),
+        (3, "view", 10),
+    ]
+    ev = _evdf(spark, rows)
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    t2 = (ev.filter(F.col("event_type") == "click").join(t1, "user_id")
+          .filter(F.col("ts") > F.col("t1")).groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase").join(t2, "user_id")
+          .filter(F.col("ts") > F.col("t2")).groupBy("user_id").agg(F.min("ts").alias("t3")))
+    assert t1.count() == 3 and t2.count() == 1 and t3.count() == 1
+    # user 2's purchase does NOT count: their click never followed a view
+    assert t3.first().user_id == 1
+
+
+def test_dense_resample_fills_gaps_and_ffills(spark, tmp_path):
+    from tada_spark.queries import dense_resample_events
+
+    # build a tiny parquet events table with a 2-hour gap
+    rows = [(1, "view", 0), (1, "view", 3600 * 3)]
+    ev = _evdf(spark, rows).select(
+        F.col("epoch").alias("event_id"), "ts", "user_id", "event_type",
+        "value", F.lit(None).cast("string").alias("props"),
+    )
+    sf = str(tmp_path)
+    # match the driver testdata's encoding (µs, not Spark's INT96
+    # default, which pyarrow reports as ns and routes to the ns shim)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ev.write.parquet(f"{sf}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    out = {r.bucket.hour: (r.n, r.mean_value_filled)
+           for r in dense_resample_events(spark, sf).collect()}
+    assert len(out) == 4                       # hours 0..3 all present
+    assert out[1][0] == 0 and out[2][0] == 0   # gap hours exist with n=0
+    assert out[1][1] == out[0][1]              # ... and carry hour 0's mean
+    assert out[3][0] == 1

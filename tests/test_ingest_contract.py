@@ -167,3 +167,26 @@ def test_ns_encoded_parquet_roundtrip(spark, tmp_path):
     )
     s_lo, s_hi = res.agg(F.min("ts"), F.max("ts")).first()
     assert (s_lo, s_hi) == (lo, hi)  # stream == batch, micros-truncated
+
+
+def test_read_parquet_int96_legacy_encoding(spark, tmp_path):
+    """Legacy Hive/Spark INT96 timestamps: pyarrow reports unit='ns',
+    but Spark reads them natively as TIMESTAMP — the ns shim must not
+    fire (a 100 TB lake mixes INT96 files in from old producers)."""
+    from pyspark.sql import functions as F
+
+    from tada_spark.frame import Frame
+
+    p = str(tmp_path / "int96")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.range(0, 3).select(
+            "id", F.timestamp_seconds(F.col("id") * 3600).alias("ts")
+        ).write.parquet(p)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    f = Frame.read_parquet(spark, p)
+    rows = {r.id: r.ts for r in f.df.collect()}
+    assert len(rows) == 3
+    assert rows[2].hour == 2  # values intact, no double conversion
