@@ -1,0 +1,48 @@
+"""Change-data-capture apply: MERGE a keyed change stream into a base
+table — the lakehouse upsert/delete primitive (Delta/Iceberg MERGE INTO
+re-expressed as plain DataFrame algebra, so it runs on bare parquet).
+
+Change rows carry (key, seq, op, payload...): op ∈ {'I','U','D'}, seq
+orders multiple changes to the same key within the batch (a CDC reader's
+log offset). Apply = keep the LATEST change per key (row_number over seq
+desc), then: base rows without changes pass through; keys whose latest
+op is I/U take the change payload; keys whose latest op is D disappear.
+
+100 TB shape: one window + anti-join + union, ALL keyed on the merge
+key — with base and changes bucketed by key this is the zero-extra-
+shuffle daily merge; the change batch is delta-sized, never base-sized.
+Ties on (key, seq) break deterministically by op desc — 'U' > 'I' > 'D'
+lexicographically, so an equal-seq update beats a delete — and replayed
+logs converge to the same table either way (a well-formed CDC reader
+never emits two ops at one (key, seq); the tie-break just pins the
+degenerate case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change batch to ``base``. ``changes`` must have the
+    base's columns plus ``seq_col`` and ``op_col``; returns the merged
+    table with the base's schema."""
+    payload = [c for c in base.columns]
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
+    latest = (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    untouched = base.join(latest.select(key), key, "left_anti")
+    applied = latest.filter(F.col(op_col) != "D").select(*payload)
+    return untouched.unionByName(applied)

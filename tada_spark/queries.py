@@ -4891,6 +4891,103 @@ FROM spine s LEFT JOIN hourly h ON s.bucket = h.bucket
 """
 
 
+def cdc_merge_orders(spark, sf):
+    """CDC MERGE (operators/cdc.apply_changes): a synthesized change
+    batch against orders — every key%7==0 gets an update (price doubled,
+    exact binary scaling) at seq 1, every key%13==0 a delete at seq 2
+    (so key%91==0 exercises latest-wins: the delete overrides the
+    update), and every key%11==0 is re-inserted under key+10_000_000 at
+    seq 1. One window + anti-join + union, all keyed on the merge key —
+    the lakehouse upsert on bare parquet."""
+    from tada_spark.operators.cdc import apply_changes
+
+    base = load(spark, sf, "orders").to_df().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return apply_changes(base, changes, "o_orderkey")
+
+
+CDC_MERGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         1 AS seq, 'U' AS op FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2, 'D'
+  FROM base WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, 1, 'I'
+  FROM base WHERE o_orderkey % 11 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM base b WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM latest WHERE op != 'D'
+"""
+
+
+def event_transition_matrix(spark, sf):
+    """Per-user event-type transition matrix (the Markov-chain /
+    user-journey view): LEAD over (user, ts, event_id) pairs each event
+    with its successor, then one (from, to) aggregate with the share of
+    each source type's outgoing transitions (floor idiom). One keyed
+    window + one vocabulary-sized aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events").to_df()
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wtot = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        _round_det(F.col("n") / F.sum("n").over(wtot), 6).alias("share"),
+    )
+
+
+TRANSITION_SQL = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM t WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       FLOOR((n::DOUBLE / (SUM(n) OVER (PARTITION BY from_type))) * 1000000 + 0.5) / 1000000 AS share
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5042,6 +5139,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "funnel_conversion_events": (funnel_conversion_events, FUNNEL_SQL),
     "cohort_retention_events": (cohort_retention_events, COHORT_SQL),
     "dense_resample_events": (dense_resample_events, DENSE_RESAMPLE_SQL),
+    "cdc_merge_orders": (cdc_merge_orders, CDC_MERGE_SQL),
+    "event_transition_matrix": (event_transition_matrix, TRANSITION_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

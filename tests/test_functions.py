@@ -1039,3 +1039,36 @@ def test_dense_resample_fills_gaps_and_ffills(spark, tmp_path):
     assert out[1][0] == 0 and out[2][0] == 0   # gap hours exist with n=0
     assert out[1][1] == out[0][1]              # ... and carry hour 0's mean
     assert out[3][0] == 1
+
+
+def test_cdc_apply_changes_semantics(spark):
+    from tada_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),     # update
+            (3, "c", 1, "D"),      # delete
+            (4, "d", 1, "I"),      # insert
+            (5, "e1", 1, "U"),     # two changes to one NEW key:
+            (5, None, 2, "D"),     # latest (seq 2) wins -> never appears
+            (6, "f-old", 1, "I"),
+            (6, "f-new", 2, "U"),  # latest wins -> f-new
+        ],
+        "k long, v string, seq int, op string",
+    )
+    out = {r.k: r.v for r in apply_changes(base, changes, "k").collect()}
+    assert out == {1: "a", 2: "b2", 4: "d", 6: "f-new"}
+
+
+def test_cdc_equal_seq_update_beats_delete(spark):
+    from tada_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", 1, "U"), (1, None, 1, "D")], "k long, v string, seq int, op string"
+    )
+    out = {r.k: r.v for r in apply_changes(base, changes, "k").collect()}
+    assert out == {1: "a2"}  # pinned degenerate tie-break: 'U' > 'D'
