@@ -46,3 +46,33 @@ def apply_changes(
     untouched = base.join(latest.select(key), key, "left_anti")
     applied = latest.filter(F.col(op_col) != "D").select(*payload)
     return untouched.unionByName(applied)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Build the SCD-type-2 HISTORY table from a CDC change stream: one
+    row per version with its validity interval in sequence space —
+    valid_from = the change's seq, valid_to = the NEXT change's seq
+    (null = still open), is_current = open AND not superseded by a
+    delete. Delete rows close their predecessor (via the successor
+    lookup) and emit no version themselves.
+
+    One keyed window (LEAD over seq) — delta-sized work, the same
+    merge-key partitioning as apply_changes, so the daily history
+    append co-locates with the merge."""
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).asc(), F.col(op_col).asc())
+    with_next = changes.withColumn("__next_seq__", F.lead(seq_col).over(w))
+    return (
+        with_next.filter(F.col(op_col) != "D")
+        .select(
+            *[c for c in changes.columns if c not in (op_col,)],
+            F.col("__next_seq__").alias("valid_to"),
+            F.col("__next_seq__").isNull().alias("is_current"),
+        )
+        .withColumnRenamed(seq_col, "valid_from")
+    )

@@ -4988,6 +4988,102 @@ FROM c
 """
 
 
+def scd2_history_orders(spark, sf):
+    """SCD-type-2 history (operators/cdc.scd2_history) from a
+    synthesized change stream over orders: key%5==0 inserts at seq 1,
+    key%10==0 updates (price doubled) at seq 2, key%20==0 deletes at
+    seq 3 — so the output shows open versions, closed-by-update
+    versions, and closed-by-delete versions. One keyed LEAD window."""
+    from tada_spark.operators.cdc import scd2_history
+
+    base = load(spark, sf, "orders").to_df().select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    changes = (
+        base.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 20 == 0).select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit(3).alias("seq"), F.lit("D").alias("op"),
+            )
+        )
+    )
+    return scd2_history(changes, "o_orderkey")
+
+
+SCD2_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 1 AS seq, 'I' AS op
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2, 2, 'U' FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, 3, 'D' FROM base WHERE o_orderkey % 20 = 0
+), h AS (
+  SELECT *, LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq ASC, op ASC) AS valid_to
+  FROM changes
+)
+SELECT o_orderkey, o_custkey, o_totalprice, seq AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM h WHERE op != 'D'
+"""
+
+
+def zorder_layout_orders(spark, sf):
+    """Z-order (Morton) clustering key demo (operators/layout
+    .zorder_key): interleave 16 bits of customer key with 16 bits of
+    order day, then summarize each high-bit bucket (z >> 16) — the
+    per-bucket min/max spans of BOTH dimensions stay narrow, which is
+    exactly the property that makes multi-column data skipping work
+    (sort by z, write ranged files, prune on either column). Pure
+    integer bit arithmetic at scan speed."""
+    from tada_spark.operators.layout import zorder_key
+
+    orders = load(spark, sf, "orders").to_df()
+    a = F.pmod(F.col("o_custkey"), F.lit(65536))
+    b = F.pmod(F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")), F.lit(65536))
+    z = zorder_key(a, b)
+    return (
+        orders.select(a.alias("a"), b.alias("b"), z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("a").alias("min_cust"), F.max("a").alias("max_cust"),
+            F.min("b").alias("min_day"), F.max("b").alias("max_day"),
+        )
+    )
+
+
+ZORDER_SQL = """
+WITH d AS (
+  SELECT ((o_custkey % 65536) + 65536) % 65536 AS a,
+         ((DATE_DIFF('day', DATE '1992-01-01', o_orderdate::DATE) % 65536) + 65536) % 65536 AS b
+  FROM orders
+), zd AS (
+  SELECT a, b,
+         LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+           i -> (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))))::BIGINT AS z
+  FROM d
+)
+SELECT z >> 16 AS bucket, COUNT(*) AS n,
+       MIN(a) AS min_cust, MAX(a) AS max_cust,
+       MIN(b) AS min_day, MAX(b) AS max_day
+FROM zd GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5141,6 +5237,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dense_resample_events": (dense_resample_events, DENSE_RESAMPLE_SQL),
     "cdc_merge_orders": (cdc_merge_orders, CDC_MERGE_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_SQL),
+    "scd2_history_orders": (scd2_history_orders, SCD2_SQL),
+    "zorder_layout_orders": (zorder_layout_orders, ZORDER_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

@@ -1072,3 +1072,39 @@ def test_cdc_equal_seq_update_beats_delete(spark):
     )
     out = {r.k: r.v for r in apply_changes(base, changes, "k").collect()}
     assert out == {1: "a2"}  # pinned degenerate tie-break: 'U' > 'D'
+
+
+def test_scd2_history_versions(spark):
+    from tada_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (1, "v1", 1, "I"), (1, "v2", 2, "U"),              # update chain, open
+            (2, "w1", 1, "I"), (2, None, 2, "D"),              # closed by delete
+            (3, "x1", 1, "I"),                                 # single open version
+        ],
+        "k long, v string, seq int, op string",
+    )
+    out = {(r.k, r.valid_from): (r.v, r.valid_to, r.is_current)
+           for r in scd2_history(changes, "k").collect()}
+    assert out == {
+        (1, 1): ("v1", 2, False),
+        (1, 2): ("v2", None, True),
+        (2, 1): ("w1", 2, False),   # closed by the delete, NOT current
+        (3, 1): ("x1", None, True),
+    }
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from tada_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
+    z = df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).first().z
+    # a bits at even positions, b bits at odd: a=1010 b=0110 -> z=01101100
+    assert z == 0b01101100
+    # locality: close (a,b) points get close z values
+    df2 = spark.createDataFrame([(a, b) for a in range(8) for b in range(8)], "a long, b long")
+    rows = df2.select("a", "b", zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")).collect()
+    zs = {(r.a, r.b): r.z for r in rows}
+    assert len(set(zs.values())) == 64  # bijective on the grid
+    assert zs[(0, 0)] == 0 and zs[(7, 7)] == 63
