@@ -54,10 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: bpe_merge_docs, embedding_outliers_labels, jsonl_pipeline_golden,
 #: funnel_conversion_events, cohort_retention_events,
 #: dense_resample_events, cdc_merge_orders, event_transition_matrix,
-#: scd2_history_orders, zorder_layout_orders) — the round-5 entries
-#: deliberately deferred to r06 (added after the window filled; each
-#: local-gate green at sf0.001, sf0.01 and sf0.1, and hash-stable at
-#: local[5]).
+#: scd2_history_orders, zorder_layout_orders, daily_ingest_pipeline) —
+#: the round-5 entries deliberately deferred to r06 (added after the
+#: window filled; each local-gate green at sf0.001, sf0.01 and sf0.1,
+#: and hash-stable at local[5]).
 _DRIVER_PRIORITY = [
     # (a) newest green is r02 — re-earn now or fall out of the union
     "value_counts_priority",

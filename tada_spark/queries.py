@@ -5084,6 +5084,88 @@ FROM zd GROUP BY bucket
 """
 
 
+def daily_ingest_pipeline(spark, sf):
+    """The DAILY-INGEST composition end-to-end in one plan: today's
+    delta (md5-bucket ≥ 80, the incremental_dedup split) → Gopher
+    quality gate → incremental dedup against the standing corpus
+    (bucket < 80 fingerprints) with first-in-batch tie-break → per-lang
+    funnel report (arrived / gated / admitted / admitted tokens). Every
+    stage is an already-verified operator; the composition is what a
+    user actually schedules. Scale shape: gate at scan speed, one
+    fp-keyed join vs the corpus fingerprint table (co-located if both
+    sides bucket by fp), one fp window on the delta, two lang-row
+    aggregates joined at k-row size."""
+    from pyspark.sql.window import Window
+
+    from tada_spark.functions.sampling import hash_bucket
+
+    docs = load(spark, sf, "documents").to_df()
+    bucket = hash_bucket(F.col("doc_id").cast("string"))
+    delta = docs.filter(bucket >= 80)
+    corpus_fps = (
+        docs.filter(bucket < 80)
+        .select(text.fingerprint(F.col("text")).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    gated = delta.filter(text.gopher_keep(F.col("text"), min_words=30, min_stop_hits=1)).select(
+        "doc_id",
+        "lang",
+        text.token_count(F.col("text")).alias("n_words"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    g2 = gated.withColumn("keep_id", F.min("doc_id").over(w)).join(corpus_fps, "fp", "left")
+    adm = (
+        F.col("fp").isNotNull()
+        & F.col("in_corpus").isNull()
+        & (F.col("doc_id") == F.col("keep_id"))
+    ).cast("long")
+    gstats = g2.groupBy("lang").agg(
+        F.count("*").alias("n_gated"),
+        F.sum(adm).alias("n_admitted"),
+        F.sum(adm * F.col("n_words")).alias("n_tokens_admitted"),
+    )
+    arrived = delta.groupBy("lang").agg(F.count("*").alias("n_arrived"))
+    return arrived.join(gstats, "lang", "left").select(
+        "lang",
+        "n_arrived",
+        F.coalesce(F.col("n_gated"), F.lit(0)).alias("n_gated"),
+        F.coalesce(F.col("n_admitted"), F.lit(0)).alias("n_admitted"),
+        F.coalesce(F.col("n_tokens_admitted"), F.lit(0)).alias("n_tokens_admitted"),
+    )
+
+
+DAILY_INGEST_SQL = _GATE_CTES_SQL + r""", corpus_fps AS (
+  SELECT DISTINCT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents WHERE ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 < 80
+), delta_gated AS (
+  SELECT doc_id, lang, n_words,
+         MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM f WHERE ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 >= 80
+), admitted AS (
+  SELECT d.lang, d.n_words,
+         CASE WHEN d.fp IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM corpus_fps c WHERE c.fp = d.fp)
+                AND d.doc_id = MIN(d.doc_id) OVER (PARTITION BY d.fp)
+              THEN 1 ELSE 0 END AS adm
+  FROM delta_gated d
+), arrived AS (
+  SELECT lang, COUNT(*) AS n_arrived FROM documents
+  WHERE ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 >= 80 GROUP BY lang
+), gated AS (
+  SELECT lang, COUNT(*) AS n_gated, SUM(adm)::BIGINT AS n_admitted,
+         SUM(adm * n_words)::BIGINT AS n_tokens_admitted
+  FROM admitted GROUP BY lang
+)
+SELECT a.lang, a.n_arrived, COALESCE(g.n_gated, 0) AS n_gated,
+       COALESCE(g.n_admitted, 0) AS n_admitted,
+       COALESCE(g.n_tokens_admitted, 0) AS n_tokens_admitted
+FROM arrived a LEFT JOIN gated g USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5239,6 +5321,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_transition_matrix": (event_transition_matrix, TRANSITION_SQL),
     "scd2_history_orders": (scd2_history_orders, SCD2_SQL),
     "zorder_layout_orders": (zorder_layout_orders, ZORDER_SQL),
+    "daily_ingest_pipeline": (daily_ingest_pipeline, DAILY_INGEST_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),
