@@ -4728,15 +4728,28 @@ def jsonl_pipeline_golden(spark, sf):
     (count identity + anti-join emptiness), so this driver row certifies
     the JSONL source/sink pair, and the aggregate is ordinary
     oracle-checkable output computed FROM THE ROUND-TRIPPED data."""
+    import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="tada_jsonl_")
+    # fixed per-SF path + overwrite mode: repeated sweeps REPLACE the
+    # round-trip copy instead of accumulating /tmp garbage (mkdtemp per
+    # call would leak a corpus-sized dir every invocation)
+    d = os.path.join(
+        tempfile.gettempdir(), f"tada_jsonl_golden_{os.path.basename(sf.rstrip('/'))}"
+    )
     docs = load(spark, sf, "documents").to_df().select("doc_id", "lang", "n_chars")
     Frame(docs).write_jsonl(f"{d}/docs")
     back = Frame.read_jsonl(
         spark, f"{d}/docs", schema="doc_id long, lang string, n_chars long"
     ).df
-    lost = docs.join(back, ["doc_id", "lang", "n_chars"], "left_anti").count()
+    # NULL-safe identity: plain anti-join equality would flag a row with
+    # a NULL field as "lost" even though JSONL round-trips NULLs fine
+    cond = (
+        docs["doc_id"].eqNullSafe(back["doc_id"])
+        & docs["lang"].eqNullSafe(back["lang"])
+        & docs["n_chars"].eqNullSafe(back["n_chars"])
+    )
+    lost = docs.join(back, cond, "left_anti").count()
     if lost or back.count() != docs.count():
         raise AssertionError(f"JSONL round-trip identity broke: {lost} rows lost/mutated")
     return back.groupBy("lang").agg(
@@ -4811,8 +4824,11 @@ def cohort_retention_events(spark, sf):
     ev = load(spark, sf, "events").to_df().select("user_id", "ts")
     first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
     acts = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # no broadcast hint: `first` is USER-cardinality (not k-sized) — both
+    # sides are user-keyed, so the join co-partitions; AQE may still
+    # choose a broadcast when the user table is actually small
     return (
-        acts.join(F.broadcast(first), "user_id")
+        acts.join(first, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -5095,33 +5111,22 @@ def daily_ingest_pipeline(spark, sf):
     fp-keyed join vs the corpus fingerprint table (co-located if both
     sides bucket by fp), one fp window on the delta, two lang-row
     aggregates joined at k-row size."""
-    from pyspark.sql.window import Window
-
     from tada_spark.functions.sampling import hash_bucket
 
     docs = load(spark, sf, "documents").to_df()
     bucket = hash_bucket(F.col("doc_id").cast("string"))
     delta = docs.filter(bucket >= 80)
-    corpus_fps = (
-        docs.filter(bucket < 80)
-        .select(text.fingerprint(F.col("text")).alias("fp"))
-        .filter(F.col("fp").isNotNull())
-        .distinct()
-        .withColumn("in_corpus", F.lit(1))
+    gated_docs = delta.filter(text.gopher_keep(F.col("text"), min_words=30, min_stop_hits=1))
+    # the ACTUAL incremental_dedup operator (not a re-derivation): its
+    # NULL-fp contract and keep-first tie-break apply here by reuse
+    admitted_ids = dedup.incremental_dedup(gated_docs, docs.filter(bucket < 80)).select(
+        "doc_id", F.lit(1).alias("adm_flag")
     )
-    gated = delta.filter(text.gopher_keep(F.col("text"), min_words=30, min_stop_hits=1)).select(
-        "doc_id",
-        "lang",
-        text.token_count(F.col("text")).alias("n_words"),
-        text.fingerprint(F.col("text")).alias("fp"),
+    gated = gated_docs.select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_words")
     )
-    w = Window.partitionBy("fp")
-    g2 = gated.withColumn("keep_id", F.min("doc_id").over(w)).join(corpus_fps, "fp", "left")
-    adm = (
-        F.col("fp").isNotNull()
-        & F.col("in_corpus").isNull()
-        & (F.col("doc_id") == F.col("keep_id"))
-    ).cast("long")
+    g2 = gated.join(admitted_ids, "doc_id", "left")
+    adm = F.coalesce(F.col("adm_flag"), F.lit(0)).cast("long")
     gstats = g2.groupBy("lang").agg(
         F.count("*").alias("n_gated"),
         F.sum(adm).alias("n_admitted"),

@@ -168,12 +168,15 @@ def test_snapshot_diff_single_join(spark, catalog):
 
 def test_temperature_resample_no_global_window(spark, catalog):
     plan = plan_of(catalog["temperature_resample_docs"][0](spark, SF))
-    # per-domain row_number: the window's exchange is KEYED on the
-    # domain (a global window would show Exchange SinglePartition as
-    # its child instead; the only SinglePartition allowed in this plan
-    # is the 1-row quota-total scalar aggregate)
-    assert "Window" in plan
-    assert "hashpartitioning(lang" in plan
+    # per-domain row_number: the WINDOW ITSELF is partitioned on the
+    # domain — assert on the windowspecdefinition (a global window's
+    # spec would carry no lang partition key; a plan-wide
+    # "hashpartitioning(lang" check is vacuous because the quota
+    # aggregates emit those exchanges regardless)
+    assert "windowspecdefinition(lang" in plan
+    # exactly one SinglePartition exchange: the 1-row quota-total scalar
+    # aggregate; a global window would add a second
+    assert plan.count("Exchange SinglePartition") == 1
     assert "BatchEvalPython" not in plan
 
 
