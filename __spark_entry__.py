@@ -54,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: bpe_merge_docs, embedding_outliers_labels, jsonl_pipeline_golden,
 #: funnel_conversion_events, cohort_retention_events,
 #: dense_resample_events, cdc_merge_orders, event_transition_matrix,
-#: scd2_history_orders, zorder_layout_orders, daily_ingest_pipeline) —
+#: scd2_history_orders, zorder_layout_orders, daily_ingest_pipeline,
+#: fuzzy_join_names, robust_outliers_events, stream_dedup_watermarked) —
 #: the round-5 entries deliberately deferred to r06 (added after the
 #: window filled; each local-gate green at sf0.001, sf0.01 and sf0.1,
 #: and hash-stable at local[5]).

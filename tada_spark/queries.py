@@ -5171,6 +5171,110 @@ FROM arrived a LEFT JOIN gated g USING (lang)
 """
 
 
+def fuzzy_join_names(spark, sf):
+    """Blocked fuzzy record linkage (operators/linkage.fuzzy_join):
+    match customer and supplier entity numbers within 1 Levenshtein
+    edit, blocked on the 7-digit number prefix — the dedupe-across-
+    registries pattern. Distance runs only inside blocks (equi-join on
+    the prefix), JVM-side levenshtein, no UDF."""
+    from tada_spark.operators.linkage import fuzzy_join, prefix_block
+
+    cust = load(spark, sf, "customer").to_df().select(
+        "c_custkey", F.substring("c_name", 10, 9).alias("c_num")
+    )
+    supp = load(spark, sf, "supplier").to_df().select(
+        "s_suppkey", F.substring("s_name", 10, 9).alias("s_num")
+    )
+    out = fuzzy_join(cust, supp, "c_num", "s_num", prefix_block(7), max_dist=1)
+    return out.select("c_custkey", "s_suppkey", "dist")
+
+
+FUZZY_JOIN_SQL = """
+WITH c AS (SELECT c_custkey, SUBSTR(c_name, 10, 9) AS c_num FROM customer),
+     s AS (SELECT s_suppkey, SUBSTR(s_name, 10, 9) AS s_num FROM supplier)
+SELECT c_custkey, s_suppkey, LEVENSHTEIN(c_num, s_num) AS dist
+FROM c JOIN s ON SUBSTR(c_num, 1, 7) = SUBSTR(s_num, 1, 7)
+WHERE LEVENSHTEIN(c_num, s_num) <= 1
+"""
+
+
+def robust_outliers_events(spark, sf):
+    """Robust (median/MAD) outlier detection on event values per type —
+    the skew-immune alternative to mean/std z-scores: rz = (x - median)
+    / (1.4826·MAD), flag |rz| ≥ 3.5 (Iglewicz-Hoaglin; the events value
+    column is genuinely heavy-tailed, so this fires on real tail mass).
+    Exact interpolated percentiles (the quantiles_price_by_status
+    idiom); two k-row broadcast joins (type-cardinality model tables);
+    the threshold compares the ROUNDED score so engines agree on
+    boundary rows."""
+    ev = load(spark, sf, "events").to_df().select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "rz",
+        _round_det((F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4),
+    )
+    return scored.filter(F.abs(F.col("rz")) >= 3.5).select(
+        "event_id", "event_type", _round_det("value", 4).alias("value"), "rz"
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, ABS(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY event_type
+), scored AS (
+  SELECT d.event_id, d.event_type,
+         FLOOR((d.value) * 10000 + 0.5) / 10000 AS value,
+         FLOOR(((d.value - d.med) / (1.4826 * m.mad)) * 10000 + 0.5) / 10000 AS rz
+  FROM dev d JOIN mad m USING (event_type)
+)
+SELECT event_id, event_type, value, rz FROM scored WHERE ABS(rz) >= 3.5
+"""
+
+
+def stream_dedup_watermarked(spark, sf):
+    """Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark,
+    §2.10 family): the state-safe production variant of
+    stream_dedup_fingerprints — per-key state expires once the
+    watermark passes, so state size follows the duplicate-arrival
+    window, not stream lifetime. Output: the distinct (user, type) key
+    set, arrival-order-independent."""
+    stream = _stream_events(spark, sf)
+    from tada_spark.streaming.windows import _event_time
+
+    stream, _restore = _event_time(stream, "ts")
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("stream_dedup_watermarked did not finish")
+    return spark.table("q_stream_dedup_wm")
+
+
+STREAM_DEDUP_WM_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5327,6 +5431,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "scd2_history_orders": (scd2_history_orders, SCD2_SQL),
     "zorder_layout_orders": (zorder_layout_orders, ZORDER_SQL),
     "daily_ingest_pipeline": (daily_ingest_pipeline, DAILY_INGEST_SQL),
+    "fuzzy_join_names": (fuzzy_join_names, FUZZY_JOIN_SQL),
+    "robust_outliers_events": (robust_outliers_events, ROBUST_OUTLIERS_SQL),
+    "stream_dedup_watermarked": (stream_dedup_watermarked, STREAM_DEDUP_WM_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

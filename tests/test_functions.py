@@ -1108,3 +1108,33 @@ def test_zorder_key_interleaves_bits(spark):
     zs = {(r.a, r.b): r.z for r in rows}
     assert len(set(zs.values())) == 64  # bijective on the grid
     assert zs[(0, 0)] == 0 and zs[(7, 7)] == 63
+
+
+def test_fuzzy_join_blocked_edit_distance(spark):
+    from tada_spark.operators.linkage import fuzzy_join, prefix_block
+
+    left = spark.createDataFrame(
+        [(1, "000000123"), (2, "000000999"), (3, "111111111")], "lid long, lnum string"
+    )
+    right = spark.createDataFrame(
+        [(10, "000000124"), (11, "000000123"), (12, "999999123")], "rid long, rnum string"
+    )
+    out = {(r.lid, r.rid): r.dist for r in
+           fuzzy_join(left, right, "lnum", "rnum", prefix_block(7), max_dist=1).collect()}
+    # 123~124 (1 edit) and 123~123 (0 edits) match within the block;
+    # 999999123 shares no 7-prefix with anything -> blocked out even
+    # though its distance to 111111111 is finite
+    assert out == {(1, 10): 1, (1, 11): 0}
+
+
+def test_robust_outliers_flags_injected_tail(spark):
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 2, 1, 3, 2, 1000])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = df.join(med, "event_type").withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    scored = dev.join(mad, "event_type").withColumn(
+        "rz", (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    )
+    out = [r.event_id for r in scored.filter(F.abs(F.col("rz")) >= 3.5).collect()]
+    assert out == [7]  # only the injected 1000 flags
