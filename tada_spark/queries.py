@@ -5275,6 +5275,117 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def assoc_rules_events(spark, sf):
+    """Pairwise association rules (support / confidence / lift) over
+    per-(user, day) baskets of event types — market-basket mining,
+    pairwise tier: baskets are distinct (user, day, type) triples, the
+    pair stream is a basket-keyed self-join (≤ |types|² per basket,
+    never corpus-pairwise), item and basket totals broadcast back.
+    Emits both rule directions; all ratios floor-e6."""
+    ev = load(spark, sf, "events").to_df()
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), F.col("event_type").alias("item")
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day").distinct().groupBy().agg(
+        F.count("*").alias("n_baskets")
+    )
+    item_n = baskets.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = baskets.select("user_id", "day", F.col("item").alias("antecedent"))
+    b = baskets.select("user_id", "day", F.col("item").alias("consequent"))
+    pair_n = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    na = item_n.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_a"))
+    nc = item_n.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_c"))
+    return (
+        pair_n.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            _round_det(F.col("n_pair") / F.col("n_baskets"), 6).alias("support"),
+            _round_det(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
+            _round_det(
+                (F.col("n_pair") * F.col("n_baskets")) / (F.col("n_a") * F.col("n_c")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+ASSOC_RULES_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, ts::DATE AS day, event_type AS item FROM events
+), nb AS (
+  SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets)
+), item_n AS (
+  SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item
+), pair_n AS (
+  SELECT a.item AS antecedent, b.item AS consequent, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+  WHERE a.item != b.item GROUP BY a.item, b.item
+)
+SELECT antecedent, consequent, n_pair,
+       FLOOR((n_pair::DOUBLE / n_baskets) * 1000000 + 0.5) / 1000000 AS support,
+       FLOOR((n_pair::DOUBLE / na.n_item) * 1000000 + 0.5) / 1000000 AS confidence,
+       FLOOR(((n_pair * n_baskets)::DOUBLE / (na.n_item * nc.n_item)) * 1000000 + 0.5) / 1000000 AS lift
+FROM pair_n
+JOIN item_n na ON na.item = antecedent
+JOIN item_n nc ON nc.item = consequent, nb
+"""
+
+
+def time_grouping_sets_events(spark, sf):
+    """Multi-granularity rollup in ONE pass (GROUPING SETS): hourly,
+    daily and monthly event counts + value totals from a single scan
+    (the Expand operator emits one tuple per granularity per row —
+    3× map-side rows, ONE shuffle, versus three scans for a naive
+    union). Buckets formatted as strings so the output is timestamp-
+    family-neutral; grain derived from which bucket column is set."""
+    ev = load(spark, sf, "events").to_df().select(
+        F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "value",
+    )
+    out = ev.groupingSets(
+        [["hour"], ["day"], ["month"]], F.col("hour"), F.col("day"), F.col("month")
+    ).agg(F.count("*").alias("n"), _round_det(F.sum("value"), 4).alias("total"))
+    grain = (
+        F.when(F.col("hour").isNotNull(), F.lit("hour"))
+        .when(F.col("day").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("month"))
+    )
+    return out.select(
+        grain.alias("grain"),
+        F.coalesce(F.col("hour"), F.col("day"), F.col("month")).alias("bucket"),
+        "n",
+        "total",
+    )
+
+
+TIME_GROUPING_SETS_SQL = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,
+         strftime(ts, '%Y-%m-%d') AS day,
+         strftime(ts, '%Y-%m') AS month,
+         value
+  FROM events
+)
+SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+            WHEN day IS NOT NULL THEN 'day'
+            ELSE 'month' END AS grain,
+       COALESCE(hour, day, month) AS bucket,
+       COUNT(*) AS n,
+       FLOOR((SUM(value)) * 10000 + 0.5) / 10000 AS total
+FROM e GROUP BY GROUPING SETS ((hour), (day), (month))
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5434,6 +5545,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fuzzy_join_names": (fuzzy_join_names, FUZZY_JOIN_SQL),
     "robust_outliers_events": (robust_outliers_events, ROBUST_OUTLIERS_SQL),
     "stream_dedup_watermarked": (stream_dedup_watermarked, STREAM_DEDUP_WM_SQL),
+    "assoc_rules_events": (assoc_rules_events, ASSOC_RULES_SQL),
+    "time_grouping_sets_events": (time_grouping_sets_events, TIME_GROUPING_SETS_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

@@ -1138,3 +1138,24 @@ def test_robust_outliers_flags_injected_tail(spark):
     )
     out = [r.event_id for r in scored.filter(F.abs(F.col("rz")) >= 3.5).collect()]
     assert out == [7]  # only the injected 1000 flags
+
+
+def test_assoc_rules_lift_and_confidence(spark):
+    from tada_spark.queries import _round_det  # noqa: F401 (idiom reference)
+    # replicate the basket logic inline on a tiny frame: 4 baskets;
+    # A+B co-occur in 2, A alone in 1, B alone in 1
+    rows = [
+        (1, "2024-01-01", "A"), (1, "2024-01-01", "B"),
+        (2, "2024-01-01", "A"), (2, "2024-01-01", "B"),
+        (3, "2024-01-01", "A"),
+        (4, "2024-01-01", "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day string, item string")
+    a = df.select("user_id", "day", F.col("item").alias("antecedent"))
+    b = df.select("user_id", "day", F.col("item").alias("consequent"))
+    pair = (a.join(b, ["user_id", "day"]).filter(F.col("antecedent") != F.col("consequent"))
+            .groupBy("antecedent", "consequent").agg(F.count("*").alias("n")))
+    got = {(r.antecedent, r.consequent): r.n for r in pair.collect()}
+    assert got == {("A", "B"): 2, ("B", "A"): 2}
+    # lift = n_ab * N / (n_a * n_b) = 2*4/(3*3) < 1: mild negative association
+    assert (2 * 4) / (3 * 3) < 1

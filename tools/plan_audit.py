@@ -33,6 +33,10 @@ ALLOWED_EXCHANGES = {
     # hot/cold split = detection count + 2 joins + union merge; the
     # extra exchanges ARE the skew mitigation
     "salted_join_events_users": 12,
+    # the distinct basket table feeds FOUR independent consumers (pair
+    # self-join both sides, item totals, basket count) — each re-derives
+    # or reuses the distinct exchange; item/basket totals are k-row
+    "assoc_rules_events": 10,
     # 4 OR-ed LSH tables × shuffled self-join (2 small exchanges each)
     # + final pair dedupe; the shuffles replace a broadcast that would
     # recompute the bucket pipeline once per join side
@@ -72,6 +76,8 @@ ALLOWED_BNLJ = {
     # 1-row q_total scalar broadcast into the k-domain quota table —
     # same scalar-subquery shape as domain_mix_weights
     "temperature_resample_docs",
+    # 1-row basket-count scalar broadcast (support/lift denominator)
+    "assoc_rules_events",
 }
 
 
