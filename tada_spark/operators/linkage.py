@@ -10,6 +10,8 @@ no UDF.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -19,38 +21,37 @@ def fuzzy_join(
     right: DataFrame,
     left_col: str,
     right_col: str,
-    block: Column,
+    block: Callable[[Column], Column],
     *,
     max_dist: int = 1,
 ) -> DataFrame:
     """Join rows whose ``left_col``/``right_col`` values are within
     ``max_dist`` Levenshtein edits, candidate pairs restricted to equal
-    ``block`` values (the blocking expression is evaluated against each
-    side's match column). Returns left.* + right.* + ``dist``.
+    blocking keys (``block`` is a Column→Column function applied to each
+    side's own match column, e.g. ``prefix_block(7)``). Returns
+    left.* + right.* + ``dist``; the two sides are aliased internally,
+    so SELF-linkage (left is right, or shared column names) resolves
+    unambiguously — column qualification for downstream access of
+    duplicated names is the caller's concern, as with any Spark
+    self-join.
 
     100 TB shape: one equi-join on the block key (broadcast or shuffle,
     Catalyst's choice), distance computed only on co-blocked pairs —
     cost is Σ |block_l|·|block_r|, bounded by the caller's blocking
     granularity, never |L|·|R|.
     """
-    lb = left.withColumn("__blk__", block_of(block, left_col))
-    rb = right.withColumn("__blk__", block_of(block, right_col))
-    j = lb.join(rb, "__blk__")
-    dist = F.levenshtein(F.col(left_col), F.col(right_col))
-    return j.withColumn("dist", dist).filter(F.col("dist") <= max_dist).drop("__blk__")
+    lb = left.withColumn("__blk__", block(F.col(left_col))).alias("__fz_l__")
+    rb = right.withColumn("__blk__", block(F.col(right_col))).alias("__fz_r__")
+    j = lb.join(rb, F.col("__fz_l__.__blk__") == F.col("__fz_r__.__blk__"))
+    dist = F.levenshtein(F.col(f"__fz_l__.{left_col}"), F.col(f"__fz_r__.{right_col}"))
+    return (
+        j.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .drop("__blk__")
+    )
 
 
-def block_of(block: Column | None, col: str) -> Column:
-    """Resolve the blocking expression for one side: a Column template
-    is applied as-is when it references the side's own columns; the
-    common case is a function of the match column built by the caller
-    via ``F.col``-free helpers (e.g. ``prefix_block``)."""
-    if callable(block):
-        return block(F.col(col))
-    return block
-
-
-def prefix_block(n: int):
+def prefix_block(n: int) -> Callable[[Column], Column]:
     """Blocking key: the first ``n`` characters of the match column —
     right for identifier-like strings where early characters are
     stable. Returns a callable applied per side by fuzzy_join."""

@@ -5212,10 +5212,24 @@ def robust_outliers_events(spark, sf):
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
-    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
-        "rz",
-        _round_det((F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4),
+    # MAD = 0 (over half the group AT the median) is the standard
+    # degenerate case — Iglewicz-Hoaglin prescribe the meanAD fallback
+    # (scale 1.2533). The meanAD is floor-quantized BEFORE use so the
+    # order-dependent float mean can never flip a boundary row between
+    # engines; a group with zero spread (scale 0) emits nothing — no
+    # division ever runs against a 0 scale on either engine.
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad"),
+        _round_det(F.avg("absdev"), 6).alias("meanad"),
+    )
+    scale = F.when(F.col("mad") > 0, F.lit(1.4826) * F.col("mad")).otherwise(
+        F.lit(1.2533) * F.col("meanad")
+    )
+    scored = (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .withColumn("rz", _round_det((F.col("value") - F.col("med")) / F.col("scale"), 4))
     )
     return scored.filter(F.abs(F.col("rz")) >= 3.5).select(
         "event_id", "event_type", _round_det("value", 4).alias("value"), "rz"
@@ -5229,14 +5243,20 @@ WITH med AS (
   SELECT e.event_id, e.event_type, e.value, m.med, ABS(e.value - m.med) AS absdev
   FROM events e JOIN med m USING (event_type)
 ), mad AS (
-  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY event_type
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad,
+         FLOOR((AVG(absdev)) * 1000000 + 0.5) / 1000000 AS meanad
+  FROM dev GROUP BY event_type
 ), scored AS (
-  SELECT d.event_id, d.event_type,
-         FLOOR((d.value) * 10000 + 0.5) / 10000 AS value,
-         FLOOR(((d.value - d.med) / (1.4826 * m.mad)) * 10000 + 0.5) / 10000 AS rz
+  SELECT d.event_id, d.event_type, d.value, d.med,
+         CASE WHEN m.mad > 0 THEN 1.4826 * m.mad ELSE 1.2533 * m.meanad END AS scale
   FROM dev d JOIN mad m USING (event_type)
 )
-SELECT event_id, event_type, value, rz FROM scored WHERE ABS(rz) >= 3.5
+SELECT event_id, event_type,
+       FLOOR((value) * 10000 + 0.5) / 10000 AS value,
+       FLOOR(((value - med) / scale) * 10000 + 0.5) / 10000 AS rz
+FROM scored
+WHERE scale > 0
+  AND ABS(FLOOR(((value - med) / scale) * 10000 + 0.5) / 10000) >= 3.5
 """
 
 
@@ -5245,11 +5265,17 @@ def stream_dedup_watermarked(spark, sf):
     §2.10 family): the state-safe production variant of
     stream_dedup_fingerprints — per-key state expires once the
     watermark passes, so state size follows the duplicate-arrival
-    window, not stream lifetime. Output: the distinct (user, type) key
-    set, arrival-order-independent."""
-    stream = _stream_events(spark, sf)
+    window, not stream lifetime. Oracle contract pinned to the
+    single-batch case: the events table is ONE parquet file, so
+    availableNow delivers one micro-batch and the snapshot equals batch
+    DISTINCT (the same argument stream_running_totals_users makes). On
+    a real multi-batch stream, a key recurring after its state expired
+    re-emits BY DESIGN — that is the state bound, not a bug — and batch
+    DISTINCT is deliberately NOT the cross-batch semantics."""
+    from tada_spark.streaming import run_available_now
     from tada_spark.streaming.windows import _event_time
 
+    stream = _stream_events(spark, sf)
     stream, _restore = _event_time(stream, "ts")
     out = (
         stream.withWatermark("ts", "1 hour")
@@ -5257,17 +5283,7 @@ def stream_dedup_watermarked(spark, sf):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_stream_dedup_wm")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        q.stop()
-        raise TimeoutError("stream_dedup_watermarked did not finish")
-    return spark.table("q_stream_dedup_wm")
+    return run_available_now(out, "q_stream_dedup_wm", timeout_s=240, output_mode="append")
 
 
 STREAM_DEDUP_WM_SQL = """
@@ -5352,12 +5368,20 @@ def time_grouping_sets_events(spark, sf):
         F.date_format("ts", "yyyy-MM").alias("month"),
         "value",
     )
+    # grain comes from GROUPING() — null-safe: a NULL ts nulls all three
+    # formatted buckets, and an isNotNull-based CASE would then collapse
+    # the three grouping-set rows into one misclassified grain
     out = ev.groupingSets(
         [["hour"], ["day"], ["month"]], F.col("hour"), F.col("day"), F.col("month")
-    ).agg(F.count("*").alias("n"), _round_det(F.sum("value"), 4).alias("total"))
+    ).agg(
+        F.count("*").alias("n"),
+        _round_det(F.sum("value"), 4).alias("total"),
+        F.grouping("hour").alias("g_hour"),
+        F.grouping("day").alias("g_day"),
+    )
     grain = (
-        F.when(F.col("hour").isNotNull(), F.lit("hour"))
-        .when(F.col("day").isNotNull(), F.lit("day"))
+        F.when(F.col("g_hour") == 0, F.lit("hour"))
+        .when(F.col("g_day") == 0, F.lit("day"))
         .otherwise(F.lit("month"))
     )
     return out.select(
@@ -5376,8 +5400,8 @@ WITH e AS (
          value
   FROM events
 )
-SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
-            WHEN day IS NOT NULL THEN 'day'
+SELECT CASE WHEN GROUPING(hour) = 0 THEN 'hour'
+            WHEN GROUPING(day) = 0 THEN 'day'
             ELSE 'month' END AS grain,
        COALESCE(hour, day, month) AS bucket,
        COUNT(*) AS n,

@@ -1127,35 +1127,82 @@ def test_fuzzy_join_blocked_edit_distance(spark):
     assert out == {(1, 10): 1, (1, 11): 0}
 
 
-def test_robust_outliers_flags_injected_tail(spark):
-    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 2, 1, 3, 2, 1000])]
-    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
-    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
-    dev = df.join(med, "event_type").withColumn("absdev", F.abs(F.col("value") - F.col("med")))
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
-    scored = dev.join(mad, "event_type").withColumn(
-        "rz", (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+def test_fuzzy_join_self_linkage(spark):
+    """The classic linkage use — one registry against itself (shared
+    column names on both sides) — must resolve unambiguously."""
+    from tada_spark.operators.linkage import fuzzy_join, prefix_block
+
+    df = spark.createDataFrame(
+        [(1, "000000123"), (2, "000000124"), (3, "000000999")], "id long, num string"
     )
-    out = [r.event_id for r in scored.filter(F.abs(F.col("rz")) >= 3.5).collect()]
-    assert out == [7]  # only the injected 1000 flags
+    out = fuzzy_join(df, df, "num", "num", prefix_block(7), max_dist=1)
+    # every row matches itself (dist 0) plus the 123~124 pair both ways
+    assert out.count() == 3 + 2
+    assert out.filter(F.col("dist") == 1).count() == 2
 
 
-def test_assoc_rules_lift_and_confidence(spark):
-    from tada_spark.queries import _round_det  # noqa: F401 (idiom reference)
-    # replicate the basket logic inline on a tiny frame: 4 baskets;
-    # A+B co-occur in 2, A alone in 1, B alone in 1
+def _write_events_parquet(spark, tmp_path, rows):
+    """rows: (event_id, epoch_s, user_id, event_type, value); writes the
+    events table in the driver testdata's µs encoding, returns sf dir."""
+    df = spark.createDataFrame(
+        rows, "event_id long, epoch long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("epoch")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit(None).cast("string").alias("props"),
+    )
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return str(tmp_path)
+
+
+def test_robust_outliers_flags_injected_tail(spark, tmp_path):
+    """Exercises the PRODUCTION robust_outliers_events path, including
+    the MAD=0 meanAD fallback and the zero-spread drop."""
+    from tada_spark.queries import robust_outliers_events
+
+    rows = (
+        # normal-spread group: only the injected 1000 flags
+        [(i, i, 1, "a", float(v)) for i, v in enumerate([1, 2, 3, 2, 1, 3, 2, 1000])]
+        # MAD=0 group (most values AT the median): meanAD fallback flags 500
+        + [(10 + i, i, 1, "b", float(v)) for i, v in enumerate([5, 5, 5, 5, 5, 500])]
+        # zero-spread group: scale 0 -> emits nothing, no div-by-zero
+        + [(20 + i, i, 1, "c", 7.0) for i in range(4)]
+    )
+    sf = _write_events_parquet(spark, tmp_path, rows)
+    out = {r.event_id: r.event_type for r in robust_outliers_events(spark, sf).collect()}
+    assert out == {7: "a", 15: "b"}
+
+
+def test_assoc_rules_lift_and_confidence(spark, tmp_path):
+    """Exercises the PRODUCTION assoc_rules_events path: 4 user-day
+    baskets — A+B co-occur in 2, A alone in 1, B alone in 1."""
+    import math as _m
+
+    from tada_spark.queries import assoc_rules_events
+
+    day = 86400
     rows = [
-        (1, "2024-01-01", "A"), (1, "2024-01-01", "B"),
-        (2, "2024-01-01", "A"), (2, "2024-01-01", "B"),
-        (3, "2024-01-01", "A"),
-        (4, "2024-01-01", "B"),
+        (1, 0 * day, 1, "A", 0.0), (2, 0 * day + 60, 1, "B", 0.0),
+        (3, 0 * day, 2, "A", 0.0), (4, 0 * day + 60, 2, "B", 0.0),
+        (5, 0 * day, 3, "A", 0.0),
+        (6, 0 * day, 4, "B", 0.0),
+        # duplicate event in an existing basket: DISTINCT folds it
+        (7, 0 * day + 120, 1, "A", 0.0),
     ]
-    df = spark.createDataFrame(rows, "user_id long, day string, item string")
-    a = df.select("user_id", "day", F.col("item").alias("antecedent"))
-    b = df.select("user_id", "day", F.col("item").alias("consequent"))
-    pair = (a.join(b, ["user_id", "day"]).filter(F.col("antecedent") != F.col("consequent"))
-            .groupBy("antecedent", "consequent").agg(F.count("*").alias("n")))
-    got = {(r.antecedent, r.consequent): r.n for r in pair.collect()}
-    assert got == {("A", "B"): 2, ("B", "A"): 2}
-    # lift = n_ab * N / (n_a * n_b) = 2*4/(3*3) < 1: mild negative association
-    assert (2 * 4) / (3 * 3) < 1
+    sf = _write_events_parquet(spark, tmp_path, rows)
+    out = {(r.antecedent, r.consequent): r for r in assoc_rules_events(spark, sf).collect()}
+    assert set(out) == {("A", "B"), ("B", "A")}
+    r = out[("A", "B")]
+    assert r.n_pair == 2
+    assert r.support == _m.floor(2 / 4 * 1e6 + 0.5) / 1e6
+    assert r.confidence == _m.floor(2 / 3 * 1e6 + 0.5) / 1e6
+    assert r.lift == _m.floor((2 * 4) / (3 * 3) * 1e6 + 0.5) / 1e6  # < 1: mild negative assoc
+    assert out[("B", "A")].confidence == r.confidence  # symmetric counts here
