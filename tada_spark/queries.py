@@ -5410,6 +5410,65 @@ FROM e GROUP BY GROUPING SETS ((hour), (day), (month))
 """
 
 
+def incremental_agg_update(spark, sf):
+    """Incremental MATERIALIZED-VIEW maintenance for algebraic
+    aggregates: the standing per-status rollup (orders md5-bucket < 80:
+    n, exact cents total, min/max key) is updated with ONLY the delta's
+    partial aggregate — combine(base_agg, delta_agg) via a k-row union
+    + re-aggregate, never a rescan of the base facts. The query also
+    RAISES unless the incrementally-maintained view equals the
+    full-recompute (golden-style in-query proof that the combine rule
+    is lossless for count/sum/min/max); the emitted rows ARE the
+    maintained view. At 100 TB this is the difference between a daily
+    delta-sized job and a daily full-table scan."""
+    from tada_spark.functions.sampling import hash_bucket
+
+    orders = load(spark, sf, "orders").to_df()
+    bucket = hash_bucket(F.col("o_orderkey").cast("string"))
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    base_agg = partial(orders.filter(bucket < 80))
+    delta_agg = partial(orders.filter(bucket >= 80))
+    combined = (
+        base_agg.unionByName(delta_agg)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_cents").alias("total_cents"),
+            F.min("min_key").alias("min_key"),
+            F.max("max_key").alias("max_key"),
+        )
+    )
+    full = partial(orders)
+    # lossless-combine proof: exact integer columns, so plain anti-joins
+    # in both directions must both be empty
+    diff = combined.join(
+        full, ["o_orderstatus", "n", "total_cents", "min_key", "max_key"], "left_anti"
+    ).count() + full.join(
+        combined, ["o_orderstatus", "n", "total_cents", "min_key", "max_key"], "left_anti"
+    ).count()
+    if diff:
+        raise AssertionError(f"incremental combine diverged from full recompute: {diff} rows")
+    return combined.select(
+        "o_orderstatus", "n", (F.col("total_cents") / F.lit(100.0)).alias("total"), "min_key", "max_key"
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       SUM(ROUND(o_totalprice * 100)::BIGINT) / 100.0 AS total,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5571,6 +5630,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_dedup_watermarked": (stream_dedup_watermarked, STREAM_DEDUP_WM_SQL),
     "assoc_rules_events": (assoc_rules_events, ASSOC_RULES_SQL),
     "time_grouping_sets_events": (time_grouping_sets_events, TIME_GROUPING_SETS_SQL),
+    "incremental_agg_update": (incremental_agg_update, INCREMENTAL_AGG_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

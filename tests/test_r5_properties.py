@@ -256,3 +256,85 @@ def test_embedding_outliers_equals_numpy_grid(spark, rows):
         for rk, (d2, i) in enumerate(scored[:2], 1):
             want[(lab, rk)] = (i, d2)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cdc.apply_changes ≡ python dict replay; scd2_history ≡ interval derivation
+# ---------------------------------------------------------------------------
+
+_cdc_inputs = st.tuples(
+    # base: key -> value
+    st.dictionaries(st.integers(0, 8), st.integers(0, 5), min_size=0, max_size=6),
+    # changes: list of (key, seq, op, value); seqs deduplicated per key
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(1, 6),
+                  st.sampled_from(["I", "U", "D"]), st.integers(10, 19)),
+        min_size=0, max_size=10,
+    ),
+)
+
+
+def _dedupe_seqs(changes):
+    """One op per (key, seq): a well-formed CDC log never has two —
+    keep the first generated, matching no particular engine rule."""
+    seen, out = set(), []
+    for k, s, op, v in changes:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            out.append((k, s, op, v))
+    return out
+
+
+@given(args=_cdc_inputs)
+@settings(**SETTINGS)
+def test_apply_changes_equals_dict_replay(spark, args):
+    from tada_spark.operators.cdc import apply_changes
+
+    base_d, raw_changes = args
+    changes = _dedupe_seqs(raw_changes)
+    base = spark.createDataFrame(
+        list(base_d.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    ch = spark.createDataFrame(
+        changes or [(None, None, None, None)], "k long, seq int, op string, v long"
+    ).filter(F.col("k").isNotNull()).select("k", "v", "seq", "op")
+    got = {r.k: r.v for r in apply_changes(base, ch, "k").collect()}
+
+    # python replay: latest (seq desc) change per key wins
+    want = dict(base_d)
+    latest = {}
+    for k, s, op, v in changes:
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, op, v)
+    for k, (_s, op, v) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@given(args=_cdc_inputs)
+@settings(**SETTINGS)
+def test_scd2_history_equals_interval_derivation(spark, args):
+    from tada_spark.operators.cdc import scd2_history
+
+    _base, raw_changes = args
+    changes = _dedupe_seqs(raw_changes)
+    ch = spark.createDataFrame(
+        changes or [(None, None, None, None)], "k long, seq int, op string, v long"
+    ).filter(F.col("k").isNotNull()).select("k", "v", "seq", "op")
+    got = {(r.k, r.valid_from): (r.v, r.valid_to, r.is_current)
+           for r in scd2_history(ch, "k").collect()}
+
+    by_key = {}
+    for k, s, op, v in changes:
+        by_key.setdefault(k, []).append((s, op, v))
+    want = {}
+    for k, items in by_key.items():
+        items.sort()
+        for i, (s, op, v) in enumerate(items):
+            nxt = items[i + 1][0] if i + 1 < len(items) else None
+            if op != "D":
+                want[(k, s)] = (v, nxt, nxt is None)
+    assert got == want
