@@ -27,3 +27,66 @@ def zorder_key(a: Column, b: Column, *, bits: int = 16) -> Column:
         z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
         z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
     return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    a: Column,
+    b: Column,
+    *,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """The ACTING half of Z-ordering (zorder_key is the key): sort the
+    table into ``n_files`` ranged parquet files by the Morton key of
+    two dimensions — range-partition on z, sort within partitions, one
+    file per partition. Each file then covers a NARROW span of BOTH
+    dimensions, so parquet footer min/max stats prune files for filters
+    on EITHER column (the OPTIMIZE ZORDER effect on bare parquet; the
+    test measures the span narrowing through pyarrow footers).
+
+    100 TB shape: one range exchange (sampled boundaries) + local sort —
+    exactly what a sorted write costs; no extra pass over the data.
+    """
+    z = zorder_key(a, b, bits=bits)
+    (
+        df.withColumn("__z__", z)
+        .repartitionByRange(n_files, F.col("__z__"))
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    *,
+    target_files: int,
+    sort_by: str | None = None,
+) -> dict:
+    """Small-files compaction — the table-maintenance job every
+    streaming/append sink eventually needs: rewrite a parquet directory
+    into ``target_files`` files (range-sorted on ``sort_by`` when given,
+    so footer stats stay skippable; plain coalesce otherwise). Returns
+    {files_before, files_after} so schedulers can log the win.
+
+    100 TB shape: coalesce() avoids a shuffle entirely (merges
+    partitions in place); the sorted variant pays one range exchange —
+    choose by whether downstream reads filter on sort_by.
+    """
+    import glob as _glob
+
+    df = spark.read.parquet(path)
+    before = len(_glob.glob(f"{path}/part-*"))
+    if sort_by:
+        w = df.repartitionByRange(target_files, F.col(sort_by)).sortWithinPartitions(sort_by)
+    else:
+        w = df.coalesce(target_files)
+    w.write.mode("overwrite").parquet(out_path)
+    after = len(_glob.glob(f"{out_path}/part-*"))
+    return {"files_before": before, "files_after": after}

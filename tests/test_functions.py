@@ -1206,3 +1206,61 @@ def test_assoc_rules_lift_and_confidence(spark, tmp_path):
     assert r.confidence == _m.floor(2 / 3 * 1e6 + 0.5) / 1e6
     assert r.lift == _m.floor((2 * 4) / (3 * 3) * 1e6 + 0.5) / 1e6  # < 1: mild negative assoc
     assert out[("B", "A")].confidence == r.confidence  # symmetric counts here
+
+
+def test_write_zordered_narrows_file_spans(spark, tmp_path):
+    """The data-skipping proof: after a Z-ordered write, each file's
+    footer min/max span of BOTH dimensions is far narrower than the
+    global range — so filters on either column prune files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tada_spark.operators.layout import write_zordered
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    out = str(tmp_path / "zsorted")
+    write_zordered(df, out, F.col("a"), F.col("b"), n_files=16, bits=6)
+
+    spans_a, spans_b = [], []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins = {"a": 1 << 30, "b": 1 << 30}
+        maxs = {"a": -1, "b": -1}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name] = min(mins[name], col.statistics.min)
+                    maxs[name] = max(maxs[name], col.statistics.max)
+        spans_a.append(maxs["a"] - mins["a"])
+        spans_b.append(maxs["b"] - mins["b"])
+    # global span is 63 on both dims; z-ordered files must average far
+    # narrower on BOTH (a 1-D sort would narrow one dim and leave the
+    # other at full width)
+    assert len(spans_a) >= 8
+    assert sum(spans_a) / len(spans_a) < 40
+    assert sum(spans_b) / len(spans_b) < 40
+    # round-trip intact
+    assert spark.read.parquet(out).count() == n
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from tada_spark.operators.layout import compact
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    spark.range(1000).repartition(20).write.parquet(src)
+    report = compact(spark, src, dst, target_files=2)
+    assert report["files_before"] >= 20
+    assert report["files_after"] <= 2
+    assert spark.read.parquet(dst).count() == 1000
+    # sorted variant keeps data intact and files skippable on the key
+    dst2 = str(tmp_path / "sorted")
+    report2 = compact(spark, src, dst2, target_files=4, sort_by="id")
+    assert report2["files_after"] <= 4
+    assert spark.read.parquet(dst2).count() == 1000
