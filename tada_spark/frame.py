@@ -69,12 +69,26 @@ class Frame:
     # construction / plumbing
     # ------------------------------------------------------------------
     @classmethod
-    def read_parquet(cls, spark: SparkSession, path: str, labels: Sequence[str] = ()) -> "Frame":
+    def read_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        labels: Sequence[str] = (),
+        *,
+        merge_schema: bool = False,
+    ) -> "Frame":
         """Parquet scan. Files with TIMESTAMP(NANOS) columns (which Spark's
         vectorized reader rejects) are read via nanosAsLong and converted
         to micros-truncated timestamps — same truncation DuckDB applies,
         so oracle comparisons agree. Conversion is a narrow projection
-        folded into the scan; pushdown/pruning unaffected."""
+        folded into the scan; pushdown/pruning unaffected.
+
+        ``merge_schema=True`` unions the schemas of ALL footers instead
+        of sampling one file — the schema-EVOLUTION read: a directory
+        whose older files lack newer columns loads with the superset
+        schema, missing columns null-filled per file. Off by default
+        (footer-merge costs a pass over file metadata; a 100 TB lake
+        turns it on only for evolving tables)."""
         nanos_cols: list[str] = []
         try:
             # pyarrow resolves single files AND directory datasets; a
@@ -91,10 +105,13 @@ class Frame:
             ]
         except Exception:
             pass
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if not nanos_cols:
-            return cls(spark.read.parquet(path), labels)
+            return cls(reader.parquet(path), labels)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = reader.parquet(path)
         for c in nanos_cols:
             # legacy INT96 files ALSO report unit='ns' through pyarrow,
             # but Spark reads them natively as TIMESTAMP (nanosAsLong

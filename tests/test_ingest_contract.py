@@ -190,3 +190,19 @@ def test_read_parquet_int96_legacy_encoding(spark, tmp_path):
     rows = {r.id: r.ts for r in f.df.collect()}
     assert len(rows) == 3
     assert rows[2].hour == 2  # values intact, no double conversion
+
+
+def test_read_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: older files lack a newer column; merge_schema
+    loads the superset with per-file null fill."""
+    from tada_spark.frame import Frame
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    f = Frame.read_parquet(spark, p, merge_schema=True)
+    assert set(f.df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in f.df.collect()}
+    assert rows == {1: None, 2: 9.5}  # old file's missing column null-fills
