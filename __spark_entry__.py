@@ -56,10 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dense_resample_events, cdc_merge_orders, event_transition_matrix,
 #: scd2_history_orders, zorder_layout_orders, daily_ingest_pipeline,
 #: fuzzy_join_names, robust_outliers_events, stream_dedup_watermarked,
-#: assoc_rules_events, time_grouping_sets_events, incremental_agg_update)
-#: — the round-5 entries deliberately deferred to r06 (added after the
-#: window filled; each local-gate green at sf0.001, sf0.01 and sf0.1,
-#: and hash-stable at local[5]).
+#: assoc_rules_events, time_grouping_sets_events, incremental_agg_update,
+#: near_dup_triangles) — the round-5 entries deliberately deferred to
+#: r06 (added after the window filled; each local-gate green at
+#: sf0.001, sf0.01 and sf0.1, and hash-stable at local[5]).
 _DRIVER_PRIORITY = [
     # (a) newest green is r02 — re-earn now or fall out of the union
     "value_counts_priority",

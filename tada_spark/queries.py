@@ -5469,6 +5469,51 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def near_dup_triangles(spark, sf):
+    """Triangle enumeration on the near-dup pair graph — the classic
+    distributed-graph primitive beyond connected components (triangles
+    = tightly-mutual duplicate clusters, the highest-confidence merge
+    candidates): edges ordered (a < b) from the same blocked Jaccard
+    pairs as jaccard_near_dups, then the standard two-join wedge-close
+    (e1.b = e2.a; close with an (a, c) edge lookup). Work ∝ Σ deg² of
+    the PAIR graph — already block-bounded — never corpus-sized."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    # localCheckpoint: the edge list feeds THREE join branches — without
+    # the lineage cut each branch re-runs the expensive blocked Jaccard
+    # pair join (the connected_components discipline)
+    edges = (
+        dedup.jaccard_pairs(docs.to_df(), block_cols=["lang"], ngram=4, threshold=0.35)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, "b")
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    return wedges.join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+NEAR_DUP_TRIANGLES_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 3, 1) + 1),
+                       i -> SUBSTR(text, i::INT, 4))) AS sh
+  FROM documents WHERE doc_id % 5 = 0
+), pr AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR((LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.35
+)
+SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+FROM pr e1
+JOIN pr e2 ON e2.id_a = e1.id_b
+JOIN pr e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5631,6 +5676,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "assoc_rules_events": (assoc_rules_events, ASSOC_RULES_SQL),
     "time_grouping_sets_events": (time_grouping_sets_events, TIME_GROUPING_SETS_SQL),
     "incremental_agg_update": (incremental_agg_update, INCREMENTAL_AGG_SQL),
+    "near_dup_triangles": (near_dup_triangles, NEAR_DUP_TRIANGLES_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

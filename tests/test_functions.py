@@ -1264,3 +1264,24 @@ def test_compact_reduces_file_count(spark, tmp_path):
     report2 = compact(spark, src, dst2, target_files=4, sort_by="id")
     assert report2["files_after"] <= 4
     assert spark.read.parquet(dst2).count() == 1000
+
+
+def test_near_dup_triangles_closes_wedges_only(spark, tmp_path):
+    """Production-path triangle enumeration on a constructed graph:
+    docs 0-5-10 are mutual near-dups (one triangle); 15 pairs with 0
+    only (wedge, no close); 20 is isolated."""
+    from tada_spark.queries import near_dup_triangles
+
+    base = "aaaa bbbb cccc dddd eeee ffff gggg hhhh"
+    rows = [
+        (0, base, "en", "s", 1),
+        (5, base, "en", "s", 1),
+        (10, base + " tail", "en", "s", 1),      # near-dup of 0/5
+        (15, "aaaa bbbb cccc dddd xxxx yyyy zzzz wwww", "en", "s", 1),
+        (20, "totally different words everywhere here now", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    tri = sorted((r.a, r.b, r.c) for r in near_dup_triangles(spark, str(tmp_path)).collect())
+    assert (0, 5, 10) in tri
+    assert all(20 not in t for t in tri)
