@@ -98,9 +98,14 @@ class Frame:
             # are family-robust (plans/timeutil.py), so no cast here.
             from tada_spark.plans.timeutil import parquet_time_columns
 
+            # with merge_schema the ns check must also union fragments —
+            # a directory where only NEWER files carry a nanos column
+            # would otherwise miss the shim and fail the Spark read
             nanos_cols = [
                 name
-                for name, (unit, _tz) in parquet_time_columns(path).items()
+                for name, (unit, _tz) in parquet_time_columns(
+                    path, all_fragments=merge_schema
+                ).items()
                 if unit == "ns"
             ]
         except Exception:

@@ -77,16 +77,22 @@ def compact(
 
     100 TB shape: coalesce() avoids a shuffle entirely (merges
     partitions in place); the sorted variant pays one range exchange —
-    choose by whether downstream reads filter on sort_by.
+    choose by whether downstream reads filter on sort_by. Compaction is
+    out-of-place by contract: overwriting the directory a lazy plan is
+    still reading deletes the source mid-scan, so same-path calls are
+    rejected (atomic swap is the table format's job, not this helper's).
+    File counts come from the scan's own inputFiles() — correct on any
+    filesystem URI and under hive partitioning, where a local glob on
+    part-* would silently report 0.
     """
-    import glob as _glob
-
+    if out_path.rstrip("/") == path.rstrip("/"):
+        raise ValueError("compact() is out-of-place: out_path must differ from path")
     df = spark.read.parquet(path)
-    before = len(_glob.glob(f"{path}/part-*"))
+    before = len(df.inputFiles())
     if sort_by:
         w = df.repartitionByRange(target_files, F.col(sort_by)).sortWithinPartitions(sort_by)
     else:
         w = df.coalesce(target_files)
     w.write.mode("overwrite").parquet(out_path)
-    after = len(_glob.glob(f"{out_path}/part-*"))
+    after = len(spark.read.parquet(out_path).inputFiles())
     return {"files_before": before, "files_after": after}

@@ -72,19 +72,40 @@ def timestamp_from_us(us: Column, dtype: T.DataType) -> Column:
     return as_family(F.timestamp_micros(us.cast("long")), dtype)
 
 
-def parquet_time_columns(path: str) -> dict[str, tuple[str, str | None]]:
+def parquet_time_columns(
+    path: str, *, all_fragments: bool = False
+) -> dict[str, tuple[str, str | None]]:
     """Inspect a parquet file/dir via pyarrow: {column: (unit, tz)} for
     every timestamp column. unit in {'s','ms','us','ns'}; tz None for
     naive (-> Spark NTZ) or a zone string (-> Spark LTZ). Lets readers
     (batch AND streaming) branch on the actual file encoding instead of
-    assuming one."""
+    assuming one.
+
+    By default the dataset-level schema is used (pyarrow infers it from
+    the first fragment — fine for homogeneous directories). With
+    ``all_fragments=True`` every fragment's physical schema is scanned
+    and merged, nanos winning per column — required for schema-EVOLVED
+    directories where only newer files carry a nanos column (the
+    first-fragment sample would miss it and the ns shim would not
+    engage)."""
     import pyarrow.dataset as ds
 
-    schema = ds.dataset(path, format="parquet").schema
+    dset = ds.dataset(path, format="parquet")
+    schemas = (
+        [frag.physical_schema for frag in dset.get_fragments()]
+        if all_fragments
+        else [dset.schema]
+    )
     out: dict[str, tuple[str, str | None]] = {}
-    for i in range(len(schema.names)):
-        f = schema.field(i)
-        t = f.type
-        if hasattr(t, "unit") and str(t).startswith("timestamp"):
-            out[f.name] = (t.unit, t.tz)
+    for schema in schemas:
+        for i in range(len(schema.names)):
+            f = schema.field(i)
+            t = f.type
+            if hasattr(t, "unit") and str(t).startswith("timestamp"):
+                prev = out.get(f.name)
+                # ns wins across fragments: the shim must engage if ANY
+                # file needs it (non-ns files pass through it unchanged
+                # because only raw-long columns are converted)
+                if prev is None or (t.unit == "ns" and prev[0] != "ns"):
+                    out[f.name] = (t.unit, t.tz)
     return out

@@ -5436,6 +5436,10 @@ def incremental_agg_update(spark, sf):
 
     base_agg = partial(orders.filter(bucket < 80))
     delta_agg = partial(orders.filter(bucket >= 80))
+    # localCheckpoint: both k-row views feed two anti-join counts AND
+    # the returned plan — without the cut each action re-scans orders
+    # (the near_dup_triangles discipline; these are status-cardinality
+    # tables, so the materialization is bytes)
     combined = (
         base_agg.unionByName(delta_agg)
         .groupBy("o_orderstatus")
@@ -5445,8 +5449,9 @@ def incremental_agg_update(spark, sf):
             F.min("min_key").alias("min_key"),
             F.max("max_key").alias("max_key"),
         )
+        .localCheckpoint()
     )
-    full = partial(orders)
+    full = partial(orders).localCheckpoint()
     # lossless-combine proof: exact integer columns, so plain anti-joins
     # in both directions must both be empty
     diff = combined.join(

@@ -1237,6 +1237,9 @@ def test_write_zordered_narrows_file_spans(spark, tmp_path):
                 if name in mins and col.statistics is not None:
                     mins[name] = min(mins[name], col.statistics.min)
                     maxs[name] = max(maxs[name], col.statistics.max)
+        # stats must actually have been seen — sentinel spans would
+        # otherwise make the narrowness assertions vacuously true
+        assert maxs["a"] >= mins["a"] >= 0 and maxs["b"] >= mins["b"] >= 0
         spans_a.append(maxs["a"] - mins["a"])
         spans_b.append(maxs["b"] - mins["b"])
     # global span is 63 on both dims; z-ordered files must average far
@@ -1268,20 +1271,36 @@ def test_compact_reduces_file_count(spark, tmp_path):
 
 def test_near_dup_triangles_closes_wedges_only(spark, tmp_path):
     """Production-path triangle enumeration on a constructed graph:
-    docs 0-5-10 are mutual near-dups (one triangle); 15 pairs with 0
-    only (wedge, no close); 20 is isolated."""
+    docs 0-5-10 are mutual near-dups (one triangle); 15 forms a genuine
+    WEDGE (pairs with 0 and 5 — which are identical — but any third
+    pairing closes instantly, so the uncloseable wedge comes from 25:
+    it pairs ONLY with 15, never with 0/5/10); 20 is isolated."""
+    from tada_spark.functions import dedup as _dedup
     from tada_spark.queries import near_dup_triangles
 
     base = "aaaa bbbb cccc dddd eeee ffff gggg hhhh"
+    mid = "cccc dddd eeee ffff gggg hhhh qqqq rrrr"   # 6 of base's 8 tokens
+    far = "eeee ffff gggg hhhh qqqq rrrr wwww zzzz"   # 6 of mid's, only 4 of base's
     rows = [
         (0, base, "en", "s", 1),
         (5, base, "en", "s", 1),
-        (10, base + " tail", "en", "s", 1),      # near-dup of 0/5
-        (15, "aaaa bbbb cccc dddd xxxx yyyy zzzz wwww", "en", "s", 1),
+        (10, base + " tail", "en", "s", 1),
+        (15, mid, "en", "s", 1),
+        (25, far, "en", "s", 1),
         (20, "totally different words everywhere here now", "en", "s", 1),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
     df.write.parquet(f"{tmp_path}/documents.parquet")
+
+    # pin the fixture's pair structure FIRST so the wedge claim is real:
+    # edges (0,15) and (15,25) exist, (0,25) does not -> 0-15-25 is an
+    # uncloseable wedge (likewise 5-15-25 since 5 duplicates 0)
+    pairs = {(r.id_a, r.id_b) for r in _dedup.jaccard_pairs(
+        df, block_cols=["lang"], ngram=4, threshold=0.35).collect()}
+    assert (0, 15) in pairs and (15, 25) in pairs
+    assert all((d, 25) not in pairs for d in (0, 5, 10))
+
     tri = sorted((r.a, r.b, r.c) for r in near_dup_triangles(spark, str(tmp_path)).collect())
     assert (0, 5, 10) in tri
-    assert all(20 not in t for t in tri)
+    assert (0, 5, 15) in tri              # 15's real triangle with the twins
+    assert all(20 not in t and 25 not in t for t in tri)  # wedges never close

@@ -206,3 +206,39 @@ def test_read_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(f.df.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in f.df.collect()}
     assert rows == {1: None, 2: 9.5}  # old file's missing column null-fills
+
+
+def test_merge_schema_with_late_nanos_column(spark, tmp_path):
+    """Schema evolution where only the NEWER file carries a nanos
+    timestamp: the ns shim must engage from the fragment union (the
+    dataset-level schema samples the first fragment and would miss it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tada_spark.frame import Frame
+
+    p = tmp_path / "evolve_ns"
+    p.mkdir()
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), p / "a_old.parquet")
+    pq.write_table(
+        pa.table({
+            "id": pa.array([2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+        }),
+        p / "b_new.parquet",
+    )
+    f = Frame.read_parquet(spark, str(p), merge_schema=True)
+    rows = {r.id: r.ts for r in f.df.collect()}
+    assert rows[1] is None
+    assert rows[2] is not None and rows[2].year == 2023  # ns -> µs truncated
+
+
+def test_compact_rejects_in_place(spark, tmp_path):
+    import pytest as _pytest
+
+    from tada_spark.operators.layout import compact
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with _pytest.raises(ValueError):
+        compact(spark, src, src + "/", target_files=1)
