@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from tada_spark.plans.semantics import round_det
+from tada_spark.plans.semantics import det_ln, round_det
 
 #: language → marker stopwords for the n-gram-free heuristic language ID.
 #: Deterministic and SQL-expressible; not a real langid model (the real
@@ -581,10 +581,16 @@ def bm25_rank(
     (floor(x*1e6+0.5)) BEFORE the cross-term sum, so the final score is
     an exact integer sum — immune to float summation order — and every
     double op before the quantize is the same IEEE expression tree on
-    both engines. The idf is the rational Robertson-Sparck-Jones form
-    ((N - df + 0.5)/(df + 0.5)) WITHOUT the log: log is monotone, so
-    ranking is unchanged, and the score stays transcendental-free
-    (the repo's oracle discipline; see bigram_familiarity).
+    both engines. The idf is the STANDARD log-form Robertson-Sparck-
+    Jones weight ln((N - df + 0.5)/(df + 0.5)), computed with det_ln
+    (plans/semantics.py) — a transcendental-free ln built from integer
+    bit-length range reduction + an atanh series of IEEE +,-,*,/ ops,
+    bit-identical across engines, so real BM25 multi-term ranking is
+    preserved WITHOUT breaking the oracle discipline. (A log-free
+    monotone idf would preserve per-term order but NOT the order of
+    cross-term sums — rare terms would be overweighted ~N/df vs
+    ln(N/df).) Common terms with df > N/2 get the classic negative RSJ
+    weight, not Lucene's +1 floor — pinned convention, oracle-mirrored.
 
     100 TB design: one token-stream explode feeding two aggregates
     (per-doc length; per-(doc, query-term) tf after a broadcast-sized
@@ -612,7 +618,7 @@ def bm25_rank(
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = F.col("total_toks").cast("double") / F.col("n_docs").cast("double")
-    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    idf = det_ln(((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))

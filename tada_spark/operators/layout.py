@@ -11,8 +11,30 @@ parquet. Pure integer bit arithmetic: deterministic, engine-replicable
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def _same_target(a: str, b: str) -> bool:
+    """True when two path spellings refer to the same directory. A plain
+    string compare misses file:// vs bare-path, relative vs absolute,
+    trailing /., and symlinks — any of which would let mode('overwrite')
+    delete the source mid-scan. Local paths resolve through
+    os.path.realpath; non-local URIs (s3://, hdfs://) compare
+    scheme+normalized path, the strongest check possible without a
+    filesystem round-trip."""
+
+    def canon(p: str) -> tuple[str, str]:
+        scheme, sep, rest = p.partition("://")
+        if not sep:
+            scheme, rest = "file", p
+        if scheme == "file":
+            return "file", os.path.realpath(os.path.abspath(rest))
+        return scheme, os.path.normpath("/" + rest.strip("/"))
+
+    return canon(a) == canon(b)
 
 
 def zorder_key(a: Column, b: Column, *, bits: int = 16) -> Column:
@@ -85,7 +107,7 @@ def compact(
     filesystem URI and under hive partitioning, where a local glob on
     part-* would silently report 0.
     """
-    if out_path.rstrip("/") == path.rstrip("/"):
+    if _same_target(path, out_path):
         raise ValueError("compact() is out-of-place: out_path must differ from path")
     df = spark.read.parquet(path)
     before = len(df.inputFiles())

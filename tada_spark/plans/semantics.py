@@ -305,6 +305,82 @@ def round_det(x: Column | str, digits: int) -> Column:
     return F.floor(x * s + F.lit(0.5)) / F.lit(s)
 
 
+#: ln(2) and ln(1e6) as decimal literals — parsed to the identical
+#: nearest double by Python, Spark and DuckDB (IEEE 754 decimal→binary
+#: conversion is correctly rounded everywhere).
+LN2 = 0.6931471805599453
+LN_1E6 = 13.815510557964274
+
+
+def det_ln(x: Column) -> Column:
+    """Cross-engine-deterministic natural log of a positive double —
+    transcendental-free, so it is allowed in hash-compared outputs
+    (library log() implementations differ in the last ulp between
+    Java's StrictMath-adjacent Math.log and DuckDB's libm; +, -, *, /
+    and integer bit ops are correctly rounded EVERYWHERE, so a shared
+    expression tree built only from those is bit-identical).
+
+    Definition (the oracle mirrors it CTE for CTE):
+      r  = max(floor(x·1e6 + 0.5), 1)        # shared integer quantize
+      k  = bit_length(r) - 1                 # via length(bin(r)) - 1
+      m  = r / 2^k  ∈ [1, 2)                 # exact (power-of-2 divide)
+      z  = (m-1)/(m+1);  z² < 1/9
+      ln m ≈ 2z·(1 + z²/3 + … + z¹⁴/15)      # atanh series, err < 1e-9
+      det_ln(x) = k·ln2 + ln m - ln(1e6)
+
+    Accuracy: within ~1e-6 of true ln(x) for x ≥ 0.5 (quantize error
+    dx/x), degrading for tiny x and clamped at ln(1e-6) ≈ -13.8155 —
+    both engines degrade IDENTICALLY, which is the property that
+    matters. Inputs must satisfy x·1e6 < 2^53.
+    """
+    r = F.greatest(F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"), F.lit(1).cast("long"))
+    k = F.length(F.bin(r)) - F.lit(1)
+    p2 = F.call_function("shiftleft", F.lit(1).cast("long"), k).cast("double")
+    m = r.cast("double") / p2
+    z = (m - F.lit(1.0)) / (m + F.lit(1.0))
+    z2 = z * z
+    s = F.lit(1.0) + z2 * (
+        F.lit(1.0 / 3.0)
+        + z2
+        * (
+            F.lit(1.0 / 5.0)
+            + z2
+            * (
+                F.lit(1.0 / 7.0)
+                + z2
+                * (
+                    F.lit(1.0 / 9.0)
+                    + z2 * (F.lit(1.0 / 11.0) + z2 * (F.lit(1.0 / 13.0) + z2 * F.lit(1.0 / 15.0)))
+                )
+            )
+        )
+    )
+    return (k.cast("double") * F.lit(LN2) + (F.lit(2.0) * z) * s) - F.lit(LN_1E6)
+
+
+def py_det_ln(x: float) -> float:
+    """Pure-Python replica of det_ln — Python floats are IEEE doubles
+    and this repeats the identical expression tree, so it is bit-equal
+    to the Spark/DuckDB versions (property tests rely on that)."""
+    import math
+
+    r = max(math.floor(x * 1e6 + 0.5), 1)
+    k = r.bit_length() - 1
+    m = r / (1 << k)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    s = 1.0 + z2 * (
+        1.0 / 3.0
+        + z2
+        * (
+            1.0 / 5.0
+            + z2
+            * (1.0 / 7.0 + z2 * (1.0 / 9.0 + z2 * (1.0 / 11.0 + z2 * (1.0 / 13.0 + z2 * (1.0 / 15.0)))))
+        )
+    )
+    return (k * LN2 + (2.0 * z) * s) - LN_1E6
+
+
 def null_safe_div(num: Column, den: Column) -> Column:
     """Division with the reference's ÷0/Inf/NaN → null rule
     (reference series.go:930-938, internal.go:1546-1552)."""

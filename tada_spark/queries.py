@@ -4341,11 +4341,12 @@ BM25_QUERY_TERMS = ("spark", "window", "merge", "scan")
 
 def bm25_search_docs(spark, sf):
     """BM25 top-20 (functions/text.bm25_rank, k1=1.2 b=0.75) for a fixed
-    query over the corpus, hash-exact across engines: rational
-    Robertson-Sparck-Jones idf (log-free — log is monotone so ranking
-    is unchanged), per-term contributions quantized to integer
-    millionths BEFORE the cross-term sum (float-order-free), top-k via
-    TakeOrderedAndProject."""
+    query over the corpus, hash-exact across engines: STANDARD log-form
+    RSJ idf computed via det_ln (a transcendental-free deterministic ln
+    — bit-length range reduction + atanh series of correctly-rounded
+    IEEE ops, plans/semantics.py), per-term contributions quantized to
+    integer millionths BEFORE the cross-term sum (float-order-free),
+    top-k via TakeOrderedAndProject."""
     docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
     return text.bm25_rank(docs, BM25_QUERY_TERMS, top_k=20)
 
@@ -4366,15 +4367,37 @@ WITH toks AS (
   WHERE term IN ('spark', 'window', 'merge', 'scan') GROUP BY doc_id, term
 ), df_t AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), idf_r AS (
+  -- det_ln (plans/semantics.py) replicated CTE for CTE: quantize the
+  -- RSJ ratio to a shared integer, bit-length range reduction, atanh
+  -- series — only correctly-rounded IEEE ops, bit-identical to Spark
+  SELECT term,
+         GREATEST(CAST(FLOOR((((n_docs - df) + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS r
+  FROM df_t, stats
+), idf_k AS (
+  SELECT term, r, (LENGTH(BIN(r)) - 1) AS k FROM idf_r
+), idf_z AS (
+  SELECT term, k,
+         (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
+          / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z
+  FROM idf_k
+), idf AS (
+  SELECT term,
+         ((CAST(k AS DOUBLE) * 0.6931471805599453)
+          + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
+             + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
+         ) - 13.815510557964274 AS idf
+  FROM idf_z
 ), contrib AS (
   -- expression tree mirrors functions/text.bm25_rank token for token:
-  -- idf = ((N - df) + 0.5)/(df + 0.5); tf_part with k1=1.2 b=0.75;
+  -- idf = det_ln(((N - df) + 0.5)/(df + 0.5)); tf_part k1=1.2 b=0.75;
   -- floor-quantize to e6 BEFORE the cross-term sum
   SELECT tf.doc_id,
-         FLOOR(((((n_docs - df) + 0.5) / (df + 0.5))
+         FLOOR((idf
                 * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (total_toks::DOUBLE / n_docs::DOUBLE))))))
                * 1000000 + 0.5)::BIGINT AS c_e6
-  FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id), stats
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
 )
 SELECT doc_id, SUM(c_e6)::BIGINT AS score_e6, COUNT(*) AS n_terms_hit
 FROM contrib GROUP BY doc_id
@@ -4394,9 +4417,15 @@ def sq8_ann_topk(spark, sf):
 
 
 SQ8_ANN_SQL = """
-WITH e AS (
+WITH live AS (
+  -- mirrors the Spark-side up-front null/empty filter (sq8_topk):
+  -- probe selection must run on the SAME filtered population, else a
+  -- null vector among the 5 lowest ids would pick different probe sets
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+), e AS (
   SELECT vec_id, s.dim AS dim, (embedding::DOUBLE[])[s.dim] AS x
-  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(dim)
+  FROM live, UNNEST(generate_series(1, len(embedding))) AS s(dim)
 ), st AS (
   SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim
 ), q AS (
@@ -4406,7 +4435,7 @@ WITH e AS (
               ELSE 0 END AS c
   FROM e JOIN st ON e.dim = st.dim
 ), probes AS (
-  SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 5
+  SELECT vec_id FROM live ORDER BY vec_id ASC LIMIT 5
 ), dots AS (
   SELECT pq.vec_id AS query_id, dq.vec_id AS neighbor_id, SUM(pq.c * dq.c)::BIGINT AS q_score
   FROM q pq JOIN q dq ON dq.dim = pq.dim AND dq.vec_id != pq.vec_id
@@ -4422,8 +4451,8 @@ WITH e AS (
          / (SQRT(LIST_DOT_PRODUCT(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
             * SQRT(LIST_DOT_PRODUCT(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))) AS cos_raw
   FROM cand c
-  JOIN embeddings qe ON qe.vec_id = c.query_id
-  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+  JOIN live qe ON qe.vec_id = c.query_id
+  JOIN live ne ON ne.vec_id = c.neighbor_id
   WHERE c.srk <= 10
 )
 SELECT query_id, neighbor_id, q_score,
@@ -4731,11 +4760,15 @@ def jsonl_pipeline_golden(spark, sf):
     import os
     import tempfile
 
-    # fixed per-SF path + overwrite mode: repeated sweeps REPLACE the
-    # round-trip copy instead of accumulating /tmp garbage (mkdtemp per
-    # call would leak a corpus-sized dir every invocation)
+    # per-(session, SF) path + overwrite mode: repeated sweeps in ONE
+    # session REPLACE the round-trip copy instead of accumulating /tmp
+    # garbage, while the applicationId discriminator keeps two LIVE
+    # sessions at the same sf (bench + correctness sweep) from racing
+    # each other's overwrite/read-back
     d = os.path.join(
-        tempfile.gettempdir(), f"tada_jsonl_golden_{os.path.basename(sf.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"tada_jsonl_golden_{os.path.basename(sf.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
     )
     docs = load(spark, sf, "documents").to_df().select("doc_id", "lang", "n_chars")
     Frame(docs).write_jsonl(f"{d}/docs")
@@ -4912,14 +4945,19 @@ def cdc_merge_orders(spark, sf):
     batch against orders — every key%7==0 gets an update (price doubled,
     exact binary scaling) at seq 1, every key%13==0 a delete at seq 2
     (so key%91==0 exercises latest-wins: the delete overrides the
-    update), and every key%11==0 is re-inserted under key+10_000_000 at
-    seq 1. One window + anti-join + union, all keyed on the merge key —
-    the lakehouse upsert on bare parquet."""
+    update), and every key%11==0 is re-inserted under key + max_key at
+    seq 1 — the insert-key offset is DERIVED from max(o_orderkey) (a
+    1-row scalar broadcast, the allowlisted BNLJ shape), so synthesized
+    inserts can never collide with real base keys at ANY sf (a fixed
+    +10M constant would collide once orderkeys pass 10M, ~sf2). One
+    window + anti-join + union, all keyed on the merge key — the
+    lakehouse upsert on bare parquet."""
     from tada_spark.operators.cdc import apply_changes
 
     base = load(spark, sf, "orders").to_df().select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    mx = base.groupBy().agg(F.max("o_orderkey").alias("__maxkey__"))
     upd = base.filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
@@ -4929,10 +4967,14 @@ def cdc_merge_orders(spark, sf):
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         F.lit(2).alias("seq"), F.lit("D").alias("op"),
     )
-    ins = base.filter(F.col("o_orderkey") % 11 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        "o_custkey", "o_orderstatus", "o_totalprice",
-        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    ins = (
+        base.filter(F.col("o_orderkey") % 11 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("__maxkey__")).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice",
+            F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        )
     )
     changes = upd.unionByName(dele).unionByName(ins)
     return apply_changes(base, changes, "o_orderkey")
@@ -4948,7 +4990,8 @@ WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2, 'D'
   FROM base WHERE o_orderkey % 13 = 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, 1, 'I'
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base),
+         o_custkey, o_orderstatus, o_totalprice, 1, 'I'
   FROM base WHERE o_orderkey % 11 = 0
 ), latest AS (
   SELECT * FROM (

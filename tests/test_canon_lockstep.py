@@ -296,3 +296,48 @@ def test_canon_time_of_day_lockstep(spark):
     want = sorted(py_canon(v) for v in (dt.time(9, 30), dt.time(15, 4, 5), dt.time(0)))
     assert got == want, (got, want)
     assert [r.t for r in f.filter_by_value(t=dt.time(9, 30)).df.collect()] == [dt.time(9, 30)]
+
+
+def test_det_ln_three_engine_lockstep(spark):
+    """det_ln bit-identity across Spark, DuckDB and the Python replica
+    over 6 decades of input, plus accuracy vs math.log within the
+    documented envelope (~1e-6 relative-quantize error for x >= 0.5)."""
+    import math
+
+    import duckdb
+
+    from tada_spark.plans.semantics import det_ln, py_det_ln
+
+    vals = [
+        1e-6, 2e-6, 1e-3, 0.1, 0.5, 0.999999, 1.0, 1.000001, 1.5,
+        2.0, math.e, 3.0, 10.0, 99.5, 1234.567, 1e5, 9.9e5, 7.7e6,
+    ] + [0.5 + i * 0.37 for i in range(40)]
+    df = spark.createDataFrame(list(enumerate(vals)), "idx long, x double")
+    got_spark = {
+        r.idx: r.y for r in df.select("idx", det_ln(F.col("x")).alias("y")).collect()
+    }
+    duck_sql = """
+    WITH v AS (SELECT idx, x FROM inp),
+    r0 AS (SELECT idx, x,
+           GREATEST(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT), CAST(1 AS BIGINT)) AS r FROM v),
+    k0 AS (SELECT idx, r, (LENGTH(BIN(r)) - 1) AS k FROM r0),
+    z0 AS (SELECT idx, k,
+           (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
+            / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z FROM k0)
+    SELECT idx,
+           ((CAST(k AS DOUBLE) * 0.6931471805599453)
+            + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
+               + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
+           ) - 13.815510557964274 AS y
+    FROM z0
+    """
+    con = duckdb.connect()
+    con.execute("CREATE TABLE inp(idx BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO inp VALUES (?, ?)", list(enumerate(vals)))
+    got_duck = {idx: y for idx, y in con.execute(duck_sql).fetchall()}
+    for i, v in enumerate(vals):
+        py = py_det_ln(v)
+        # BIT identity, not approx: all three are the same IEEE tree
+        assert got_spark[i] == py == got_duck[i], (v, got_spark[i], py, got_duck[i])
+        if v >= 0.5:
+            assert abs(py - math.log(v)) < 2e-6, (v, py, math.log(v))

@@ -772,8 +772,10 @@ def test_bm25_rank_matches_python_reference(spark):
            text.bm25_rank(df, ("a", "b"), top_k=10).collect()}
 
     # brute-force replica of the documented formula (k1=1.2, b=0.75,
-    # rational idf, e6 floor-quantized per-term contributions)
+    # det_ln log-form RSJ idf, e6 floor-quantized per-term contributions)
     import math as _m
+
+    from tada_spark.plans.semantics import py_det_ln
     toks = {d: t.split() for d, t in corpus}
     n_docs = len(corpus)
     total = sum(len(v) for v in toks.values())
@@ -785,7 +787,7 @@ def test_bm25_rank_matches_python_reference(spark):
             tf = v.count(term)
             if not tf:
                 continue
-            idf = ((n_docs - dft) + 0.5) / (dft + 0.5)
+            idf = py_det_ln(((n_docs - dft) + 0.5) / (dft + 0.5))
             tf_part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl)))
             s, n = want.get(d, (0, 0))
             want[d] = (s + _m.floor(idf * tf_part * 1e6 + 0.5), n + 1)

@@ -151,6 +151,7 @@ def test_bm25_rank_equals_bruteforce(spark, docs):
     import math
 
     from tada_spark.functions.text import bm25_rank
+    from tada_spark.plans.semantics import py_det_ln
 
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -169,7 +170,7 @@ def test_bm25_rank_equals_bruteforce(spark, docs):
                 tf = t.count(term)
                 if not tf:
                     continue
-                idf = ((n_docs - dft) + 0.5) / (dft + 0.5)
+                idf = py_det_ln(((n_docs - dft) + 0.5) / (dft + 0.5))
                 tf_part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(t) / avgdl)))
                 s, n = want.get(d, (0, 0))
                 want[d] = (s + math.floor(idf * tf_part * 1e6 + 0.5), n + 1)

@@ -78,6 +78,9 @@ ALLOWED_BNLJ = {
     "temperature_resample_docs",
     # 1-row basket-count scalar broadcast (support/lift denominator)
     "assoc_rules_events",
+    # 1-row max(o_orderkey) scalar broadcast — the collision-free
+    # insert-key offset (same scalar-subquery shape as q11/q22)
+    "cdc_merge_orders",
 }
 
 
