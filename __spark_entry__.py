@@ -85,6 +85,11 @@ _DRIVER_PRIORITY = [
     "incremental_agg_update",
     "near_dup_triangles",
     # (c) round-6 additions (no driver row yet)
+    "bloom_prefilter_join",
+    "weighted_sample_docs",
+    "token_entropy_by_source",
+    "pagerank_near_dup",
+    "ols_trend_priority",
 ]
 
 

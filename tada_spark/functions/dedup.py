@@ -799,3 +799,82 @@ def dedup_threshold_sweep(
         F.count("*").alias("n_pairs"),
         F.countDistinct("id_b").alias("n_docs_removed"),
     )
+
+
+def pagerank_quantized(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    iters: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Integer-quantized PageRank over an undirected pair graph — the
+    duplicate-centrality score (a doc with high rank in the near-dup
+    graph is the hub of a template family; CC says WHICH cluster,
+    PageRank says WHO is the canonical center). Like kmeans_quantized,
+    the iteration is defined on exact integers so a DuckDB oracle can
+    unroll it and hash-match bit for bit:
+
+      r0(v)   = floor(S / N)                      S = ``scale``
+      base    = floor(floor(S·15/100) / N)        damping d = 0.85
+      r_t+1(v)= base + floor(85 · Σ_{u→v} floor(r_t(u)/deg(u)) / 100)
+
+    Every division is floor of an IEEE double quotient of exact
+    integers < 2^53 — correctly rounded and therefore bit-identical on
+    every engine (the det_ln argument); sums and products stay in
+    longs. Dangling nodes cannot exist (undirected edges), isolated
+    docs are out of scope (rank only means anything on the subgraph).
+
+    100 TB shape: per round, one edge-keyed equi-join (rank table onto
+    the edge list) + one dst-keyed hash-agg — the standard Pregel-style
+    DataFrame iteration; localCheckpoint per round cuts the
+    exponentially-nesting lineage (connected_components discipline).
+    Plan growth per round is O(1) after the cut.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = deg.groupBy().agg(F.count("*").alias("n_nodes"))
+    s15 = (scale * 15) // 100
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"),
+            "deg",
+            F.floor(F.lit(scale).cast("long") / F.col("n_nodes")).cast("long").alias("rank"),
+            F.floor(F.lit(s15).cast("long") / F.col("n_nodes")).cast("long").alias("base"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        inc = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.floor(F.col("rank").cast("double") / F.col("deg").cast("double"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        kept = ranks.select("node", "deg", "base")
+        ranks = (
+            kept.join(inc, kept["node"] == inc["dst"])
+            .select(
+                "node",
+                "deg",
+                "base",
+                (
+                    F.col("base")
+                    + F.floor((F.lit(85).cast("long") * F.col("inc")) / F.lit(100).cast("long")).cast(
+                        "long"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "deg", F.col("rank").alias("pagerank_e9"))

@@ -246,3 +246,43 @@ def temperature_resample(
         .filter(F.col("__rn__") <= F.col("quota"))
         .drop("__dom__", "__rn__", "quota")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    *,
+    key: str = "doc_id",
+    out: str = "priority_e6",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential clocks
+    (Efraimidis-Spirakis A-ES): each row draws E_i = -ln(u_i)/w_i —
+    an Exp(w_i) variate — and the k SMALLEST win; that is exactly a
+    weighted draw without replacement. The uniform u_i is
+    content-addressed (md5 of the key, the repo's reproducible-sampling
+    discipline — never rand()), and the ln is det_ln
+    (plans/semantics.py), so priorities are bit-identical across
+    engines, runs and partition layouts; the e6-quantized priority is
+    emitted for oracle comparison.
+
+    100 TB shape: priorities are a narrow scan-speed map; the k winners
+    come from TakeOrderedAndProject (per-partition heaps + k-row merge),
+    never a global sort. Weights must be > 0 (caller contract).
+    """
+    from tada_spark.functions.text import md5_hash32
+    from tada_spark.plans.semantics import det_ln
+
+    u = (
+        F.pmod(
+            md5_hash32(F.concat(F.lit("ws#"), F.col(key).cast("string"))), F.lit(1048576)
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(1048577.0)
+    pri = (F.lit(0.0) - det_ln(u)) / weight.cast("double")
+    pri_e6 = F.floor(pri * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        df.withColumn(out, pri_e6)
+        .orderBy(F.col(out).asc(), F.col(key).asc())
+        .limit(k)
+    )

@@ -674,3 +674,50 @@ def bpe_merge_candidates(df: DataFrame, text_col: str = "text", *, top_k: int = 
         .orderBy(F.col("n_occ").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def token_entropy(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy (nats) of each group's token distribution — the
+    corpus-diversity statistic a training-data pipeline tracks per
+    source/domain (low entropy = boilerplate/templated feeds; entropy
+    collapse across snapshots = a crawler gone wrong). H = -Σ p·ln p
+    over the group's term frequencies, with ln = det_ln
+    (plans/semantics.py, transcendental-free) and each per-term
+    contribution e6-floor-quantized BEFORE the cross-term sum, so the
+    total is an exact integer sum — float-summation-order-free and
+    hash-identical across engines. Accuracy note: p is quantized at e6
+    inside det_ln, so terms rarer than ~1e-6 of a group's tokens
+    contribute the clamped ln(1e-6) — identically on both engines.
+
+    100 TB shape: one token explode feeding a (group, term) hash-agg,
+    then a group-level agg; the k-row group-totals table broadcasts
+    back. Two shuffles, corpus text never shuffles.
+    """
+    from tada_spark.plans.semantics import det_ln
+
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("n"))
+    totals = tf.groupBy("grp").agg(
+        F.sum("n").alias("total_tokens"), F.count("*").alias("n_terms")
+    )
+    p = F.col("n").cast("double") / F.col("total_tokens").cast("double")
+    contrib = tf.join(F.broadcast(totals), "grp").select(
+        "grp",
+        "n_terms",
+        "total_tokens",
+        F.floor((F.lit(0.0) - p * det_ln(p)) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("c_e6"),
+    )
+    return contrib.groupBy(
+        F.col("grp").alias(group_col), "n_terms", "total_tokens"
+    ).agg(F.sum("c_e6").alias("entropy_e6"))

@@ -5562,6 +5562,230 @@ JOIN pr e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
 """
 
 
+def bloom_prefilter_join(spark, sf):
+    """Bloom-bitmap join pruning (operators/bloomjoin): the dim side
+    (AUTOMOBILE-segment customers) builds a 64 KiB md5-position bitmap
+    in ONE aggregate; the bitmap broadcasts (1-row allowlisted BNLJ)
+    and drops non-matching orders BEFORE the exact semi-join — the
+    explicit version of Spark's runtime bloom-filter pushdown, for dim
+    sets too big to broadcast as IN-lists at 100 TB. Bloom filters have
+    no false negatives, so prefilter + exact semi-join ≡ exact
+    semi-join — the oracle verifies the end result with plain SQL."""
+    from tada_spark.operators.bloomjoin import bloom_bitmap, bloom_prefilter
+
+    cust = (
+        load(spark, sf, "customer")
+        .to_df()
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    bitmap = bloom_bitmap(cust, "c_custkey")
+    orders = load(spark, sf, "orders").to_df()
+    cand = bloom_prefilter(orders, "o_custkey", bitmap)
+    hit = cand.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return hit.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), F.sum(_cents("o_totalprice")).alias("total_cents")
+    )
+
+
+BLOOM_PREFILTER_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+GROUP BY o_orderstatus
+"""
+
+
+#: det_ln (plans/semantics.py) as a DuckDB SQL fragment: the ln-of-{x}
+#: chain every det_ln oracle splices (bit-identical IEEE tree — see the
+#: three-engine lockstep test). Emits one column named ``{out}``.
+def _det_ln_ctes(x: str, src: str, keys: str, out: str = "lnv") -> str:
+    """CTE chain computing det_ln({x}) over table ``{src}`` carrying
+    ``{keys}`` through: returns SQL text defining CTEs __lr, __lk, __lz,
+    __ln (final: {keys}, {out})."""
+    return f"""__lr AS (
+  SELECT {keys},
+         GREATEST(CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS BIGINT), CAST(1 AS BIGINT)) AS r
+  FROM {src}
+), __lk AS (
+  SELECT {keys}, r, (LENGTH(BIN(r)) - 1) AS k FROM __lr
+), __lz AS (
+  SELECT {keys}, k,
+         (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
+          / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z
+  FROM __lk
+), __ln AS (
+  SELECT {keys},
+         ((CAST(k AS DOUBLE) * 0.6931471805599453)
+          + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
+             + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
+         ) - 13.815510557964274 AS {out}
+  FROM __lz
+)"""
+
+
+def weighted_sample_docs(spark, sf):
+    """Weighted sampling without replacement (functions/sampling.
+    weighted_sample, Efraimidis-Spirakis A-ES): 100 docs drawn with
+    probability ∝ (n_chars + 1) via exponential clocks -det_ln(u)/w,
+    u content-addressed from md5(doc_id) — deterministic across runs,
+    engines and partition layouts; top-k via TakeOrderedAndProject."""
+    from tada_spark.functions import sampling
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "lang", "n_chars")
+    return sampling.weighted_sample(
+        docs, (F.col("n_chars") + F.lit(1)).cast("double"), 100
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         (((('0x' || md5('ws#' || CAST(doc_id AS VARCHAR))[1:8])::BIGINT) % 1048576) + 1)
+           / 1048577.0 AS u
+  FROM documents
+), {_det_ln_ctes("u", "d", "doc_id", "lnu")}
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(FLOOR(((0.0 - lnu) / ((n_chars + 1)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         AS priority_e6
+FROM d JOIN __ln USING (doc_id)
+ORDER BY priority_e6 ASC, doc_id ASC LIMIT 100
+"""
+
+
+def token_entropy_by_source(spark, sf):
+    """Per-source Shannon entropy of the token distribution
+    (functions/text.token_entropy) — the corpus-diversity gauge of a
+    curation dashboard: -Σ p·det_ln(p) in nats, each term's
+    contribution e6-quantized BEFORE the exact integer sum
+    (float-order-free, the BM25 discipline)."""
+    docs = load(spark, sf, "documents").to_df()
+    return text.token_entropy(docs, "source", "text")
+
+
+TOKEN_ENTROPY_SQL = rf"""
+WITH toks AS (
+  SELECT grp, t.term
+  FROM (SELECT source AS grp, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents WHERE LENGTH(TRIM(text)) > 0) t(grp, term)
+  WHERE term != ''
+), tf AS (
+  SELECT grp, term, COUNT(*) AS n FROM toks GROUP BY grp, term
+), totals AS (
+  SELECT grp, SUM(n)::BIGINT AS total_tokens, COUNT(*) AS n_terms FROM tf GROUP BY grp
+), pt AS (
+  SELECT tf.grp, tf.term, n_terms, total_tokens,
+         (n::DOUBLE / total_tokens::DOUBLE) AS p
+  FROM tf JOIN totals USING (grp)
+), {_det_ln_ctes("p", "pt", "grp, term, n_terms, total_tokens, p", "lnp")}
+SELECT grp AS source, n_terms, total_tokens,
+       SUM(CAST(FLOOR((0.0 - (p * lnp)) * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS entropy_e6
+FROM __ln GROUP BY grp, n_terms, total_tokens
+"""
+
+
+def pagerank_near_dup(spark, sf):
+    """Integer-quantized PageRank on the near-dup pair graph
+    (functions/dedup.pagerank_quantized, 3 iterations, d=0.85, e9
+    scale) — duplicate-centrality: which doc is the canonical hub of a
+    template family. Same sampled blocked-Jaccard edge derivation as
+    near_dup_components/triangles; the oracle unrolls all 3 iterations
+    in exact integer arithmetic (the kmeans_embeddings playbook)."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = dedup.jaccard_pairs(
+        docs.to_df(), block_cols=["lang"], ngram=4, threshold=0.35
+    )
+    return dedup.pagerank_quantized(pairs.select("id_a", "id_b"), iters=3)
+
+
+_PAGERANK_ITER = """, i{t} AS (
+  SELECT e.dst AS node, SUM(CAST(FLOOR(r.rank::DOUBLE / r.deg::DOUBLE) AS BIGINT))::BIGINT AS inc
+  FROM edges e JOIN r{p} r ON r.node = e.src GROUP BY e.dst
+), r{t} AS (
+  SELECT r.node, r.deg, r.base,
+         r.base + CAST(FLOOR((85 * i.inc) / 100) AS BIGINT) AS rank
+  FROM (SELECT node, deg, base FROM r{p}) r JOIN i{t} i ON i.node = r.node
+)"""
+
+PAGERANK_SQL = (
+    """
+WITH s AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 3, 1) + 1),
+                       i -> SUBSTR(text, i::INT, 4))) AS sh
+  FROM documents WHERE doc_id % 5 = 0
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR((LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.35
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), nn AS (
+  SELECT COUNT(*) AS n_nodes FROM deg
+), r0 AS (
+  SELECT src AS node, deg,
+         CAST(FLOOR(1000000000 / n_nodes) AS BIGINT) AS rank,
+         CAST(FLOOR(150000000 / n_nodes) AS BIGINT) AS base
+  FROM deg, nn
+)"""
+    + _PAGERANK_ITER.format(t=1, p=0)
+    + _PAGERANK_ITER.format(t=2, p=1)
+    + _PAGERANK_ITER.format(t=3, p=2)
+    + """
+SELECT node, deg, rank AS pagerank_e9 FROM r3
+"""
+)
+
+
+def ols_trend_priority(spark, sf):
+    """Per-priority-class OLS spend trend (functions/stats.ols_by_group):
+    slope of order value (exact cents) over order date (days since
+    epoch) for each o_orderpriority — one map-side-combined hash-agg of
+    five exact long sums + k-row closed-form arithmetic; slope in
+    e6-quantized cents/day, intercept floor-rounded to cents."""
+    from tada_spark.functions.stats import ols_by_group
+
+    o = load(spark, sf, "orders").to_df()
+    x = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    y = _cents("o_totalprice")
+    return ols_by_group(o, "o_orderpriority", x, y)
+
+
+OLS_TREND_SQL = """
+WITH b AS (
+  SELECT o_orderpriority,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+         ROUND(o_totalprice * 100)::BIGINT AS y
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx
+  FROM b GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST(FLOOR((CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) != 0
+             THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) END)
+             * 1000000.0 + 0.5) AS BIGINT) AS slope_e6,
+       FLOOR((CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) != 0
+             THEN (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE) / n::DOUBLE END)
+             * 100.0 + 0.5) / 100.0 AS intercept_2dp
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -5725,6 +5949,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "time_grouping_sets_events": (time_grouping_sets_events, TIME_GROUPING_SETS_SQL),
     "incremental_agg_update": (incremental_agg_update, INCREMENTAL_AGG_SQL),
     "near_dup_triangles": (near_dup_triangles, NEAR_DUP_TRIANGLES_SQL),
+    # -- round 6: join pruning, weighted sampling, diversity, graph, trends --
+    "bloom_prefilter_join": (bloom_prefilter_join, BLOOM_PREFILTER_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+    "token_entropy_by_source": (token_entropy_by_source, TOKEN_ENTROPY_SQL),
+    "pagerank_near_dup": (pagerank_near_dup, PAGERANK_SQL),
+    "ols_trend_priority": (ols_trend_priority, OLS_TREND_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

@@ -1,0 +1,187 @@
+"""Round-6 operators: bloom join pruning, A-ES weighted sampling,
+token entropy, quantized PageRank, per-group OLS."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tada_spark.functions.dedup import pagerank_quantized
+from tada_spark.functions.sampling import weighted_sample
+from tada_spark.functions.stats import ols_by_group
+from tada_spark.functions.text import token_entropy
+from tada_spark.operators.bloomjoin import bloom_bitmap, bloom_prefilter
+from tada_spark.plans.semantics import py_det_ln
+
+# ---------------------------------------------------------------------------
+# bloom join pruning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_exactness(spark):
+    dim = spark.createDataFrame([(k,) for k in range(0, 500, 7)], "k long")
+    fact = spark.createDataFrame([(k, k % 13) for k in range(500)], "k long, v long")
+    bm = bloom_bitmap(dim, "k")
+    pre = bloom_prefilter(fact, "k", bm)
+    pre_keys = {r.k for r in pre.collect()}
+    dim_keys = {r.k for r in dim.collect()}
+    # no false negatives: every dim key survives the prefilter
+    assert dim_keys <= pre_keys
+    # end-to-end: prefilter + exact semi-join == plain semi-join
+    got = sorted(r.k for r in pre.join(dim, "k", "left_semi").collect())
+    want = sorted(r.k for r in fact.join(dim, "k", "left_semi").collect())
+    assert got == want
+
+
+def test_bloom_bitmap_is_bounded_and_prunes(spark):
+    dim = spark.createDataFrame([(k,) for k in range(32)], "k long")
+    fact = spark.createDataFrame([(k,) for k in range(100_000)], "k long")
+    bm_row = bloom_bitmap(dim, "k").collect()[0]
+    # sparse map never exceeds m_bits/64 words; 32 keys * 4 hashes -> <=128
+    assert len(bm_row["__bloom__"]) <= 128
+    n_pass = bloom_prefilter(fact, "k", bloom_bitmap(dim, "k")).count()
+    # fp rate with m=65536, k=4, n=32 is ~(128/65536)^4 -> essentially 0;
+    # allow a generous bound: prefilter keeps ~dim-matched rows only
+    assert n_pass <= 32 + 100
+
+
+def test_bloom_prefilter_drops_null_keys(spark):
+    dim = spark.createDataFrame([(1,)], "k long")
+    fact = spark.createDataFrame([(1,), (None,)], "k long")
+    assert bloom_prefilter(fact, "k", bloom_bitmap(dim, "k")).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _py_priority_e6(doc_id: int, w: float) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"ws#{doc_id}".encode()).hexdigest()[:8], 16)
+    u = ((h % 1048576) + 1) / 1048577.0
+    return math.floor(((0.0 - py_det_ln(u)) / w) * 1e6 + 0.5)
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, (F.col("w")).cast("double"), 20).collect()
+    want = sorted(
+        ((_py_priority_e6(i, float(w)), i) for i, w in rows)
+    )[:20]
+    got = [(r.priority_e6, r.doc_id) for r in out]
+    assert got == want
+
+
+def test_weighted_sample_partition_invariant(spark):
+    rows = [(i, i + 1) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "doc_id long, w long").repartition(1)
+    df7 = spark.createDataFrame(rows, "doc_id long, w long").repartition(7)
+    k = 25
+    a = [(r.doc_id, r.priority_e6) for r in weighted_sample(df1, F.col("w").cast("double"), k).collect()]
+    b = [(r.doc_id, r.priority_e6) for r in weighted_sample(df7, F.col("w").cast("double"), k).collect()]
+    assert a == b
+
+
+def test_weighted_sample_weights_bias_selection(spark):
+    # one huge-weight row must essentially always be drawn at k=1..
+    rows = [(i, 1) for i in range(100)] + [(999, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    top = weighted_sample(df, F.col("w").cast("double"), 1).collect()[0]
+    assert top.doc_id == 999
+
+
+# ---------------------------------------------------------------------------
+# token entropy
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_matches_python(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x x y z"),
+            (2, "a", "x y"),
+            (3, "b", "q q q q"),
+            (4, "b", "  "),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in token_entropy(df, "source", "text").collect()}
+    # source a: counts x=3 y=2 z=1 (total 6)
+    want_a = sum(
+        math.floor((0.0 - (c / 6) * py_det_ln(c / 6)) * 1e6 + 0.5) for c in (3, 2, 1)
+    )
+    assert out["a"].entropy_e6 == want_a
+    assert out["a"].n_terms == 3 and out["a"].total_tokens == 6
+    # source b: single term -> p=1, ln(1)=0 exactly -> entropy 0
+    assert out["b"].entropy_e6 == 0
+    assert out["b"].n_terms == 1 and out["b"].total_tokens == 4
+
+
+# ---------------------------------------------------------------------------
+# quantized PageRank
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges: list[tuple[int, int]], iters: int = 3, scale: int = 10**9):
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    nodes = sorted({a for a, _ in sym})
+    deg = {v: sum(1 for a, _ in sym if a == v) for v in nodes}
+    n = len(nodes)
+    base = math.floor((scale * 15 // 100) / n)
+    r = {v: math.floor(scale / n) for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for a, b in sym:
+            inc[b] += math.floor(r[a] / deg[a])
+        r = {v: base + math.floor((85 * inc[v]) / 100) for v in nodes}
+    return r, deg
+
+
+def test_pagerank_matches_python_replica(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.node: (r.pagerank_e9, r.deg) for r in pagerank_quantized(df).collect()}
+    want_r, want_deg = _py_pagerank(edges)
+    assert out == {v: (want_r[v], want_deg[v]) for v in want_r}
+    # the hub (node 3, deg 3) outranks the leaf (node 4)
+    assert out[3][0] > out[4][0]
+
+
+def test_pagerank_rank_mass_bounded(spark):
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    total = sum(r.pagerank_e9 for r in pagerank_quantized(df).collect())
+    # flooring only loses mass: total <= scale, and stays within 1%
+    assert total <= 10**9
+    assert total > 0.99 * 10**9
+
+
+# ---------------------------------------------------------------------------
+# per-group OLS
+# ---------------------------------------------------------------------------
+
+
+def test_ols_matches_closed_form(spark):
+    rows = [("g", x, 3 * x + 7) for x in range(10)] + [("h", x, 100 - 2 * x) for x in (0, 5, 9)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {r.grp: r for r in ols_by_group(df, "grp", F.col("x"), F.col("y")).collect()}
+    assert out["g"].slope_e6 == 3_000_000 and out["g"].intercept_2dp == pytest.approx(7.0)
+    assert out["h"].slope_e6 == -2_000_000 and out["h"].intercept_2dp == pytest.approx(100.0)
+    assert out["g"].n == 10 and out["h"].n == 3
+
+
+def test_ols_degenerate_group_yields_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 9), ("one", 3, 3)], "grp string, x long, y long"
+    )
+    out = {r.grp: r for r in ols_by_group(df, "grp", F.col("x"), F.col("y")).collect()}
+    assert out["g"].slope_e6 is None and out["g"].intercept_2dp is None
+    assert out["one"].slope_e6 is None

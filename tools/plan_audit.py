@@ -81,6 +81,10 @@ ALLOWED_BNLJ = {
     # 1-row max(o_orderkey) scalar broadcast — the collision-free
     # insert-key offset (same scalar-subquery shape as q11/q22)
     "cdc_merge_orders",
+    # 1-row Bloom-bitmap broadcast (64 KiB map) crossJoined onto the
+    # fact scan — the runtime-filter prefilter; O(fact) with a
+    # constant-size broadcast side
+    "bloom_prefilter_join",
 }
 
 
