@@ -721,3 +721,54 @@ def token_entropy(
     return contrib.groupBy(
         F.col("grp").alias(group_col), "n_terms", "total_tokens"
     ).agg(F.sum("c_e6").alias("entropy_e6"))
+
+
+def kl_divergence(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group KL divergence KL(p_group ‖ p_corpus) of token
+    distributions — the drift/quality gauge that catches a feed whose
+    language shifted from the corpus norm (token_entropy measures
+    within-group diversity; this measures against-corpus skew). Every
+    group term exists in the corpus by construction, so p_corpus > 0
+    and the sum is always finite. Both lns are det_ln; each term's
+    p_s·(ln p_s − ln p_c) contribution is e6-floor-quantized BEFORE the
+    exact integer sum (the BM25/entropy discipline).
+
+    100 TB shape: the (group, term) aggregate is computed ONCE and
+    feeds both marginals (group totals: k rows; corpus term counts:
+    vocabulary-sized, broadcast back — the bm25 df_t pattern); the
+    1-row corpus total rides the allowlisted scalar-broadcast
+    crossJoin. Corpus text shuffles once.
+    """
+    from tada_spark.plans.semantics import det_ln
+
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf_g = toks.groupBy("grp", "term").agg(F.count("*").alias("n"))
+    tot_g = tf_g.groupBy("grp").agg(F.sum("n").alias("t_g"))
+    tf_c = tf_g.groupBy("term").agg(F.sum("n").alias("n_c"))
+    tot_c = tf_g.groupBy().agg(F.sum("n").alias("t"))
+    p_s = F.col("n").cast("double") / F.col("t_g").cast("double")
+    p_c = F.col("n_c").cast("double") / F.col("t").cast("double")
+    contrib = (
+        tf_g.join(F.broadcast(tot_g), "grp")
+        .join(F.broadcast(tf_c), "term")
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            "grp",
+            "t_g",
+            F.floor((p_s * (det_ln(p_s) - det_ln(p_c))) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("c_e6"),
+        )
+    )
+    return contrib.groupBy(
+        F.col("grp").alias(group_col), F.col("t_g").alias("total_tokens")
+    ).agg(F.sum("c_e6").alias("kl_e6"))

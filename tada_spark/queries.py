@@ -5602,28 +5602,29 @@ GROUP BY o_orderstatus
 #: det_ln (plans/semantics.py) as a DuckDB SQL fragment: the ln-of-{x}
 #: chain every det_ln oracle splices (bit-identical IEEE tree — see the
 #: three-engine lockstep test). Emits one column named ``{out}``.
-def _det_ln_ctes(x: str, src: str, keys: str, out: str = "lnv") -> str:
+def _det_ln_ctes(x: str, src: str, keys: str, out: str = "lnv", prefix: str = "__l") -> str:
     """CTE chain computing det_ln({x}) over table ``{src}`` carrying
-    ``{keys}`` through: returns SQL text defining CTEs __lr, __lk, __lz,
-    __ln (final: {keys}, {out})."""
-    return f"""__lr AS (
+    ``{keys}`` through: returns SQL text defining CTEs {prefix}r,
+    {prefix}k, {prefix}z, {prefix}n (final: {keys}, {out}). Distinct
+    ``prefix`` values let one oracle splice several det_ln chains."""
+    return f"""{prefix}r AS (
   SELECT {keys},
          GREATEST(CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS BIGINT), CAST(1 AS BIGINT)) AS r
   FROM {src}
-), __lk AS (
-  SELECT {keys}, r, (LENGTH(BIN(r)) - 1) AS k FROM __lr
-), __lz AS (
+), {prefix}k AS (
+  SELECT {keys}, r, (LENGTH(BIN(r)) - 1) AS k FROM {prefix}r
+), {prefix}z AS (
   SELECT {keys}, k,
          (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
           / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z
-  FROM __lk
-), __ln AS (
+  FROM {prefix}k
+), {prefix}n AS (
   SELECT {keys},
          ((CAST(k AS DOUBLE) * 0.6931471805599453)
           + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
              + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
          ) - 13.815510557964274 AS {out}
-  FROM __lz
+  FROM {prefix}z
 )"""
 
 
@@ -5745,6 +5746,74 @@ WITH s AS (
 SELECT node, deg, rank AS pagerank_e9 FROM r3
 """
 )
+
+
+def kl_divergence_sources(spark, sf):
+    """Per-source KL divergence vs the corpus token distribution
+    (functions/text.kl_divergence) — the feed-drift gauge beside
+    token_entropy's within-source diversity: both det_ln chains spliced
+    into one oracle, per-term contributions e6-quantized before the
+    exact integer sum."""
+    docs = load(spark, sf, "documents").to_df()
+    return text.kl_divergence(docs, "source", "text")
+
+
+KL_DIVERGENCE_SQL = rf"""
+WITH toks AS (
+  SELECT grp, t.term
+  FROM (SELECT source AS grp, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents WHERE LENGTH(TRIM(text)) > 0) t(grp, term)
+  WHERE term != ''
+), tf AS (
+  SELECT grp, term, COUNT(*) AS n FROM toks GROUP BY grp, term
+), tg AS (
+  SELECT grp, SUM(n)::BIGINT AS t_g FROM tf GROUP BY grp
+), tc AS (
+  SELECT term, SUM(n)::BIGINT AS n_c FROM tf GROUP BY term
+), tt AS (
+  SELECT SUM(n)::BIGINT AS t FROM tf
+), ps AS (
+  SELECT tf.grp, tf.term, t_g,
+         (n::DOUBLE / t_g::DOUBLE) AS p_s,
+         (n_c::DOUBLE / t::DOUBLE) AS p_c
+  FROM tf JOIN tg USING (grp) JOIN tc USING (term), tt
+), {_det_ln_ctes("p_s", "ps", "grp, term, t_g, p_s, p_c", "ln_ps", "__a")},
+{_det_ln_ctes("p_c", "__an", "grp, term, t_g, p_s, ln_ps", "ln_pc", "__b")}
+SELECT grp AS source, t_g AS total_tokens,
+       SUM(CAST(FLOOR((p_s * (ln_ps - ln_pc)) * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS kl_e6
+FROM __bn GROUP BY grp, t_g
+"""
+
+
+def stream_static_enrich(spark, sf):
+    """Stream-static broadcast-dim join (the enrichment every streaming
+    pipeline starts with): streaming events joined to the static
+    customer dim (broadcast — a stream-static equi-join needs no
+    stream-side state) then rolled up per market segment, driven to
+    completion with availableNow. Arrival-order independent, so the
+    complete-mode snapshot oracle-checks as the batch join+agg."""
+    stream = _stream_events(spark, sf)
+    dim = (
+        load(spark, sf, "customer")
+        .to_df()
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    from tada_spark.streaming import run_available_now
+
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), _round_det(F.sum("value"), 4).alias("total_value")
+    )
+    res = run_available_now(agg, "q_stream_static_enrich")
+    return res.select("c_mktsegment", "n_events", "total_value")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       FLOOR((SUM(value)) * 10000 + 0.5) / 10000 AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
 
 
 def ols_trend_priority(spark, sf):
@@ -5955,6 +6024,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_entropy_by_source": (token_entropy_by_source, TOKEN_ENTROPY_SQL),
     "pagerank_near_dup": (pagerank_near_dup, PAGERANK_SQL),
     "ols_trend_priority": (ols_trend_priority, OLS_TREND_SQL),
+    "kl_divergence_sources": (kl_divergence_sources, KL_DIVERGENCE_SQL),
+    "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),
     "debounce_events": (debounce_events, DEBOUNCE_SQL),

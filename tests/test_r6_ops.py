@@ -185,3 +185,36 @@ def test_ols_degenerate_group_yields_nulls(spark):
     out = {r.grp: r for r in ols_by_group(df, "grp", F.col("x"), F.col("y")).collect()}
     assert out["g"].slope_e6 is None and out["g"].intercept_2dp is None
     assert out["one"].slope_e6 is None
+
+
+# ---------------------------------------------------------------------------
+# KL divergence
+# ---------------------------------------------------------------------------
+
+
+def test_kl_divergence_matches_python(spark):
+    from tada_spark.functions.text import kl_divergence
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x x y"),
+            (2, "b", "x y y z"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in kl_divergence(df, "source", "text").collect()}
+    # corpus: x=3 y=3 z=1 (T=7); a: x=2 y=1 (t=3); b: x=1 y=2 z=1 (t=4)
+    def kl(counts, t, corpus, tc):
+        return sum(
+            math.floor(
+                ((n / t) * (py_det_ln(n / t) - py_det_ln(corpus[term] / tc))) * 1e6 + 0.5
+            )
+            for term, n in counts.items()
+        )
+
+    corpus = {"x": 3, "y": 3, "z": 1}
+    assert out["a"].kl_e6 == kl({"x": 2, "y": 1}, 3, corpus, 7)
+    assert out["b"].kl_e6 == kl({"x": 1, "y": 2, "z": 1}, 4, corpus, 7)
+    assert out["a"].total_tokens == 3 and out["b"].total_tokens == 4
+    # a group identical to the corpus has KL ~ 0; skewed groups > 0
+    assert out["a"].kl_e6 > 0 and out["b"].kl_e6 > 0

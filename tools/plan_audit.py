@@ -85,6 +85,8 @@ ALLOWED_BNLJ = {
     # fact scan — the runtime-filter prefilter; O(fact) with a
     # constant-size broadcast side
     "bloom_prefilter_join",
+    # 1-row corpus-token-total scalar broadcast (KL denominator)
+    "kl_divergence_sources",
 }
 
 
