@@ -5748,6 +5748,73 @@ SELECT node, deg, rank AS pagerank_e9 FROM r3
 )
 
 
+def ab_chi2_events(spark, sf):
+    """Deterministic A/B experiment readout: users split into two arms
+    by content-addressed md5 parity (never rand() — reassignable,
+    engine-identical), outcome = converted (≥1 purchase event), and the
+    2×2 chi-square statistic computed in closed form from four exact
+    counts: χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). Counts stay exact
+    longs through one user-keyed aggregate + ONE global 4-cell
+    aggregate; the ratio runs on their double casts (correctly rounded
+    int→double + an identical IEEE tree — the ols_by_group discipline),
+    floor-e6 quantized. Degenerate margins (a whole row/column empty)
+    yield NULL rather than a division blowup.
+
+    100 TB shape: two map-side-combined aggregates, no window, no
+    shuffle beyond the user-key one; the 4-cell table is a single row.
+    """
+    from tada_spark.functions.text import md5_hash32
+
+    ev = load(spark, sf, "events").to_df()
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    arm = F.pmod(
+        md5_hash32(F.concat(F.lit("ab#"), F.col("user_id").cast("string"))), F.lit(2)
+    )
+    tagged = per_user.select(arm.alias("arm"), "conv")
+    cells = tagged.groupBy().agg(
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 0), 1).otherwise(0)).alias("d"),
+    )
+    ad_bc = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    nd = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    den = (
+        ((F.col("a") + F.col("b")).cast("double") * (F.col("c") + F.col("d")).cast("double"))
+        * (F.col("a") + F.col("c")).cast("double")
+    ) * (F.col("b") + F.col("d")).cast("double")
+    chi2 = F.when(den != 0, (nd * (ad_bc * ad_bc)) / den)
+    return cells.select(
+        "a", "b", "c", "d",
+        F.floor(chi2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("chi2_e6"),
+    )
+
+
+AB_CHI2_SQL = """
+WITH pu AS (
+  SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), tag AS (
+  SELECT ((('0x' || md5('ab#' || CAST(user_id AS VARCHAR))[1:8])::BIGINT) % 2) AS arm, conv
+  FROM pu
+), cells AS (
+  SELECT SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+         SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+         SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+         SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM tag
+)
+SELECT a, b, c, d,
+       CAST(FLOOR((CASE WHEN ((((a+b)::DOUBLE * (c+d)::DOUBLE) * (a+c)::DOUBLE) * (b+d)::DOUBLE) != 0
+             THEN ((a+b+c+d)::DOUBLE * (((a*d - b*c)::DOUBLE) * ((a*d - b*c)::DOUBLE)))
+                  / ((((a+b)::DOUBLE * (c+d)::DOUBLE) * (a+c)::DOUBLE) * (b+d)::DOUBLE) END)
+             * 1000000.0 + 0.5) AS BIGINT) AS chi2_e6
+FROM cells
+"""
+
+
 def kl_divergence_sources(spark, sf):
     """Per-source KL divergence vs the corpus token distribution
     (functions/text.kl_divergence) — the feed-drift gauge beside
@@ -6025,6 +6092,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pagerank_near_dup": (pagerank_near_dup, PAGERANK_SQL),
     "ols_trend_priority": (ols_trend_priority, OLS_TREND_SQL),
     "kl_divergence_sources": (kl_divergence_sources, KL_DIVERGENCE_SQL),
+    "ab_chi2_events": (ab_chi2_events, AB_CHI2_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),

@@ -218,3 +218,73 @@ def test_kl_divergence_matches_python(spark):
     assert out["a"].total_tokens == 3 and out["b"].total_tokens == 4
     # a group identical to the corpus has KL ~ 0; skewed groups > 0
     assert out["a"].kl_e6 > 0 and out["b"].kl_e6 > 0
+
+
+# ---------------------------------------------------------------------------
+# A/B chi-square
+# ---------------------------------------------------------------------------
+
+
+def test_ab_chi2_matches_python(spark):
+    import hashlib
+
+    from tada_spark.queries import ab_chi2_events, load
+
+    # real sf0.001 data: every user converts (b = d = 0) -> the
+    # degenerate-margin guard must yield NULL, not a division blowup
+    row = ab_chi2_events(spark, "/root/testdata/sf0.001").collect()[0]
+    ev = load(spark, "/root/testdata/sf0.001", "events").to_df()
+    per_user = {}
+    for r in ev.select("user_id", "event_type").collect():
+        per_user[r.user_id] = max(per_user.get(r.user_id, 0), int(r.event_type == "purchase"))
+    cells = {"a": 0, "b": 0, "c": 0, "d": 0}
+    for uid, conv in per_user.items():
+        arm = int(hashlib.md5(f"ab#{uid}".encode()).hexdigest()[:8], 16) % 2
+        cells["abcd"[arm * 2 + (1 - conv)]] += 1
+    a, b, c, d = cells["a"], cells["b"], cells["c"], cells["d"]
+    assert (row.a, row.b, row.c, row.d) == (a, b, c, d)
+    den = (float(a + b) * float(c + d)) * float(a + c) * float(b + d)
+    if den == 0:
+        assert row.chi2_e6 is None
+    else:
+        want = math.floor(
+            (float(a + b + c + d) * (float(a * d - b * c) * float(a * d - b * c))) / den * 1e6
+            + 0.5
+        )
+        assert row.chi2_e6 == want
+
+
+def test_ab_chi2_statistic_on_synthetic_contingency(spark):
+    import hashlib
+
+    from tada_spark.queries import ab_chi2_events
+
+    # build a user universe with non-degenerate margins: converted iff
+    # uid % 3 == 0 (purchase event), others only view
+    rows = []
+    for uid in range(200):
+        rows.append((uid, uid * 2, "purchase" if uid % 3 == 0 else "view"))
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"ab_chi2_events_{spark.sparkContext.applicationId}")
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    df.withColumn("ts", F.current_timestamp()).withColumn("value", F.lit(1.0)).withColumn(
+        "props", F.lit("{}")
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = ab_chi2_events(spark, d).collect()[0]
+    cells = {"a": 0, "b": 0, "c": 0, "d": 0}
+    for uid in range(200):
+        conv = int(uid % 3 == 0)
+        arm = int(hashlib.md5(f"ab#{uid}".encode()).hexdigest()[:8], 16) % 2
+        cells["abcd"[arm * 2 + (1 - conv)]] += 1
+    a, b, c, d2 = cells["a"], cells["b"], cells["c"], cells["d"]
+    assert (row.a, row.b, row.c, row.d) == (a, b, c, d2)
+    den = (float(a + b) * float(c + d2)) * float(a + c) * float(b + d2)
+    want = math.floor(
+        (float(a + b + c + d2) * (float(a * d2 - b * c) * float(a * d2 - b * c))) / den * 1e6
+        + 0.5
+    )
+    assert row.chi2_e6 == want
+    # uid%3 conversion is independent of md5-parity arms: chi2 stays small
+    assert row.chi2_e6 < 4_000_000  # chi2 < 4 at df=1 (no real effect)
