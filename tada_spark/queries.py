@@ -1964,7 +1964,7 @@ WITH d AS (
 SELECT media_id, sample_rate,
        FLOOR((length(text)::DOUBLE / sample_rate) * 1000000 + 0.5) / 1000000 AS duration_s,
        FLOOR((SQRT(list_sum(list_transform(string_split(text[1:64], ''),
-                                          c -> POW(ord(c) / 255.0, 2)))
+                                          c -> ((ord(c) / 255.0) * (ord(c) / 255.0))))
                   / LEAST(length(text), 64))) * 1000000 + 0.5) / 1000000 AS rms
 FROM d
 """

@@ -163,3 +163,33 @@ def test_round_lint_contract():
     import __spark_entry__ as entrymod
 
     assert {n: h for n, sql in entrymod.oracle_sql().items() if (h := rl(sql))} == {}
+
+def test_transcendental_lint_contract():
+    """Pin tools/check_oracle.transcendental_lint: native LN/LOG/EXP/
+    POW(ER) in oracle SQL is flagged (library libm vs Java last-ulp
+    divergence — det_ln exists instead); the live catalog is clean
+    outside the documented allowlist."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod2",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tl = mod.transcendental_lint
+    assert tl("SELECT LN(x)") == ["LN("]
+    assert tl("select pow(x, 2)") == ["pow("]
+    assert tl("POWER (x, 2)") == ["POWER ("]
+    assert tl("EXPLODE(x)") == []        # word boundary
+    assert tl("BLN(x)") == []
+    assert tl("FLOOR(x * 1e6 + 0.5)") == []
+    import __spark_entry__ as entrymod
+
+    dirty = {
+        n: h for n, sql in entrymod.oracle_sql().items()
+        if n not in mod.TRANSCENDENTAL_ALLOWED and (h := tl(sql))
+    }
+    assert dirty == {}

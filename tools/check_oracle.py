@@ -171,6 +171,32 @@ def round_lint(sql: str) -> list[str]:
         pos = j + 1
 
 
+#: Oracles allowed to keep a native transcendental, with why. Native
+#: log/exp/pow differ from Java's in the last ulp, so hash safety rests
+#: on the output's rounding granularity — new oracles must use det_ln
+#: (plans/semantics.py) / explicit self-multiplication instead.
+TRANSCENDENTAL_ALLOWED = {
+    # idf = LN(N/df) rounded at 6 dp on BOTH engines: a divergence needs
+    # the true value within 1 ulp (~1e-16 rel) of a 5e-7 boundary —
+    # grandfathered; migrate to det_ln when the entry next rotates into
+    # the driver window (r07).
+    "tfidf_top_terms",
+}
+
+
+def transcendental_lint(sql: str) -> list[str]:
+    """Native LN/LOG/EXP/POW/POWER in oracle SQL — the library-
+    transcendental divergence class (engines' libm differ in the last
+    ulp; det_ln exists precisely so hash-compared outputs never call
+    them). Returns offending snippets."""
+    import re
+
+    return [
+        m.group(0)
+        for m in re.finditer(r"\b(?:LN|LOG|EXP|POW|POWER)\s*\(", sql, re.IGNORECASE)
+    ]
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon_rows = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
@@ -217,6 +243,16 @@ def main() -> int:
         for n, rl in lint_hits.items():
             print(f"LINT  {n}: engine-native two-arg ROUND in oracle SQL: {rl[:3]}")
         print(f"\n{len(lint_hits)} oracle(s) fail the ROUND lint — fix before running")
+        return 1
+    tr_hits = {
+        n: tl
+        for n, sql in oracles.items()
+        if n not in TRANSCENDENTAL_ALLOWED and (tl := transcendental_lint(sql))
+    }
+    if tr_hits:
+        for n, tl in tr_hits.items():
+            print(f"LINT  {n}: native transcendental in oracle SQL (use det_ln): {tl[:3]}")
+        print(f"\n{len(tr_hits)} oracle(s) fail the transcendental lint — fix before running")
         return 1
     names = args.query or list(qs)
     unknown = [n for n in names if n not in qs]
