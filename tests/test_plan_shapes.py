@@ -185,3 +185,26 @@ def test_bpe_merge_vocab_sized_explode(spark, catalog):
     # word-frequency aggregate BEFORE the pair explode + final TakeOrdered
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_takeordered_no_python(spark, catalog):
+    plan = plan_of(catalog["weighted_sample_docs"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "BatchEvalPython" not in plan    # det_ln is pure Column algebra
+
+
+def test_bloom_prefilter_is_codegen_bit_algebra(spark, catalog):
+    plan = plan_of(catalog["bloom_prefilter_join"][0](spark, SF))
+    # the probe is a 1-row broadcast nested loop (the allowlisted shape),
+    # the exact join stays a broadcast HASH join, and nothing is Python
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_ols_is_one_aggregate_exchange(spark, catalog):
+    plan = plan_of(catalog["ols_trend_priority"][0](spark, SF))
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count(
+        "ReusedExchange"
+    ) == 1
+    assert "Join" not in plan
