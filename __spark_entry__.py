@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: r07; the r04-latest cohort (the 50 entries re-earned in r04) are the
 #: r07 leads, together with the two round-6 entries added after this
 #: window filled (kl_divergence_sources, stream_static_enrich,
-#: ab_chi2_events — each
+#: ab_chi2_events, corr_value_hour_events — each
 #: local-gate green at sf0.001/0.01/0.1 and hash-stable at local[5]).
 _DRIVER_PRIORITY = [
     # (a) newest green is r03 — re-earn now or fall out of the union

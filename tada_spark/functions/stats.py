@@ -62,3 +62,39 @@ def ols_by_group(
         F.floor(slope * F.lit(1e6) + F.lit(0.5)).cast("long").alias("slope_e6"),
         round_det(intercept, 2).alias("intercept_2dp"),
     )
+
+
+def corr_by_group(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group Pearson correlation of integer-exact x and y — the
+    companion readout to ols_by_group (slope says how much, r says how
+    tightly). Six exact long sums in ONE hash-aggregate, then the
+    closed form on double casts; sqrt is IEEE-correctly-rounded on
+    every engine so the whole tree stays hash-deterministic (the
+    det_ln argument). Emits corr_e6 (floor-quantized millionths);
+    degenerate groups (zero variance in either variable) yield NULL.
+    """
+    sums = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("long")).alias("sx"),
+        F.sum(y.cast("long")).alias("sy"),
+        F.sum((x.cast("long") * y.cast("long"))).alias("sxy"),
+        F.sum((x.cast("long") * x.cast("long"))).alias("sxx"),
+        F.sum((y.cast("long") * y.cast("long"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    corr = F.when((denx > 0) & (deny > 0), num / (F.sqrt(denx) * F.sqrt(deny)))
+    return sums.select(
+        group_col,
+        "n",
+        F.floor(corr * F.lit(1e6) + F.lit(0.5)).cast("long").alias("corr_e6"),
+    )

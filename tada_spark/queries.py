@@ -5815,6 +5815,39 @@ FROM cells
 """
 
 
+def corr_value_hour_events(spark, sf):
+    """Per-event-type Pearson correlation of spend (exact cents) vs
+    hour of day (functions/stats.corr_by_group): six exact long sums in
+    one hash-agg, closed form with IEEE sqrt on the double casts —
+    does afternoon traffic spend differently, per event type."""
+    from tada_spark.functions.stats import corr_by_group
+
+    ev = load(spark, sf, "events").to_df()
+    return corr_by_group(
+        ev, "event_type", F.hour("ts").cast("long"), F.round(F.col("value") * 100).cast("long")
+    )
+
+
+CORR_VALUE_HOUR_SQL = """
+WITH b AS (
+  SELECT event_type, HOUR(ts)::BIGINT AS x, ROUND(value * 100)::BIGINT AS y FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+         SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(FLOOR((CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+             THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (SQRT(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * SQRT(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END)
+             * 1000000.0 + 0.5) AS BIGINT) AS corr_e6
+FROM s
+"""
+
+
 def kl_divergence_sources(spark, sf):
     """Per-source KL divergence vs the corpus token distribution
     (functions/text.kl_divergence) — the feed-drift gauge beside
@@ -6093,6 +6126,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ols_trend_priority": (ols_trend_priority, OLS_TREND_SQL),
     "kl_divergence_sources": (kl_divergence_sources, KL_DIVERGENCE_SQL),
     "ab_chi2_events": (ab_chi2_events, AB_CHI2_SQL),
+    "corr_value_hour_events": (corr_value_hour_events, CORR_VALUE_HOUR_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),

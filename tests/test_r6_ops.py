@@ -288,3 +288,23 @@ def test_ab_chi2_statistic_on_synthetic_contingency(spark):
     assert row.chi2_e6 == want
     # uid%3 conversion is independent of md5-parity arms: chi2 stays small
     assert row.chi2_e6 < 4_000_000  # chi2 < 4 at df=1 (no real effect)
+
+
+def test_corr_matches_closed_form(spark):
+    from tada_spark.functions.stats import corr_by_group
+
+    rows = (
+        [("pos", x, 2 * x + 1) for x in range(8)]          # r = +1
+        + [("neg", x, 50 - 3 * x) for x in range(8)]        # r = -1
+        + [("flat", x, 7) for x in range(8)]                # zero y-variance
+    )
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {r.grp: r for r in corr_by_group(df, "grp", F.col("x"), F.col("y")).collect()}
+    assert out["pos"].corr_e6 == 1_000_000
+    assert out["neg"].corr_e6 == -1_000_000
+    assert out["flat"].corr_e6 is None
+    # a noisy-but-positive relationship lands strictly between 0 and 1
+    rows2 = [("m", x, x + (7 * x) % 5) for x in range(50)]
+    df2 = spark.createDataFrame(rows2, "grp string, x long, y long")
+    r = corr_by_group(df2, "grp", F.col("x"), F.col("y")).collect()[0].corr_e6
+    assert 0 < r < 1_000_000
