@@ -268,11 +268,16 @@ def weighted_sample(
 
     100 TB shape: priorities are a narrow scan-speed map; the k winners
     come from TakeOrderedAndProject (per-partition heaps + k-row merge),
-    never a global sort. Weights must be > 0 (caller contract).
+    never a global sort. Weights must be > 0 (caller contract). Rows
+    with a NULL key are dropped up front: a null key hashes to a NULL
+    priority, which Spark's bare asc() would rank FIRST (hijacking the
+    sample) while SQL engines rank it last — and sampling without a
+    stable identity is meaningless anyway.
     """
     from tada_spark.functions.text import md5_hash32
     from tada_spark.plans.semantics import det_ln
 
+    df = df.filter(F.col(key).isNotNull())
     u = (
         F.pmod(
             md5_hash32(F.concat(F.lit("ws#"), F.col(key).cast("string"))), F.lit(1048576)

@@ -41,7 +41,12 @@ def ols_by_group(
     100 TB shape: ONE map-side-combined hash-agg over the scan (five
     longs per group), then k-row arithmetic. No second pass, no window,
     no solver.
+
+    Rows with a NULL x or y are dropped up front: SUM skips nulls but
+    COUNT(*) would not, and an n inconsistent with the sums silently
+    corrupts every closed form.
     """
+    df = df.filter(x.isNotNull() & y.isNotNull())
     sums = df.groupBy(group_col).agg(
         F.count("*").alias("n"),
         F.sum(x.cast("long")).alias("sx"),
@@ -77,7 +82,10 @@ def corr_by_group(
     every engine so the whole tree stays hash-deterministic (the
     det_ln argument). Emits corr_e6 (floor-quantized millionths);
     degenerate groups (zero variance in either variable) yield NULL.
+    NULL x/y rows are dropped up front (the ols_by_group consistency
+    rule: n must count exactly the rows the sums saw).
     """
+    df = df.filter(x.isNotNull() & y.isNotNull())
     sums = df.groupBy(group_col).agg(
         F.count("*").alias("n"),
         F.sum(x.cast("long")).alias("sx"),

@@ -5647,7 +5647,7 @@ WITH d AS (
   SELECT doc_id, lang, n_chars,
          (((('0x' || md5('ws#' || CAST(doc_id AS VARCHAR))[1:8])::BIGINT) % 1048576) + 1)
            / 1048577.0 AS u
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ), {_det_ln_ctes("u", "d", "doc_id", "lnu")}
 SELECT d.doc_id, d.lang, d.n_chars,
        CAST(FLOOR(((0.0 - lnu) / ((n_chars + 1)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
@@ -5766,7 +5766,9 @@ def ab_chi2_events(spark, sf):
     from tada_spark.functions.text import md5_hash32
 
     ev = load(spark, sf, "events").to_df()
-    per_user = ev.groupBy("user_id").agg(
+    # a NULL user has no stable arm assignment — drop up front (oracle
+    # mirrors; without this, NULL would form its own phantom cell group)
+    per_user = ev.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
     )
     arm = F.pmod(
@@ -5795,7 +5797,7 @@ def ab_chi2_events(spark, sf):
 AB_CHI2_SQL = """
 WITH pu AS (
   SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), tag AS (
   SELECT ((('0x' || md5('ab#' || CAST(user_id AS VARCHAR))[1:8])::BIGINT) % 2) AS arm, conv
   FROM pu
@@ -5830,7 +5832,8 @@ def corr_value_hour_events(spark, sf):
 
 CORR_VALUE_HOUR_SQL = """
 WITH b AS (
-  SELECT event_type, HOUR(ts)::BIGINT AS x, ROUND(value * 100)::BIGINT AS y FROM events
+  SELECT event_type, HOUR(ts)::BIGINT AS x, ROUND(value * 100)::BIGINT AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 ), s AS (
   SELECT event_type, COUNT(*) AS n,
          SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
@@ -5935,7 +5938,7 @@ WITH b AS (
   SELECT o_orderpriority,
          DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
          ROUND(o_totalprice * 100)::BIGINT AS y
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
 ), s AS (
   SELECT o_orderpriority, COUNT(*) AS n,
          SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,

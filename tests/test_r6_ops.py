@@ -308,3 +308,34 @@ def test_corr_matches_closed_form(spark):
     df2 = spark.createDataFrame(rows2, "grp string, x long, y long")
     r = corr_by_group(df2, "grp", F.col("x"), F.col("y")).collect()[0].corr_e6
     assert 0 < r < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# null-hygiene contracts (r6 hardening)
+# ---------------------------------------------------------------------------
+
+
+def test_ols_and_corr_exclude_null_rows_from_n(spark):
+    from tada_spark.functions.stats import corr_by_group
+
+    rows = [("g", 0, 1), ("g", 1, 3), ("g", 2, 5), ("g", None, 99), ("g", 3, None)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    o = ols_by_group(df, "grp", F.col("x"), F.col("y")).collect()[0]
+    # nulls dropped entirely: n=3 and the fit is the clean y=2x+1
+    assert o.n == 3 and o.slope_e6 == 2_000_000
+    c = corr_by_group(df, "grp", F.col("x"), F.col("y")).collect()[0]
+    assert c.n == 3 and c.corr_e6 == 1_000_000
+
+
+def test_weighted_sample_drops_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None, 1_000_000), (1, 5), (2, 5)], "doc_id long, w long"
+    )
+    got = weighted_sample(df, F.col("w").cast("double"), 3).collect()
+    assert sorted(r.doc_id for r in got) == [1, 2]
+
+
+def test_bloom_empty_dim_drops_everything(spark):
+    dim = spark.createDataFrame([], "k long")
+    fact = spark.createDataFrame([(1,), (2,)], "k long")
+    assert bloom_prefilter(fact, "k", bloom_bitmap(dim, "k")).count() == 0
