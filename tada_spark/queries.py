@@ -117,6 +117,37 @@ def _round2_e4(sum_e4):
     return (sum_e4 + F.lit(50) - F.pmod(sum_e4 + F.lit(50), 100)) / F.lit(10000.0)
 
 
+#: det_ln (plans/semantics.py) as a DuckDB SQL fragment: the ln-of-{x}
+#: chain every det_ln oracle splices (bit-identical IEEE tree — see the
+#: three-engine lockstep test). Emits one column named ``{out}``.
+def _det_ln_ctes(x: str, src: str, keys: str, out: str = "lnv", prefix: str = "__l") -> str:
+    """CTE chain computing det_ln({x}) over table ``{src}`` carrying
+    ``{keys}`` through: returns SQL text defining CTEs {prefix}r,
+    {prefix}k, {prefix}z, {prefix}n (final: {keys}, {out}). Distinct
+    ``prefix`` values let one oracle splice several det_ln chains."""
+    return f"""{prefix}r AS (
+  SELECT {keys},
+         GREATEST(CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS BIGINT), CAST(1 AS BIGINT)) AS r
+  FROM {src}
+), {prefix}k AS (
+  SELECT {keys}, r, (LENGTH(BIN(r)) - 1) AS k FROM {prefix}r
+), {prefix}z AS (
+  SELECT {keys}, k,
+         (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
+          / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z
+  FROM {prefix}k
+), {prefix}n AS (
+  SELECT {keys},
+         ((CAST(k AS DOUBLE) * 0.6931471805599453)
+          + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
+             + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
+         ) - 13.815510557964274 AS {out}
+  FROM {prefix}z
+)"""
+
+
+
+
 from tada_spark.plans.semantics import round_det as _round_det  # noqa: E402 — shared floor-idiom rounding
 
 
@@ -3436,6 +3467,8 @@ def tfidf_top_terms(spark, sf):
     back onto the TF stream, so the corpus text never re-shuffles."""
     from pyspark.sql.window import Window
 
+    from tada_spark.plans.semantics import det_ln
+
     docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
     n_docs = docs.count()
     terms = docs.select(
@@ -3444,10 +3477,14 @@ def tfidf_top_terms(spark, sf):
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # idf via det_ln (r6): the last native-LN oracle migrated to the
+    # deterministic ln, emptying check_oracle's transcendental allowlist
     scored = tf.join(F.broadcast(df_t), "term").select(
         "doc_id",
         "term",
-        _round_det(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        _round_det(
+            F.col("tf") * det_ln(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
@@ -3457,7 +3494,7 @@ def tfidf_top_terms(spark, sf):
     )
 
 
-TFIDF_SQL = r"""
+TFIDF_SQL = rf"""
 WITH terms AS (
   SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS term
   FROM documents WHERE LENGTH(TRIM(text)) > 0
@@ -3465,10 +3502,12 @@ WITH terms AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term != '' GROUP BY doc_id, term
 ), df_t AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-), scored AS (
+), ratio AS (
+  SELECT term, ((SELECT COUNT(*) FROM documents)::DOUBLE / df) AS x FROM df_t
+), {_det_ln_ctes("x", "ratio", "term", "idf")}, scored AS (
   SELECT tf.doc_id, tf.term,
-         FLOOR((tf.tf * LN((SELECT COUNT(*) FROM documents)::DOUBLE / df_t.df)) * 1000000 + 0.5) / 1000000 AS tfidf
-  FROM tf JOIN df_t USING (term)
+         FLOOR((tf.tf * idf) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM tf JOIN __ln USING (term)
 )
 SELECT doc_id, term, tfidf, rk FROM (
   SELECT doc_id, term, tfidf,
@@ -5597,35 +5636,6 @@ FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
 GROUP BY o_orderstatus
 """
-
-
-#: det_ln (plans/semantics.py) as a DuckDB SQL fragment: the ln-of-{x}
-#: chain every det_ln oracle splices (bit-identical IEEE tree — see the
-#: three-engine lockstep test). Emits one column named ``{out}``.
-def _det_ln_ctes(x: str, src: str, keys: str, out: str = "lnv", prefix: str = "__l") -> str:
-    """CTE chain computing det_ln({x}) over table ``{src}`` carrying
-    ``{keys}`` through: returns SQL text defining CTEs {prefix}r,
-    {prefix}k, {prefix}z, {prefix}n (final: {keys}, {out}). Distinct
-    ``prefix`` values let one oracle splice several det_ln chains."""
-    return f"""{prefix}r AS (
-  SELECT {keys},
-         GREATEST(CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS BIGINT), CAST(1 AS BIGINT)) AS r
-  FROM {src}
-), {prefix}k AS (
-  SELECT {keys}, r, (LENGTH(BIN(r)) - 1) AS k FROM {prefix}r
-), {prefix}z AS (
-  SELECT {keys}, k,
-         (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
-          / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z
-  FROM {prefix}k
-), {prefix}n AS (
-  SELECT {keys},
-         ((CAST(k AS DOUBLE) * 0.6931471805599453)
-          + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
-             + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
-         ) - 13.815510557964274 AS {out}
-  FROM {prefix}z
-)"""
 
 
 def weighted_sample_docs(spark, sf):

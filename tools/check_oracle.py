@@ -175,13 +175,7 @@ def round_lint(sql: str) -> list[str]:
 #: log/exp/pow differ from Java's in the last ulp, so hash safety rests
 #: on the output's rounding granularity — new oracles must use det_ln
 #: (plans/semantics.py) / explicit self-multiplication instead.
-TRANSCENDENTAL_ALLOWED = {
-    # idf = LN(N/df) rounded at 6 dp on BOTH engines: a divergence needs
-    # the true value within 1 ulp (~1e-16 rel) of a 5e-7 boundary —
-    # grandfathered; migrate to det_ln when the entry next rotates into
-    # the driver window (r07).
-    "tfidf_top_terms",
-}
+TRANSCENDENTAL_ALLOWED: set[str] = set()  # emptied in r6: tfidf migrated to det_ln
 
 
 def transcendental_lint(sql: str) -> list[str]:
