@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: r07; the r04-latest cohort (the 50 entries re-earned in r04) are the
 #: r07 leads, together with the four round-6 entries added after this
 #: window filled (kl_divergence_sources, stream_static_enrich,
-#: ab_chi2_events, corr_value_hour_events — each
+#: ab_chi2_events, corr_value_hour_events, ols_trend_priority — each
 #: local-gate green at sf0.001/0.01/0.1 and hash-stable at local[5]).
 #:
 #: Capacity note: the catalog (154 oracle-able entries) now exceeds the
@@ -96,12 +96,16 @@ _DRIVER_PRIORITY = [
     "time_grouping_sets_events",
     "incremental_agg_update",
     "near_dup_triangles",
-    # (c) round-6 additions (no driver row yet)
+    # (c) round-6 additions (no driver row yet), plus tfidf_top_terms:
+    # its idf migrated to det_ln THIS round (new output hash), so it
+    # re-earns driver evidence for the new semantics immediately rather
+    # than resting on its r05 row; ols_trend_priority joins its stats
+    # siblings (corr/chi2) in the r07 leads with local-gate evidence
     "bloom_prefilter_join",
     "weighted_sample_docs",
     "token_entropy_by_source",
     "pagerank_near_dup",
-    "ols_trend_priority",
+    "tfidf_top_terms",
 ]
 
 
