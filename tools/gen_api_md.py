@@ -19,8 +19,8 @@ def first_line(doc):
 def main() -> None:
     import tada_spark.frame as fr
     import tada_spark.operators.grouped as gr
-    from tada_spark.operators import interval, reshape, skew
-    from tada_spark.functions import dedup, multimodal, sampling, similarity, text
+    from tada_spark.operators import bloomjoin, cdc, interval, layout, linkage, reshape, skew, validate
+    from tada_spark.functions import dedup, multimodal, sampling, similarity, stats, text
     import tada_spark.sources.bucketed as bucketed
     import tada_spark.sources.codec as codec
     import tada_spark.sources.records as records
@@ -63,6 +63,12 @@ def main() -> None:
         ("Dedup (functions.dedup)", modfuncs(dedup)),
         ("Similarity / ANN (functions.similarity)", modfuncs(similarity)),
         ("Sampling & splits (functions.sampling)", modfuncs(sampling)),
+        ("Statistics (functions.stats)", modfuncs(stats)),
+        ("Bloom join pruning (operators.bloomjoin)", modfuncs(bloomjoin)),
+        ("CDC / SCD2 (operators.cdc)", modfuncs(cdc)),
+        ("Layout: Z-order & compaction (operators.layout)", modfuncs(layout)),
+        ("Fuzzy linkage (operators.linkage)", modfuncs(linkage)),
+        ("Expectations (operators.validate)", modfuncs(validate)),
         ("Multimodal (functions.multimodal)", modfuncs(multimodal)),
         (
             "Sources (records / structs / codec / bucketed)",
