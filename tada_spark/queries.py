@@ -4314,27 +4314,45 @@ def bucketed_join_orders_customer(spark, sf):
     tests/test_plan_shapes.py). At 100 TB this is the pattern that turns
     a recurring fact-fact join from the dominant shuffle into a local
     merge (bucket count sized so a bucket fits an executor)."""
+    import os
+    import re
     import shutil
+    import time
     from urllib.parse import urlparse
 
     from tada_spark.sources.bucketed import read_table, write_bucketed
 
-    # a prior SESSION's run leaves table dirs in the warehouse that this
-    # session's in-memory catalog doesn't know about — saveAsTable then
-    # fails with LOCATION_ALREADY_EXISTS; drop both layers first
+    # Table names carry the applicationId (the jsonl_pipeline_golden
+    # discipline): two LIVE sessions at the same warehouse (bench +
+    # correctness sweep) would otherwise drop/overwrite each other's
+    # tables mid-read. A prior RUN of this session leaves dirs the
+    # in-memory catalog doesn't know about — saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS — so our own two layers are dropped
+    # first, and dead sessions' leftovers are swept by age (>2 h).
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    t_orders, t_cust = f"q_buck_orders_{app}", f"q_buck_customer_{app}"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    for t in ("q_buck_orders", "q_buck_customer"):
+    for t in (t_orders, t_cust):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            p = os.path.join(wh, d)
+            if d.startswith("q_buck_") and not d.endswith(app):
+                try:
+                    if time.time() - os.path.getmtime(p) > 7200:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
 
     orders = Frame(load(spark, sf, "orders").to_df().select("o_custkey", "o_totalprice"))
     cust = Frame(load(spark, sf, "customer").to_df().select("c_custkey", "c_mktsegment"))
-    write_bucketed(orders, "q_buck_orders", bucket_by=["o_custkey"], n_buckets=8,
+    write_bucketed(orders, t_orders, bucket_by=["o_custkey"], n_buckets=8,
                    sort_by=["o_custkey"])
-    write_bucketed(cust, "q_buck_customer", bucket_by=["c_custkey"], n_buckets=8,
+    write_bucketed(cust, t_cust, bucket_by=["c_custkey"], n_buckets=8,
                    sort_by=["c_custkey"])
-    o = read_table(spark, "q_buck_orders").to_df()
-    c = read_table(spark, "q_buck_customer").to_df()
+    o = read_table(spark, t_orders).to_df()
+    c = read_table(spark, t_cust).to_df()
     j = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),

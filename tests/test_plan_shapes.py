@@ -127,8 +127,11 @@ def test_bucketed_join_catalog_entry_zero_join_exchanges(spark, catalog):
         assert plan.count("Exchange") == 1  # the aggregate only
         assert df.count() > 0
     finally:
-        spark.sql("DROP TABLE IF EXISTS q_buck_orders")
-        spark.sql("DROP TABLE IF EXISTS q_buck_customer")
+        import re
+
+        app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+        spark.sql(f"DROP TABLE IF EXISTS q_buck_orders_{app}")
+        spark.sql(f"DROP TABLE IF EXISTS q_buck_customer_{app}")
 
 
 def test_bm25_topk_and_no_python(spark, catalog):
