@@ -171,6 +171,50 @@ class Frame:
         exact null round-trip matters)."""
         self.to_df().write.mode(mode).json(path)
 
+    @classmethod
+    def read_orc(
+        cls, spark: SparkSession, path: str, labels: Sequence[str] = ()
+    ) -> "Frame":
+        """ORC ingest — the other columnar warehouse format (Hive-lineage
+        clusters emit it). Same pushdown/pruning/vectorization story as
+        parquet; ORC stores timestamps timezone-agnostically so the
+        parquet ns/NTZ shims aren't needed."""
+        return cls(spark.read.orc(path), labels)
+
+    def write_orc(
+        self,
+        path: str,
+        *,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """Distributed ORC sink (columnar, splittable, footer stats)."""
+        w = self.to_df().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+
+    @classmethod
+    def read_binary_files(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        glob: str | None = None,
+        labels: Sequence[str] = (),
+    ) -> "Frame":
+        """Opaque-file ingest via Spark's binaryFile source: one row per
+        file with (path, modificationTime, length, content binary) — the
+        REAL ingest path for the multimodal tier (images/audio/video land as
+        files; this turns a directory of them into the (media_id,
+        payload) shape functions/multimodal decoders consume, with
+        executors reading files in parallel). ``glob`` filters by
+        pathGlobFilter (e.g. '*.png') at listing time."""
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        return cls(reader.load(path), labels)
+
     def _wrap(self, df: DataFrame, labels: Sequence[str] | None = None) -> "Frame":
         labels = self.labels if labels is None else list(labels)
         keys = self.order_keys

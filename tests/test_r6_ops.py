@@ -339,3 +339,40 @@ def test_bloom_empty_dim_drops_everything(spark):
     dim = spark.createDataFrame([], "k long")
     fact = spark.createDataFrame([(1,), (2,)], "k long")
     assert bloom_prefilter(fact, "k", bloom_bitmap(dim, "k")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ORC + binaryFile sources (r6 IO completeness)
+# ---------------------------------------------------------------------------
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from tada_spark.frame import Frame
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.25)], "k long, s string, v double"
+    )
+    p = str(tmp_path / "orc_rt")
+    Frame(df).write_orc(p)
+    back = Frame.read_orc(spark, p).df
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+
+def test_binary_files_source_feeds_multimodal_shape(spark, tmp_path):
+    from tada_spark.frame import Frame
+
+    (tmp_path / "m").mkdir()
+    payloads = {"a.bin": b"\x00\x01\x02", "b.bin": b"hello", "c.txt": b"skip-me"}
+    for name, blob in payloads.items():
+        (tmp_path / "m" / name).write_bytes(blob)
+    f = Frame.read_binary_files(spark, str(tmp_path / "m"), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in f.df.collect()}
+    assert rows == {"a.bin": (3, b"\x00\x01\x02"), "b.bin": (5, b"hello")}
+    # the (media_id, payload) projection the multimodal decoders consume
+    proj = f.df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    assert proj.schema["payload"].dataType.typeName() == "binary"
+    assert proj.count() == 2
