@@ -4328,7 +4328,9 @@ def bucketed_join_orders_customer(spark, sf):
     # tables mid-read. A prior RUN of this session leaves dirs the
     # in-memory catalog doesn't know about — saveAsTable then fails
     # with LOCATION_ALREADY_EXISTS — so our own two layers are dropped
-    # first, and dead sessions' leftovers are swept by age (>2 h).
+    # first, and dead sessions' leftovers are swept by age (>30 min —
+    # any live session's write→read window is seconds, and re-runs
+    # refresh the dir mtime, so a sweep can never hit a live table).
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     t_orders, t_cust = f"q_buck_orders_{app}", f"q_buck_customer_{app}"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
@@ -4340,7 +4342,7 @@ def bucketed_join_orders_customer(spark, sf):
             p = os.path.join(wh, d)
             if d.startswith("q_buck_") and not d.endswith(app):
                 try:
-                    if time.time() - os.path.getmtime(p) > 7200:
+                    if time.time() - os.path.getmtime(p) > 1800:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
