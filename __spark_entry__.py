@@ -37,7 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: r07; the r04-latest cohort (the 50 entries re-earned in r04) are the
 #: r07 leads, together with the four round-6 entries added after this
 #: window filled (kl_divergence_sources, stream_static_enrich,
-#: ab_chi2_events, corr_value_hour_events, ols_trend_priority — each
+#: ab_chi2_events, corr_value_hour_events, ols_trend_priority,
+#: image_resize_real — each
 #: local-gate green at sf0.001/0.01/0.1 and hash-stable at local[5]).
 #:
 #: Capacity note: the catalog (154 oracle-able entries) now exceeds the

@@ -225,19 +225,15 @@ def audio_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def png_image_decoder(payload: bytes) -> tuple[int, int, float]:
-    """REAL image decoder for PNG — stdlib ``zlib`` + ``struct`` + numpy,
-    no external libraries (the image twin of wav_audio_decoder, closing
-    the 'image decode is dormant' gap without Pillow). Handles
-    non-interlaced 8-bit-depth PNGs in all five standard scanline
-    filters (None/Sub/Up/Average/Paeth) and color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA); palette, 16-bit and interlaced
-    images raise (drop policy, like unsupported PCM widths). Returns
-    (width, height, mean_luma) where luma uses the ITU-R 601 integer
-    weights (299R + 587G + 114B)/1000 and mean_luma is floor-half-up
-    rounded at 6 dp — one exact integer sum then one double division,
-    so an analytic oracle reproduces it bit-for-bit.
-    """
+def png_decode_pixels(payload: bytes):
+    """REAL PNG decode to the raw pixel array — stdlib ``zlib`` +
+    ``struct`` + numpy, no external libraries. Handles non-interlaced
+    8-bit-depth PNGs in all five standard scanline filters
+    (None/Sub/Up/Average/Paeth) and color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA); palette, 16-bit and interlaced images
+    raise (drop policy, like unsupported PCM widths). Returns an
+    int64 ndarray of shape (h, w, channels) — the decode half every
+    pixel operator (features, resize) builds on."""
     import struct
     import zlib
 
@@ -300,7 +296,21 @@ def png_image_decoder(payload: bytes) -> tuple[int, int, float]:
             raise ValueError(f"bad filter type {ft}")
         rows.append(rec)
         prev = rec
-    px = np.stack(rows).reshape(h, w, ch)
+    return np.stack(rows).reshape(h, w, ch)
+
+
+def png_image_decoder(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma) features from a REAL PNG decode
+    (png_decode_pixels — the image twin of wav_audio_decoder). Luma
+    uses the ITU-R 601 integer weights (299R + 587G + 114B)/1000 and
+    mean_luma is floor-half-up rounded at 6 dp — one exact integer sum
+    then one double division, so an analytic oracle reproduces it
+    bit-for-bit."""
+    import numpy as np
+
+    px = png_decode_pixels(payload)
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
     if color == 0:
         luma_milli = px[:, :, 0].astype(np.int64) * 1000  # gray: weight 1000/1000
     elif color == 4:
@@ -356,3 +366,74 @@ def encode_png_gray8(width: int, height: int, pixel_fn, *, filter_type: int = 0)
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+def resize_area_gray8(px2d, factor: int):
+    """REAL image resize: exact area-average downsample of a grayscale
+    pixel matrix by an integer ``factor`` — each output pixel is
+    floor(sum of factor² input pixels / factor²), pure integer
+    arithmetic, so an analytic oracle replicates the thumbnail
+    bit-for-bit (the bilinear/Lanczos production kernels swap in here
+    exactly like ffmpeg swaps into wav_audio_decoder). Input dims must
+    be divisible by ``factor`` (caller crops first — a partial edge
+    block has no exact integer semantics)."""
+    import numpy as np
+
+    h, w = px2d.shape
+    if h % factor or w % factor:
+        raise ValueError(f"dims ({h},{w}) not divisible by factor {factor}")
+    a = np.asarray(px2d, dtype=np.int64).reshape(h // factor, factor, w // factor, factor)
+    return a.sum(axis=(1, 3)) // (factor * factor)
+
+
+def image_resize_features(
+    df: DataFrame,
+    *,
+    factor: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed thumbnail pipeline over (id, PNG payload) rows:
+    REAL decode (png_decode_pixels) → exact area resize → REAL
+    re-encode (encode_png_gray8) with an in-plan decode-back identity
+    assertion (corrupted round-trips RAISE, the jsonl-golden
+    discipline) → emit (id, out_w, out_h, pix_sum) where pix_sum is
+    the exact integer sum of thumbnail pixels — the analytic,
+    oracle-checkable digest of the resized image. Arrow-batched
+    mapInPandas; payloads never touch the driver."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("pix_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = png_decode_pixels(bytes(payload))
+                if px.shape[2] != 1:
+                    raise ValueError("resize demo expects grayscale PNGs")
+                thumb = resize_area_gray8(px[:, :, 0], factor)
+                th, tw = thumb.shape
+                # re-encode the thumbnail with the REAL encoder and
+                # decode it back: the round-trip must be the identity
+                back = png_decode_pixels(
+                    encode_png_gray8(tw, th, lambda x, y, t=thumb: int(t[y, x]))
+                )[:, :, 0]
+                if not np.array_equal(back, thumb):
+                    raise AssertionError("PNG round-trip broke on resized thumbnail")
+                ids.append(int(mid))
+                ws.append(tw)
+                hs.append(th)
+                sums.append(int(thumb.sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "out_w": ws, "out_h": hs, "pix_sum": sums}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

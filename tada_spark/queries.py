@@ -2001,6 +2001,60 @@ FROM d
 """
 
 
+def image_resize_real(spark, sf):
+    """REAL image resize end-to-end (functions/multimodal
+    .image_resize_features — closes the decode/feature/RESIZE/
+    frame-sample quartet): deterministic 16×16 grayscale PNGs are
+    encoded per doc_id inside mapInPandas (filters None AND Up), REALLY
+    decoded (stdlib zlib, png_decode_pixels), area-averaged 4× to 4×4
+    thumbnails in exact integer arithmetic, re-encoded with the REAL
+    encoder and decoded BACK with an in-plan identity assertion. The
+    driver-visible digest (out dims + exact thumbnail pixel sum) is
+    derived purely analytically by the oracle."""
+    from tada_spark.functions import multimodal
+
+    docs = (
+        load(spark, sf, "documents")
+        .to_df()
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                payloads.append(
+                    multimodal.encode_png_gray8(
+                        16, 16, lambda x, y, m=mid: (m * 7 + x * 3 + y * 5) % 256,
+                        filter_type=2 if mid % 2 else 0,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return multimodal.image_resize_features(pngs, factor=4)
+
+
+IMAGE_RESIZE_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+), blocks AS (
+  SELECT media_id, bx.i AS bx, by.j AS by,
+         SUM((media_id * 7 + (bx.i * 4 + dx.k) * 3 + (by.j * 4 + dy.l) * 5) % 256)::BIGINT AS s
+  FROM ids,
+       UNNEST(generate_series(0, 3)) bx(i), UNNEST(generate_series(0, 3)) by(j),
+       UNNEST(generate_series(0, 3)) dx(k), UNNEST(generate_series(0, 3)) dy(l)
+  GROUP BY media_id, bx.i, by.j
+)
+SELECT media_id, 4 AS out_w, 4 AS out_h, SUM(s // 16)::BIGINT AS pix_sum
+FROM blocks GROUP BY media_id
+"""
+
+
 def wav_decode_real(spark, sf):
     """REAL RIFF/PCM decode end-to-end at the driver (r4 verdict ask #5):
     deterministic mono WAV payloads are struct-packed per doc_id inside
@@ -6160,6 +6214,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kl_divergence_sources": (kl_divergence_sources, KL_DIVERGENCE_SQL),
     "ab_chi2_events": (ab_chi2_events, AB_CHI2_SQL),
     "corr_value_hour_events": (corr_value_hour_events, CORR_VALUE_HOUR_SQL),
+    "image_resize_real": (image_resize_real, IMAGE_RESIZE_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "bpe_token_budget": (bpe_token_budget, BPE_SQL),
     "quantiles_price_by_status": (quantiles_price_by_status, QUANTILES_SQL),

@@ -376,3 +376,52 @@ def test_binary_files_source_feeds_multimodal_shape(spark, tmp_path):
     )
     assert proj.schema["payload"].dataType.typeName() == "binary"
     assert proj.count() == 2
+
+
+def test_resize_area_gray8_exact_and_roundtrip(spark):
+    import numpy as np
+
+    from tada_spark.functions.multimodal import (
+        encode_png_gray8,
+        image_resize_features,
+        png_decode_pixels,
+        resize_area_gray8,
+    )
+
+    # 4x4 -> 2x2 by hand: each output = floor(mean of its 2x2 block)
+    m = np.arange(16).reshape(4, 4)
+    t = resize_area_gray8(m, 2)
+    assert t.tolist() == [[(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4],
+                          [(8 + 9 + 12 + 13) // 4, (10 + 11 + 14 + 15) // 4]]
+    with pytest.raises(ValueError):
+        resize_area_gray8(np.zeros((5, 4)), 2)
+
+    # distributed pipeline: encode -> decode -> resize -> re-encode ->
+    # decode-back identity, digest matches the python-side computation
+    rows = [(7,), (8,)]
+    df = spark.createDataFrame(rows, "media_id long")
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [
+                    encode_png_gray8(8, 8, lambda x, y, m=int(mid): (m * 7 + x * 3 + y * 5) % 256,
+                                     filter_type=2 if mid % 2 else 0)
+                    for mid in pdf["media_id"]
+                ],
+            })
+
+    pngs = df.mapInPandas(build, schema="media_id long, payload binary")
+    out = {r.media_id: r for r in image_resize_features(pngs, factor=2).collect()}
+    for mid in (7, 8):
+        px = np.array([[(mid * 7 + x * 3 + y * 5) % 256 for x in range(8)] for y in range(8)])
+        want = resize_area_gray8(px, 2)
+        assert (out[mid].out_w, out[mid].out_h) == (4, 4)
+        assert out[mid].pix_sum == int(want.sum())
+    # sanity: the decoder really reproduces the formula pixels
+    blob = encode_png_gray8(8, 8, lambda x, y: (7 * 7 + x * 3 + y * 5) % 256, filter_type=2)
+    assert png_decode_pixels(blob)[:, :, 0].tolist() == [
+        [(7 * 7 + x * 3 + y * 5) % 256 for x in range(8)] for y in range(8)
+    ]
