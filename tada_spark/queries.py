@@ -3524,7 +3524,10 @@ def tfidf_top_terms(spark, sf):
     from tada_spark.plans.semantics import det_ln
 
     docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
-    n_docs = docs.count()
+    # N as an in-plan 1-row scalar broadcast (allowlisted BNLJ), not a
+    # driver-side .count(): at 100 TB that count is a full extra scan
+    # and the only driver action that was left in an operator path
+    nd = docs.groupBy().agg(F.count("*").alias("__n_docs__"))
     terms = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
@@ -3533,12 +3536,18 @@ def tfidf_top_terms(spark, sf):
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     # idf via det_ln (r6): the last native-LN oracle migrated to the
     # deterministic ln, emptying check_oracle's transcendental allowlist
-    scored = tf.join(F.broadcast(df_t), "term").select(
-        "doc_id",
-        "term",
-        _round_det(
-            F.col("tf") * det_ln(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            _round_det(
+                F.col("tf")
+                * det_ln(F.col("__n_docs__").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (

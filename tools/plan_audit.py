@@ -87,6 +87,9 @@ ALLOWED_BNLJ = {
     "bloom_prefilter_join",
     # 1-row corpus-token-total scalar broadcast (KL denominator)
     "kl_divergence_sources",
+    # 1-row N-docs scalar broadcast (idf numerator — replaced the last
+    # driver-side .count() in an operator path)
+    "tfidf_top_terms",
 }
 
 
