@@ -291,3 +291,48 @@ def weighted_sample(
         .orderBy(F.col(out).asc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight: Column,
+    k: int,
+    *,
+    key: str = "doc_id",
+    out: str = "priority_e6",
+) -> DataFrame:
+    """Stratified weighted sampling without replacement: k rows PER
+    GROUP, drawn with probability ∝ weight inside each group — the
+    same exponential-clock priorities as weighted_sample (A-ES,
+    content-addressed md5 uniforms + det_ln, bit-deterministic), with
+    the global top-k replaced by a per-group row_number window. The
+    per-domain counterpart domain_cap picks by plain hash order; this
+    one respects weights.
+
+    100 TB shape: one shuffle on the group key; the per-group selection
+    is the standard top-N-per-group window (per-partition heaps under
+    AQE). NULL keys are dropped (the weighted_sample contract).
+    """
+    from pyspark.sql.window import Window
+
+    from tada_spark.functions.text import md5_hash32
+    from tada_spark.plans.semantics import det_ln
+
+    df = df.filter(F.col(key).isNotNull())
+    u = (
+        F.pmod(
+            md5_hash32(F.concat(F.lit("ws#"), F.col(key).cast("string"))), F.lit(1048576)
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(1048577.0)
+    pri_e6 = F.floor(((F.lit(0.0) - det_ln(u)) / weight.cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(out).asc(), F.col(key).asc())
+    return (
+        df.withColumn(out, pri_e6)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

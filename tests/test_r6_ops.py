@@ -425,3 +425,20 @@ def test_resize_area_gray8_exact_and_roundtrip(spark):
     assert png_decode_pixels(blob)[:, :, 0].tolist() == [
         [(7 * 7 + x * 3 + y * 5) % 256 for x in range(8)] for y in range(8)
     ]
+
+
+def test_weighted_sample_per_group_matches_python(spark):
+    from tada_spark.functions.sampling import weighted_sample_per_group
+
+    rows = [(i, "g" + str(i % 3), (i * 13) % 50 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    k = 5
+    got = {}
+    for r in weighted_sample_per_group(df, "grp", F.col("w").cast("double"), k).collect():
+        got.setdefault(r.grp, []).append((r.priority_e6, r.doc_id))
+    want = {}
+    for i, g, w in rows:
+        want.setdefault(g, []).append((_py_priority_e6(i, float(w)), i))
+    for g in want:
+        want[g] = sorted(want[g])[:k]
+        assert sorted(got[g]) == want[g], g
