@@ -1271,6 +1271,51 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(dst2).count() == 1000
 
 
+def test_compact_in_place_guard_catches_path_spellings(spark, tmp_path):
+    """The out-of-place guard must survive equivalent SPELLINGS of the
+    same directory — a plain string compare would let file:// URIs,
+    relative paths, trailing /. or symlinks through, and
+    mode('overwrite') would then delete the source mid-scan."""
+    import os
+
+    import pytest
+
+    from tada_spark.operators.layout import compact
+
+    src = str(tmp_path / "t")
+    spark.range(10).coalesce(1).write.parquet(src)
+    for alias in (
+        src,
+        src + "/",
+        "file://" + src,
+        src + "/.",
+        os.path.relpath(src),
+    ):
+        with pytest.raises(ValueError, match="out-of-place"):
+            compact(spark, src, alias, target_files=1)
+    link = str(tmp_path / "ln")
+    os.symlink(src, link)
+    with pytest.raises(ValueError, match="out-of-place"):
+        compact(spark, src, link, target_files=1)
+    # the data survived every refused call
+    assert spark.read.parquet(src).count() == 10
+
+
+def test_jsonl_golden_dir_is_session_scoped(spark):
+    """Two live sessions at the same sf must not share the round-trip
+    dir (race class fixed in r6): the path carries the applicationId."""
+    import os
+    import tempfile
+
+    from tada_spark.queries import jsonl_pipeline_golden
+
+    out = jsonl_pipeline_golden(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    app = spark.sparkContext.applicationId
+    expect = os.path.join(tempfile.gettempdir(), f"tada_jsonl_golden_sf0.001_{app}")
+    assert os.path.isdir(expect)
+
+
 def test_near_dup_triangles_closes_wedges_only(spark, tmp_path):
     """Production-path triangle enumeration on a constructed graph:
     docs 0-5-10 are mutual near-dups (one triangle); 15 forms a genuine
