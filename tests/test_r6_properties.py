@@ -37,15 +37,38 @@ _lnx = st.lists(
 )
 
 
+_DUCK_DET_LN = """
+WITH v AS (SELECT idx, x FROM inp),
+r0 AS (SELECT idx,
+       GREATEST(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT), CAST(1 AS BIGINT)) AS r FROM v),
+k0 AS (SELECT idx, r, (LENGTH(BIN(r)) - 1) AS k FROM r0),
+z0 AS (SELECT idx, k,
+       (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
+        / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z FROM k0)
+SELECT idx,
+       ((CAST(k AS DOUBLE) * 0.6931471805599453)
+        + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
+           + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
+       ) - 13.815510557964274 AS y
+FROM z0
+"""
+
+
 @given(vals=_lnx)
 @settings(**SETTINGS)
-def test_det_ln_bit_equals_python(spark, vals):
+def test_det_ln_bit_equals_python_and_duckdb(spark, vals):
+    import duckdb
+
     from tada_spark.plans.semantics import det_ln
 
     df = spark.createDataFrame(list(enumerate(vals)), "idx long, x double")
     got = {r.idx: r.y for r in df.select("idx", det_ln(F.col("x")).alias("y")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE inp(idx BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO inp VALUES (?, ?)", list(enumerate(vals)))
+    duck = {i: y for i, y in con.execute(_DUCK_DET_LN).fetchall()}
     for i, v in enumerate(vals):
-        assert got[i] == py_det_ln(v), (v, got[i], py_det_ln(v))
+        assert got[i] == py_det_ln(v) == duck[i], (v, got[i], py_det_ln(v), duck[i])
 
 
 # ---------------------------------------------------------------------------
