@@ -211,3 +211,19 @@ def test_ols_is_one_aggregate_exchange(spark, catalog):
         "ReusedExchange"
     ) == 1
     assert "Join" not in plan
+
+
+def test_weighted_sample_per_group_one_shuffle_no_python(spark):
+    from pyspark.sql import functions as F
+
+    from tada_spark.functions.sampling import weighted_sample_per_group
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") + 1).alias("w"),
+    )
+    plan = plan_of(weighted_sample_per_group(df, "g", F.col("w").cast("double"), 5))
+    assert "BatchEvalPython" not in plan
+    nex = plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count("ReusedExchange")
+    assert nex == 1  # one group-key shuffle, nothing else
