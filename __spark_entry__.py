@@ -35,14 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: at local[5]) — their FIRST driver rows; (c) the round-6 additions.
 #: Everything else is green in r04∪r05 and stays union-covered through
 #: r07; the r04-latest cohort (the 50 entries re-earned in r04) are the
-#: r07 leads, together with the four round-6 entries added after this
+#: r07 leads, together with the six round-6 entries added after this
 #: window filled (kl_divergence_sources, stream_static_enrich,
 #: ab_chi2_events, corr_value_hour_events, ols_trend_priority,
 #: image_resize_real — each
 #: local-gate green at sf0.001/0.01/0.1 and hash-stable at local[5]).
 #:
-#: Capacity note: the catalog (154 oracle-able entries) now exceeds the
-#: 3-round union capacity (3 × 50 = 150), so a small tail (~4 entries)
+#: Capacity note: the catalog (155 oracle-able entries) now exceeds the
+#: 3-round union capacity (3 × 50 = 150), so a small tail (~5 entries)
 #: necessarily rotates on a FOUR-round cycle. Policy: oldest-green
 #: first (LRU), new entries earn their first row the round after they
 #: land, and every round runs the FULL local gate at HEAD at all three
