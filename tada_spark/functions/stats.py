@@ -106,3 +106,130 @@ def corr_by_group(
         "n",
         F.floor(corr * F.lit(1e6) + F.lit(0.5)).cast("long").alias("corr_e6"),
     )
+
+
+def period_growth(
+    df: DataFrame,
+    bucket: Column,
+    value_cents: Column,
+    *,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Period-over-period growth of an exact-cents measure: aggregate to
+    one row per ``bucket`` (month, week, …), then growth vs the previous
+    period as floor-quantized millionths of the previous value —
+    (cur − prev)/|prev| on the double casts of exact long sums, the
+    identical IEEE tree on both engines. First period and prev = 0 emit
+    NULL growth.
+
+    100 TB shape: the scan collapses to O(#periods) rows in ONE
+    map-side-combined hash-agg; the lag window then runs over that tiny
+    aggregate (a single-partition window over #periods rows, not over
+    the fact table — the same post-aggregation window shape as
+    resample + shift). Emits (bucket, total_cents, growth_e6).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(bucket.isNotNull() & value_cents.isNotNull())
+    agg = base.groupBy(bucket.alias(bucket_name)).agg(
+        F.sum(value_cents.cast("long")).alias("total_cents")
+    )
+    prev = F.lag("total_cents").over(Window.orderBy(bucket_name))
+    cur_d = F.col("total_cents").cast("double")
+    growth = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.floor((cur_d - prev.cast("double")) / F.abs(prev).cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    return agg.select(bucket_name, "total_cents", growth.alias("growth_e6"))
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_cents: Column,
+    ts_epoch_us: Column,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index of a measure's distribution, first
+    half of the timeline vs the second, per group — the standard
+    industry drift gauge beside kl_divergence's vocabulary drift:
+    PSI = Σ_bins (p − q)·ln(p/q), where p/q are Laplace-smoothed bin
+    shares ((cnt+1)/(tot+n_bins), so empty bins never hit ln 0). The
+    era split (epoch_us ≤ midpoint) and the equi-width binning are pure
+    integer arithmetic ((v − vmin)·n_bins DIV (vmax − vmin + 1), capped
+    at n_bins−1); the ln is det_ln (plans/semantics) and each bin's
+    contribution is e6-floor-quantized BEFORE the exact integer sum —
+    the BM25/KL discipline, so the result hash-matches DuckDB.
+
+    100 TB shape: one 1-row min/max stats broadcast (the allowlisted
+    scalar-subquery BNLJ), then ONE (group, bin) hash-agg over the scan
+    with the eras pivoted into columns; a second O(groups × bins)
+    aggregate folds each group's sparse bin counts into a map, and the
+    dense bin spine is rebuilt by explode + map lookup — no joins, no
+    third scan. The facts are read exactly twice (stats + counts).
+    Rows with NULL group, value or ts are dropped up front (the
+    ols_by_group rule).
+    """
+    from tada_spark.plans.semantics import det_ln
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & value_cents.isNotNull() & ts_epoch_us.isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        value_cents.cast("long").alias("v"),
+        ts_epoch_us.cast("long").alias("s"),
+    )
+    stats = base.groupBy().agg(
+        F.min("s").alias("smin"),
+        F.max("s").alias("smax"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    b = base.crossJoin(F.broadcast(stats)).select(
+        "grp",
+        F.when(F.col("s") <= F.expr("smin + (smax - smin) div 2"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("era"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"((v - vmin) * {n_bins}) div (vmax - vmin + 1)"),
+        ).alias("bin"),
+    )
+    cnt = b.groupBy("grp", "bin").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    g = cnt.groupBy("grp").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "n0"))).alias("m0"),
+        F.map_from_entries(F.collect_list(F.struct("bin", "n1"))).alias("m1"),
+        F.sum("n0").alias("t0"),
+        F.sum("n1").alias("t1"),
+    )
+    dense = g.select(
+        "grp",
+        "t0",
+        "t1",
+        "m0",
+        "m1",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    ).select(
+        "grp",
+        "t0",
+        "t1",
+        F.coalesce(F.element_at("m0", F.col("bin").cast("long")), F.lit(0)).alias("n0"),
+        F.coalesce(F.element_at("m1", F.col("bin").cast("long")), F.lit(0)).alias("n1"),
+    )
+    p = (F.col("n0") + 1).cast("double") / (F.col("t0") + n_bins).cast("double")
+    q = (F.col("n1") + 1).cast("double") / (F.col("t1") + n_bins).cast("double")
+    contrib = dense.select(
+        "grp",
+        "t0",
+        "t1",
+        F.floor((p - q) * det_ln(p / q) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("c_e6"),
+    )
+    return contrib.groupBy(
+        F.col("grp").alias(group_col),
+        F.col("t0").alias("n_first"),
+        F.col("t1").alias("n_second"),
+    ).agg(F.sum("c_e6").alias("psi_e6"))

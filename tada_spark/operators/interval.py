@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,3 +53,47 @@ def range_join(
         F.col(left_ts) < F.col(right_end)
     )
     return l.join(r, on=on, how="inner").filter(exact).drop("__bucket__")
+
+
+def merge_intervals(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping or touching [start, end)
+    intervals per key into maximal islands — the classic coverage
+    operator (uptime stitching, session coverage, sensor dropouts).
+
+    One window pass per key: the running max of previous ends marks
+    island starts (start > max_prev_end ⇒ gap), a running sum of those
+    marks numbers the islands, then one aggregate per island emits
+    (keys…, island_start, island_end). Rows tied on (start, end) are
+    byte-identical in every consumed column, so tie order cannot change
+    the result.
+
+    100 TB shape: ONE shuffle on the keys; linear in rows per key
+    (the as-of union-stream discipline — no self-join, no row
+    multiplication). Wide keys that overflow a partition salt by
+    coarse time-bucket like asof_join.
+    """
+    keys = list(key_cols)
+    base = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(base.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = df.withColumn("__new__", new_island).withColumn(
+        "__island__",
+        F.sum("__new__").over(base.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy(*keys, "__island__")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count("*").alias("n_intervals"),
+        )
+        .drop("__island__")
+    )

@@ -6062,6 +6062,192 @@ FROM s
 #: and every LLM-pipeline tier component at least once (consolidated
 #: queries pack several operators each); entries beyond 50 are additional
 #: variants, verified by the identical local gate (tools/check_oracle.py).
+def period_growth_orders(spark, sf):
+    """Month-over-month revenue growth (functions/stats.period_growth):
+    the classic period-over-period KPI — one hash-agg to calendar
+    months (exact cents), then a lag window over the O(#months)
+    aggregate. Growth is floor-quantized millionths of the previous
+    month; the first month emits NULL."""
+    from tada_spark.functions.stats import period_growth
+
+    o = load(spark, sf, "orders").to_df().filter(F.col("o_totalprice").isNotNull())
+    res = period_growth(
+        o,
+        F.date_format("o_orderdate", "yyyy-MM"),
+        F.round(F.col("o_totalprice") * 100),
+        bucket_name="ym",
+    )
+    return res.select(
+        "ym", (F.col("total_cents") / F.lit(100.0)).alias("total"), "growth_e6"
+    )
+
+
+PERIOD_GROWTH_SQL = """
+WITH b AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, ROUND(o_totalprice * 100)::BIGINT AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+), a AS (
+  SELECT ym, SUM(cents)::BIGINT AS total_cents FROM b GROUP BY ym
+), l AS (
+  SELECT ym, total_cents, LAG(total_cents) OVER (ORDER BY ym) AS prev FROM a
+)
+SELECT ym, total_cents::DOUBLE / 100.0 AS total,
+       CASE WHEN prev IS NOT NULL AND prev != 0
+            THEN CAST(FLOOR((total_cents::DOUBLE - prev::DOUBLE) / ABS(prev)::DOUBLE
+                            * 1000000 + 0.5) AS BIGINT)
+       END AS growth_e6
+FROM l
+"""
+
+
+def interval_islands_events(spark, sf):
+    """Gaps-and-islands coverage (operators/interval.merge_intervals):
+    each event opens a 5-minute activity interval; overlapping or
+    touching intervals merge into islands per user, then per-user
+    coverage stats. Pure integer microsecond arithmetic end to end —
+    one shuffle on user_id, no self-join."""
+    from tada_spark.operators.interval import merge_intervals
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    iv = (
+        ev.to_df()
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            epoch_us(F.col("ts"), dts).alias("start_us"),
+            (epoch_us(F.col("ts"), dts) + F.lit(300_000_000)).alias("end_us"),
+        )
+    )
+    isl = merge_intervals(iv, key_cols=["user_id"], start_col="start_us", end_col="end_us")
+    return isl.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
+        F.max(F.col("island_end") - F.col("island_start")).alias("max_island_us"),
+    )
+
+
+INTERVAL_ISLANDS_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), f AS (
+  SELECT user_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM w
+), c AS (
+  SELECT user_id, s, e,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+), g AS (
+  SELECT user_id, isl, MIN(s) AS i_start, MAX(e) AS i_end FROM c GROUP BY user_id, isl
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_islands,
+       SUM(i_end - i_start)::BIGINT AS covered_us,
+       MAX(i_end - i_start)::BIGINT AS max_island_us
+FROM g GROUP BY user_id
+"""
+
+
+def pareto_frontier_parts(spark, sf):
+    """2-D skyline (operators/skyline.pareto_frontier_2d): parts not
+    dominated under (minimize retail price, maximize size) — the
+    classic multi-objective shortlist. Partition-local prune then a
+    frontier-sized global pass; never the quadratic self-anti-join."""
+    from tada_spark.operators.skyline import pareto_frontier_2d
+
+    p = (
+        load(spark, sf, "part")
+        .to_df()
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+            "p_size",
+        )
+    )
+    return pareto_frontier_2d(p, "price_cents", "p_size")
+
+
+PARETO_SQL = """
+WITH b AS (
+  SELECT p_partkey, ROUND(p_retailprice * 100)::BIGINT AS price_cents, p_size
+  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+), w AS (
+  SELECT p_partkey, price_cents, p_size,
+         MAX(p_size) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt,
+         MAX(p_size) OVER (PARTITION BY price_cents) AS m_eq
+  FROM b
+)
+SELECT p_partkey, price_cents, p_size
+FROM w WHERE NOT ((m_lt IS NOT NULL AND m_lt >= p_size) OR m_eq > p_size)
+"""
+
+
+def psi_drift_events(spark, sf):
+    """Population Stability Index of the spend distribution, first half
+    of the timeline vs the second, per event type
+    (functions/stats.psi_drift) — the standard model-monitoring drift
+    gauge beside KL's vocabulary drift. Integer era split + equi-width
+    integer binning, Laplace-smoothed shares, det_ln, per-bin e6
+    quantization before the exact sum."""
+    from tada_spark.functions.stats import psi_drift
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    return psi_drift(
+        ev.to_df(),
+        "event_type",
+        F.round(F.col("value") * 100),
+        epoch_us(F.col("ts"), dts),
+        n_bins=10,
+    )
+
+
+PSI_DRIFT_SQL = rf"""
+WITH base AS (
+  SELECT event_type AS grp, ROUND(value * 100)::BIGINT AS v, epoch_us(ts) AS s
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+), st AS (
+  SELECT MIN(s) AS smin, MAX(s) AS smax, MIN(v) AS vmin, MAX(v) AS vmax FROM base
+), eb AS (
+  SELECT grp,
+         CASE WHEN s <= smin + (smax - smin) // 2 THEN 0 ELSE 1 END AS era,
+         LEAST(9, ((v - vmin) * 10) // (vmax - vmin + 1)) AS bin
+  FROM base, st
+), cnt AS (
+  SELECT grp, era, bin, COUNT(*)::BIGINT AS n FROM eb GROUP BY grp, era, bin
+), tot AS (
+  SELECT grp, era, SUM(n)::BIGINT AS t FROM cnt GROUP BY grp, era
+), spine AS (
+  SELECT DISTINCT grp, u.b AS bin FROM cnt, UNNEST(generate_series(0, 9)) u(b)
+), dense AS (
+  SELECT sp.grp, sp.bin,
+         COALESCE(c0.n, 0) AS n0, COALESCE(c1.n, 0) AS n1,
+         COALESCE(t0.t, 0) AS t0, COALESCE(t1.t, 0) AS t1
+  FROM spine sp
+  LEFT JOIN (SELECT grp, bin, n FROM cnt WHERE era = 0) c0 USING (grp, bin)
+  LEFT JOIN (SELECT grp, bin, n FROM cnt WHERE era = 1) c1 USING (grp, bin)
+  LEFT JOIN (SELECT grp, t FROM tot WHERE era = 0) t0 USING (grp)
+  LEFT JOIN (SELECT grp, t FROM tot WHERE era = 1) t1 USING (grp)
+), pq AS (
+  SELECT grp, bin, t0, t1,
+         (n0 + 1)::DOUBLE / (t0 + 10)::DOUBLE AS p,
+         (n1 + 1)::DOUBLE / (t1 + 10)::DOUBLE AS q
+  FROM dense
+), {_det_ln_ctes("p / q", "pq", "grp, bin, t0, t1, p, q", "lnr", "__p")}
+SELECT grp AS event_type, t0 AS n_first, t1 AS n_second,
+       SUM(CAST(FLOOR((p - q) * lnr * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS psi_e6
+FROM __pn GROUP BY grp, t0, t1
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6245,4 +6431,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_interval_join_purchases": (stream_interval_join_purchases, STREAM_INTERVAL_JOIN_SQL),
     "pii_scrub_docs": (pii_scrub_docs, PII_SQL),
     "repetition_ngram_stats": (repetition_ngram_stats, REPETITION_SQL),
+    # -- round 7: period KPIs, interval algebra, skylines, drift --
+    "period_growth_orders": (period_growth_orders, PERIOD_GROWTH_SQL),
+    "interval_islands_events": (interval_islands_events, INTERVAL_ISLANDS_SQL),
+    "pareto_frontier_parts": (pareto_frontier_parts, PARETO_SQL),
+    "psi_drift_events": (psi_drift_events, PSI_DRIFT_SQL),
 }

@@ -90,6 +90,9 @@ ALLOWED_BNLJ = {
     # 1-row N-docs scalar broadcast (idf numerator — replaced the last
     # driver-side .count() in an operator path)
     "tfidf_top_terms",
+    # 1-row min/max stats broadcast (era midpoint + bin edges) — same
+    # scalar-subquery shape as q11/q22
+    "psi_drift_events",
 }
 
 
