@@ -437,3 +437,90 @@ def image_resize_features(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def wav_pcm_samples(payload: bytes):
+    """Raw-sample PCM WAV decode (mono 16/8-bit, stdlib wave + numpy):
+    returns (sample_rate, float64 samples in [-1, 1)). The sample-level
+    sibling of wav_audio_decoder for operators that transform audio
+    (downsample, trim, window) rather than just summarize it; same
+    refuse-don't-blend policy for multi-channel and exotic widths."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        nch = w.getnchannels()
+        raw = w.readframes(n)
+    if nch != 1:
+        raise ValueError(f"unsupported channel count {nch} (mono PCM only)")
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if samples.size == 0 or sr <= 0:
+        raise ValueError("no samples")
+    return sr, samples
+
+
+def audio_downsample(
+    df: DataFrame,
+    *,
+    factor: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    samples_decoder=None,
+) -> DataFrame:
+    """Integer-factor audio decimation with block averaging — a REAL
+    sample-level transform (not a metadata summary): decode PCM,
+    average each consecutive ``factor`` samples (anti-alias boxcar),
+    emit the downsampled stream's (sample_rate_out, n_out, rms_out).
+    A partial tail block is dropped; payloads whose rate or length
+    can't support the factor are dropped like undecodable ones.
+
+    Exactness: 16-bit samples are k/2^15; a factor-2 block mean is
+    (k1+k2)/2^16 — exactly representable — and every square has an
+    integer numerator below 2^53, so the RMS sum is exact in ANY
+    summation order and the final sqrt + floor-e6 rounding are
+    bit-identical across engines (the wav_decode_real argument).
+
+    100 TB shape: mapInPandas over Arrow batches — payloads stream
+    through executors and are never collected; one narrow output row
+    per clip. ``samples_decoder(payload) -> (sr, np.ndarray)`` is the
+    stub/real swap point (default: the real wav_pcm_samples)."""
+    import numpy as np
+
+    decode = samples_decoder or wav_pcm_samples
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate_out": [], "n_out": [], "rms_out": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, s = decode(payload)
+                    m = s.size // factor
+                    if m == 0 or sr < factor:
+                        raise ValueError("too short for factor")
+                    blocks = s[: m * factor].reshape(m, factor).mean(axis=1)
+                    rms = float(np.sqrt(np.mean(blocks**2)))
+                except Exception:
+                    continue
+                out["media_id"].append(mid)
+                out["sample_rate_out"].append(sr // factor)
+                out["n_out"].append(m)
+                out["rms_out"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="media_id long, sample_rate_out int, n_out long, rms_out double"
+    )

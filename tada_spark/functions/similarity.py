@@ -485,3 +485,83 @@ def embedding_outliers(
         .filter(F.col("rank") <= top_k)
         .select(id_col, label_col, "dist2", "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    tau_e6: int = 300000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning — cluster the embeddings, then inside each
+    cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    reaches the threshold, keeping the lowest id of each duplicate
+    group as the representative. Emits (id, cluster, kept).
+
+    Exactness: clustering is kmeans_quantized (integer-grid Lloyd's,
+    iters=1 — init + one assignment, the unrollable recipe); pairwise
+    dot products and squared norms are exact long arithmetic on the
+    same e6 grid; only the final cosine is a double (dot / (√na·√nb),
+    identical IEEE tree on both engines) and it is floor-e6-quantized
+    before the >= tau_e6 compare. Zero-norm vectors never match
+    (cosine undefined → NULL → filtered), null/empty embeddings are
+    dropped up front — the sq8_topk contract.
+
+    100 TB shape: the quadratic blow-up is confined within clusters by
+    a cluster-keyed equi-join (never an all-pairs join); SemDeDup picks
+    k ∝ corpus size so expected cluster size — and with it the
+    per-cluster pair count — stays bounded; the k-row centroid
+    broadcast is the allowlisted kmeans BNLJ. Pruning is one distinct
+    + one left join back onto the assignment table.
+    """
+    live = df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    assigned = kmeans_quantized(
+        live.select(id_col, vec_col), id_col=id_col, vec_col=vec_col, k=k, iters=1
+    )
+    q = live.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("v"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    t = q.join(assigned.withColumnRenamed(id_col, "vid"), "vid")
+    a = t.select("cluster", F.col("vid").alias("va"), F.col("v").alias("xa"), F.col("n2").alias("na"))
+    b = t.select("cluster", F.col("vid").alias("vb"), F.col("v").alias("xb"), F.col("n2").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda p, r: p * r),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_e6 = F.floor(
+        dot.cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    pruned = (
+        a.join(b, "cluster")
+        .filter((F.col("va") < F.col("vb")) & (F.col("na") > 0) & (F.col("nb") > 0))
+        .select(F.col("vb").alias("__dup__"), cos_e6.alias("c_e6"))
+        .filter(F.col("c_e6") >= F.lit(tau_e6))
+        .select("__dup__")
+        .distinct()
+    )
+    return (
+        t.select("vid", "cluster")
+        .join(pruned, t["vid"] == pruned["__dup__"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.col("__dup__").isNull().alias("kept"),
+        )
+    )

@@ -2066,11 +2066,21 @@ def wav_decode_real(spark, sf):
     sum of squares is exact in ANY summation order (all partials are
     integer·2^-30 < 2^53), and one division + correctly-rounded SQRT +
     the floor idiom give bit-identical doubles on both engines."""
+    from tada_spark.functions import multimodal
+
+    wavs = _det_wav_payloads(spark, sf)
+    return multimodal.audio_features(wavs, decoder=multimodal.wav_audio_decoder)
+
+
+def _det_wav_payloads(spark, sf):
+    """Deterministic mono RIFF/PCM WAV payloads per doc_id (real file
+    headers via stdlib wave inside mapInPandas) — the shared fixture
+    stream for the real-decode entries (wav_decode_real,
+    audio_downsample_real). Sample k_i = ((id·7 + i·13) mod 2001) −
+    1000 at rate 8000 + (id mod 3)·4000, n = 64 + (id mod 5)·16."""
     import io
     import struct
     import wave
-
-    from tada_spark.functions import multimodal
 
     docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
 
@@ -2093,8 +2103,7 @@ def wav_decode_real(spark, sf):
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
-    wavs = docs.mapInPandas(build, schema="media_id long, payload binary")
-    return multimodal.audio_features(wavs, decoder=multimodal.wav_audio_decoder)
+    return docs.mapInPandas(build, schema="media_id long, payload binary")
 
 
 WAV_DECODE_REAL_SQL = """
@@ -6248,6 +6257,97 @@ FROM __pn GROUP BY grp, t0, t1
 """
 
 
+def semdedup_embeddings(spark, sf):
+    """SemDeDup semantic pruning (functions/similarity.semdedup, k=8,
+    tau=0.30): cluster with integer-grid k-means (init + one
+    assignment), then inside each cluster drop every vector whose
+    e6-quantized cosine to a lower-id cluster-mate reaches tau —
+    keep-lowest-id representative semantics. The synthetic embeddings
+    top out near cosine 0.51, so 0.30 exercises real pruning; the
+    operator is threshold-parametric."""
+    from tada_spark.functions.similarity import semdedup
+
+    emb = load(spark, sf, "embeddings").to_df().select("vec_id", "embedding")
+    return semdedup(emb, k=8, tau_e6=300000)
+
+
+SEMDEDUP_SQL = """
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+), qd AS (
+  SELECT vec_id AS vid, i - 1 AS dim,
+         FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT AS val
+  FROM live, UNNEST(generate_series(1, len(embedding))) u(i)
+), c0 AS (
+  SELECT vid AS cid, dim, val AS cval
+  FROM (SELECT *, DENSE_RANK() OVER (ORDER BY vid) AS vrk FROM qd)
+  WHERE vrk <= 8
+), d1 AS (
+  SELECT q.vid, c.cid, SUM((q.val - c.cval) * (q.val - c.cval)) AS dist
+  FROM qd q JOIN c0 c ON q.dim = c.dim GROUP BY q.vid, c.cid
+), a1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d1
+  ) WHERE rn = 1
+), nrm AS (
+  SELECT vid, SUM(val * val)::BIGINT AS n2 FROM qd GROUP BY vid
+), t AS (
+  SELECT a1.vid, a1.cid, q.dim, q.val FROM a1 JOIN qd q USING (vid)
+), dots AS (
+  SELECT ta.cid, ta.vid AS va, tb.vid AS vb, SUM(ta.val * tb.val)::BIGINT AS dot
+  FROM t ta JOIN t tb ON ta.cid = tb.cid AND ta.dim = tb.dim AND ta.vid < tb.vid
+  GROUP BY ta.cid, ta.vid, tb.vid
+), dup AS (
+  SELECT DISTINCT d.vb
+  FROM dots d JOIN nrm na ON na.vid = d.va JOIN nrm nb ON nb.vid = d.vb
+  WHERE na.n2 > 0 AND nb.n2 > 0
+    AND FLOOR(d.dot::DOUBLE / (SQRT(na.n2::DOUBLE) * SQRT(nb.n2::DOUBLE))
+              * 1000000 + 0.5)::BIGINT >= 300000
+)
+SELECT a1.vid AS vec_id, a1.cid AS cluster,
+       (a1.vid NOT IN (SELECT vb FROM dup)) AS kept
+FROM a1
+"""
+
+
+def audio_downsample_real(spark, sf):
+    """REAL sample-level audio transform at the driver
+    (functions/multimodal.audio_downsample, factor 2): the shared
+    deterministic RIFF/PCM payloads are decoded by the real
+    wav_pcm_samples, each pair of samples averages into one (boxcar
+    decimation), and the oracle replays the block means analytically —
+    block values (k1+k2)/2^16 are exact dyadics, so the RMS
+    hash-matches bit-for-bit (the wav_decode_real argument extended
+    through a transform)."""
+    from tada_spark.functions import multimodal
+
+    wavs = _det_wav_payloads(spark, sf)
+    return multimodal.audio_downsample(wavs, factor=2)
+
+
+AUDIO_DOWNSAMPLE_SQL = """
+WITH p AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr, 64 + (doc_id % 5) * 16 AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, sr, n, u.i AS i,
+         ((doc_id * 7 + u.i * 13) % 2001 - 1000) AS k
+  FROM p, UNNEST(generate_series(0, n - 1)) u(i)
+), blk AS (
+  -- n = 64 + m*16 is always even, so factor 2 leaves no partial tail
+  SELECT doc_id, sr, n, i // 2 AS j, SUM(k)::BIGINT AS ksum
+  FROM s GROUP BY doc_id, sr, n, i // 2
+), v AS (
+  SELECT doc_id, sr, n, (ksum::DOUBLE / 2) / 32768 AS bv FROM blk
+)
+SELECT doc_id AS media_id, (MAX(sr) // 2)::INT AS sample_rate_out,
+       (MAX(n) // 2)::BIGINT AS n_out,
+       FLOOR(SQRT(SUM(bv * bv) / (MAX(n) // 2)) * 1000000 + 0.5) / 1000000 AS rms_out
+FROM v GROUP BY doc_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6436,4 +6536,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "interval_islands_events": (interval_islands_events, INTERVAL_ISLANDS_SQL),
     "pareto_frontier_parts": (pareto_frontier_parts, PARETO_SQL),
     "psi_drift_events": (psi_drift_events, PSI_DRIFT_SQL),
+    "semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
+    "audio_downsample_real": (audio_downsample_real, AUDIO_DOWNSAMPLE_SQL),
 }

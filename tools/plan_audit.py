@@ -93,6 +93,9 @@ ALLOWED_BNLJ = {
     # 1-row min/max stats broadcast (era midpoint + bin edges) — same
     # scalar-subquery shape as q11/q22
     "psi_drift_events",
+    # k-row centroid broadcast × partitioned corpus — the kmeans
+    # assignment plan riding inside semdedup's clustering phase
+    "semdedup_embeddings",
 }
 
 
