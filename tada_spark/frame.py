@@ -1027,12 +1027,25 @@ class Frame:
         right_by: Sequence[str] | None = None,
         value_cols: Sequence[str],
         strict: bool = False,
+        direction: str = "backward",
+        tolerance_us: int | None = None,
     ) -> "Frame":
         """Point-in-time (as-of) join: for each left row, take
         ``value_cols`` from the LATEST right row with right.on <= left.on
         (strictly < when ``strict``), matched within ``by`` keys. The
         canonical time-series lookup (trades←quotes) — an operator Spark
         has no primitive for.
+
+        ``direction`` extends the classic backward lookup:
+        ``"forward"`` takes the EARLIEST right row with right.on >=
+        left.on (next-event lookup); ``"nearest"`` takes whichever side
+        is closer, ties breaking backward. ``tolerance_us`` bounds the
+        match distance (microseconds for time-typed ``on``, native
+        units for numeric) — a right row farther than the tolerance
+        yields NULLs, like no match at all. Right rows tied on
+        (``by``, ``on``) are ambiguous (the carry keeps one
+        arbitrarily) — pre-deduplicate the right side when such ties
+        are possible.
 
         Scale design: NOT a range join (which explodes to O(n·m) pairs
         or a broadcast nested loop). Both sides union into one stream,
@@ -1090,18 +1103,58 @@ class Frame:
         # carry ALL value cols as ONE struct keyed on the right row:
         # per-column last(ignorenulls) would (a) return a stale older
         # value when the latest right row's field is genuinely NULL and
-        # (b) mix fields from different right rows
-        w = (
-            Window.partitionBy(*[F.col(c) for c in by])
-            .orderBy(F.col(on).asc(), side_order)
-            .rowsBetween(Window.unboundedPreceding, 0)
+        # (b) mix fields from different right rows. The struct also
+        # carries the right row's own time (__rt__) for tolerance /
+        # nearest gap arithmetic.
+        carried = F.when(
+            F.col("__side__") == 0,
+            F.struct(*[F.col(c) for c in value_cols], F.col(on).alias("__rt__")),
         )
+
+        def carry(desc: bool):
+            order = [F.col(on).desc() if desc else F.col(on).asc(), side_order]
+            wd = (
+                Window.partitionBy(*[F.col(c) for c in by])
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return F.last(carried, ignorenulls=True).over(wd)
+
+        on_dt = lfields[on]
+
+        def ordinal(c):
+            from tada_spark.plans.timeutil import epoch_us
+
+            if isinstance(on_dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+                return epoch_us(c, on_dt)
+            return c.cast("long")
+
+        def masked(row_col, forward: bool):
+            if tolerance_us is None:
+                return row_col
+            gap = (
+                ordinal(row_col["__rt__"]) - ordinal(F.col(on))
+                if forward
+                else ordinal(F.col(on)) - ordinal(row_col["__rt__"])
+            )
+            return F.when(row_col.isNotNull() & (gap <= F.lit(tolerance_us)), row_col)
+
+        if direction == "backward":
+            rrow = masked(carry(False), False)
+        elif direction == "forward":
+            rrow = masked(carry(True), True)
+        elif direction == "nearest":
+            b_, f_ = masked(carry(False), False), masked(carry(True), True)
+            gb = ordinal(F.col(on)) - ordinal(b_["__rt__"])
+            gf = ordinal(f_["__rt__"]) - ordinal(F.col(on))
+            rrow = F.when(b_.isNotNull() & (f_.isNull() | (gb <= gf)), b_).otherwise(f_)
+        else:
+            raise ValueError(f"asof_join: unknown direction {direction!r}")
+        # a NULL left time matches nothing in ANY direction (under desc
+        # ordering Spark puts nulls last, where a carry would otherwise
+        # hand them the earliest right row)
         filled = l.unionByName(r).withColumn(
-            "__rrow__",
-            F.last(
-                F.when(F.col("__side__") == 0, F.struct(*[F.col(c) for c in value_cols])),
-                ignorenulls=True,
-            ).over(w),
+            "__rrow__", F.when(F.col(on).isNotNull(), rrow)
         )
         for c in value_cols:
             filled = filled.withColumn(c, F.col("__rrow__")[c])

@@ -6348,6 +6348,68 @@ FROM v GROUP BY doc_id
 """
 
 
+def asof_forward_next_click(spark, sf):
+    """Forward as-of join with tolerance (Frame.asof_join
+    direction='forward', tolerance 30 min): for every purchase, the
+    NEXT click by the same user within half an hour — the
+    time-to-follow-up lookup that mirrors asof_last_purchase's
+    backward carry. Clicks are pre-deduplicated to one per (user, ts)
+    keeping the lowest event_id (the documented tie contract); the
+    union-stream carry stays ONE shuffle, zero row multiplication."""
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    purchases = Frame(
+        ev.to_df()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id", "ts")
+    )
+    clicks = Frame(
+        ev.to_df()
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    joined = purchases.asof_join(
+        clicks,
+        on="ts",
+        by=["user_id"],
+        value_cols=["click_id"],
+        direction="forward",
+        tolerance_us=1800 * 1_000_000,
+    ).to_df()
+    return joined.select(
+        "p_id",
+        "user_id",
+        "click_id",
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS c_ts, MIN(event_id) AS click_id
+  FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id, ts
+), cand AS (
+  SELECT p.p_id, c.click_id,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts) AS rn
+  FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+   AND c.c_ts >= p.p_ts
+   AND epoch_us(c.c_ts) - epoch_us(p.p_ts) <= 1800000000
+)
+SELECT p.p_id, p.user_id, c.click_id
+FROM purchases p LEFT JOIN (SELECT p_id, click_id FROM cand WHERE rn = 1) c USING (p_id)
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6538,4 +6600,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "psi_drift_events": (psi_drift_events, PSI_DRIFT_SQL),
     "semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
     "audio_downsample_real": (audio_downsample_real, AUDIO_DOWNSAMPLE_SQL),
+    "asof_forward_next_click": (asof_forward_next_click, ASOF_FORWARD_SQL),
 }

@@ -1,0 +1,262 @@
+"""Round-7 operator tests: period growth, gaps-and-islands, skyline,
+PSI drift, SemDeDup, audio downsample, directional as-of joins —
+known-answer cases on tiny literal frames (reference test model,
+SURVEY §5)."""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+
+from pyspark.sql import functions as F
+
+from tada_spark.frame import Frame
+
+
+# ---------------------------------------------------------------- stats
+
+
+def test_period_growth_known(spark):
+    from tada_spark.functions.stats import period_growth
+
+    df = spark.createDataFrame(
+        [("2024-01", 100), ("2024-01", 100), ("2024-02", 300), ("2024-03", 150)],
+        "ym string, cents long",
+    )
+    rows = {
+        r.bucket: (r.total_cents, r.growth_e6)
+        for r in period_growth(df, F.col("ym"), F.col("cents")).collect()
+    }
+    assert rows["2024-01"] == (200, None)  # first period: no growth
+    assert rows["2024-02"] == (300, 500000)  # +50%
+    assert rows["2024-03"] == (150, -500000)  # -50%
+
+
+def test_period_growth_prev_zero_and_nulls(spark):
+    from tada_spark.functions.stats import period_growth
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 50), (None, 99), ("c", None)],
+        "p string, cents long",
+    )
+    rows = {r.bucket: r.growth_e6 for r in period_growth(df, F.col("p"), F.col("cents")).collect()}
+    assert rows == {"a": None, "b": None}  # prev=0 -> NULL; null bucket/value dropped
+
+
+def test_psi_identical_halves_is_zero(spark):
+    from tada_spark.functions.stats import psi_drift
+
+    # same value multiset in both halves of the timeline => p == q in
+    # every bin => every contribution is exactly floor(0 + 0.5) = 0
+    rows = [("g", float(v), 1_000_000 * i) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [("g", float(v), 1_000_000 * (i + 5)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "grp string, value double, us long")
+    out = psi_drift(df, "grp", F.round(F.col("value") * 100), F.col("us")).collect()
+    assert len(out) == 1 and out[0].psi_e6 == 0
+    assert out[0].n_first == 5 and out[0].n_second == 5
+
+
+def test_psi_detects_shift(spark):
+    from tada_spark.functions.stats import psi_drift
+
+    rows = [("g", 1.0, i) for i in range(10)] + [("g", 100.0, 10 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, value double, us long")
+    out = psi_drift(df, "grp", F.round(F.col("value") * 100), F.col("us")).collect()
+    assert out[0].psi_e6 > 1_000_000  # total mass swap: PSI >> 1
+
+
+# ------------------------------------------------------------- intervals
+
+
+def test_merge_intervals_known(spark):
+    from tada_spark.operators.interval import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("u", 0, 10),  # island 1: [0,15)
+            ("u", 5, 15),
+            ("u", 15, 20),  # touching (start == prev end) merges
+            ("u", 30, 40),  # island 2
+            ("v", 0, 5),  # other key: own island
+        ],
+        "k string, s long, e long",
+    )
+    out = merge_intervals(df, key_cols=["k"], start_col="s", end_col="e")
+    got = sorted((r.k, r.island_start, r.island_end, r.n_intervals) for r in out.collect())
+    assert got == [("u", 0, 20, 3), ("u", 30, 40, 1), ("v", 0, 5, 1)]
+
+
+def test_merge_intervals_contained_and_duplicate(spark):
+    from tada_spark.operators.interval import merge_intervals
+
+    df = spark.createDataFrame(
+        [("u", 0, 100), ("u", 10, 20), ("u", 10, 20), ("u", 100, 101)],
+        "k string, s long, e long",
+    )
+    out = merge_intervals(df, key_cols=["k"], start_col="s", end_col="e").collect()
+    assert [(r.island_start, r.island_end, r.n_intervals) for r in out] == [(0, 101, 4)]
+
+
+# --------------------------------------------------------------- skyline
+
+
+def test_pareto_frontier_known(spark):
+    from tada_spark.operators.skyline import pareto_frontier_2d
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5),  # frontier (cheapest)
+            (2, 20, 9),  # frontier (more y for more x)
+            (3, 20, 7),  # dominated by 2 (same x, less y)
+            (4, 30, 9),  # dominated by 2 (more x, same y)
+            (5, 15, 5),  # dominated by 1 (more x, same y)
+            (6, 40, 12),  # frontier
+        ],
+        "id long, x long, y long",
+    )
+    out = pareto_frontier_2d(df, "x", "y")
+    assert sorted(r.id for r in out.collect()) == [1, 2, 6]
+
+
+def test_pareto_duplicates_both_kept_and_partitioning_invariant(spark):
+    from tada_spark.operators.skyline import pareto_frontier_2d
+
+    rows = [(1, 10, 5), (2, 10, 5), (3, 50, 4)]
+    for nparts in (1, 7):
+        df = spark.createDataFrame(rows, "id long, x long, y long").repartition(nparts)
+        assert sorted(r.id for r in pareto_frontier_2d(df, "x", "y").collect()) == [1, 2]
+
+
+# -------------------------------------------------------------- semdedup
+
+
+def test_semdedup_prunes_higher_id_of_duplicate(spark):
+    from tada_spark.functions.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),  # exact duplicate of 1 -> pruned (higher id)
+            (3, [0.0, 1.0]),  # orthogonal -> kept
+            (4, None),  # null embedding dropped up front
+            (5, [0.0, 0.0]),  # zero norm: never matches, kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.kept for r in semdedup(df, k=2, tau_e6=990000).collect()}
+    assert out == {1: True, 2: False, 3: True, 5: True}
+
+
+def test_semdedup_threshold_boundary(spark):
+    from tada_spark.functions.similarity import semdedup
+
+    # cos(v1, v2) = 0.6 exactly on the integer grid
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    keep_all = semdedup(df, k=1, tau_e6=600001)
+    assert all(r.kept for r in keep_all.collect())
+    pruned = {r.vec_id: r.kept for r in semdedup(df, k=1, tau_e6=600000).collect()}
+    assert pruned == {1: True, 2: False}
+
+
+# ----------------------------------------------------------------- audio
+
+
+def _wav(sr: int, ks: list[int]) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(struct.pack("<%dh" % len(ks), *ks))
+    return buf.getvalue()
+
+
+def test_audio_downsample_known(spark):
+    from tada_spark.functions.multimodal import audio_downsample
+
+    ks = [100, 200, -100, -200, 300, 50, 7]  # odd tail sample dropped
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(8000, ks)))], "media_id long, payload binary"
+    )
+    r = audio_downsample(df, factor=2).collect()[0]
+    assert (r.sample_rate_out, r.n_out) == (4000, 3)
+    blocks = [(100 + 200) / 2, (-100 - 200) / 2, (300 + 50) / 2]
+    rms = math.sqrt(sum((b / 32768.0) ** 2 for b in blocks) / 3)
+    assert r.rms_out == math.floor(rms * 1e6 + 0.5) / 1e6
+
+
+def test_audio_downsample_drops_undecodable_and_too_short(spark):
+    from tada_spark.functions.multimodal import audio_downsample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")), (2, bytearray(_wav(8000, [5])))],
+        "media_id long, payload binary",
+    )
+    assert audio_downsample(df, factor=2).count() == 0
+
+
+# ------------------------------------------------------- directional asof
+
+
+def _asof_frames(spark):
+    left = Frame(
+        spark.createDataFrame(
+            [(1, "u", 100), (2, "u", 205), (3, "u", 500), (4, "v", 100)],
+            "id long, k string, t long",
+        )
+    )
+    right = Frame(
+        spark.createDataFrame(
+            [("u", 90, "a"), ("u", 210, "b"), ("u", 300, "c")],
+            "k string, t long, val string",
+        )
+    )
+    return left, right
+
+
+def test_asof_forward(spark):
+    left, right = _asof_frames(spark)
+    out = left.asof_join(
+        right, on="t", by=["k"], value_cols=["val"], direction="forward"
+    ).to_df()
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: "b", 2: "b", 3: None, 4: None}
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _asof_frames(spark)
+    out = left.asof_join(
+        right, on="t", by=["k"], value_cols=["val"], direction="forward", tolerance_us=10
+    ).to_df()
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: None, 2: "b", 3: None, 4: None}  # 100->210 gap 110 > 10
+
+
+def test_asof_nearest_tie_breaks_backward(spark):
+    left, right = _asof_frames(spark)
+    # id=2 at t=205: backward 210? no - backward is 90 (gap 115)... actual:
+    # right times 90, 210, 300. backward of 205 -> 90 (gap 115);
+    # forward -> 210 (gap 5) => nearest picks forward.
+    out = left.asof_join(
+        right, on="t", by=["k"], value_cols=["val"], direction="nearest"
+    ).to_df()
+    got = {r.id: r.val for r in out.collect()}
+    assert got[2] == "b" and got[1] == "a" and got[3] == "c"
+    # exact tie: left at 150 is 60 from 90 and 60 from 210 -> backward wins
+    lt = Frame(spark.createDataFrame([(9, "u", 150)], "id long, k string, t long"))
+    tie = lt.asof_join(
+        right, on="t", by=["k"], value_cols=["val"], direction="nearest"
+    ).to_df()
+    assert tie.collect()[0].val == "a"
+
+
+def test_asof_backward_unchanged(spark):
+    left, right = _asof_frames(spark)
+    out = left.asof_join(right, on="t", by=["k"], value_cols=["val"]).to_df()
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: "a", 2: "a", 3: "c", 4: None}
