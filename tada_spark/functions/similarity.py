@@ -565,3 +565,91 @@ def semdedup(
             F.col("__dup__").isNull().alias("kept"),
         )
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    k_cent: int = 4,
+    n_probes: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with ADC scoring (Jégou et al. 2011) —
+    the fourth point on the repo's ANN cost curve (brute cosine =
+    exact, IVF = partition-pruned, SQ8 = compressed-domain scan,
+    PQ/ADC = table-lookup scan): dims split into ``m_sub`` contiguous
+    subspaces; each subspace gets ``k_cent`` centroids (integer-grid
+    init = the k_cent lowest-id vectors' subvectors, one assignment
+    round — the kmeans_quantized recipe, unrolled by the oracle); every
+    vector encodes as m_sub small codes; each probe scores the corpus
+    as Σ_sub dtab[probe, sub, code] — a sum of PRECOMPUTED exact
+    integer subspace distances. No floats anywhere: the operator is
+    pure long arithmetic on the e6 grid, so it hash-checks with no
+    rounding idiom at all.
+
+    100 TB shape: the centroid table (m_sub × k_cent × dims rows) and
+    the probe distance tables (n_probes × m_sub × k_cent rows) are the
+    ONLY broadcast sides; every join is an equi-join (on dim, probe id,
+    or (sub, code)) — no nested loop at all, which is what makes ADC
+    the serving-scale scan: codes are ~dims/4 bytes and the per-row
+    score is m_sub lookups + adds. Vectors are fixed-width with
+    dims % m_sub == 0 (the table's schema contract, like sq8_topk);
+    ragged rows are a caller error.
+    """
+    live = corpus.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    dims = live.select(
+        F.col(id_col).alias("vid"),
+        F.size(F.col(vec_col)).alias("nd"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "vid",
+        "dim",
+        F.expr(f"dim div (nd div {m_sub})").alias("sub"),
+        F.floor(F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("val"),
+    )
+    cent_dims = (
+        live.orderBy(F.col(id_col).asc())
+        .limit(k_cent)
+        .select(F.col(id_col).alias("cid"), F.posexplode(F.col(vec_col)).alias("dim", "cx"))
+        .select(
+            "cid",
+            "dim",
+            F.floor(F.col("cx").cast("double") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("cval"),
+        )
+    )
+    d1 = (
+        dims.join(F.broadcast(cent_dims), "dim")
+        .groupBy("vid", "sub", "cid")
+        .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("sdist"))
+    )
+    w_assign = Window.partitionBy("vid", "sub").orderBy(F.col("sdist").asc(), F.col("cid").asc())
+    codes = (
+        d1.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vid", "sub", "cid")
+    )
+    probe_ids = live.orderBy(F.col(id_col).asc()).limit(n_probes).select(
+        F.col(id_col).alias("pid")
+    )
+    dtab = d1.join(F.broadcast(probe_ids), d1["vid"] == probe_ids["pid"]).select(
+        "pid", "sub", "cid", "sdist"
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub", "cid"])
+        .filter(F.col("pid") != F.col("vid"))
+        .groupBy(F.col("pid").alias("query_id"), F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("sdist").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -6410,6 +6410,56 @@ FROM purchases p LEFT JOIN (SELECT p_id, click_id FROM cand WHERE rn = 1) c USIN
 """
 
 
+def pq_adc_topk(spark, sf):
+    """PQ/ADC ANN (functions/similarity.pq_adc_topk, 8 subspaces × 4
+    centroids, 5 probes, top-5): product quantization with asymmetric
+    distance computation — the table-lookup point on the ANN cost
+    curve. Every distance is exact long arithmetic on the e6 grid
+    (no floats, no rounding idiom); the oracle unrolls the subspace
+    k-means init + assignment and replays the ADC sums."""
+    from tada_spark.functions.similarity import pq_adc_topk as pq
+
+    emb = load(spark, sf, "embeddings").to_df().select("vec_id", "embedding")
+    return pq(emb, m_sub=8, k_cent=4, n_probes=5, k=5)
+
+
+PQ_ADC_SQL = """
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+), qd AS (
+  SELECT vec_id AS vid, i - 1 AS dim, (i - 1) // (len(embedding) // 8) AS sub,
+         FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT AS val
+  FROM live, UNNEST(generate_series(1, len(embedding))) u(i)
+), lows AS (
+  SELECT vid AS cid, dim, val AS cval
+  FROM (SELECT *, DENSE_RANK() OVER (ORDER BY vid) AS vrk FROM qd)
+  WHERE vrk <= 4
+), d1 AS (
+  SELECT q.vid, q.sub, c.cid,
+         SUM((q.val - c.cval) * (q.val - c.cval))::BIGINT AS sdist
+  FROM qd q JOIN lows c ON q.dim = c.dim GROUP BY q.vid, q.sub, c.cid
+), codes AS (
+  SELECT vid, sub, cid FROM (
+    SELECT vid, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY sdist, cid) AS rn
+    FROM d1) WHERE rn = 1
+), probes AS (
+  SELECT vid FROM (SELECT DISTINCT vid FROM qd) ORDER BY vid LIMIT 5
+), dtab AS (
+  SELECT d.vid AS pid, d.sub, d.cid, d.sdist FROM d1 d JOIN probes p ON d.vid = p.vid
+), scored AS (
+  SELECT t.pid AS query_id, c.vid AS neighbor_id, SUM(t.sdist)::BIGINT AS adc_dist
+  FROM codes c JOIN dtab t ON t.sub = c.sub AND t.cid = c.cid AND t.pid != c.vid
+  GROUP BY t.pid, c.vid
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6601,4 +6651,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
     "audio_downsample_real": (audio_downsample_real, AUDIO_DOWNSAMPLE_SQL),
     "asof_forward_next_click": (asof_forward_next_click, ASOF_FORWARD_SQL),
+    "pq_adc_topk": (pq_adc_topk, PQ_ADC_SQL),
 }

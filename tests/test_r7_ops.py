@@ -260,3 +260,41 @@ def test_asof_backward_unchanged(spark):
     out = left.asof_join(right, on="t", by=["k"], value_cols=["val"]).to_df()
     got = {r.id: r.val for r in out.collect()}
     assert got == {1: "a", 2: "a", 3: "c", 4: None}
+
+
+# ------------------------------------------------------------------- pq
+
+
+def test_pq_adc_exact_duplicate_ranks_first(spark):
+    from tada_spark.functions.similarity import pq_adc_topk
+
+    # vec 6 duplicates vec 1 exactly and is the ONLY vector sharing its
+    # codes (vec 5 quantizes to different centroids), so 6's ADC
+    # distance from probe 1 is 0 and it must rank 1. (An equidistant
+    # vec like [.5,.5,.5,.5] would collide onto the probe's codes and
+    # tie at 0 — the legitimate ADC quantization-collision property.)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (5, [0.0, 0.9, 0.9, 0.0]),
+        (6, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(df, m_sub=2, k_cent=4, n_probes=1, k=5)
+    got = [(r.neighbor_id, r.adc_dist, r.rank) for r in out.orderBy("rank").collect()]
+    assert got[0][0] == 6  # the exact duplicate wins
+    assert all(got[i][1] <= got[i + 1][1] for i in range(len(got) - 1))
+    assert [r for _, _, r in got] == list(range(1, len(got) + 1))
+
+
+def test_pq_adc_self_excluded_and_null_dropped(spark):
+    from tada_spark.functions.similarity import pq_adc_topk
+
+    rows = [(1, [1.0, 2.0]), (2, [1.5, 2.5]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(df, m_sub=1, k_cent=2, n_probes=2, k=5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    assert {r.query_id for r in out} == {1, 2}
+    assert all(r.neighbor_id != 3 for r in out)
