@@ -227,3 +227,74 @@ def test_weighted_sample_per_group_one_shuffle_no_python(spark):
     assert "BatchEvalPython" not in plan
     nex = plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count("ReusedExchange")
     assert nex == 1  # one group-key shuffle, nothing else
+
+
+def test_period_growth_lag_over_aggregate_only(spark, catalog):
+    # the window must run over the O(#months) aggregate, never the scan:
+    # exactly the agg exchange + the single-partition window exchange
+    plan = plan_of(catalog["period_growth_orders"][0](spark, SF))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count(
+        "ReusedExchange"
+    )
+    assert shuffles <= 2
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_interval_islands_single_shuffle_no_self_join(spark, catalog):
+    plan = plan_of(catalog["interval_islands_events"][0](spark, SF))
+    assert "Join" not in plan  # gaps-and-islands is windows + aggregate
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count(
+        "ReusedExchange"
+    )
+    assert shuffles <= 2  # user_id window + final per-user aggregate
+
+
+def test_pareto_no_quadratic_join(spark, catalog):
+    plan = plan_of(catalog["pareto_frontier_parts"][0](spark, SF))
+    assert "Join" not in plan  # two window prunes, never a self-anti-join
+    assert "BatchEvalPython" not in plan
+
+
+def test_psi_no_joins_beyond_scalar_broadcast(spark, catalog):
+    plan = plan_of(catalog["psi_drift_events"][0](spark, SF))
+    # the only join machinery is the allowlisted 1-row stats broadcast
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count(
+        "ReusedExchange"
+    )
+    assert shuffles <= 4
+
+
+def test_semdedup_pairs_stay_cluster_keyed(spark, catalog):
+    plan = plan_of(catalog["semdedup_embeddings"][0](spark, SF))
+    # the k-row centroid-assignment broadcast is the ONLY nested loop;
+    # the static plan replicates that subtree under each consumer of the
+    # assignment table (3 copies, unified by ReusedExchange at runtime)
+    # — what must NEVER appear is an all-pairs product: the pairwise
+    # phase is an equi-join on cluster
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_adc_all_equi_joins(spark, catalog):
+    plan = plan_of(catalog["pq_adc_topk"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_audio_downsample_arrow_not_row_python(spark, catalog):
+    plan = plan_of(catalog["audio_downsample_real"][0](spark, SF))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_asof_forward_single_shuffle(spark, catalog):
+    plan = plan_of(catalog["asof_forward_next_click"][0](spark, SF))
+    assert "Join" not in plan  # union-stream carry, not a range join
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count(
+        "ReusedExchange"
+    )
+    assert shuffles <= 3  # click dedupe agg + by-key window (+ AQE split)
