@@ -336,3 +336,69 @@ def weighted_sample_per_group(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    *,
+    batch_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Length-bucketed training-batch assembly — the padding-efficiency
+    step beside sequence_pack: docs bucket by token-count magnitude
+    (integer bit_length, the det_ln range-reduction trick — no log),
+    order deterministically by content hash inside each (shard,
+    bucket), and group into fixed-size batches. Emits per-batch stats:
+    doc count, token total, the batch's max length, and the padding
+    waste fraction (n·max − Σtokens)/(n·max) a pad-to-longest collator
+    would spend, floor-e6-quantized.
+
+    Exactness: token counts, buckets and batch numbering are pure
+    integer arithmetic on md5-ordered rows; the waste fraction is one
+    double division of exact longs — identical IEEE tree both engines.
+    The bucket is LENGTH(BIN(tokens)) on both engines; blank/NULL docs
+    count zero tokens and BIN(0) = '0' puts them in bucket 1 (pinned,
+    oracle-mirrored).
+
+    100 TB shape: batch numbering is (shard, bucket)-local — the data-
+    parallel assembly a sharded loader runs, so the row_number windows
+    partition on (shard, bucket) and never funnel the corpus through
+    one partition; ONE shuffle, then an O(batches) aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.size(F.split(F.trim(F.lower(txt)), r"\s+")) - F.when(
+        F.length(F.trim(txt)) == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    base = df.filter(F.col(id_col).isNotNull() & F.col(shard_col).isNotNull()).select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("did"),
+        F.md5(txt).alias("h"),
+        toks.cast("long").alias("tokens"),
+    )
+    bucket = F.length(F.bin(F.col("tokens"))).alias("bucket")
+    w = Window.partitionBy("shard", "bucket").orderBy("h", "did")
+    numbered = base.select("shard", "did", "h", "tokens", bucket).withColumn(
+        "batch_id", ((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long")
+    )
+    agg = numbered.groupBy("shard", "bucket", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.max("tokens").alias("max_tokens"),
+    )
+    nd = F.col("n_docs").cast("double")
+    mx = F.col("max_tokens").cast("double")
+    waste = F.when(
+        F.col("max_tokens") > 0,
+        F.floor(
+            (nd * mx - F.col("total_tokens").cast("double")) / (nd * mx) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        "shard", "bucket", "batch_id", "n_docs", "total_tokens", "max_tokens",
+        waste.alias("padding_waste_e6"),
+    )

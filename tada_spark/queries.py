@@ -6460,6 +6460,46 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 """
 
 
+def length_bucket_batches_docs(spark, sf):
+    """Length-bucketed training-batch assembly
+    (functions/sampling.length_bucket_batches, batch_size=8): docs
+    bucket by token-count bit_length, order by content hash inside
+    each (source, bucket), group into batches of 8, and report each
+    batch's pad-to-longest waste fraction — the collator-efficiency
+    audit beside sequence_pack's concatenative packing."""
+    from tada_spark.functions.sampling import length_bucket_batches
+
+    docs = load(spark, sf, "documents").to_df()
+    return length_bucket_batches(docs, batch_size=8)
+
+
+LENGTH_BUCKET_SQL = r"""
+WITH base AS (
+  SELECT source AS shard, doc_id AS did, MD5(COALESCE(text, '')) AS h,
+         (CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0 THEN 0
+               ELSE len(regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))), '\s+'))
+          END)::BIGINT AS tokens
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+), b AS (
+  SELECT shard, did, h, tokens, LENGTH(BIN(tokens)) AS bucket FROM base
+), n AS (
+  SELECT shard, bucket, tokens,
+         (ROW_NUMBER() OVER (PARTITION BY shard, bucket ORDER BY h, did) - 1) // 8 AS batch_id
+  FROM b
+), agg AS (
+  SELECT shard, bucket, batch_id, COUNT(*)::BIGINT AS n_docs,
+         SUM(tokens)::BIGINT AS total_tokens, MAX(tokens)::BIGINT AS max_tokens
+  FROM n GROUP BY shard, bucket, batch_id
+)
+SELECT shard, bucket, batch_id, n_docs, total_tokens, max_tokens,
+       CASE WHEN max_tokens > 0
+            THEN CAST(FLOOR((n_docs::DOUBLE * max_tokens::DOUBLE - total_tokens::DOUBLE)
+                            / (n_docs::DOUBLE * max_tokens::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            ELSE 0 END AS padding_waste_e6
+FROM agg
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6652,4 +6692,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audio_downsample_real": (audio_downsample_real, AUDIO_DOWNSAMPLE_SQL),
     "asof_forward_next_click": (asof_forward_next_click, ASOF_FORWARD_SQL),
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_SQL),
+    "length_bucket_batches_docs": (length_bucket_batches_docs, LENGTH_BUCKET_SQL),
 }

@@ -298,3 +298,45 @@ def test_pq_adc_self_excluded_and_null_dropped(spark):
     assert all(r.query_id != r.neighbor_id for r in out)
     assert {r.query_id for r in out} == {1, 2}
     assert all(r.neighbor_id != 3 for r in out)
+
+
+# ---------------------------------------------------------- length buckets
+
+
+def test_length_bucket_batches_known(spark):
+    from tada_spark.functions.sampling import length_bucket_batches
+
+    # tokens: 3,3,3 (bucket len(bin(3))=2), 9 (bucket 4), blank (bucket 1)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s"),
+            (2, "d e f", "s"),
+            (3, "g h i", "s"),
+            (4, "one two three four five six seven eight nine", "s"),
+            (5, "   ", "s"),
+            (6, "x", None),  # null shard dropped
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = length_bucket_batches(df, batch_size=2)
+    rows = {(r.bucket, r.batch_id): r for r in out.collect()}
+    assert {(b, i) for b, i in rows} == {(2, 0), (2, 1), (4, 0), (1, 0)}
+    b20 = rows[(2, 0)]
+    assert (b20.n_docs, b20.total_tokens, b20.max_tokens, b20.padding_waste_e6) == (2, 6, 3, 0)
+    b21 = rows[(2, 1)]
+    assert b21.n_docs == 1 and b21.padding_waste_e6 == 0
+    assert rows[(1, 0)].total_tokens == 0 and rows[(1, 0)].padding_waste_e6 == 0
+
+
+def test_length_bucket_waste_fraction(spark):
+    from tada_spark.functions.sampling import length_bucket_batches
+
+    # both docs in bucket 3 (tokens 5 and 7): waste = (2*7-12)/(2*7)
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "s"), (2, "a b c d e f g", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = length_bucket_batches(df, batch_size=8).collect()[0]
+    import math
+
+    assert r.padding_waste_e6 == math.floor((14 - 12) / 14 * 1e6 + 0.5)
