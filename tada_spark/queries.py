@@ -6500,6 +6500,67 @@ FROM agg
 """
 
 
+def stream_outer_join_purchases(spark, sf):
+    """Watermarked stream-stream LEFT OUTER interval join
+    (streaming/windows.stream_interval_join how='left_outer'): clicks
+    within [purchase, purchase + 1h] per user, plus a null-padded row
+    for every purchase whose join window CLOSED under the final
+    watermark unmatched. The emission boundary is deterministic under
+    availableNow (single input file ⇒ one data batch + the no-data
+    state-eviction batch): a purchase emits unmatched iff
+    p_ts + 1h (join delay) falls strictly before the global watermark
+    min(ms-floor(max_p_ts), ms-floor(max_c_ts)) − 1h — Spark tracks
+    watermarks in milliseconds, which the oracle replays exactly.
+    Purchases still inside the window when the stream ends stay in
+    state and never emit (the streaming-outer contract)."""
+    from tada_spark.streaming.windows import run_available_now, stream_interval_join
+
+    purchases = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+    )
+    clicks = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts"))
+    )
+    out = stream_interval_join(
+        purchases, clicks, keys=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        max_delay="1 hour", how="left_outer",
+    )
+    res = run_available_now(
+        out.select("p_id", "c_id"), "q_stream_oj", output_mode="append", timeout_s=240
+    )
+    return res.select("p_id", "c_id")
+
+
+STREAM_OUTER_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+), pairs AS (
+  SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+), wm AS (
+  -- Spark watermarks are ms-floored max event times minus the delay;
+  -- global watermark = min over both input streams
+  SELECT LEAST(
+           (epoch_us(MAX(CASE WHEN event_type = 'purchase' THEN ts END)) // 1000) * 1000,
+           (epoch_us(MAX(CASE WHEN event_type = 'click' THEN ts END)) // 1000) * 1000
+         ) - 3600000000 AS wm_us
+  FROM events
+), expired AS (
+  SELECT p.p_id, NULL::BIGINT AS c_id
+  FROM p, wm
+  WHERE p.p_id NOT IN (SELECT p_id FROM pairs)
+    AND epoch_us(p.p_ts) + 3600000000 < wm.wm_us
+)
+SELECT p_id, c_id FROM pairs UNION ALL SELECT p_id, c_id FROM expired
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6693,4 +6754,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_forward_next_click": (asof_forward_next_click, ASOF_FORWARD_SQL),
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_SQL),
     "length_bucket_batches_docs": (length_bucket_batches_docs, LENGTH_BUCKET_SQL),
+    "stream_outer_join_purchases": (stream_outer_join_purchases, STREAM_OUTER_JOIN_SQL),
 }

@@ -151,11 +151,20 @@ def stream_interval_join(
     right_ts: str,
     max_delay: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join: right events within
     [left_ts, left_ts + max_delay]. Both sides carry watermarks so
     Spark bounds the join state buffer — without the time-range
-    condition a stream-stream join would buffer forever."""
+    condition a stream-stream join would buffer forever.
+
+    ``how="left_outer"`` additionally emits null-padded left rows once
+    their join window CLOSES under the watermark: a left row emits
+    unmatched when left_ts + max_delay falls behind the global
+    watermark (min of both sides' ms-floored max event time, minus the
+    watermark delay). Rows whose window is still open when the stream
+    ends stay in state and never emit — the documented streaming-outer
+    contract, replayed exactly by the batch oracle."""
     left, l_restore = _event_time(left, left_ts)
     right, r_restore = _event_time(right, right_ts)
     l = left.withWatermark(left_ts, watermark)
@@ -169,7 +178,9 @@ def stream_interval_join(
             ]
         )
     )
-    out = l.alias("l").join(r.alias("r"), cond, "inner")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_interval_join: unsupported how={how!r}")
+    out = l.alias("l").join(r.alias("r"), cond, how)
     # leave in the INPUT's family on both sides (same convention as the
     # window operators — the LTZ cast above exists only for the
     # watermark machinery)
