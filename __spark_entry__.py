@@ -44,9 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: in-window), divide_nullsafe (null-safe arithmetic via
 #: combine_series_ratio r06), lookup_orders_customer (lookup rides
 #: every TPC-H analog in-window), token_frequency (token counting via
-#: tfidf_top_terms/token_entropy_by_source r06). Round-7 additions
-#: earn their first rows in r08 per policy; this round they carry
-#: full-gate evidence at HEAD instead.
+#: tfidf_top_terms/token_entropy_by_source r06). The ten round-7
+#: additions (period_growth_orders, interval_islands_events,
+#: pareto_frontier_parts, psi_drift_events, semdedup_embeddings,
+#: audio_downsample_real, asof_forward_next_click, pq_adc_topk,
+#: length_bucket_batches_docs, stream_outer_join_purchases) earn their
+#: first rows in r08 per policy — they lead the r08 window together
+#: with the six r04-cohort slips named above; this round they carry
+#: full-gate evidence at HEAD at all three scales instead.
 #:
 #: Capacity note: the catalog exceeds the 3-round union capacity
 #: (3 × 50 = 150), so a small tail necessarily rotates on a FOUR-round
