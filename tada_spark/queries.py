@@ -6561,6 +6561,57 @@ SELECT p_id, c_id FROM pairs UNION ALL SELECT p_id, c_id FROM expired
 """
 
 
+def cms_heavy_hitters_users(spark, sf):
+    """Count-min-sketch frequency profile (functions/sketches): a
+    4×256 CMS of events.user_id built in one scan whose shuffle is
+    capped at depth·width cells per input partition (the exact groupBy
+    it replaces shuffles every distinct key — the difference between a
+    bounded and an unbounded frequency profile at 100 TB), then the 20
+    true-heaviest users point-estimated from the sketch. The md5 hash
+    family makes every cell deterministic, so unlike the HLL/KLL
+    entries this sketch is fully HASH-verified: output = exact count,
+    CMS estimate, and the CMS overcount invariant est ≥ true that both
+    engines assert as a computed boolean."""
+    from tada_spark.functions import sketches
+
+    ev = load(spark, sf, "events").to_df().filter(F.col("user_id").isNotNull())
+    sk = sketches.cms_build(ev, F.col("user_id"), depth=4, width=256)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = sketches.cms_estimate(top, sk, "user_id", depth=4, width=256)
+    return est.select(
+        "user_id", "true_n", "est_n", (F.col("est_n") >= F.col("true_n")).alias("overcount_ok")
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = """
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+rows_ AS (SELECT i FROM UNNEST([0, 1, 2, 3]) t(i)),
+cells AS (
+  SELECT i AS r, ('0x' || md5('cms' || i || '#' || user_id::VARCHAR)[1:8])::BIGINT % 256 AS bucket,
+         COUNT(*) AS c
+  FROM ev, rows_ GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, COUNT(*) AS true_n FROM ev GROUP BY user_id
+  ORDER BY true_n DESC, user_id ASC LIMIT 20
+),
+probes AS (
+  SELECT user_id, true_n, i AS r,
+         ('0x' || md5('cms' || i || '#' || user_id::VARCHAR)[1:8])::BIGINT % 256 AS bucket
+  FROM top, rows_
+)
+SELECT p.user_id, MAX(p.true_n)::BIGINT AS true_n, MIN(c.c)::BIGINT AS est_n,
+       (MIN(c.c) >= MAX(p.true_n)) AS overcount_ok
+FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.user_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6755,4 +6806,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_SQL),
     "length_bucket_batches_docs": (length_bucket_batches_docs, LENGTH_BUCKET_SQL),
     "stream_outer_join_purchases": (stream_outer_join_purchases, STREAM_OUTER_JOIN_SQL),
+    # -- round 7, second batch: sketches, profiling, retrieval fusion, curation --
+    "cms_heavy_hitters_users": (cms_heavy_hitters_users, CMS_HEAVY_HITTERS_SQL),
 }
