@@ -1357,6 +1357,65 @@ class Frame:
         df = self.df.toDF(*new_names)
         return Frame(df, [l for l in self.labels if l in new_names], self.name)
 
+    def profile(self, cols: Sequence[str] | None = None, *, approx_ndv: bool = False) -> "Frame":
+        """Single-pass column profiler (ANALYZE / summary analog — free
+        extension; the reference's introspection surface stops at
+        per-call At/ValueCounts/GetValues). ONE global aggregate
+        computes rows / nulls / distinct / min / max for every column
+        at once, then a literal explode unpivots to one row per column
+        — one scan, one shuffle, never a per-column job loop.
+
+        Value reprs are cross-engine-deterministic BY TYPE (an engine's
+        native double rendering is a documented divergence class):
+        integers / strings / booleans cast verbatim, timestamps as
+        epoch microseconds, float/double as e6-quantized micro-unit
+        integers via the floor idiom.
+
+        Exact NDV uses count_distinct: k distinct aggregates in one
+        pass make Catalyst Expand the input k+1 ways — fine for a
+        profile sweep, but at the 100 TB extreme pass
+        ``approx_ndv=True`` to swap in approx_count_distinct (single
+        HLL pass, no Expand, ±5%).
+        """
+        from tada_spark.plans.timeutil import epoch_us
+
+        df = self.to_df()
+        names = list(cols or df.columns)
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        ndv = F.approx_count_distinct if approx_ndv else F.count_distinct
+        aggs = [F.count(F.lit(1)).alias("__n__")]
+        for c in names:
+            aggs += [
+                F.count(F.col(c)).alias(f"__nn_{c}"),
+                ndv(F.col(c)).alias(f"__ndv_{c}"),
+                F.min(F.col(c)).alias(f"__min_{c}"),
+                F.max(F.col(c)).alias(f"__max_{c}"),
+            ]
+        one = df.agg(*aggs)
+
+        def _repr(col: Column, dt: T.DataType) -> Column:
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string")
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+                return epoch_us(col, dt).cast("string")
+            return col.cast("string")
+
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("__n__").alias("n_rows"),
+                    (F.col("__n__") - F.col(f"__nn_{c}")).alias("n_null"),
+                    F.col(f"__ndv_{c}").cast("long").alias("n_distinct"),
+                    _repr(F.col(f"__min_{c}"), dtypes[c]).alias("min_repr"),
+                    _repr(F.col(f"__max_{c}"), dtypes[c]).alias("max_repr"),
+                )
+                for c in names
+            ]
+        )
+        out = one.select(F.explode(entries).alias("p")).select("p.*")
+        return Frame(out)
+
     def render(self, max_rows: int = 20, *, merge_repeated: bool = False) -> str:
         """ASCII table with truncation (reference print options,
         dataframe.go:138-222). Driver-side sink."""

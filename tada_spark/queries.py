@@ -6612,6 +6612,49 @@ GROUP BY p.user_id
 """
 
 
+def profile_columns_orders(spark, sf):
+    """Single-pass table profiler (Frame.profile — ANALYZE/summary
+    analog): rows / nulls / exact NDV / min / max for every orders
+    column in ONE aggregate + a literal unpivot, one scan and one
+    shuffle total. Reprs are the cross-engine-deterministic per-type
+    canon (ints/strings verbatim, timestamps as epoch µs, doubles as
+    e6 micro-unit integers) — never an engine's native double
+    rendering."""
+    return load(spark, sf, "orders").profile().to_df()
+
+
+PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name, COUNT(*)::BIGINT AS n_rows,
+       (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_null,
+       COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+       MIN(o_orderkey)::VARCHAR AS min_repr, MAX(o_orderkey)::VARCHAR AS max_repr
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_custkey))::BIGINT,
+       COUNT(DISTINCT o_custkey)::BIGINT, MIN(o_custkey)::VARCHAR, MAX(o_custkey)::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_orderstatus))::BIGINT,
+       COUNT(DISTINCT o_orderstatus)::BIGINT, MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_totalprice))::BIGINT,
+       COUNT(DISTINCT o_totalprice)::BIGINT,
+       CAST(FLOOR(MIN(o_totalprice) * 1000000 + 0.5) AS BIGINT)::VARCHAR,
+       CAST(FLOOR(MAX(o_totalprice) * 1000000 + 0.5) AS BIGINT)::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_orderdate))::BIGINT,
+       COUNT(DISTINCT o_orderdate)::BIGINT,
+       epoch_us(MIN(o_orderdate))::VARCHAR, epoch_us(MAX(o_orderdate))::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_orderpriority))::BIGINT,
+       COUNT(DISTINCT o_orderpriority)::BIGINT, MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6808,4 +6851,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_outer_join_purchases": (stream_outer_join_purchases, STREAM_OUTER_JOIN_SQL),
     # -- round 7, second batch: sketches, profiling, retrieval fusion, curation --
     "cms_heavy_hitters_users": (cms_heavy_hitters_users, CMS_HEAVY_HITTERS_SQL),
+    "profile_columns_orders": (profile_columns_orders, PROFILE_SQL),
 }
