@@ -4482,8 +4482,10 @@ def bm25_search_docs(spark, sf):
     return text.bm25_rank(docs, BM25_QUERY_TERMS, top_k=20)
 
 
-BM25_SQL = r"""
-WITH toks AS (
+#: Shared BM25 oracle CTE chain (tokenize → df → det_ln idf → quantized
+#: per-term contributions) — used verbatim by BM25_SQL and RRF_SQL so
+#: the two entries can never drift apart one site at a time.
+_BM25_CTES = r"""toks AS (
   SELECT doc_id, t.term
   FROM (SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS term
         FROM documents WHERE LENGTH(TRIM(text)) > 0) t(doc_id, term)
@@ -4529,11 +4531,17 @@ WITH toks AS (
                 * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (total_toks::DOUBLE / n_docs::DOUBLE))))))
                * 1000000 + 0.5)::BIGINT AS c_e6
   FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
-)
+)"""
+
+BM25_SQL = (
+    "WITH "
+    + _BM25_CTES
+    + """
 SELECT doc_id, SUM(c_e6)::BIGINT AS score_e6, COUNT(*) AS n_terms_hit
 FROM contrib GROUP BY doc_id
 ORDER BY score_e6 DESC, doc_id ASC LIMIT 20
 """
+)
 
 
 def sq8_ann_topk(spark, sf):
@@ -6655,6 +6663,106 @@ FROM orders
 """
 
 
+def rrf_hybrid_retrieval(spark, sf):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 top-20 (sparse) and the brute-cosine top-20 against
+    the lowest-id live embedding (dense) fused by
+    score = Σ 1e9 div (60 + rank) — INTEGER division, so the fusion is
+    exact on both engines with no float discipline needed at all.
+    Ranks are assigned over integer-quantized scores (score_e6 /
+    cos_e6) with id tiebreaks, making both lists cross-engine
+    deterministic. doc_id and vec_id share the same id domain in the
+    testdata (TESTDATA.md), which is what makes the id-level fusion
+    meaningful. Plan: the dense side is a 1-row probe broadcast
+    (allowlisted BNLJ — linear in the corpus); both lists end in
+    TakeOrderedAndProject; the fusion joins two ≤20-row frames."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    ws = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+    sparse = (
+        text.bm25_rank(docs, BM25_QUERY_TERMS, top_k=20)
+        .select("doc_id", F.row_number().over(ws).alias("rank_sparse"))
+    )
+
+    live = (
+        load(spark, sf, "embeddings")
+        .to_df()
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    probe = live.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("pv")
+    )
+    cos_e6 = F.floor(similarity.cosine(F.col("v"), F.col("pv")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    dense20 = (
+        live.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(F.col("vec_id").alias("doc_id"), cos_e6.alias("cos_e6"))
+        .orderBy(F.col("cos_e6").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    wd = Window.orderBy(F.col("cos_e6").desc(), F.col("doc_id").asc())
+    dense = dense20.select("doc_id", F.row_number().over(wd).alias("rank_dense"))
+
+    def contrib(c: str):
+        return F.coalesce(F.expr(f"1000000000 div (60 + {c})"), F.lit(0).cast("long"))
+
+    return (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (contrib("rank_sparse") + contrib("rank_dense")).alias("rrf_e9"),
+            "rank_sparse",
+            "rank_dense",
+        )
+        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+RRF_SQL = (
+    "WITH "
+    + _BM25_CTES
+    + """,
+sparse AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank_sparse
+  FROM (SELECT doc_id, SUM(c_e6)::BIGINT AS score_e6 FROM contrib GROUP BY doc_id
+        ORDER BY score_e6 DESC, doc_id ASC LIMIT 20)
+),
+live AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+probe AS (SELECT vec_id AS pid, v AS pv FROM live ORDER BY vec_id LIMIT 1),
+dcos AS (
+  SELECT l.vec_id,
+         CAST(FLOOR((LIST_DOT_PRODUCT(l.v, p.pv)
+               / (SQRT(LIST_DOT_PRODUCT(l.v, l.v)) * SQRT(LIST_DOT_PRODUCT(p.pv, p.pv))))
+              * 1000000 + 0.5) AS BIGINT) AS cos_e6
+  FROM live l, probe p WHERE l.vec_id != p.pid
+),
+dense AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_e6 DESC, doc_id ASC) AS rank_dense
+  FROM (SELECT vec_id AS doc_id, cos_e6 FROM dcos
+        ORDER BY cos_e6 DESC, doc_id ASC LIMIT 20)
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         (COALESCE(1000000000 // (60 + s.rank_sparse), 0)
+          + COALESCE(1000000000 // (60 + d.rank_dense), 0))::BIGINT AS rrf_e9,
+         s.rank_sparse, d.rank_dense
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, rrf_e9, rank_sparse, rank_dense
+FROM fused ORDER BY rrf_e9 DESC, doc_id ASC LIMIT 10
+"""
+)
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6852,4 +6960,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- round 7, second batch: sketches, profiling, retrieval fusion, curation --
     "cms_heavy_hitters_users": (cms_heavy_hitters_users, CMS_HEAVY_HITTERS_SQL),
     "profile_columns_orders": (profile_columns_orders, PROFILE_SQL),
+    "rrf_hybrid_retrieval": (rrf_hybrid_retrieval, RRF_SQL),
 }

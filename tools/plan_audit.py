@@ -63,6 +63,9 @@ ALLOWED_BNLJ = {
     # subquery shape as q11/q22)
     "key_skew_profile_events",
     "domain_mix_weights_langs",
+    # 1-row dense probe broadcast crossJoined onto the embedding corpus
+    # (the dense half of the RRF fusion) — linear in the corpus
+    "rrf_hybrid_retrieval",
     # k-row centroid broadcast × partitioned corpus: O(n·k), THE
     # k-means assignment plan (k is a constant, never corpus-sized)
     "kmeans_embeddings",
