@@ -402,3 +402,91 @@ def length_bucket_batches(
         "shard", "bucket", "batch_id", "n_docs", "total_tokens", "max_tokens",
         waste.alias("padding_waste_e6"),
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed-n-gram bag-of-features importance weights
+    log(p_target(b) / q_source(b)) summed over each document's feature
+    occurrences. ``target`` is a boolean Column marking the
+    high-quality subset whose distribution the selection should move
+    the corpus toward; the source distribution is the whole input.
+
+    Determinism (so a SQL oracle can hash-match): features are
+    unigrams + '_'-joined bigrams of the whitespace tokenization,
+    bucketed by the oracle-replicable md5 32-bit hash mod n_buckets;
+    the Laplace-smoothed probability RATIO per bucket is formed from
+    exact integer cross-products, logged with det_ln (the
+    transcendental-free shared-expression ln), and quantized to
+    integer millionths BEFORE the per-document sum — float order can
+    never flip the result. Classic DSIR then resamples with Gumbel
+    noise; the verifiable analog here returns the exact scores, and
+    callers take the deterministic top-k.
+
+    Scale shape: explode(features) → TWO bounded aggregates (bucket
+    counts cap at n_buckets cells per partition via map-side combine),
+    scalar totals recovered by an unpartitioned window over the
+    n_buckets-row weight table (bounded, never over the corpus), then
+    one broadcast join of that table back onto the exploded features
+    and a per-document sum — the only corpus-sized shuffle.
+
+    Magnitude bound: the integer cross-products (c+1)·(total+B) must
+    stay under 2^53 for the double division — holds to ~1e8 docs per
+    bucket × 1e8 total features; beyond that, pre-scale both counts.
+    """
+    from pyspark.sql.window import Window
+
+    from tada_spark.functions.text import md5_hash32
+    from tada_spark.plans.semantics import det_ln
+
+    toks = F.expr(rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x != '')")
+    feats_expr = (
+        "CASE WHEN size(__tk__) >= 2 THEN concat(__tk__, "
+        "transform(sequence(1, size(__tk__) - 1), i -> concat(__tk__[i-1], '_', __tk__[i]))) "
+        "ELSE __tk__ END"
+    )
+    fb = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), target.alias("__tgt__"), toks.alias("__tk__"))
+        .select(id_col, "__tgt__", F.explode(F.expr(feats_expr)).alias("__feat__"))
+        .select(
+            id_col,
+            "__tgt__",
+            (md5_hash32(F.concat(F.lit("dsir#"), F.col("__feat__"))) % F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+    )
+    counts = fb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cq"),
+        F.count(F.when(F.col("__tgt__"), F.lit(1))).alias("ct"),
+    )
+    w = Window.partitionBy()  # over <= n_buckets rows, bounded by construction
+    b = F.lit(n_buckets).cast("long")
+    totals = counts.select(
+        "bucket",
+        "cq",
+        "ct",
+        F.sum("cq").over(w).alias("q_tot"),
+        F.sum("ct").over(w).alias("t_tot"),
+    )
+    ratio = ((F.col("ct") + 1) * (F.col("q_tot") + b)).cast("double") / (
+        (F.col("cq") + 1) * (F.col("t_tot") + b)
+    ).cast("double")
+    weights = totals.select(
+        "bucket",
+        F.floor(det_ln(ratio) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lw_e6"),
+    )
+    return (
+        fb.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lw_e6").alias("score_e6"), F.count(F.lit(1)).alias("n_feats"))
+    )

@@ -6763,6 +6763,66 @@ FROM fused ORDER BY rrf_e9 DESC, doc_id ASC LIMIT 10
 )
 
 
+def dsir_select_docs(spark, sf):
+    """DSIR-style data selection (functions/sampling.dsir_scores, after
+    Xie et al. 2023): hashed unigram+bigram importance weights
+    log(p_en / q_all) per md5 bucket — exact integer cross-products
+    into det_ln, quantized to integer millionths per bucket BEFORE the
+    per-document sum — then the deterministic top-30 documents by
+    score. Two bounded bucket aggregates + one corpus-sized doc-sum
+    shuffle; the 1024-row weight table broadcasts."""
+    from tada_spark.functions import sampling
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text", "lang")
+    scores = sampling.dsir_scores(docs, F.col("lang") == "en", n_buckets=1024)
+    return scores.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc()).limit(30)
+
+
+DSIR_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tkl
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), fb AS (
+  SELECT doc_id, tgt,
+         ('0x' || md5('dsir#' || f.feat)[1:8])::BIGINT % 1024 AS bucket
+  FROM tk, UNNEST(tkl || list_transform(generate_series(1, len(tkl) - 1),
+                                        i -> tkl[i] || '_' || tkl[i+1])) AS f(feat)
+), counts AS (
+  SELECT bucket, COUNT(*) AS cq, COUNT(*) FILTER (tgt) AS ct FROM fb GROUP BY bucket
+), totals AS (
+  SELECT bucket, cq, ct, SUM(cq) OVER () AS q_tot, SUM(ct) OVER () AS t_tot FROM counts
+), w_r AS (
+  -- det_ln (plans/semantics.py) replicated CTE for CTE, ratio input
+  -- from exact integer cross-products (Laplace-smoothed p_t / q_s)
+  SELECT bucket,
+         GREATEST(CAST(FLOOR((((ct + 1) * (q_tot + 1024))::DOUBLE
+                              / ((cq + 1) * (t_tot + 1024))::DOUBLE) * 1000000.0 + 0.5) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS r
+  FROM totals
+), w_k AS (
+  SELECT bucket, r, (LENGTH(BIN(r)) - 1) AS k FROM w_r
+), w_z AS (
+  SELECT bucket, k,
+         (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) - 1.0)
+          / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)) + 1.0)) AS z
+  FROM w_k
+), w_ln AS (
+  SELECT bucket,
+         ((CAST(k AS DOUBLE) * 0.6931471805599453)
+          + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
+             + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
+         ) - 13.815510557964274 AS lnr
+  FROM w_z
+), weights AS (
+  SELECT bucket, CAST(FLOOR(lnr * 1000000 + 0.5) AS BIGINT) AS lw_e6 FROM w_ln
+)
+SELECT fb.doc_id, SUM(lw_e6)::BIGINT AS score_e6, COUNT(*) AS n_feats
+FROM fb JOIN weights USING (bucket) GROUP BY fb.doc_id
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 30
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -6961,4 +7021,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_heavy_hitters_users": (cms_heavy_hitters_users, CMS_HEAVY_HITTERS_SQL),
     "profile_columns_orders": (profile_columns_orders, PROFILE_SQL),
     "rrf_hybrid_retrieval": (rrf_hybrid_retrieval, RRF_SQL),
+    "dsir_select_docs": (dsir_select_docs, DSIR_SQL),
 }
