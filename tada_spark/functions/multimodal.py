@@ -524,3 +524,80 @@ def audio_downsample(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema="media_id long, sample_rate_out int, n_out long, rms_out double"
     )
+
+
+def image_dhash(px, *, grid_w: int = 9, grid_h: int = 7) -> int:
+    """Perceptual difference-hash of a decoded pixel array (Krawetz's
+    dHash): area-average the luma plane onto a grid_w×grid_h grid, then
+    emit one bit per horizontal neighbor pair — 1 iff the left cell is
+    brighter. Robust to uniform brightness shifts and to resizing (the
+    properties that make it the standard cheap image near-dup key).
+
+    Exactness: cell averages are RATIONALS (integer sum / count);
+    comparing avg_l > avg_r via the integer cross-product
+    s_l·c_r > s_r·c_l keeps every bit exact — no float division — so a
+    SQL oracle reproduces the hash bit for bit. (grid_w-1)·grid_h bits
+    pack little-endian into one BIGINT; the default 8×7 = 56 bits stays
+    clear of int64 sign territory."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if w < grid_w or h < grid_h:
+        raise ValueError(f"image {w}x{h} smaller than dhash grid {grid_w}x{grid_h}")
+    if px.ndim == 3:  # luma via the same ITU-R 601 integer weights as png_image_decoder
+        ch = px.shape[2]
+        if ch in (1, 2):
+            luma = px[:, :, 0].astype(np.int64)
+        else:
+            luma = (
+                299 * px[:, :, 0].astype(np.int64)
+                + 587 * px[:, :, 1].astype(np.int64)
+                + 114 * px[:, :, 2].astype(np.int64)
+            )
+    else:
+        luma = px.astype(np.int64)
+    tx = (np.arange(w) * grid_w) // w
+    ty = (np.arange(h) * grid_h) // h
+    flat = (ty[:, None] * grid_w + tx[None, :]).ravel()
+    cnts = np.bincount(flat, minlength=grid_w * grid_h).astype(np.int64)
+    sums = np.zeros(grid_w * grid_h, dtype=np.int64)
+    np.add.at(sums, flat, luma.ravel())  # exact integer cell sums
+    s = sums.reshape(grid_h, grid_w)
+    c = cnts.reshape(grid_h, grid_w)
+    dh = 0
+    for j in range(grid_h):
+        for i in range(grid_w - 1):
+            if int(s[j, i]) * int(c[j, i + 1]) > int(s[j, i + 1]) * int(c[j, i]):
+                dh |= 1 << (j * (grid_w - 1) + i)
+    return dh
+
+
+def image_dhash_features(
+    df: DataFrame,
+    *,
+    pixels_decoder=png_decode_pixels,
+    grid_w: int = 9,
+    grid_h: int = 7,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched dHash over binary image payloads: decode → grid
+    area-average → 56-bit hash per image. Undecodable payloads are
+    dropped (the corpus-prep drop policy, same as image_features).
+    Downstream exact near-dup grouping is a plain groupBy(dhash) — the
+    whole pipeline shuffles only (id, int64) pairs, never pixels."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = pixels_decoder(bytes(payload))
+                except Exception:  # drop policy: skip undecodable payloads
+                    continue
+                ids.append(mid)
+                hashes.append(image_dhash(px, grid_w=grid_w, grid_h=grid_h))
+            yield pd.DataFrame({id_col: ids, "dhash": pd.array(hashes, dtype="int64")})
+
+    return df.mapInPandas(run, schema=f"{id_col} long, dhash long")

@@ -6823,6 +6823,91 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 30
 """
 
 
+def image_dhash_near_dup(spark, sf):
+    """Perceptual-hash image near-dup, REAL decode path end-to-end
+    (functions/multimodal.image_dhash_features): each doc_id renders a
+    real grayscale PNG whose pixels derive from base = doc_id // 2,
+    with a uniform +0/+1 brightness offset per pair member and
+    alternating None/Up scanline filters; the real PNG decoder
+    recovers the pixels, dHash area-averages them onto a 9×7 grid and
+    packs 56 horizontal-gradient bits — cell comparisons by integer
+    cross-product, so every bit is exact. A uniform brightness shift
+    preserves all gradients, so pair members are GUARANTEED to collide
+    (the property that makes dHash the cheap image near-dup key);
+    unrelated bases whose gradient-sign patterns coincide can share a
+    bucket too — dHash is a recall-oriented candidate key, grouped
+    here exactly as LSH buckets are (candidates first, exact verify
+    downstream). Pixels are analytic, so the DuckDB oracle replays
+    thumbnail + hash arithmetically. Only (id, int64) pairs shuffle —
+    never pixels."""
+    from tada_spark.functions import multimodal
+
+    docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                base = mid // 2
+                w, h = 9 + base % 5, 8 + base % 4
+                ft = 2 if mid % 2 else 0
+                payloads.append(
+                    multimodal.encode_png_gray8(
+                        w,
+                        h,
+                        lambda x, y, b=base, W=w, m=mid: (b * 37 + y * W + x * 11) % 251
+                        + m % 2,
+                        filter_type=ft,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(build, schema="media_id long, payload binary")
+    hashes = multimodal.image_dhash_features(pngs, grid_w=9, grid_h=7)
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.min("media_id").alias("min_id"),
+            F.max("media_id").alias("max_id"),
+        )
+        .filter(F.col("n_imgs") >= 2)
+    )
+
+
+IMAGE_DHASH_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id // 2 AS base,
+         9 + (doc_id // 2) % 5 AS w, 8 + (doc_id // 2) % 4 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, x.i AS x, y.j AS y,
+         ((base * 37 + y.j * w + x.i * 11) % 251 + doc_id % 2) AS v
+  FROM p, UNNEST(generate_series(0, h - 1)) y(j), UNNEST(generate_series(0, w - 1)) x(i)
+), th AS (
+  SELECT doc_id, (x * 9) // w AS tx, (y * 7) // h AS ty,
+         SUM(v)::BIGINT AS s, COUNT(*)::BIGINT AS c
+  FROM px GROUP BY doc_id, (x * 9) // w, (y * 7) // h
+), bits AS (
+  -- dHash bit: left cell brighter than right, compared by integer
+  -- cross-product (s_l*c_r > s_r*c_l) — exact, no float division
+  SELECT a.doc_id, a.ty, a.tx,
+         CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+  FROM th a JOIN th b ON a.doc_id = b.doc_id AND a.ty = b.ty AND b.tx = a.tx + 1
+  WHERE a.tx < 8
+), dh AS (
+  SELECT doc_id, SUM(bit::BIGINT << (ty * 8 + tx))::BIGINT AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT dhash, COUNT(*)::BIGINT AS n_imgs,
+       MIN(doc_id)::BIGINT AS min_id, MAX(doc_id)::BIGINT AS max_id
+FROM dh GROUP BY dhash HAVING COUNT(*) >= 2
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7022,4 +7107,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "profile_columns_orders": (profile_columns_orders, PROFILE_SQL),
     "rrf_hybrid_retrieval": (rrf_hybrid_retrieval, RRF_SQL),
     "dsir_select_docs": (dsir_select_docs, DSIR_SQL),
+    "image_dhash_near_dup": (image_dhash_near_dup, IMAGE_DHASH_SQL),
 }

@@ -340,3 +340,44 @@ def test_length_bucket_waste_fraction(spark):
     import math
 
     assert r.padding_waste_e6 == math.floor((14 - 12) / 14 * 1e6 + 0.5)
+
+
+def test_image_dhash_brightness_invariant_and_exact():
+    import numpy as np
+
+    from tada_spark.functions.multimodal import image_dhash
+
+    rng_px = np.arange(11 * 9).reshape(9, 11) * 7 % 251  # 11x9 gray, w>=9 h>=7
+    h0 = image_dhash(rng_px)
+    # uniform brightness shift preserves every gradient sign -> same hash
+    assert image_dhash(rng_px + 4) == h0
+    # flipping one strong gradient flips the hash
+    flipped = rng_px.copy()
+    flipped[:, :5] += 1000
+    assert image_dhash(flipped) != h0
+    # 56-bit budget: always non-negative and < 2^56
+    assert 0 <= h0 < (1 << 56)
+
+
+def test_image_dhash_real_png_roundtrip():
+    import numpy as np
+
+    from tada_spark.functions.multimodal import encode_png_gray8, image_dhash, png_decode_pixels
+
+    w, h = 12, 9
+    fn = lambda x, y: (y * w + x * 13) % 200  # noqa: E731
+    payload = encode_png_gray8(w, h, fn, filter_type=2)
+    px = png_decode_pixels(payload)
+    # decode returns (h, w, 1); dhash of the decode equals dhash of the formula
+    direct = np.fromfunction(lambda y, x: (y * w + x * 13) % 200, (h, w), dtype=np.int64)
+    assert image_dhash(px) == image_dhash(direct)
+
+
+def test_image_dhash_rejects_too_small():
+    import numpy as np
+    import pytest
+
+    from tada_spark.functions.multimodal import image_dhash
+
+    with pytest.raises(ValueError):
+        image_dhash(np.zeros((5, 5), dtype=np.int64))
