@@ -40,6 +40,23 @@ from tada_spark.plans.semantics import (
 ColumnLike = Column | str
 
 
+def _det_repr(col: Column, dt: T.DataType) -> Column:
+    """Cross-engine-deterministic string repr of a value BY TYPE — the
+    shared rule set behind profile() and content_digest(). An engine's
+    native double/timestamp rendering is a documented divergence class,
+    so: float/double → e6-quantized micro-unit integer (floor idiom),
+    timestamp/date → epoch microseconds, everything else → verbatim
+    string cast. DuckDB twins: CAST(FLOOR(x * 1000000 + 0.5) AS
+    BIGINT)::VARCHAR and epoch_us(ts)::VARCHAR."""
+    from tada_spark.plans.timeutil import epoch_us
+
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return epoch_us(col, dt).cast("string")
+    return col.cast("string")
+
+
 def _col(c: ColumnLike) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -1377,8 +1394,6 @@ class Frame:
         ``approx_ndv=True`` to swap in approx_count_distinct (single
         HLL pass, no Expand, ±5%).
         """
-        from tada_spark.plans.timeutil import epoch_us
-
         df = self.to_df()
         names = list(cols or df.columns)
         dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -1392,13 +1407,7 @@ class Frame:
                 F.max(F.col(c)).alias(f"__max_{c}"),
             ]
         one = df.agg(*aggs)
-
-        def _repr(col: Column, dt: T.DataType) -> Column:
-            if isinstance(dt, (T.FloatType, T.DoubleType)):
-                return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string")
-            if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-                return epoch_us(col, dt).cast("string")
-            return col.cast("string")
+        _repr = _det_repr
 
         entries = F.array(
             *[
@@ -1414,6 +1423,49 @@ class Frame:
             ]
         )
         out = one.select(F.explode(entries).alias("p")).select("p.*")
+        return Frame(out)
+
+    def content_digest(self, cols: Sequence[str] | None = None, *, n_buckets: int = 4096) -> "Frame":
+        """Order-invariant whole-table content fingerprint — the cheap
+        100 TB answer to "are these two snapshots byte-identical?"
+        (full-diff operators like snapshot_diff cost a co-partitioned
+        join; this costs one bounded aggregate per table).
+
+        Each row canonicalizes to a '|'-joined string of the per-type
+        deterministic reprs (nulls → the writer convention "(null)"),
+        hashes through the oracle-replicable md5 32-bit family, and
+        lands in one of ``n_buckets`` count cells; the digest is the
+        md5 of the bucket:count list sorted NUMERICALLY by bucket. Any
+        row change moves a bucket count, so digests differ; row order
+        and partitioning cannot affect it. Scale: the aggregate is
+        capped at n_buckets cells per partition (map-side combine),
+        then one ≤ n_buckets-row sort on a single post-agg row — never
+        a corpus-wide sort. Caveat (documented): a literal string
+        value "(null)" canonicalizes like a NULL.
+        """
+        from tada_spark.functions.text import md5_hash32
+
+        df = self.to_df()
+        names = list(cols or df.columns)
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        reprs = [
+            F.coalesce(_det_repr(F.col(c), dtypes[c]), F.lit("(null)")) for c in names
+        ]
+        bucket = md5_hash32(F.concat_ws("|", *reprs)) % F.lit(n_buckets)
+        cells = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        sorted_cells = F.array_sort(F.collect_list(F.struct("bucket", "n")))
+        strs = F.transform(
+            sorted_cells,
+            lambda s: F.concat(
+                s["bucket"].cast("string"), F.lit(":"), s["n"].cast("string")
+            ),
+        )
+        out = cells.agg(
+            F.sum("n").alias("n_rows"),
+            F.md5(F.concat_ws(",", strs)).alias("digest"),
+        )
         return Frame(out)
 
     def render(self, max_rows: int = 20, *, merge_repeated: bool = False) -> str:

@@ -91,3 +91,56 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         ]
     )
     return row.select(F.inline(reports))
+
+
+def referential_check(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    *,
+    edge: str | None = None,
+) -> DataFrame:
+    """Foreign-key integrity audit for one FK edge: one row
+    (edge, n_rows, n_null_key, n_orphan, ok) counting child rows whose
+    non-null key has no parent. Null keys are a completeness problem
+    (not_null's job), counted separately and never called orphans —
+    the same null convention as the value rules above.
+
+    Shape at scale: the orphan count joins the child against the
+    DISTINCT parent keys (left_anti) — Catalyst broadcasts dimension
+    parents on its own; the distinct is one bounded-key shuffle on the
+    big-parent path. Everything reduces to single-row counts before
+    the final 1-row assembly, so output size is O(1) per edge."""
+    name = edge or f"{child_key}->{parent_key}"
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    base = child.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col(child_key).isNull(), F.lit(1))).alias("n_null_key"),
+    )
+    orphans = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(keys, child_key, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan"))
+    )
+    return (
+        base.crossJoin(orphans)  # two 1-row frames
+        .select(
+            F.lit(name).alias("edge"),
+            "n_rows",
+            "n_null_key",
+            "n_orphan",
+            (F.col("n_orphan") == 0).alias("ok"),
+        )
+    )
+
+
+def referential_report(edges) -> DataFrame:
+    """Union of referential_check over (child, child_key, parent,
+    parent_key[, edge]) tuples — one audit row per FK edge."""
+    from functools import reduce
+
+    frames = [
+        referential_check(*e[:4], edge=e[4] if len(e) > 4 else None) for e in edges
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)

@@ -6908,6 +6908,123 @@ FROM dh GROUP BY dhash HAVING COUNT(*) >= 2
 """
 
 
+def content_digest_tables(spark, sf):
+    """Order-invariant table fingerprints (Frame.content_digest):
+    orders and customer each reduce to (n_rows, digest) through one
+    bounded aggregate — row canon via the shared per-type
+    deterministic reprs, md5-bucketed into 4096 count cells, digest =
+    md5 of the numerically-sorted bucket:count list. The cheap 100 TB
+    snapshot-equality primitive (full diffs cost a co-partitioned
+    join; this costs a scan + a 4096-cell agg per table)."""
+    o = (
+        load(spark, sf, "orders")
+        .content_digest()
+        .to_df()
+        .select(F.lit("orders").alias("table_name"), "n_rows", "digest")
+    )
+    c = (
+        load(spark, sf, "customer")
+        .content_digest()
+        .to_df()
+        .select(F.lit("customer").alias("table_name"), "n_rows", "digest")
+    )
+    return o.unionByName(c)
+
+
+CONTENT_DIGEST_SQL = """
+WITH o_rows AS (
+  SELECT ('0x' || md5(
+      COALESCE(o_orderkey::VARCHAR, '(null)') || '|' ||
+      COALESCE(o_custkey::VARCHAR, '(null)') || '|' ||
+      COALESCE(o_orderstatus, '(null)') || '|' ||
+      COALESCE(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)::VARCHAR, '(null)') || '|' ||
+      COALESCE(epoch_us(o_orderdate)::VARCHAR, '(null)') || '|' ||
+      COALESCE(o_orderpriority, '(null)')
+  )[1:8])::BIGINT % 4096 AS bucket FROM orders
+), o_cells AS (SELECT bucket, COUNT(*) AS n FROM o_rows GROUP BY bucket),
+o_dig AS (
+  SELECT 'orders' AS table_name, SUM(n)::BIGINT AS n_rows,
+         md5(string_agg(bucket::VARCHAR || ':' || n::VARCHAR, ',' ORDER BY bucket)) AS digest
+  FROM o_cells
+), c_rows AS (
+  SELECT ('0x' || md5(
+      COALESCE(c_custkey::VARCHAR, '(null)') || '|' ||
+      COALESCE(c_name, '(null)') || '|' ||
+      COALESCE(c_nationkey::VARCHAR, '(null)') || '|' ||
+      COALESCE(CAST(FLOOR(c_acctbal * 1000000 + 0.5) AS BIGINT)::VARCHAR, '(null)') || '|' ||
+      COALESCE(c_mktsegment, '(null)')
+  )[1:8])::BIGINT % 4096 AS bucket FROM customer
+), c_cells AS (SELECT bucket, COUNT(*) AS n FROM c_rows GROUP BY bucket),
+c_dig AS (
+  SELECT 'customer' AS table_name, SUM(n)::BIGINT AS n_rows,
+         md5(string_agg(bucket::VARCHAR || ':' || n::VARCHAR, ',' ORDER BY bucket)) AS digest
+  FROM c_cells
+)
+SELECT table_name, n_rows, digest FROM o_dig
+UNION ALL
+SELECT table_name, n_rows, digest FROM c_dig
+"""
+
+
+def referential_integrity_report(spark, sf):
+    """FK integrity audit (operators/validate.referential_check) over
+    four edges of the star schema: lineitem→orders, lineitem→part,
+    orders→customer, customer→nation. Each edge is a distinct-keys
+    left_anti (Catalyst broadcasts the dim side) reduced to one audit
+    row — the lake-ingest gate that catches dangling keys before a
+    silent inner-join row loss does."""
+    from tada_spark.operators.validate import referential_report
+
+    li = load(spark, sf, "lineitem").to_df()
+    orders = load(spark, sf, "orders").to_df()
+    cust = load(spark, sf, "customer").to_df()
+    part = load(spark, sf, "part").to_df()
+    nation = load(spark, sf, "nation").to_df()
+    return referential_report(
+        [
+            (li, "l_orderkey", orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "lineitem.l_orderkey->orders"),
+            (li, "l_partkey", part.select(F.col("p_partkey").alias("l_partkey")), "l_partkey", "lineitem.l_partkey->part"),
+            (orders, "o_custkey", cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "orders.o_custkey->customer"),
+            (cust, "c_nationkey", nation.select(F.col("n_nationkey").alias("c_nationkey")), "c_nationkey", "customer.c_nationkey->nation"),
+        ]
+    )
+
+
+REFERENTIAL_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS edge, COUNT(*)::BIGINT AS n_rows,
+       COUNT(*) FILTER (l_orderkey IS NULL)::BIGINT AS n_null_key,
+       COUNT(*) FILTER (l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))::BIGINT AS n_orphan,
+       (COUNT(*) FILTER (l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) = 0) AS ok
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_partkey->part', COUNT(*)::BIGINT,
+       COUNT(*) FILTER (l_partkey IS NULL)::BIGINT,
+       COUNT(*) FILTER (l_partkey IS NOT NULL
+           AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))::BIGINT,
+       (COUNT(*) FILTER (l_partkey IS NOT NULL
+           AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)) = 0)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_custkey->customer', COUNT(*)::BIGINT,
+       COUNT(*) FILTER (o_custkey IS NULL)::BIGINT,
+       COUNT(*) FILTER (o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))::BIGINT,
+       (COUNT(*) FILTER (o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) = 0)
+FROM orders
+UNION ALL
+SELECT 'customer.c_nationkey->nation', COUNT(*)::BIGINT,
+       COUNT(*) FILTER (c_nationkey IS NULL)::BIGINT,
+       COUNT(*) FILTER (c_nationkey IS NOT NULL
+           AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))::BIGINT,
+       (COUNT(*) FILTER (c_nationkey IS NOT NULL
+           AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)) = 0)
+FROM customer
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7108,4 +7225,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rrf_hybrid_retrieval": (rrf_hybrid_retrieval, RRF_SQL),
     "dsir_select_docs": (dsir_select_docs, DSIR_SQL),
     "image_dhash_near_dup": (image_dhash_near_dup, IMAGE_DHASH_SQL),
+    "content_digest_tables": (content_digest_tables, CONTENT_DIGEST_SQL),
+    "referential_integrity_report": (referential_integrity_report, REFERENTIAL_SQL),
 }
