@@ -490,3 +490,35 @@ def dsir_scores(
         .groupBy(id_col)
         .agg(F.sum("lw_e6").alias("score_e6"), F.count(F.lit(1)).alias("n_feats"))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str = "doc_id", *, n_epochs: int = 3, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic multi-epoch training order: every epoch gets a
+    DIFFERENT but fully reproducible permutation of the corpus by
+    ordering on md5(epoch#id) — the shuffle-between-epochs training
+    loops need, with none of rand()'s partition-layout dependence.
+    Order is assigned SHARD-LOCALLY (shard = stable md5 bucket of the
+    id, so a document keeps its shard across epochs): a window
+    partitioned by (epoch, shard) rather than a global sort — the same
+    scale idiom as sequence packing, because a global per-epoch
+    row_number would funnel the corpus through one partition. Readers
+    consume shards in parallel and concatenate; the permutation is the
+    pair (shard, pos)."""
+    from pyspark.sql.window import Window
+
+    from tada_spark.functions.text import md5_hash32
+
+    epochs = F.explode(F.array(*[F.lit(i) for i in range(n_epochs)])).alias("epoch")
+    base = df.select(F.col(id_col), epochs)
+    shard = hash_bucket(F.col(id_col), n_shards)
+    okey = md5_hash32(
+        F.concat(F.lit("ep"), F.col("epoch").cast("string"), F.lit("#"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("okey", id_col)
+    return (
+        base.select(id_col, "epoch", shard.alias("shard"), okey.alias("okey"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("okey")
+    )

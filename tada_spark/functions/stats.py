@@ -233,3 +233,58 @@ def psi_drift(
         F.col("t0").alias("n_first"),
         F.col("t1").alias("n_second"),
     ).agg(F.sum("c_e6").alias("psi_e6"))
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1,
+    g2,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, exact over a binned
+    domain: D = max_x |F1(x) - F2(x)| with CDFs stepped at
+    floor(value·scale) integer bins. Binning makes the statistic
+    well-defined at any data size (the classic KS needs a global sort
+    of the pooled samples; the binned variant needs one bounded
+    aggregate + a window over ≤ domain·scale bin rows — the same
+    bounded-agg-then-window idiom as the PSI drift operator) and is
+    exact FOR THE BINNED DISTRIBUTIONS on both engines: cumulative
+    counts are integers, and the sup is taken over the integer
+    cross-difference |c1·n2 − c2·n1| before a single quantized
+    division. Integer bound: n1·n2 must stay under 2^63 (~3e9 rows per
+    side); switch the cross-products to decimal(38,0) beyond that.
+
+    Returns one row: (n_g1, n_g2, d_num, d_e6) where
+    D = d_num / (n_g1·n_g2) and d_e6 = floor(D·1e6 + 0.5)."""
+    from pyspark.sql.window import Window
+
+    ev = df.filter(F.col(group_col).isin([g1, g2]) & F.col(value_col).isNotNull())
+    binned = ev.select(
+        F.floor(F.col(value_col) * F.lit(float(scale))).cast("long").alias("b"),
+        (F.col(group_col) == F.lit(g1)).alias("is1"),
+    )
+    counts = binned.groupBy("b").agg(
+        F.count(F.when(F.col("is1"), F.lit(1))).alias("c1"),
+        F.count(F.when(~F.col("is1"), F.lit(1))).alias("c2"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stepped = counts.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    agg = stepped.groupBy("n1", "n2").agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))).alias("d_num")
+    )
+    d = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double")
+    return agg.select(
+        F.col("n1").alias("n_g1"),
+        F.col("n2").alias("n_g2"),
+        "d_num",
+        F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d_e6"),
+    )

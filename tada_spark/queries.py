@@ -7025,6 +7025,64 @@ FROM customer
 """
 
 
+def epoch_shuffle_docs(spark, sf):
+    """Three-epoch deterministic shuffle schedule over documents
+    (functions/sampling.epoch_shuffle): per-epoch md5 permutation,
+    assigned shard-locally (8 md5 shards) so no epoch ever needs a
+    global sort — the reproducible shuffle-between-epochs a training
+    reader consumes as (epoch, shard, pos)."""
+    from tada_spark.functions import sampling
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id")
+    return sampling.epoch_shuffle(docs, n_epochs=3, n_shards=8)
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH b AS (SELECT doc_id, e.epoch FROM documents, UNNEST([0, 1, 2]) e(epoch)),
+k AS (
+  SELECT doc_id, epoch,
+         ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 8 AS shard,
+         ('0x' || md5('ep' || epoch || '#' || doc_id::VARCHAR)[1:8])::BIGINT AS okey
+  FROM b
+)
+SELECT doc_id, epoch, shard,
+       (ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY okey, doc_id) - 1) AS pos
+FROM k
+"""
+
+
+def ks_test_click_purchase(spark, sf):
+    """Two-sample KS statistic (functions/stats.ks_statistic): click vs
+    purchase value distributions over integer cent bins — one bounded
+    aggregate + a window over the bin rows, sup taken over integer
+    cross-differences so the statistic is exact for the binned CDFs."""
+    from tada_spark.functions import stats
+
+    ev = load(spark, sf, "events").to_df()
+    return stats.ks_statistic(ev, "value", "event_type", "click", "purchase", scale=100)
+
+
+KS_TEST_SQL = """
+WITH ev AS (
+  SELECT FLOOR(value * 100)::BIGINT AS b, (event_type = 'click') AS is1
+  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+), counts AS (
+  SELECT b, COUNT(*) FILTER (is1) AS c1, COUNT(*) FILTER (NOT is1) AS c2
+  FROM ev GROUP BY b
+), stepped AS (
+  SELECT SUM(c1) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum1,
+         SUM(c2) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum2,
+         SUM(c1) OVER ()::BIGINT AS n1, SUM(c2) OVER ()::BIGINT AS n2
+  FROM counts
+)
+SELECT n1 AS n_g1, n2 AS n_g2,
+       MAX(ABS(cum1 * n2 - cum2 * n1))::BIGINT AS d_num,
+       CAST(FLOOR(MAX(ABS(cum1 * n2 - cum2 * n1))::DOUBLE / (n1 * n2)::DOUBLE * 1000000 + 0.5)
+            AS BIGINT) AS d_e6
+FROM stepped GROUP BY n1, n2
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7227,4 +7285,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "image_dhash_near_dup": (image_dhash_near_dup, IMAGE_DHASH_SQL),
     "content_digest_tables": (content_digest_tables, CONTENT_DIGEST_SQL),
     "referential_integrity_report": (referential_integrity_report, REFERENTIAL_SQL),
+    "epoch_shuffle_docs": (epoch_shuffle_docs, EPOCH_SHUFFLE_SQL),
+    "ks_test_click_purchase": (ks_test_click_purchase, KS_TEST_SQL),
 }
