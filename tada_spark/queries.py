@@ -7083,6 +7083,54 @@ FROM stepped GROUP BY n1, n2
 """
 
 
+def stream_ewma_users(spark, sf):
+    """Streaming per-user EWMA (streaming/stateful.ewma_scores,
+    applyInPandasWithState): a sequential recurrence no built-in
+    window expresses, folded in event-time order with the QUANTIZED
+    step s ← floor((α·x + (1−α)·s)·1e6 + 0.5)/1e6 so every
+    intermediate lands on an e6 grid point — which is what lets a
+    DuckDB RECURSIVE CTE replay the recurrence bit-for-bit. α = 0.25
+    is exactly representable, making each step two correctly-rounded
+    IEEE ops. availableNow over the single events file ⇒ one batch;
+    update-mode sink holds the final per-user scores."""
+    from tada_spark.streaming.stateful import ewma_scores
+
+    stream = _stream_events(spark, sf).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    out = ewma_scores(stream, "user_id", "value", "ts", "event_id", alpha=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("stream_ewma_users did not finish")
+    return spark.table("q_stream_ewma").select("user_id", "n_events", "ewma_e6")
+
+
+STREAM_EWMA_SQL = """
+WITH RECURSIVE ord AS (
+  SELECT user_id, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id)::BIGINT AS n
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), rec AS (
+  SELECT user_id, rn, n, FLOOR(value * 1000000 + 0.5) / 1000000 AS s
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.n,
+         FLOOR((0.25 * o.value + 0.75 * r.s) * 1000000 + 0.5) / 1000000
+  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, n AS n_events, CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS ewma_e6
+FROM rec WHERE rn = n
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7287,4 +7335,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "referential_integrity_report": (referential_integrity_report, REFERENTIAL_SQL),
     "epoch_shuffle_docs": (epoch_shuffle_docs, EPOCH_SHUFFLE_SQL),
     "ks_test_click_purchase": (ks_test_click_purchase, KS_TEST_SQL),
+    "stream_ewma_users": (stream_ewma_users, STREAM_EWMA_SQL),
 }

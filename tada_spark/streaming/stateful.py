@@ -175,3 +175,95 @@ def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_e6", LongType()),
+    ]
+)
+
+#: (s — the current quantized EWMA value, n — events folded so far)
+EWMA_STATE = StructType([StructField("s", DoubleType()), StructField("n", LongType())])
+
+
+def fold_ewma(
+    state: tuple[float | None, int], values, *, alpha: float = 0.25
+) -> tuple[float | None, int]:
+    """Fold one event-time-ordered value batch into EWMA state with the
+    QUANTIZED recurrence s ← floor((α·x + (1−α)·s)·1e6 + 0.5)/1e6 —
+    every intermediate lands on an e6 grid point, so the sequential
+    recurrence is bit-replayable by a SQL recursive CTE (the usual
+    float-EWMA is order-exact but accumulates engine-divergent ulps).
+    α defaults to 0.25: exactly representable, so α·x and (1−α)·s are
+    single correctly-rounded IEEE ops. Pure — unit-testable without a
+    state store."""
+    s, n = state
+    for v in values:
+        x = float(v)
+        if s is None:
+            s = math.floor(x * 1e6 + 0.5) / 1e6
+        else:
+            s = math.floor((alpha * x + (1.0 - alpha) * s) * 1e6 + 0.5) / 1e6
+        n += 1
+    return s, n
+
+
+def ewma_scores(
+    df: DataFrame, key_col: str, value_col: str, ts_col: str, seq_col: str, *, alpha: float = 0.25
+) -> DataFrame:
+    """Per-key event-time-ordered exponentially weighted moving average
+    across micro-batches (update mode): the streaming anomaly-score
+    primitive built-in windows can't express (EWMA is a sequential
+    recurrence, not an associative aggregate). Arrow chunks within one
+    invocation carry no cross-chunk order — gather, sort once by
+    (ts, seq), fold once (same discipline as session_stats). State is
+    two scalars per key regardless of history."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s, n = state.get if state.exists else (None, 0)
+        parts = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            t = pdf[ts_col]
+            if getattr(t.dtype, "tz", None) is not None:
+                t = t.dt.tz_convert("UTC").dt.tz_localize(None)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "us": t.astype("datetime64[us]").astype("int64").to_numpy(),
+                        "seq": pdf[seq_col].to_numpy(),
+                        "v": pdf[value_col].to_numpy(),
+                    }
+                )
+            )
+        if parts:
+            allp = pd.concat(parts).sort_values(["us", "seq"], kind="mergesort")
+            s, n = fold_ewma((s, n), allp["v"].tolist(), alpha=alpha)
+        state.update((s, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n],
+                "ewma_e6": [None if s is None else int(math.floor(s * 1e6 + 0.5))],
+            }
+        )
+
+    grouped = df.select(
+        df[key_col].cast("long").alias("user_id"),
+        df[value_col].alias(value_col),
+        df[ts_col].alias(ts_col),
+        df[seq_col].alias(seq_col),
+    ).groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

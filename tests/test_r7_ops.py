@@ -381,3 +381,20 @@ def test_image_dhash_rejects_too_small():
 
     with pytest.raises(ValueError):
         image_dhash(np.zeros((5, 5), dtype=np.int64))
+
+
+def test_fold_ewma_quantized_recurrence():
+    from tada_spark.streaming.stateful import fold_ewma
+
+    # first value quantizes; later steps follow the e6-grid recurrence
+    s, n = fold_ewma((None, 0), [1.2345678])
+    assert (s, n) == (1.234568, 1)
+    s2, n2 = fold_ewma((s, n), [2.0])
+    assert s2 == math.floor((0.25 * 2.0 + 0.75 * s) * 1e6 + 0.5) / 1e6
+    assert n2 == 2
+    # batch-split invariance: folding [a, b] equals folding [a] then [b]
+    a = fold_ewma(fold_ewma((None, 0), [3.1, 0.2]), [5.5])
+    b = fold_ewma((None, 0), [3.1, 0.2, 5.5])
+    assert a == b
+    # empty batch is a no-op
+    assert fold_ewma((1.5, 7), []) == (1.5, 7)
