@@ -772,3 +772,76 @@ def kl_divergence(
     return contrib.groupBy(
         F.col("grp").alias(group_col), F.col("t_g").alias("total_tokens")
     ).agg(F.sum("c_e6").alias("kl_e6"))
+
+
+def greedy_segment_stats(
+    df: DataFrame,
+    vocab_by_len: dict[int, list[str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained subword vocabulary at corpus scale: greedy
+    longest-match (WordPiece-style) segmentation of every whitespace
+    token, entirely as ONE JVM-side Column expression — F.aggregate
+    folds a (pos, n_pieces, n_singles) automaton over each word, taking
+    the longest vocab unit that prefixes the remainder (single
+    characters are implicitly in-vocab, so segmentation always
+    terminates and there is no UNK). No Python in the hot path: the
+    whole tokenizer-apply stays inside whole-stage codegen, the shape
+    that survives 100 TB.
+
+    The automaton is pure integer arithmetic on string prefixes, so a
+    SQL recursive CTE replays it exactly (one recursion level per
+    emitted piece, bounded by max word length). Returns one row per
+    document: n_words, n_pieces, n_single (chars emitted alone), and
+    chars_per_piece_e6 — the compression ratio that tells you how well
+    the vocabulary fits the corpus.
+
+    ``vocab_by_len`` maps unit length (>= 2) to its units; lengths try
+    longest-first. Units must be quote-free literals."""
+    lengths = sorted((int(k) for k in vocab_by_len), reverse=True)
+    for length in lengths:
+        for u in vocab_by_len[length]:
+            if len(u) != length or "'" in u:
+                raise ValueError(f"bad vocab unit {u!r} for length {length}")
+    branches = []
+    for length in lengths:
+        lits = ", ".join(f"'{u}'" for u in vocab_by_len[length])
+        branches.append(
+            f"WHEN substring(w, acc.pos, {length}) IN ({lits}) "
+            f"THEN named_struct('pos', acc.pos + {length}, 'n', acc.n + 1, 'n1', acc.n1)"
+        )
+    agg = f"""aggregate(
+      sequence(1, length(w)),
+      named_struct('pos', 1, 'n', 0, 'n1', 0),
+      (acc, i) -> CASE
+        WHEN acc.pos > length(w) THEN acc
+        {' '.join(branches)}
+        ELSE named_struct('pos', acc.pos + 1, 'n', acc.n + 1, 'n1', acc.n1 + 1)
+      END,
+      acc -> named_struct('n', acc.n, 'n1', acc.n1))"""
+    toks = F.expr(rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x != '')")
+    words = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("__tk__"))
+        .select(id_col, F.explode("__tk__").alias("w"))
+    )
+    seg = words.select(id_col, F.length("w").alias("wlen"), F.expr(agg).alias("s"))
+    ratio = F.col("chars").cast("double") / F.col("n_pieces").cast("double")
+    return (
+        seg.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("s.n").alias("n_pieces"),
+            F.sum("s.n1").alias("n_single"),
+            F.sum("wlen").alias("chars"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_pieces",
+            "n_single",
+            F.floor(ratio * F.lit(1e6) + F.lit(0.5)).cast("long").alias("chars_per_piece_e6"),
+        )
+    )

@@ -7131,6 +7131,68 @@ FROM rec WHERE rn = n
 """
 
 
+#: Subword vocabulary for the WordPiece-apply entry — ONE Python
+#: constant renders into BOTH the Spark automaton and the SQL recursive
+#: CTE, so the two can never drift a unit at a time.
+_WORDPIECE_VOCAB = {
+    4: ["tion"],
+    3: ["ing", "the", "ent", "and"],
+    2: ["er", "in", "on", "at", "en", "an", "re", "he", "ed", "nd", "es", "or", "st", "ar", "te", "of"],
+}
+
+
+def wordpiece_apply_docs(spark, sf):
+    """Tokenizer APPLY at corpus scale (functions/text.
+    greedy_segment_stats): greedy longest-match subword segmentation of
+    every token against a fixed vocabulary, run entirely as one
+    JVM-side F.aggregate automaton (no Python, whole-stage codegen) —
+    the counterpart of bpe_merge_docs, which TRAINS a vocabulary.
+    Per-doc piece counts and the chars-per-piece compression ratio;
+    the DuckDB oracle replays the automaton with a recursive CTE, one
+    level per emitted piece."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    return text.greedy_segment_stats(docs, _WORDPIECE_VOCAB)
+
+
+def _wordpiece_sql() -> str:
+    def lits(n):
+        return ", ".join(f"'{u}'" for u in _WORDPIECE_VOCAB[n])
+
+    cond = {n: f"substr(w.w, r.pos, {n}) IN ({lits(n)})" for n in (4, 3, 2)}
+    return rf"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tkl
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), words AS (
+  SELECT doc_id, ROW_NUMBER() OVER () AS word_id, f.w AS w
+  FROM tk, UNNEST(tkl) AS f(w)
+), rec AS (
+  SELECT word_id, 1 AS pos, 0 AS n, 0 AS n1 FROM words
+  UNION ALL
+  SELECT r.word_id,
+         r.pos + CASE WHEN {cond[4]} THEN 4
+                      WHEN {cond[3]} THEN 3
+                      WHEN {cond[2]} THEN 2 ELSE 1 END,
+         r.n + 1,
+         r.n1 + CASE WHEN {cond[4]} OR {cond[3]} OR {cond[2]} THEN 0 ELSE 1 END
+  FROM rec r JOIN words w USING (word_id)
+  WHERE r.pos <= LENGTH(w.w)
+), fin AS (
+  SELECT r.word_id, r.n, r.n1 FROM rec r JOIN words w USING (word_id)
+  WHERE r.pos > LENGTH(w.w)
+)
+SELECT w.doc_id, COUNT(*)::BIGINT AS n_words, SUM(f.n)::BIGINT AS n_pieces,
+       SUM(f.n1)::BIGINT AS n_single,
+       CAST(FLOOR(SUM(LENGTH(w.w))::DOUBLE / SUM(f.n)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+         AS chars_per_piece_e6
+FROM fin f JOIN words w USING (word_id)
+GROUP BY w.doc_id
+"""
+
+
+WORDPIECE_SQL = _wordpiece_sql()
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7336,4 +7398,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "epoch_shuffle_docs": (epoch_shuffle_docs, EPOCH_SHUFFLE_SQL),
     "ks_test_click_purchase": (ks_test_click_purchase, KS_TEST_SQL),
     "stream_ewma_users": (stream_ewma_users, STREAM_EWMA_SQL),
+    "wordpiece_apply_docs": (wordpiece_apply_docs, WORDPIECE_SQL),
 }

@@ -398,3 +398,48 @@ def test_fold_ewma_quantized_recurrence():
     assert a == b
     # empty batch is a no-op
     assert fold_ewma((1.5, 7), []) == (1.5, 7)
+
+
+# ------------------------------------------------------------- wordpiece
+
+
+def test_greedy_segment_known(spark):
+    from tada_spark.functions.text import greedy_segment_stats
+
+    vocab = {4: ["tion"], 3: ["ing"], 2: ["th", "er"]}
+    df = spark.createDataFrame(
+        [
+            (1, "nation sing"),  # na|tion (n1=2,n=3); s|ing (n1=1,n=2)
+            (2, "therther"),  # th|er|th|er (n=4, n1=0)
+            (3, "xyz"),  # x|y|z all singles
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in greedy_segment_stats(df, vocab).collect()}
+    assert (rows[1].n_words, rows[1].n_pieces, rows[1].n_single) == (2, 5, 3)
+    assert (rows[2].n_pieces, rows[2].n_single) == (4, 0)
+    assert (rows[3].n_pieces, rows[3].n_single) == (3, 3)
+    # compression: doc 2 = 8 chars / 4 pieces = 2.0
+    assert rows[2].chars_per_piece_e6 == 2_000_000
+
+
+def test_greedy_segment_longest_match_wins(spark):
+    from tada_spark.functions.text import greedy_segment_stats
+
+    # 'tion' must win over 'ti' even though 2-grams are also in vocab
+    vocab = {4: ["tion"], 2: ["ti", "on"]}
+    df = spark.createDataFrame([(1, "tion")], "doc_id long, text string")
+    r = greedy_segment_stats(df, vocab).collect()[0]
+    assert (r.n_pieces, r.n_single) == (1, 0)
+
+
+def test_greedy_segment_rejects_bad_vocab(spark):
+    import pytest
+
+    from tada_spark.functions.text import greedy_segment_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        greedy_segment_stats(df, {3: ["ab"]})  # wrong length
+    with pytest.raises(ValueError):
+        greedy_segment_stats(df, {2: ["a'"]})  # quote in literal
