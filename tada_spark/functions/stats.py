@@ -288,3 +288,51 @@ def ks_statistic(
         "d_num",
         F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d_e6"),
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    seq_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP) under step interpolation:
+    each value holds from its event until the next one; the last event
+    per key carries no duration. Exactness: weights are integer
+    microsecond durations, values exact integer cents (2-dp money), so
+    numerator and denominator are exact integer sums and only ONE
+    final division rounds (floor idiom, e6). Keys whose observed span
+    is zero (all events simultaneous, or a single event) drop — no
+    0/0. One partitioned window + one aggregate, both on the key —
+    shuffles once, scales with key cardinality."""
+    from pyspark.sql.window import Window
+
+    from tada_spark.plans.timeutil import epoch_us
+
+    dts = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))[ts_col]
+    ev = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col),
+        F.col(seq_col),
+        epoch_us(F.col(ts_col), dts).alias("__us__"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__cents__"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__us__", seq_col)
+    dur = F.lead("__us__").over(w) - F.col("__us__")
+    stepped = ev.select(key_col, "__cents__", dur.alias("__dur__")).filter(
+        F.col("__dur__").isNotNull()
+    )
+    agg = stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("__cents__") * F.col("__dur__")).alias("__num__"),
+        F.sum("__dur__").alias("__den__"),
+    )
+    twap = F.col("__num__").cast("double") / (F.col("__den__") * F.lit(100)).cast("double")
+    return agg.filter(F.col("__den__") > 0).select(
+        key_col,
+        "n_intervals",
+        F.floor(twap * F.lit(1e6) + F.lit(0.5)).cast("long").alias("twap_e6"),
+    )

@@ -7193,6 +7193,96 @@ GROUP BY w.doc_id
 WORDPIECE_SQL = _wordpiece_sql()
 
 
+def twap_value_users(spark, sf):
+    """Per-user time-weighted average event value (functions/stats.
+    time_weighted_mean): step interpolation, integer-µs weights ×
+    integer cents — exact sums, one rounded division at the end."""
+    from tada_spark.functions import stats
+
+    ev = load(spark, sf, "events").to_df()
+    return stats.time_weighted_mean(ev, "user_id", "ts", "value", seq_col="event_id")
+
+
+TWAP_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, ROUND(value * 100)::BIGINT AS cents
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+), d AS (
+  SELECT user_id, cents,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+  FROM e
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+       CAST(FLOOR(SUM(cents * dur)::DOUBLE / (SUM(dur) * 100)::DOUBLE * 1000000 + 0.5)
+            AS BIGINT) AS twap_e6
+FROM d WHERE dur IS NOT NULL GROUP BY user_id HAVING SUM(dur) > 0
+"""
+
+
+def triplet_mining_embeddings(spark, sf):
+    """Contrastive-training triplet mining: for each of the 20
+    lowest-id anchors, the hardest positive (same label, highest
+    cosine) and hardest negative (different label, highest cosine) —
+    the standard batch-hard mining step of metric learning, as a
+    broadcast-anchors sweep over the partitioned corpus (the
+    allowlisted ann-style BNLJ: linear in the corpus, never
+    quadratic). Cosines quantize to e6 integers BEFORE ranking; zero-
+    norm and unlabeled vectors are filtered up front on both engines."""
+    from pyspark.sql.window import Window
+
+    live = (
+        load(spark, sf, "embeddings")
+        .to_df()
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0) & F.col("label").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+        .filter(similarity.dot(F.col("v"), F.col("v")) > 0)
+    )
+    anchors = live.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("label").alias("a_label")
+    )
+    cos_e6 = F.floor(
+        similarity.cosine(F.col("av"), F.col("v")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        live.join(F.broadcast(anchors), F.col("a_id") != F.col("vec_id"))
+        .select(
+            "a_id",
+            F.when(F.col("label") == F.col("a_label"), F.lit("pos")).otherwise(F.lit("neg")).alias("kind"),
+            F.col("vec_id").alias("cand_id"),
+            cos_e6.alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("a_id", "kind").orderBy(F.col("cos_e6").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col("a_id").alias("anchor_id"), "kind", "cand_id", "cos_e6")
+    )
+
+
+TRIPLET_SQL = """
+WITH live AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0 AND label IS NOT NULL
+    AND LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), a AS (
+  SELECT vec_id AS a_id, v AS av, label AS a_label FROM live ORDER BY vec_id LIMIT 20
+), j AS (
+  SELECT a.a_id,
+         CASE WHEN c.label = a.a_label THEN 'pos' ELSE 'neg' END AS kind,
+         c.vec_id AS cand_id,
+         CAST(FLOOR((LIST_DOT_PRODUCT(a.av, c.v)
+               / (SQRT(LIST_DOT_PRODUCT(a.av, a.av)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))))
+              * 1000000 + 0.5) AS BIGINT) AS cos_e6
+  FROM a JOIN live c ON c.vec_id != a.a_id
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id, kind ORDER BY cos_e6 DESC, cand_id ASC) AS r
+  FROM j
+)
+SELECT a_id AS anchor_id, kind, cand_id, cos_e6 FROM rk WHERE r = 1
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7399,4 +7489,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ks_test_click_purchase": (ks_test_click_purchase, KS_TEST_SQL),
     "stream_ewma_users": (stream_ewma_users, STREAM_EWMA_SQL),
     "wordpiece_apply_docs": (wordpiece_apply_docs, WORDPIECE_SQL),
+    "twap_value_users": (twap_value_users, TWAP_SQL),
+    "triplet_mining_embeddings": (triplet_mining_embeddings, TRIPLET_SQL),
 }

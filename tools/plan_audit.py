@@ -99,6 +99,10 @@ ALLOWED_BNLJ = {
     # k-row centroid broadcast × partitioned corpus — the kmeans
     # assignment plan riding inside semdedup's clustering phase
     "semdedup_embeddings",
+    # 20-row anchor broadcast × partitioned corpus (a_id != vec_id):
+    # the batch-hard mining sweep — linear in the corpus, same shape
+    # as ann_topk_exact_ivf
+    "triplet_mining_embeddings",
 }
 
 
