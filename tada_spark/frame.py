@@ -61,6 +61,17 @@ def _col(c: ColumnLike) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _strs(v: Sequence[str] | str | None) -> list[str] | None:
+    """Column-name list arguments accept a bare string as ONE name.
+    Without this, ``order_by="ts"`` satisfies Sequence[str] but iterates
+    as characters — resolving to single-letter columns or erroring."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return [v]
+    return list(v)
+
+
 class Frame:
     """Immutable wrapper: Spark DataFrame + label metadata + name."""
 
@@ -538,7 +549,7 @@ class Frame:
         or pre-call .ordered(). Implemented as last/first-ignorenulls over
         a running frame — one window, no self-join.
         """
-        cols = list(subset) if subset else self.value_columns
+        cols = _strs(subset) if subset else self.value_columns
         if how == "zero":
             return self._wrap(self.df.na.fill(0, subset=cols))
         if how == "value":
@@ -546,11 +557,11 @@ class Frame:
         if how in ("forward", "backward"):
             df = self.df
             if order_by:
-                keys = list(order_by)
+                keys = _strs(order_by)
             else:
                 df = with_rowid(df)
                 keys = [ROWID]
-            base = Window.partitionBy(*[F.col(c) for c in (partition_by or [])])
+            base = Window.partitionBy(*[F.col(c) for c in (_strs(partition_by) or [])])
             if how == "forward":
                 w = base.orderBy(*keys).rowsBetween(Window.unboundedPreceding, 0)
                 fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
@@ -719,15 +730,15 @@ class Frame:
     def filter_index(self, predicate: Column, *, order_by: Sequence[str] | None = None) -> "Frame":
         """Row positions matching a predicate (reference FilterIndex
         series.go:613-627) — positions defined by the explicit ordering."""
-        df = with_rowid(self.df, list(order_by) if order_by else None)
+        df = with_rowid(self.df, _strs(order_by) if order_by else None)
         return Frame(df.filter(predicate).select(F.col(ROWID).alias("position")), [], self.name)
 
     # ------------------------------------------------------------------
     # ordering-dependent transforms (reference §2.4) — explicit keys
     # ------------------------------------------------------------------
     def _order_window(self, order_by: Sequence[str], partition_by: Sequence[str] | None):
-        return Window.partitionBy(*[F.col(c) for c in (partition_by or [])]).orderBy(
-            *[F.col(c) for c in order_by]
+        return Window.partitionBy(*[F.col(c) for c in (_strs(partition_by) or [])]).orderBy(
+            *[F.col(c) for c in _strs(order_by)]
         )
 
     def shift(self, name: str, n: int, *, order_by: Sequence[str], partition_by: Sequence[str] | None = None, as_col: str | None = None) -> "Frame":
@@ -744,7 +755,7 @@ class Frame:
         internal.go:2302-2351 uses -999 sentinel; NULL is the SQL analog)."""
         key = F.col(name).desc() if descending else F.col(name).asc()
         # nulls excluded from the ranking domain by partitioning on isNull
-        w = Window.partitionBy(*[F.col(c) for c in (partition_by or [])], F.col(name).isNull()).orderBy(key)
+        w = Window.partitionBy(*[F.col(c) for c in (_strs(partition_by) or [])], F.col(name).isNull()).orderBy(key)
         r = F.when(F.col(name).isNull(), F.lit(None)).otherwise(F.dense_rank().over(w))
         return self.with_col(as_col or f"rank_{name}", r)
 
@@ -752,7 +763,7 @@ class Frame:
         """Exclusive percentile rank: fraction of non-null values strictly
         below (reference internal.go:2353-2388). rank()-1 counts rows
         strictly below (ties share min rank), over the non-null domain."""
-        part = [F.col(c) for c in (partition_by or [])]
+        part = [F.col(c) for c in (_strs(partition_by) or [])]
         is_null = F.col(name).isNull()
         w = Window.partitionBy(*part, is_null).orderBy(F.col(name))
         cnt = F.count("*").over(Window.partitionBy(*part, is_null))
@@ -922,7 +933,7 @@ class Frame:
             # one side given: same names on both sides (don't silently
             # discard the provided keys and re-infer)
             left_on = right_on = left_on if left_on is not None else right_on
-        left_on, right_on = list(left_on), list(right_on)
+        left_on, right_on = _strs(left_on), _strs(right_on)
 
         if how == "right":
             # reference how=right anchors on the RIGHT labels
@@ -1026,12 +1037,12 @@ class Frame:
         """Keep left rows with ≥1 match in other (free extension beyond
         the reference's lookup-only joins, §2.6). No row multiplication,
         no right columns — Spark's LeftSemi, broadcast-eligible."""
-        cond = self._key_conds(other, left_on, right_on)
+        cond = self._key_conds(other, _strs(left_on), _strs(right_on))
         return self._wrap_reordered(self.df.join(other.df, cond, "left_semi"))
 
     def anti_join(self, other: "Frame", *, left_on: Sequence[str], right_on: Sequence[str]) -> "Frame":
         """Keep left rows with NO match in other (LeftAnti)."""
-        cond = self._key_conds(other, left_on, right_on)
+        cond = self._key_conds(other, _strs(left_on), _strs(right_on))
         return self._wrap_reordered(self.df.join(other.df, cond, "left_anti"))
 
     def asof_join(
@@ -1074,8 +1085,9 @@ class Frame:
         key by coarse time-bucket if one instrument dominates).
         """
         right_on = right_on or on
-        right_by = list(right_by) if right_by is not None else list(by)
-        by = list(by)
+        by = _strs(by)
+        right_by = _strs(right_by) if right_by is not None else list(by)
+        value_cols = _strs(value_cols)
         if len(right_by) != len(by):
             raise ValueError("asof_join: by/right_by length mismatch")
         collide = [c for c in value_cols if c in self.columns]
@@ -1349,14 +1361,14 @@ class Frame:
         series.go:1206-1250) — driver-side sink, test-scale only."""
         df = self.to_df()
         if order_by:
-            df = df.orderBy(*order_by)
+            df = df.orderBy(*_strs(order_by))
         return [r[0] for r in df.select(column).collect()]
 
     def get_nulls(self, column: str, *, order_by: Sequence[str] | None = None) -> list[bool]:
         """Null mask as a local list (reference GetNulls)."""
         df = self.to_df()
         if order_by:
-            df = df.orderBy(*order_by)
+            df = df.orderBy(*_strs(order_by))
         return [r[0] for r in df.select(F.col(column).isNull()).collect()]
 
     def deduplicate_names(self) -> "Frame":

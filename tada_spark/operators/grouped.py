@@ -28,7 +28,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tada_spark.frame import Frame
+from tada_spark.frame import Frame, _strs
 from tada_spark.plans.semantics import ROWID, canon_key, canon_str, with_rowid
 
 _SIMPLE = {
@@ -161,11 +161,11 @@ class GroupedFrame:
         needs a row_number window + OOB reattach join), position 0
         always exists, so this is a single min_by aggregate — one
         exchange instead of three."""
-        ord_expr = F.struct(*[F.col(c) for c in order_by])
+        ord_expr = F.struct(*[F.col(c) for c in _strs(order_by)])
         return self._agg({f"first_{col}": F.min_by(F.col(col), ord_expr)})
 
     def last(self, col: str, *, order_by: Sequence[str]) -> Frame:
-        ord_expr = F.struct(*[F.col(c) for c in order_by])
+        ord_expr = F.struct(*[F.col(c) for c in _strs(order_by)])
         return self._agg({f"last_{col}": F.max_by(F.col(col), ord_expr)})
 
     def nth(self, col: str, n: int, *, order_by: Sequence[str], out: str | None = None) -> Frame:
@@ -175,7 +175,7 @@ class GroupedFrame:
         out = out or f"nth_{col}"
         df = self.frame.df
         keys = self._key_cols()
-        asc = [F.col(c) for c in order_by]
+        asc = [F.col(c) for c in _strs(order_by)]
         if n >= 0:
             w = Window.partitionBy(*keys).orderBy(*asc)
             pos = n + 1
@@ -274,7 +274,7 @@ class GroupedFrame:
         windows ⇒ null. forward=False gives the conventional trailing
         window."""
         fn = _SIMPLE[agg]
-        w = Window.partitionBy(*self._key_cols()).orderBy(*[F.col(c) for c in order_by])
+        w = Window.partitionBy(*self._key_cols()).orderBy(*[F.col(c) for c in _strs(order_by)])
         frame = w.rowsBetween(0, n - 1) if forward else w.rowsBetween(-(n - 1), 0)
         cnt = F.count(F.lit(1)).over(frame)
         val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(frame)

@@ -752,3 +752,27 @@ def test_with_values_mixed_numerics_coerce_to_double(spark):
     assert [r.x for r in out.sort(("k", True)).df.collect()] == [1.0, 2.5]
     with pytest.raises(ValueError, match="could not infer"):
         f.with_values("y", [1, "zzz"])
+
+
+def test_bare_string_accepted_for_column_list_args(spark):
+    """order_by/partition_by/subset/key-list args accept a bare string
+    as ONE column name — a plain str satisfies Sequence[str] but must
+    not iterate as characters (order_by="ts" resolving columns t, s)."""
+    f = Frame(
+        spark.createDataFrame(
+            [(1, 10, None), (2, None, 5), (3, 30, 6)], "ts long, value long, other long"
+        )
+    )
+    assert [r.value for r in f.shift("value", 1, order_by="ts").sort(("ts", True)).df.collect()] == [None, 10, None]
+    assert [r.cumsum_value for r in f.cum_sum("value", order_by="ts").sort(("ts", True)).df.collect()] == [10, 10, 40]
+    assert [r.value for r in f.fill_null("forward", subset="value", order_by="ts").sort(("ts", True)).df.collect()] == [10, 10, 30]
+    g = Frame(spark.createDataFrame([(1, 7)], "ts long, value long"))
+    assert f.semi_join(g, left_on="ts", right_on="ts").df.count() == 1
+    assert f.anti_join(g, left_on="ts", right_on="ts").df.count() == 2
+    assert f.get_values("value", order_by="ts") == [10, None, 30]
+    grp = Frame(
+        spark.createDataFrame([(1, 1, 4), (1, 2, 9), (2, 3, 2)], "k long, ts long, v long"),
+        labels=["k"],
+    ).group_by("k")
+    first = {r.k: r.first_v for r in grp.first("v", order_by="ts").df.collect()}
+    assert first == {1: 4, 2: 2}
