@@ -107,31 +107,32 @@ def referential_check(
     (not_null's job), counted separately and never called orphans —
     the same null convention as the value rules above.
 
-    Shape at scale: the orphan count joins the child against the
-    DISTINCT parent keys (left_anti) — Catalyst broadcasts dimension
-    parents on its own; the distinct is one bounded-key shuffle on the
-    big-parent path. Everything reduces to single-row counts before
-    the final 1-row assembly, so output size is O(1) per edge."""
+    Shape at scale: ONE scan of the child — left-join the DISTINCT
+    parent keys (Catalyst broadcasts dimension parents on its own; the
+    distinct is one bounded-key shuffle on the big-parent path), then
+    every count is a conditional sum in a single aggregate. A null key
+    never joins, so orphan = key present but no parent marker. Two
+    exchanges per edge, O(1) output."""
     name = edge or f"{child_key}->{parent_key}"
-    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
-    base = child.agg(
+    keys = (
+        parent.select(F.col(parent_key).alias(child_key))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    joined = child.select(child_key).join(keys, child_key, "left")
+    return joined.agg(
+        F.lit(name).alias("edge"),
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col(child_key).isNull(), F.lit(1))).alias("n_null_key"),
-    )
-    orphans = (
-        child.filter(F.col(child_key).isNotNull())
-        .join(keys, child_key, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_orphan"))
-    )
-    return (
-        base.crossJoin(orphans)  # two 1-row frames
-        .select(
-            F.lit(name).alias("edge"),
-            "n_rows",
-            "n_null_key",
-            "n_orphan",
-            (F.col("n_orphan") == 0).alias("ok"),
-        )
+        F.count(
+            F.when(F.col(child_key).isNotNull() & F.col("__hit__").isNull(), F.lit(1))
+        ).alias("n_orphan"),
+    ).select(
+        "edge",
+        "n_rows",
+        "n_null_key",
+        "n_orphan",
+        (F.col("n_orphan") == 0).alias("ok"),
     )
 
 
