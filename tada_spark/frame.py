@@ -574,6 +574,47 @@ class Frame:
             return self._wrap(out)
         raise ValueError(f"fill_null: unknown how={how!r}")
 
+    def interpolate(
+        self,
+        name: str,
+        *,
+        x_col: str,
+        partition_by: Sequence[str] | None = None,
+        tiebreak: Sequence[str] | str | None = None,
+        as_col: str | None = None,
+    ) -> "Frame":
+        """Linear interpolation of null values against a numeric axis
+        (free extension of the fill_null family): each null gets
+        prev + (next − prev)·(x − x_prev)/(x_next − x_prev), where
+        prev/next are the nearest non-null neighbors by ``x_col`` order
+        within ``partition_by`` (``tiebreak`` keys pin the order when x
+        values collide — pass a unique id for determinism). Leading/
+        trailing nulls (one-sided) stay null — interpolation never
+        extrapolates. Coincident neighbor x (x_next == x_prev) falls
+        back to prev.
+
+        Scale shape: ONE shuffle on the partition keys, then two framed
+        passes over the same sort (carry-last-forward and
+        carry-first-backward) — no self-join, linear in rows."""
+        part = _strs(partition_by) or []
+        xs = [x_col, *(_strs(tiebreak) or [])]
+        w = Window.partitionBy(*[F.col(c) for c in part]).orderBy(*[F.col(c) for c in xs])
+        c = F.col(name)
+        known = F.when(c.isNotNull(), F.struct(F.col(x_col).alias("x"), c.alias("v")))
+        prev = F.last(known, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        nxt = F.first(known, ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        )
+        dx = (nxt["x"] - prev["x"]).cast("double")
+        frac = (F.col(x_col) - prev["x"]).cast("double") / dx
+        interp = F.when(dx > 0, prev["v"] + (nxt["v"] - prev["v"]) * frac).otherwise(prev["v"])
+        filled = F.when(c.isNotNull(), c).when(
+            prev.isNotNull() & nxt.isNotNull(), interp
+        )
+        return self.with_col(as_col or name, filled)
+
     # ------------------------------------------------------------------
     # casts (reference valueContainers.go:80-122; §1.3 type table)
     # ------------------------------------------------------------------

@@ -336,3 +336,67 @@ def time_weighted_mean(
         "n_intervals",
         F.floor(twap * F.lit(1e6) + F.lit(0.5)).cast("long").alias("twap_e6"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1,
+    g2,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test, exact over a
+    binned domain with midrank tie handling. The rank machinery never
+    sorts rows: values bin to floor(value·scale) integers, ONE bounded
+    aggregate counts each bin per group, and a window over the ≤
+    domain·scale bin rows assigns midranks — doubled (midrank_x2 =
+    2·rank_before + t + 1) so every rank quantity stays an exact
+    integer through the tie-corrected variance. Same bounded-agg-then-
+    window idiom as ks_statistic above; z uses the normal approximation
+    WITHOUT continuity correction (pinned convention, oracle-mirrored).
+
+    Integer bound: the tie term Σ(t³−t) needs max-bin-count³ < 2^63
+    (~2e6 rows in ONE bin); n1·(n1+1) needs n1 < 3e9. Returns one row
+    (n_g1, n_g2, u1_x2, z_e6): U₁ = u1_x2/2 exact; z quantized to
+    millionths via an IEEE expression tree both engines share. A
+    degenerate pool (all values one bin) yields a NULL z."""
+    from pyspark.sql.window import Window
+
+    ev = df.filter(F.col(group_col).isin([g1, g2]) & F.col(value_col).isNotNull())
+    binned = ev.select(
+        F.floor(F.col(value_col) * F.lit(float(scale))).cast("long").alias("b"),
+        (F.col(group_col) == F.lit(g1)).alias("is1"),
+    )
+    counts = binned.groupBy("b").agg(
+        F.count(F.when(F.col("is1"), F.lit(1))).alias("c1"),
+        F.count(F.when(~F.col("is1"), F.lit(1))).alias("c2"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0)).alias("before"),
+    )
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("before") + F.col("t") + F.lit(1))).alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + F.lit(1))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    td = F.col("tie").cast("double")
+    var = n1d * n2d / F.lit(12.0) * (nd + F.lit(1.0) - td / (nd * (nd - F.lit(1.0))))
+    z = (u1_x2.cast("double") - n1d * n2d) / (F.lit(2.0) * F.sqrt(var))
+    z_e6 = F.when(var > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    return agg.select(
+        F.col("n1").alias("n_g1"),
+        F.col("n2").alias("n_g2"),
+        u1_x2.alias("u1_x2"),
+        z_e6.alias("z_e6"),
+    )

@@ -7283,6 +7283,177 @@ SELECT a_id AS anchor_id, kind, cand_id, cos_e6 FROM rk WHERE r = 1
 """
 
 
+def mannwhitney_click_purchase(spark, sf):
+    """Two-sample Mann-Whitney U (functions/stats.mann_whitney_u):
+    click vs purchase value distributions over integer cent bins —
+    midrank ties kept exact by doubling, tie-corrected z quantized e6.
+    Complements the KS entry: rank-sum location shift vs sup-CDF."""
+    from tada_spark.functions import stats
+
+    ev = load(spark, sf, "events").to_df()
+    return stats.mann_whitney_u(ev, "value", "event_type", "click", "purchase", scale=100)
+
+
+MANNWHITNEY_SQL = """
+WITH ev AS (
+  SELECT FLOOR(value * 100)::BIGINT AS b, (event_type = 'click') AS is1
+  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+), counts AS (
+  SELECT b, COUNT(*) FILTER (is1)::BIGINT AS c1, COUNT(*) FILTER (NOT is1)::BIGINT AS c2
+  FROM ev GROUP BY b
+), ranked AS (
+  SELECT c1, c2, (c1 + c2) AS t,
+         COALESCE(SUM(c1 + c2) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM counts
+), agg AS (
+  SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2,
+         SUM(c1 * (2 * before + t + 1))::BIGINT AS r1_x2,
+         SUM(t * t * t - t)::BIGINT AS tie
+  FROM ranked
+)
+SELECT n1 AS n_g1, n2 AS n_g2,
+       (r1_x2 - n1 * (n1 + 1)) AS u1_x2,
+       CASE WHEN (n1::DOUBLE * n2::DOUBLE / 12.0
+                  * ((n1 + n2)::DOUBLE + 1.0
+                     - tie::DOUBLE / ((n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1.0)))) > 0
+            THEN CAST(FLOOR(((r1_x2 - n1 * (n1 + 1))::DOUBLE - n1::DOUBLE * n2::DOUBLE)
+                 / (2.0 * SQRT(n1::DOUBLE * n2::DOUBLE / 12.0
+                    * ((n1 + n2)::DOUBLE + 1.0
+                       - tie::DOUBLE / ((n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1.0)))))
+                 * 1000000 + 0.5) AS BIGINT)
+       END AS z_e6
+FROM agg
+"""
+
+
+def interpolate_masked_values(spark, sf):
+    """Linear imputation quality check over events: values at
+    event_id % 7 == 0 are masked to null, then Frame.interpolate
+    rebuilds them from the nearest per-user neighbors on the integer-µs
+    time axis (integer cents in, one double expression tree out,
+    quantized e6). Emits (user_id, event_id, actual_cents, interp_e6)
+    for every masked row both of whose neighbors exist — the
+    train/validate harness for any gap-filling pipeline."""
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    from tada_spark.plans.timeutil import epoch_us
+
+    base = ev.to_df().filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        epoch_us(F.col("ts"), dts).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    masked = base.withColumn(
+        "mv", F.when(F.col("event_id") % 7 != 0, F.col("cents"))
+    )
+    filled = Frame(masked).interpolate(
+        "mv", x_col="us", partition_by="user_id", tiebreak="event_id", as_col="iv"
+    )
+    return (
+        filled.to_df()
+        .filter((F.col("event_id") % 7 == 0) & F.col("iv").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.col("cents").alias("actual_cents"),
+            F.floor(F.col("iv") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("interp_e6"),
+        )
+    )
+
+
+INTERPOLATE_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, ROUND(value * 100)::BIGINT AS cents,
+         CASE WHEN event_id % 7 != 0 THEN ROUND(value * 100)::BIGINT END AS mv
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), nb AS (
+  SELECT user_id, event_id, us, cents, mv,
+         LAST_VALUE(CASE WHEN mv IS NOT NULL THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS px,
+         LAST_VALUE(CASE WHEN mv IS NOT NULL THEN mv END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         FIRST_VALUE(CASE WHEN mv IS NOT NULL THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx,
+         FIRST_VALUE(CASE WHEN mv IS NOT NULL THEN mv END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM base
+)
+SELECT user_id, event_id, cents AS actual_cents,
+       CAST(FLOOR(
+         (CASE WHEN (nx - px)::DOUBLE > 0
+               THEN pv + (nv - pv) * ((us - px)::DOUBLE / (nx - px)::DOUBLE)
+               ELSE pv END) * 1000000 + 0.5) AS BIGINT) AS interp_e6
+FROM nb
+WHERE event_id % 7 = 0 AND px IS NOT NULL AND nx IS NOT NULL
+"""
+
+
+def last_touch_attribution(spark, sf):
+    """Marketing-style last-touch attribution: each purchase's value is
+    credited to the event_type of the user's latest strictly-preceding
+    non-purchase event ((ts, event_id) order); purchases with no prior
+    touch credit 'none'. ONE window carry per user (no self-join, no
+    row multiplication) then a channel-keyed aggregate — two shuffles
+    total, linear at any scale."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    from tada_spark.plans.timeutil import epoch_us
+
+    base = ev.to_df().filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us(F.col("ts"), dts).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    return (
+        base.withColumn("channel", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )
+
+
+LAST_TOUCH_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         ROUND(value * 100)::BIGINT AS cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), carried AS (
+  SELECT event_type, cents,
+         LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM base
+)
+SELECT COALESCE(channel, 'none') AS channel, COUNT(*)::BIGINT AS n_purchases,
+       SUM(cents)::BIGINT AS attributed_cents
+FROM carried WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7491,4 +7662,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wordpiece_apply_docs": (wordpiece_apply_docs, WORDPIECE_SQL),
     "twap_value_users": (twap_value_users, TWAP_SQL),
     "triplet_mining_embeddings": (triplet_mining_embeddings, TRIPLET_SQL),
+    "mannwhitney_click_purchase": (mannwhitney_click_purchase, MANNWHITNEY_SQL),
+    "interpolate_masked_values": (interpolate_masked_values, INTERPOLATE_SQL),
+    "last_touch_attribution": (last_touch_attribution, LAST_TOUCH_SQL),
 }

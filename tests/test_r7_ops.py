@@ -443,3 +443,51 @@ def test_greedy_segment_rejects_bad_vocab(spark):
         greedy_segment_stats(df, {3: ["ab"]})  # wrong length
     with pytest.raises(ValueError):
         greedy_segment_stats(df, {2: ["a'"]})  # quote in literal
+
+
+def test_mann_whitney_known(spark):
+    """Hand-computed: g1 = [1, 2], g2 = [2, 3, 3]. Pooled midranks:
+    1→1, 2→2.5 (tie of two), 3→4.5 (tie of two). R1 = 1 + 2.5 = 3.5 →
+    r1_x2 = 7; U1 = R1 − n1(n1+1)/2 = 0.5 → u1_x2 = 1. Tie term
+    Σ(t³−t) = (2³−2)+(2³−2) = 12; var = (2·3/12)·(6 − 12/(5·4)) = 2.7;
+    z = (0.5 − 3)/√2.7 = −1.521278...; e6 floor-half-up = −1521278."""
+    from tada_spark.functions.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("a", 0.02), ("b", 0.02), ("b", 0.03), ("b", 0.03)],
+        "g string, v double",
+    )
+    row = mann_whitney_u(df, "v", "g", "a", "b", scale=100).first()
+    assert (row.n_g1, row.n_g2, row.u1_x2) == (2, 3, 1)
+    import math
+
+    z = (0.5 - 3.0) / math.sqrt(2.7)
+    assert row.z_e6 == math.floor(z * 1e6 + 0.5)
+
+
+def test_mann_whitney_degenerate_pool_null_z(spark):
+    from tada_spark.functions.stats import mann_whitney_u
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 1.0)], "g string, v double")
+    row = mann_whitney_u(df, "v", "g", "a", "b").first()
+    assert row.z_e6 is None and row.u1_x2 == 1  # R1=1.5 → x2=3; U1_x2=3-2=1
+
+
+def test_interpolate_linear_known(spark):
+    """x: 0, 10, 40; v: 100, null, 400 → null at x=10 gets
+    100 + 300·(10/40) = 175. Edge nulls stay null; equal-x neighbor
+    degenerates to prev."""
+    f = Frame(
+        spark.createDataFrame(
+            [(1, 0, 100), (1, 10, None), (1, 40, 400), (2, 0, None), (2, 1, 7)],
+            "k long, x long, v long",
+        )
+    )
+    out = {
+        (r.k, r.x): r.v
+        for r in f.interpolate("v", x_col="x", partition_by="k").df.collect()
+    }
+    assert out[(1, 10)] == 175.0
+    assert out[(1, 0)] == 100 and out[(1, 40)] == 400
+    assert out[(2, 0)] is None  # leading null: no extrapolation
+    assert out[(2, 1)] == 7
