@@ -400,3 +400,163 @@ def mann_whitney_u(
         u1_x2.alias("u1_x2"),
         z_e6.alias("z_e6"),
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+) -> DataFrame:
+    """Per-group Gini coefficient of an integer-exact value (spend
+    concentration per region, token share per source):
+
+        G = (2·Σ i·x_(i)) / (n·Σx) − (n + 1)/n
+
+    over values sorted ascending within the group (ties broken by value
+    order only — any tie order yields the same Σi·x for equal x). Both
+    Σ i·x_(i) and Σx are exact longs from ONE ranked window pass; the
+    closed form divides once per group (floor idiom, e6). Negative
+    values are rejected by convention (Gini is defined on non-negative
+    domains); groups with Σx = 0 or n = 0 drop.
+
+    Integer bound: Σ i·x needs n·max(x)·n < 2^63 — with cents ~5e7 that
+    holds to ~4e5 rows per group; lift to DECIMAL(38,0) beyond.
+
+    100 TB shape: one shuffle on the group key, a per-group ranked
+    window (linear), one aggregate. No global sort."""
+    from pyspark.sql.window import Window
+
+    ev = df.filter(value.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col), value.cast("long").alias("__x__")
+    )
+    w = Window.partitionBy(group_col).orderBy("__x__")
+    ranked = ev.withColumn("__i__", F.row_number().over(w))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("sx"),
+        F.sum(F.col("__i__").cast("long") * F.col("__x__")).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    g = (
+        F.lit(2.0) * F.col("six").cast("double") / (nd * F.col("sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return agg.filter((F.col("n") > 0) & (F.col("sx") > 0)).select(
+        group_col,
+        "n",
+        "sx",
+        F.floor(g * F.lit(1e6) + F.lit(0.5)).cast("long").alias("gini_e6"),
+    )
+
+
+def wilson_interval_by_group(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    *,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group Wilson score interval for a binomial proportion (the
+    conversion-rate CI that behaves at small n and extreme p, unlike
+    the Wald interval):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    ``success`` must evaluate to a boolean; rows with a NULL success
+    drop. n and k are exact longs from one hash-agg; the closed form is
+    a fixed IEEE tree over their double casts (z is passed as a literal
+    double — the default is the 97.5 % normal quantile to 6 dp, NOT a
+    transcendental computed at runtime). Emits lo_e6/hi_e6 clamped to
+    [0, 1e6]. One map-side-combined aggregate; O(groups) arithmetic."""
+    ev = df.filter(success.isNotNull() & F.col(group_col).isNotNull())
+    agg = ev.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(success, F.lit(1))).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    lo = F.greatest(F.lit(0.0), center - half)
+    hi = F.least(F.lit(1.0), center + half)
+    return agg.select(
+        group_col,
+        "n",
+        "k",
+        F.floor(lo * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lo_e6"),
+        F.floor(hi * F.lit(1e6) + F.lit(0.5)).cast("long").alias("hi_e6"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value: Column,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key retrospective change-point locator: the position where
+    the centered cumulative sum S_i = Σ_{j≤i}(x_j) − i·(Σx)/n is
+    farthest from zero — the classic CUSUM statistic whose argmax
+    estimates a single mean shift. Exactness: comparing |S_i| =
+    |n·Σ_{j≤i}x_j − i·Σx| / n needs no division at all — the argmax is
+    taken over the exact integer cross-term, and only the reported
+    magnitude divides once (floor idiom). Ties break to the earliest
+    position; pass ``tiebreak`` (a unique id) when ``order_col`` can
+    collide within a key, else the series order — and the result — is
+    not deterministic. Keys with n < 2 drop.
+
+    100 TB shape: one shuffle on the key; a per-key ordered window
+    computes running sums; one aggregate takes the argmax via max_by.
+    Integer bound: n·Σx < 2^63."""
+    from pyspark.sql.window import Window
+
+    ev = df.filter(
+        value.isNotNull() & F.col(key_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.col(key_col),
+        F.col(order_col),
+        *([F.col(tiebreak)] if tiebreak else []),
+        value.cast("long").alias("__x__"),
+    )
+    order_keys = [order_col, *([tiebreak] if tiebreak else [])]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_keys])
+    tot = Window.partitionBy(key_col)
+    stepped = ev.select(
+        key_col,
+        order_col,
+        F.row_number().over(w).alias("__i__"),
+        F.sum("__x__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum__"),
+        F.sum("__x__").over(tot).alias("__sx__"),
+        F.count(F.lit(1)).over(tot).alias("__n__"),
+    )
+    dev = F.abs(
+        F.col("__n__") * F.col("__cum__") - F.col("__i__").cast("long") * F.col("__sx__")
+    )
+    scored = stepped.filter(F.col("__n__") >= 2).select(
+        key_col,
+        order_col,
+        F.col("__n__").alias("n"),
+        dev.alias("__dev__"),
+        F.col("__i__"),
+    )
+    pick = F.max_by(
+        F.struct(F.col(order_col), F.col("__dev__"), F.col("n")),
+        F.struct(F.col("__dev__"), (-F.col("__i__")).alias("__ni__")),
+    )
+    agg = scored.groupBy(key_col).agg(pick.alias("__p__"))
+    mag = F.col("__p__")["__dev__"].cast("double") / F.col("__p__")["n"].cast("double")
+    return agg.select(
+        key_col,
+        F.col("__p__")[order_col].alias("change_at"),
+        F.col("__p__")["n"].alias("n"),
+        F.floor(mag * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cusum_e6"),
+    )

@@ -7454,6 +7454,125 @@ FROM carried WHERE event_type = 'purchase' GROUP BY 1
 """
 
 
+def gini_order_value_by_priority(spark, sf):
+    """Per-priority Gini coefficient of order value (functions/stats.
+    gini_by_group): spend-concentration inequality from one ranked
+    window pass + exact integer sums, division once at the end."""
+    from tada_spark.functions import stats
+
+    orders = load(spark, sf, "orders").to_df()
+    return stats.gini_by_group(
+        orders.filter(F.col("o_orderpriority").isNotNull()),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+GINI_SQL = """
+WITH b AS (
+  SELECT o_orderpriority, ROUND(o_totalprice * 100)::BIGINT AS x
+  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), r AS (
+  SELECT o_orderpriority, x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY x) AS i
+  FROM b
+), s AS (
+  SELECT o_orderpriority, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+         SUM(i * x)::BIGINT AS six
+  FROM r GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, sx,
+       CAST(FLOOR((2.0 * six::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+                   - (n::DOUBLE + 1.0) / n::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS gini_e6
+FROM s WHERE n > 0 AND sx > 0
+"""
+
+
+def wilson_purchase_rate_by_hour(spark, sf):
+    """Hourly purchase-conversion Wilson CI (functions/stats.
+    wilson_interval_by_group) over click/purchase traffic: the
+    small-sample-safe binomial interval, exact counts + one fixed IEEE
+    closed form, z pinned as a 6-dp literal."""
+    from tada_spark.functions import stats
+
+    ev = (
+        load(spark, sf, "events")
+        .to_df()
+        .filter(F.col("event_type").isin(["click", "purchase"]) & F.col("ts").isNotNull())
+        .select(F.hour("ts").cast("long").alias("hour"), "event_type")
+    )
+    return stats.wilson_interval_by_group(ev, "hour", F.col("event_type") == "purchase")
+
+
+WILSON_SQL = """
+WITH b AS (
+  SELECT HOUR(ts)::BIGINT AS hour, (event_type = 'purchase') AS s
+  FROM events WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+), agg AS (
+  SELECT hour, COUNT(*)::BIGINT AS n, COUNT(*) FILTER (s)::BIGINT AS k FROM b GROUP BY hour
+), c AS (
+  SELECT hour, n, k,
+         k::DOUBLE / n::DOUBLE AS p,
+         1.959964 * 1.959964 AS z2,
+         1.0 + (1.959964 * 1.959964) / n::DOUBLE AS denom
+  FROM agg
+), f AS (
+  SELECT hour, n, k,
+         (p + z2 / (2.0 * n::DOUBLE)) / denom AS center,
+         1.959964 * SQRT(p * (1.0 - p) / n::DOUBLE + z2 / (4.0 * n::DOUBLE * n::DOUBLE)) / denom AS half
+  FROM c
+)
+SELECT hour, n, k,
+       CAST(FLOOR(GREATEST(0.0, center - half) * 1000000 + 0.5) AS BIGINT) AS lo_e6,
+       CAST(FLOOR(LEAST(1.0, center + half) * 1000000 + 0.5) AS BIGINT) AS hi_e6
+FROM f
+"""
+
+
+def cusum_change_events(spark, sf):
+    """Per-event-type CUSUM change-point (functions/stats.
+    cusum_changepoint): where each type's value series shifts mean,
+    located by the exact-integer argmax of |n·cum − i·total| over the
+    (µs, event_id)-ordered series; magnitude divides once at the end."""
+    from tada_spark.functions import stats
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    base = ev.to_df().filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
+        "event_type",
+        epoch_us(F.col("ts"), dts).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return stats.cusum_changepoint(
+        base, "event_type", "us", F.col("cents"), tiebreak="event_id"
+    )
+
+
+CUSUM_SQL = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id, ROUND(value * 100)::BIGINT AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+), stepped AS (
+  SELECT event_type, us,
+         ROW_NUMBER() OVER w AS i,
+         SUM(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         SUM(x) OVER (PARTITION BY event_type)::BIGINT AS sx,
+         COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+), scored AS (
+  SELECT event_type, us, n, ABS(n * cum - i * sx) AS dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(n * cum - i * sx) DESC, i ASC) AS pick
+  FROM stepped WHERE n >= 2
+)
+SELECT event_type, us AS change_at, n,
+       CAST(FLOOR(dev::DOUBLE / n::DOUBLE * 1000000 + 0.5) AS BIGINT) AS cusum_e6
+FROM scored WHERE pick = 1
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7665,4 +7784,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mannwhitney_click_purchase": (mannwhitney_click_purchase, MANNWHITNEY_SQL),
     "interpolate_masked_values": (interpolate_masked_values, INTERPOLATE_SQL),
     "last_touch_attribution": (last_touch_attribution, LAST_TOUCH_SQL),
+    "gini_order_value_by_priority": (gini_order_value_by_priority, GINI_SQL),
+    "wilson_purchase_rate_by_hour": (wilson_purchase_rate_by_hour, WILSON_SQL),
+    "cusum_change_events": (cusum_change_events, CUSUM_SQL),
 }

@@ -491,3 +491,43 @@ def test_interpolate_linear_known(spark):
     assert out[(1, 0)] == 100 and out[(1, 40)] == 400
     assert out[(2, 0)] is None  # leading null: no extrapolation
     assert out[(2, 1)] == 7
+
+
+def test_gini_known(spark):
+    """[1, 1, 2]: Σi·x = 1+2+6 = 9, Σx = 4, n = 3 →
+    G = 2·9/(3·4) − 4/3 = 1/6. Uniform values → G = 0."""
+    from tada_spark.functions.stats import gini_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", 5)], "g string, x long"
+    )
+    rows = {r.g: r.gini_e6 for r in gini_by_group(df, "g", F.col("x")).collect()}
+    assert rows["a"] == math.floor(1 / 6 * 1e6 + 0.5)
+    assert rows["b"] == 0
+
+
+def test_wilson_known(spark):
+    from tada_spark.functions.stats import wilson_interval_by_group
+
+    df = spark.createDataFrame([("a", i < 7) for i in range(10)], "g string, s boolean")
+    row = wilson_interval_by_group(df, "g", F.col("s")).first()
+    z = 1.959964
+    n, p, z2 = 10.0, 0.7, z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    assert (row.n, row.k) == (10, 7)
+    assert row.lo_e6 == math.floor(max(0.0, center - half) * 1e6 + 0.5)
+    assert row.hi_e6 == math.floor(min(1.0, center + half) * 1e6 + 0.5)
+
+
+def test_cusum_known(spark):
+    """Series 1, 1, 10, 10 (mean shift after position 2): dev_i =
+    |4·cum − i·22| = 18, 36, 18, 0 → argmax at i = 2, magnitude 9."""
+    from tada_spark.functions.stats import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 10), ("a", 4, 10)], "k string, t long, x long"
+    )
+    row = cusum_changepoint(df, "k", "t", F.col("x")).first()
+    assert (row.change_at, row.n, row.cusum_e6) == (2, 4, 9_000_000)
