@@ -298,3 +298,53 @@ def test_asof_forward_single_shuffle(spark, catalog):
         "ReusedExchange"
     )
     assert shuffles <= 3  # click dedupe agg + by-key window (+ AQE split)
+
+
+def _shuffles(plan: str) -> int:
+    return plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count(
+        "ReusedExchange"
+    )
+
+
+def test_stats_family_one_shuffle_no_python(spark, catalog):
+    """gini / wilson / cusum / mannwhitney / TWAP reduce to one keyed
+    shuffle (wilson: one agg; the rest: one sort-window + agg reusing
+    the same partitioning) with zero Python in the plan."""
+    for name, cap in [
+        ("gini_order_value_by_priority", 1),
+        ("wilson_purchase_rate_by_hour", 1),
+        ("cusum_change_events", 1),
+        ("mannwhitney_click_purchase", 2),
+        ("twap_value_users", 1),
+    ]:
+        plan = plan_of(catalog[name][0](spark, SF))
+        assert _shuffles(plan) <= cap, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_interpolate_one_shuffle_two_framed_passes(spark, catalog):
+    plan = plan_of(catalog["interpolate_masked_values"][0](spark, SF))
+    assert _shuffles(plan) <= 1
+    assert "Join" not in plan  # neighbor carry, never a self-join
+
+
+def test_last_touch_no_self_join(spark, catalog):
+    plan = plan_of(catalog["last_touch_attribution"][0](spark, SF))
+    assert "Join" not in plan
+    assert _shuffles(plan) <= 2  # user window + channel agg
+
+
+def test_triplet_mining_is_broadcast_sweep(spark, catalog):
+    """The anchor side must broadcast (linear corpus sweep); the only
+    shuffle is the per-(anchor, kind) argmax window."""
+    plan = plan_of(catalog["triplet_mining_embeddings"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # allowlisted 20-row sweep
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_referential_report_broadcast_dims_one_scan_per_edge(spark, catalog):
+    plan = plan_of(catalog["referential_integrity_report"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # each dim side broadcasts
+    assert _shuffles(plan) <= 8  # distinct + 1-row agg per edge
