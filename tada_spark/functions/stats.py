@@ -560,3 +560,81 @@ def cusum_changepoint(
         F.col("__p__")["n"].alias("n"),
         F.floor(mag * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cusum_e6"),
     )
+
+
+def ols2_by_group(
+    df: DataFrame,
+    group_col: str,
+    x1: Column,
+    x2: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group TWO-feature least squares y ~ b0 + b1·x1 + b2·x2 — the
+    smallest genuinely multivariate regression, solved in closed form
+    by Cramer's rule on the 3×3 normal equations. ONE hash-aggregate
+    emits the nine exact long sums (n, Σx1, Σx2, Σy, Σx1², Σx2²,
+    Σx1x2, Σx1y, Σx2y); the determinants are a fixed IEEE tree over
+    their double casts, so the oracle can replicate bit-for-bit. A
+    singular system (collinear or constant features) yields NULLs.
+
+    Integer bound: the largest sum is Σx·x — with both features ≤ 1e5
+    and cents targets, exact to ~9e8 rows per group; lift the sums to
+    DECIMAL(38,0) beyond (ols_by_group's envelope note).
+
+    100 TB shape: identical to ols_by_group — one map-side-combined
+    aggregate over the scan, then O(groups) arithmetic. Adding features
+    only widens the sum tuple; it never adds a pass."""
+    df = df.filter(x1.isNotNull() & x2.isNotNull() & y.isNotNull())
+    a = x1.cast("long")
+    b = x2.cast("long")
+    t = y.cast("long")
+    sums = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(a).alias("s1"),
+        F.sum(b).alias("s2"),
+        F.sum(t).alias("sy"),
+        F.sum(a * a).alias("s11"),
+        F.sum(b * b).alias("s22"),
+        F.sum(a * b).alias("s12"),
+        F.sum(a * t).alias("s1y"),
+        F.sum(b * t).alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sy = F.col("sy").cast("double")
+    s11 = F.col("s11").cast("double")
+    s22 = F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    s1y = F.col("s1y").cast("double")
+    s2y = F.col("s2y").cast("double")
+    # det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] (symmetric Gram)
+    det = (
+        nd * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        nd * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        nd * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = det != 0
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    return sums.select(
+        group_col,
+        "n",
+        F.when(ok, e6(det0 / det)).alias("b0_e6"),
+        F.when(ok, e6(det1 / det)).alias("b1_e6"),
+        F.when(ok, e6(det2 / det)).alias("b2_e6"),
+    )

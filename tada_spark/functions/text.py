@@ -845,3 +845,46 @@ def greedy_segment_stats(
             F.floor(ratio * F.lit(1e6) + F.lit(0.5)).cast("long").alias("chars_per_piece_e6"),
         )
     )
+
+
+def flesch_by_group(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group mean Flesch Reading Ease, with the classic
+    syllable-free approximation: syllables ≈ vowel groups
+    ([AEIOUYaeiouy]+ runs), clamped to ≥ the word count (every word has
+    at least one syllable — pinned convention, oracle-mirrored).
+    Words = [A-Za-z]+ runs; sentences = [.!?]+ runs clamped to ≥ 1.
+
+        score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Each doc's score is e6-floor-quantized BEFORE the group sum (the
+    BM25/KL discipline — cross-doc addition happens on exact longs),
+    then ONE division yields the mean. Zero-word docs drop.
+
+    100 TB shape: three JVM regexp counters per doc at scan speed, one
+    map-side-combined hash-agg — no explode, no Python, no shuffle
+    beyond the group key."""
+    w = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+"))
+    s = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1))
+    y = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[AEIOUYaeiouy]+")), w)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+        - F.lit(84.6) * (y.cast("double") / w.cast("double"))
+    )
+    per_doc = (
+        df.filter(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col),
+            w.alias("__w__"),
+            F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__sc__"),
+        )
+        .filter(F.col("__w__") > 0)
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(
+            F.sum("__sc__").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_flesch_e6"),
+    )

@@ -277,7 +277,19 @@ class GroupedFrame:
         w = Window.partitionBy(*self._key_cols()).orderBy(*[F.col(c) for c in _strs(order_by)])
         frame = w.rowsBetween(0, n - 1) if forward else w.rowsBetween(-(n - 1), 0)
         cnt = F.count(F.lit(1)).over(frame)
-        val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(frame)
+        if agg == "median":
+            # Spark's median aggregate rejects window frames
+            # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); an exact
+            # windowed median is the sorted n-element frame's middle
+            # pair averaged — O(n log n) per row with n the (small,
+            # fixed) window length, never a shuffle
+            arr = F.array_sort(F.collect_list(F.col(col)).over(frame))
+            sz = F.size(arr)
+            lo = F.element_at(arr, F.floor((sz + 1) / 2).cast("int"))
+            hi = F.element_at(arr, F.floor((sz + 2) / 2).cast("int"))
+            val = (lo + hi).cast("double") / F.lit(2.0)
+        else:
+            val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(frame)
         expr = F.when(cnt < n, F.lit(None)).otherwise(val)
         return Frame(self.frame.df.withColumn(out or f"rolling_{agg}_{col}", expr), self.frame.labels, self.frame.name)
 

@@ -7573,6 +7573,139 @@ FROM scored WHERE pick = 1
 """
 
 
+def rolling_median_value_users(spark, sf):
+    """Trailing 5-event median of spend per user via GroupedFrame.
+    rolling_n(agg='median') — the JVM median window aggregate, no
+    collect/sort-in-Python; medians of integer cents are exact dyadics
+    (k or k+½), emitted doubled so the output stays integer."""
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    base = Frame(
+        ev.to_df()
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            epoch_us(F.col("ts"), dts).alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ),
+        labels=["user_id"],
+    )
+    rolled = base.group_by("user_id").rolling_n(
+        5, "cents", "median", order_by=["us", "event_id"], forward=False, out="med"
+    )
+    return (
+        rolled.to_df()
+        .filter(F.col("med").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("med") * 2).cast("long").alias("med_x2"),
+        )
+    )
+
+
+ROLLING_MEDIAN_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, ROUND(value * 100)::BIGINT AS cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT user_id, event_id,
+         MEDIAN(cents) OVER w AS med,
+         COUNT(*) OVER w AS cnt
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, (med * 2)::BIGINT AS med_x2 FROM r WHERE cnt = 5
+"""
+
+
+def flesch_reading_ease_by_source(spark, sf):
+    """Per-source mean Flesch Reading Ease (functions/text.
+    flesch_by_group): vowel-group syllable approximation, per-doc e6
+    quantization before the exact cross-doc sum — three JVM regexp
+    counters at scan speed, one aggregate."""
+    docs = load(spark, sf, "documents").to_df()
+    return text.flesch_by_group(docs, "source", "text")
+
+
+FLESCH_SQL = """
+WITH per AS (
+  SELECT source,
+         LEN(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS w,
+         GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+         GREATEST(LEN(regexp_extract_all(text, '[AEIOUYaeiouy]+')),
+                  LEN(regexp_extract_all(text, '[A-Za-z]+')))::BIGINT AS y
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), scored AS (
+  SELECT source,
+         CAST(FLOOR((206.835 - 1.015 * (w::DOUBLE / s::DOUBLE)
+                     - 84.6 * (y::DOUBLE / w::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS sc
+  FROM per WHERE w > 0
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       CAST(FLOOR(SUM(sc)::DOUBLE / COUNT(*)::DOUBLE + 0.5) AS BIGINT) AS mean_flesch_e6
+FROM scored GROUP BY source
+"""
+
+
+def ols2_spend_model_events(spark, sf):
+    """Per-event-type two-feature regression cents ~ hour + isodow
+    (functions/stats.ols2_by_group): nine exact long sums in one
+    hash-agg, Cramer's rule closed form — the smallest genuinely
+    multivariate model, still a single-pass aggregate at any scale."""
+    from tada_spark.functions import stats
+
+    ev = load(spark, sf, "events").to_df().filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return stats.ols2_by_group(
+        ev,
+        "event_type",
+        F.hour("ts").cast("long"),
+        (F.weekday("ts") + F.lit(1)).cast("long"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+OLS2_SQL = """
+WITH b AS (
+  SELECT event_type, HOUR(ts)::BIGINT AS a, ISODOW(ts)::BIGINT AS c,
+         ROUND(value * 100)::BIGINT AS t
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+), s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n,
+         SUM(a)::BIGINT AS s1, SUM(c)::BIGINT AS s2, SUM(t)::BIGINT AS sy,
+         SUM(a * a)::BIGINT AS s11, SUM(c * c)::BIGINT AS s22, SUM(a * c)::BIGINT AS s12,
+         SUM(a * t)::BIGINT AS s1y, SUM(c * t)::BIGINT AS s2y
+  FROM b GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+         n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE)
+           - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE)
+           + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE) AS det,
+         sy::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE)
+           - s1::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE)
+           + s2::DOUBLE * (s1y::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2y::DOUBLE) AS det0,
+         n::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE)
+           - sy::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE)
+           + s2::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE) AS det1,
+         n::DOUBLE * (s11::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s12::DOUBLE)
+           - s1::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE)
+           + sy::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE) AS det2
+  FROM s
+)
+SELECT event_type, n,
+       CASE WHEN det != 0 THEN CAST(FLOOR(det0 / det * 1000000 + 0.5) AS BIGINT) END AS b0_e6,
+       CASE WHEN det != 0 THEN CAST(FLOOR(det1 / det * 1000000 + 0.5) AS BIGINT) END AS b1_e6,
+       CASE WHEN det != 0 THEN CAST(FLOOR(det2 / det * 1000000 + 0.5) AS BIGINT) END AS b2_e6
+FROM d
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7787,4 +7920,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gini_order_value_by_priority": (gini_order_value_by_priority, GINI_SQL),
     "wilson_purchase_rate_by_hour": (wilson_purchase_rate_by_hour, WILSON_SQL),
     "cusum_change_events": (cusum_change_events, CUSUM_SQL),
+    "rolling_median_value_users": (rolling_median_value_users, ROLLING_MEDIAN_SQL),
+    "flesch_reading_ease_by_source": (flesch_reading_ease_by_source, FLESCH_SQL),
+    "ols2_spend_model_events": (ols2_spend_model_events, OLS2_SQL),
 }

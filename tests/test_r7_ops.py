@@ -531,3 +531,64 @@ def test_cusum_known(spark):
     )
     row = cusum_changepoint(df, "k", "t", F.col("x")).first()
     assert (row.change_at, row.n, row.cusum_e6) == (2, 4, 9_000_000)
+
+
+def test_rolling_median_known(spark):
+    """Trailing 3-window medians over 1, 9, 2, 8: [1], [1,9], [1,9,2],
+    [9,2,8] → complete windows yield 2 and 8 (odd n = middle; the
+    collect+sort path, since Spark's median aggregate rejects frames)."""
+    f = Frame(
+        spark.createDataFrame(
+            [(1, 1, 1), (1, 2, 9), (1, 3, 2), (1, 4, 8)], "k long, t long, x long"
+        ),
+        labels=["k"],
+    )
+    out = {
+        r.t: r.med
+        for r in f.group_by("k").rolling_n(3, "x", "median", order_by="t", forward=False, out="med").df.collect()
+    }
+    assert out[1] is None and out[2] is None
+    assert out[3] == 2.0 and out[4] == 8.0
+
+
+def test_rolling_median_even_window_averages_middles(spark):
+    f = Frame(
+        spark.createDataFrame([(1, 1, 1), (1, 2, 4), (1, 3, 2)], "k long, t long, x long"),
+        labels=["k"],
+    )
+    out = {
+        r.t: r.med
+        for r in f.group_by("k").rolling_n(2, "x", "median", order_by="t", forward=False, out="med").df.collect()
+    }
+    assert out[2] == 2.5 and out[3] == 3.0
+
+
+def test_ols2_exact_plane(spark):
+    """Points on y = 2 + 3·x1 + 5·x2 recover the coefficients exactly."""
+    from tada_spark.functions.stats import ols2_by_group
+
+    rows = [(a, c, 2 + 3 * a + 5 * c) for a in (0, 1, 2) for c in (0, 1)]
+    df = spark.createDataFrame([("g", *r) for r in rows], "g string, a long, c long, y long")
+    row = ols2_by_group(df, "g", F.col("a"), F.col("c"), F.col("y")).first()
+    assert (row.b0_e6, row.b1_e6, row.b2_e6) == (2_000_000, 3_000_000, 5_000_000)
+
+
+def test_ols2_singular_is_null(spark):
+    from tada_spark.functions.stats import ols2_by_group
+
+    df = spark.createDataFrame(
+        [("g", 1, 2, 10), ("g", 2, 4, 20), ("g", 3, 6, 30)], "g string, a long, c long, y long"
+    )  # c = 2a: collinear
+    row = ols2_by_group(df, "g", F.col("a"), F.col("c"), F.col("y")).first()
+    assert row.b0_e6 is None and row.b1_e6 is None and row.b2_e6 is None
+
+
+def test_flesch_known(spark):
+    """'Go now. It is fun.' → words 5, sentences 2, vowel groups 5
+    (o, o, i, i, u) → score = 206.835 − 1.015·2.5 − 84.6·1 = 119.6975."""
+    from tada_spark.functions.text import flesch_by_group
+
+    df = spark.createDataFrame([("s", "Go now. It is fun.")], "g string, t string")
+    row = flesch_by_group(df, "g", "t").first()
+    assert row.n_docs == 1
+    assert row.mean_flesch_e6 == math.floor((206.835 - 1.015 * 2.5 - 84.6 * 1.0) * 1e6 + 0.5)
