@@ -638,3 +638,191 @@ def ols2_by_group(
         F.when(ok, e6(det1 / det)).alias("b1_e6"),
         F.when(ok, e6(det2 / det)).alias("b2_e6"),
     )
+
+
+def _midranks_x2(df: DataFrame, group_col: str, col: str, out: str) -> DataFrame:
+    """Doubled midranks of ``col`` within ``group_col`` via the bounded
+    bin-table trick (mann_whitney_u): counts per distinct value, a
+    window over the per-group value spine, join back on (group, value).
+    The join's build side is the spine — O(groups × distinct values),
+    broadcastable — so rank assignment never sorts the fact rows."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col, col).agg(F.count(F.lit(1)).alias("__t__"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spine = counts.select(
+        group_col,
+        col,
+        (
+            F.lit(2) * F.coalesce(F.sum("__t__").over(w), F.lit(0))
+            + F.col("__t__")
+            + F.lit(1)
+        ).alias(out),
+    )
+    return df.join(spine, [group_col, col])
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with midrank ties — the
+    monotone-association companion to corr_by_group's linear Pearson:
+    ρ = Pearson over the rank vectors. Doubled midranks keep every rank
+    an exact integer (the mann_whitney_u device), so the six Pearson
+    sums are exact longs and ρ's closed form is one fixed IEEE tree.
+    NULL on zero rank variance (a constant variable). NULL x/y rows
+    drop up front.
+
+    100 TB shape: two bounded (group, value)-spine windows + two
+    broadcastable joins back to the facts, then ONE six-sum hash-agg —
+    rank assignment with no fact-table sort. Integer bound: Σ(rx·ry)
+    with doubled ranks needs n³ ≲ 2^61 → n ≲ 1.3e6 rows per group;
+    beyond that lift the sums to DECIMAL(38,0)."""
+    base = df.filter(x.isNotNull() & y.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col), x.cast("long").alias("__x__"), y.cast("long").alias("__y__")
+    )
+    ranked = _midranks_x2(
+        _midranks_x2(base, group_col, "__x__", "__rx__"), group_col, "__y__", "__ry__"
+    )
+    a = F.col("__rx__")
+    b = F.col("__ry__")
+    sums = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(a).alias("sx"),
+        F.sum(b).alias("sy"),
+        F.sum(a * b).alias("sxy"),
+        F.sum(a * a).alias("sxx"),
+        F.sum(b * b).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    rho = F.when((denx > 0) & (deny > 0), num / (F.sqrt(denx) * F.sqrt(deny)))
+    return sums.select(
+        group_col,
+        "n",
+        F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("long").alias("spearman_e6"),
+    )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), pinned as 6-dp
+#: literals so the chi-square tree never computes a transcendental at
+#: runtime (the wilson z convention).
+BENFORD_P = (0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+             0.066947, 0.057992, 0.051153, 0.045757)
+
+
+def benford_chi2(df: DataFrame, value: Column) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer measure —
+    the classic fabricated-data screen. One conditional-sum aggregate
+    counts digits 1-9 (first digit via string head — exact on integers,
+    no float log); χ² = Σ_d (obs − n·p_d)²/(n·p_d) with p_d pinned
+    literals, each digit's contribution e6-floor-quantized BEFORE the
+    exact integer sum (the BM25/KL discipline). Returns one row:
+    (n, chi2_e6, and obs_1..obs_9 for the full fingerprint). Non-
+    positive values drop (Benford is defined on positive magnitudes)."""
+    d = F.substring(value.cast("string"), 1, 1).cast("int")
+    base = df.filter(value.isNotNull() & (value > 0)).select(d.alias("__d__"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(F.when(F.col("__d__") == i, F.lit(1))).alias(f"obs_{i}")
+            for i in range(1, 10)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    terms = []
+    for i, p in enumerate(BENFORD_P, start=1):
+        e = nd * F.lit(p)
+        dev = F.col(f"obs_{i}").cast("double") - e
+        terms.append(F.floor(dev * dev / e * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    chi2_e6 = terms[0]
+    for t in terms[1:]:
+        chi2_e6 = chi2_e6 + t
+    return agg.select(
+        "n",
+        chi2_e6.alias("chi2_e6"),
+        *[f"obs_{i}" for i in range(1, 10)],
+    )
+
+
+def km_survival(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group, kept in LOG domain so it
+    is exact and hash-comparable: input is one row per subject
+    (group, integer duration, event flag — False = right-censored);
+    output is one row per event time d with
+
+        log S(d) = Σ_{t ≤ d, steps} q6(det_ln((n_t − e_t)/n_t))
+
+    where n_t = at-risk count (subjects with duration ≥ t), e_t =
+    events at t. Each step's log term quantizes to e6 BEFORE the exact
+    integer cumulative sum (the EWMA/KL replayable-recurrence
+    discipline), so the curve is an integer column both engines agree
+    on; S itself is exp(log_surv_e6/1e6) for display. Steps where all
+    at-risk fail (n = e) clamp to det_ln's floor — both engines clamp
+    identically.
+
+    100 TB shape: subjects collapse to a (group, duration) spine in ONE
+    hash-agg; at-risk counts and the cumulative log-sum are two framed
+    passes over the SAME per-group spine sort (O(distinct durations)
+    rows, not subjects). Emits (group, d, n_risk, d_events,
+    log_surv_e6)."""
+    from pyspark.sql.window import Window
+
+    from tada_spark.plans.semantics import det_ln
+
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        F.col(duration_col).cast("long").alias("d"),
+        F.col(event_col).cast("boolean").alias("ev"),
+    )
+    spine = base.groupBy(group_col, "d").agg(
+        F.count(F.when(F.col("ev"), F.lit(1))).alias("e"),
+        F.count(F.lit(1)).alias("arrivals"),
+    )
+    w = Window.partitionBy(group_col).orderBy("d")
+    before = F.coalesce(
+        F.sum("arrivals").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    total = F.sum("arrivals").over(Window.partitionBy(group_col))
+    risked = spine.select(
+        group_col,
+        "d",
+        "e",
+        (total - before).alias("n_risk"),
+    ).filter(F.col("e") > 0)
+    term = F.floor(
+        det_ln(
+            (F.col("n_risk") - F.col("e")).cast("double") / F.col("n_risk").cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    stepped = risked.withColumn("__t__", term)
+    cum = F.sum("__t__").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return stepped.select(
+        group_col,
+        "d",
+        F.col("n_risk"),
+        F.col("e").alias("d_events"),
+        cum.alias("log_surv_e6"),
+    )

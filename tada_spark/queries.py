@@ -7706,6 +7706,190 @@ FROM d
 """
 
 
+def spearman_value_hour_events(spark, sf):
+    """Per-event-type Spearman rank correlation of spend vs hour
+    (functions/stats.spearman_by_group): doubled midranks from bounded
+    value spines, Pearson closed form on exact integer rank sums —
+    monotone association where corr_value_hour_events is linear."""
+    from tada_spark.functions import stats
+
+    ev = load(spark, sf, "events").to_df().filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return stats.spearman_by_group(
+        ev,
+        "event_type",
+        F.hour("ts").cast("long"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH b AS (
+  SELECT event_type AS g, HOUR(ts)::BIGINT AS x, ROUND(value * 100)::BIGINT AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+), cx AS (
+  SELECT g, x, COUNT(*)::BIGINT AS t FROM b GROUP BY g, x
+), rx AS (
+  SELECT g, x,
+         2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rxx
+  FROM cx
+), cy AS (
+  SELECT g, y, COUNT(*)::BIGINT AS t FROM b GROUP BY g, y
+), ry AS (
+  SELECT g, y,
+         2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS ryy
+  FROM cy
+), j AS (
+  SELECT b.g, rx.rxx AS a, ry.ryy AS c
+  FROM b JOIN rx ON b.g = rx.g AND b.x = rx.x
+         JOIN ry ON b.g = ry.g AND b.y = ry.y
+), s AS (
+  SELECT g, COUNT(*)::BIGINT AS n, SUM(a)::BIGINT AS sx, SUM(c)::BIGINT AS sy,
+         SUM(a * c)::BIGINT AS sxy, SUM(a * a)::BIGINT AS sxx, SUM(c * c)::BIGINT AS syy
+  FROM j GROUP BY g
+)
+SELECT g AS event_type, n,
+       CAST(FLOOR((CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+             THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (SQRT(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * SQRT(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END)
+             * 1000000 + 0.5) AS BIGINT) AS spearman_e6
+FROM s
+"""
+
+
+def benford_order_totals(spark, sf):
+    """Benford first-digit audit of order totals in cents
+    (functions/stats.benford_chi2): one conditional-sum aggregate,
+    χ² from pinned literal probabilities, per-digit contribution
+    e6-quantized before the exact sum."""
+    from tada_spark.functions import stats
+
+    orders = load(spark, sf, "orders").to_df()
+    return stats.benford_chi2(orders, F.round(F.col("o_totalprice") * 100).cast("long"))
+
+
+def _benford_sql() -> str:
+    from tada_spark.functions.stats import BENFORD_P
+
+    obs = ",\n         ".join(
+        f"COUNT(*) FILTER (d = {i})::BIGINT AS obs_{i}" for i in range(1, 10)
+    )
+    terms = "\n       + ".join(
+        f"CAST(FLOOR((obs_{i}::DOUBLE - n::DOUBLE * {p!r}) * (obs_{i}::DOUBLE - n::DOUBLE * {p!r})"
+        f" / (n::DOUBLE * {p!r}) * 1000000 + 0.5) AS BIGINT)"
+        for i, p in enumerate(BENFORD_P, start=1)
+    )
+    cols = ", ".join(f"obs_{i}" for i in range(1, 10))
+    return f"""
+WITH b AS (
+  SELECT SUBSTR(ROUND(o_totalprice * 100)::BIGINT::VARCHAR, 1, 1)::INT AS d
+  FROM orders WHERE o_totalprice IS NOT NULL AND ROUND(o_totalprice * 100)::BIGINT > 0
+), agg AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         {obs}
+  FROM b
+)
+SELECT n,
+       {terms} AS chi2_e6,
+       {cols}
+FROM agg
+"""
+
+
+BENFORD_SQL = _benford_sql()
+
+
+def km_time_to_purchase(spark, sf):
+    """Kaplan-Meier time-to-first-purchase per entry cohort (the
+    user's first event type), right-censoring never-purchasers at
+    their last event (functions/stats.km_survival): subjects built in
+    one user-keyed aggregate, the curve in log domain — per-step
+    det_ln terms e6-quantized before the exact integer cumulative sum."""
+    from tada_spark.functions import stats
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    base = ev.to_df().filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts"), dts).alias("us"),
+        F.format_string("%020d-%012d", epoch_us(F.col("ts"), dts), F.col("event_id")).alias("ord"),
+    )
+    subj = base.groupBy("user_id").agg(
+        F.min_by("event_type", F.col("ord")).alias("cohort"),
+        F.min("us").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("pt"),
+        F.max("us").alias("tmax"),
+    )
+    end = F.coalesce(F.col("pt"), F.col("tmax"))
+    subjects = subj.select(
+        "cohort",
+        F.floor((end - F.col("t0")) / F.lit(86400000000.0)).cast("long").alias("dur_days"),
+        F.col("pt").isNotNull().alias("ev"),
+    )
+    return stats.km_survival(subjects, "cohort", "dur_days", "ev")
+
+
+def _km_sql() -> str:
+    ln = _det_ln_ctes(
+        x="(n_risk - e)::DOUBLE / n_risk::DOUBLE",
+        src="risked",
+        keys="cohort, d, e, n_risk",
+        out="lnv",
+        prefix="__km",
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         printf('%020d-%012d', epoch_us(ts), event_id) AS ord
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), subj AS (
+  SELECT user_id,
+         arg_min(event_type, ord) AS cohort,
+         MIN(us) AS t0,
+         MIN(us) FILTER (event_type = 'purchase') AS pt,
+         MAX(us) AS tmax
+  FROM base GROUP BY user_id
+), subjects AS (
+  SELECT cohort,
+         CAST(FLOOR((COALESCE(pt, tmax) - t0)::DOUBLE / 86400000000.0) AS BIGINT) AS d,
+         (pt IS NOT NULL) AS ev
+  FROM subj
+), spine AS (
+  SELECT cohort, d,
+         COUNT(*) FILTER (ev)::BIGINT AS e,
+         COUNT(*)::BIGINT AS arrivals
+  FROM subjects GROUP BY cohort, d
+), risked AS (
+  SELECT cohort, d, e,
+         (SUM(arrivals) OVER (PARTITION BY cohort)
+          - COALESCE(SUM(arrivals) OVER (PARTITION BY cohort ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+  FROM spine
+  QUALIFY e > 0
+), {ln}, stepped AS (
+  SELECT cohort, d, n_risk, e,
+         CAST(FLOOR(lnv * 1000000 + 0.5) AS BIGINT) AS t
+  FROM __kmn
+)
+SELECT cohort, d, n_risk, e AS d_events,
+       SUM(t) OVER (PARTITION BY cohort ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS log_surv_e6
+FROM stepped
+"""
+
+
+KM_SQL = _km_sql()
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -7923,4 +8107,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rolling_median_value_users": (rolling_median_value_users, ROLLING_MEDIAN_SQL),
     "flesch_reading_ease_by_source": (flesch_reading_ease_by_source, FLESCH_SQL),
     "ols2_spend_model_events": (ols2_spend_model_events, OLS2_SQL),
+    "spearman_value_hour_events": (spearman_value_hour_events, SPEARMAN_SQL),
+    "benford_order_totals": (benford_order_totals, BENFORD_SQL),
+    "km_time_to_purchase": (km_time_to_purchase, KM_SQL),
 }

@@ -592,3 +592,46 @@ def test_flesch_known(spark):
     row = flesch_by_group(df, "g", "t").first()
     assert row.n_docs == 1
     assert row.mean_flesch_e6 == math.floor((206.835 - 1.015 * 2.5 - 84.6 * 1.0) * 1e6 + 0.5)
+
+
+def test_spearman_known_monotone(spark):
+    from tada_spark.functions.stats import spearman_by_group
+
+    rows = [("a", i, i * i) for i in range(1, 6)] + [("b", i, -i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r.spearman_e6 for r in spearman_by_group(df, "g", F.col("x"), F.col("y")).collect()}
+    assert out["a"] == 1_000_000  # any monotone map has rho = 1
+    assert out["b"] == -1_000_000
+
+
+def test_benford_known(spark):
+    from tada_spark.functions.stats import BENFORD_P, benford_chi2
+
+    df = spark.createDataFrame([(1,), (19,), (2,)], "v long")
+    row = benford_chi2(df, F.col("v")).first()
+    assert (row.n, row.obs_1, row.obs_2) == (3, 2, 1)
+    exp = 0
+    obs = {1: 2, 2: 1}
+    for i, p in enumerate(BENFORD_P, start=1):
+        e = 3.0 * p
+        d = obs.get(i, 0) - e
+        exp += math.floor(d * d / e * 1e6 + 0.5)
+    assert row.chi2_e6 == exp
+
+
+def test_km_survival_known(spark):
+    """Durations 1(event), 2(censored), 3(event): steps at d=1
+    (n=3, e=1 → ln 2/3) and d=3 (n=1, e=1 → det_ln clamp at ln 1e-6);
+    the curve is the running integer sum of e6-quantized terms."""
+    from tada_spark.functions.stats import km_survival
+    from tada_spark.plans.semantics import py_det_ln
+
+    df = spark.createDataFrame(
+        [("g", 1, True), ("g", 2, False), ("g", 3, True)], "g string, d long, e boolean"
+    )
+    rows = {r.d: r for r in km_survival(df, "g", "d", "e").collect()}
+    assert set(rows) == {1, 3}
+    t1 = math.floor(py_det_ln(2.0 / 3.0) * 1e6 + 0.5)
+    t3 = math.floor(py_det_ln(0.0 / 1.0) * 1e6 + 0.5)
+    assert (rows[1].n_risk, rows[1].d_events, rows[1].log_surv_e6) == (3, 1, t1)
+    assert (rows[3].n_risk, rows[3].d_events, rows[3].log_surv_e6) == (1, 1, t1 + t3)
