@@ -826,3 +826,92 @@ def km_survival(
         F.col("e").alias("d_events"),
         cum.alias("log_surv_e6"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    source_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    bucket: int = 4096,
+) -> DataFrame:
+    """Map every source's values onto the POOLED distribution (the
+    map-to-reference form of quantile normalization): a row at ordinal
+    rank r of n_src within its source lands at pooled position
+    p = round((r−1)·(N−1)/(n_src−1)) + 1 and takes the pooled value
+    whose CDF interval contains p (nearest-rank inverse CDF — no
+    interpolation, so everything stays exact integers; a single-row
+    source maps to the pooled median position; ranks tie-break on
+    ``id_col``). The cross-source feature equalizer that makes quality
+    scores comparable across crawls.
+
+    100 TB shape: per-source ranks are one keyed window; the pooled
+    CDF is a (value)-spine aggregate; the inverse-CDF lookup is a
+    BUCKETED equi-join in position space (intervals explode to the
+    fixed-width buckets they span — the range_join device), never a
+    broadcast of the spine or a nested loop. N (pooled count) rides a
+    1-row broadcast (the allowlisted scalar crossJoin). Integer bound:
+    (r−1)·(N−1) < 2^63 → N < 3e9 rows.
+
+    Emits (id, source, value, norm_value)."""
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(source_col).isNotNull() & F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col), F.col(source_col), F.col(value_col).cast("long").alias("__v__")
+    )
+    wsrc = Window.partitionBy(source_col).orderBy("__v__", id_col)
+    ranked = base.select(
+        id_col,
+        source_col,
+        "__v__",
+        F.row_number().over(wsrc).alias("__r__"),
+        F.count(F.lit(1)).over(Window.partitionBy(source_col)).alias("__ns__"),
+    )
+    total = base.agg(F.count(F.lit(1)).alias("__N__"))
+    num = (F.col("__r__") - 1) * (F.col("__N__") - 1)
+    den = F.col("__ns__") - 1
+    p = (
+        F.when(den > 0, F.floor((F.lit(2) * num + den) / (F.lit(2) * den)))
+        .otherwise(F.floor((F.col("__N__") - 1) / F.lit(2.0) + F.lit(0.5)))
+        .cast("long")
+        + F.lit(1)
+    )
+    probes = ranked.crossJoin(F.broadcast(total)).select(
+        id_col,
+        source_col,
+        "__v__",
+        p.alias("__p__"),
+        F.floor((p - 1) / F.lit(bucket)).cast("long").alias("__bkt__"),
+    )
+    wpool = Window.orderBy("__v__").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        base.groupBy("__v__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .select(
+            F.col("__v__").alias("__nv__"),
+            (F.coalesce(F.sum("__cnt__").over(wpool), F.lit(0)) + 1).alias("__lo__"),
+            (F.coalesce(F.sum("__cnt__").over(wpool), F.lit(0)) + F.col("__cnt__")).alias("__hi__"),
+        )
+    )
+    intervals = spine.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__lo__") - 1) / F.lit(bucket)).cast("long"),
+                F.floor((F.col("__hi__") - 1) / F.lit(bucket)).cast("long"),
+            )
+        ),
+    )
+    return (
+        probes.join(intervals, "__bkt__")
+        .filter((F.col("__p__") >= F.col("__lo__")) & (F.col("__p__") <= F.col("__hi__")))
+        .select(
+            id_col,
+            source_col,
+            F.col("__v__").alias("value"),
+            F.col("__nv__").alias("norm_value"),
+        )
+    )

@@ -888,3 +888,34 @@ def flesch_by_group(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("mean_flesch_e6"),
     )
+
+
+def exact_substring_hits(
+    corpus: DataFrame,
+    needles: DataFrame,
+    *,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    needle_id: str = "eval_id",
+    needle_text: str = "needle",
+) -> DataFrame:
+    """EXACT-match tier of benchmark decontamination: every (train doc,
+    eval needle) pair where the needle occurs verbatim, with its first
+    1-based character position — the zero-false-positive complement of
+    the shingle-overlap check (contamination_hits), catching short eval
+    samples embedded inside long train docs that set-overlap scoring
+    dilutes away.
+
+    100 TB shape: the needle table (an eval set — thousands of rows,
+    not billions) BROADCASTS and sweeps the partitioned corpus — the
+    allowlisted ann-style nested loop, linear in the corpus; the JVM
+    substring search runs at scan speed and emits only hits. Never a
+    corpus×corpus product."""
+    hits = corpus.select(corpus_id, corpus_text).join(
+        F.broadcast(needles.select(needle_id, needle_text))
+    )
+    pos = F.expr(f"locate({needle_text}, {corpus_text})")
+    return (
+        hits.select(corpus_id, needle_id, pos.alias("position"))
+        .filter(F.col("position") > 0)
+    )

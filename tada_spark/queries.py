@@ -7890,6 +7890,106 @@ FROM stepped
 KM_SQL = _km_sql()
 
 
+def quantile_normalize_docs(spark, sf):
+    """Cross-source quantile normalization of document length
+    (functions/stats.quantile_normalize): each source's length
+    distribution maps onto the pooled one via nearest-rank inverse CDF
+    — exact integer ranks, bucketed position-space join, no spine
+    broadcast."""
+    from tada_spark.functions import stats
+
+    docs = load(spark, sf, "documents").to_df().select(
+        "doc_id", "source", F.length("text").cast("long").alias("len")
+    )
+    return stats.quantile_normalize(docs, "source", "len", "doc_id")
+
+
+QUANTILE_NORM_SQL = """
+WITH base AS (
+  SELECT doc_id, source, LENGTH(text)::BIGINT AS v
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL
+), ranked AS (
+  SELECT doc_id, source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ns,
+         (SELECT COUNT(*) FROM base) AS N
+  FROM base
+), probes AS (
+  SELECT doc_id, source, v,
+         (CASE WHEN ns - 1 > 0
+               THEN (2 * (r - 1) * (N - 1) + (ns - 1)) // (2 * (ns - 1))
+               ELSE FLOOR((N - 1) / 2.0 + 0.5)::BIGINT END + 1) AS p
+  FROM ranked
+), spine AS (
+  SELECT v AS nv,
+         COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS lo,
+         COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt AS hi
+  FROM (SELECT v, COUNT(*)::BIGINT AS cnt FROM base GROUP BY v)
+)
+SELECT p.doc_id, p.source, p.v AS value, s.nv AS norm_value
+FROM probes p JOIN spine s ON p.p >= s.lo AND p.p <= s.hi
+"""
+
+
+def exact_decontamination_hits(spark, sf):
+    """Exact-substring decontamination (functions/text.
+    exact_substring_hits): 40-char probes cut from the synthetic eval
+    subset (doc_id % 97 = 0) searched verbatim in the remaining corpus;
+    emits (doc_id, eval_id, position) — the zero-false-positive tier
+    beside the shingle-overlap check."""
+    from tada_spark.functions.text import exact_substring_hits
+
+    docs = load(spark, sf, "documents").to_df()
+    needles = (
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.length("text") >= 50))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.substring("text", 10, 40).alias("needle"),
+        )
+    )
+    # the synthetic corpus has no real contamination, which would make
+    # this a vacuous 0-row check — inject it deterministically: every
+    # 101st train doc gets the needle of eval doc 97·(doc_id % 3)
+    # appended (ids 0/97/194 exist at every certified sf), so the
+    # verbatim search has guaranteed true positives to find
+    inj = needles.select(
+        F.col("eval_id").alias("__ek__"), F.col("needle").alias("__ntx__")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .withColumn("__ek__", F.col("doc_id") % 3 * 97)
+        .join(F.broadcast(inj), "__ek__", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 101 == 0) & F.col("__ntx__").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("__ntx__")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return exact_substring_hits(corpus, needles)
+
+
+EXACT_DECON_SQL = """
+WITH needles AS (
+  SELECT doc_id AS eval_id, SUBSTR(text, 10, 40) AS needle
+  FROM documents WHERE doc_id % 97 = 0 AND LENGTH(text) >= 50
+), corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 101 = 0 AND n.needle IS NOT NULL
+              THEN d.text || ' ' || n.needle ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN needles n ON n.eval_id = (d.doc_id % 3) * 97
+  WHERE d.doc_id % 97 != 0
+)
+SELECT c.doc_id, n.eval_id, POSITION(n.needle IN c.text)::INT AS position
+FROM corpus c, needles n
+WHERE POSITION(n.needle IN c.text) > 0
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8110,4 +8210,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "spearman_value_hour_events": (spearman_value_hour_events, SPEARMAN_SQL),
     "benford_order_totals": (benford_order_totals, BENFORD_SQL),
     "km_time_to_purchase": (km_time_to_purchase, KM_SQL),
+    "quantile_normalize_docs": (quantile_normalize_docs, QUANTILE_NORM_SQL),
+    "exact_decontamination_hits": (exact_decontamination_hits, EXACT_DECON_SQL),
 }

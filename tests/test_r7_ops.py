@@ -635,3 +635,33 @@ def test_km_survival_known(spark):
     t3 = math.floor(py_det_ln(0.0 / 1.0) * 1e6 + 0.5)
     assert (rows[1].n_risk, rows[1].d_events, rows[1].log_surv_e6) == (3, 1, t1)
     assert (rows[3].n_risk, rows[3].d_events, rows[3].log_surv_e6) == (1, 1, t1 + t3)
+
+
+def test_quantile_normalize_known(spark):
+    """Sources [1,2,3] and [10,20,30] over pooled [1,2,3,10,20,30]:
+    ranks 1/2/3 of 3 land at pooled positions 1/4/6 → both sources
+    normalize to the SAME [1, 10, 30] — the equalization property."""
+    from tada_spark.functions.stats import quantile_normalize
+
+    rows = [("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 4, 10), ("b", 5, 20), ("b", 6, 30)]
+    df = spark.createDataFrame(rows, "s string, i long, v long")
+    out = {
+        (r.s, r.value): r.norm_value
+        for r in quantile_normalize(df, "s", "v", "i").collect()
+    }
+    assert out == {
+        ("a", 1): 1, ("a", 2): 10, ("a", 3): 30,
+        ("b", 10): 1, ("b", 20): 10, ("b", 30): 30,
+    }
+
+
+def test_exact_substring_hits_known(spark):
+    from tada_spark.functions.text import exact_substring_hits
+
+    corpus = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "nothing here")], "doc_id long, text string"
+    )
+    needles = spark.createDataFrame([(9, "world")], "eval_id long, needle string")
+    rows = exact_substring_hits(corpus, needles).collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_id, rows[0].eval_id, rows[0].position) == (1, 9, 7)

@@ -103,6 +103,11 @@ ALLOWED_BNLJ = {
     # the batch-hard mining sweep — linear in the corpus, same shape
     # as ann_topk_exact_ivf
     "triplet_mining_embeddings",
+    # 1-row pooled-count broadcast (the documented scalar crossJoin)
+    "quantile_normalize_docs",
+    # eval-set needle broadcast × partitioned corpus: the exact-match
+    # decontamination sweep — linear in the corpus
+    "exact_decontamination_hits",
 }
 
 
