@@ -601,3 +601,101 @@ def image_dhash_features(
             yield pd.DataFrame({id_col: ids, "dhash": pd.array(hashes, dtype="int64")})
 
     return df.mapInPandas(run, schema=f"{id_col} long, dhash long")
+
+
+def audio_frame_energies(
+    df: DataFrame,
+    *,
+    frame: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    samples_decoder=None,
+) -> DataFrame:
+    """Frame-level energy extraction over binary audio payloads: REAL
+    PCM decode (wav_pcm_samples) in mapInPandas, then per non-
+    overlapping ``frame``-sample window the EXACT integer energy
+    Σ k² of the recovered int16 samples (k = round(sample·32768) —
+    lossless for PCM16, so no float leaves the Python boundary). A
+    trailing partial frame is dropped (pinned convention). Undecodable
+    payloads drop (the corpus-prep policy).
+
+    Output (media_id, frame_idx, energy) — the substrate for VAD,
+    silence trimming, clipping detection; everything downstream is JVM
+    window algebra, never Python."""
+    import numpy as np
+    import pandas as pd
+
+    decode = samples_decoder or wav_pcm_samples
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "energy": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _sr, samples = decode(payload)
+                except Exception:
+                    continue
+                k = np.rint(samples * 32768.0).astype(np.int64)
+                nf = k.size // frame
+                if nf == 0:
+                    continue
+                e = (k[: nf * frame].reshape(nf, frame) ** 2).sum(axis=1)
+                out["media_id"].extend([int(mid)] * nf)
+                out["frame_idx"].extend(range(nf))
+                out["energy"].extend(int(x) for x in e)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="media_id long, frame_idx long, energy long"
+    )
+
+
+def vad_segments(
+    energies: DataFrame,
+    *,
+    threshold: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Voice-activity summary from frame energies: voiced = energy ≥
+    threshold (exact integer compare); consecutive voiced frames merge
+    into segments via the gaps-and-islands device (segment starts where
+    a voiced frame follows a non-voiced one, running-sum numbering).
+    Emits per media: (n_frames, n_voiced, n_segments, longest_run).
+
+    100 TB shape: one shuffle on the media key; two framed passes over
+    the same per-media frame order; O(1) output per media."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    voiced = F.col("energy") >= F.lit(int(threshold))
+    start = voiced & ~F.coalesce(F.lag(voiced).over(w), F.lit(False))
+    seg = F.sum(F.when(start, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = energies.select(
+        id_col,
+        "frame_idx",
+        voiced.alias("__v__"),
+        seg.alias("__seg__"),
+    )
+    runs = (
+        marked.filter(F.col("__v__"))
+        .groupBy(id_col, "__seg__")
+        .agg(F.count(F.lit(1)).alias("__len__"))
+    )
+    per_run = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("__len__").alias("longest_run"),
+        F.sum("__len__").alias("n_voiced"),
+    )
+    totals = marked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        totals.join(per_run, id_col, "left")
+        .select(
+            id_col,
+            "n_frames",
+            F.coalesce("n_voiced", F.lit(0)).alias("n_voiced"),
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+        )
+    )

@@ -7990,6 +7990,61 @@ WHERE POSITION(n.needle IN c.text) > 0
 """
 
 
+def audio_vad_real(spark, sf):
+    """Voice-activity detection over the REAL PCM decode path
+    (functions/multimodal.audio_frame_energies + vad_segments):
+    deterministic RIFF payloads (the wav_decode_real fixture stream)
+    decode to int16 samples, 16-sample frame energies are EXACT
+    integer Σk², and voiced-run segmentation is pure JVM
+    gaps-and-islands. The oracle rebuilds k_i = ((id·7 + i·13) mod
+    2001) − 1000 analytically — end-to-end real decode, integer-exact
+    check."""
+    from tada_spark.functions import multimodal
+
+    wavs = _det_wav_payloads(spark, sf)
+    energies = multimodal.audio_frame_energies(wavs, frame=16)
+    return multimodal.vad_segments(energies, threshold=5_300_000)
+
+
+AUDIO_VAD_SQL = """
+WITH docs_n AS (
+  SELECT doc_id AS media_id, 64 + (doc_id % 5) * 16 AS n FROM documents
+), samples AS (
+  SELECT media_id, s.i AS i,
+         ((media_id * 7 + s.i * 13) % 2001) - 1000 AS k
+  FROM docs_n, UNNEST(generate_series(0, n - 1)) AS s(i)
+), frames AS (
+  SELECT media_id, i // 16 AS frame_idx, SUM(k * k)::BIGINT AS energy
+  FROM samples GROUP BY media_id, i // 16
+), lagged AS (
+  SELECT media_id, frame_idx, (energy >= 5300000) AS v,
+         COALESCE(LAG(energy >= 5300000) OVER (PARTITION BY media_id ORDER BY frame_idx),
+                  FALSE) AS pv
+  FROM frames
+), marked AS (
+  SELECT media_id, frame_idx, v,
+         SUM(CASE WHEN v AND NOT pv THEN 1 ELSE 0 END)
+           OVER (PARTITION BY media_id ORDER BY frame_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM lagged
+), runs AS (
+  SELECT media_id, seg, COUNT(*)::BIGINT AS len
+  FROM marked WHERE v GROUP BY media_id, seg
+), per_run AS (
+  SELECT media_id, COUNT(*)::BIGINT AS n_segments, MAX(len)::BIGINT AS longest_run,
+         SUM(len)::BIGINT AS n_voiced
+  FROM runs GROUP BY media_id
+), totals AS (
+  SELECT media_id, COUNT(*)::BIGINT AS n_frames FROM marked GROUP BY media_id
+)
+SELECT t.media_id, t.n_frames,
+       COALESCE(p.n_voiced, 0) AS n_voiced,
+       COALESCE(p.n_segments, 0) AS n_segments,
+       COALESCE(p.longest_run, 0) AS longest_run
+FROM totals t LEFT JOIN per_run p ON t.media_id = p.media_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8212,4 +8267,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "km_time_to_purchase": (km_time_to_purchase, KM_SQL),
     "quantile_normalize_docs": (quantile_normalize_docs, QUANTILE_NORM_SQL),
     "exact_decontamination_hits": (exact_decontamination_hits, EXACT_DECON_SQL),
+    "audio_vad_real": (audio_vad_real, AUDIO_VAD_SQL),
 }

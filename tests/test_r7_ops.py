@@ -665,3 +665,33 @@ def test_exact_substring_hits_known(spark):
     rows = exact_substring_hits(corpus, needles).collect()
     assert len(rows) == 1
     assert (rows[0].doc_id, rows[0].eval_id, rows[0].position) == (1, 9, 7)
+
+
+def test_audio_frame_energies_and_vad(spark):
+    """16 samples of +100 then 16 of 0: frame energies 160000 and 0 →
+    one voiced segment of length 1 at threshold 100000; partial tail
+    frames drop."""
+    from tada_spark.functions import multimodal
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<40h", *([100] * 16 + [0] * 16 + [7] * 8)))
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "media_id long, payload binary")
+    en = {r.frame_idx: r.energy for r in multimodal.audio_frame_energies(df, frame=16).collect()}
+    assert en == {0: 16 * 100 * 100, 1: 0}  # the 8-sample tail dropped
+    seg = multimodal.vad_segments(
+        multimodal.audio_frame_energies(df, frame=16), threshold=100000
+    ).first()
+    assert (seg.n_frames, seg.n_voiced, seg.n_segments, seg.longest_run) == (2, 1, 1, 1)
+
+
+def test_vad_segments_islands(spark):
+    from tada_spark.functions import multimodal
+
+    rows = [(1, i, e) for i, e in enumerate([9, 9, 0, 9, 0, 9, 9, 9])]
+    df = spark.createDataFrame(rows, "media_id long, frame_idx long, energy long")
+    r = multimodal.vad_segments(df, threshold=5).first()
+    assert (r.n_frames, r.n_voiced, r.n_segments, r.longest_run) == (8, 6, 3, 3)
