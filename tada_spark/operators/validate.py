@@ -145,3 +145,63 @@ def referential_report(edges) -> DataFrame:
         referential_check(*e[:4], edge=e[4] if len(e) > 4 else None) for e in edges
     ]
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def fk_candidates(
+    columns: list[tuple[DataFrame, str, str]],
+    *,
+    min_containment_e6: int = 950000,
+) -> DataFrame:
+    """Foreign-key DISCOVERY across tables (the inference complement of
+    referential_check's known-edge audit): for every ordered pair of
+    candidate key columns, the containment fraction
+    |distinct(child) ∩ distinct(parent)| / |distinct(child)| — a
+    near-1 containment of a non-key column in a key column is how
+    profilers propose FK edges on an undocumented lake.
+
+    Input: (df, column, label) triples. ALL pairs are scored by ONE
+    value-keyed self-join over the stacked per-column distinct values —
+    never |columns|² separate scans: each table contributes one
+    distinct-aggregate, the stack is (label, value) rows, and the join
+    groups straight back down to O(pairs) counts.
+
+    Emits (child_col, parent_col, n_child, n_shared, containment_e6,
+    is_candidate) for every directed pair; containment divides once
+    (floor idiom). NULL values are ignored (they carry no FK
+    evidence)."""
+    from functools import reduce
+
+    stacks = [
+        df.select(
+            F.lit(label).alias("col_id"),
+            F.col(col).cast("string").alias("val"),
+        )
+        .filter(F.col("val").isNotNull())
+        .distinct()
+        for df, col, label in columns
+    ]
+    vals = reduce(lambda a, b: a.unionByName(b), stacks)
+    counts = vals.groupBy("col_id").agg(F.count(F.lit(1)).alias("n_child"))
+    a = vals.select(F.col("col_id").alias("child_col"), "val")
+    b = vals.select(F.col("col_id").alias("parent_col"), "val")
+    inter = (
+        a.join(b, "val")
+        .filter(F.col("child_col") != F.col("parent_col"))
+        .groupBy("child_col", "parent_col")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = inter.join(
+        counts.withColumnRenamed("col_id", "child_col"), "child_col"
+    )
+    containment = F.floor(
+        F.col("n_shared").cast("double") / F.col("n_child").cast("double") * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return scored.select(
+        "child_col",
+        "parent_col",
+        "n_child",
+        "n_shared",
+        containment.alias("containment_e6"),
+        (containment >= F.lit(min_containment_e6)).alias("is_candidate"),
+    )

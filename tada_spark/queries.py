@@ -8045,6 +8045,63 @@ FROM totals t LEFT JOIN per_run p ON t.media_id = p.media_id
 """
 
 
+def fk_inference_star(spark, sf):
+    """FK discovery over the star schema's key columns (operators/
+    validate.fk_candidates): one value-keyed self-join over stacked
+    per-column distincts scores EVERY directed pair's containment —
+    the profiler that proposes customer.c_nationkey→nation.n_nationkey
+    on an undocumented lake. lineitem's fact keys enter via their
+    (bounded) distinct sets, so the scan cost is one distinct per
+    column, never |cols|² passes."""
+    from tada_spark.operators.validate import fk_candidates
+
+    nation = load(spark, sf, "nation").to_df()
+    region = load(spark, sf, "region").to_df()
+    cust = load(spark, sf, "customer").to_df()
+    supp = load(spark, sf, "supplier").to_df()
+    orders = load(spark, sf, "orders").to_df()
+    return fk_candidates(
+        [
+            (region, "r_regionkey", "region.r_regionkey"),
+            (nation, "n_nationkey", "nation.n_nationkey"),
+            (nation, "n_regionkey", "nation.n_regionkey"),
+            (cust, "c_custkey", "customer.c_custkey"),
+            (cust, "c_nationkey", "customer.c_nationkey"),
+            (supp, "s_nationkey", "supplier.s_nationkey"),
+            (orders, "o_custkey", "orders.o_custkey"),
+        ]
+    )
+
+
+FK_INFERENCE_SQL = """
+WITH vals AS (
+  SELECT 'region.r_regionkey' AS col_id, r_regionkey::VARCHAR AS val FROM region WHERE r_regionkey IS NOT NULL
+  UNION
+  SELECT 'nation.n_nationkey', n_nationkey::VARCHAR FROM nation WHERE n_nationkey IS NOT NULL
+  UNION
+  SELECT 'nation.n_regionkey', n_regionkey::VARCHAR FROM nation WHERE n_regionkey IS NOT NULL
+  UNION
+  SELECT 'customer.c_custkey', c_custkey::VARCHAR FROM customer WHERE c_custkey IS NOT NULL
+  UNION
+  SELECT 'customer.c_nationkey', c_nationkey::VARCHAR FROM customer WHERE c_nationkey IS NOT NULL
+  UNION
+  SELECT 'supplier.s_nationkey', s_nationkey::VARCHAR FROM supplier WHERE s_nationkey IS NOT NULL
+  UNION
+  SELECT 'orders.o_custkey', o_custkey::VARCHAR FROM orders WHERE o_custkey IS NOT NULL
+), counts AS (
+  SELECT col_id, COUNT(*)::BIGINT AS n_child FROM vals GROUP BY col_id
+), inter AS (
+  SELECT a.col_id AS child_col, b.col_id AS parent_col, COUNT(*)::BIGINT AS n_shared
+  FROM vals a JOIN vals b ON a.val = b.val AND a.col_id != b.col_id
+  GROUP BY a.col_id, b.col_id
+)
+SELECT i.child_col, i.parent_col, c.n_child, i.n_shared,
+       CAST(FLOOR(i.n_shared::DOUBLE / c.n_child::DOUBLE * 1000000 + 0.5) AS BIGINT) AS containment_e6,
+       (CAST(FLOOR(i.n_shared::DOUBLE / c.n_child::DOUBLE * 1000000 + 0.5) AS BIGINT) >= 950000) AS is_candidate
+FROM inter i JOIN counts c ON i.child_col = c.col_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8268,4 +8325,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quantile_normalize_docs": (quantile_normalize_docs, QUANTILE_NORM_SQL),
     "exact_decontamination_hits": (exact_decontamination_hits, EXACT_DECON_SQL),
     "audio_vad_real": (audio_vad_real, AUDIO_VAD_SQL),
+    "fk_inference_star": (fk_inference_star, FK_INFERENCE_SQL),
 }

@@ -695,3 +695,18 @@ def test_vad_segments_islands(spark):
     df = spark.createDataFrame(rows, "media_id long, frame_idx long, energy long")
     r = multimodal.vad_segments(df, threshold=5).first()
     assert (r.n_frames, r.n_voiced, r.n_segments, r.longest_run) == (8, 6, 3, 3)
+
+
+def test_fk_candidates_containment(spark):
+    """child [1,2,3] ⊂ parent [1..5] → containment 1.0 both directions
+    asymmetric: parent in child = 3/5."""
+    from tada_spark.operators.validate import fk_candidates
+
+    child = spark.createDataFrame([(1,), (2,), (3,), (3,)], "k long")
+    parent = spark.createDataFrame([(i,) for i in range(1, 6)], "p long")
+    out = {
+        (r.child_col, r.parent_col): (r.n_child, r.n_shared, r.containment_e6, r.is_candidate)
+        for r in fk_candidates([(child, "k", "c.k"), (parent, "p", "p.p")]).collect()
+    }
+    assert out[("c.k", "p.p")] == (3, 3, 1_000_000, True)
+    assert out[("p.p", "c.k")] == (5, 3, 600_000, False)
