@@ -8102,6 +8102,68 @@ FROM inter i JOIN counts c ON i.child_col = c.col_id
 """
 
 
+def ngram_novelty_docs(spark, sf):
+    """Per-doc shingle NOVELTY: the fraction of a doc's distinct
+    16-char shingles whose first corpus appearance (min doc_id) is this
+    doc — the curation readout that separates generative sources from
+    copy-heavy ones, and the longitudinal complement of pairwise dedup.
+    Two aggregates over one explode (gram→min doc, then per-doc
+    conditional count via a gram-keyed join); one division at the end
+    (floor idiom)."""
+    docs = load(spark, sf, "documents").to_df().filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 15, 1)),"
+                    " i -> substring(text, i, 16))"
+                )
+            )
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.floor(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("novelty_e6"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 15, 1) + 1),
+                i -> SUBSTR(text, i::INT, 16)))) AS g
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), first AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id, COUNT(*)::BIGINT AS n_grams,
+       COUNT(*) FILTER (f.first_doc = gr.doc_id)::BIGINT AS n_novel,
+       CAST(FLOOR(COUNT(*) FILTER (f.first_doc = gr.doc_id)::DOUBLE / COUNT(*)::DOUBLE
+            * 1000000 + 0.5) AS BIGINT) AS novelty_e6
+FROM grams gr JOIN first f ON gr.g = f.g
+GROUP BY gr.doc_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8326,4 +8388,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "exact_decontamination_hits": (exact_decontamination_hits, EXACT_DECON_SQL),
     "audio_vad_real": (audio_vad_real, AUDIO_VAD_SQL),
     "fk_inference_star": (fk_inference_star, FK_INFERENCE_SQL),
+    "ngram_novelty_docs": (ngram_novelty_docs, NGRAM_NOVELTY_SQL),
 }

