@@ -161,9 +161,10 @@ def fk_candidates(
 
     Input: (df, column, label) triples. ALL pairs are scored by ONE
     value-keyed self-join over the stacked per-column distinct values —
-    never |columns|² separate scans: each table contributes one
-    distinct-aggregate, the stack is (label, value) rows, and the join
-    groups straight back down to O(pairs) counts.
+    never |columns|² separate scans: the RAW (label, value) rows of
+    every column union first and a single hash-aggregate dedupes the
+    whole stack (one shuffle for all columns, not one per column), and
+    the join groups straight back down to O(pairs) counts.
 
     Emits (child_col, parent_col, n_child, n_shared, containment_e6,
     is_candidate) for every directed pair; containment divides once
@@ -175,12 +176,10 @@ def fk_candidates(
         df.select(
             F.lit(label).alias("col_id"),
             F.col(col).cast("string").alias("val"),
-        )
-        .filter(F.col("val").isNotNull())
-        .distinct()
+        ).filter(F.col("val").isNotNull())
         for df, col, label in columns
     ]
-    vals = reduce(lambda a, b: a.unionByName(b), stacks)
+    vals = reduce(lambda a, b: a.unionByName(b), stacks).distinct()
     counts = vals.groupBy("col_id").agg(F.count(F.lit(1)).alias("n_child"))
     a = vals.select(F.col("col_id").alias("child_col"), "val")
     b = vals.select(F.col("col_id").alias("parent_col"), "val")
