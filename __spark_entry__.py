@@ -44,14 +44,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #: in-window), divide_nullsafe (null-safe arithmetic via
 #: combine_series_ratio r06), lookup_orders_customer (lookup rides
 #: every TPC-H analog in-window), token_frequency (token counting via
-#: tfidf_top_terms/token_entropy_by_source r06). The ten round-7
-#: additions (period_growth_orders, interval_islands_events,
-#: pareto_frontier_parts, psi_drift_events, semdedup_embeddings,
-#: audio_downsample_real, asof_forward_next_click, pq_adc_topk,
-#: length_bucket_batches_docs, stream_outer_join_purchases) earn their
-#: first rows in r08 per policy — they lead the r08 window together
-#: with the six r04-cohort slips named above; this round they carry
-#: full-gate evidence at HEAD at all three scales instead.
+#: tfidf_top_terms/token_entropy_by_source r06). The round-7
+#: additions — the early ten (period_growth_orders,
+#: interval_islands_events, pareto_frontier_parts, psi_drift_events,
+#: semdedup_embeddings, audio_downsample_real, asof_forward_next_click,
+#: pq_adc_topk, length_bucket_batches_docs, stream_outer_join_purchases)
+#: plus the late cohort (cms_heavy_hitters_users, profile_columns_orders,
+#: rrf_hybrid_retrieval, dsir_select_docs, image_dhash_near_dup,
+#: content_digest_tables, referential_integrity_report,
+#: epoch_shuffle_docs, ks_test_click_purchase, stream_ewma_users,
+#: wordpiece_apply_docs, twap_value_users, triplet_mining_embeddings,
+#: mannwhitney_click_purchase, interpolate_masked_values,
+#: last_touch_attribution, gini_order_value_by_priority,
+#: wilson_purchase_rate_by_hour, cusum_change_events,
+#: rolling_median_value_users, flesch_reading_ease_by_source,
+#: ols2_spend_model_events, spearman_value_hour_events,
+#: benford_order_totals, km_time_to_purchase, quantile_normalize_docs,
+#: exact_decontamination_hits, audio_vad_real, fk_inference_star,
+#: ngram_novelty_docs) — earn their first rows in r08+ per policy and
+#: lead the r08 window together with the six r04-cohort slips named
+#: above; this round they carry full-gate evidence at HEAD (sf0.01
+#: full sweep 197/197 pre-late-additions, per-entry gates at
+#: sf0.001/0.01/0.1 and local[5] in the commit log) instead.
 #:
 #: Capacity note: the catalog exceeds the 3-round union capacity
 #: (3 × 50 = 150), so a small tail necessarily rotates on a FOUR-round
