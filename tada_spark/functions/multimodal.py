@@ -662,8 +662,11 @@ def vad_segments(
     a voiced frame follows a non-voiced one, running-sum numbering).
     Emits per media: (n_frames, n_voiced, n_segments, longest_run).
 
-    100 TB shape: one shuffle on the media key; two framed passes over
-    the same per-media frame order; O(1) output per media."""
+    100 TB shape: one shuffle on the media key, then a SINGLE
+    downstream path — (media, segment, voiced) group counts fold to the
+    per-media summary in one more (already reduced) aggregate. The
+    input lineage is consumed exactly once: a totals-vs-runs join would
+    re-evaluate an expensive upstream (e.g. the real decode) twice."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy("frame_idx")
@@ -674,28 +677,15 @@ def vad_segments(
     )
     marked = energies.select(
         id_col,
-        "frame_idx",
         voiced.alias("__v__"),
         seg.alias("__seg__"),
     )
-    runs = (
-        marked.filter(F.col("__v__"))
-        .groupBy(id_col, "__seg__")
-        .agg(F.count(F.lit(1)).alias("__len__"))
+    groups = marked.groupBy(id_col, "__seg__", "__v__").agg(
+        F.count(F.lit(1)).alias("__cnt__")
     )
-    per_run = runs.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.max("__len__").alias("longest_run"),
-        F.sum("__len__").alias("n_voiced"),
-    )
-    totals = marked.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_frames"))
-    return (
-        totals.join(per_run, id_col, "left")
-        .select(
-            id_col,
-            "n_frames",
-            F.coalesce("n_voiced", F.lit(0)).alias("n_voiced"),
-            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
-            F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
-        )
+    return groups.groupBy(id_col).agg(
+        F.sum("__cnt__").alias("n_frames"),
+        F.coalesce(F.sum(F.when(F.col("__v__"), F.col("__cnt__"))), F.lit(0)).alias("n_voiced"),
+        F.count(F.when(F.col("__v__"), F.lit(1))).alias("n_segments"),
+        F.coalesce(F.max(F.when(F.col("__v__"), F.col("__cnt__"))), F.lit(0)).alias("longest_run"),
     )

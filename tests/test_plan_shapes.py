@@ -348,3 +348,40 @@ def test_referential_report_broadcast_dims_one_scan_per_edge(spark, catalog):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4  # each dim side broadcasts
     assert _shuffles(plan) <= 8  # distinct + 1-row agg per edge
+
+
+def test_quantile_normalize_bucketed_join_no_spine_broadcast_bnlj_only_scalar(spark, catalog):
+    """The inverse-CDF lookup must be an equi-join on the position
+    bucket; the only nested loop is the 1-row pooled-count broadcast."""
+    plan = plan_of(catalog["quantile_normalize_docs"][0](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar N
+    assert "SortMergeJoin" not in plan or "__bkt__" in plan
+    assert _shuffles(plan) <= 5
+
+
+def test_exact_decon_needles_broadcast(spark, catalog):
+    plan = plan_of(catalog["exact_decontamination_hits"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # allowlisted needle sweep
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_vad_python_only_for_decode(spark, catalog):
+    """One Arrow-batched Python stage (the decode); the segmentation
+    windows must be JVM-side."""
+    plan = plan_of(catalog["audio_vad_real"][0](spark, SF))
+    assert plan.count("MapInPandas") <= 2  # payload build + decode
+    assert "BatchEvalPython" not in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_fk_inference_single_stack_distinct(spark, catalog):
+    """One distinct over the whole stacked value set — exchanges must
+    not grow with the number of profiled columns."""
+    plan = plan_of(catalog["fk_inference_star"][0](spark, SF))
+    assert _shuffles(plan) <= 6
+
+
+def test_ngram_novelty_two_aggregates(spark, catalog):
+    plan = plan_of(catalog["ngram_novelty_docs"][0](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert _shuffles(plan) <= 4
