@@ -8164,6 +8164,35 @@ GROUP BY gr.doc_id
 """
 
 
+def spatial_radius_pairs(spark, sf):
+    """Grid-bucketed spatial radius join (operators/spatial.
+    grid_radius_join): customers get deterministic integer coordinates
+    ((key·37) mod 10000, (key·91) mod 10000); all pairs within radius
+    100 via 3×3 neighbor-cell equi-joins — never |P|². The oracle is the
+    NAIVE quadratic join, proving the bucketed plan computes identical
+    semantics."""
+    from tada_spark.operators.spatial import grid_radius_join
+
+    cust = load(spark, sf, "customer").to_df().select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") * 37 % 10000).alias("x"),
+        (F.col("c_custkey") * 91 % 10000).alias("y"),
+    )
+    return grid_radius_join(cust, id_col="pid", x_col="x", y_col="y", radius=100)
+
+
+SPATIAL_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS pid, (c_custkey * 37) % 10000 AS x, (c_custkey * 91) % 10000 AS y
+  FROM customer WHERE c_custkey IS NOT NULL
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist2
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8389,4 +8418,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audio_vad_real": (audio_vad_real, AUDIO_VAD_SQL),
     "fk_inference_star": (fk_inference_star, FK_INFERENCE_SQL),
     "ngram_novelty_docs": (ngram_novelty_docs, NGRAM_NOVELTY_SQL),
+    "spatial_radius_pairs": (spatial_radius_pairs, SPATIAL_SQL),
 }

@@ -751,3 +751,20 @@ def test_ngram_novelty_known(spark):
     }
     assert out[1] == (5, 5)
     assert out[2] == (5, 0)
+
+
+def test_grid_radius_join_known(spark):
+    """(0,0)-(3,4) at dist 5 match at radius 5; the cross-cell pair
+    (15,0)-(17,0) must still match (neighbor-cell cover), far point
+    never."""
+    from tada_spark.operators.spatial import grid_radius_join
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 3, 4), (3, 15, 0), (4, 17, 0), (5, 500, 500)],
+        "pid long, x long, y long",
+    )
+    out = {
+        (r.id_a, r.id_b): r.dist2
+        for r in grid_radius_join(pts, id_col="pid", x_col="x", y_col="y", radius=5).collect()
+    }
+    assert out == {(1, 2): 25, (3, 4): 4}
