@@ -919,3 +919,65 @@ def exact_substring_hits(
         hits.select(corpus_id, needle_id, pos.alias("position"))
         .filter(F.col("position") > 0)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent word pairs by pointwise mutual information
+    ln(c12·N/(c1·c2)) — the classic collocation detector feeding
+    tokenizer merge rules and stop-phrase lists. Tokens are lowercase
+    [a-z]+ runs; counts are three exact aggregates (unigram, bigram,
+    1-row total); the ln is det_ln and pmi quantizes to e6 BEFORE the
+    ranking so ties are deterministic; bigrams below ``min_count``
+    drop as noise.
+
+    100 TB shape: two token-keyed aggregates over one scan family;
+    count tables are vocabulary-sized → broadcast joins; N rides the
+    allowlisted 1-row crossJoin; top-k is TakeOrderedAndProject."""
+    from tada_spark.plans.semantics import det_ln
+
+    docs = df.filter(F.col(text_col).isNotNull())
+    toks = docs.select(
+        F.expr(f"filter(split(lower({text_col}), '[^a-z]+'), t -> t != '')").alias("ts")
+    )
+    uni = toks.select(F.explode("ts").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = uni.agg(F.sum("c").alias("N"))
+    # guard size < 2: sequence(0, -1) silently DESCENDS ([0, -1]) and
+    # ts[1] on a 1-token doc is an ANSI index error — the same
+    # default-step footgun range_join pins
+    bi = (
+        toks.filter(F.expr("size(ts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] as w1, ts[i+1] as w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= int(min_count))
+    )
+    scored = (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    ratio = (F.col("c12") * F.col("N")).cast("double") / (
+        F.col("c1") * F.col("c2")
+    ).cast("double")
+    pmi_e6 = F.floor(det_ln(ratio) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        scored.select("w1", "w2", "c12", pmi_e6.alias("pmi_e6"))
+        .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
+        .limit(int(k))
+    )

@@ -8193,6 +8193,58 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000
 """
 
 
+def pmi_phrases_docs(spark, sf):
+    """PMI phrase mining over the corpus: top-20 adjacent word pairs by
+    pointwise mutual information ln(c12·N/(c1·c2)), the classic
+    collocation detector feeding tokenizer merge rules and stop-phrase
+    lists (functions/text.pmi_bigrams). Counts are three exact
+    aggregates (unigram, bigram, 1-row total); the ln is det_ln; pmi
+    quantizes to e6 BEFORE the top-k ranking so ties are
+    deterministic. Bigrams with c12 < 5 are noise and drop. Count
+    tables are vocabulary-sized → broadcast joins; the 1-row N rides
+    the allowlisted scalar crossJoin."""
+    docs = load(spark, sf, "documents").to_df()
+    return text.pmi_bigrams(docs, "text", min_count=5, k=20)
+
+
+def _pmi_sql() -> str:
+    ln = _det_ln_ctes(
+        x="(c12 * N)::DOUBLE / (c1 * c2)::DOUBLE",
+        src="scored",
+        keys="w1, w2, c12",
+        out="lnv",
+        prefix="__pm",
+    )
+    return f"""
+WITH toks AS (
+  SELECT LIST_FILTER(string_split_regex(LOWER(text), '[^a-z]+'), t -> t != '') AS ts
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT w, COUNT(*)::BIGINT AS c FROM (SELECT UNNEST(ts) AS w FROM toks) GROUP BY w
+), total AS (
+  SELECT SUM(c)::BIGINT AS N FROM uni
+), bi AS (
+  SELECT b.w1, b.w2, COUNT(*)::BIGINT AS c12
+  FROM (
+    SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ts) - 1, 0) + 1),
+                  i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS b
+    FROM toks
+  )
+  GROUP BY b.w1, b.w2 HAVING COUNT(*) >= 5
+), scored AS (
+  SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2, t.N AS N
+  FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, total t
+), {ln}
+SELECT s.w1, s.w2, s.c12,
+       CAST(FLOOR(l.lnv * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+FROM scored s JOIN __pmn l ON s.w1 = l.w1 AND s.w2 = l.w2 AND s.c12 = l.c12
+ORDER BY pmi_e6 DESC, s.w1, s.w2 LIMIT 20
+"""
+
+
+PMI_SQL = _pmi_sql()
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8419,4 +8471,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fk_inference_star": (fk_inference_star, FK_INFERENCE_SQL),
     "ngram_novelty_docs": (ngram_novelty_docs, NGRAM_NOVELTY_SQL),
     "spatial_radius_pairs": (spatial_radius_pairs, SPATIAL_SQL),
+    "pmi_phrases_docs": (pmi_phrases_docs, PMI_SQL),
 }

@@ -768,3 +768,15 @@ def test_grid_radius_join_known(spark):
         for r in grid_radius_join(pts, id_col="pid", x_col="x", y_col="y", radius=5).collect()
     }
     assert out == {(1, 2): 25, (3, 4): 4}
+
+
+def test_pmi_bigrams_known(spark):
+    """Corpus 'x y x y' + 'z': N=5, c(x)=c(y)=2, c(z)=1; bigram (x,y)
+    ×2 → pmi = ln(2·5/4) = ln 2.5; (y,x) ×1 → ln(5/4)."""
+    from tada_spark.functions.text import pmi_bigrams
+    from tada_spark.plans.semantics import py_det_ln
+
+    df = spark.createDataFrame([("x y x y",), ("z",)], "text string")
+    rows = {(r.w1, r.w2): (r.c12, r.pmi_e6) for r in pmi_bigrams(df, min_count=1, k=10).collect()}
+    assert rows[("x", "y")] == (2, math.floor(py_det_ln(2.5) * 1e6 + 0.5))
+    assert rows[("y", "x")] == (1, math.floor(py_det_ln(1.25) * 1e6 + 0.5))
