@@ -915,3 +915,48 @@ def quantile_normalize(
             F.col("__nv__").alias("norm_value"),
         )
     )
+
+
+def burstiness_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_us: Column,
+    *,
+    seq_col: str,
+) -> DataFrame:
+    """Per-key burstiness of inter-event times — the bot/automation
+    signal: B = (σ − μ)/(σ + μ) over the gaps between consecutive
+    events, where B → −1 is a metronome (periodic scraper), B ≈ 0 is
+    Poisson (organic), B → 1 is heavy-tailed human bursts. Gaps are
+    floored to whole SECONDS so Σd² stays in int64 (µs² would overflow
+    at day-scale gaps); μ and population σ come from the exact long
+    sums (n, Σd, Σd²) of ONE lead-window pass + one aggregate on the
+    same keyed sort. Keys with < 2 gaps, or σ + μ = 0, yield NULL.
+    Emits (key, n_gaps, b_e6)."""
+    from pyspark.sql.window import Window
+
+    ev = df.filter(F.col(key_col).isNotNull() & ts_us.isNotNull()).select(
+        F.col(key_col), ts_us.alias("__us__"), F.col(seq_col)
+    )
+    w = Window.partitionBy(key_col).orderBy("__us__", seq_col)
+    gap_s = F.floor(
+        (F.lead("__us__").over(w) - F.col("__us__")) / F.lit(1e6)
+    ).cast("long")
+    gaps = ev.select(F.col(key_col), gap_s.alias("__d__")).filter(
+        F.col("__d__").isNotNull()
+    )
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__d__").alias("sd"),
+        F.sum(F.col("__d__") * F.col("__d__")).alias("sdd"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("sd").cast("double") / nd
+    var = F.col("sdd").cast("double") / nd - mu * mu
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when((F.col("n_gaps") >= 2) & (sig + mu > 0), (sig - mu) / (sig + mu))
+    return agg.select(
+        key_col,
+        "n_gaps",
+        F.floor(b * F.lit(1e6) + F.lit(0.5)).cast("long").alias("b_e6"),
+    )

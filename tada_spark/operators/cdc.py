@@ -76,3 +76,39 @@ def scd2_history(
         )
         .withColumnRenamed(seq_col, "valid_from")
     )
+
+
+def column_churn(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    cols: list[str],
+) -> DataFrame:
+    """Column-level churn between two snapshots: for every tracked
+    column, how many matched keys changed value (null-safe: null→value
+    and value→null both count; null→null does not). The drill-down
+    companion of snapshot_diff's row-level added/removed/changed.
+
+    ONE inner equi-join on the key + ONE aggregate computing every
+    column's change count as a conditional sum; the per-column report
+    rows inline from a single aggregate row (the validate() device) —
+    one scan of each side no matter how many columns are tracked."""
+    o = old.select(key, *[F.col(c).alias(f"__o_{c}__") for c in cols])
+    n = new.select(key, *[F.col(c).alias(f"__n_{c}__") for c in cols])
+    joined = o.join(n, key)
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        changed = ~F.col(f"__o_{c}__").eqNullSafe(F.col(f"__n_{c}__"))
+        aggs.append(F.count(F.when(changed, F.lit(1))).alias(f"__c_{c}__"))
+    row = joined.agg(*aggs)
+    reports = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__c_{c}__").cast("long").alias("n_changed"),
+                F.col("__n__").cast("long").alias("n_compared"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.inline(reports))

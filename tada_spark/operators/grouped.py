@@ -202,6 +202,35 @@ class GroupedFrame:
         res = all_groups.join(picked, cond, "left").drop(*[f"__p_{k}__" for k in self.keys])
         return Frame(res, list(self.keys), self.frame.name)
 
+    def trimmed_mean(self, col: str, frac: float = 0.1, *, out: str | None = None) -> Frame:
+        """Robust per-group mean with the top and bottom ``frac`` of
+        values dropped (k = floor(n·frac) from each tail, ranks
+        tie-broken by value order only — equal values are
+        interchangeable, so the kept SUM is well-defined). One ranked
+        window + one aggregate on the same keyed sort; the sum of the
+        kept values is exact, with a single division at the end.
+        Groups where trimming empties the sample (n ≤ 2k) drop."""
+        from pyspark.sql.window import Window
+
+        keys = self._key_cols()
+        w = Window.partitionBy(*keys).orderBy(F.col(col))
+        tot = Window.partitionBy(*keys)
+        ranked = self.frame.df.filter(F.col(col).isNotNull()).select(
+            *keys,
+            F.col(col),
+            F.row_number().over(w).alias("__r__"),
+            F.count(F.lit(1)).over(tot).alias("__n__"),
+        )
+        k = F.floor(F.col("__n__") * F.lit(float(frac))).cast("long")
+        kept = ranked.filter((F.col("__r__") > k) & (F.col("__r__") <= F.col("__n__") - k))
+        res = kept.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.sum(F.col(col)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                out or f"trimmed_mean_{col}"
+            ),
+        )
+        return Frame(res, list(self.keys), self.frame.name)
+
     # -- group filtering (reference groupers.go:232-254) ---------------
     def having_count(self, pred: Callable[[Column], Column]) -> Frame:
         """Keep rows of groups whose row count satisfies pred."""

@@ -8245,6 +8245,137 @@ ORDER BY pmi_e6 DESC, s.w1, s.w2 LIMIT 20
 PMI_SQL = _pmi_sql()
 
 
+def trimmed_mean_price_by_status(spark, sf):
+    """Robust per-status order value: GroupedFrame.trimmed_mean drops
+    the top/bottom 10% by rank (one ranked window + one aggregate on
+    the same sort), exact cents sum, one division."""
+    orders = load(spark, sf, "orders")
+    f = Frame(
+        orders.to_df().select(
+            "o_orderstatus", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        ),
+        labels=["o_orderstatus"],
+    )
+    return f.group_by("o_orderstatus").trimmed_mean("cents", 0.1, out="tmean").to_df()
+
+
+TRIMMED_MEAN_SQL = """
+WITH b AS (
+  SELECT o_orderstatus, ROUND(o_totalprice * 100)::BIGINT AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+), r AS (
+  SELECT o_orderstatus, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM b
+), kept AS (
+  SELECT o_orderstatus, cents
+  FROM r WHERE rk > FLOOR(n * 0.1) AND rk <= n - FLOOR(n * 0.1)
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_kept,
+       SUM(cents)::DOUBLE / COUNT(*)::DOUBLE AS tmean
+FROM kept GROUP BY o_orderstatus
+"""
+
+
+def burstiness_users(spark, sf):
+    """Per-user inter-event burstiness (functions/stats.
+    burstiness_by_key): B = (σ−μ)/(σ+μ) over whole-second gaps — the
+    metronome-vs-organic traffic signal, from one lead window + one
+    aggregate of exact long sums."""
+    from tada_spark.functions import stats
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    return stats.burstiness_by_key(
+        ev.to_df(), "user_id", epoch_us(F.col("ts"), dts), seq_col="event_id"
+    )
+
+
+BURSTINESS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT user_id,
+         CAST(FLOOR((LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+              / 1000000.0) AS BIGINT) AS d
+  FROM e
+), agg AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_gaps, SUM(d)::BIGINT AS sd,
+         SUM(d * d)::BIGINT AS sdd
+  FROM g WHERE d IS NOT NULL GROUP BY user_id
+), f AS (
+  SELECT user_id, n_gaps,
+         sd::DOUBLE / n_gaps::DOUBLE AS mu,
+         SQRT(GREATEST(sdd::DOUBLE / n_gaps::DOUBLE
+              - (sd::DOUBLE / n_gaps::DOUBLE) * (sd::DOUBLE / n_gaps::DOUBLE), 0.0)) AS sig
+  FROM agg
+)
+SELECT user_id, n_gaps,
+       CASE WHEN n_gaps >= 2 AND sig + mu > 0
+            THEN CAST(FLOOR((sig - mu) / (sig + mu) * 1000000 + 0.5) AS BIGINT)
+       END AS b_e6
+FROM f
+"""
+
+
+def column_churn_orders(spark, sf):
+    """Column-level churn between two deterministic order snapshots
+    (operators/cdc.column_churn): which columns changed on matched
+    keys — one equi-join + one aggregate no matter how many columns
+    are tracked (the validate() inline device)."""
+    from tada_spark.operators.cdc import column_churn
+
+    orders = load(spark, sf, "orders").to_df()
+    old = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    new = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("9-CHURNED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return column_churn(
+        old, new, "o_orderkey", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+
+COLUMN_CHURN_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+), n AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 17 = 0 THEN '9-CHURNED' ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), j AS (
+  SELECT o.o_orderstatus AS os, n.o_orderstatus AS ns,
+         o.o_orderpriority AS op, n.o_orderpriority AS np,
+         o.o_totalprice AS ot, n.o_totalprice AS nt
+  FROM o JOIN n ON o.o_orderkey = n.o_orderkey
+), agg AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (os IS DISTINCT FROM ns)::BIGINT AS c_status,
+         COUNT(*) FILTER (op IS DISTINCT FROM np)::BIGINT AS c_prio,
+         COUNT(*) FILTER (ot IS DISTINCT FROM nt)::BIGINT AS c_price
+  FROM j
+)
+SELECT 'o_orderstatus' AS column_name, c_status AS n_changed, n AS n_compared FROM agg
+UNION ALL
+SELECT 'o_orderpriority', c_prio, n FROM agg
+UNION ALL
+SELECT 'o_totalprice', c_price, n FROM agg
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8472,4 +8603,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_novelty_docs": (ngram_novelty_docs, NGRAM_NOVELTY_SQL),
     "spatial_radius_pairs": (spatial_radius_pairs, SPATIAL_SQL),
     "pmi_phrases_docs": (pmi_phrases_docs, PMI_SQL),
+    "trimmed_mean_price_by_status": (trimmed_mean_price_by_status, TRIMMED_MEAN_SQL),
+    "burstiness_users": (burstiness_users, BURSTINESS_SQL),
+    "column_churn_orders": (column_churn_orders, COLUMN_CHURN_SQL),
 }

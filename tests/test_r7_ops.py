@@ -780,3 +780,39 @@ def test_pmi_bigrams_known(spark):
     rows = {(r.w1, r.w2): (r.c12, r.pmi_e6) for r in pmi_bigrams(df, min_count=1, k=10).collect()}
     assert rows[("x", "y")] == (2, math.floor(py_det_ln(2.5) * 1e6 + 0.5))
     assert rows[("y", "x")] == (1, math.floor(py_det_ln(1.25) * 1e6 + 0.5))
+
+
+def test_trimmed_mean_known(spark):
+    """[0, 1, 2, 3, 1000] at frac 0.2 → k=1, keep [1,2,3] → mean 2.
+    A group too small to trim (n ≤ 2k) drops."""
+    f = Frame(
+        spark.createDataFrame(
+            [("a", v) for v in (0, 1, 2, 3, 1000)] + [("b", 5)], "g string, v long"
+        ),
+        labels=["g"],
+    )
+    out = {r.g: (r.n_kept, r.tm) for r in f.group_by("g").trimmed_mean("v", 0.2, out="tm").df.collect()}
+    assert out["a"] == (3, 2.0)
+    assert out["b"] == (1, 5.0)  # k=0: nothing trimmed
+
+
+def test_burstiness_known(spark):
+    """Gaps [10, 10]: σ=0 → B = −1 (perfect metronome). Gaps [0, 20]:
+    μ=10, σ=10 → B = 0."""
+    from tada_spark.functions.stats import burstiness_by_key
+
+    rows = [("m", 0, 1), ("m", 10_000_000, 2), ("m", 20_000_000, 3),
+            ("p", 0, 1), ("p", 0, 2), ("p", 20_000_000, 3)]
+    df = spark.createDataFrame(rows, "k string, us long, i long")
+    out = {r.k: (r.n_gaps, r.b_e6) for r in burstiness_by_key(df, "k", F.col("us"), seq_col="i").collect()}
+    assert out["m"] == (2, -1_000_000)
+    assert out["p"] == (2, 0)
+
+
+def test_column_churn_known(spark):
+    from tada_spark.operators.cdc import column_churn
+
+    old = spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, None, 30)], "k long, s string, v long")
+    new = spark.createDataFrame([(1, "a", 11), (2, "c", 20), (3, "z", 30), (4, "w", 40)], "k long, s string, v long")
+    out = {r.column_name: (r.n_changed, r.n_compared) for r in column_churn(old, new, "k", ["s", "v"]).collect()}
+    assert out == {"s": (2, 3), "v": (1, 3)}  # key 4 unmatched; null→'z' counts

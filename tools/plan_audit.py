@@ -108,6 +108,8 @@ ALLOWED_BNLJ = {
     # eval-set needle broadcast × partitioned corpus: the exact-match
     # decontamination sweep — linear in the corpus
     "exact_decontamination_hits",
+    # 1-row total-token-count broadcast (the documented scalar crossJoin)
+    "pmi_phrases_docs",
 }
 
 
