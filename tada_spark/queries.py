@@ -8376,6 +8376,51 @@ SELECT 'o_totalprice', c_price, n FROM agg
 """
 
 
+def stream_pattern_conversion(spark, sf):
+    """Streaming A-then-B pattern detection (streaming/stateful.
+    pattern_within): per user, purchases within 30 min AFTER the
+    latest preceding click — the conversion state machine as 3 longs
+    of keyed state, driven to completion with availableNow. Ties at
+    equal event time process the click first (pinned, oracle-
+    mirrored)."""
+    from tada_spark.streaming.stateful import pattern_within
+
+    stream = _stream_events(spark, sf)
+    out = pattern_within(
+        stream, "user_id", "ts", "event_type", first="click", then="purchase", within_s=1800
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_pattern")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("stream_pattern_conversion did not finish")
+    return spark.table("q_stream_pattern").select("user_id", "n_then", "n_matched")
+
+
+STREAM_PATTERN_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type,
+         (event_type = 'purchase')::INT AS is_then
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), carried AS (
+  SELECT user_id, us, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, is_then
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM e
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_then,
+       COUNT(*) FILTER (last_click IS NOT NULL
+                        AND us - last_click <= 1800 * 1000000)::BIGINT AS n_matched
+FROM carried WHERE event_type = 'purchase' GROUP BY user_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8606,4 +8651,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trimmed_mean_price_by_status": (trimmed_mean_price_by_status, TRIMMED_MEAN_SQL),
     "burstiness_users": (burstiness_users, BURSTINESS_SQL),
     "column_churn_orders": (column_churn_orders, COLUMN_CHURN_SQL),
+    "stream_pattern_conversion": (stream_pattern_conversion, STREAM_PATTERN_SQL),
 }

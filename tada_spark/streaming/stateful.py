@@ -267,3 +267,107 @@ def ewma_scores(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATTERN_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_then", LongType()),
+        StructField("n_matched", LongType()),
+    ]
+)
+
+PATTERN_STATE = StructType(
+    [
+        StructField("last_first_us", LongType()),
+        StructField("n_then", LongType()),
+        StructField("n_matched", LongType()),
+    ]
+)
+
+
+def merge_pattern_batch(st, ts_us, types, first, then, within_us):
+    """Pure per-key fold for pattern_within — exact replay of one
+    sorted event run against carried state, unit-testable without
+    Spark. Returns (last_first_us, n_then, n_matched)."""
+    last_first, n_then, n_matched = st
+    for t, ty in zip(ts_us, types):
+        if ty == then:
+            n_then += 1
+            if last_first is not None and 0 <= t - last_first <= within_us:
+                n_matched += 1
+        if ty == first:
+            last_first = int(t)
+    return last_first, n_then, n_matched
+
+
+def pattern_within(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    first: str,
+    then: str,
+    within_s: int = 1800,
+) -> DataFrame:
+    """Streaming A-then-B pattern detection per key: count ``then``
+    events that occur within ``within_s`` seconds AFTER the latest
+    preceding ``first`` event — the conversion-attribution state
+    machine (click → purchase) as 3 longs of per-key state, regardless
+    of history length.
+
+    Each invocation's rows are gathered, sorted by event time, and
+    folded once (the session_stats chunk-merge discipline); state
+    carries (last_first_us, n_then, n_matched) across micro-batches.
+    Cross-batch exactness holds when batch boundaries respect event
+    order (availableNow over one file delivers one batch — the same
+    pinned replay contract as the other stateful entries)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else (None, 0, 0)
+        parts = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            s = pdf[ts_col]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            us = s.astype("datetime64[us]").astype("int64").to_numpy()
+            parts.append(
+                pd.DataFrame({"us": us, "ty": pdf[type_col].to_numpy()})
+            )
+        if parts:
+            allp = pd.concat(parts)
+            # tie pin: at equal event time a `first` processes BEFORE a
+            # `then` (a same-instant click converts its purchase) —
+            # mirrored by the oracle's (us, is_then) ordering
+            allp["__o__"] = (allp["ty"] == then).astype("int64")
+            allp = allp.sort_values(["us", "__o__"], kind="mergesort")
+            st = merge_pattern_batch(
+                st, allp["us"].to_numpy(), allp["ty"].to_numpy(), first, then,
+                within_s * 1_000_000,
+            )
+        state.update(st)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_then": [st[1]],
+                "n_matched": [st[2]],
+            }
+        )
+
+    grouped = df.select(
+        df[key_col].cast("long").alias("user_id"),
+        df[ts_col].alias(ts_col),
+        df[type_col].alias(type_col),
+    ).groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=PATTERN_OUTPUT,
+        stateStructType=PATTERN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -816,3 +816,20 @@ def test_column_churn_known(spark):
     new = spark.createDataFrame([(1, "a", 11), (2, "c", 20), (3, "z", 30), (4, "w", 40)], "k long, s string, v long")
     out = {r.column_name: (r.n_changed, r.n_compared) for r in column_churn(old, new, "k", ["s", "v"]).collect()}
     assert out == {"s": (2, 3), "v": (1, 3)}  # key 4 unmatched; null→'z' counts
+
+
+def test_merge_pattern_batch_fold():
+    """Pure fold: click@0, purchase@10 (match), purchase@2000s (miss),
+    click@3000s, purchase@3000s same-instant (match under the tie pin)."""
+    from tada_spark.streaming.stateful import merge_pattern_batch
+
+    W = 1800 * 1_000_000
+    st = (None, 0, 0)
+    ts = [0, 10_000_000, 2_000_000_000, 3_000_000_000, 3_000_000_000]
+    ty = ["click", "purchase", "purchase", "click", "purchase"]
+    # tie pin: at equal ts the click is ordered first (done here by list order)
+    st = merge_pattern_batch(st, ts, ty, "click", "purchase", W)
+    assert st == (3_000_000_000, 3, 2)
+    # state carries: a purchase in the next batch still matches
+    st = merge_pattern_batch(st, [3_100_000_000], ["purchase"], "click", "purchase", W)
+    assert st == (3_000_000_000, 4, 3)
