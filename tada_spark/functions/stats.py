@@ -960,3 +960,117 @@ def burstiness_by_key(
         "n_gaps",
         F.floor(b * F.lit(1e6) + F.lit(0.5)).cast("long").alias("b_e6"),
     )
+
+
+def weighted_quantile_by_group(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    weight: Column,
+    *,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Per-group exact WEIGHTED quantile (lower convention): the
+    smallest value v whose cumulative weight reaches q of the group
+    total — the spend-weighted median and friends. With integer
+    weights and a rational q = q_num/q_den, the crossing test is pure
+    integer cross-multiplication (cumw·q_den ≥ q_num·W): no division
+    ever happens, so the result is exact at any scale. Zero/negative
+    weights drop; empty groups vanish.
+
+    100 TB shape: one keyed sort-window for the running weight + one
+    min_by argmin on the same partitioning — exactly one shuffle.
+    Integer bound: W·q_num < 2^63."""
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & value.isNotNull() & weight.isNotNull()
+    ).select(
+        F.col(group_col),
+        value.cast("long").alias("__v__"),
+        weight.cast("long").alias("__w__"),
+    ).filter(F.col("__w__") > 0)
+    w = Window.partitionBy(group_col).orderBy("__v__")
+    tot = Window.partitionBy(group_col)
+    stepped = base.select(
+        group_col,
+        "__v__",
+        F.sum("__w__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum__"),
+        F.sum("__w__").over(tot).alias("__W__"),
+    )
+    crossing = stepped.filter(
+        F.col("__cum__") * F.lit(int(q_den)) >= F.lit(int(q_num)) * F.col("__W__")
+    )
+    return crossing.groupBy(group_col).agg(
+        F.min("__v__").alias("wq_value"),
+        F.max("__W__").alias("total_weight"),
+    )
+
+
+def best_split_by_group(
+    df: DataFrame,
+    group_col: str,
+    feature: Column,
+    label: Column,
+) -> DataFrame:
+    """Per-group single-feature decision stump: the split threshold s
+    (left = feature ≤ s) minimizing weighted Gini impurity over a
+    binary label — the CART split-finding primitive, solved EXACTLY
+    with integers: minimizing nL·G_L + nR·G_R is maximizing
+    score = (aL² + bL²)·nR + (aR² + bR²)·nL (cross-multiplied by
+    nL·nR; a/b = label counts). One (group, feature-value) spine
+    aggregate, running counts over the spine window, an integer argmax
+    via max_by (ties → smallest threshold). Splits with an empty side
+    are excluded. Integer bound: n³ < 2^63 → n ≲ 2e6 rows per group
+    (lift to DECIMAL(38,0) beyond).
+
+    Emits (group, split_at, n_left, n_right, score)."""
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & feature.isNotNull() & label.isNotNull()
+    ).select(
+        F.col(group_col),
+        feature.cast("long").alias("__f__"),
+        label.cast("boolean").alias("__y__"),
+    )
+    spine = base.groupBy(group_col, "__f__").agg(
+        F.count(F.when(F.col("__y__"), F.lit(1))).alias("__a__"),
+        F.count(F.when(~F.col("__y__"), F.lit(1))).alias("__b__"),
+    )
+    w = Window.partitionBy(group_col).orderBy("__f__")
+    tot = Window.partitionBy(group_col)
+    run = spine.select(
+        group_col,
+        F.col("__f__").alias("split_at"),
+        F.sum("__a__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("aL"),
+        F.sum("__b__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("bL"),
+        F.sum("__a__").over(tot).alias("A"),
+        F.sum("__b__").over(tot).alias("B"),
+    )
+    nL = F.col("aL") + F.col("bL")
+    aR = F.col("A") - F.col("aL")
+    bR = F.col("B") - F.col("bL")
+    nR = aR + bR
+    score = (F.col("aL") * F.col("aL") + F.col("bL") * F.col("bL")) * nR + (
+        aR * aR + bR * bR
+    ) * nL
+    cand = run.filter((nL > 0) & (nR > 0)).select(
+        group_col,
+        "split_at",
+        nL.alias("n_left"),
+        nR.alias("n_right"),
+        score.alias("score"),
+    )
+    pick = F.max_by(
+        F.struct("split_at", "n_left", "n_right", "score"),
+        F.struct(F.col("score"), -F.col("split_at")),
+    )
+    return cand.groupBy(group_col).agg(pick.alias("__p__")).select(
+        group_col,
+        F.col("__p__.split_at").alias("split_at"),
+        F.col("__p__.n_left").alias("n_left"),
+        F.col("__p__.n_right").alias("n_right"),
+        F.col("__p__.score").alias("score"),
+    )

@@ -8421,6 +8421,96 @@ FROM carried WHERE event_type = 'purchase' GROUP BY user_id
 """
 
 
+def weighted_median_price(spark, sf):
+    """Quantity-weighted median line price per return flag
+    (functions/stats.weighted_quantile_by_group): the crossing test is
+    integer cross-multiplication — no division anywhere, exact at any
+    scale."""
+    from tada_spark.functions import stats
+
+    li = load(spark, sf, "lineitem").to_df()
+    return stats.weighted_quantile_by_group(
+        li,
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.round(F.col("l_quantity") * 100).cast("long"),
+        q_num=1,
+        q_den=2,
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH b AS (
+  SELECT l_returnflag, ROUND(l_extendedprice * 100)::BIGINT AS v,
+         ROUND(l_quantity * 100)::BIGINT AS w
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND ROUND(l_quantity * 100)::BIGINT > 0
+), s AS (
+  SELECT l_returnflag, v,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag)::BIGINT AS W
+  FROM b
+)
+SELECT l_returnflag, MIN(v)::BIGINT AS wq_value, MAX(W)::BIGINT AS total_weight
+FROM s WHERE cum * 2 >= 1 * W GROUP BY l_returnflag
+"""
+
+
+def best_split_purchase_value(spark, sf):
+    """Decision-stump learning per event-type pair: the cents threshold
+    best separating purchases from clicks (functions/stats.
+    best_split_by_group over the pooled click/purchase rows, grouped by
+    hour-of-day) — the CART split primitive as exact integer argmax,
+    one spine aggregate + windows, no solver."""
+    from tada_spark.functions import stats
+
+    ev = load(spark, sf, "events").to_df().filter(
+        F.col("event_type").isin(["click", "purchase"])
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    return stats.best_split_by_group(
+        ev,
+        "event_type",
+        F.floor(F.col("value")).cast("long"),
+        F.hour("ts") >= 12,
+    )
+
+
+BEST_SPLIT_SQL = """
+WITH b AS (
+  SELECT event_type, FLOOR(value)::BIGINT AS f, (HOUR(ts) >= 12) AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL AND ts IS NOT NULL
+), spine AS (
+  SELECT event_type, f,
+         COUNT(*) FILTER (y)::BIGINT AS a, COUNT(*) FILTER (NOT y)::BIGINT AS bb
+  FROM b GROUP BY event_type, f
+), run AS (
+  SELECT event_type, f AS split_at,
+         SUM(a) OVER w::BIGINT AS aL, SUM(bb) OVER w::BIGINT AS bL,
+         SUM(a) OVER (PARTITION BY event_type)::BIGINT AS A,
+         SUM(bb) OVER (PARTITION BY event_type)::BIGINT AS B
+  FROM spine
+  WINDOW w AS (PARTITION BY event_type ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cand AS (
+  SELECT event_type, split_at,
+         (aL + bL) AS n_left, (A - aL + B - bL) AS n_right,
+         ((aL * aL + bL * bL) * (A - aL + B - bL)
+          + ((A - aL) * (A - aL) + (B - bL) * (B - bL)) * (aL + bL)) AS score
+  FROM run WHERE (aL + bL) > 0 AND (A - aL + B - bL) > 0
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, split_at ASC) AS pick
+  FROM cand
+)
+SELECT event_type, split_at, n_left, n_right, score FROM rk WHERE pick = 1
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8652,4 +8742,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "burstiness_users": (burstiness_users, BURSTINESS_SQL),
     "column_churn_orders": (column_churn_orders, COLUMN_CHURN_SQL),
     "stream_pattern_conversion": (stream_pattern_conversion, STREAM_PATTERN_SQL),
+    "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
+    "best_split_purchase_value": (best_split_purchase_value, BEST_SPLIT_SQL),
 }

@@ -833,3 +833,30 @@ def test_merge_pattern_batch_fold():
     # state carries: a purchase in the next batch still matches
     st = merge_pattern_batch(st, [3_100_000_000], ["purchase"], "click", "purchase", W)
     assert st == (3_000_000_000, 4, 3)
+
+
+def test_weighted_quantile_known(spark):
+    """Values 1(w=1), 2(w=1), 3(w=8): W=10, median crossing at cum·2 ≥ 10
+    → value 3. Unweighted-equivalent check: all w=1 → classic lower
+    median."""
+    from tada_spark.functions.stats import weighted_quantile_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 8), ("b", 5, 1), ("b", 9, 1)],
+        "g string, v long, w long",
+    )
+    out = {r.g: (r.wq_value, r.total_weight) for r in
+           weighted_quantile_by_group(df, "g", F.col("v"), F.col("w"), q_num=1, q_den=2).collect()}
+    assert out["a"] == (3, 10)
+    assert out["b"] == (5, 2)  # lower median convention
+
+
+def test_best_split_known(spark):
+    """Feature 1,2 all-True; 3,4 all-False → perfect split at 2
+    (score = (2²+0)·2 + (0+2²)·2 = 16, the max possible for n=4)."""
+    from tada_spark.functions.stats import best_split_by_group
+
+    rows = [("g", 1, True), ("g", 2, True), ("g", 3, False), ("g", 4, False)]
+    df = spark.createDataFrame(rows, "g string, f long, y boolean")
+    r = best_split_by_group(df, "g", F.col("f"), F.col("y")).first()
+    assert (r.split_at, r.n_left, r.n_right, r.score) == (2, 2, 2, 16)
