@@ -8511,6 +8511,59 @@ SELECT event_type, split_at, n_left, n_right, score FROM rk WHERE pick = 1
 """
 
 
+def jackknife_mean_orders(spark, sf):
+    """Order-value mean ± jackknife standard error per priority
+    (functions/stats.jackknife_mean_by_group): 20 md5 pseudo-
+    replicates, leave-one-out means from exact bucket sums, the
+    replicate list array_sort'ed so the float folds are bit-stable —
+    reproducible error bars with zero randomness."""
+    from tada_spark.functions import stats
+
+    orders = load(spark, sf, "orders").to_df()
+    return stats.jackknife_mean_by_group(
+        orders,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        "o_orderkey",
+    )
+
+
+JACKKNIFE_SQL = """
+WITH b AS (
+  SELECT o_orderpriority AS g, ROUND(o_totalprice * 100)::BIGINT AS v,
+         ('0x' || SUBSTR(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 20 AS bk
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+), per AS (
+  SELECT g, bk, COUNT(*)::BIGINT AS nb, SUM(v)::BIGINT AS sb FROM b GROUP BY g, bk
+), tot AS (
+  SELECT g, SUM(nb)::BIGINT AS N, SUM(sb)::BIGINT AS S, COUNT(*)::BIGINT AS B,
+         LIST({'nb': nb, 'sb': sb} ORDER BY nb, sb) AS reps
+  FROM per GROUP BY g
+), f AS (
+  SELECT g, N, S, B,
+         LIST_TRANSFORM(reps, r -> (S - r.sb)::DOUBLE / (N - r.nb)::DOUBLE) AS loo
+  FROM tot
+), m AS (
+  SELECT g, N, B, S, loo,
+         LIST_REDUCE(LIST_PREPEND(0.0, loo), (a, x) -> a + x) / B::DOUBLE AS loo_mean
+  FROM f
+), s AS (
+  SELECT g, N, B, S, loo_mean,
+         LIST_REDUCE(LIST_PREPEND(0.0,
+             LIST_TRANSFORM(loo, x -> (x - loo_mean) * (x - loo_mean))),
+             (a, x) -> a + x) AS ss
+  FROM m
+)
+SELECT g AS o_orderpriority, N AS n,
+       CAST(FLOOR(S::DOUBLE / N::DOUBLE * 1000000 + 0.5) AS BIGINT) AS mean_e6,
+       CASE WHEN B >= 2
+            THEN CAST(FLOOR(SQRT((B::DOUBLE - 1.0) / B::DOUBLE * ss) * 1000000 + 0.5) AS BIGINT)
+       END AS se_e6
+FROM s
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8744,4 +8797,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_pattern_conversion": (stream_pattern_conversion, STREAM_PATTERN_SQL),
     "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
     "best_split_purchase_value": (best_split_purchase_value, BEST_SPLIT_SQL),
+    "jackknife_mean_orders": (jackknife_mean_orders, JACKKNIFE_SQL),
 }

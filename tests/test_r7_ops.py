@@ -860,3 +860,21 @@ def test_best_split_known(spark):
     df = spark.createDataFrame(rows, "g string, f long, y boolean")
     r = best_split_by_group(df, "g", F.col("f"), F.col("y")).first()
     assert (r.split_at, r.n_left, r.n_right, r.score) == (2, 2, 2, 16)
+
+
+def test_jackknife_constant_values_zero_se(spark):
+    """Constant metric → every leave-one-out mean equals the mean →
+    se exactly 0; mean_e6 is the exact constant."""
+    from tada_spark.functions.stats import jackknife_mean_by_group
+
+    df = spark.createDataFrame([("g", i, 500) for i in range(100)], "g string, id long, v long")
+    r = jackknife_mean_by_group(df, "g", F.col("v"), "id").first()
+    assert (r.n, r.mean_e6, r.se_e6) == (100, 500_000_000, 0)
+
+
+def test_jackknife_se_positive_when_varied(spark):
+    from tada_spark.functions.stats import jackknife_mean_by_group
+
+    df = spark.createDataFrame([("g", i, i * 7 % 101) for i in range(200)], "g string, id long, v long")
+    r = jackknife_mean_by_group(df, "g", F.col("v"), "id").first()
+    assert r.n == 200 and r.se_e6 is not None and r.se_e6 > 0
