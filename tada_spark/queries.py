@@ -8564,6 +8564,149 @@ FROM s
 """
 
 
+def clamped_balance_users(spark, sf):
+    """Non-negative running balance per user (credits = purchase value,
+    debits = click value): the clamp-at-zero recurrence
+    b_i = max(0, b_{i-1} + x_i) is NOT a plain window aggregate, but it
+    has a closed form — b_i = prefix_i − min(0, running_min(prefix)) —
+    so TWO framed passes over one keyed sort compute it exactly in
+    integers, no recurrence state, no Python. The inventory/wallet
+    primitive engines usually punt to UDFs."""
+    from pyspark.sql.window import Window
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    base = ev.to_df().filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isin(["click", "purchase"])
+    ).select(
+        "user_id",
+        "event_id",
+        epoch_us(F.col("ts"), dts).alias("us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("long"))
+        .alias("delta"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prefix = F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # the running min must follow EVENT order (the same keyed sort the
+    # prefix uses, so Spark plans one shuffle + one sort for both)
+    return (
+        base.select("user_id", "event_id", "us", prefix.alias("__p__"))
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.col("__p__")
+                - F.least(
+                    F.lit(0),
+                    F.min("__p__").over(
+                        Window.partitionBy("user_id")
+                        .orderBy("us", "event_id")
+                        .rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
+            ).alias("balance_cents"),
+        )
+    )
+
+
+CLAMPED_BALANCE_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN ROUND(value * 100)::BIGINT
+              ELSE -ROUND(value * 100)::BIGINT END AS delta
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+), p AS (
+  SELECT user_id, event_id, us,
+         SUM(delta) OVER w::BIGINT AS pre
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       (pre - LEAST(0, MIN(pre) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT AS balance_cents
+FROM p
+"""
+
+
+def session_trigrams_top(spark, sf):
+    """Top-20 event-type trigrams within user sessions (30-min gap
+    rule): LEAD×2 inside the session, global count, deterministic
+    top-k — the sequential-pattern readout a journey-mining pipeline
+    starts from. One user-keyed window pass + one vocabulary-sized
+    aggregate; TakeOrderedAndProject, no global sort."""
+    from pyspark.sql.window import Window
+    from tada_spark.plans.timeutil import epoch_us
+
+    ev = load(spark, sf, "events")
+    dts = ev.dtype("ts")
+    base = ev.to_df().filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts"), dts).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    marked = base.select(
+        "user_id", "event_type", "us", "event_id", sess.alias("sess")
+    )
+    w2 = Window.partitionBy("user_id", "sess").orderBy("us", "event_id")
+    tri = marked.select(
+        "event_type",
+        F.lead("event_type", 1).over(w2).alias("t2"),
+        F.lead("event_type", 2).over(w2).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy(F.col("event_type").alias("t1"), "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+SESSION_TRIGRAMS_SQL = """
+WITH b AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), lagged AS (
+  SELECT user_id, event_type, us, event_id,
+         us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+  FROM b
+), marked AS (
+  SELECT user_id, event_type, us, event_id,
+         SUM(CASE WHEN gap IS NULL OR gap >= 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM lagged
+), tri AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM marked
+  WINDOW w AS (PARTITION BY user_id, sess ORDER BY us, event_id)
+)
+SELECT t1, t2, t3, COUNT(*)::BIGINT AS n
+FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8798,4 +8941,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
     "best_split_purchase_value": (best_split_purchase_value, BEST_SPLIT_SQL),
     "jackknife_mean_orders": (jackknife_mean_orders, JACKKNIFE_SQL),
+    "clamped_balance_users": (clamped_balance_users, CLAMPED_BALANCE_SQL),
+    "session_trigrams_top": (session_trigrams_top, SESSION_TRIGRAMS_SQL),
 }

@@ -878,3 +878,25 @@ def test_jackknife_se_positive_when_varied(spark):
     df = spark.createDataFrame([("g", i, i * 7 % 101) for i in range(200)], "g string, id long, v long")
     r = jackknife_mean_by_group(df, "g", F.col("v"), "id").first()
     assert r.n == 200 and r.se_e6 is not None and r.se_e6 > 0
+
+
+def test_clamped_balance_identity(spark):
+    """Deltas [5, -10, 3]: naive recurrence max(0, b+x) gives
+    [5, 0, 3]; the closed form prefix − min(0, running_min(prefix))
+    must agree (and never via a recurrence UDF)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, -10), (1, 3, 3)], "k long, t long, d long"
+    )
+    w = Window.partitionBy("k").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = F.sum("d").over(w)
+    # closed form needs the prefix materialized first
+    stepped = df.select("k", "t", pre.alias("p"))
+    out = stepped.select(
+        "t",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(
+            Window.partitionBy("k").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ))).alias("b"),
+    )
+    assert [r.b for r in out.orderBy("t").collect()] == [5, 0, 3]
