@@ -653,3 +653,76 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def label_silhouette(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Centroid-based (simplified) silhouette of a labeled embedding
+    space — how separable the classes are: per point, a = squared-L2
+    to its OWN label centroid, b = min squared-L2 to any other
+    centroid, s = (b − a)/max(a, b). Vectors quantize to the integer
+    1e-6 grid and centroids round back onto it (the kmeans_quantized
+    recipe), so a and b are exact integers and only s's one division
+    rounds — per-point s quantizes to e6 BEFORE the per-label integer
+    mean. Points with a = b = 0 (on a shared centroid) score 0.
+
+    Emits (label, n, mean_sil_e6). 100 TB shape: one (label, dim)
+    aggregate builds the k centroids; the k-row centroid broadcast ×
+    partitioned corpus is the allowlisted O(n·k) sweep; one final
+    label-keyed aggregate."""
+    from pyspark.sql.window import Window
+
+    q = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0) & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("v"),
+    )
+    dims = q.select("lbl", F.posexplode("v").alias("dim", "val"))
+    cents = (
+        dims.groupBy("lbl", "dim")
+        .agg(F.floor(F.sum("val") / F.count("*") + F.lit(0.5)).cast("long").alias("cval"))
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s["cval"]
+            ).alias("cv")
+        )
+        .select(F.col("lbl").alias("clbl"), "cv")
+    )
+    pairs = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    per_point = pairs.groupBy("vid", "lbl").agg(
+        F.min(F.when(F.col("clbl") == F.col("lbl"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clbl") != F.col("lbl"), F.col("dist"))).alias("b"),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")).cast("double")
+        / F.greatest(F.col("a"), F.col("b")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    scored = per_point.filter(F.col("b").isNotNull()).select(
+        "lbl", F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long").alias("s_e6")
+    )
+    return scored.groupBy(F.col("lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(
+            F.sum("s_e6").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_sil_e6"),
+    )

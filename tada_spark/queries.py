@@ -8707,6 +8707,55 @@ ORDER BY n DESC, t1, t2, t3 LIMIT 20
 """
 
 
+def silhouette_labels_embeddings(spark, sf):
+    """Class separability of the labeled embedding space
+    (functions/similarity.label_silhouette): integer-grid centroids,
+    exact integer a/b distances, one rounded division per point —
+    the clustering-quality readout for any labeling or kmeans output."""
+    emb = load(spark, sf, "embeddings").to_df()
+    return similarity.label_silhouette(emb)
+
+
+SILHOUETTE_SQL = """
+WITH q AS (
+  SELECT vec_id AS vid, label AS lbl,
+         LIST_TRANSFORM(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0 AND label IS NOT NULL
+), dims AS (
+  SELECT lbl, d.i AS dim, v[d.i] AS val
+  FROM q, UNNEST(generate_series(1, len(v))) AS d(i)
+), cent_dims AS (
+  SELECT lbl, dim, CAST(FLOOR(SUM(val)::DOUBLE / COUNT(*)::DOUBLE + 0.5) AS BIGINT) AS cval
+  FROM dims GROUP BY lbl, dim
+), cents AS (
+  SELECT lbl AS clbl, LIST(cval ORDER BY dim) AS cv FROM cent_dims GROUP BY lbl
+), pairs AS (
+  SELECT q.vid, q.lbl, c.clbl,
+         LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+             LIST_TRANSFORM(RANGE(1, len(q.v) + 1),
+                            i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))),
+             (a, x) -> a + x) AS dist
+  FROM q, cents c
+), pp AS (
+  SELECT vid, lbl,
+         MIN(CASE WHEN clbl = lbl THEN dist END) AS a,
+         MIN(CASE WHEN clbl != lbl THEN dist END) AS b
+  FROM pairs GROUP BY vid, lbl
+), scored AS (
+  SELECT lbl,
+         CAST(FLOOR((CASE WHEN GREATEST(a, b) > 0
+               THEN (b - a)::DOUBLE / GREATEST(a, b)::DOUBLE ELSE 0.0 END)
+               * 1000000 + 0.5) AS BIGINT) AS s_e6
+  FROM pp WHERE b IS NOT NULL
+)
+SELECT lbl AS label, COUNT(*)::BIGINT AS n,
+       CAST(FLOOR(SUM(s_e6)::DOUBLE / COUNT(*)::DOUBLE + 0.5) AS BIGINT) AS mean_sil_e6
+FROM scored GROUP BY lbl
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8943,4 +8992,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "jackknife_mean_orders": (jackknife_mean_orders, JACKKNIFE_SQL),
     "clamped_balance_users": (clamped_balance_users, CLAMPED_BALANCE_SQL),
     "session_trigrams_top": (session_trigrams_top, SESSION_TRIGRAMS_SQL),
+    "silhouette_labels_embeddings": (silhouette_labels_embeddings, SILHOUETTE_SQL),
 }

@@ -900,3 +900,17 @@ def test_clamped_balance_identity(spark):
         ))).alias("b"),
     )
     assert [r.b for r in out.orderBy("t").collect()] == [5, 0, 3]
+
+
+def test_label_silhouette_separable_vs_mixed(spark):
+    """Two tight, far-apart labels → silhouette ≈ 1 for both; a point
+    sitting exactly on another label's centroid scores negative."""
+    from tada_spark.functions.similarity import label_silhouette
+
+    rows = [
+        (1, [0.0, 0.0], "a"), (2, [0.1, 0.0], "a"),
+        (3, [100.0, 100.0], "b"), (4, [100.1, 100.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r.label: r.mean_sil_e6 for r in label_silhouette(df).collect()}
+    assert out["a"] > 990_000 and out["b"] > 990_000
