@@ -8756,6 +8756,71 @@ FROM scored GROUP BY lbl
 """
 
 
+def k_anonymity_customers(spark, sf):
+    """k-anonymity audit of the (nation, market-segment) quasi-
+    identifier on customers: the privacy gate before any data release —
+    how many rows sit in QI groups smaller than k, for the standard
+    thresholds. One hash-agg to group sizes, one tiny aggregate over
+    the group-size table; risk fractions floor-e6."""
+    cust = load(spark, sf, "customer").to_df().filter(
+        F.col("c_nationkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    sizes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gs")
+    )
+    agg = sizes.agg(
+        F.sum("gs").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("gs").alias("min_group"),
+        *[
+            F.sum(F.when(F.col("gs") < k, F.col("gs")).otherwise(F.lit(0))).alias(f"r{k}")
+            for k in (2, 5, 10)
+        ],
+    )
+    reports = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col("n_rows"),
+                F.col("n_groups"),
+                F.col("min_group"),
+                F.col(f"r{k}").alias("n_rows_at_risk"),
+                F.floor(
+                    F.col(f"r{k}").cast("double") / F.col("n_rows").cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("risk_e6"),
+            )
+            for k in (2, 5, 10)
+        ]
+    )
+    return agg.select(F.inline(reports))
+
+
+K_ANONYMITY_SQL = """
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS gs
+  FROM customer WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  GROUP BY c_nationkey, c_mktsegment
+), agg AS (
+  SELECT SUM(gs)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_groups, MIN(gs)::BIGINT AS min_group,
+         SUM(CASE WHEN gs < 2 THEN gs ELSE 0 END)::BIGINT AS r2,
+         SUM(CASE WHEN gs < 5 THEN gs ELSE 0 END)::BIGINT AS r5,
+         SUM(CASE WHEN gs < 10 THEN gs ELSE 0 END)::BIGINT AS r10
+  FROM sizes
+)
+SELECT 2 AS k, n_rows, n_groups, min_group, r2 AS n_rows_at_risk,
+       CAST(FLOOR(r2::DOUBLE / n_rows::DOUBLE * 1000000 + 0.5) AS BIGINT) AS risk_e6 FROM agg
+UNION ALL
+SELECT 5, n_rows, n_groups, min_group, r5,
+       CAST(FLOOR(r5::DOUBLE / n_rows::DOUBLE * 1000000 + 0.5) AS BIGINT) FROM agg
+UNION ALL
+SELECT 10, n_rows, n_groups, min_group, r10,
+       CAST(FLOOR(r10::DOUBLE / n_rows::DOUBLE * 1000000 + 0.5) AS BIGINT) FROM agg
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -8993,4 +9058,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "clamped_balance_users": (clamped_balance_users, CLAMPED_BALANCE_SQL),
     "session_trigrams_top": (session_trigrams_top, SESSION_TRIGRAMS_SQL),
     "silhouette_labels_embeddings": (silhouette_labels_embeddings, SILHOUETTE_SQL),
+    "k_anonymity_customers": (k_anonymity_customers, K_ANONYMITY_SQL),
 }
