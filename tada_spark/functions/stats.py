@@ -1146,3 +1146,81 @@ def jackknife_mean_by_group(
             "se_e6"
         ),
     )
+
+
+#: NDCG position discounts 1/log2(i+1) for ranks 1..10, pinned as
+#: literals (the Benford/Wilson convention — no runtime transcendental
+#: in a hash-compared output).
+NDCG_DISCOUNTS = (1.0, 0.630929753571, 0.5, 0.430676558073, 0.386852807235,
+                  0.356207187108, 0.333333333333, 0.315464876786,
+                  0.301029995664, 0.289064826318)
+
+
+def ndcg_at_10(
+    df: DataFrame,
+    group_col: str,
+    rank_col: str,
+    rel_col: str,
+) -> DataFrame:
+    """NDCG@10 per query group — the standard graded-relevance ranking
+    metric: DCG = Σ (2^rel − 1)·d_i over the top 10 by ``rank_col``
+    (1-based, unique within group), IDCG the same over gains sorted
+    descending. Gains are exact integers; the ten discounts are pinned
+    literals; both float folds run in a FIXED order (array_sort then
+    sequential aggregate — the jackknife device), so ndcg_e6
+    hash-matches across engines. Groups with IDCG = 0 (all-zero
+    relevance) yield NULL.
+
+    One group-keyed aggregate collects ≤ 10 (rank, gain) pairs; all
+    arithmetic is per-group on that tiny array."""
+    gain = F.expr(f"shiftleft(1, cast({rel_col} as int)) - 1")
+    top = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(rank_col).isNotNull()
+        & (F.col(rank_col) <= 10)
+        & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        F.col(rank_col).cast("int").alias("__rk__"),
+        gain.cast("long").alias("__g__"),
+    )
+    packed = top.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("__rk__", "__g__"))).alias("by_rank"),
+        F.reverse(F.array_sort(F.collect_list("__g__"))).alias("by_gain"),
+    )
+    disc = F.array(*[F.lit(d) for d in NDCG_DISCOUNTS])
+    dcg = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("by_rank"), lambda s: s["__g__"].cast("double")),
+            F.slice(disc, 1, F.size("by_rank")),
+            lambda g, d: g * d,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    idcg = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("by_gain"), lambda g: g.cast("double")),
+            F.slice(disc, 1, F.size("by_gain")),
+            lambda g, d: g * d,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    stepped = packed.select(
+        group_col,
+        F.size("by_rank").alias("n_ranked"),
+        dcg.alias("__dcg__"),
+        idcg.alias("__idcg__"),
+    )
+    return stepped.select(
+        group_col,
+        "n_ranked",
+        F.floor(F.col("__dcg__") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("dcg_e6"),
+        F.when(
+            F.col("__idcg__") > 0,
+            F.floor(F.col("__dcg__") / F.col("__idcg__") * F.lit(1e6) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("ndcg_e6"),
+    )

@@ -8821,6 +8821,65 @@ SELECT 10, n_rows, n_groups, min_group, r10,
 """
 
 
+def ndcg_retrieval_eval(spark, sf):
+    """NDCG@10 per source (functions/stats.ndcg_at_10) of a
+    deterministic ranking (length desc, doc_id) against synthetic
+    graded relevance rel = 3 − doc_id mod 4 — the ranking-quality
+    metric every retrieval pipeline reports, with pinned discount
+    literals and fixed-order float folds so it hash-checks exactly."""
+    from pyspark.sql.window import Window
+    from tada_spark.functions import stats
+
+    docs = load(spark, sf, "documents").to_df().filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy(F.length("text").desc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "source",
+        F.row_number().over(w).alias("rk"),
+        (F.lit(3) - F.col("doc_id") % 4).alias("rel"),
+    )
+    return stats.ndcg_at_10(ranked, "source", "rk", "rel")
+
+
+NDCG_SQL = """
+WITH ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY LENGTH(text) DESC, doc_id ASC) AS rk,
+         (3 - doc_id % 4)::BIGINT AS rel
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL
+), top AS (
+  SELECT source, rk::INT AS rk, ((1 << rel::INT) - 1)::BIGINT AS g
+  FROM ranked WHERE rk <= 10
+), packed AS (
+  SELECT source,
+         LIST(g ORDER BY rk) AS by_rank,
+         LIST(g ORDER BY g DESC) AS by_gain,
+         COUNT(*)::BIGINT AS n_ranked
+  FROM top GROUP BY source
+), d AS (
+  SELECT [1.0, 0.630929753571, 0.5, 0.430676558073, 0.386852807235,
+          0.356207187108, 0.333333333333, 0.315464876786,
+          0.301029995664, 0.289064826318] AS disc
+), f AS (
+  SELECT source, n_ranked,
+         LIST_REDUCE(LIST_PREPEND(0.0,
+             LIST_TRANSFORM(RANGE(1, len(by_rank) + 1),
+                            i -> by_rank[i]::DOUBLE * disc[i])),
+             (a, x) -> a + x) AS dcg,
+         LIST_REDUCE(LIST_PREPEND(0.0,
+             LIST_TRANSFORM(RANGE(1, len(by_gain) + 1),
+                            i -> by_gain[i]::DOUBLE * disc[i])),
+             (a, x) -> a + x) AS idcg
+  FROM packed, d
+)
+SELECT source, n_ranked,
+       CAST(FLOOR(dcg * 1000000 + 0.5) AS BIGINT) AS dcg_e6,
+       CASE WHEN idcg > 0 THEN CAST(FLOOR(dcg / idcg * 1000000 + 0.5) AS BIGINT) END AS ndcg_e6
+FROM f
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -9059,4 +9118,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_trigrams_top": (session_trigrams_top, SESSION_TRIGRAMS_SQL),
     "silhouette_labels_embeddings": (silhouette_labels_embeddings, SILHOUETTE_SQL),
     "k_anonymity_customers": (k_anonymity_customers, K_ANONYMITY_SQL),
+    "ndcg_retrieval_eval": (ndcg_retrieval_eval, NDCG_SQL),
 }

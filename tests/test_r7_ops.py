@@ -914,3 +914,25 @@ def test_label_silhouette_separable_vs_mixed(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
     out = {r.label: r.mean_sil_e6 for r in label_silhouette(df).collect()}
     assert out["a"] > 990_000 and out["b"] > 990_000
+
+
+def test_ndcg_known(spark):
+    """Perfect ranking → NDCG = 1; the worst order of gains [3, 0] at
+    ranks [2, 1] → DCG = 3·d2, IDCG = 3·d1 → ndcg = d2/d1."""
+    from tada_spark.functions.stats import NDCG_DISCOUNTS, ndcg_at_10
+
+    perfect = spark.createDataFrame(
+        [("q", 1, 2), ("q", 2, 1), ("q", 3, 0)], "g string, rk int, rel int"
+    )
+    r = ndcg_at_10(perfect, "g", "rk", "rel").first()
+    assert r.ndcg_e6 == 1_000_000 and r.n_ranked == 3
+    worst = spark.createDataFrame([("q", 1, 0), ("q", 2, 2)], "g string, rk int, rel int")
+    r = ndcg_at_10(worst, "g", "rk", "rel").first()
+    assert r.ndcg_e6 == math.floor(NDCG_DISCOUNTS[1] / NDCG_DISCOUNTS[0] * 1e6 + 0.5)
+
+
+def test_ndcg_zero_relevance_null(spark):
+    from tada_spark.functions.stats import ndcg_at_10
+
+    df = spark.createDataFrame([("q", 1, 0)], "g string, rk int, rel int")
+    assert ndcg_at_10(df, "g", "rk", "rel").first().ndcg_e6 is None
