@@ -8824,7 +8824,8 @@ SELECT 10, n_rows, n_groups, min_group, r10,
 def ndcg_retrieval_eval(spark, sf):
     """NDCG@10 per source (functions/stats.ndcg_at_10) of a
     deterministic ranking (length desc, doc_id) against synthetic
-    graded relevance rel = 3 − doc_id mod 4 — the ranking-quality
+    graded relevance rel = 3 − (doc_id mod 13) mod 4 (13 is coprime to
+    the 20-way source split, so relevance varies WITHIN a source) — the
     metric every retrieval pipeline reports, with pinned discount
     literals and fixed-order float folds so it hash-checks exactly."""
     from pyspark.sql.window import Window
@@ -8837,7 +8838,7 @@ def ndcg_retrieval_eval(spark, sf):
     ranked = docs.select(
         "source",
         F.row_number().over(w).alias("rk"),
-        (F.lit(3) - F.col("doc_id") % 4).alias("rel"),
+        (F.lit(3) - (F.col("doc_id") % 13) % 4).alias("rel"),
     )
     return stats.ndcg_at_10(ranked, "source", "rk", "rel")
 
@@ -8846,7 +8847,7 @@ NDCG_SQL = """
 WITH ranked AS (
   SELECT source,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY LENGTH(text) DESC, doc_id ASC) AS rk,
-         (3 - doc_id % 4)::BIGINT AS rel
+         (3 - (doc_id % 13) % 4)::BIGINT AS rel
   FROM documents WHERE source IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL
 ), top AS (
   SELECT source, rk::INT AS rk, ((1 << rel::INT) - 1)::BIGINT AS g
