@@ -385,3 +385,27 @@ def test_ngram_novelty_two_aggregates(spark, catalog):
     plan = plan_of(catalog["ngram_novelty_docs"][0](spark, SF))
     assert "BatchEvalPython" not in plan
     assert _shuffles(plan) <= 4
+
+
+def test_late_stats_family_bounded_shuffles_no_python(spark, catalog):
+    for name, cap in [
+        ("weighted_median_price", 1),
+        ("best_split_purchase_value", 2),
+        ("jackknife_mean_orders", 2),
+        ("clamped_balance_users", 1),
+        ("session_trigrams_top", 2),
+        ("k_anonymity_customers", 2),
+        ("ndcg_retrieval_eval", 2),
+        ("burstiness_users", 1),
+        ("trimmed_mean_price_by_status", 1),
+    ]:
+        plan = plan_of(catalog[name][0](spark, SF))
+        assert _shuffles(plan) <= cap, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_silhouette_centroid_sweep_only_nested_loop(spark, catalog):
+    plan = plan_of(catalog["silhouette_labels_embeddings"][0](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the k-row centroid sweep
+    assert "SortMergeJoin" not in plan

@@ -110,6 +110,9 @@ ALLOWED_BNLJ = {
     "exact_decontamination_hits",
     # 1-row total-token-count broadcast (the documented scalar crossJoin)
     "pmi_phrases_docs",
+    # k-row label-centroid broadcast × partitioned corpus — the kmeans
+    # assignment shape, reused for class-separability scoring
+    "silhouette_labels_embeddings",
 }
 
 
