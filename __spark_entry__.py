@@ -61,7 +61,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ols2_spend_model_events, spearman_value_hour_events,
 #: benford_order_totals, km_time_to_purchase, quantile_normalize_docs,
 #: exact_decontamination_hits, audio_vad_real, fk_inference_star,
-#: ngram_novelty_docs) — earn their first rows in r08+ per policy and
+#: ngram_novelty_docs, spatial_radius_pairs, pmi_phrases_docs,
+#: trimmed_mean_price_by_status, burstiness_users, column_churn_orders,
+#: stream_pattern_conversion, weighted_median_price,
+#: best_split_purchase_value, jackknife_mean_orders,
+#: clamped_balance_users, session_trigrams_top,
+#: silhouette_labels_embeddings, k_anonymity_customers,
+#: ndcg_retrieval_eval) — earn their first rows in r08+ per policy and
 #: lead the r08 window together with the six r04-cohort slips named
 #: above; this round they carry full-gate evidence at HEAD (sf0.01
 #: full sweep 197/197 pre-late-additions, per-entry gates at
