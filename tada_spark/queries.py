@@ -8881,6 +8881,69 @@ FROM f
 """
 
 
+def l_diversity_customers(spark, sf):
+    """l-diversity audit (the k-anonymity sibling): per nation QI
+    group, how many rows sit in groups whose SENSITIVE attribute
+    (market segment) takes fewer than l distinct values — group sizes
+    + distinct counts in one aggregate, thresholds from one pass over
+    the tiny group table."""
+    cust = load(spark, sf, "customer").to_df().filter(
+        F.col("c_nationkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    groups = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("gs"),
+        F.countDistinct("c_mktsegment").alias("ndv"),
+    )
+    agg = groups.agg(
+        F.sum("gs").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("ndv").alias("min_diversity"),
+        *[
+            F.sum(F.when(F.col("ndv") < l, F.col("gs")).otherwise(F.lit(0))).alias(f"r{l}")
+            for l in (2, 3)
+        ],
+    )
+    reports = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("l"),
+                F.col("n_rows"),
+                F.col("n_groups"),
+                F.col("min_diversity"),
+                F.col(f"r{l}").alias("n_rows_at_risk"),
+                F.floor(
+                    F.col(f"r{l}").cast("double") / F.col("n_rows").cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("risk_e6"),
+            )
+            for l in (2, 3)
+        ]
+    )
+    return agg.select(F.inline(reports))
+
+
+L_DIVERSITY_SQL = """
+WITH groups AS (
+  SELECT c_nationkey, COUNT(*)::BIGINT AS gs, COUNT(DISTINCT c_mktsegment)::BIGINT AS ndv
+  FROM customer WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  GROUP BY c_nationkey
+), agg AS (
+  SELECT SUM(gs)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_groups,
+         MIN(ndv)::BIGINT AS min_diversity,
+         SUM(CASE WHEN ndv < 2 THEN gs ELSE 0 END)::BIGINT AS r2,
+         SUM(CASE WHEN ndv < 3 THEN gs ELSE 0 END)::BIGINT AS r3
+  FROM groups
+)
+SELECT 2 AS l, n_rows, n_groups, min_diversity, r2 AS n_rows_at_risk,
+       CAST(FLOOR(r2::DOUBLE / n_rows::DOUBLE * 1000000 + 0.5) AS BIGINT) AS risk_e6 FROM agg
+UNION ALL
+SELECT 3, n_rows, n_groups, min_diversity, r3,
+       CAST(FLOOR(r3::DOUBLE / n_rows::DOUBLE * 1000000 + 0.5) AS BIGINT) FROM agg
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -9120,4 +9183,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "silhouette_labels_embeddings": (silhouette_labels_embeddings, SILHOUETTE_SQL),
     "k_anonymity_customers": (k_anonymity_customers, K_ANONYMITY_SQL),
     "ndcg_retrieval_eval": (ndcg_retrieval_eval, NDCG_SQL),
+    "l_diversity_customers": (l_diversity_customers, L_DIVERSITY_SQL),
 }
