@@ -871,10 +871,15 @@ def quantile_normalize(
         F.count(F.lit(1)).over(Window.partitionBy(source_col)).alias("__ns__"),
     )
     total = base.agg(F.count(F.lit(1)).alias("__N__"))
-    num = (F.col("__r__") - 1) * (F.col("__N__") - 1)
     den = F.col("__ns__") - 1
+    # integral DIV, not floor-of-double-division: the 2·(r−1)·(N−1)
+    # numerator reaches 2^53 already at N ≈ 6.7e7 rows, where the
+    # double quotient starts rounding while DuckDB's // stays exact
     p = (
-        F.when(den > 0, F.floor((F.lit(2) * num + den) / (F.lit(2) * den)))
+        F.when(
+            den > 0,
+            F.expr("(2 * ((__r__ - 1) * (__N__ - 1)) + (__ns__ - 1)) div (2 * (__ns__ - 1))"),
+        )
         .otherwise(F.floor((F.col("__N__") - 1) / F.lit(2.0) + F.lit(0.5)))
         .cast("long")
         + F.lit(1)
