@@ -255,3 +255,42 @@ def test_interpolate_matches_brute(spark, vals):
         else:
             expect = prev[1] + (nxt[1] - prev[1]) * ((i - prev[0]) / (nxt[0] - prev[0]))
             assert got[i] == expect
+
+
+# ---------------------------------------------------------------------------
+# spearman ≡ brute Pearson over doubled midranks (same IEEE tree)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(-5, 5)), min_size=2, max_size=25
+    )
+)
+@settings(**SETTINGS)
+def test_spearman_matches_brute(spark, pairs):
+    from tada_spark.functions.stats import spearman_by_group
+
+    df = spark.createDataFrame([("g", x, y) for x, y in pairs], "g string, x long, y long")
+    r = spearman_by_group(df, "g", F.col("x"), F.col("y")).first()
+
+    def ranks_x2(vs):
+        s = sorted(vs)
+        return [2 * sum(1 for t in s if t < v) + sum(1 for t in s if t == v) + 1 for v in vs]
+
+    xs = ranks_x2([x for x, _ in pairs])
+    ys = ranks_x2([y for _, y in pairs])
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    denx = float(n) * float(sxx) - float(sx) * float(sx)
+    deny = float(n) * float(syy) - float(sy) * float(sy)
+    if denx > 0 and deny > 0:
+        rho = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+            math.sqrt(denx) * math.sqrt(deny)
+        )
+        assert r.spearman_e6 == math.floor(rho * 1e6 + 0.5)
+    else:
+        assert r.spearman_e6 is None
