@@ -41,13 +41,18 @@ def _brute_u1_x2(g1: list[int], g2: list[int]) -> int:
 @given(g1=_vals, g2=_vals)
 @settings(**SETTINGS)
 def test_mann_whitney_matches_brute(spark, g1, g2):
+    """The brute oracle must replicate the operator's FLOAT binning:
+    floor((v/100)·100) is not the identity (floor(0.29·100) = 28), and
+    the operator is defined over the binned values on both engines."""
     from tada_spark.functions.stats import mann_whitney_u
 
     rows = [("a", float(v) / 100.0) for v in g1] + [("b", float(v) / 100.0) for v in g2]
     df = spark.createDataFrame(rows, "g string, v double")
     r = mann_whitney_u(df, "v", "g", "a", "b", scale=100).first()
+    b1 = [math.floor(float(v) / 100.0 * 100.0) for v in g1]
+    b2 = [math.floor(float(v) / 100.0 * 100.0) for v in g2]
     assert (r.n_g1, r.n_g2) == (len(g1), len(g2))
-    assert r.u1_x2 == _brute_u1_x2(g1, g2)
+    assert r.u1_x2 == _brute_u1_x2(b1, b2)
 
 
 # ---------------------------------------------------------------------------
