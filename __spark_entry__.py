@@ -67,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: best_split_purchase_value, jackknife_mean_orders,
 #: clamped_balance_users, session_trigrams_top,
 #: silhouette_labels_embeddings, k_anonymity_customers,
-#: ndcg_retrieval_eval) — earn their first rows in r08+ per policy and
+#: ndcg_retrieval_eval, l_diversity_customers) — earn their first rows in r08+ per policy and
 #: lead the r08 window together with the six r04-cohort slips named
 #: above; this round they carry full-gate evidence at HEAD (sf0.01
 #: full sweep 197/197 pre-late-additions, per-entry gates at

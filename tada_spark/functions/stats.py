@@ -416,8 +416,9 @@ def gini_by_group(
     order only — any tie order yields the same Σi·x for equal x). Both
     Σ i·x_(i) and Σx are exact longs from ONE ranked window pass; the
     closed form divides once per group (floor idiom, e6). Negative
-    values are rejected by convention (Gini is defined on non-negative
-    domains); groups with Σx = 0 or n = 0 drop.
+    values DROP up front (Gini is defined on non-negative domains —
+    the weighted_quantile w ≤ 0 convention); groups with Σx = 0 or
+    n = 0 drop.
 
     Integer bound: Σ i·x needs n·max(x)·n < 2^63 — with cents ~5e7 that
     holds to ~4e5 rows per group; lift to DECIMAL(38,0) beyond.
@@ -426,8 +427,10 @@ def gini_by_group(
     window (linear), one aggregate. No global sort."""
     from pyspark.sql.window import Window
 
-    ev = df.filter(value.isNotNull() & F.col(group_col).isNotNull()).select(
-        F.col(group_col), value.cast("long").alias("__x__")
+    ev = (
+        df.filter(value.isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col), value.cast("long").alias("__x__"))
+        .filter(F.col("__x__") >= 0)
     )
     w = Window.partitionBy(group_col).orderBy("__x__")
     ranked = ev.withColumn("__i__", F.row_number().over(w))
@@ -584,7 +587,9 @@ def ols2_by_group(
     100 TB shape: identical to ols_by_group — one map-side-combined
     aggregate over the scan, then O(groups) arithmetic. Adding features
     only widens the sum tuple; it never adds a pass."""
-    df = df.filter(x1.isNotNull() & x2.isNotNull() & y.isNotNull())
+    df = df.filter(
+        F.col(group_col).isNotNull() & x1.isNotNull() & x2.isNotNull() & y.isNotNull()
+    )
     a = x1.cast("long")
     b = x2.cast("long")
     t = y.cast("long")
@@ -1182,6 +1187,7 @@ def ndcg_at_10(
     top = df.filter(
         F.col(group_col).isNotNull()
         & F.col(rank_col).isNotNull()
+        & (F.col(rank_col) >= 1)
         & (F.col(rank_col) <= 10)
         & F.col(rel_col).isNotNull()
     ).select(
@@ -1194,11 +1200,12 @@ def ndcg_at_10(
         F.reverse(F.array_sort(F.collect_list("__g__"))).alias("by_gain"),
     )
     disc = F.array(*[F.lit(d) for d in NDCG_DISCOUNTS])
+    # discount by the RANK VALUE, not list position: a dropped/missing
+    # rank must not shift later documents onto more generous discounts
     dcg = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("by_rank"), lambda s: s["__g__"].cast("double")),
-            F.slice(disc, 1, F.size("by_rank")),
-            lambda g, d: g * d,
+        F.transform(
+            F.col("by_rank"),
+            lambda s: s["__g__"].cast("double") * F.element_at(disc, s["__rk__"]),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,

@@ -914,7 +914,7 @@ def exact_substring_hits(
     hits = corpus.select(corpus_id, corpus_text).join(
         F.broadcast(needles.select(needle_id, needle_text))
     )
-    pos = F.expr(f"locate({needle_text}, {corpus_text})")
+    pos = F.expr(f"locate(`{needle_text}`, `{corpus_text}`)")
     return (
         hits.select(corpus_id, needle_id, pos.alias("position"))
         .filter(F.col("position") > 0)

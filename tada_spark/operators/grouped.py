@@ -314,8 +314,13 @@ class GroupedFrame:
             # fixed) window length, never a shuffle
             arr = F.array_sort(F.collect_list(F.col(col)).over(frame))
             sz = F.size(arr)
-            lo = F.element_at(arr, F.floor((sz + 1) / 2).cast("int"))
-            hi = F.element_at(arr, F.floor((sz + 2) / 2).cast("int"))
+            # collect_list skips NULLs, so an all-null (but complete)
+            # window has an EMPTY array — the median must be NULL like
+            # the other aggs. try_element_at nulls out-of-range indexes
+            # but index 0 is reserved and ALWAYS an error, hence the
+            # clamp to 1 (on the empty array, 1 is out-of-range → NULL)
+            lo = F.try_element_at(arr, F.greatest(F.floor((sz + 1) / 2).cast("int"), F.lit(1)))
+            hi = F.try_element_at(arr, F.greatest(F.floor((sz + 2) / 2).cast("int"), F.lit(1)))
             val = (lo + hi).cast("double") / F.lit(2.0)
         else:
             val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(frame)

@@ -167,7 +167,9 @@ def fk_candidates(
     the join groups straight back down to O(pairs) counts.
 
     Emits (child_col, parent_col, n_child, n_shared, containment_e6,
-    is_candidate) for every directed pair; containment divides once
+    is_candidate) for every directed pair WITH ≥ 1 shared value —
+    zero-overlap pairs produce no row (the inner join drops them; they
+    are by definition never candidates). Containment divides once
     (floor idiom). NULL values are ignored (they carry no FK
     evidence)."""
     from functools import reduce

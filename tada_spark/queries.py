@@ -7472,6 +7472,7 @@ GINI_SQL = """
 WITH b AS (
   SELECT o_orderpriority, ROUND(o_totalprice * 100)::BIGINT AS x
   FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    AND ROUND(o_totalprice * 100)::BIGINT >= 0
 ), r AS (
   SELECT o_orderpriority, x,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY x) AS i
@@ -8851,10 +8852,10 @@ WITH ranked AS (
   FROM documents WHERE source IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL
 ), top AS (
   SELECT source, rk::INT AS rk, ((1 << rel::INT) - 1)::BIGINT AS g
-  FROM ranked WHERE rk <= 10
+  FROM ranked WHERE rk >= 1 AND rk <= 10
 ), packed AS (
   SELECT source,
-         LIST(g ORDER BY rk) AS by_rank,
+         LIST({'rk': rk, 'g': g} ORDER BY rk) AS by_rank,
          LIST(g ORDER BY g DESC) AS by_gain,
          COUNT(*)::BIGINT AS n_ranked
   FROM top GROUP BY source
@@ -8865,8 +8866,7 @@ WITH ranked AS (
 ), f AS (
   SELECT source, n_ranked,
          LIST_REDUCE(LIST_PREPEND(0.0,
-             LIST_TRANSFORM(RANGE(1, len(by_rank) + 1),
-                            i -> by_rank[i]::DOUBLE * disc[i])),
+             LIST_TRANSFORM(by_rank, x -> x.g::DOUBLE * disc[x.rk])),
              (a, x) -> a + x) AS dcg,
          LIST_REDUCE(LIST_PREPEND(0.0,
              LIST_TRANSFORM(RANGE(1, len(by_gain) + 1),

@@ -936,3 +936,35 @@ def test_ndcg_zero_relevance_null(spark):
 
     df = spark.createDataFrame([("q", 1, 0)], "g string, rk int, rel int")
     assert ndcg_at_10(df, "g", "rk", "rel").first().ndcg_e6 is None
+
+
+def test_rolling_median_all_null_window_is_null(spark):
+    """A complete window whose values are all NULL must yield NULL (the
+    other aggs' contract), not an index-0 error."""
+    f = Frame(
+        spark.createDataFrame(
+            [(1, 1, None), (1, 2, None), (1, 3, 5)], "k long, t long, x long"
+        ),
+        labels=["k"],
+    )
+    out = {r.t: r.med for r in f.group_by("k").rolling_n(2, "x", "median", order_by="t", forward=False, out="med").df.collect()}
+    assert out[2] is None  # both values null
+    assert out[3] == 5.0  # collect_list skipped the null → single value
+
+
+def test_ndcg_rank_gap_keeps_rank_discount(spark):
+    """A missing rank must NOT shift later docs onto better discounts:
+    ranks [1, 3] with gains [0, 3] discount rank 3 by d3 = 0.5, not d2."""
+    from tada_spark.functions.stats import NDCG_DISCOUNTS, ndcg_at_10
+
+    df = spark.createDataFrame([("q", 1, 0), ("q", 3, 2)], "g string, rk int, rel int")
+    r = ndcg_at_10(df, "g", "rk", "rel").first()
+    assert r.dcg_e6 == math.floor(3 * NDCG_DISCOUNTS[2] * 1e6 + 0.5)
+
+
+def test_gini_drops_negatives(spark):
+    from tada_spark.functions.stats import gini_by_group
+
+    df = spark.createDataFrame([("g", -5), ("g", 2), ("g", 2)], "g string, x long")
+    r = gini_by_group(df, "g", F.col("x")).first()
+    assert (r.n, r.sx, r.gini_e6) == (2, 4, 0)  # the negative never entered
