@@ -8944,6 +8944,159 @@ SELECT 3, n_rows, n_groups, min_diversity, r3,
 """
 
 
+def zipf_slope_docs(spark, sf):
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    q6(det_ln freq) on q6(det_ln rank) over the top-200 tokens — the
+    corpus-sanity diagnostic (natural text ≈ −1; templated/synthetic
+    text drifts off). Both regression variables are e6-quantized
+    det_ln integers BEFORE the five exact OLS sums, so the whole fit
+    is the ols_by_group closed form on exact longs. One token
+    aggregate, a 200-row rank window, O(1) arithmetic."""
+    from pyspark.sql.window import Window
+
+    from tada_spark.plans.semantics import det_ln
+
+    docs = load(spark, sf, "documents").to_df().filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), t -> t != '')")
+        ).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        freq.orderBy(F.col("c").desc(), "w")
+        .limit(200)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), "w")))
+    )
+    q6 = lambda c: F.floor(det_ln(c) * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    pts = top.select(
+        q6(F.col("rank").cast("double")).alias("x"),
+        q6(F.col("c").cast("double")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    return sums.select(
+        "n",
+        F.when(den != 0, F.floor(num / den * F.lit(1e6) + F.lit(0.5)).cast("long")).alias(
+            "zipf_slope_e6"
+        ),
+    )
+
+
+def _zipf_sql() -> str:
+    lnx = _det_ln_ctes(x="rank::DOUBLE", src="top", keys="rank, c", out="lnx", prefix="__zx")
+    lny = _det_ln_ctes(x="c::DOUBLE", src="top", keys="rank", out="lny", prefix="__zy")
+    return f"""
+WITH toks AS (
+  SELECT UNNEST(LIST_FILTER(string_split_regex(LOWER(text), '[^a-z]+'), t -> t != '')) AS w
+  FROM documents WHERE text IS NOT NULL
+), freq AS (
+  SELECT w, COUNT(*)::BIGINT AS c FROM toks GROUP BY w
+), top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+  FROM freq ORDER BY c DESC, w LIMIT 200
+), {lnx}, {lny}, pts AS (
+  SELECT CAST(FLOOR(x.lnx * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(y.lny * 1000000 + 0.5) AS BIGINT) AS y
+  FROM __zxn x JOIN __zyn y ON x.rank = y.rank
+), s AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx
+  FROM pts
+)
+SELECT n,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) != 0
+            THEN CAST(FLOOR((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT)
+       END AS zipf_slope_e6
+FROM s
+"""
+
+
+ZIPF_SQL = _zipf_sql()
+
+
+def autocorr_daily_revenue(spark, sf):
+    """Lag-7 autocorrelation of daily order revenue — the weekly-
+    seasonality detector: resample to exact daily cents, self-pair at
+    lag 7 via a date join (shift over the tiny day spine), Pearson
+    closed form on exact long sums (corr_by_group's tree on one
+    group). The facts collapse to O(#days) rows first, so the window
+    and join cost nothing at any scale."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf, "orders").to_df().filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    # daily totals in $100 units (integral div): Σ(x·x7) with raw cents
+    # would pass 2^63 near sf0.1-scale daily revenues — the correlation
+    # is scale-invariant only up to this shared quantization, which both
+    # engines apply identically
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.expr("sum(cast(round(o_totalprice * 100) as long)) div 10000").alias("cents")
+    )
+    w = Window.orderBy("d")
+    paired = daily.select(
+        "d",
+        "cents",
+        F.lead("cents", 7).over(w).alias("cents7"),
+    ).filter(F.col("cents7").isNotNull())
+    sums = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum("cents7").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents7")).alias("sxy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("cents7") * F.col("cents7")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    corr = F.when((denx > 0) & (deny > 0), num / (F.sqrt(denx) * F.sqrt(deny)))
+    return sums.select(
+        "n",
+        F.floor(corr * F.lit(1e6) + F.lit(0.5)).cast("long").alias("autocorr7_e6"),
+    )
+
+
+AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT // 10000 AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_orderdate
+), paired AS (
+  SELECT cents, LEAD(cents, 7) OVER (ORDER BY d) AS cents7 FROM daily
+), s AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sx, SUM(cents7)::BIGINT AS sy,
+         SUM(cents * cents7)::BIGINT AS sxy, SUM(cents * cents)::BIGINT AS sxx,
+         SUM(cents7 * cents7)::BIGINT AS syy
+  FROM paired WHERE cents7 IS NOT NULL
+)
+SELECT n,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN CAST(FLOOR((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (SQRT(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * SQRT(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT)
+       END AS autocorr7_e6
+FROM s
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -9184,4 +9337,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "k_anonymity_customers": (k_anonymity_customers, K_ANONYMITY_SQL),
     "ndcg_retrieval_eval": (ndcg_retrieval_eval, NDCG_SQL),
     "l_diversity_customers": (l_diversity_customers, L_DIVERSITY_SQL),
+    "zipf_slope_docs": (zipf_slope_docs, ZIPF_SQL),
+    "autocorr_daily_revenue": (autocorr_daily_revenue, AUTOCORR_SQL),
 }

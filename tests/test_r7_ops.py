@@ -968,3 +968,26 @@ def test_gini_drops_negatives(spark):
     df = spark.createDataFrame([("g", -5), ("g", 2), ("g", 2)], "g string, x long")
     r = gini_by_group(df, "g", F.col("x")).first()
     assert (r.n, r.sx, r.gini_e6) == (2, 4, 0)  # the negative never entered
+
+
+def test_autocorr_perfect_weekly_period(spark):
+    """A strict period-7 series correlates perfectly with itself at
+    lag 7 — drive the catalog entry's exact closed form on literals."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, [100, 200, 300, 400, 500, 600, 700][i % 7]) for i in range(28)]
+    daily = spark.createDataFrame(rows, "d long, cents long")
+    w = Window.orderBy("d")
+    paired = daily.select(
+        "cents", F.lead("cents", 7).over(w).alias("c7")
+    ).filter(F.col("c7").isNotNull())
+    s = paired.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sx"), F.sum("c7").alias("sy"),
+        F.sum(F.col("cents") * F.col("c7")).alias("sxy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("c7") * F.col("c7")).alias("syy"),
+    ).first()
+    num = s.n * s.sxy - s.sx * s.sy
+    denx = s.n * s.sxx - s.sx * s.sx
+    deny = s.n * s.syy - s.sy * s.sy
+    assert num * num == denx * deny  # corr == 1 exactly in integers
