@@ -989,9 +989,11 @@ def weighted_quantile_by_group(
     ever happens, so the result is exact at any scale. Zero/negative
     weights drop; empty groups vanish.
 
-    100 TB shape: one keyed sort-window for the running weight + one
-    min_by argmin on the same partitioning — exactly one shuffle.
-    Integer bound: W·q_num < 2^63."""
+    100 TB shape: the facts collapse to a (group, distinct-value)
+    spine in ONE map-side-combined hash-agg (weights of equal values
+    sum — the crossing point only ever lands on a distinct value), so
+    the running-weight window sorts the bounded spine, never the fact
+    rows. Exactly one fact shuffle. Integer bound: W·q_num < 2^63."""
     from pyspark.sql.window import Window
 
     base = df.filter(
@@ -1001,13 +1003,14 @@ def weighted_quantile_by_group(
         value.cast("long").alias("__v__"),
         weight.cast("long").alias("__w__"),
     ).filter(F.col("__w__") > 0)
+    spine = base.groupBy(group_col, "__v__").agg(F.sum("__w__").alias("__vw__"))
     w = Window.partitionBy(group_col).orderBy("__v__")
     tot = Window.partitionBy(group_col)
-    stepped = base.select(
+    stepped = spine.select(
         group_col,
         "__v__",
-        F.sum("__w__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum__"),
-        F.sum("__w__").over(tot).alias("__W__"),
+        F.sum("__vw__").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum__"),
+        F.sum("__vw__").over(tot).alias("__W__"),
     )
     crossing = stepped.filter(
         F.col("__cum__") * F.lit(int(q_den)) >= F.lit(int(q_num)) * F.col("__W__")
