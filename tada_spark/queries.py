@@ -9097,6 +9097,81 @@ FROM s
 """
 
 
+def sentence_chunks_docs(spark, sf):
+    """Boundary-aware RAG chunking: greedily pack consecutive WORDS
+    into chunks of <= 50 chars — a chunk closes when the next word
+    would overflow, so no word is ever split (the boundary-respecting
+    chunking real retrieval pipelines use, vs chunk_windows' fixed
+    character windows; the synthetic corpus has no sentence
+    punctuation, so the word is the boundary unit here). The greedy
+    fold is a running-sum-with-reset recurrence — not a plain window —
+    so it runs on the bounded per-doc word ARRAY with one aggregate
+    fold (JVM higher-order functions, zero Python); the oracle replays
+    it with a recursive CTE. Emits (doc_id, chunk_idx, n_units,
+    chunk_chars)."""
+    docs = load(spark, sf, "documents").to_df().filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    # try_element_at: SQL AND does not guarantee short-circuit, so the
+    # empty-accumulator probe must be null-safe, not guarded
+    folded = F.expr(
+        """
+        aggregate(
+          filter(transform(split(text, ' +'), s -> trim(s)), s -> s != ''),
+          cast(array() as array<struct<idx:int, n:int, chars:int>>),
+          (acc, s) -> case
+            when try_element_at(acc, -1).chars + 1 + length(s) <= 50
+            then concat(slice(acc, 1, size(acc) - 1),
+                        array(named_struct(
+                          'idx', try_element_at(acc, -1).idx,
+                          'n', try_element_at(acc, -1).n + 1,
+                          'chars', try_element_at(acc, -1).chars + 1 + length(s))))
+            else concat(acc, array(named_struct(
+                          'idx', cast(size(acc) + 1 as int),
+                          'n', 1,
+                          'chars', cast(length(s) as int))))
+          end)
+        """
+    )
+    return (
+        docs.select("doc_id", folded.alias("chunks"))
+        .select("doc_id", F.explode("chunks").alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.idx").alias("chunk_idx"),
+            F.col("c.n").alias("n_units"),
+            F.col("c.chars").alias("chunk_chars"),
+        )
+    )
+
+
+SENTENCE_CHUNKS_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, s.i AS si, TRIM(parts[s.i]) AS w
+  FROM (
+    SELECT doc_id, string_split_regex(text, ' +') AS parts
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+  ), UNNEST(generate_series(1, len(parts))) AS s(i)
+  WHERE TRIM(parts[s.i]) != ''
+), ordered AS (
+  SELECT doc_id, LENGTH(w)::INT AS slen,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY si)::INT AS pos
+  FROM words
+), steps AS (
+  SELECT doc_id, pos, 1 AS chunk_idx, 1 AS n, slen AS chars
+  FROM ordered WHERE pos = 1
+  UNION ALL
+  SELECT o.doc_id, o.pos,
+         CASE WHEN s.chars + 1 + o.slen <= 50 THEN s.chunk_idx ELSE s.chunk_idx + 1 END,
+         CASE WHEN s.chars + 1 + o.slen <= 50 THEN s.n + 1 ELSE 1 END,
+         CASE WHEN s.chars + 1 + o.slen <= 50 THEN s.chars + 1 + o.slen ELSE o.slen END
+  FROM steps s JOIN ordered o ON o.doc_id = s.doc_id AND o.pos = s.pos + 1
+)
+SELECT doc_id, chunk_idx, MAX(n)::INT AS n_units, MAX(chars)::INT AS chunk_chars
+FROM steps GROUP BY doc_id, chunk_idx
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -9339,4 +9414,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "l_diversity_customers": (l_diversity_customers, L_DIVERSITY_SQL),
     "zipf_slope_docs": (zipf_slope_docs, ZIPF_SQL),
     "autocorr_daily_revenue": (autocorr_daily_revenue, AUTOCORR_SQL),
+    "sentence_chunks_docs": (sentence_chunks_docs, SENTENCE_CHUNKS_SQL),
 }

@@ -991,3 +991,33 @@ def test_autocorr_perfect_weekly_period(spark):
     denx = s.n * s.sxx - s.sx * s.sx
     deny = s.n * s.syy - s.sy * s.sy
     assert num * num == denx * deny  # corr == 1 exactly in integers
+
+
+def test_word_boundary_chunk_fold(spark):
+    """'aaaa bb cccc' at cap 8: [aaaa bb] (7 chars) then [cccc] —
+    the fold never splits a word and closes on overflow; an oversized
+    single word gets its own chunk."""
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame([(1, "aaaa bb cccc"), (2, "x" * 60)], "doc_id long, text string")
+    folded = FF.expr(
+        """
+        aggregate(
+          filter(transform(split(text, ' +'), s -> trim(s)), s -> s != ''),
+          cast(array() as array<struct<idx:int, n:int, chars:int>>),
+          (acc, s) -> case
+            when try_element_at(acc, -1).chars + 1 + length(s) <= 8
+            then concat(slice(acc, 1, size(acc) - 1),
+                        array(named_struct('idx', try_element_at(acc, -1).idx,
+                          'n', try_element_at(acc, -1).n + 1,
+                          'chars', try_element_at(acc, -1).chars + 1 + length(s))))
+            else concat(acc, array(named_struct('idx', cast(size(acc) + 1 as int),
+                          'n', 1, 'chars', cast(length(s) as int))))
+          end)
+        """
+    )
+    out = {
+        (r.doc_id, r.c.idx): (r.c.n, r.c.chars)
+        for r in df.select("doc_id", FF.explode(folded).alias("c")).collect()
+    }
+    assert out == {(1, 1): (2, 7), (1, 2): (1, 4), (2, 1): (1, 60)}
