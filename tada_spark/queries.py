@@ -9172,6 +9172,74 @@ FROM steps GROUP BY doc_id, chunk_idx
 """
 
 
+def knn_label_noise(spark, sf):
+    """k-NN label-noise audit: for each of the 20 lowest-id labeled
+    vectors, its 5 nearest labeled neighbors by cosine (e6-quantized
+    BEFORE ranking, ties by id) — flagged when a strict majority
+    disagrees with its own label. The standard mislabeled-example
+    screen (Confident-Learning style) as a broadcast-probe sweep over
+    the partitioned corpus — linear, the allowlisted ann shape."""
+    from pyspark.sql.window import Window
+
+    live = (
+        load(spark, sf, "embeddings")
+        .to_df()
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+            & F.col("label").isNotNull()
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+        .filter(similarity.dot(F.col("v"), F.col("v")) > 0)
+    )
+    probes = live.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("p_id"), F.col("v").alias("pv"), F.col("label").alias("p_label")
+    )
+    cos_e6 = F.floor(
+        similarity.cosine(F.col("pv"), F.col("v")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = live.join(F.broadcast(probes), F.col("p_id") != F.col("vec_id")).select(
+        "p_id",
+        "p_label",
+        F.col("label").alias("n_label"),
+        F.col("vec_id").alias("n_id"),
+        cos_e6.alias("cos_e6"),
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("cos_e6").desc(), F.col("n_id").asc())
+    top5 = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5)
+    return (
+        top5.groupBy(F.col("p_id").alias("vec_id"), F.col("p_label").alias("label"))
+        .agg(
+            F.count(F.when(F.col("n_label") != F.col("p_label"), F.lit(1))).alias("n_diff")
+        )
+        .select("vec_id", "label", "n_diff", (F.col("n_diff") >= 3).alias("flagged"))
+    )
+
+
+KNN_NOISE_SQL = """
+WITH live AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0 AND label IS NOT NULL
+    AND LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), probes AS (
+  SELECT vec_id AS p_id, v AS pv, label AS p_label FROM live ORDER BY vec_id LIMIT 20
+), scored AS (
+  SELECT p.p_id, p.p_label, c.label AS n_label, c.vec_id AS n_id,
+         CAST(FLOOR((LIST_DOT_PRODUCT(p.pv, c.v)
+               / (SQRT(LIST_DOT_PRODUCT(p.pv, p.pv)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))))
+              * 1000000 + 0.5) AS BIGINT) AS cos_e6
+  FROM probes p JOIN live c ON c.vec_id != p.p_id
+), top5 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY cos_e6 DESC, n_id ASC) AS r
+  FROM scored
+)
+SELECT p_id AS vec_id, p_label AS label,
+       COUNT(*) FILTER (n_label != p_label)::BIGINT AS n_diff,
+       (COUNT(*) FILTER (n_label != p_label) >= 3) AS flagged
+FROM top5 WHERE r <= 5 GROUP BY p_id, p_label
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -9415,4 +9483,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zipf_slope_docs": (zipf_slope_docs, ZIPF_SQL),
     "autocorr_daily_revenue": (autocorr_daily_revenue, AUTOCORR_SQL),
     "sentence_chunks_docs": (sentence_chunks_docs, SENTENCE_CHUNKS_SQL),
+    "knn_label_noise": (knn_label_noise, KNN_NOISE_SQL),
 }

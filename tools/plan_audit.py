@@ -113,6 +113,9 @@ ALLOWED_BNLJ = {
     # k-row label-centroid broadcast × partitioned corpus — the kmeans
     # assignment shape, reused for class-separability scoring
     "silhouette_labels_embeddings",
+    # 20-row probe broadcast × partitioned corpus — the ann sweep,
+    # reused for the label-noise audit
+    "knn_label_noise",
 }
 
 
