@@ -9240,6 +9240,83 @@ FROM top5 WHERE r <= 5 GROUP BY p_id, p_label
 """
 
 
+def containment_decontamination(spark, sf):
+    """Containment-ratio decontamination (the thresholded tier between
+    contamination_hits' raw counts and exact_decontamination's verbatim
+    match): an eval doc (doc_id % 50 = 0) is contaminated by a train
+    doc when ≥ 60% of the EVAL doc's distinct 16-char shingles appear
+    in it — |A∩B| / |A| with the EVAL side as the denominator, which
+    catches a small benchmark sample pasted into a long train doc that
+    symmetric Jaccard dilutes below any threshold. Shared counts ride
+    one shingle-keyed join; each eval doc's distinct-shingle total is a
+    broadcastable eval-sized table; the ratio compares by integer
+    cross-multiplication (5·shared ≥ 3·total — no division at all)."""
+    docs = load(spark, sf, "documents").to_df().filter(F.col("text").isNotNull())
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 15, 1)),"
+                    " i -> substring(text, i, 16))"
+                )
+            )
+        ).alias("g"),
+    )
+    ev = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    tr = sh.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_id"), "g"
+    )
+    totals = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    shared = (
+        tr.join(ev, "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(totals), "eval_id")
+        .filter(F.lit(5) * F.col("n_shared") >= F.lit(3) * F.col("n_eval"))
+        .select(
+            "train_id",
+            "eval_id",
+            "n_shared",
+            "n_eval",
+            F.floor(
+                F.col("n_shared").cast("double") / F.col("n_eval").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("containment_e6"),
+        )
+    )
+
+
+CONTAINMENT_DECON_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 15, 1) + 1),
+                i -> SUBSTR(text, i::INT, 16)))) AS g
+  FROM documents WHERE text IS NOT NULL
+), ev AS (
+  SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id AS train_id, g FROM sh WHERE doc_id % 50 != 0
+), totals AS (
+  SELECT eval_id, COUNT(*)::BIGINT AS n_eval FROM ev GROUP BY eval_id
+), shared AS (
+  SELECT tr.train_id, ev.eval_id, COUNT(*)::BIGINT AS n_shared
+  FROM tr JOIN ev ON tr.g = ev.g
+  GROUP BY tr.train_id, ev.eval_id
+)
+SELECT s.train_id, s.eval_id, s.n_shared, t.n_eval,
+       CAST(FLOOR(s.n_shared::DOUBLE / t.n_eval::DOUBLE * 1000000 + 0.5) AS BIGINT) AS containment_e6
+FROM shared s JOIN totals t ON s.eval_id = t.eval_id
+WHERE 5 * s.n_shared >= 3 * t.n_eval
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -9484,4 +9561,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "autocorr_daily_revenue": (autocorr_daily_revenue, AUTOCORR_SQL),
     "sentence_chunks_docs": (sentence_chunks_docs, SENTENCE_CHUNKS_SQL),
     "knn_label_noise": (knn_label_noise, KNN_NOISE_SQL),
+    "containment_decontamination": (containment_decontamination, CONTAINMENT_DECON_SQL),
 }
