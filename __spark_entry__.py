@@ -9,6 +9,41 @@ oracle_sql()  — DuckDB-equivalent ANSI SQL per query. Omitted only for
                 → rows-only check.
 
 The real inventory lives in tada_spark/queries.py (CATALOG).
+
+Driver-window rotation — COMPUTED, not narrated
+-----------------------------------------------
+The driver verifies the FIRST 50 queries() entries per round; the
+catalog is larger.  The window order is now derived at call time from
+the committed CORRECTNESS_r*.json artifacts by
+tada_spark/rotation.py (see its docstring for the exact rule):
+
+1. never-driver-green oracle-able entries, newest catalog position
+   first (new entries earn their first row the round after landing);
+2. then driver-green entries, oldest green round first (LRU);
+3. rows-only-by-nature entries last (their hash-verified twins —
+   minhash_lsh_oracle, simhash_oracle, winnow_fingerprints_oracle,
+   approx_distinct_checked, approx_quantiles_checked — take the
+   window slots instead).
+
+Honest accounting as of round 8 (recomputed from the artifacts by
+``tada_spark.rotation.freshness_report``, pinned by
+tests/test_inventory_sync.py so this text can never drift from the
+files again): driver artifacts exist for rounds 1-5 and 7 — round 6
+produced NO artifacts.  Entering round 8, 122 of 215 oracle-able
+entries have EVER been driver-green (histogram of newest green round:
+r03=16, r04=6, r05=50, r07=50; the recent-window union r05∪r07 is
+100), and 93 entries have never had a driver-green row.  With 215 oracle-able
+entries and 50 rows/round the minimum full-coverage cycle is
+ceil(215/50) = 5 rounds; the earlier "green within 3-4 rounds" claim
+was arithmetically unsatisfiable and is withdrawn.  The round-8
+window therefore leads with 50 of the 93 never-green entries (the
+late-r7 cohort: the stats family, governance/lakehouse tier,
+stream_ewma/stream_pattern, semdedup-adjacent ANN entries); the
+remaining 43 plus the oldest-green r03/r04 cohort rotate in next
+round.  Every round additionally runs the FULL local oracle gate
+(tools/check_oracle.py, all entries, sf0.001) at HEAD — gate evidence
+is recorded in the commit log but is never presented as driver
+evidence.
 """
 
 from __future__ import annotations
@@ -18,6 +53,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from tada_spark.queries import CATALOG, q1_pricing_summary
+from tada_spark.rotation import driver_order
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,124 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-#: The driver verifies the FIRST 50 queries() entries per round; the
-#: catalog has more. Rolling-freshness goal: every oracle-able catalog
-#: entry green in the union of the last three driver rounds. r07 order:
-#: (a) the six round-6 additions with NO driver row yet
-#: (kl_divergence_sources, stream_static_enrich, ab_chi2_events,
-#: corr_value_hour_events, ols_trend_priority, image_resize_real —
-#: each local-gate green at sf0.001/0.01/0.1 and hash-stable at
-#: local[5]); (b) 44 of the 50 entries whose newest green is r04 —
-#: they expire from the rolling r05∪r06∪r07 union unless re-earned
-#: THIS round. Six r04-cohort entries slip to the r08 leads under the
-#: documented four-round-cycle tail (capacity note below), chosen
-#: because their operator is ALSO evidenced by an in-window or
-#: r05/r06-green sibling: append_union (union rides
-#: readme_pipeline_golden), cube_flag_status (grouping-sets family via
-#: rollup_status_priority in-window + time_grouping_sets_events r06),
-#: distinct_flag_status (distinct via unique_first_appearance
-#: in-window), divide_nullsafe (null-safe arithmetic via
-#: combine_series_ratio r06), lookup_orders_customer (lookup rides
-#: every TPC-H analog in-window), token_frequency (token counting via
-#: tfidf_top_terms/token_entropy_by_source r06). The round-7
-#: additions — the early ten (period_growth_orders,
-#: interval_islands_events, pareto_frontier_parts, psi_drift_events,
-#: semdedup_embeddings, audio_downsample_real, asof_forward_next_click,
-#: pq_adc_topk, length_bucket_batches_docs, stream_outer_join_purchases)
-#: plus the late cohort (cms_heavy_hitters_users, profile_columns_orders,
-#: rrf_hybrid_retrieval, dsir_select_docs, image_dhash_near_dup,
-#: content_digest_tables, referential_integrity_report,
-#: epoch_shuffle_docs, ks_test_click_purchase, stream_ewma_users,
-#: wordpiece_apply_docs, twap_value_users, triplet_mining_embeddings,
-#: mannwhitney_click_purchase, interpolate_masked_values,
-#: last_touch_attribution, gini_order_value_by_priority,
-#: wilson_purchase_rate_by_hour, cusum_change_events,
-#: rolling_median_value_users, flesch_reading_ease_by_source,
-#: ols2_spend_model_events, spearman_value_hour_events,
-#: benford_order_totals, km_time_to_purchase, quantile_normalize_docs,
-#: exact_decontamination_hits, audio_vad_real, fk_inference_star,
-#: ngram_novelty_docs, spatial_radius_pairs, pmi_phrases_docs,
-#: trimmed_mean_price_by_status, burstiness_users, column_churn_orders,
-#: stream_pattern_conversion, weighted_median_price,
-#: best_split_purchase_value, jackknife_mean_orders,
-#: clamped_balance_users, session_trigrams_top,
-#: silhouette_labels_embeddings, k_anonymity_customers,
-#: ndcg_retrieval_eval, l_diversity_customers) — earn their first rows in r08+ per policy and
-#: lead the r08 window together with the six r04-cohort slips named
-#: above; this round they carry full-gate evidence at HEAD (sf0.01
-#: full sweep 197/197 pre-late-additions, per-entry gates at
-#: sf0.001/0.01/0.1 and local[5] in the commit log) instead.
-#:
-#: Capacity note: the catalog exceeds the 3-round union capacity
-#: (3 × 50 = 150), so a small tail necessarily rotates on a FOUR-round
-#: cycle. Policy: oldest-green first (LRU), new entries earn their
-#: first row the round after they land, and every round runs the FULL
-#: local gate at HEAD at all three scales (recorded in the
-#: closing-validation commits) — so each entry is either driver-green
-#: within 3 rounds or full-gate-green at HEAD the same round, always
-#: both within 4. Rows-only-by-nature entries (minhash_candidate_pairs,
-#: simhash_candidates, approx_distinct_suppliers,
-#: approx_quantiles_sketch, winnow_shared_fingerprints) stay out of the
-#: window: their hash-verified md5/bounded-error twins ARE in it.
-_DRIVER_PRIORITY = [
-    # (a) round-6 additions earning their first driver row
-    "kl_divergence_sources",
-    "stream_static_enrich",
-    "ab_chi2_events",
-    "corr_value_hour_events",
-    "ols_trend_priority",
-    "image_resize_real",
-    # (b) newest green is r04 — re-earn now or fall out of the union
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "q6_revenue_delta",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_customers",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_inactive_customers",
-    "readme_pipeline_golden",
-    "bigram_familiarity_docs",
-    "bpe_token_budget",
-    "custom_apply_zscore",
-    "custom_reduce_weighted_mean",
-    "dedup_exact_fingerprint",
-    "group_reducers_full",
-    "jaccard_near_dups",
-    "json_extract_props",
-    "kmeans_embeddings",
-    "lang_id_vote",
-    "minhash_lsh_oracle",
-    "paragraph_dedup_docs",
-    "pivot_returnflag",
-    "promote_region_level",
-    "repetition_ngram_stats",
-    "rollup_status_priority",
-    "salted_group_sum",
-    "salted_join_events_users",
-    "sequence_pack_docs",
-    "simhash_oracle",
-    "sort_topk_customers",
-    "stream_corpus_prep",
-    "unique_first_appearance",
-    "winnow_fingerprints_oracle",
-]
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = _DRIVER_PRIORITY + [n for n in CATALOG if n not in _DRIVER_PRIORITY]
-    return {name: CATALOG[name][0] for name in ordered}
+    return {name: CATALOG[name][0] for name in driver_order(CATALOG)}
 
 
 def oracle_sql() -> dict[str, str]:

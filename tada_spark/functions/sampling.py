@@ -381,8 +381,13 @@ def length_bucket_batches(
     )
     bucket = F.length(F.bin(F.col("tokens"))).alias("bucket")
     w = Window.partitionBy("shard", "bucket").orderBy("h", "did")
-    numbered = base.select("shard", "did", "h", "tokens", bucket).withColumn(
-        "batch_id", ((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long")
+    # integral div (the quantile_normalize idiom): exact at any row
+    # count, matching the oracle's // — never a double round-trip
+    numbered = (
+        base.select("shard", "did", "h", "tokens", bucket)
+        .withColumn("__rn__", F.row_number().over(w) - F.lit(1))
+        .withColumn("batch_id", F.expr(f"CAST(__rn__ DIV {int(batch_size)} AS BIGINT)"))
+        .drop("__rn__")
     )
     agg = numbered.groupBy("shard", "bucket", "batch_id").agg(
         F.count("*").alias("n_docs"),

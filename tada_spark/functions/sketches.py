@@ -59,7 +59,14 @@ def cms_estimate(
     depth rows of the hashed cell's count (the CMS estimator, which can
     only OVERcount — collisions add, never subtract). Carries every
     other column of ``keys`` through. The sketch side is tiny by
-    construction, so the join is an explicit broadcast."""
+    construction, so the join is an explicit broadcast.
+
+    The sketch is SPARSE (absent cell ≡ 0), so probes join LEFT and
+    coalesce missing cells to 0 before the min: a key the build never
+    saw estimates 0 when any of its cells is empty, and never
+    disappears from the output. (An inner join here silently skipped
+    empty cells — min over only the populated ones — inflating unseen
+    keys and dropping keys whose every cell was empty.)"""
     carry = [c for c in keys.columns if c != key_col]
     probes = keys.select(
         key_col,
@@ -77,7 +84,7 @@ def cms_estimate(
         ).alias("p"),
     ).select(key_col, *carry, "p.row", "p.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col, *carry)
-        .agg(F.min("c").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
     )

@@ -735,9 +735,17 @@ def benford_chi2(df: DataFrame, value: Column) -> DataFrame:
     literals, each digit's contribution e6-floor-quantized BEFORE the
     exact integer sum (the BM25/KL discipline). Returns one row:
     (n, chi2_e6, and obs_1..obs_9 for the full fingerprint). Non-
-    positive values drop (Benford is defined on positive magnitudes)."""
-    d = F.substring(value.cast("string"), 1, 1).cast("int")
-    base = df.filter(value.isNotNull() & (value > 0)).select(d.alias("__d__"))
+    positive values drop (Benford is defined on positive magnitudes).
+
+    The magnitude is truncated to LONG before both the digit
+    extraction and the positivity filter, so n always equals
+    Σ obs_d: a fractional value in (0, 1) truncates to 0 and is
+    filtered out, instead of passing ``value > 0`` while its string
+    head '0' lands in no digit bucket (which silently inflated every
+    χ² deviation term)."""
+    mag = value.cast("long")
+    d = F.substring(mag.cast("string"), 1, 1).cast("int")
+    base = df.filter(mag.isNotNull() & (mag > 0)).select(d.alias("__d__"))
     agg = base.agg(
         F.count(F.lit(1)).alias("n"),
         *[

@@ -1,0 +1,124 @@
+"""Artifact-derived driver-window rotation.
+
+The per-round driver verifies only the FIRST 50 ``queries()`` entries
+against their DuckDB oracles, while the catalog holds 200+ entries.
+Round 6 proved that a hand-maintained priority list drifts from the
+artifacts that actually exist (the r07 verdict found a narrated
+"round-6 union" with no round-6 files on disk).  This module replaces
+the hand list with an order COMPUTED from the committed
+``CORRECTNESS_r*.json`` files, so the window can never disagree with
+the evidence again.
+
+Rule (deterministic, artifact-only — no clock, no hand list):
+
+1. **Never-driver-green oracle-able entries first, newest catalog
+   position first.**  The catalog is append-ordered, so descending
+   catalog index == most-recently-added first; this implements the
+   standing policy that new entries earn their first driver row the
+   round after they land, and clears the backlog from the newest
+   additions backwards.
+2. **Then driver-green entries, oldest green round first (LRU)**,
+   tie-broken by catalog order.  An entry verified in round N outranks
+   one verified in round N+1, so every entry's evidence age is bounded
+   by ``ceil(oracle_able / 50)`` rounds once the never-green backlog
+   drains.
+3. **Rows-only-by-nature entries last** (``oracle_sql()`` omits them;
+   the driver can only count their rows).  Their hash-verified md5 /
+   bounded-error twins compete for window slots instead.
+
+"Green" means a CORRECTNESS row with ``err is null`` and
+``rows_match``, ``schema_match`` and ``hash_match`` all true — the
+strongest signal the driver emits.  A rows-only green (hash_match
+false) does not count; those entries should re-enter the window until
+they earn a hash match or are reclassified as rows-only-by-nature.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+#: Repo root = parent of the package directory; the driver artifacts
+#: (CORRECTNESS_r*.json) are committed there next to __spark_entry__.py.
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+_ARTIFACT_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+
+def correctness_artifacts(root: Path | str = REPO_ROOT) -> dict[int, dict]:
+    """All committed driver-correctness artifacts, keyed by round."""
+    out: dict[int, dict] = {}
+    for p in sorted(Path(root).glob("CORRECTNESS_r*.json")):
+        m = _ARTIFACT_RE.search(p.name)
+        if not m:
+            continue
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data, dict):
+            out[int(m.group(1))] = data
+    return out
+
+
+def _row_is_green(row: object) -> bool:
+    return (
+        isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
+
+
+def newest_green(root: Path | str = REPO_ROOT) -> dict[str, int]:
+    """entry -> newest round with a fully-green driver row."""
+    newest: dict[str, int] = {}
+    for rnd, rows in correctness_artifacts(root).items():
+        for name, row in rows.items():
+            if _row_is_green(row):
+                newest[name] = max(newest.get(name, rnd), rnd)
+    return newest
+
+
+def driver_order(catalog: dict, root: Path | str = REPO_ROOT) -> list[str]:
+    """The full queries() ordering per the three-tier rule above.
+
+    ``catalog`` maps name -> (callable, oracle_sql_or_None); insertion
+    order is the append order used for recency/tie-breaks.
+    """
+    index = {name: i for i, name in enumerate(catalog)}
+    oracle_able = [n for n, (_fn, sql) in catalog.items() if sql is not None]
+    rows_only = [n for n, (_fn, sql) in catalog.items() if sql is None]
+    greens = newest_green(root)
+    never = sorted((n for n in oracle_able if n not in greens),
+                   key=lambda n: -index[n])
+    seen = sorted((n for n in oracle_able if n in greens),
+                  key=lambda n: (greens[n], index[n]))
+    return never + seen + rows_only
+
+
+def freshness_report(catalog: dict, root: Path | str = REPO_ROOT) -> dict:
+    """Honest accounting of the driver evidence, computed not narrated.
+
+    Returned dict: rounds_on_disk, union size (distinct ever-green
+    oracle-able entries), never_green count, per-round green counts,
+    and the minimum full-coverage cycle length at 50 rows/round.
+    """
+    arts = correctness_artifacts(root)
+    greens = newest_green(root)
+    oracle_able = [n for n, (_fn, sql) in catalog.items() if sql is not None]
+    ever = [n for n in oracle_able if n in greens]
+    n50 = max(1, 50)
+    return {
+        "rounds_on_disk": sorted(arts),
+        "oracle_able": len(oracle_able),
+        "ever_driver_green": len(ever),
+        "never_driver_green": len(oracle_able) - len(ever),
+        "newest_green_histogram": {
+            r: sum(1 for n in ever if greens[n] == r)
+            for r in sorted(set(greens[n] for n in ever))
+        },
+        "min_cycle_rounds": -(-len(oracle_able) // n50),
+    }
