@@ -9317,6 +9317,65 @@ WHERE 5 * s.n_shared >= 3 * t.n_eval
 """
 
 
+def jpeg_decode_real(spark, sf):
+    """REAL baseline-JPEG decode end-to-end, no Pillow (closes the one
+    dormant media path the r4/r7 verdicts tracked; the PNG/WAV twins
+    have been real since r5): deterministic grayscale JPEGs — SOI, DQT,
+    SOF0, standard-table DHT, SOS, Huffman-coded scan with byte
+    stuffing — are encoded per doc_id inside mapInPandas
+    (functions/jpeg.encode_jpeg_gray) and decoded by the REAL
+    functions/jpeg.jpeg_decode_gray: marker parse, canonical-Huffman
+    DC+AC decode with DC prediction across blocks, dezigzag,
+    dequantize, 2-D IDCT, level shift, clamp, edge crop. Images are
+    flat per 8×8 block with per-block values, and QTABLE_FLAT8's DC
+    step 8 divides 8·(v−128) exactly, so the lossy pipeline is exactly
+    invertible here and the oracle derives every decoded pixel
+    analytically (the png_decode_real discipline; the AC/ZRL magnitude
+    paths are property-tested in tests/test_r8_ops.py instead).
+    Varying dims exercise partial edge blocks; multi-block rows
+    exercise the DC difference chain."""
+    from tada_spark.functions import jpeg, multimodal
+
+    docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 9 + mid % 12, 9 + (mid * 7) % 10
+                bw = (w + 7) // 8
+                img = np.empty((h, w), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        img[y, x] = (37 + 29 * mid + 53 * ((y // 8) * bw + x // 8)) % 256
+                payloads.append(jpeg.encode_jpeg_gray(img))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    jpegs = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return multimodal.image_features(jpegs, decoder=jpeg.jpeg_image_decoder).select(
+        "media_id", "width", "height", "mean_luma"  # n_bytes is the
+        # Huffman stream length — not analytically derivable
+    )
+
+
+JPEG_DECODE_REAL_SQL = """
+WITH p AS (
+  SELECT doc_id, 9 + doc_id % 12 AS w, 9 + (doc_id * 7) % 10 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         ((37 + 29 * doc_id + 53 * ((y.j // 8) * ((w + 7) // 8) + x.i // 8)) % 256) AS v
+  FROM p, UNNEST(generate_series(0, h - 1)) y(j), UNNEST(generate_series(0, w - 1)) x(i)
+)
+SELECT doc_id AS media_id, MAX(w)::INT AS width, MAX(h)::INT AS height,
+       FLOOR(SUM(v)::DOUBLE / (MAX(w) * MAX(h) * 255) * 1000000 + 0.5) / 1000000 AS mean_luma
+FROM px GROUP BY doc_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -9562,4 +9621,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sentence_chunks_docs": (sentence_chunks_docs, SENTENCE_CHUNKS_SQL),
     "knn_label_noise": (knn_label_noise, KNN_NOISE_SQL),
     "containment_decontamination": (containment_decontamination, CONTAINMENT_DECON_SQL),
+    "jpeg_decode_real": (jpeg_decode_real, JPEG_DECODE_REAL_SQL),
 }

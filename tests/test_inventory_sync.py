@@ -67,9 +67,9 @@ def test_entry_docstring_matches_artifacts():
     assert rep["rounds_on_disk"][:6] == [1, 2, 3, 4, 5, 7] or \
         rep["rounds_on_disk"][:7] == [1, 2, 3, 4, 5, 7, 8]
     assert f"ceil({rep['oracle_able']}/50) = {rep['min_cycle_rounds']}" in doc
-    # the claimed ever-green / never-green counts entering round 8 were
-    # computed from r01-r05∪r07; once r08+ artifacts land they grow,
-    # so only check the claims while round 8 is the frontier
+    # the claimed ever-green / never-green counts at the round-8 HEAD
+    # were computed from r01-r05∪r07; once r08+ artifacts land they
+    # grow, so only check the claims while round 8 is the frontier
     if max(rep["rounds_on_disk"]) == 7:
         assert f"{rep['ever_driver_green']} of {rep['oracle_able']}" in doc
         assert f"{rep['never_driver_green']} entries have never" in doc

@@ -68,3 +68,131 @@ def test_benford_fractional_values_keep_n_consistent(spark):
         d = got.get(i, 0) - e
         exp += math.floor(d * d / e * 1e6 + 0.5)
     assert row.chi2_e6 == exp
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (functions/jpeg): the last dormant decode path
+# made REAL. The decoder is general (any baseline grayscale SOF0
+# stream); the encoder is the property-test driver and the
+# deterministic-payload builder for the jpeg_decode_real entry.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_zigzag_is_the_spec_scan():
+    """ZIGZAG must be a permutation of 0..63 that walks antidiagonals
+    with alternating direction (ITU-T T.81 Figure 5) — derived here
+    independently so a typo in the table cannot self-consistently
+    round-trip."""
+    from tada_spark.functions.jpeg import ZIGZAG
+
+    expect = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        # even antidiagonals run bottom-left -> top-right
+        rows = reversed(list(rng)) if d % 2 == 0 else rng
+        expect.extend(r * 8 + (d - r) for r in rows)
+    assert ZIGZAG == expect
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_gray, jpeg_decode_gray
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    vals = [3, 250, 128, 77, 0, 255]
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = vals[by * 3 + bx]
+    assert np.array_equal(jpeg_decode_gray(encode_jpeg_gray(img)), img)
+
+
+def test_jpeg_partial_edge_blocks_crop_exactly():
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_gray, jpeg_decode_gray
+
+    img = np.full((13, 21), 200, dtype=np.uint8)  # 2x3 blocks, ragged
+    out = jpeg_decode_gray(encode_jpeg_gray(img))
+    assert out.shape == (13, 21)
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_roundtrip_tolerance_on_arbitrary_images():
+    """General path: random images push the AC Huffman tables, ZRL
+    runs, and magnitude categories. Error is bounded by the quant
+    step (AC 16 -> a few gray levels), not exactness."""
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_gray, jpeg_decode_gray
+
+    rng = np.random.RandomState(11)
+    for shape in [(8, 8), (24, 40), (17, 9)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = jpeg_decode_gray(encode_jpeg_gray(img))
+        assert out.shape == shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 40, f"max err {err.max()} at {shape}"
+    # smooth content decodes near-losslessly
+    x = np.arange(48)
+    grad = ((x[None, :] + 2 * np.arange(32)[:, None]) % 256).astype(np.uint8)
+    err = np.abs(jpeg_decode_gray(encode_jpeg_gray(grad)).astype(int) - grad.astype(int))
+    assert err.max() <= 8
+
+
+def test_jpeg_decoder_rejects_out_of_scope_streams():
+    import numpy as np
+    import pytest
+
+    from tada_spark.functions.jpeg import encode_jpeg_gray, jpeg_decode_gray
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_gray(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="EOI before SOS"):
+        jpeg_decode_gray(b"\xff\xd8\xff\xd9")
+    # progressive marker (SOF2) must refuse, not mis-decode
+    good = bytearray(encode_jpeg_gray(np.full((8, 8), 50, dtype=np.uint8)))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode_gray(bytes(good))
+
+
+def test_jpeg_adapter_matches_png_convention():
+    """jpeg_image_decoder returns (w, h, r6(mean_luma)) exactly like
+    png_image_decoder, so image_features treats the decoders as
+    drop-in swaps."""
+    import math
+
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_gray, jpeg_image_decoder
+
+    img = np.full((10, 12), 77, dtype=np.uint8)
+    w, h, luma = jpeg_image_decoder(encode_jpeg_gray(img))
+    assert (w, h) == (12, 10)
+    assert luma == math.floor(77 * 120 / (120 * 255) * 1e6 + 0.5) / 1e6
+
+
+def test_jpeg_cross_checked_against_pillow_if_available():
+    """External validation the moment the environment gains Pillow:
+    PIL must decode our encoder's stream to the same pixels (flat
+    blocks are exact under any conformant decoder). Skips in this
+    container — the swap-contract discipline of pil_image_decoder."""
+    import numpy as np
+    import pytest
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        pytest.skip("no Pillow in container — cross-check dormant")
+    from tada_spark.functions.jpeg import encode_jpeg_gray
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = 40 + 60 * (by * 2 + bx)
+    pil = np.asarray(Image.open(io.BytesIO(encode_jpeg_gray(img))).convert("L"))
+    assert np.array_equal(pil, img)
