@@ -113,7 +113,10 @@ def _java_double_str(v: float) -> str:
     1e7, else ``d.dddEn`` scientific — the rendering Spark's double->string
     cast produces, which canon_str's non-integral branch inherits. Known
     divergence: subnormals (|v| < 2.3e-308), where Java 17's legacy digit
-    generator is not shortest ("4.9E-324" vs repr "5e-324")."""
+    generator is not shortest ("4.9E-324" vs repr "5e-324") — byte-level
+    only; value exactness (both renderings parse back to the same
+    double) is test-pinned in test_canon_lockstep.py, as is DECIMAL
+    (38,x) lockstep across scales x ∈ {0, 2, 6, 18, 37}."""
     s = repr(v)
     neg = s.startswith("-")
     if neg:

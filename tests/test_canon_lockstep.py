@@ -341,3 +341,130 @@ def test_det_ln_three_engine_lockstep(spark):
         assert got_spark[i] == py == got_duck[i], (v, got_spark[i], py, got_duck[i])
         if v >= 0.5:
             assert abs(py - math.log(v)) < 2e-6, (v, py, math.log(v))
+
+
+# ---------------------------------------------------------------------------
+# r4 verdict #9 carryover, closed in r8: DECIMAL(38,x) across scales and
+# subnormal doubles were prose-documented exclusions — now test-pinned.
+# ---------------------------------------------------------------------------
+
+_SUBNORMALS = [
+    5e-324,                    # smallest positive subnormal
+    -5e-324,
+    1e-310, -3.7e-320,
+    2.225073858507201e-308,    # largest subnormal
+    -2.225073858507201e-308,
+    2.2250738585072014e-308,   # smallest NORMAL (the boundary itself)
+]
+
+
+@given(vals=st.lists(
+    st.floats(min_value=-2.3e-308, max_value=2.3e-308,
+              allow_nan=False, allow_subnormal=True),
+    min_size=1, max_size=64))
+@example(vals=_SUBNORMALS)
+@settings(**SETTINGS)
+def test_canon_subnormal_double_lockstep(spark, vals):
+    """Subnormals were a documented byte-level exclusion (Java 17's
+    legacy digit generator is not shortest: '4.9E-324' vs repr
+    '5e-324'). The load-bearing invariant is VALUE exactness, and that
+    holds even there: canon strings either match byte-for-byte or both
+    parse back to exactly the original double — pinned here so the
+    exclusion can never silently widen into a wrong-value bug."""
+    schema = T.StructType(
+        [T.StructField("idx", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    got = {
+        r["idx"]: r["c"]
+        for r in df.select(
+            "idx", canon_str(F.col("v"), T.DoubleType()).alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        p = py_canon(v)
+        if got[i] == p:
+            continue
+        assert float(got[i]) == v and float(p) == v, (repr(v), got[i], p)
+
+
+def _dec_edges(scale: int) -> list[Decimal]:
+    """Edge corpus for DecimalType(38, scale): integral-rule boundaries
+    (2^63 and the MIN_LONG double-rounding trap), full-precision
+    extremes, trailing-zero strips, and sub-1 fractions."""
+    import decimal as _d
+
+    _d.setcontext(_d.Context(prec=60))  # default 28 can't hold 38 digits
+    q = Decimal(1).scaleb(-scale) if scale else Decimal(1)
+    ipart = 38 - scale  # available integral digits
+    vals = [Decimal(0), Decimal(7), Decimal(-3)]
+    if ipart >= 20:
+        vals += [
+            Decimal(2**63),                    # == MAX_LONG+1: fallback path
+            Decimal(2**63 - 1),                # MAX_LONG: integral rule
+            Decimal(-(2**63)),                 # MIN_LONG: integral rule
+            Decimal(-(2**63) - 1),             # double-rounds to -2^63
+            Decimal(-(2**63) - 1024),
+            Decimal(10**19 + 1),               # > 2^63, not a power of 2
+        ]
+    vals.append(Decimal(10**ipart - 1))        # max integral magnitude
+    vals.append(-Decimal(10**ipart - 1))
+    if scale:
+        vals += [
+            Decimal("1.5").quantize(q) if scale >= 1 else None,
+            Decimal(1).scaleb(-scale),          # smallest positive step
+            -Decimal(1).scaleb(-scale),
+            Decimal("2.50").quantize(q),        # trailing-zero strip
+            (Decimal(10**ipart - 1) + Decimal(1) - Decimal(1).scaleb(-scale)),
+        ]
+    return [v.quantize(q) for v in vals if v is not None]
+
+
+def test_canon_decimal_38x_lockstep_across_scales(spark):
+    """DecimalType(38, x) for x in {0, 2, 18, 37}: the suite previously
+    pinned only (38,6). Same invariant — canon_str and py_canon agree
+    byte-for-byte (decimals render exactly; no parse-back escape
+    needed), including integral values beyond the long range where the
+    try_cast fallback must emit plain digits, at every scale."""
+    for scale in (0, 2, 18, 37):
+        vals = _dec_edges(scale)
+        schema = T.StructType(
+            [T.StructField("idx", T.LongType()),
+             T.StructField("v", T.DecimalType(38, scale))]
+        )
+        df = spark.createDataFrame(list(enumerate(vals)), schema)
+        got = {
+            r["idx"]: r["c"]
+            for r in df.select(
+                "idx", canon_str(F.col("v"), T.DecimalType(38, scale)).alias("c")
+            ).collect()
+        }
+        for i, v in enumerate(vals):
+            assert got[i] == py_canon(v), (scale, str(v), got[i], py_canon(v))
+
+
+@given(vals=st.lists(
+    st.decimals(min_value=Decimal("-1e19"), max_value=Decimal("1e19"),
+                allow_nan=False, allow_infinity=False, places=18),
+    min_size=1, max_size=48))
+@settings(**SETTINGS)
+def test_canon_decimal_38_18_lockstep_random(spark, vals):
+    """Randomized (38,18) sweep — the scale where integral values can
+    exceed the long range AND 18 fractional digits stress the
+    trailing-zero strip in the same value."""
+    import decimal as _d
+
+    _d.setcontext(_d.Context(prec=60))
+    vals = [v.quantize(Decimal(1).scaleb(-18)) for v in vals]
+    schema = T.StructType(
+        [T.StructField("idx", T.LongType()), T.StructField("v", T.DecimalType(38, 18))]
+    )
+    df = spark.createDataFrame(list(enumerate(vals)), schema)
+    got = {
+        r["idx"]: r["c"]
+        for r in df.select(
+            "idx", canon_str(F.col("v"), T.DecimalType(38, 18)).alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == py_canon(v), (str(v), got[i], py_canon(v))
