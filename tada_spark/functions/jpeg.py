@@ -1,4 +1,5 @@
-"""Pure-stdlib baseline JPEG codec (SOF0, grayscale) — no Pillow.
+"""Pure-stdlib baseline JPEG codec (SOF0, grayscale + 4:2:0 color) —
+no Pillow.
 
 Closes the last dormant decode path the round-4/7 verdicts tracked:
 PNG decode has been REAL since round 5 (stdlib zlib, all five scanline
@@ -8,13 +9,15 @@ stdlib ``struct`` bit-reading + numpy for the IDCT — so the
 ``jpeg_decode_real`` catalog entry exercises every stage a baseline
 decoder has: marker parse, DQT/DHT/SOF0/SOS, Huffman DC+AC decode
 with byte-stuffing removal, zigzag ordering, dequantization, 2-D
-IDCT, level shift and clamp.
+IDCT, level shift and clamp; for three-component streams also the
+interleaved-MCU block order with per-component DC predictors, chroma
+upsampling, and YCbCr→RGB conversion.
 
 Scope (documented, enforced by explicit errors): baseline DCT
-(SOF0), single-component (grayscale), 8-bit, no restart markers, no
-progressive/arithmetic coding. That is the honest "baseline JPEG"
-core; chroma upsampling is PNG-independent plumbing the dHash tier
-already covers via multi-channel luma.
+(SOF0), 8-bit, grayscale (1×1) or YCbCr with 4:2:0 (luma 2×2, chroma
+1×1) or 4:4:4 (all 1×1) sampling, no restart markers, no
+progressive/arithmetic coding — the shape virtually every
+camera/web baseline JPEG uses.
 
 Oracle strategy (the png_decode_real discipline): the ENCODER here is
 general — forward DCT, quantization, standard-table Huffman — and the
@@ -159,19 +162,48 @@ def _read_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def jpeg_decode_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG to a (h, w) uint8 array.
+def _decode_block(r: _BitReader, dc_tab, ac_tab, q: np.ndarray, pred: int):
+    """One 8×8 block: Huffman DC+AC → dezigzag → dequant → IDCT.
+    Returns (spatial float block with +128 level shift, new DC pred)."""
+    coef = np.zeros(64, dtype=np.int64)
+    t = _read_huffman(r, dc_tab)
+    pred += _extend(r.receive(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _read_huffman(r, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[k] = _extend(r.receive(size), size)
+        k += 1
+    block = np.zeros(64, dtype=np.int64)
+    for i in range(64):
+        block[ZIGZAG[i]] = coef[i]
+    return idct2(block.reshape(8, 8) * q) + 128.0, pred
 
-    Full bitstream path: SOI, table/frame/scan segments, Huffman
-    entropy decode with DC prediction, dezigzag, dequantize, IDCT,
-    level-shift, clamp, edge-block crop. Raises ValueError on anything
-    outside the documented baseline-grayscale scope."""
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to uint8: (h, w) for grayscale, (h, w, 3)
+    RGB for three-component YCbCr (4:2:0 or 4:4:4).
+
+    Full bitstream path: SOI, table/frame/scan segments, interleaved-
+    MCU Huffman decode with per-component DC prediction, dezigzag,
+    dequantize, IDCT, chroma upsample, YCbCr→RGB, level-shift, clamp,
+    edge crop. Raises ValueError on anything outside the documented
+    baseline scope."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
-    qsel = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     pos = 2
     while True:
         if payload[pos] != 0xFF:
@@ -207,11 +239,20 @@ def jpeg_decode_gray(payload: bytes) -> np.ndarray:
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) supported")
-            hv, qsel = seg[7], seg[8]
-            if hv != 0x11:
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component frames unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            samplings = [(hi, vi) for _cid, hi, vi, _tq in comps]
+            if ncomp == 1 and samplings != [(1, 1)]:
                 raise ValueError("subsampling on a 1-component scan unsupported")
+            if ncomp == 3 and samplings not in (
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+            ):
+                raise ValueError(f"sampling {samplings} unsupported (4:2:0/4:4:4 only)")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline frame marker 0xFF{marker:02X}")
@@ -221,48 +262,74 @@ def jpeg_decode_gray(payload: bytes) -> np.ndarray:
             if w == 0:
                 raise ValueError("SOS before SOF0")
             ncomp_s = seg[0]
-            if ncomp_s != 1:
-                raise ValueError("only single-component scans supported")
-            td, ta = seg[2] >> 4, seg[2] & 0x0F
-            dc_tab, ac_tab = htables.get((0, td)), htables.get((1, ta))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("scan references missing Huffman table")
-            q = qtables.get(qsel)
-            if q is None:
-                raise ValueError("frame references missing quant table")
+            if ncomp_s != len(comps):
+                raise ValueError("scan component count != frame component count")
+            sel: dict[int, tuple] = {}
+            for ci in range(ncomp_s):
+                scid, tda = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                dc_tab = htables.get((0, tda >> 4))
+                ac_tab = htables.get((1, tda & 0x0F))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("scan references missing Huffman table")
+                sel[scid] = (dc_tab, ac_tab)
+            hmax = max(hi for _c, hi, _v, _q in comps)
+            vmax = max(vi for _c, _h, vi, _q in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            planes, preds, tabs, qs = [], [], [], []
+            for cid, hi, vi, tq in comps:
+                q = qtables.get(tq)
+                if q is None:
+                    raise ValueError("frame references missing quant table")
+                planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64))
+                preds.append(0)
+                tabs.append(sel[cid])
+                qs.append(q)
             r = _BitReader(payload, pos + seglen)
-            bw, bh = (w + 7) // 8, (h + 7) // 8
-            out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-            pred = 0
-            for by in range(bh):
-                for bx in range(bw):
-                    coef = np.zeros(64, dtype=np.int64)
-                    t = _read_huffman(r, dc_tab)
-                    pred += _extend(r.receive(t), t)
-                    coef[0] = pred
-                    k = 1
-                    while k < 64:
-                        rs = _read_huffman(r, ac_tab)
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        coef[k] = _extend(r.receive(size), size)
-                        k += 1
-                    block = np.zeros(64, dtype=np.int64)
-                    for i in range(64):
-                        block[ZIGZAG[i]] = coef[i]
-                    spatial = idct2(block.reshape(8, 8) * q) + 128.0
-                    out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = spatial
-            return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                        dc_tab, ac_tab = tabs[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                spatial, preds[ci] = _decode_block(
+                                    r, dc_tab, ac_tab, qs[ci], preds[ci]
+                                )
+                                y0 = (my * vi + v) * 8
+                                x0 = (mx * hi + hh) * 8
+                                planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+            if len(comps) == 1:
+                return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+            # upsample chroma to luma resolution (pixel replication),
+            # crop, then the T.871 YCbCr→RGB conversion
+            full = []
+            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                p = np.repeat(np.repeat(planes[ci], vmax // vi, axis=0),
+                              hmax // hi, axis=1)
+                full.append(p[:h, :w])
+            y, cb, cr = full
+            rgb = np.stack(
+                [
+                    y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0),
+                ],
+                axis=2,
+            )
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         else:
             pass  # APPn / COM: skip
         pos += seglen
+
+
+def jpeg_decode_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline single-component JPEG to a (h, w) uint8 array
+    (strict: a color stream is a contract error here — use
+    jpeg_decode for either)."""
+    out = jpeg_decode(payload)
+    if out.ndim != 2:
+        raise ValueError("color JPEG passed to jpeg_decode_gray")
+    return out
 
 
 class _BitWriter:
@@ -302,6 +369,53 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _encode_block(
+    wtr: _BitWriter, block: np.ndarray, qtable: np.ndarray,
+    pred: int, dc_enc: dict, ac_enc: dict,
+) -> int:
+    """Forward-DCT, quantize and entropy-code one level-shifted 8×8
+    block; returns the new DC predictor."""
+    coef = np.round(fdct2(block) / qtable).astype(np.int64)
+    zz = np.array([coef.ravel()[ZIGZAG[i]] for i in range(64)], dtype=np.int64)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size, bitsval = _magnitude(diff)
+    code, length = dc_enc[size]
+    wtr.write(code, length)
+    if size:
+        wtr.write(bitsval, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]
+            wtr.write(zc, zl)
+            run -= 16
+        size, bitsval = _magnitude(v)
+        code, length = ac_enc[(run << 4) | size]
+        wtr.write(code, length)
+        wtr.write(bitsval, size)
+        run = 0
+    if run:
+        ec, el = ac_enc[0x00]
+        wtr.write(ec, el)
+    return pred
+
+
+def _pad_edge(img: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad both dims up to a multiple of ``mult``."""
+    h, w = img.shape
+    ph, pw = -h % mult, -w % mult
+    return np.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
 def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = QTABLE_FLAT8) -> bytes:
     """Encode a (h, w) uint8 array as a baseline grayscale JPEG with
     the standard luminance Huffman tables. General: full forward DCT +
@@ -313,67 +427,110 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = QTABLE_FLAT8) -> byte
     h, w = img.shape
     dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    padded = np.empty((bh_ * 8, bw_ * 8), dtype=np.uint8)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[h - 1:h, :]  # edge-replicate pad
-    padded[:, w:] = padded[:, w - 1:w]
+    padded = _pad_edge(img, 8)
     wtr = _BitWriter()
     pred = 0
-    for by in range(bh_):
-        for bx in range(bw_):
+    for by in range(padded.shape[0] // 8):
+        for bx in range(padded.shape[1] // 8):
             block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
-            coef = np.round(fdct2(block) / qtable).astype(np.int64)
-            zz = np.array([coef.ravel()[ZIGZAG[i]] for i in range(64)], dtype=np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size, bitsval = _magnitude(diff)
-            code, length = dc_enc[size]
-            wtr.write(code, length)
-            if size:
-                wtr.write(bitsval, size)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_enc[0xF0]
-                    wtr.write(zc, zl)
-                    run -= 16
-                size, bitsval = _magnitude(v)
-                code, length = ac_enc[(run << 4) | size]
-                wtr.write(code, length)
-                wtr.write(bitsval, size)
-                run = 0
-            if run:
-                ec, el = ac_enc[0x00]
-                wtr.write(ec, el)
+            pred = _encode_block(wtr, block, qtable, pred, dc_enc, ac_enc)
     scan = wtr.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
     zzq = bytes(int(qtable.ravel()[ZIGZAG[i]]) for i in range(64))
-    dqt = seg(0xDB, b"\x00" + zzq)
-    sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
-    dht = seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
-        seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    dqt = _seg(0xDB, b"\x00" + zzq)
+    sof = _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+    dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
+        _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_color420(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtable_luma: np.ndarray = QTABLE_FLAT8,
+    qtable_chroma: np.ndarray = QTABLE_FLAT8,
+) -> bytes:
+    """Encode pre-subsampled YCbCr planes as a baseline 4:2:0 JPEG:
+    luma (h, w) at 2×2 sampling, chroma (ceil(h/2), ceil(w/2)) at 1×1,
+    interleaved MCUs (4 Y + 1 Cb + 1 Cr per 16×16), per-component DC
+    predictors, two quant tables, shared standard Huffman tables."""
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    h, w = y.shape
+    if cb.shape != ((h + 1) // 2, (w + 1) // 2) or cr.shape != cb.shape:
+        raise ValueError("chroma planes must be ceil(h/2) x ceil(w/2)")
+    dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    yp = _pad_edge(y, 16)
+    cbp = _pad_edge(cb, 8)
+    crp = _pad_edge(cr, 8)
+    mcuy, mcux = yp.shape[0] // 16, yp.shape[1] // 16
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(2):  # 4 luma blocks, raster order in the MCU
+                for hh in range(2):
+                    y0, x0 = my * 16 + v * 8, mx * 16 + hh * 8
+                    block = yp[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+                    preds[0] = _encode_block(wtr, block, qtable_luma, preds[0], dc_enc, ac_enc)
+            for ci, plane in ((1, cbp), (2, crp)):
+                block = plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8].astype(np.float64) - 128.0
+                preds[ci] = _encode_block(wtr, block, qtable_chroma, preds[ci], dc_enc, ac_enc)
+    scan = wtr.flush()
+    zzl = bytes(int(qtable_luma.ravel()[ZIGZAG[i]]) for i in range(64))
+    zzc = bytes(int(qtable_chroma.ravel()[ZIGZAG[i]]) for i in range(64))
+    dqt = _seg(0xDB, b"\x00" + zzl) + _seg(0xDB, b"\x01" + zzc)
+    sof = _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) +
+               b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
+        _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = _seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_rgb(img: np.ndarray) -> bytes:
+    """Convenience RGB encoder for the property suite: T.871 RGB→YCbCr
+    (rounded to uint8), 2×2 box-mean chroma subsample, 4:2:0 encode."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
+    cb = np.clip(np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255)
+    cr = np.clip(np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255)
+
+    def sub(p: np.ndarray) -> np.ndarray:
+        p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+        return np.round(
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        ).astype(np.uint8)
+
+    return encode_jpeg_color420(y, sub(cb), sub(cr))
 
 
 def jpeg_image_decoder(payload: bytes) -> tuple[int, int, float]:
     """image_features-contract adapter: (width, height, mean_luma) from
-    a REAL baseline-JPEG decode — the swap-in for _decode_image_stub
-    that needs no Pillow. mean_luma = exact integer pixel sum, then ONE
-    double division, floor-half-up rounded at 6 dp — the
-    png_image_decoder convention, so an analytic oracle reproduces it
-    bit-for-bit."""
+    a REAL baseline-JPEG decode (gray or color) — the swap-in for
+    _decode_image_stub that needs no Pillow. Color luma uses the same
+    ITU-R 601 integer weights as png_image_decoder; mean_luma = exact
+    integer sum, then ONE double division, floor-half-up rounded at
+    6 dp, so an analytic oracle reproduces it bit-for-bit."""
     import math
 
-    px = jpeg_decode_gray(bytes(payload))
+    px = jpeg_decode(bytes(payload))
+    if px.ndim == 3:
+        h, w = px.shape[:2]
+        luma_milli = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        )
+        total = int(luma_milli.sum())
+        return w, h, math.floor(total / (w * h * 1000 * 255) * 1e6 + 0.5) / 1e6
     h, w = px.shape
     total = int(px.astype(np.int64).sum())
     return w, h, math.floor(total / (w * h * 255) * 1e6 + 0.5) / 1e6

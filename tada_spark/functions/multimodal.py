@@ -3,12 +3,12 @@
 Decode status by modality: AUDIO is REAL for PCM WAV (wav_audio_decoder,
 stdlib wave + numpy — no external libs); IMAGE is REAL for PNG
 (png_image_decoder, stdlib zlib + numpy — all five scanline filters,
-gray/RGB/alpha color types) AND for baseline grayscale JPEG
-(functions/jpeg.jpeg_decode_gray — pure stdlib Huffman + numpy IDCT,
-since round 8), with the PIL twin (pil_image_decoder) still wired for
-the full JPEG feature range (color, progressive) the moment an
-environment has Pillow; compressed audio/video need ffmpeg/torchaudio
-and stay stubbed. Everything
+gray/RGB/alpha color types) AND for baseline JPEG — grayscale and
+4:2:0/4:4:4 YCbCr color (functions/jpeg.jpeg_decode — pure stdlib
+Huffman + numpy IDCT, since round 8), with the PIL twin
+(pil_image_decoder) still wired for the long-tail JPEG feature range
+(progressive, exotic sampling) the moment an environment has Pillow;
+compressed audio/video need ffmpeg/torchaudio and stay stubbed. Everything
 Spark-side is real and tested either way: schemas, Arrow batch shapes,
 mapInPandas partition flow, metadata propagation. The decoder parameter
 is the ONLY swap point, pinned by the swap-contract tests (schema +

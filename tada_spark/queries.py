@@ -9333,7 +9333,13 @@ def jpeg_decode_real(spark, sf):
     analytically (the png_decode_real discipline; the AC/ZRL magnitude
     paths are property-tested in tests/test_r8_ops.py instead).
     Varying dims exercise partial edge blocks; multi-block rows
-    exercise the DC difference chain."""
+    exercise the DC difference chain. ODD media_ids encode as
+    three-component 4:2:0 COLOR streams (neutral chroma) — the
+    interleaved-MCU order, per-component DC predictors, chroma
+    upsample and YCbCr→RGB conversion all run for real, and any
+    defect in them shifts RGB off neutral and breaks the hash: with
+    Cb=Cr=128 exactly, R=G=B=Y, so the ITU-601 luma the adapter
+    computes collapses to the same analytic value as the gray half."""
     from tada_spark.functions import jpeg, multimodal
 
     docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
@@ -9352,7 +9358,11 @@ def jpeg_decode_real(spark, sf):
                 for y in range(h):
                     for x in range(w):
                         img[y, x] = (37 + 29 * mid + 53 * ((y // 8) * bw + x // 8)) % 256
-                payloads.append(jpeg.encode_jpeg_gray(img))
+                if mid % 2:
+                    neutral = np.full(((h + 1) // 2, (w + 1) // 2), 128, dtype=np.uint8)
+                    payloads.append(jpeg.encode_jpeg_color420(img, neutral, neutral))
+                else:
+                    payloads.append(jpeg.encode_jpeg_gray(img))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     jpegs = docs.mapInPandas(build, schema="media_id long, payload binary")

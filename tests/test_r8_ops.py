@@ -196,3 +196,110 @@ def test_jpeg_cross_checked_against_pillow_if_available():
             img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = 40 + 60 * (by * 2 + bx)
     pil = np.asarray(Image.open(io.BytesIO(encode_jpeg_gray(img))).convert("L"))
     assert np.array_equal(pil, img)
+
+
+def test_jpeg_color420_neutral_chroma_exact():
+    """4:2:0 color with Cb=Cr=128: the full interleaved-MCU path runs
+    (4 luma + 2 chroma blocks per MCU, per-component DC predictors,
+    chroma upsample, YCbCr->RGB) and the output is exactly (Y, Y, Y) —
+    the analytic hook the jpeg_decode_real color half relies on."""
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_color420, jpeg_decode
+
+    y = np.zeros((16, 16), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = 40 + 60 * (by * 2 + bx)
+    neutral = np.full((8, 8), 128, dtype=np.uint8)
+    out = jpeg_decode(encode_jpeg_color420(y, neutral, neutral))
+    assert out.shape == (16, 16, 3)
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], y)
+
+
+def test_jpeg_color420_odd_dims_neutral_exact():
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_color420, jpeg_decode
+
+    y = np.full((11, 19), 90, dtype=np.uint8)
+    c = np.full((6, 10), 128, dtype=np.uint8)
+    out = jpeg_decode(encode_jpeg_color420(y, c, c))
+    assert out.shape == (11, 19, 3)
+    for ch in range(3):
+        assert np.array_equal(out[:, :, ch], y)
+
+
+def test_jpeg_color420_flat_tiles_within_one():
+    """Flat 16x16 RGB tiles (each MCU one color): chroma subsampling
+    is lossless, quantization is DC-exact, and the only error left is
+    the double colorspace rounding — bounded by +/-1 per channel."""
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_rgb, jpeg_decode
+
+    rng = np.random.RandomState(3)
+    rgb = np.zeros((32, 48, 3), dtype=np.uint8)
+    for ty in range(2):
+        for tx in range(3):
+            rgb[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = rng.randint(0, 256, 3)
+    dec = jpeg_decode(encode_jpeg_rgb(rgb))
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_jpeg_color420_smooth_roundtrip_tolerance():
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_rgb, jpeg_decode
+
+    xx = np.arange(32)
+    sm = np.stack(
+        [((xx[None, :] + 2 * np.arange(32)[:, None]) % 256)] * 3, axis=2
+    ).astype(np.uint8)
+    dec = jpeg_decode(encode_jpeg_rgb(sm))
+    assert np.abs(dec.astype(int) - sm.astype(int)).max() <= 8
+
+
+def test_jpeg_gray_strictness_and_unsupported_sampling():
+    import numpy as np
+    import pytest
+
+    from tada_spark.functions.jpeg import (
+        encode_jpeg_color420, jpeg_decode, jpeg_decode_gray)
+
+    y = np.full((8, 8), 100, dtype=np.uint8)
+    c = np.full((4, 4), 128, dtype=np.uint8)
+    color = encode_jpeg_color420(y, c, c)
+    with pytest.raises(ValueError, match="color JPEG"):
+        jpeg_decode_gray(color)
+    # 4:2:2 (luma 2x1) must refuse, not mis-tile
+    bad = bytearray(color)
+    sof = bad.find(b"\xff\xc0")
+    # SOF0 layout: FFC0 len(2) prec(1) h(2) w(2) ncomp(1) [id HV tq]...
+    assert bad[sof + 11] == 0x22  # luma HV byte
+    bad[sof + 11] = 0x21
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg_decode(bytes(bad))
+
+
+def test_jpeg_color_cross_checked_against_pillow_if_available():
+    """Color twin of the Pillow cross-check: dormant in this container,
+    external validation anywhere Pillow exists."""
+    import numpy as np
+    import pytest
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        pytest.skip("no Pillow in container — cross-check dormant")
+    from tada_spark.functions.jpeg import encode_jpeg_color420
+
+    y = np.full((16, 16), 77, dtype=np.uint8)
+    neutral = np.full((8, 8), 128, dtype=np.uint8)
+    pil = np.asarray(
+        Image.open(io.BytesIO(encode_jpeg_color420(y, neutral, neutral))).convert("RGB")
+    )
+    assert np.array_equal(pil, np.stack([y] * 3, axis=2))
