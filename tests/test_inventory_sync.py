@@ -105,3 +105,53 @@ def test_every_oracle_parses_in_duckdb():
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+def test_rotation_on_synthetic_artifacts(tmp_path):
+    """driver_order against a synthetic artifact dir: future rounds,
+    red rows, rows-only rows and error rows must all be handled the
+    way the rule says — without touching the repo's real files."""
+    import json
+
+    from tada_spark.rotation import driver_order, freshness_report, newest_green
+
+    catalog = {
+        "a": (None, "SELECT 1"),   # green in r2 then r9
+        "b": (None, "SELECT 2"),   # green in r2 only
+        "c": (None, "SELECT 3"),   # red in r9 (hash mismatch) -> never green
+        "d": (None, "SELECT 4"),   # error row -> never green
+        "e": (None, None),         # rows-only by nature
+        "f": (None, "SELECT 6"),   # never appears in any artifact
+    }
+    g = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"a": g, "b": g}))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps({
+        "a": g,
+        "c": {**g, "hash_match": False},
+        "d": {**g, "err": "boom"},
+    }))
+    (tmp_path / "not_an_artifact.json").write_text("{}")
+
+    assert newest_green(tmp_path) == {"a": 9, "b": 2}
+    # never-green newest-catalog-first (f after d after c by reverse
+    # index), then LRU greens (b r2 before a r9), rows-only last
+    assert driver_order(catalog, tmp_path) == ["f", "d", "c", "b", "a", "e"]
+    rep = freshness_report(catalog, tmp_path)
+    assert rep["rounds_on_disk"] == [2, 9]
+    assert rep["oracle_able"] == 5
+    assert rep["ever_driver_green"] == 2
+    assert rep["never_driver_green"] == 3
+    assert rep["newest_green_histogram"] == {2: 1, 9: 1}
+
+
+def test_rotation_ignores_malformed_artifacts(tmp_path):
+    import json
+
+    from tada_spark.rotation import newest_green
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{ not json")
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps(["a", "list"]))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(
+        {"x": {"rows_match": True, "schema_match": True,
+               "hash_match": True, "err": None}}))
+    assert newest_green(tmp_path) == {"x": 5}

@@ -303,3 +303,134 @@ def test_jpeg_color_cross_checked_against_pillow_if_available():
         Image.open(io.BytesIO(encode_jpeg_color420(y, neutral, neutral))).convert("RGB")
     )
     assert np.array_equal(pil, np.stack([y] * 3, axis=2))
+
+
+# ---------------------------------------------------------------------------
+# Property defense of the r8 jaccard exact-dup collapse: the rewrite
+# must be row-for-row identical to naive all-pairs on corpora with
+# duplicate clusters, empty strings, null text, and interleaved ids —
+# the invariants the expansion logic leans on.
+# ---------------------------------------------------------------------------
+
+
+def _naive_jaccard(rows, ngram, threshold):
+    """Reference all-pairs implementation in plain Python, mirroring
+    char_shingles' short-text rule (text shorter than n -> [text[:n]],
+    so '' -> ['']) and the floor-e6 rounding."""
+    import math
+
+    def shingles(t):
+        k = len(t) - (ngram - 1)
+        return {t[i:i + ngram] for i in range(max(k, 1))}
+
+    out = []
+    docs = [(i, lang, t) for i, lang, t in rows if t is not None]
+    for x in range(len(docs)):
+        for y in range(len(docs)):
+            ia, la, ta = docs[x]
+            ib, lb, tb = docs[y]
+            if ia >= ib or la != lb:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac = math.floor(inter / union * 1e6 + 0.5) / 1e6
+            if jac >= threshold:
+                out.append((ia, ib, jac))
+    return sorted(out)
+
+
+def test_jaccard_collapse_matches_naive_on_duplicate_heavy_corpus(spark):
+    from pyspark.sql import types as T
+
+    from tada_spark.functions.dedup import jaccard_pairs
+
+    rows = [
+        # cluster of 4 exact dups with interleaved ids across texts
+        (1, "en", "the quick brown fox jumps"),
+        (5, "en", "the quick brown fox jumps"),
+        (3, "en", "the quick brown fox jumpy"),   # near-dup of cluster
+        (9, "en", "the quick brown fox jumps"),
+        (12, "en", "the quick brown fox jumps"),
+        # empty-text pair: char_shingles('') = [''] -> jaccard 1.0
+        (2, "en", ""),
+        (7, "en", ""),
+        # short texts below ngram: shingle set is the whole text
+        (4, "en", "ab"),
+        (6, "en", "ab"),
+        (8, "en", "xy"),
+        # null text: never emitted by either implementation
+        (10, "en", None),
+        # other-language block: same text must NOT pair cross-block
+        (11, "fr", "the quick brown fox jumps"),
+        (13, "fr", "the quick brown fox jumps"),
+        (14, "de", "totally unrelated words here"),
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, block_cols=["lang"], ngram=3, threshold=0.3).collect()
+    )
+    assert got == _naive_jaccard(rows, 3, 0.3)
+
+
+def test_jaccard_collapse_matches_naive_randomized(spark):
+    """Randomized sweep: small alphabet + short texts force heavy
+    duplicate clusters and borderline jaccard values; seeds vary texts,
+    block assignment and id interleave."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from tada_spark.functions.dedup import jaccard_pairs
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(40):
+            if rng.random() < 0.08:
+                t = None
+            else:
+                t = "".join(rng.choice("abc ") for _ in range(rng.randrange(0, 9)))
+            rows.append((i, rng.choice(["en", "fr"]), t))
+        df = spark.createDataFrame(rows, schema)
+        got = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_pairs(
+                df, block_cols=["lang"], ngram=3, threshold=0.4
+            ).collect()
+        )
+        assert got == _naive_jaccard(rows, 3, 0.4), f"seed {seed}"
+
+
+def test_jaccard_collapse_no_blocks(spark):
+    """block_cols=None: the collapse must still work when the window
+    partitions on the fingerprint alone."""
+    from pyspark.sql import types as T
+
+    from tada_spark.functions.dedup import jaccard_pairs
+
+    rows = [(1, "x", "hello world"), (2, "x", "hello world"),
+            (3, "x", "hello wurld"), (4, "x", "different entirely")]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, ngram=3, threshold=0.3).collect()
+    )
+    want = _naive_jaccard([(i, "same", t) for i, _l, t in rows], 3, 0.3)
+    assert got == want
