@@ -1247,3 +1247,243 @@ def ndcg_at_10(
             ),
         ).alias("ndcg_e6"),
     )
+
+
+def mutual_information(
+    df: DataFrame, x: Column, pairs: list[tuple[str, Column]]
+) -> DataFrame:
+    """Mutual information I(X;Y) in nats between a categorical X and
+    each candidate feature Y — the model-free dependence gauge feature
+    selection and leakage audits run before training (PMI's aggregate:
+    I = Σ p_xy · ln(p_xy/(p_x·p_y))). One row per audit:
+    (pair, n, mi_e6), ``pairs`` = [(label, y_column), ...].
+
+    Determinism: the ratio (n_xy·N)/(n_x·n_y) is built from exact
+    counts lifted to double in ONE fixed tree (products before the
+    division), its ln is det_ln (plans/semantics — transcendental-
+    free), and each cell's contribution is e6-floor-quantized before
+    the exact integer sum, so the result hash-matches DuckDB cell for
+    cell. Bound: counts must stay under 2^53 (N ≲ 9e15 rows).
+
+    100 TB shape: the fact table is scanned ONCE for every audit — each
+    row explodes to its (pair, y) candidates inline, then one
+    map-side-combined (pair, x, y) hash-agg; the marginals are re-aggs
+    of the tiny CELL table (≤ Σ|X|·|Y| rows) equi-joined back broadcast
+    on the pair key, so no scalar cross join and no second fact pass.
+    """
+    from tada_spark.plans.semantics import det_ln
+
+    exploded = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("pair"), y.cast("string").alias("__y__"))
+                for name, y in pairs
+            ]
+        )
+    )
+    base = (
+        df.filter(x.isNotNull())
+        .select(x.cast("string").alias("__x__"), exploded.alias("p"))
+        .select("__x__", "p.pair", "p.__y__")
+        .filter(F.col("__y__").isNotNull())
+    )
+    cells = base.groupBy("pair", "__x__", "__y__").agg(F.count(F.lit(1)).alias("__nxy__"))
+    mx = cells.groupBy("pair", "__x__").agg(F.sum("__nxy__").alias("__nx__"))
+    my = cells.groupBy("pair", "__y__").agg(F.sum("__nxy__").alias("__ny__"))
+    tot = cells.groupBy("pair").agg(F.sum("__nxy__").alias("__n__"))
+    nxy = F.col("__nxy__").cast("double")
+    nn = F.col("__n__").cast("double")
+    ratio = (nxy * nn) / (F.col("__nx__").cast("double") * F.col("__ny__").cast("double"))
+    term = (nxy / nn) * det_ln(ratio)
+    full = (
+        cells.join(F.broadcast(mx), ["pair", "__x__"])
+        .join(F.broadcast(my), ["pair", "__y__"])
+        .join(F.broadcast(tot), "pair")
+    )
+    return full.groupBy("pair").agg(
+        F.max("__n__").alias("n"),
+        F.sum(F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")).alias("mi_e6"),
+    )
+
+
+def roc_auc_by_group(
+    df: DataFrame, group_col: str, positive: Column, score: Column
+) -> DataFrame:
+    """Per-group ROC-AUC of an integer score separating a binary label
+    — the classifier-quality readout every filtering-model audit needs,
+    computed exactly from rank sums (AUC = U/(n₁n₀), the Mann-Whitney
+    identity) with midrank tie handling. Returns (group, n_pos, n_neg,
+    auc_e6); NULL when a group lacks one of the classes.
+
+    Exact integers to the last step: doubled midranks (_midranks_x2)
+    keep tied ranks integral, U·2 = ΣR⁺·2 − n₁(n₁+1) is a long, and the
+    single double division U·2/(2n₁n₀) is one IEEE op both engines
+    perform identically. Bound: ΣR·2 ≲ 2n² < 2^63 → n ≲ 2e9 per group.
+
+    100 TB shape: rank assignment joins facts to the bounded per-group
+    score spine (no fact sort — the mann_whitney device), then ONE
+    hash-agg of three exact sums."""
+    base = df.filter(
+        score.isNotNull() & positive.isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        positive.cast("int").alias("__pos__"),
+        score.cast("long").alias("__s__"),
+    )
+    ranked = _midranks_x2(base, group_col, "__s__", "__r2__")
+    agg = ranked.groupBy(group_col).agg(
+        F.sum("__pos__").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__pos__")).alias("n_neg"),
+        F.sum(F.col("__r2__").cast("long") * F.col("__pos__")).alias("__r1x2__"),
+    )
+    np_ = F.col("n_pos").cast("long")
+    nn_ = F.col("n_neg").cast("long")
+    u_x2 = F.col("__r1x2__") - np_ * (np_ + F.lit(1))
+    auc = u_x2.cast("double") / (F.lit(2) * np_ * nn_).cast("double")
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (np_ > 0) & (nn_ > 0),
+            F.floor(auc * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("auc_e6"),
+    )
+
+
+def theil_sen_by_group(
+    df: DataFrame, group_col: str, x: Column, y: Column
+) -> DataFrame:
+    """Per-group Theil-Sen slope — the median of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i), x_i < x_j: the robust trend estimate that
+    shrugs off the outlier days OLS chases (up to 29% contamination).
+    Returns (group, n_points, n_pairs, slope_med_e6_x2): twice the
+    median of the e6-quantized slopes, kept integral so the even-count
+    midpoint (a+b)/2 never touches floats.
+
+    Each pairwise slope is ONE double division of exact longs, floor-
+    e6-quantized immediately — the median then operates on integers, so
+    tie order inside the sort cannot move the selected values. The two
+    middle order statistics are picked by row_number ∈ {⌈n/2⌉, ⌈(n+1)/2⌉}
+    (both equal the middle element when n is odd) and summed.
+
+    100 TB shape: the quadratic is over the per-group DISTINCT-x spine
+    (collapse y onto it first — for daily series the spine is calendar-
+    bounded: 10 years ≈ 3.7k points → ≈ 6.7M pairs per group), never
+    over fact rows. The pair self-join is a per-group hash join; the
+    median pass is a bounded per-group window."""
+    from pyspark.sql.window import Window
+
+    pts = (
+        df.filter(x.isNotNull() & y.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col), x.cast("long").alias("__x__"))
+        .agg(F.sum(y.cast("long")).alias("__y__"))
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    g = F.col(f"a.{group_col}")
+    slope = (F.col("b.__y__") - F.col("a.__y__")).cast("double") / (
+        F.col("b.__x__") - F.col("a.__x__")
+    ).cast("double")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        & (F.col("a.__x__") < F.col("b.__x__")),
+    ).select(
+        g.alias(group_col),
+        F.floor(slope * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__s_e6__"),
+    )
+    w = Window.partitionBy(group_col).orderBy("__s_e6__")
+    cnt = Window.partitionBy(group_col)
+    mid = pairs.select(
+        group_col,
+        "__s_e6__",
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(cnt).alias("__np__"),
+    ).filter(
+        (F.col("__rn__") == F.expr("(__np__ + 1) div 2"))
+        | (F.col("__rn__") == F.expr("(__np__ + 2) div 2"))
+    )
+    return (
+        mid.groupBy(group_col)
+        .agg(
+            F.max("__np__").alias("n_pairs"),
+            (F.sum("__s_e6__") * F.lit(2) / F.count(F.lit(1))).cast("long").alias(
+                "slope_med_e6_x2"
+            ),
+        )
+        .join(
+            pts.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_points")),
+            group_col,
+        )
+        .select(group_col, "n_points", "n_pairs", "slope_med_e6_x2")
+    )
+
+
+def seasonal_decompose_weekday(df: DataFrame, day: Column, cents: Column) -> DataFrame:
+    """Classical additive decomposition of a daily series into trend +
+    weekday seasonal + remainder (the moving-average STL ancestor):
+    trend = centered 7-day moving average (full windows only — edges
+    stay NULL), seasonal = per-weekday mean of the detrended series,
+    remainder = what's left. Returns one row per observed day:
+    (day, revenue_c, trend_e6, seasonal_e6, remainder_e6).
+
+    All-integer pipeline: daily totals are exact cent longs, lifted to
+    e6-dollar units (×10⁴); the 7-row window sum is a long and the
+    trend its integral ``div`` 7 (positive, so Spark div ≡ DuckDB //);
+    the weekday mean is the only double op — one division, floor(·+0.5)
+    back to a long both engines round identically (half-up, negative-
+    safe) — and the remainder is a long subtraction. Bound: Σ window
+    cents·10⁴·7 < 2^63 → daily revenue ≲ $1.3e13.
+
+    The row-window runs over OBSERVED days (a gap shortens the
+    calendar span, not the 7-row frame) — resample/interpolate first
+    when gaps must count as zeros.
+
+    100 TB shape: one map-side-combined daily hash-agg collapses the
+    facts; everything after runs on the calendar-bounded day spine
+    (10 years ≈ 3.7k rows) — a single-partition window over the spine
+    is deliberate and safe at any fact scale."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        df.filter(day.isNotNull() & cents.isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.sum(cents.cast("long")).alias("revenue_c"))
+    )
+    u = F.col("revenue_c") * F.lit(10000)
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "revenue_c",
+        u.alias("__u__"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum(u).over(w7),
+        ).alias("__w7__"),
+    ).withColumn("trend_e6", F.expr("__w7__ div 7"))
+    det = trended.withColumn("__det__", F.col("__u__") - F.col("trend_e6"))
+    wd = F.dayofweek(F.col("day")) - F.lit(1)
+    seas = (
+        det.filter(F.col("__det__").isNotNull())
+        .groupBy(wd.alias("__wd__"))
+        .agg(
+            F.floor(
+                F.sum("__det__").cast("double") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("seasonal_e6")
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), wd == F.col("__wd__"), "left")
+        .select(
+            "day",
+            "revenue_c",
+            "trend_e6",
+            F.when(F.col("trend_e6").isNotNull(), F.col("seasonal_e6")).alias(
+                "seasonal_e6"
+            ),
+            (F.col("__det__") - F.col("seasonal_e6")).alias("remainder_e6"),
+        )
+    )

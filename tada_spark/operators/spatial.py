@@ -84,3 +84,60 @@ def grid_radius_join(
         .select("id_a", "id_b", dist2.alias("dist2"))
         .filter(F.col("dist2") <= F.lit(int(radius) * int(radius)))
     )
+
+
+def dbscan_classify(
+    points: DataFrame,
+    *,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """DBSCAN point classification (Ester et al. 1996) on integer
+    coordinates: |N_eps(p)| counts every point within ``eps`` INCLUDING
+    p itself; core ⇔ |N_eps| ≥ min_pts, border ⇔ non-core with a core
+    point within eps, noise otherwise. Returns (id, n_in_eps, role) —
+    the density classification that seeds cluster expansion (cluster
+    ids need the label-propagation pass near_dup_components already
+    provides; the classification itself is the densest, joins-only
+    stage and is exact against a naive quadratic oracle).
+
+    100 TB shape: neighbor counting reuses grid_radius_join's 3×3
+    neighbor-cell equi-join (work ∝ Σ cell², never |P|²); the border
+    test is one semi-join of the pair list against the broadcastable
+    core set. Integer distances throughout — no float admits a tie."""
+    pairs = grid_radius_join(
+        points, id_col=id_col, x_col=x_col, y_col=y_col, radius=eps
+    )
+    sym = pairs.select(F.col("id_a").alias("pid"), F.col("id_b").alias("nbr")).unionByName(
+        pairs.select(F.col("id_b").alias("pid"), F.col("id_a").alias("nbr"))
+    )
+    ids = points.filter(
+        F.col(id_col).isNotNull() & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(id_col).alias("pid"))
+    counts = (
+        sym.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("__nb__"))
+        .join(ids, "pid", "right")
+        .select("pid", (F.coalesce(F.col("__nb__"), F.lit(0)) + F.lit(1)).alias("n_in_eps"))
+    )
+    core = counts.filter(F.col("n_in_eps") >= min_pts).select("pid")
+    near_core = (
+        sym.join(core.withColumnRenamed("pid", "nbr"), "nbr", "left_semi")
+        .select("pid")
+        .distinct()
+    )
+    return (
+        counts.join(core.withColumn("__c__", F.lit(1)), "pid", "left")
+        .join(near_core.withColumn("__b__", F.lit(1)), "pid", "left")
+        .select(
+            "pid",
+            "n_in_eps",
+            F.when(F.col("__c__") == 1, F.lit("core"))
+            .when(F.col("__b__") == 1, F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )

@@ -6068,6 +6068,232 @@ FROM s
 """
 
 
+def mutual_information_events(spark, sf):
+    """Feature-dependence audit: mutual information (nats, e6) between
+    event_type and three candidate features — hour-of-day, weekday,
+    value decile band (functions/stats.mutual_information, the
+    aggregate of pmi_phrases' pointwise score). Three one-pass audits
+    union into a (pair, n, mi_e6) report — the pre-training leakage /
+    feature-selection screen."""
+    from tada_spark.functions import stats
+
+    e = load(spark, sf, "events").to_df()
+    return stats.mutual_information(
+        e,
+        F.col("event_type"),
+        [
+            ("type_x_hour", F.hour("ts")),
+            ("type_x_weekday", F.dayofweek("ts") - F.lit(1)),
+            ("type_x_valueband", F.floor(F.col("value") / 10)),
+        ],
+    )
+
+
+MI_SQL = f"""
+WITH cells AS (
+  SELECT pair, gx, gy, COUNT(*)::BIGINT AS nxy FROM (
+    SELECT 'type_x_hour' AS pair, event_type AS gx,
+           CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS gy
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    UNION ALL
+    SELECT 'type_x_weekday', event_type, CAST(dayofweek(ts) AS VARCHAR)
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    UNION ALL
+    SELECT 'type_x_valueband', event_type, CAST(FLOOR(value / 10) AS VARCHAR)
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  ) GROUP BY 1, 2, 3
+), mx AS (SELECT pair, gx, SUM(nxy)::BIGINT AS nx FROM cells GROUP BY 1, 2),
+my AS (SELECT pair, gy, SUM(nxy)::BIGINT AS ny FROM cells GROUP BY 1, 2),
+tt AS (SELECT pair, SUM(nxy)::BIGINT AS tot FROM cells GROUP BY 1),
+rt AS (
+  SELECT cells.pair, nxy, tot,
+         (nxy::DOUBLE * tot::DOUBLE) / (nx::DOUBLE * ny::DOUBLE) AS ratio
+  FROM cells JOIN mx USING (pair, gx) JOIN my USING (pair, gy) JOIN tt USING (pair)
+), {_det_ln_ctes("ratio", "rt", "pair, nxy, tot", "lnr", "__m")}
+SELECT pair, MAX(tot)::BIGINT AS n,
+       SUM(CAST(FLOOR(((nxy::DOUBLE / tot::DOUBLE) * lnr) * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS mi_e6
+FROM __mn GROUP BY pair
+"""
+
+
+def roc_auc_purchase_value(spark, sf):
+    """Per-hour ROC-AUC of event value separating purchases from clicks
+    (functions/stats.roc_auc_by_group) — the classifier-quality readout
+    run on every quality-filter model, exact via the rank-sum identity
+    with midrank ties; score is exact cents so ranks never touch
+    floats."""
+    from tada_spark.functions import stats
+
+    e = (
+        load(spark, sf, "events")
+        .to_df()
+        .filter(F.col("event_type").isin("purchase", "click"))
+    )
+    base = e.select(
+        F.hour("ts").alias("hour"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+    )
+    return stats.roc_auc_by_group(base, "hour", F.col("pos"), F.col("s"))
+
+
+ROC_AUC_SQL = """
+WITH b AS (
+  SELECT EXTRACT(hour FROM ts)::INT AS hour,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         ROUND(value * 100)::BIGINT AS s
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND ts IS NOT NULL AND value IS NOT NULL
+), cnts AS (
+  SELECT hour, s, COUNT(*)::BIGINT AS t FROM b GROUP BY hour, s
+), spine AS (
+  SELECT hour, s,
+         2 * COALESCE(SUM(t) OVER (PARTITION BY hour ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+  FROM cnts
+), ranked AS (
+  SELECT b.hour, b.pos, spine.r2 FROM b JOIN spine ON b.hour = spine.hour AND b.s = spine.s
+), agg AS (
+  SELECT hour, SUM(pos)::BIGINT AS n_pos, SUM(1 - pos)::BIGINT AS n_neg,
+         SUM(r2 * pos)::BIGINT AS r1x2
+  FROM ranked GROUP BY hour
+)
+SELECT hour, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST(FLOOR(((r1x2 - n_pos * (n_pos + 1))::DOUBLE
+                     / (2 * n_pos * n_neg)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       END AS auc_e6
+FROM agg
+"""
+
+
+def theil_sen_daily_revenue(spark, sf):
+    """Per-priority Theil-Sen revenue trend (functions/stats.
+    theil_sen_by_group): the robust median-of-pairwise-slopes companion
+    to ols_trend_priority — outlier days move OLS, not this. Facts
+    collapse onto the calendar-bounded (priority, day) spine first;
+    the quadratic runs over the spine, never the orders."""
+    from tada_spark.functions import stats
+
+    o = load(spark, sf, "orders").to_df()
+    x = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    return stats.theil_sen_by_group(o, "o_orderpriority", x, _cents("o_totalprice"))
+
+
+THEIL_SEN_SQL = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+         ROUND(o_totalprice * 100)::BIGINT AS y
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), pts AS (
+  SELECT g, x, SUM(y)::BIGINT AS y FROM b GROUP BY g, x
+), pairs AS (
+  SELECT a.g,
+         CAST(FLOOR(((b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
+), num AS (
+  SELECT g, s, ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS np
+  FROM pairs
+), mid AS (
+  SELECT g, s, np FROM num WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+), med AS (
+  SELECT g, MAX(np)::BIGINT AS n_pairs, CAST(SUM(s) * 2 / COUNT(*) AS BIGINT) AS slope_med_e6_x2
+  FROM mid GROUP BY g
+), npts AS (SELECT g, COUNT(*)::BIGINT AS n_points FROM pts GROUP BY g)
+SELECT med.g AS o_orderpriority, npts.n_points, med.n_pairs, med.slope_med_e6_x2
+FROM med JOIN npts ON med.g = npts.g
+"""
+
+
+def seasonal_decompose_revenue(spark, sf):
+    """Classical trend/weekday-seasonal/remainder decomposition of
+    daily order revenue (functions/stats.seasonal_decompose_weekday) —
+    centered 7-day MA trend over the observed-day spine, per-weekday
+    mean seasonal, all exact e6-dollar integer arithmetic; edge days
+    (incomplete MA window) carry NULL components."""
+    from tada_spark.functions import stats
+
+    o = load(spark, sf, "orders").to_df()
+    return stats.seasonal_decompose_weekday(
+        o, F.to_date("o_orderdate"), _cents("o_totalprice")
+    )
+
+
+SEASONAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), t AS (
+  SELECT day, revenue_c,
+         revenue_c * 10000 AS u,
+         CASE WHEN COUNT(*) OVER w = 7 THEN SUM(revenue_c * 10000) OVER w END AS w7
+  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT day, revenue_c, u, CAST(w7 // 7 AS BIGINT) AS trend_e6,
+         CAST(u - (w7 // 7) AS BIGINT) AS det
+  FROM t
+), seas AS (
+  SELECT dayofweek(day) AS wd,
+         CAST(FLOOR(SUM(det)::DOUBLE / COUNT(*)::DOUBLE + 0.5) AS BIGINT) AS seasonal_e6
+  FROM d WHERE det IS NOT NULL GROUP BY 1
+)
+SELECT d.day, d.revenue_c, d.trend_e6,
+       CASE WHEN d.trend_e6 IS NOT NULL THEN s.seasonal_e6 END AS seasonal_e6,
+       CAST(d.det - s.seasonal_e6 AS BIGINT) AS remainder_e6
+FROM d LEFT JOIN seas s ON dayofweek(d.day) = s.wd
+"""
+
+
+def dbscan_embeddings_2d(spark, sf):
+    """DBSCAN density classification (operators/spatial.dbscan_classify)
+    of the embedding corpus projected to its first two dimensions
+    (integer-milli coordinates): core / border / noise at eps=25,
+    min_pts=5 — the density screen that feeds cluster expansion and
+    outlier triage. Grid 3×3-cell equi-joins, never |P|²; the naive
+    quadratic oracle proves identical semantics."""
+    from tada_spark.operators.spatial import dbscan_classify
+
+    emb = load(spark, sf, "embeddings").to_df().select(
+        F.col("vec_id").alias("pid"),
+        F.floor(F.col("embedding").getItem(0).cast("double") * 1000).cast("long").alias("x"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * 1000).cast("long").alias("y"),
+    )
+    return dbscan_classify(emb, id_col="pid", x_col="x", y_col="y", eps=25, min_pts=5)
+
+
+DBSCAN_SQL = """
+WITH pts AS (
+  SELECT vec_id AS pid,
+         FLOOR(CAST(embedding[1] AS DOUBLE) * 1000)::BIGINT AS x,
+         FLOOR(CAST(embedding[2] AS DOUBLE) * 1000)::BIGINT AS y
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+), cnt AS (
+  SELECT a.pid, COUNT(*)::BIGINT AS n_in_eps
+  FROM pts a JOIN pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+  GROUP BY a.pid
+), core AS (SELECT pid FROM cnt WHERE n_in_eps >= 5),
+near_core AS (
+  SELECT DISTINCT a.pid
+  FROM pts a JOIN pts b
+    ON a.pid != b.pid
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+  WHERE b.pid IN (SELECT pid FROM core)
+)
+SELECT c.pid, c.n_in_eps,
+       CASE WHEN c.pid IN (SELECT pid FROM core) THEN 'core'
+            WHEN c.pid IN (SELECT pid FROM near_core) THEN 'border'
+            ELSE 'noise' END AS role
+FROM cnt c
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9632,4 +9858,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_label_noise": (knn_label_noise, KNN_NOISE_SQL),
     "containment_decontamination": (containment_decontamination, CONTAINMENT_DECON_SQL),
     "jpeg_decode_real": (jpeg_decode_real, JPEG_DECODE_REAL_SQL),
+    "mutual_information_events": (mutual_information_events, MI_SQL),
+    "roc_auc_purchase_value": (roc_auc_purchase_value, ROC_AUC_SQL),
+    "theil_sen_daily_revenue": (theil_sen_daily_revenue, THEIL_SEN_SQL),
+    "seasonal_decompose_revenue": (seasonal_decompose_revenue, SEASONAL_SQL),
+    "dbscan_embeddings_2d": (dbscan_embeddings_2d, DBSCAN_SQL),
 }

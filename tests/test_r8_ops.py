@@ -434,3 +434,121 @@ def test_jaccard_collapse_no_blocks(spark):
     )
     want = _naive_jaccard([(i, "same", t) for i, _l, t in rows], 3, 0.3)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Known-answer tests for the round-8 stats/spatial additions.
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_information_known_answers(spark):
+    """Perfect dependence (X == Y, two uniform values) gives MI = ln 2;
+    exact independence (balanced 2x2) gives MI = 0; both audited in one
+    call through the exploded single-pass path."""
+    from tada_spark.functions.stats import mutual_information
+
+    rows = [("a", "a", "p"), ("a", "a", "q"), ("b", "b", "p"), ("b", "b", "q")] * 5
+    df = spark.createDataFrame(rows, "x string, same string, indep string")
+    out = {
+        r.pair: (r.n, r.mi_e6)
+        for r in mutual_information(
+            df, F.col("x"), [("dep", F.col("same")), ("ind", F.col("indep"))]
+        ).collect()
+    }
+    assert out["ind"] == (20, 0)
+    n, mi = out["dep"]
+    assert n == 20 and abs(mi - round(math.log(2) * 1e6)) <= 2
+
+
+def test_roc_auc_known_answers(spark):
+    """Perfect separation -> 1.0; anti-separation -> 0.0; all scores
+    tied -> 0.5 via midranks; single-class group -> NULL."""
+    from tada_spark.functions.stats import roc_auc_by_group
+
+    rows = (
+        [("sep", 1, 10), ("sep", 1, 9), ("sep", 0, 2), ("sep", 0, 1)]
+        + [("anti", 1, 1), ("anti", 1, 2), ("anti", 0, 9), ("anti", 0, 10)]
+        + [("tied", 1, 5), ("tied", 1, 5), ("tied", 0, 5), ("tied", 0, 5)]
+        + [("onecls", 1, 3), ("onecls", 1, 4)]
+    )
+    df = spark.createDataFrame(rows, "g string, pos int, s long")
+    out = {
+        r.g: (r.n_pos, r.n_neg, r.auc_e6)
+        for r in roc_auc_by_group(df, "g", F.col("pos"), F.col("s")).collect()
+    }
+    assert out["sep"] == (2, 2, 1000000)
+    assert out["anti"] == (2, 2, 0)
+    assert out["tied"] == (2, 2, 500000)
+    assert out["onecls"] == (2, 0, None)
+
+
+def test_theil_sen_known_answers(spark):
+    """An exact line recovers its slope regardless of one wild outlier
+    y (the robustness OLS lacks); slope_med_e6_x2 is twice the e6
+    median. Group 'line': y = 3x + 7 over x=0..4 -> slope 3. Group
+    'out': same line but y(4) wrecked -> pairwise slopes still
+    median at 3."""
+    from tada_spark.functions.stats import theil_sen_by_group
+
+    line = [("line", x, 3 * x + 7) for x in range(5)]
+    out = [("out", x, 3 * x + 7) for x in range(4)] + [("out", 4, 1000)]
+    df = spark.createDataFrame(line + out, "g string, x long, y long")
+    got = {
+        r.g: (r.n_points, r.n_pairs, r.slope_med_e6_x2)
+        for r in theil_sen_by_group(df, "g", F.col("x"), F.col("y")).collect()
+    }
+    assert got["line"] == (5, 10, 6_000_000)
+    assert got["out"] == (5, 10, 6_000_000)
+
+
+def test_theil_sen_even_pair_count_midpoint(spark):
+    """Even pair counts average the two middle quantized slopes:
+    points (0,0),(1,1),(2,4) -> slopes 1, 2, 4/2=2 ... n=3; use 4
+    points for 6 pairs: (0,0),(1,1),(2,2),(3,9): slopes
+    1,1,1,3,4,7 -> middles 1 and 3 -> median 2 -> x2 = 4e6."""
+    from tada_spark.functions.stats import theil_sen_by_group
+
+    pts = [("g", 0, 0), ("g", 1, 1), ("g", 2, 2), ("g", 3, 9)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    row = theil_sen_by_group(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert (row.n_points, row.n_pairs, row.slope_med_e6_x2) == (4, 6, 4_000_000)
+
+
+def test_seasonal_decompose_constant_series(spark):
+    """A constant daily series decomposes into trend = the value,
+    seasonal = 0, remainder = 0 on interior days, NULL components on
+    the 3-day edges."""
+    import datetime
+
+    from tada_spark.functions.stats import seasonal_decompose_weekday
+
+    days = [datetime.date(2024, 1, d) for d in range(1, 15)]
+    df = spark.createDataFrame([(d, 500) for d in days], "d date, c long")
+    out = sorted(
+        seasonal_decompose_weekday(df, F.col("d"), F.col("c")).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(out) == 14
+    for r in out[:3] + out[-3:]:
+        assert r.trend_e6 is None and r.seasonal_e6 is None and r.remainder_e6 is None
+    for r in out[3:-3]:
+        assert r.revenue_c == 500
+        assert r.trend_e6 == 500 * 10000
+        assert r.seasonal_e6 == 0 and r.remainder_e6 == 0
+
+
+def test_dbscan_classify_roles(spark):
+    """A 5-point tight cluster (all core at min_pts=5), one satellite
+    within eps of a core point (border), one isolated point (noise)."""
+    from tada_spark.operators.spatial import dbscan_classify
+
+    cluster = [(i, 100 + i, 100) for i in range(5)]   # within eps=10 of each other
+    satellite = [(10, 112, 100)]                      # reaches pts 2,3,4 (dist 10,9,8)
+    lone = [(20, 900, 900)]
+    df = spark.createDataFrame(cluster + satellite + lone, "pid long, x long, y long")
+    out = {r.pid: (r.n_in_eps, r.role) for r in
+           dbscan_classify(df, id_col="pid", x_col="x", y_col="y", eps=10, min_pts=5).collect()}
+    assert {out[i][1] for i in range(5)} == {"core"}
+    assert out[0][0] == 5
+    assert out[10] == (4, "border")
+    assert out[20] == (1, "noise")
