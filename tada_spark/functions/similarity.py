@@ -726,3 +726,69 @@ def label_silhouette(
         .cast("long")
         .alias("mean_sil_e6"),
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    classic 2-approximation (Gonzalez 1985) used to pick a maximally
+    DIVERSE subset of an embedding corpus for labeling / eval / seed
+    sets, where random sampling oversamples dense regions. Seed = the
+    lowest id; each round adds the point maximizing its distance to the
+    nearest already-chosen center. Returns k rows:
+    (sel_order, id, maxmin_d2_e6) — the e6-quantized squared euclidean
+    max-min distance at selection time (NULL for the seed).
+
+    Determinism: d²(a, b) = a·a + b·b − 2·a·b with every dot a
+    left-to-right fold (the LIST_DOT_PRODUCT tree), the argmax ranks
+    the e6-FLOORED distance with lowest-id tiebreak — so the whole
+    greedy trajectory is engine-independent and the unrolled-CTE oracle
+    hash-matches step for step.
+
+    100 TB shape: k rounds × one map-side max-struct aggregate over the
+    partitioned corpus (the chosen set rides along as k literal vectors
+    — never a join, never a collect of the corpus); O(n·k) total work,
+    the same job profile as kmeans_quantized. k is small by
+    construction (a coreset), so the k jobs are the honest cost."""
+    pts = corpus.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__kid__"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__kv__"),
+    )
+    first = pts.orderBy("__kid__").limit(1).collect()[0]
+    chosen: list[tuple[int, list[float], int | None]] = [(first["__kid__"], list(first["__kv__"]), None)]
+
+    def _lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    v = F.col("__kv__")
+    self_dot = dot(v, v)
+    for _ in range(1, k):
+        d2s = []
+        for _cid, cvec, _d in chosen:
+            cv = _lit_vec(cvec)
+            d2s.append(self_dot + dot(cv, cv) - F.lit(2.0) * dot(v, cv))
+        mind2 = F.least(*d2s) if len(d2s) > 1 else d2s[0]
+        d2_e6 = F.floor(mind2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+        top = (
+            pts.select(
+                F.struct(
+                    d2_e6.alias("d"), (-F.col("__kid__")).alias("ni"), v.alias("vec")
+                ).alias("s")
+            )
+            .agg(F.max("s").alias("s"))
+            .select("s.d", "s.ni", "s.vec")
+            .collect()[0]
+        )
+        chosen.append((-top["ni"], list(top["vec"]), top["d"]))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, cid, d) for i, (cid, _v, d) in enumerate(chosen)],
+        "sel_order int, " + id_col + " long, maxmin_d2_e6 long",
+    )

@@ -6294,6 +6294,60 @@ FROM cnt c
 """
 
 
+def kcenter_coreset_embeddings(spark, sf):
+    """Greedy k-center coreset over the embedding corpus
+    (functions/similarity.kcenter_select, Gonzalez 1985): 6 maximally
+    diverse vectors — the labeling/eval seed-set selector random
+    sampling can't replace. k map-side max-struct sweeps, O(n·k); the
+    oracle replays the greedy trajectory as unrolled CTEs."""
+    from tada_spark.functions.similarity import kcenter_select
+
+    emb = load(spark, sf, "embeddings").to_df()
+    return kcenter_select(emb, k=6)
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled-CTE replay of kcenter_select's greedy trajectory: CTE
+    c{i} picks round i's argmax of the e6-floored min-d² to c0..c{i-1}
+    (lowest id on ties), d² = a·a + b·b − 2·a·b — the identical IEEE
+    tree the Spark side folds."""
+
+    def d2(c: str) -> str:
+        return (
+            f"(LIST_DOT_PRODUCT(p.v, p.v) + LIST_DOT_PRODUCT({c}.v, {c}.v)"
+            f" - 2.0 * LIST_DOT_PRODUCT(p.v, {c}.v))"
+        )
+
+    ctes = [
+        "pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)",
+        "c0 AS (SELECT vec_id, v, NULL::BIGINT AS d2_e6 FROM pts ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(1, k):
+        prev = [f"c{j}" for j in range(i)]
+        mind2 = (
+            f"LEAST({', '.join(d2(c) for c in prev)})"
+            if len(prev) > 1
+            else d2(prev[0])
+        )
+        srcs = ", ".join(["pts p"] + prev)
+        ctes.append(
+            f"c{i} AS (SELECT p.vec_id, p.v,"
+            f" CAST(FLOOR({mind2} * 1000000.0 + 0.5) AS BIGINT) AS d2_e6"
+            f" FROM {srcs}"
+            f" ORDER BY CAST(FLOOR({mind2} * 1000000.0 + 0.5) AS BIGINT) DESC, p.vec_id ASC"
+            f" LIMIT 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS sel_order, vec_id, d2_e6 AS maxmin_d2_e6 FROM c{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+KCENTER_SQL = _kcenter_sql(6)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9863,4 +9917,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "theil_sen_daily_revenue": (theil_sen_daily_revenue, THEIL_SEN_SQL),
     "seasonal_decompose_revenue": (seasonal_decompose_revenue, SEASONAL_SQL),
     "dbscan_embeddings_2d": (dbscan_embeddings_2d, DBSCAN_SQL),
+    "kcenter_coreset_embeddings": (kcenter_coreset_embeddings, KCENTER_SQL),
 }

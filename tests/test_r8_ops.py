@@ -552,3 +552,18 @@ def test_dbscan_classify_roles(spark):
     assert out[0][0] == 5
     assert out[10] == (4, "border")
     assert out[20] == (1, "noise")
+
+
+def test_kcenter_select_greedy_trajectory(spark):
+    """Hand-checkable 1-D layout (as 2-dim vectors): seed = lowest id
+    (pos 0), then pos 10 (d2 100), then pos 5 (maxmin 25), then the
+    1-vs-1 tie between pos 1 and pos 9 breaks to the lower id."""
+    from tada_spark.functions.similarity import kcenter_select
+
+    pts = [(1, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [1.0, 0.0]),
+           (4, [9.0, 0.0]), (5, [5.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [(r.sel_order, r.vec_id, r.maxmin_d2_e6)
+           for r in kcenter_select(df, k=5).collect()]
+    assert got == [(0, 1, None), (1, 2, 100_000_000), (2, 5, 25_000_000),
+                   (3, 3, 1_000_000), (4, 4, 1_000_000)]
