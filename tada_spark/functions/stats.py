@@ -1487,3 +1487,45 @@ def seasonal_decompose_weekday(df: DataFrame, day: Column, cents: Column) -> Dat
             (F.col("__det__") - F.col("seasonal_e6")).alias("remainder_e6"),
         )
     )
+
+
+def retrieval_metrics_at_k(
+    df: DataFrame, group_col: str, rank_col: str, rel_col: str, k: int
+) -> DataFrame:
+    """Binary-relevance retrieval metrics per query group — the
+    MRR / recall@k / precision@k triple reported beside NDCG in every
+    retrieval eval: rr = 1/rank of the first relevant hit, recall@k =
+    hits_k/n_rel, precision@k = hits_k/k. Returns (group, n_rel,
+    first_rel_rank, rr_e6, recall_at_k_e6, precision_at_k_e6); rr and
+    recall are NULL when the group has no relevant document.
+
+    One conditional hash-agg over the pre-ranked input — the counts
+    are exact longs and each metric is ONE double division floor-e6'd,
+    so the oracle matches term for term. Callers supply the ranking
+    (row_number with a pinned tiebreak) — the metric never re-sorts.
+
+    100 TB shape: map-side-combined single agg, no window, no join."""
+    rel = F.col(rel_col).cast("int")
+    rk = F.col(rank_col).cast("long")
+    base = df.filter(
+        F.col(group_col).isNotNull() & rel.isNotNull() & rk.isNotNull()
+    )
+    agg = base.groupBy(group_col).agg(
+        F.sum(rel.cast("long")).alias("n_rel"),
+        F.min(F.when(rel == 1, rk)).alias("first_rel_rank"),
+        F.sum(F.when((rel == 1) & (rk <= k), F.lit(1)).otherwise(F.lit(0))).alias(
+            "__hits__"
+        ),
+    )
+    hits = F.col("__hits__").cast("double")
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    return agg.select(
+        group_col,
+        "n_rel",
+        "first_rel_rank",
+        e6(F.lit(1.0) / F.col("first_rel_rank").cast("double")).alias("rr_e6"),
+        F.when(F.col("n_rel") > 0, e6(hits / F.col("n_rel").cast("double"))).alias(
+            f"recall_at_{k}_e6"
+        ),
+        e6(hits / F.lit(float(k))).alias(f"precision_at_{k}_e6"),
+    )

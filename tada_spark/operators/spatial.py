@@ -141,3 +141,80 @@ def dbscan_classify(
             .alias("role"),
         )
     )
+
+
+def grid_containment_join(
+    points: DataFrame,
+    rects: DataFrame,
+    *,
+    point_id: str,
+    x_col: str,
+    y_col: str,
+    rect_id: str,
+    xmin: str,
+    xmax: str,
+    ymin: str,
+    ymax: str,
+    cell: int,
+) -> DataFrame:
+    """Point-in-rectangle containment join on integer coordinates
+    (bounds inclusive): emits (rect_id, point_id). The geofence /
+    region-tagging primitive — Spark has no spatial join, so each
+    rectangle explodes to the grid cells it covers and points equi-join
+    on their single cell, then the exact bounds predicate filters
+    inside the bucket. Work ∝ Σ (cells per rect × points per cell),
+    never |R|×|P|.
+
+    ``cell`` trades explode fan-out (≈ area/cell² cells per rect)
+    against bucket selectivity — size it near the typical rect edge.
+    Degenerate/inverted rects (xmin > xmax) emit nothing, matching the
+    naive predicate. 100 TB shape: the exploded rect-cell table is the
+    small build side of ONE hash join keyed on (cx, cy); points carry
+    no fan-out at all."""
+    pts = points.filter(
+        F.col(point_id).isNotNull() & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(point_id).alias("__pid__"),
+        F.col(x_col).cast("long").alias("__px__"),
+        F.col(y_col).cast("long").alias("__py__"),
+        F.floor(F.col(x_col).cast("long") / cell).cast("long").alias("cx"),
+        F.floor(F.col(y_col).cast("long") / cell).cast("long").alias("cy"),
+    )
+    r = rects.filter(
+        F.col(rect_id).isNotNull()
+        & F.col(xmin).isNotNull() & F.col(xmax).isNotNull()
+        & F.col(ymin).isNotNull() & F.col(ymax).isNotNull()
+    ).select(
+        F.col(rect_id).alias("__rid__"),
+        F.col(xmin).cast("long").alias("__x0__"),
+        F.col(xmax).cast("long").alias("__x1__"),
+        F.col(ymin).cast("long").alias("__y0__"),
+        F.col(ymax).cast("long").alias("__y1__"),
+    )
+    cells = r.filter((F.col("__x0__") <= F.col("__x1__")) & (F.col("__y0__") <= F.col("__y1__"))).select(
+        "__rid__", "__x0__", "__x1__", "__y0__", "__y1__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__x0__") / cell).cast("long"),
+                F.floor(F.col("__x1__") / cell).cast("long"),
+            )
+        ).alias("cx"),
+    ).select(
+        "__rid__", "__x0__", "__x1__", "__y0__", "__y1__", "cx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__y0__") / cell).cast("long"),
+                F.floor(F.col("__y1__") / cell).cast("long"),
+            )
+        ).alias("cy"),
+    )
+    return (
+        pts.join(cells, ["cx", "cy"])
+        .filter(
+            (F.col("__px__") >= F.col("__x0__"))
+            & (F.col("__px__") <= F.col("__x1__"))
+            & (F.col("__py__") >= F.col("__y0__"))
+            & (F.col("__py__") <= F.col("__y1__"))
+        )
+        .select(F.col("__rid__").alias(rect_id), F.col("__pid__").alias(point_id))
+    )

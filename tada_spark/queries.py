@@ -6348,6 +6348,99 @@ def _kcenter_sql(k: int) -> str:
 KCENTER_SQL = _kcenter_sql(6)
 
 
+def retrieval_metrics_docs(spark, sf):
+    """MRR / recall@10 / precision@10 per source (functions/stats.
+    retrieval_metrics_at_k) on the same deterministic ranking and
+    synthetic relevance ndcg_retrieval_eval grades (binary: the top
+    grade rel = 3), completing the retrieval-eval suite — one
+    conditional hash-agg, no re-sort."""
+    from pyspark.sql.window import Window
+
+    from tada_spark.functions import stats
+
+    docs = load(spark, sf, "documents").to_df().filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy(F.length("text").desc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "source",
+        F.row_number().over(w).alias("rk"),
+        ((F.col("doc_id") % 13) % 4 == 0).cast("int").alias("rel"),
+    )
+    return stats.retrieval_metrics_at_k(ranked, "source", "rk", "rel", 10)
+
+
+RETRIEVAL_METRICS_SQL = """
+WITH ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY LENGTH(text) DESC, doc_id ASC) AS rk,
+         CASE WHEN (doc_id % 13) % 4 = 0 THEN 1 ELSE 0 END AS rel
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL
+), agg AS (
+  SELECT source,
+         SUM(rel)::BIGINT AS n_rel,
+         MIN(CASE WHEN rel = 1 THEN rk END)::BIGINT AS first_rel_rank,
+         SUM(CASE WHEN rel = 1 AND rk <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits
+  FROM ranked GROUP BY source
+)
+SELECT source, n_rel, first_rel_rank,
+       CAST(FLOOR((1.0 / first_rel_rank::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS rr_e6,
+       CASE WHEN n_rel > 0 THEN
+         CAST(FLOOR((hits::DOUBLE / n_rel::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       END AS recall_at_10_e6,
+       CAST(FLOOR((hits::DOUBLE / 10.0) * 1000000.0 + 0.5) AS BIGINT) AS precision_at_10_e6
+FROM agg
+"""
+
+
+def spatial_containment_tags(spark, sf):
+    """Point-in-rectangle region tagging (operators/spatial.
+    grid_containment_join): customers on the deterministic lattice
+    against 25 nation-keyed geofence rectangles — each rect explodes to
+    its covered grid cells, points equi-join on their single cell, the
+    exact inclusive-bounds predicate filters in-bucket. The naive
+    |R|×|P| oracle proves identical semantics."""
+    from tada_spark.operators.spatial import grid_containment_join
+
+    cust = load(spark, sf, "customer").to_df().select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") * 37 % 10000).alias("x"),
+        (F.col("c_custkey") * 91 % 10000).alias("y"),
+    )
+    k = F.col("n_nationkey")
+    rects = load(spark, sf, "nation").to_df().select(
+        k.alias("rid"),
+        (k * 397 % 9000).alias("x0"),
+        (k * 397 % 9000 + 400 + k * 13 % 600).alias("x1"),
+        (k * 811 % 9000).alias("y0"),
+        (k * 811 % 9000 + 400 + k * 29 % 600).alias("y1"),
+    )
+    return grid_containment_join(
+        cust, rects,
+        point_id="pid", x_col="x", y_col="y",
+        rect_id="rid", xmin="x0", xmax="x1", ymin="y0", ymax="y1",
+        cell=512,
+    )
+
+
+SPATIAL_CONTAINMENT_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS pid, (c_custkey * 37) % 10000 AS x, (c_custkey * 91) % 10000 AS y
+  FROM customer WHERE c_custkey IS NOT NULL
+), rects AS (
+  SELECT n_nationkey AS rid,
+         (n_nationkey * 397) % 9000 AS x0,
+         (n_nationkey * 397) % 9000 + 400 + (n_nationkey * 13) % 600 AS x1,
+         (n_nationkey * 811) % 9000 AS y0,
+         (n_nationkey * 811) % 9000 + 400 + (n_nationkey * 29) % 600 AS y1
+  FROM nation WHERE n_nationkey IS NOT NULL
+)
+SELECT rid, pid
+FROM pts, rects
+WHERE x >= x0 AND x <= x1 AND y >= y0 AND y <= y1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -9918,4 +10011,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonal_decompose_revenue": (seasonal_decompose_revenue, SEASONAL_SQL),
     "dbscan_embeddings_2d": (dbscan_embeddings_2d, DBSCAN_SQL),
     "kcenter_coreset_embeddings": (kcenter_coreset_embeddings, KCENTER_SQL),
+    "retrieval_metrics_docs": (retrieval_metrics_docs, RETRIEVAL_METRICS_SQL),
+    "spatial_containment_tags": (spatial_containment_tags, SPATIAL_CONTAINMENT_SQL),
 }

@@ -567,3 +567,41 @@ def test_kcenter_select_greedy_trajectory(spark):
            for r in kcenter_select(df, k=5).collect()]
     assert got == [(0, 1, None), (1, 2, 100_000_000), (2, 5, 25_000_000),
                    (3, 3, 1_000_000), (4, 4, 1_000_000)]
+
+
+def test_retrieval_metrics_known_answers(spark):
+    """Ranks 1..5 with hits at 2 and 4, k=3: rr = 1/2, recall@3 = 1/2,
+    precision@3 = 1/3; a group with no relevant docs gets NULL rr and
+    recall but precision 0."""
+    from tada_spark.functions.stats import retrieval_metrics_at_k
+
+    rows = [("q1", r, 1 if r in (2, 4) else 0) for r in range(1, 6)]
+    rows += [("q2", r, 0) for r in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, rk long, rel int")
+    out = {r.g: r for r in retrieval_metrics_at_k(df, "g", "rk", "rel", 3).collect()}
+    r1 = out["q1"]
+    assert (r1.n_rel, r1.first_rel_rank, r1.rr_e6) == (2, 2, 500000)
+    assert (r1.recall_at_3_e6, r1.precision_at_3_e6) == (500000, 333333)
+    r2 = out["q2"]
+    assert (r2.n_rel, r2.first_rel_rank, r2.rr_e6) == (0, None, None)
+    assert (r2.recall_at_3_e6, r2.precision_at_3_e6) == (None, 0)
+
+
+def test_grid_containment_join_edges(spark):
+    """Inclusive bounds on all four edges; a rect spanning multiple
+    grid cells still tags interior points exactly once; inverted
+    rects emit nothing."""
+    from tada_spark.operators.spatial import grid_containment_join
+
+    pts = [(1, 0, 0), (2, 10, 10), (3, 5, 5), (4, 11, 5), (5, 1000, 1000)]
+    rects = [(100, 0, 10, 0, 10), (200, 10, 0, 0, 10)]  # 200 inverted
+    p = spark.createDataFrame(pts, "pid long, x long, y long")
+    r = spark.createDataFrame(rects, "rid long, x0 long, x1 long, y0 long, y1 long")
+    got = sorted(
+        (row.rid, row.pid)
+        for row in grid_containment_join(
+            p, r, point_id="pid", x_col="x", y_col="y",
+            rect_id="rid", xmin="x0", xmax="x1", ymin="y0", ymax="y1", cell=4,
+        ).collect()
+    )
+    assert got == [(100, 1), (100, 2), (100, 3)]
