@@ -1529,3 +1529,67 @@ def retrieval_metrics_at_k(
         ),
         e6(hits / F.lit(float(k))).alias(f"precision_at_{k}_e6"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    value: Column,
+    order1: Column,
+    order2: Column,
+    *,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key event-ordered EWMA as a BATCH fold — the JVM-side twin
+    of streaming/stateful.ewma_scores: same quantized recurrence
+    s ← floor((α·x + (1−α)·s)·1e6 + 0.5)/1e6 (every intermediate on an
+    e6 grid point, so a SQL recursive CTE replays it bit-for-bit; the
+    streaming entry's oracle verifies this operator verbatim), folded
+    with array_sort + aggregate — higher-order Column algebra in
+    whole-stage codegen, no UDF, no state store. Returns
+    (key, n_events, ewma_e6). α must be exactly representable
+    (default 0.25) so each step is two correctly-rounded IEEE ops.
+
+    100 TB shape: ONE hash-agg collects each key's history into an
+    array sorted once per key — the right call when per-key history is
+    bounded (sessions, users-per-day); unbounded histories belong to
+    the streaming twin, whose state is two scalars regardless of
+    length."""
+    base = df.filter(
+        F.col(key_col).isNotNull() & value.isNotNull()
+    ).select(
+        F.col(key_col),
+        F.struct(
+            order1.alias("o1"), order2.alias("o2"), value.cast("double").alias("v")
+        ).alias("__e__"),
+    )
+    packed = base.groupBy(key_col).agg(
+        F.array_sort(F.collect_list("__e__")).alias("__h__")
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("s"), F.lit(0).cast("long").alias("n")
+    )
+    a = float(alpha)
+
+    def step(acc, x):
+        first = F.floor(x["v"] * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        nxt = (
+            F.floor(
+                (F.lit(a) * x["v"] + F.lit(1.0 - a) * acc["s"]) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        )
+        return F.struct(
+            F.when(acc["s"].isNull(), first).otherwise(nxt).alias("s"),
+            (acc["n"] + F.lit(1)).alias("n"),
+        )
+
+    folded = packed.select(
+        key_col, F.aggregate(F.col("__h__"), init, step).alias("__f__")
+    )
+    return folded.select(
+        key_col,
+        F.col("__f__.n").alias("n_events"),
+        F.floor(F.col("__f__.s") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("ewma_e6"),
+    )

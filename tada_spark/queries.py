@@ -6441,6 +6441,22 @@ WHERE x >= x0 AND x <= x1 AND y >= y0 AND y <= y1
 """
 
 
+def ewma_batch_users(spark, sf):
+    """Per-user EWMA as a batch fold (functions/stats.ewma_by_key):
+    the JVM-codegen twin of stream_ewma_users — same quantized
+    recurrence, same (user_id, n_events, ewma_e6) result, verified by
+    the SAME recursive-CTE oracle — demonstrating that the sequential
+    recurrence has both a bounded-history batch expression (array_sort
+    + aggregate, no UDF) and an unbounded streaming one
+    (applyInPandasWithState)."""
+    from tada_spark.functions import stats
+
+    e = load(spark, sf, "events").to_df()
+    return stats.ewma_by_key(
+        e, "user_id", F.col("value"), F.col("ts"), F.col("event_id"), alpha=0.25
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -10013,4 +10029,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kcenter_coreset_embeddings": (kcenter_coreset_embeddings, KCENTER_SQL),
     "retrieval_metrics_docs": (retrieval_metrics_docs, RETRIEVAL_METRICS_SQL),
     "spatial_containment_tags": (spatial_containment_tags, SPATIAL_CONTAINMENT_SQL),
+    "ewma_batch_users": (ewma_batch_users, STREAM_EWMA_SQL),
 }

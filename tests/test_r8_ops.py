@@ -605,3 +605,29 @@ def test_grid_containment_join_edges(spark):
         ).collect()
     )
     assert got == [(100, 1), (100, 2), (100, 3)]
+
+
+def test_ewma_batch_matches_pure_fold(spark):
+    """The batch fold must replay fold_ewma (the streaming state
+    function) value for value, including the first-element seed and
+    out-of-order input (the array_sort re-orders by (ts, seq))."""
+    import datetime
+
+    from tada_spark.functions.stats import ewma_by_key
+    from tada_spark.streaming.stateful import fold_ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0 + datetime.timedelta(seconds=3), 3, 10.0),
+        ("u", t0 + datetime.timedelta(seconds=1), 1, 2.5),
+        ("u", t0 + datetime.timedelta(seconds=2), 2, -4.25),
+        ("v", t0, 1, 7.125),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, seq long, v double")
+    out = {r.k: (r.n_events, r.ewma_e6) for r in
+           ewma_by_key(df, "k", F.col("v"), F.col("ts"), F.col("seq")).collect()}
+    import math
+    s, n = fold_ewma((None, 0), [2.5, -4.25, 10.0], alpha=0.25)
+    assert out["u"] == (n, math.floor(s * 1e6 + 0.5))
+    s2, n2 = fold_ewma((None, 0), [7.125], alpha=0.25)
+    assert out["v"] == (n2, math.floor(s2 * 1e6 + 0.5))
