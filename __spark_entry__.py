@@ -41,11 +41,14 @@ fold).  With 225
 oracle-able entries and 50 rows/round the minimum full-coverage cycle
 is ceil(225/50) = 5 rounds; the earlier "green within 3-4 rounds"
 claim was arithmetically unsatisfiable and is withdrawn.  The round-8
-window therefore leads with 50 of the 103 never-green entries
-(jpeg_decode_real, then the late-r7 cohort: the stats family,
-governance/lakehouse tier, stream_ewma/stream_pattern,
-semdedup-adjacent ANN entries); the remaining 53 plus the
-oldest-green r03/r04 cohort rotate in next round.  Every round additionally runs the FULL local oracle gate
+window therefore leads with 50 of the 103 never-green entries — the
+newest-catalog-first rule puts the ten round-8 additions first
+(ewma_batch_users, spatial_containment_tags, retrieval_metrics_docs,
+kcenter, dbscan, seasonal, theil_sen, roc_auc, MI, jpeg_decode_real),
+then the late-r7 cohort (stats family, governance/lakehouse tier,
+stream_ewma/stream_pattern, semdedup-adjacent ANN entries); the
+remaining 53 plus the oldest-green r03/r04 cohort rotate in next
+round.  Every round additionally runs the FULL local oracle gate
 (tools/check_oracle.py, all entries, sf0.001) at HEAD — gate evidence
 is recorded in the commit log but is never presented as driver
 evidence.

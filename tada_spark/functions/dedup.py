@@ -416,13 +416,23 @@ def jaccard_pairs(
     on replica/crawl corpora (sf1-replica: >9 min naive, where every
     duplicate cluster is 10× larger) disappears inside the operator
     instead of relying on callers to order an exact-dedup stage first.
-    Null-text docs are dropped up front: their jaccard is null against
-    every counterpart, so naive all-pairs never emitted them either.
+    Null text, null ids and null block values drop up front: the naive
+    join's id inequality and block equality are NULL-false, so such
+    docs never paired there either — and keeping them would let the
+    NULL-grouping window fabricate pairs the oracle never emits.
     """
     from pyspark.sql.window import Window
 
     blocks = list(block_cols or [])
-    docs = df.filter(F.col(text_col).isNotNull()).select(
+    # drop null ids and null block values up front: naive all-pairs'
+    # a.id < b.id and a.block = b.block are both NULL-false, so such
+    # docs never pair there — but the window partition groups NULLs
+    # TOGETHER and least/greatest skip NULL ids, which would fabricate
+    # pairs (even degenerate self-pairs) the oracle never emits
+    keep = F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    for c in blocks:
+        keep = keep & F.col(c).isNotNull()
+    docs = df.filter(keep).select(
         F.col(id_col).alias("jid"),
         *[F.col(c) for c in blocks],
         F.col(text_col).alias("__txt__"),

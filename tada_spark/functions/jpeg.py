@@ -210,6 +210,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"expected marker at byte {pos}")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte: 0xFF padding precedes a marker
+            pos -= 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / RSTn: standalone markers carry no length
         if marker == 0xD9:  # EOI with no scan
             raise ValueError("EOI before SOS")
         seglen = struct.unpack(">H", payload[pos:pos + 2])[0]

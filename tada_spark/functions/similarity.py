@@ -761,7 +761,14 @@ def kcenter_select(
         F.col(id_col).alias("__kid__"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__kv__"),
     )
-    first = pts.orderBy("__kid__").limit(1).collect()[0]
+    spark = corpus.sparkSession
+    out_schema = "sel_order int, " + id_col + " long, maxmin_d2_e6 long"
+    seed_rows = pts.orderBy("__kid__").limit(1).collect()
+    if not seed_rows:
+        # empty corpus: zero rows, like the oracle's LIMIT 1 over
+        # nothing — not a driver-side IndexError
+        return spark.createDataFrame([], out_schema)
+    first = seed_rows[0]
     chosen: list[tuple[int, list[float], int | None]] = [(first["__kid__"], list(first["__kv__"]), None)]
 
     def _lit_vec(vals: list[float]) -> Column:
@@ -787,8 +794,6 @@ def kcenter_select(
             .collect()[0]
         )
         chosen.append((-top["ni"], list(top["vec"]), top["d"]))
-    spark = corpus.sparkSession
     return spark.createDataFrame(
-        [(i, cid, d) for i, (cid, _v, d) in enumerate(chosen)],
-        "sel_order int, " + id_col + " long, maxmin_d2_e6 long",
+        [(i, cid, d) for i, (cid, _v, d) in enumerate(chosen)], out_schema
     )

@@ -1555,12 +1555,22 @@ def ewma_by_key(
     bounded (sessions, users-per-day); unbounded histories belong to
     the streaming twin, whose state is two scalars regardless of
     length."""
+    # the null flag leads the sort struct so NULL order keys fold LAST
+    # — Spark's array_sort puts a NULL struct field FIRST, but both the
+    # recursive-CTE oracle (ORDER BY ts: DuckDB defaults NULLS LAST)
+    # and the streaming twin (pandas sort_values, NaT last) fold them
+    # last; without the flag the three implementations diverge on the
+    # first NULL-ts row
     base = df.filter(
         F.col(key_col).isNotNull() & value.isNotNull()
     ).select(
         F.col(key_col),
         F.struct(
-            order1.alias("o1"), order2.alias("o2"), value.cast("double").alias("v")
+            order1.isNull().cast("int").alias("z1"),
+            order1.alias("o1"),
+            order2.isNull().cast("int").alias("z2"),
+            order2.alias("o2"),
+            value.cast("double").alias("v"),
         ).alias("__e__"),
     )
     packed = base.groupBy(key_col).agg(

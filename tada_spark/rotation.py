@@ -110,7 +110,6 @@ def freshness_report(catalog: dict, root: Path | str = REPO_ROOT) -> dict:
     greens = newest_green(root)
     oracle_able = [n for n, (_fn, sql) in catalog.items() if sql is not None]
     ever = [n for n in oracle_able if n in greens]
-    n50 = max(1, 50)
     return {
         "rounds_on_disk": sorted(arts),
         "oracle_able": len(oracle_able),
@@ -120,5 +119,5 @@ def freshness_report(catalog: dict, root: Path | str = REPO_ROOT) -> dict:
             r: sum(1 for n in ever if greens[n] == r)
             for r in sorted(set(greens[n] for n in ever))
         },
-        "min_cycle_rounds": -(-len(oracle_able) // n50),
+        "min_cycle_rounds": -(-len(oracle_able) // 50),
     }

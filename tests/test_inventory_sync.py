@@ -76,6 +76,12 @@ def test_entry_docstring_matches_artifacts():
         hist = rep["newest_green_histogram"]
         assert f"r03={hist.get(3, 0)}, r04={hist.get(4, 0)}, " \
                f"r05={hist.get(5, 0)}, r07={hist.get(7, 0)}" in doc
+    # the window-head narrative must match the computed order (the
+    # r8 review caught it claiming jpeg first when ewma_batch led)
+    from tada_spark.rotation import driver_order
+
+    first = driver_order(CATALOG)[0]
+    assert first in doc
 
 
 def test_every_oracle_parses_in_duckdb():

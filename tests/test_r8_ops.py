@@ -631,3 +631,83 @@ def test_ewma_batch_matches_pure_fold(spark):
     assert out["u"] == (n, math.floor(s * 1e6 + 0.5))
     s2, n2 = fold_ewma((None, 0), [7.125], alpha=0.25)
     assert out["v"] == (n2, math.floor(s2 * 1e6 + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 review fixes: null-semantics lockstep and graceful edges.
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_null_blocks_and_ids_never_pair(spark):
+    """Naive all-pairs' a.block = b.block and a.id < b.id are both
+    NULL-false, so docs with a NULL block value or NULL id must emit
+    NOTHING — the window must not group NULLs together, and
+    least/greatest must never fabricate a degenerate self-pair
+    through a NULL member id."""
+    from pyspark.sql import types as T
+
+    from tada_spark.functions.dedup import jaccard_pairs
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [
+        (1, None, "the same text here"),
+        (2, None, "the same text here"),     # NULL lang pair: no output
+        (None, "en", "the quick brown fox"),
+        (4, "en", "the quick brown fox"),    # NULL id: no pair through it
+        (5, "en", "the quick brown fax"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, block_cols=["lang"], ngram=3, threshold=0.3).collect()
+    )
+    # only the (4, 5) near-dup within the non-null 'en' block survives
+    assert [(a, b) for a, b, _j in got] == [(4, 5)]
+
+
+def test_ewma_null_order_keys_fold_last(spark):
+    """A NULL ts row must fold LAST (the oracle's ORDER BY ts is
+    DuckDB NULLS LAST; the streaming twin's pandas sort puts NaT
+    last) — not first, where Spark's bare struct array_sort puts a
+    NULL field."""
+    import datetime
+    import math
+
+    from tada_spark.functions.stats import ewma_by_key
+    from tada_spark.streaming.stateful import fold_ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("u", None, 9, 100.0), ("u", t0, 1, 4.0),
+            ("u", t0 + datetime.timedelta(seconds=1), 2, 8.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, seq long, v double")
+    row = ewma_by_key(df, "k", F.col("v"), F.col("ts"), F.col("seq")).first()
+    s, n = fold_ewma((None, 0), [4.0, 8.0, 100.0], alpha=0.25)
+    assert (row.n_events, row.ewma_e6) == (n, math.floor(s * 1e6 + 0.5))
+
+
+def test_kcenter_empty_corpus_returns_zero_rows(spark):
+    from tada_spark.functions.similarity import kcenter_select
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = kcenter_select(df, k=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["sel_order", "vec_id", "maxmin_d2_e6"]
+
+
+def test_jpeg_fill_bytes_and_standalone_markers(spark):
+    """0xFF fill padding before a marker and standalone TEM markers
+    must be skipped per T.81, not parsed as if they carried a length
+    (which silently swallowed the next real segment)."""
+    import numpy as np
+
+    from tada_spark.functions.jpeg import encode_jpeg_gray, jpeg_decode_gray
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good = encode_jpeg_gray(img)
+    # inject a fill byte + TEM right after SOI
+    patched = good[:2] + b"\xff" + b"\xff\x01" + good[2:]
+    assert np.array_equal(jpeg_decode_gray(patched), img)
