@@ -29,25 +29,25 @@ Honest accounting as of round 8 (recomputed from the artifacts by
 ``tada_spark.rotation.freshness_report``, pinned by
 tests/test_inventory_sync.py so this text can never drift from the
 files again): driver artifacts exist for rounds 1-5 and 7 — round 6
-produced NO artifacts.  At the round-8 HEAD, 122 of 225 oracle-able
+produced NO artifacts.  At the round-8 HEAD, 122 of 226 oracle-able
 entries have EVER been driver-green (histogram of newest green round:
 r03=16, r04=6, r05=50, r07=50; the recent-window union r05∪r07 is
-100), and 103 entries have never had a driver-green row (93 entering
-the round, plus the ten round-8 additions: jpeg_decode_real, the
+100), and 104 entries have never had a driver-green row (93 entering
+the round, plus the eleven round-8 additions: jpeg_decode_real, the
 MI / ROC-AUC / Theil-Sen / seasonal-decompose stats entries, the
 DBSCAN classifier, the k-center coreset selector, the MRR/recall
-retrieval metrics, the containment geofence join and the batch EWMA
-fold).  With 225
+retrieval metrics, the containment geofence join, the batch EWMA
+fold and the point-in-time feature join).  With 226
 oracle-able entries and 50 rows/round the minimum full-coverage cycle
-is ceil(225/50) = 5 rounds; the earlier "green within 3-4 rounds"
+is ceil(226/50) = 5 rounds; the earlier "green within 3-4 rounds"
 claim was arithmetically unsatisfiable and is withdrawn.  The round-8
-window therefore leads with 50 of the 103 never-green entries — the
-newest-catalog-first rule puts the ten round-8 additions first
-(ewma_batch_users, spatial_containment_tags, retrieval_metrics_docs,
+window therefore leads with 50 of the 104 never-green entries — the
+newest-catalog-first rule puts the eleven round-8 additions first
+(pit_feature_join_orders, ewma_batch_users, spatial_containment_tags, retrieval_metrics_docs,
 kcenter, dbscan, seasonal, theil_sen, roc_auc, MI, jpeg_decode_real),
 then the late-r7 cohort (stats family, governance/lakehouse tier,
 stream_ewma/stream_pattern, semdedup-adjacent ANN entries); the
-remaining 53 plus the oldest-green r03/r04 cohort rotate in next
+remaining 54 plus the oldest-green r03/r04 cohort rotate in next
 round.  Every round additionally runs the FULL local oracle gate
 (tools/check_oracle.py, all entries, sf0.001) at HEAD — gate evidence
 is recorded in the commit log but is never presented as driver

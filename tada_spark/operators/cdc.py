@@ -112,3 +112,79 @@ def column_churn(
         ]
     )
     return row.select(F.inline(reports))
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    pos_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (feature-store) join: each fact row picks the
+    SCD2 version whose validity interval covers its position —
+    valid_from ≤ pos < valid_to, valid_to NULL = still open — and
+    carries NULLs when no version covers it (before the first insert,
+    or after a delete closed the last interval). The training-data
+    primitive that prevents feature leakage: a fact may only see
+    attribute values that were current when it happened.
+
+    Implemented as the asof union-stream carry, not an interval join:
+    versions and facts union into one per-key stream ordered by
+    (pos, kind) with versions first on ties (a fact AT valid_from sees
+    the new version, matching the closed-open interval), a single
+    last(ignorenulls) window carries the latest version struct onto
+    each fact, and the valid_to check voids carried versions a delete
+    closed. ONE shuffle on the key, no row multiplication — the naive
+    range join the oracle runs is |F|×|versions-per-key|.
+
+    Output: every fact column, then the history's value columns
+    (everything except key/interval bookkeeping) plus valid_from —
+    NULL when uncovered."""
+    val_cols = [
+        c
+        for c in history.columns
+        if c not in (key, valid_from, valid_to, "is_current")
+    ]
+    ver = history.select(
+        F.col(key),
+        F.col(valid_from).cast("long").alias("__pos__"),
+        F.lit(0).alias("__kind__"),
+        F.struct(
+            F.col(valid_from).cast("long").alias("__vf__"),
+            F.col(valid_to).cast("long").alias("__vt__"),
+            *[F.col(c) for c in val_cols],
+        ).alias("__ver__"),
+    )
+    fact_cols = [c for c in facts.columns if c not in (key, pos_col)]
+    ver_type = ver.schema["__ver__"].dataType
+    fct = facts.select(
+        F.col(key),
+        F.col(pos_col).cast("long").alias("__pos__"),
+        F.lit(1).alias("__kind__"),
+        F.lit(None).cast(ver_type).alias("__ver__"),
+        *[F.col(c) for c in fact_cols],
+    )
+    ver_padded = ver.select(
+        key, "__pos__", "__kind__", "__ver__",
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c) for c in fact_cols],
+    )
+    u = ver_padded.unionByName(fct)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__pos__", "__kind__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__c__", F.last("__ver__", ignorenulls=True).over(w))
+    covered = F.col("__c__").isNotNull() & (
+        F.col("__c__.__vt__").isNull() | (F.col("__c__.__vt__") > F.col("__pos__"))
+    )
+    return carried.filter(F.col("__kind__") == 1).select(
+        F.col(key),
+        F.col("__pos__").alias(pos_col),
+        *[F.col(c) for c in fact_cols],
+        *[F.when(covered, F.col(f"__c__.{c}")).alias(c) for c in val_cols],
+        F.when(covered, F.col("__c__.__vf__")).alias(valid_from),
+    )

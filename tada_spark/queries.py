@@ -6457,6 +6457,83 @@ def ewma_batch_users(spark, sf):
     )
 
 
+def pit_feature_join_orders(spark, sf):
+    """Point-in-time feature join (operators/cdc.pit_join) — the
+    feature-store primitive that prevents leakage: facts observed at
+    deterministic positions t = (key div 7) mod 5 join the SCD2 order
+    history (same synthesized change stream as scd2_history_orders)
+    and may only see the version valid AT t: NULL before the insert,
+    v1 in [1,2), the doubled-price v2 from 2, and NULL again after a
+    delete closes the interval. One union-stream carry shuffle; the
+    oracle runs the naive interval join."""
+    from tada_spark.operators.cdc import pit_join, scd2_history
+
+    base = load(spark, sf, "orders").to_df().select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    changes = (
+        base.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 20 == 0).select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit(3).alias("seq"), F.lit("D").alias("op"),
+            )
+        )
+    )
+    history = scd2_history(changes, "o_orderkey")
+    facts = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.expr("o_orderkey div 7") % 5).alias("t"),
+    )
+    out = pit_join(facts, history, "o_orderkey", "t")
+    return out.select(
+        "o_orderkey",
+        "t",
+        _round_det(F.col("o_totalprice"), 2).alias("price_at_t"),
+        "valid_from",
+    )
+
+
+PIT_JOIN_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 1 AS seq, 'I' AS op
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2, 2, 'U' FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, 3, 'D' FROM base WHERE o_orderkey % 20 = 0
+), h AS (
+  SELECT *, LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq ASC, op ASC) AS valid_to
+  FROM changes
+), hist AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, seq AS valid_from, valid_to
+  FROM h WHERE op != 'D'
+), facts AS (
+  SELECT o_orderkey, (o_orderkey // 7) % 5 AS t FROM base WHERE o_orderkey % 2 = 0
+)
+SELECT f.o_orderkey, f.t,
+       FLOOR(v.o_totalprice * 100 + 0.5) / 100 AS price_at_t,
+       v.valid_from
+FROM facts f
+LEFT JOIN hist v
+  ON f.o_orderkey = v.o_orderkey
+ AND v.valid_from <= f.t
+ AND (v.valid_to IS NULL OR v.valid_to > f.t)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -10030,4 +10107,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "retrieval_metrics_docs": (retrieval_metrics_docs, RETRIEVAL_METRICS_SQL),
     "spatial_containment_tags": (spatial_containment_tags, SPATIAL_CONTAINMENT_SQL),
     "ewma_batch_users": (ewma_batch_users, STREAM_EWMA_SQL),
+    "pit_feature_join_orders": (pit_feature_join_orders, PIT_JOIN_SQL),
 }

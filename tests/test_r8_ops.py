@@ -711,3 +711,32 @@ def test_jpeg_fill_bytes_and_standalone_markers(spark):
     # inject a fill byte + TEM right after SOI
     patched = good[:2] + b"\xff" + b"\xff\x01" + good[2:]
     assert np.array_equal(jpeg_decode_gray(patched), img)
+
+
+def test_pit_join_known_answers(spark):
+    """Hand-built history for key 1: v1 price 10 on [1,3), v2 price 20
+    open from 3. Facts at t=0 (before insert: NULL), t=1 (v1), t=2
+    (v1), t=3 (boundary: the NEW version), t=9 (open v2). Key 2 has a
+    delete-closed interval [1,2): t=5 must be NULL again. Key 3 has no
+    history at all."""
+    from tada_spark.operators.cdc import pit_join
+
+    hist = spark.createDataFrame(
+        [(1, 10.0, 1, 3, False), (1, 20.0, 3, None, True),
+         (2, 7.0, 1, 2, False)],
+        "k long, price double, valid_from long, valid_to long, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (1, 3), (1, 9), (2, 5), (3, 4)],
+        "k long, t long",
+    )
+    out = {(r.k, r.t): (r.price, r.valid_from) for r in
+           pit_join(facts, hist, "k", "t").collect()}
+    assert out[(1, 0)] == (None, None)
+    assert out[(1, 1)] == (10.0, 1)
+    assert out[(1, 2)] == (10.0, 1)
+    assert out[(1, 3)] == (20.0, 3)
+    assert out[(1, 9)] == (20.0, 3)
+    assert out[(2, 5)] == (None, None)
+    assert out[(3, 4)] == (None, None)
+    assert len(out) == 7
