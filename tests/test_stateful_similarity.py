@@ -83,3 +83,84 @@ def test_kmeans_quantized_separates_planted_clusters(spark):
     got = {r.vec_id: r.cluster for r in kmeans_quantized(df, k=2, iters=2).collect()}
     assert {got[i] for i in (0, 2, 4)} == {0}
     assert {got[i] for i in (1, 3, 5)} == {1}
+
+
+def test_running_totals_across_micro_batches(spark, tmp_path):
+    """State must persist ACROSS micro-batches, not just within one:
+    three source files at maxFilesPerTrigger=1 become three batches
+    (proved via recentProgress), and the final update-mode rows carry
+    the accumulated totals."""
+    src = str(tmp_path / "mb_src")
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 10.0)], "k string, v double")
+    b2 = spark.createDataFrame([("a", 2.0)], "k string, v double")
+    b3 = spark.createDataFrame([("a", 4.0), ("b", 20.0)], "k string, v double")
+    b1.write.parquet(src)
+    b2.write.mode("append").parquet(src)
+    b3.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mb_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "source did not split into micro-batches"
+    # update mode re-emits per batch: the LAST row per key is the state
+    rows = spark.table("t_mb_totals").collect()
+    last = {}
+    for r in rows:
+        last[r.key] = (r.n_events, r.total)
+    assert last == {"a": (3, 7.0), "b": (2, 30.0)}
+
+
+def test_ewma_cross_batch_arrival_semantics(spark, tmp_path):
+    """Pins the documented cross-batch contract: WITHIN a batch rows
+    fold in event-time order, ACROSS batches in arrival order (state
+    cannot reorder history) — a late row in batch 2 folds last."""
+    import datetime
+    import math
+
+    from tada_spark.streaming.stateful import ewma_scores, fold_ewma
+
+    import time
+
+    t0 = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "mb_ewma")
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    b1 = spark.createDataFrame(
+        [(7, t0 + datetime.timedelta(seconds=2), 2, 8.0),
+         (7, t0 + datetime.timedelta(seconds=1), 1, 4.0)], schema)
+    b2 = spark.createDataFrame([(7, t0, 0, 100.0)], schema)  # late arrival
+    # one file per intended batch + distinct mtimes: the file source
+    # orders batches by modification time, so same-second multi-part
+    # writes would arrive in arbitrary order
+    b1.coalesce(1).write.parquet(src)
+    time.sleep(1.2)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ewma_scores(stream, "user_id", "value", "ts", "event_id", alpha=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mb_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_mb_ewma").collect()
+    final = rows[-1]
+    # batch 1 sorts to [4, 8]; the late 100 folds AFTER despite ts 0
+    s, n = fold_ewma((None, 0), [4.0, 8.0, 100.0], alpha=0.25)
+    assert (final.n_events, final.ewma_e6) == (n, math.floor(s * 1e6 + 0.5))
