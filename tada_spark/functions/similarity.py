@@ -746,9 +746,11 @@ def kcenter_select(
 
     Determinism: d²(a, b) = a·a + b·b − 2·a·b with every dot a
     left-to-right fold (the LIST_DOT_PRODUCT tree), the argmax ranks
-    the e6-FLOORED distance with lowest-id tiebreak — so the whole
-    greedy trajectory is engine-independent and the unrolled-CTE oracle
-    hash-matches step for step.
+    the e6-FLOORED distance with lowest-id tiebreak over NOT-YET-CHOSEN
+    points (duplicate vectors tie at d²=0 and must not re-select a
+    chosen id) — so the whole greedy trajectory is engine-independent
+    and the unrolled-CTE oracle hash-matches step for step. If k
+    exceeds the corpus, selection stops at n rows.
 
     100 TB shape: k rounds × one map-side max-struct aggregate over the
     partitioned corpus (the chosen set rides along as k literal vectors
@@ -783,16 +785,25 @@ def kcenter_select(
             d2s.append(self_dot + dot(cv, cv) - F.lit(2.0) * dot(v, cv))
         mind2 = F.least(*d2s) if len(d2s) > 1 else d2s[0]
         d2_e6 = F.floor(mind2 * F.lit(1e6) + F.lit(0.5)).cast("long")
-        top = (
-            pts.select(
+        # exclude already-chosen ids: on e6-floored ties (duplicate
+        # vectors) the lowest-id tiebreak would otherwise re-select a
+        # chosen point forever instead of covering new ones
+        cand = pts.filter(
+            ~F.col("__kid__").isin([cid for cid, _v, _d in chosen])
+        )
+        rows = (
+            cand.select(
                 F.struct(
                     d2_e6.alias("d"), (-F.col("__kid__")).alias("ni"), v.alias("vec")
                 ).alias("s")
             )
             .agg(F.max("s").alias("s"))
             .select("s.d", "s.ni", "s.vec")
-            .collect()[0]
+            .collect()
         )
+        if not rows or rows[0]["ni"] is None:
+            break  # k exceeds the corpus: stop at n selections
+        top = rows[0]
         chosen.append((-top["ni"], list(top["vec"]), top["d"]))
     return spark.createDataFrame(
         [(i, cid, d) for i, (cid, _v, d) in enumerate(chosen)], out_schema

@@ -148,6 +148,22 @@ def pit_join(
         for c in history.columns
         if c not in (key, valid_from, valid_to, "is_current")
     ]
+    clash = [c for c in val_cols if c in facts.columns]
+    if clash:
+        raise ValueError(
+            f"pit_join: history value column(s) {clash} collide with fact "
+            f"columns — rename one side before joining"
+        )
+    # history rows with a NULL key or NULL valid_from can never cover a
+    # fact in the oracle's NULL-false range join — and unfiltered they
+    # WOULD here (the window groups NULL keys together and sorts a NULL
+    # __pos__ first, so last(ignorenulls) carries them onto every
+    # fact). NULL-key/pos FACTS stay: they form their own partition /
+    # sort ahead of every version, carry nothing, and emit with NULL
+    # features — exactly the oracle's LEFT JOIN miss.
+    history = history.filter(
+        F.col(key).isNotNull() & F.col(valid_from).isNotNull()
+    )
     ver = history.select(
         F.col(key),
         F.col(valid_from).cast("long").alias("__pos__"),

@@ -6309,8 +6309,10 @@ def kcenter_coreset_embeddings(spark, sf):
 def _kcenter_sql(k: int) -> str:
     """Unrolled-CTE replay of kcenter_select's greedy trajectory: CTE
     c{i} picks round i's argmax of the e6-floored min-d² to c0..c{i-1}
-    (lowest id on ties), d² = a·a + b·b − 2·a·b — the identical IEEE
-    tree the Spark side folds."""
+    over NOT-YET-CHOSEN points (lowest id on ties), d² = a·a + b·b −
+    2·a·b — the identical IEEE tree the Spark side folds. When k
+    exceeds the corpus the tail CTEs are empty and the union simply
+    emits fewer rows, matching the Spark side's early stop."""
 
     def d2(c: str) -> str:
         return (
@@ -6331,10 +6333,12 @@ def _kcenter_sql(k: int) -> str:
             else d2(prev[0])
         )
         srcs = ", ".join(["pts p"] + prev)
+        not_chosen = " AND ".join(f"p.vec_id != {c}.vec_id" for c in prev)
         ctes.append(
             f"c{i} AS (SELECT p.vec_id, p.v,"
             f" CAST(FLOOR({mind2} * 1000000.0 + 0.5) AS BIGINT) AS d2_e6"
             f" FROM {srcs}"
+            f" WHERE {not_chosen}"
             f" ORDER BY CAST(FLOOR({mind2} * 1000000.0 + 0.5) AS BIGINT) DESC, p.vec_id ASC"
             f" LIMIT 1)"
         )

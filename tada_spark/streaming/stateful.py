@@ -236,14 +236,22 @@ def ewma_scores(
             parts.append(
                 pd.DataFrame(
                     {
-                        "us": t.astype("datetime64[us]").astype("int64").to_numpy(),
+                        # keep datetime64, NOT int64: NaT→int64 is the
+                        # MIN int, which would sort NULL ts FIRST while
+                        # the batch twin (ewma_by_key) and the shared
+                        # recursive-CTE oracle (DuckDB NULLS LAST) fold
+                        # them LAST — na_position below keeps the three
+                        # implementations in lockstep
+                        "ts": t.astype("datetime64[us]").to_numpy(),
                         "seq": pdf[seq_col].to_numpy(),
                         "v": pdf[value_col].to_numpy(),
                     }
                 )
             )
         if parts:
-            allp = pd.concat(parts).sort_values(["us", "seq"], kind="mergesort")
+            allp = pd.concat(parts).sort_values(
+                ["ts", "seq"], kind="mergesort", na_position="last"
+            )
             s, n = fold_ewma((s, n), allp["v"].tolist(), alpha=alpha)
         state.update((s, n))
         yield pd.DataFrame(

@@ -740,3 +740,80 @@ def test_pit_join_known_answers(spark):
     assert out[(2, 5)] == (None, None)
     assert out[(3, 4)] == (None, None)
     assert len(out) == 7
+
+
+def test_kcenter_duplicate_vectors_never_reselect(spark):
+    """Exact-duplicate embeddings tie at floored d2=0; the argmax must
+    pick a NEW id, never re-select a chosen one — and k > n stops at n
+    distinct selections."""
+    from tada_spark.functions.similarity import kcenter_select
+
+    pts = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [(r.sel_order, r.vec_id, r.maxmin_d2_e6)
+           for r in kcenter_select(df, k=5).collect()]
+    assert got == [(0, 0, None), (1, 1, 0), (2, 2, 0)]
+
+
+def test_pit_join_null_history_rows_never_cover(spark):
+    """History rows with a NULL key or NULL valid_from are NULL-false
+    in the oracle's range join and must never cover a fact; NULL-key
+    facts stay in the output with NULL features (LEFT JOIN miss)."""
+    from tada_spark.operators.cdc import pit_join
+
+    hist = spark.createDataFrame(
+        [(None, 99.0, 0, None, True), (1, 88.0, None, None, True),
+         (1, 10.0, 2, None, True)],
+        "k long, price double, valid_from long, valid_to long, is_current boolean",
+    )
+    facts = spark.createDataFrame([(1, 1, 0), (1, 5, 1), (None, 5, 2)],
+                                  "k long, t long, fid long")
+    got = {r.fid: (r.price, r.valid_from) for r in
+           pit_join(facts, hist, "k", "t").collect()}
+    assert got == {0: (None, None), 1: (10.0, 2), 2: (None, None)}
+
+
+def test_pit_join_rejects_column_collision(spark):
+    import pytest
+
+    from tada_spark.operators.cdc import pit_join
+
+    hist = spark.createDataFrame([(1, 10.0, 1, None, True)],
+                                 "k long, price double, valid_from long, valid_to long, is_current boolean")
+    facts = spark.createDataFrame([(1, 2, 5.0)], "k long, t long, price double")
+    with pytest.raises(ValueError, match="collide"):
+        pit_join(facts, hist, "k", "t")
+
+
+def test_stream_ewma_null_ts_folds_last(spark, tmp_path):
+    """The streaming twin must fold NULL-ts rows LAST like the batch
+    fold and the recursive-CTE oracle — NaT's int64 form is the MIN
+    int and sorted them first before the na_position fix."""
+    import datetime
+    import math
+
+    from tada_spark.functions.stats import ewma_by_key
+    from tada_spark.streaming.stateful import ewma_scores, fold_ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    rows = [(7, None, 9, 100.0), (7, t0, 1, 4.0),
+            (7, t0 + datetime.timedelta(seconds=1), 2, 8.0),
+            (7, None, 3, 50.0)]
+    batch = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "null_ts_src")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = ewma_scores(stream, "user_id", "value", "ts", "event_id", alpha=0.25)
+    q = (out.writeStream.format("memory").queryName("t_null_ts")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    row = spark.table("t_null_ts").collect()[-1]
+    # lockstep order: ts-sorted rows first, then NULL-ts by seq
+    s, n = fold_ewma((None, 0), [4.0, 8.0, 50.0, 100.0], alpha=0.25)
+    assert (row.n_events, row.ewma_e6) == (n, math.floor(s * 1e6 + 0.5))
+    # and the batch twin agrees on the identical input
+    brow = ewma_by_key(batch, "user_id", __import__("pyspark.sql.functions", fromlist=["col"]).col("value"),
+                       __import__("pyspark.sql.functions", fromlist=["col"]).col("ts"),
+                       __import__("pyspark.sql.functions", fromlist=["col"]).col("event_id")).first()
+    assert (brow.n_events, brow.ewma_e6) == (row.n_events, row.ewma_e6)
