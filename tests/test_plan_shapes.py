@@ -412,3 +412,69 @@ def test_silhouette_centroid_sweep_only_nested_loop(spark, catalog):
     plan = plan_of(catalog["silhouette_labels_embeddings"][0](spark, SF))
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the k-row centroid sweep
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 cohort: the shapes the 10x/100x probes certified, pinned.
+# ---------------------------------------------------------------------------
+
+
+def test_mi_single_fact_pass_no_bnlj(spark, catalog):
+    df = catalog["mutual_information_events"][0](spark, SF)
+    static = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in static
+    assert "CartesianProduct" not in static
+    # "fact table touched exactly once" is an AQE runtime property:
+    # the cells shuffle (scan -> explode -> partial agg -> exchange) is
+    # the shared subtree and its exchange must be REUSED by the three
+    # marginal re-aggs instead of re-scanning events three more times
+    df.collect()
+    final = plan_of(df)
+    assert final.count("ReusedExchange") >= 3
+
+
+def test_roc_auc_no_fact_sort(spark, catalog):
+    plan = plan_of(catalog["roc_auc_purchase_value"][0](spark, SF))
+    # rank assignment joins facts to the score spine — never a global Sort
+    # outside window machinery over the spine
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theil_sen_pairs_join_on_group(spark, catalog):
+    plan = plan_of(catalog["theil_sen_daily_revenue"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dbscan_grid_never_nested_loop(spark, catalog):
+    plan = plan_of(catalog["dbscan_embeddings_2d"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_single_hash_join_points_unexploded(spark, catalog):
+    plan = plan_of(catalog["spatial_containment_tags"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the explode fan-out must sit on the RECT side (25 rows), never the
+    # points: exactly two Generate operators (x-cells, y-cells), both
+    # downstream of the nation scan
+    assert plan.count("Generate explode") == 2
+
+
+def test_ewma_batch_single_exchange(spark, catalog):
+    plan = plan_of(catalog["ewma_batch_users"][0](spark, SF))
+    # one hash-agg shuffle on the key; the fold itself is codegen
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_pit_join_single_key_shuffle_no_range_join(spark, catalog):
+    plan = plan_of(catalog["pit_feature_join_orders"][0](spark, SF))
+    # union-stream carry: no join between facts and history at all —
+    # a single window over the per-key union
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
