@@ -149,6 +149,8 @@ def pit_join(
         if c not in (key, valid_from, valid_to, "is_current")
     ]
     clash = [c for c in val_cols if c in facts.columns]
+    if valid_from in facts.columns:
+        clash.append(valid_from)  # the output re-emits history's valid_from
     if clash:
         raise ValueError(
             f"pit_join: history value column(s) {clash} collide with fact "
@@ -161,16 +163,20 @@ def pit_join(
     # fact). NULL-key/pos FACTS stay: they form their own partition /
     # sort ahead of every version, carry nothing, and emit with NULL
     # features — exactly the oracle's LEFT JOIN miss.
+    # filter on the TRY_CAST position: a valid_from that does not cast
+    # to long (e.g. an unparseable string) must drop exactly like a
+    # NULL — with plain cast it would either throw under ANSI or sort
+    # its NULL __pos__ first and cover every fact with ANSI off
     history = history.filter(
-        F.col(key).isNotNull() & F.col(valid_from).isNotNull()
+        F.col(key).isNotNull() & F.col(valid_from).try_cast("long").isNotNull()
     )
     ver = history.select(
         F.col(key),
-        F.col(valid_from).cast("long").alias("__pos__"),
+        F.col(valid_from).try_cast("long").alias("__pos__"),
         F.lit(0).alias("__kind__"),
         F.struct(
-            F.col(valid_from).cast("long").alias("__vf__"),
-            F.col(valid_to).cast("long").alias("__vt__"),
+            F.col(valid_from).try_cast("long").alias("__vf__"),
+            F.col(valid_to).try_cast("long").alias("__vt__"),
             *[F.col(c) for c in val_cols],
         ).alias("__ver__"),
     )
@@ -178,7 +184,7 @@ def pit_join(
     ver_type = ver.schema["__ver__"].dataType
     fct = facts.select(
         F.col(key),
-        F.col(pos_col).cast("long").alias("__pos__"),
+        F.col(pos_col).try_cast("long").alias("__pos__"),
         F.lit(1).alias("__kind__"),
         F.lit(None).cast(ver_type).alias("__ver__"),
         *[F.col(c) for c in fact_cols],

@@ -262,12 +262,20 @@ def ewma_scores(
             }
         )
 
-    grouped = df.select(
-        df[key_col].cast("long").alias("user_id"),
-        df[value_col].alias(value_col),
-        df[ts_col].alias(ts_col),
-        df[seq_col].alias(seq_col),
-    ).groupBy("user_id")
+    # drop NULL keys/values HERE, like the batch twin (ewma_by_key)
+    # does — unfiltered they don't degrade, they CRASH the stream
+    # (NaN reaches math.floor; int(None) on the key), so the lockstep
+    # contract must hold for any caller, not just pre-filtered ones
+    grouped = (
+        df.filter(df[key_col].isNotNull() & df[value_col].isNotNull())
+        .select(
+            df[key_col].cast("long").alias("user_id"),
+            df[value_col].alias(value_col),
+            df[ts_col].alias(ts_col),
+            df[seq_col].alias(seq_col),
+        )
+        .groupBy("user_id")
+    )
     return grouped.applyInPandasWithState(
         update,
         outputStructType=EWMA_OUTPUT,

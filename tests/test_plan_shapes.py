@@ -435,10 +435,14 @@ def test_mi_single_fact_pass_no_bnlj(spark, catalog):
 
 def test_roc_auc_no_fact_sort(spark, catalog):
     plan = plan_of(catalog["roc_auc_purchase_value"][0](spark, SF))
-    # rank assignment joins facts to the score spine — never a global Sort
-    # outside window machinery over the spine
+    # rank assignment joins facts to the score spine — the ONLY Sort in
+    # the plan is the spine window's (over the deduped (hour, score)
+    # table), never a sort of the fact rows
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    sorts = [ln for ln in plan.splitlines() if "+- Sort [" in ln]
+    assert len(sorts) == 1 and "__s__" in sorts[0]
+    assert plan.count("Exchange") <= 3
 
 
 def test_theil_sen_pairs_join_on_group(spark, catalog):

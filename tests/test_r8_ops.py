@@ -813,7 +813,36 @@ def test_stream_ewma_null_ts_folds_last(spark, tmp_path):
     s, n = fold_ewma((None, 0), [4.0, 8.0, 50.0, 100.0], alpha=0.25)
     assert (row.n_events, row.ewma_e6) == (n, math.floor(s * 1e6 + 0.5))
     # and the batch twin agrees on the identical input
-    brow = ewma_by_key(batch, "user_id", __import__("pyspark.sql.functions", fromlist=["col"]).col("value"),
-                       __import__("pyspark.sql.functions", fromlist=["col"]).col("ts"),
-                       __import__("pyspark.sql.functions", fromlist=["col"]).col("event_id")).first()
+    brow = ewma_by_key(
+        batch, "user_id", F.col("value"), F.col("ts"), F.col("event_id")
+    ).first()
     assert (brow.n_events, brow.ewma_e6) == (row.n_events, row.ewma_e6)
+
+
+def test_pit_join_cast_null_valid_from_never_covers(spark):
+    """A valid_from that casts to NULL long (unparseable string) must
+    drop like a NULL — not sort first and cover every fact."""
+    from tada_spark.operators.cdc import pit_join
+
+    hist = spark.createDataFrame(
+        [(1, 99.0, "not-a-number", None, True), (1, 10.0, "2", None, True)],
+        "k long, price double, valid_from string, valid_to long, is_current boolean",
+    )
+    facts = spark.createDataFrame([(1, 0, 0), (1, 3, 1)], "k long, t long, fid long")
+    got = {r.fid: (r.price, r.valid_from) for r in
+           pit_join(facts, hist, "k", "t").collect()}
+    assert got == {0: (None, None), 1: (10.0, 2)}
+
+
+def test_pit_join_rejects_valid_from_collision(spark):
+    import pytest
+
+    from tada_spark.operators.cdc import pit_join
+
+    hist = spark.createDataFrame(
+        [(1, 10.0, 1, None, True)],
+        "k long, price double, valid_from long, valid_to long, is_current boolean",
+    )
+    facts = spark.createDataFrame([(1, 2, 9)], "k long, t long, valid_from long")
+    with pytest.raises(ValueError, match="collide"):
+        pit_join(facts, hist, "k", "t")

@@ -28,6 +28,27 @@ def build(src: str, out: str, n: int) -> None:
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # key ranges must fit under the shift constants or copies collide
+    # and the "join relationships intact" invariant silently breaks
+    # (e.g. chaining the tool on its own output)
+    shifts = {
+        "lineitem": [("l_orderkey", 10_000_000)],
+        "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
+        "customer": [("c_custkey", 1_000_000)],
+        "events": [("event_id", 1_000_000), ("user_id", 1_000_000)],
+        "documents": [("doc_id", 5_000_000)],
+        "embeddings": [("vec_id", 1_000_000)],
+    }
+    for table, cols in shifts.items():
+        for kc, shift in cols:
+            mx = con.execute(
+                f"SELECT MAX({kc}) FROM '{src}/{table}.parquet'"
+            ).fetchone()[0]
+            if mx is not None and mx >= shift:
+                raise ValueError(
+                    f"make_replica: {table}.{kc} max {mx} >= shift {shift} — "
+                    f"copies would collide; replicate from the base SF instead"
+                )
     rng = f"(SELECT UNNEST(RANGE({n})) AS i)"
     copies = {
         "lineitem": f"""
