@@ -121,3 +121,47 @@ def freshness_report(catalog: dict, root: Path | str = REPO_ROOT) -> dict:
         },
         "min_cycle_rounds": -(-len(oracle_able) // 50),
     }
+
+
+def narrative(catalog: dict, root: Path | str = REPO_ROOT) -> str:
+    """The honest-accounting paragraph, GENERATED from the artifacts.
+
+    ``__spark_entry__`` appends this to its module docstring at import
+    time, so the narrative is recomputed from the committed
+    CORRECTNESS_r*.json files on every load and can never drift from
+    them.  The r08 verdict's red test caught the previous hand-written
+    paragraph going stale the moment a new artifact landed; generation
+    is the fix, and tests/test_inventory_sync.py now asserts this exact
+    text appears in the docstring (i.e. that generation ran).
+    """
+    rep = freshness_report(catalog, root)
+    order = driver_order(catalog, root)
+    rounds = rep["rounds_on_disk"]
+    hist = ", ".join(f"r{r:02d}={n}" for r, n in
+                     sorted(rep["newest_green_histogram"].items()))
+    window = order[:50]
+    oracle = {n for n, (_fn, sql) in catalog.items() if sql is not None}
+    greens = newest_green(root)
+    n_never_in_window = sum(1 for n in window if n in oracle and n not in greens)
+    missing = sorted(set(range(1, max(rounds) + 1)) - set(rounds)) if rounds else []
+    missing_note = (
+        f"  Round{'s' if len(missing) > 1 else ''} "
+        f"{', '.join(map(str, missing))} produced no artifacts."
+        if missing else ""
+    )
+    return (
+        "Honest accounting (GENERATED at import from the committed\n"
+        "CORRECTNESS_r*.json artifacts by tada_spark.rotation.narrative;\n"
+        "tests/test_inventory_sync.py asserts this text is present and\n"
+        "freshly regenerated, so it cannot go stale):\n"
+        f"driver artifacts exist for rounds {rounds}.{missing_note}\n"
+        f"{rep['ever_driver_green']} of {rep['oracle_able']} oracle-able "
+        f"entries have ever been driver-green\n"
+        f"(histogram of newest green round: {hist});\n"
+        f"{rep['never_driver_green']} entries have never had a "
+        f"driver-green row.  With 50 rows/round the\n"
+        f"minimum full-coverage cycle is ceil({rep['oracle_able']}/50) = "
+        f"{rep['min_cycle_rounds']} rounds.  The current window\n"
+        f"leads with {n_never_in_window} never-green entries, head "
+        f"{window[0]!r}."
+    )
