@@ -17,7 +17,16 @@ Scope (documented, enforced by explicit errors): baseline DCT
 (SOF0), 8-bit, grayscale (1×1) or YCbCr with 4:2:0 (luma 2×2, chroma
 1×1) or 4:4:4 (all 1×1) sampling, no restart markers, no
 progressive/arithmetic coding — the shape virtually every
-camera/web baseline JPEG uses.
+camera/web baseline JPEG uses.  Real-corpus share of the refused
+shapes: web crawls run roughly 5-15% progressive (SOF2) — large
+photos re-encoded by CDNs skew progressive — and ~0% arithmetic
+(patent-era non-adoption); a pipeline decoding a web-scale image
+corpus with this module should expect that minority to surface as
+per-row ValueError('non-baseline frame marker 0xFFC2'), which the
+mapInPandas adapter (multimodal.image_features) catches and DROPS
+per row rather than failing the task.
+Truncated payloads likewise raise ValueError('truncated entropy
+stream'), never IndexError.
 
 Oracle strategy (the png_decode_real discipline): the ENCODER here is
 general — forward DCT, quantization, standard-table Huffman — and the
@@ -112,8 +121,12 @@ class _BitReader:
         self.bit = 0
 
     def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy stream")
             nxt = self.data[self.pos + 1]
             if nxt != 0x00:
                 raise ValueError(f"marker 0xFF{nxt:02X} inside entropy data")

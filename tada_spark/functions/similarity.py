@@ -752,8 +752,12 @@ def kcenter_select(
     and the unrolled-CTE oracle hash-matches step for step. If k
     exceeds the corpus, selection stops at n rows.
 
+    k <= 0 returns zero rows (a zero-size coreset has no seed).
+
     100 TB shape: k rounds × one map-side max-struct aggregate over the
-    partitioned corpus (the chosen set rides along as k literal vectors
+    partitioned corpus, persisted once so the k jobs re-read the
+    filtered/cast frame instead of re-scanning source k times (the
+    chosen set rides along as k literal vectors
     — never a join, never a collect of the corpus); O(n·k) total work,
     the same job profile as kmeans_quantized. k is small by
     construction (a coreset), so the k jobs are the honest cost."""
@@ -765,10 +769,18 @@ def kcenter_select(
     )
     spark = corpus.sparkSession
     out_schema = "sel_order int, " + id_col + " long, maxmin_d2_e6 long"
+    if k <= 0:
+        # a zero-size coreset is zero rows, not the seed row (r8 ADVICE)
+        return spark.createDataFrame([], out_schema)
+    # the filtered/cast corpus is re-scanned by every one of the k
+    # argmax jobs — cache it once instead of recomputing from source
+    # k times (r8 ADVICE); unpersisted before returning
+    pts = pts.persist()
     seed_rows = pts.orderBy("__kid__").limit(1).collect()
     if not seed_rows:
         # empty corpus: zero rows, like the oracle's LIMIT 1 over
         # nothing — not a driver-side IndexError
+        pts.unpersist()
         return spark.createDataFrame([], out_schema)
     first = seed_rows[0]
     chosen: list[tuple[int, list[float], int | None]] = [(first["__kid__"], list(first["__kv__"]), None)]
@@ -805,6 +817,7 @@ def kcenter_select(
             break  # k exceeds the corpus: stop at n selections
         top = rows[0]
         chosen.append((-top["ni"], list(top["vec"]), top["d"]))
+    pts.unpersist()
     return spark.createDataFrame(
         [(i, cid, d) for i, (cid, _v, d) in enumerate(chosen)], out_schema
     )

@@ -742,7 +742,16 @@ def benford_chi2(df: DataFrame, value: Column) -> DataFrame:
     Σ obs_d: a fractional value in (0, 1) truncates to 0 and is
     filtered out, instead of passing ``value > 0`` while its string
     head '0' lands in no digit bucket (which silently inflated every
-    χ² deviation term)."""
+    χ² deviation term).
+
+    Callers with fractional-scale measures must PRE-SCALE to integers
+    — Benford's law is conventionally stated on the first SIGNIFICANT
+    digit, but this audit deliberately reads the first digit of the
+    integer part only, because a float-log/normalization path would
+    reintroduce the cross-engine transcendental drift the e6 integer
+    discipline exists to avoid. benford_order_totals does exactly this
+    (totals in cents); a measure dense in (0, 1) should be multiplied
+    by a fixed power of ten first or its rows will all drop."""
     mag = value.cast("long")
     d = F.substring(mag.cast("string"), 1, 1).cast("int")
     base = df.filter(mag.isNotNull() & (mag > 0)).select(d.alias("__d__"))
@@ -1270,8 +1279,16 @@ def mutual_information(
     map-side-combined (pair, x, y) hash-agg; the marginals are re-aggs
     of the tiny CELL table (≤ Σ|X|·|Y| rows) equi-joined back broadcast
     on the pair key, so no scalar cross join and no second fact pass.
+    Pair labels are the contingency-table key: a duplicate label would
+    silently merge two different y-columns into one meaningless table,
+    so duplicates raise (r8 ADVICE).
     """
     from tada_spark.plans.semantics import det_ln
+
+    names = [name for name, _y in pairs]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"mutual_information: duplicate pair label(s) {dupes}")
 
     exploded = F.explode(
         F.array(

@@ -142,7 +142,15 @@ def pit_join(
 
     Output: every fact column, then the history's value columns
     (everything except key/interval bookkeeping) plus valid_from —
-    NULL when uncovered."""
+    NULL when uncovered.
+
+    Degenerate histories: if two versions share (key, valid_from), the
+    greatest version struct (field-wise: valid_to NULLs-first, then the
+    value columns) wins, deterministically — unless a value column is
+    map-typed (unorderable), in which case the pick is arbitrary and
+    callers must keep (key, valid_from) unique. A SQL range-join oracle
+    would instead emit BOTH rows for such a tie; well-formed SCD2 never
+    has one."""
     val_cols = [
         c
         for c in history.columns
@@ -194,9 +202,35 @@ def pit_join(
         *[F.lit(None).cast(facts.schema[c].dataType).alias(c) for c in fact_cols],
     )
     u = ver_padded.unionByName(fct)
+    # Tiebreak for degenerate histories with two versions at one
+    # (key, valid_from): order by the version struct itself (field-wise
+    # — valid_to first, then value columns), so the greatest struct is
+    # the one last(ignorenulls) carries, deterministically on every
+    # run/partitioning. Facts have a NULL __ver__ and sort before the
+    # versions at their (pos, kind) slot, which changes nothing — kind
+    # already separates them. Struct ordering requires every field to
+    # be orderable; a map-typed value column falls back to the bare
+    # (pos, kind) order, where such ties pick an arbitrary version —
+    # keep (key, valid_from) unique per key in that case.
+    from pyspark.sql.types import MapType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        fields = getattr(dt, "fields", None)
+        if fields is not None:
+            return all(_orderable(f.dataType) for f in fields)
+        elem = getattr(dt, "elementType", None)
+        if elem is not None:
+            return _orderable(elem)
+        return True
+
+    order = ["__pos__", "__kind__"]
+    if _orderable(ver_type):
+        order.append("__ver__")
     w = (
         Window.partitionBy(key)
-        .orderBy("__pos__", "__kind__")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__c__", F.last("__ver__", ignorenulls=True).over(w))

@@ -156,6 +156,14 @@ def test_jpeg_decoder_rejects_out_of_scope_streams():
     good[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="non-baseline"):
         jpeg_decode_gray(bytes(good))
+    # a stream cut mid-entropy-data raises the contract ValueError,
+    # not IndexError (r8 ADVICE: _BitReader bounds)
+    whole = encode_jpeg_gray(np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+    sos = whole.find(b"\xff\xda")
+    assert sos > 0
+    truncated = whole[: sos + 8]  # keep the SOS header, drop the bits
+    with pytest.raises(ValueError, match="truncated entropy stream"):
+        jpeg_decode_gray(truncated)
 
 
 def test_jpeg_adapter_matches_png_convention():
@@ -460,6 +468,19 @@ def test_mutual_information_known_answers(spark):
     assert n == 20 and abs(mi - round(math.log(2) * 1e6)) <= 2
 
 
+def test_mutual_information_rejects_duplicate_pair_labels(spark):
+    """Duplicate labels would merge two different y-columns into one
+    contingency table; the call must refuse, not emit a bogus MI."""
+    import pytest
+
+    from tada_spark.functions.stats import mutual_information
+
+    df = spark.createDataFrame([("a", "b", "c")], "x string, y1 string, y2 string")
+    with pytest.raises(ValueError, match="duplicate pair label"):
+        mutual_information(df, F.col("x"),
+                           [("p", F.col("y1")), ("p", F.col("y2"))])
+
+
 def test_roc_auc_known_answers(spark):
     """Perfect separation -> 1.0; anti-separation -> 0.0; all scores
     tied -> 0.5 via midranks; single-class group -> NULL."""
@@ -567,6 +588,16 @@ def test_kcenter_select_greedy_trajectory(spark):
            for r in kcenter_select(df, k=5).collect()]
     assert got == [(0, 1, None), (1, 2, 100_000_000), (2, 5, 25_000_000),
                    (3, 3, 1_000_000), (4, 4, 1_000_000)]
+
+
+def test_kcenter_select_k_nonpositive_is_empty(spark):
+    """k <= 0 asks for a zero-size coreset: zero rows, not the seed."""
+    from tada_spark.functions.similarity import kcenter_select
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    assert kcenter_select(df, k=0).count() == 0
+    assert kcenter_select(df, k=-3).count() == 0
 
 
 def test_retrieval_metrics_known_answers(spark):
