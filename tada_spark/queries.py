@@ -9856,6 +9856,123 @@ FROM px GROUP BY doc_id
 """
 
 
+def cms_probe_unseen_users(spark, sf):
+    """CMS point-estimation with ABSENT keys in the probe set — oracle
+    evidence for the r8 sparse-sketch fix (functions/sketches
+    cms_estimate: probes LEFT-join the cell table and coalesce missing
+    cells to 0). The probe set is the 5 lowest present user_ids (exact
+    true_n) plus three literal ids (-101, -102, -103) the synthetic
+    corpus can never contain (ids are non-negative): an unseen key must
+    SURVIVE to the output with est_n = min over its 4 cells — 0
+    whenever any cell is empty, a small collision count otherwise —
+    never disappear (the inner-join bug) and never inflate past the
+    overcount invariant est ≥ true = 0. cms_heavy_hitters_users probes
+    only guaranteed-present keys, so this path had unit-test evidence
+    but no oracle row until now.
+
+    100 TB shape: identical to the heavy-hitters entry — one bounded
+    explode+agg for the sketch, 8-row probe side, broadcast join."""
+    from tada_spark.functions import sketches
+
+    ev = load(spark, sf, "events").to_df().filter(F.col("user_id").isNotNull())
+    sk = sketches.cms_build(ev, F.col("user_id"), depth=4, width=256)
+    present = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("user_id").asc())
+        .limit(5)
+    )
+    absent = spark.createDataFrame(
+        [(-101, 0), (-102, 0), (-103, 0)], "user_id long, true_n long"
+    )
+    probes = present.unionByName(absent)
+    est = sketches.cms_estimate(probes, sk, "user_id", depth=4, width=256)
+    return est.select(
+        "user_id",
+        "true_n",
+        "est_n",
+        (F.col("est_n") >= F.col("true_n")).alias("overcount_ok"),
+    )
+
+
+CMS_PROBE_UNSEEN_SQL = """
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+rows_ AS (SELECT i FROM UNNEST([0, 1, 2, 3]) t(i)),
+cells AS (
+  SELECT i AS r, ('0x' || md5('cms' || i || '#' || user_id::VARCHAR)[1:8])::BIGINT % 256 AS bucket,
+         COUNT(*) AS c
+  FROM ev, rows_ GROUP BY 1, 2
+),
+present AS (
+  SELECT user_id, COUNT(*)::BIGINT AS true_n FROM ev GROUP BY user_id
+  ORDER BY user_id ASC LIMIT 5
+),
+probes0 AS (
+  SELECT * FROM present
+  UNION ALL
+  SELECT * FROM (VALUES (-101, 0), (-102, 0), (-103, 0)) v(user_id, true_n)
+),
+probes AS (
+  SELECT user_id, true_n, i AS r,
+         ('0x' || md5('cms' || i || '#' || user_id::VARCHAR)[1:8])::BIGINT % 256 AS bucket
+  FROM probes0, rows_
+)
+SELECT p.user_id, MAX(p.true_n)::BIGINT AS true_n,
+       MIN(COALESCE(c.c, 0))::BIGINT AS est_n,
+       (MIN(COALESCE(c.c, 0)) >= MAX(p.true_n)) AS overcount_ok
+FROM probes p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.user_id
+"""
+
+
+def lookup_first_ordered_customer(spark, sf):
+    """first_match='ordered' lookup under the oracle — the reference's
+    first-APPEARANCE pick (internal.go:1507-1517) was pytest-only until
+    now. The right side is orders with a DECLARED order
+    (o_orderdate, o_orderkey — unique, so the rowid rank is
+    deterministic) and duplicated join keys (many orders per customer);
+    each customer must take exactly its earliest order, with no row
+    multiplication, and customers with no orders pass through with
+    NULLs (the left-join contract). The oracle picks the same row via
+    ROW_NUMBER over the declared keys.
+
+    100 TB shape: the first-match dedupe is one window over the right
+    side keyed on the join key; the join itself stays a plain
+    broadcast-eligible equi-join — same profile as every other
+    lookup."""
+    cust = load(spark, sf, "customer")
+    odf = (
+        load(spark, sf, "orders")
+        .to_df()
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    orders = Frame(odf, order_keys=["o_orderdate", "o_orderkey"])
+    out = cust.lookup(
+        orders, left_on=["c_custkey"], right_on=["o_custkey"], first_match="ordered"
+    )
+    return out.to_df().select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+        F.col("o_totalprice").alias("first_totalprice"),
+    )
+
+
+LOOKUP_FIRST_ORDERED_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       o.o_orderkey AS first_orderkey,
+       o.o_orderdate AS first_orderdate,
+       o.o_totalprice AS first_totalprice
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) o ON c.c_custkey = o.o_custkey AND o.rn = 1
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -10112,4 +10229,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "spatial_containment_tags": (spatial_containment_tags, SPATIAL_CONTAINMENT_SQL),
     "ewma_batch_users": (ewma_batch_users, STREAM_EWMA_SQL),
     "pit_feature_join_orders": (pit_feature_join_orders, PIT_JOIN_SQL),
+    "cms_probe_unseen_users": (cms_probe_unseen_users, CMS_PROBE_UNSEEN_SQL),
+    "lookup_first_ordered_customer": (
+        lookup_first_ordered_customer,
+        LOOKUP_FIRST_ORDERED_SQL,
+    ),
 }
