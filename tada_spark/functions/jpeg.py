@@ -1,5 +1,5 @@
-"""Pure-stdlib baseline JPEG codec (SOF0, grayscale + 4:2:0 color) —
-no Pillow.
+"""Pure-stdlib JPEG codec — baseline (SOF0) AND progressive (SOF2),
+grayscale + 4:2:0/4:4:4 color — no Pillow.
 
 Closes the last dormant decode path the round-4/7 verdicts tracked:
 PNG decode has been REAL since round 5 (stdlib zlib, all five scanline
@@ -14,19 +14,19 @@ interleaved-MCU block order with per-component DC predictors, chroma
 upsampling, and YCbCr→RGB conversion.
 
 Scope (documented, enforced by explicit errors): baseline DCT
-(SOF0), 8-bit, grayscale (1×1) or YCbCr with 4:2:0 (luma 2×2, chroma
-1×1) or 4:4:4 (all 1×1) sampling, no restart markers, no
-progressive/arithmetic coding — the shape virtually every
-camera/web baseline JPEG uses.  Real-corpus share of the refused
-shapes: web crawls run roughly 5-15% progressive (SOF2) — large
-photos re-encoded by CDNs skew progressive — and ~0% arithmetic
-(patent-era non-adoption); a pipeline decoding a web-scale image
-corpus with this module should expect that minority to surface as
-per-row ValueError('non-baseline frame marker 0xFFC2'), which the
-mapInPandas adapter (multimodal.image_features) catches and DROPS
-per row rather than failing the task.
-Truncated payloads likewise raise ValueError('truncated entropy
-stream'), never IndexError.
+(SOF0) and progressive DCT (SOF2, both spectral selection and
+successive approximation — T.81 §G), 8-bit, grayscale (1×1) or
+YCbCr with 4:2:0 (luma 2×2, chroma 1×1) or 4:4:4 (all 1×1)
+sampling, no restart markers, no arithmetic coding.  Between them,
+SOF0+SOF2 cover effectively the whole web corpus: crawls run
+roughly 85-95% baseline and 5-15% progressive (large photos
+re-encoded by CDNs skew progressive), while arithmetic coding
+(SOF9/10) is ~0% (patent-era non-adoption) and stays a documented
+ValueError('non-baseline frame marker').  Undecodable rows are
+caught and DROPPED per row by the mapInPandas adapter
+(multimodal.image_features) rather than failing the task.
+Truncated payloads raise ValueError('truncated entropy stream'),
+never IndexError.
 
 Oracle strategy (the png_decode_real discipline): the ENCODER here is
 general — forward DCT, quantization, standard-table Huffman — and the
@@ -175,6 +175,96 @@ def _read_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
+def _decode_dc_first(r: _BitReader, dc_tab, coef: np.ndarray, pred: int, al: int) -> int:
+    """Progressive DC first scan (T.81 G.2): diff of the arithmetic-
+    shifted DC, stored left-shifted by the point transform."""
+    t = _read_huffman(r, dc_tab)
+    pred += _extend(r.receive(t), t)
+    coef[0] = pred << al
+    return pred
+
+
+def _decode_ac_first(
+    r: _BitReader, ac_tab, coef: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC first scan for one block's band [ss, se] (T.81
+    G.2.2): run/size symbols with end-of-band runs; magnitudes are
+    sign-extended then left-shifted by the point transform."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huffman(r, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.receive(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(r.receive(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(
+    r: _BitReader, ac_tab, coef: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC refinement scan for one block's band (T.81
+    G.1.2.3 decode side): newly-nonzero coefficients arrive as ±1<<al;
+    every already-nonzero coefficient passed over consumes a correction
+    bit that may add 1<<al toward its sign."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if r.read_bit() and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huffman(r, ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.receive(run)
+                    break
+                # ZRL: skip 16 zero-history positions, correcting
+                # nonzero-history ones passed over
+            else:
+                if size != 1:
+                    raise ValueError("invalid refinement AC symbol")
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_block(r: _BitReader, dc_tab, ac_tab, q: np.ndarray, pred: int):
     """One 8×8 block: Huffman DC+AC → dezigzag → dequant → IDCT.
     Returns (spatial float block with +128 level shift, new DC pred)."""
@@ -202,21 +292,162 @@ def _decode_block(r: _BitReader, dc_tab, ac_tab, q: np.ndarray, pred: int):
     return idct2(block.reshape(8, 8) * q) + 128.0, pred
 
 
-def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8: (h, w) for grayscale, (h, w, 3)
-    RGB for three-component YCbCr (4:2:0 or 4:4:4).
+def _reconstruct_planes(planes, comps, hmax, vmax, w, h) -> np.ndarray:
+    """Shared tail: crop, chroma upsample (pixel replication), YCbCr→RGB
+    (T.871), clamp — for both the baseline and progressive paths."""
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+    full = []
+    for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+        p = np.repeat(np.repeat(planes[ci], vmax // vi, axis=0),
+                      hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
-    Full bitstream path: SOI, table/frame/scan segments, interleaved-
-    MCU Huffman decode with per-component DC prediction, dezigzag,
-    dequantize, IDCT, chroma upsample, YCbCr→RGB, level-shift, clamp,
-    edge crop. Raises ValueError on anything outside the documented
-    baseline scope."""
+
+def _next_marker(payload: bytes, r: _BitReader) -> int:
+    """Position of the next true marker after a decoded entropy scan
+    (skipping byte stuffing and 0xFF fill)."""
+    p = r.pos
+    if r.bit != 0:  # mid-byte: consume the rest of the current byte
+        p += 2 if payload[p] == 0xFF else 1
+    while True:
+        if p + 1 >= len(payload):
+            raise ValueError("truncated stream after scan")
+        if payload[p] == 0xFF and payload[p + 1] not in (0x00, 0xFF):
+            return p
+        p += 1
+
+
+def _comp_block_grid(comps, ci, hmax, vmax, w, h) -> tuple[int, int]:
+    """Non-interleaved block-grid dims (cbh, cbw) of component ci."""
+    _cid, hi, vi, _tq = comps[ci]
+    cw = (w * hi + hmax - 1) // hmax
+    ch = (h * vi + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _progressive_scan(
+    payload: bytes, pos: int, seglen: int, seg: bytes, comps,
+    htables, coef_store: list[np.ndarray], w: int, h: int,
+) -> int:
+    """Decode ONE progressive scan into the per-component coefficient
+    stores (zigzag order) and return the position of the next marker.
+
+    T.81 §G rules enforced: DC scans (Ss=0) may be interleaved and must
+    have Se=0; AC scans are single-component and non-interleaved; first
+    scans (Ah=0) Huffman-decode point-transformed values; refinement
+    scans (Ah=Al+1) send one bit per coefficient. DC prediction and the
+    EOB run reset at every scan start."""
+    if not seg:
+        raise ValueError("truncated scan header")
+    ns = seg[0]
+    if len(seg) < 4 + 2 * ns:
+        raise ValueError("truncated scan header")
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    hmax = max(hi for _c, hi, _v, _q in comps)
+    vmax = max(vi for _c, _h, vi, _q in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if not coef_store:
+        for _cid, hi, vi, _tq in comps:
+            coef_store.append(
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+            )
+    cid_index = {cid: i for i, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    scan_comps: list[tuple[int, int, int]] = []  # (frame idx, Td, Ta)
+    for si in range(ns):
+        scid, tda = seg[1 + 2 * si], seg[2 + 2 * si]
+        if scid not in cid_index:
+            raise ValueError("scan references unknown component")
+        scan_comps.append((cid_index[scid], tda >> 4, tda & 0x0F))
+    r = _BitReader(payload, pos + seglen)
+    if ss == 0:  # DC scan (possibly interleaved)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        preds = {ci: 0 for ci, _td, _ta in scan_comps}
+        tabs: dict[int, dict] = {}
+        if ah == 0:
+            for ci, td, _ta in scan_comps:
+                t = htables.get((0, td))
+                if t is None:
+                    raise ValueError("scan references missing Huffman table")
+                tabs[ci] = t
+
+        def dc_unit(ci: int, by: int, bx: int) -> None:
+            coef = coef_store[ci][by, bx]
+            if ah == 0:
+                preds[ci] = _decode_dc_first(r, tabs[ci], coef, preds[ci], al)
+            elif r.read_bit():
+                coef[0] |= 1 << al
+
+        if ns == 1:
+            ci = scan_comps[0][0]
+            cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    dc_unit(ci, by, bx)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, _td, _ta in scan_comps:
+                        _cid, hi, vi, _tq = comps[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                dc_unit(ci, my * vi + v, mx * hi + hh)
+    else:  # AC scan: always single-component, non-interleaved
+        if ns != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("invalid spectral band")
+        ci, _td, ta = scan_comps[0]
+        ac_tab = htables.get((1, ta))
+        if ac_tab is None:
+            raise ValueError("scan references missing Huffman table")
+        cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
+        eobrun = 0
+        fn = _decode_ac_first if ah == 0 else _decode_ac_refine
+        for by in range(cbh):
+            for bx in range(cbw):
+                eobrun = fn(r, ac_tab, coef_store[ci][by, bx], ss, se, al, eobrun)
+    return _next_marker(payload, r)
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to uint8:
+    (h, w) for grayscale, (h, w, 3) RGB for three-component YCbCr
+    (4:2:0 or 4:4:4).
+
+    Full bitstream path: SOI, table/frame/scan segments, Huffman decode
+    with per-component DC prediction, dezigzag, dequantize, IDCT,
+    chroma upsample, YCbCr→RGB, level-shift, clamp, edge crop.
+    Progressive streams additionally run the multi-scan coefficient
+    accumulation of T.81 §G — spectral selection (per-band AC scans)
+    and successive approximation (point transform + refinement scans,
+    DC and AC) — and reconstruct once at EOI. Since a progressive
+    stream transmits exactly the same quantized coefficients as its
+    baseline twin, the two decodes are bit-identical by construction.
+    Raises ValueError on anything outside the documented scope."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    progressive = False
+    coef_store: list[np.ndarray] = []  # per comp: (gridv, gridh, 64) zigzag-order
+    any_scan = False
     pos = 2
     while True:
         if payload[pos] != 0xFF:
@@ -228,7 +459,27 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             continue
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # TEM / RSTn: standalone markers carry no length
-        if marker == 0xD9:  # EOI with no scan
+        if marker == 0xD9:  # EOI
+            if progressive and any_scan:
+                hmax = max(hi for _c, hi, _v, _q in comps)
+                vmax = max(vi for _c, _h, vi, _q in comps)
+                planes = []
+                for ci, (_cid, hi, vi, tq) in enumerate(comps):
+                    q = qtables.get(tq)
+                    if q is None:
+                        raise ValueError("frame references missing quant table")
+                    st = coef_store[ci]
+                    gv, gh = st.shape[:2]
+                    blocks = np.zeros((gv * gh, 8, 8), dtype=np.int64)
+                    flat = st.reshape(gv * gh, 64)
+                    for i in range(64):
+                        blocks[:, ZIGZAG[i] // 8, ZIGZAG[i] % 8] = flat[:, i]
+                    spatial = np.einsum(
+                        "ij,njk,kl->nil", _C.T, blocks * q[None, :, :], _C
+                    ) + 128.0
+                    plane = spatial.reshape(gv, gh, 8, 8).transpose(0, 2, 1, 3)
+                    planes.append(plane.reshape(gv * 8, gh * 8))
+                return _reconstruct_planes(planes, comps, hmax, vmax, w, h)
             raise ValueError("EOI before SOS")
         seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + seglen]
@@ -252,7 +503,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(seg[off + 17:off + 17 + nv])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
@@ -271,7 +523,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 [(1, 1), (1, 1), (1, 1)],  # 4:4:4
             ):
                 raise ValueError(f"sampling {samplings} unsupported (4:2:0/4:4:4 only)")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline frame marker 0xFF{marker:02X}")
         elif marker == 0xDD:
@@ -279,6 +531,12 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if w == 0:
                 raise ValueError("SOS before SOF0")
+            if progressive:
+                pos = _progressive_scan(
+                    payload, pos, seglen, seg, comps, htables, coef_store, w, h
+                )
+                any_scan = True
+                continue
             ncomp_s = seg[0]
             if ncomp_s != len(comps):
                 raise ValueError("scan component count != frame component count")
@@ -316,25 +574,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                                 y0 = (my * vi + v) * 8
                                 x0 = (mx * hi + hh) * 8
                                 planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
-            if len(comps) == 1:
-                return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
-            # upsample chroma to luma resolution (pixel replication),
-            # crop, then the T.871 YCbCr→RGB conversion
-            full = []
-            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
-                p = np.repeat(np.repeat(planes[ci], vmax // vi, axis=0),
-                              hmax // hi, axis=1)
-                full.append(p[:h, :w])
-            y, cb, cr = full
-            rgb = np.stack(
-                [
-                    y + 1.402 * (cr - 128.0),
-                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                    y + 1.772 * (cb - 128.0),
-                ],
-                axis=2,
-            )
-            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            return _reconstruct_planes(planes, comps, hmax, vmax, w, h)
         else:
             pass  # APPn / COM: skip
         pos += seglen
@@ -507,6 +747,204 @@ def encode_jpeg_color420(
         _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
     sos = _seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00" + b"\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _quantized_blocks(plane: np.ndarray, qtable: np.ndarray, pad_mult: int) -> np.ndarray:
+    """(nby, nbx, 64) zigzag-order quantized DCT coefficients of an
+    edge-padded uint8 plane — the shared front half of every encoder."""
+    padded = _pad_edge(np.asarray(plane, dtype=np.uint8), pad_mult)
+    nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+    out = np.zeros((nby, nbx, 64), dtype=np.int64)
+    zz = [ZIGZAG[i] for i in range(64)]
+    for by in range(nby):
+        for bx in range(nbx):
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
+            coef = np.round(fdct2(block) / qtable).astype(np.int64)
+            out[by, bx] = coef.ravel()[zz]
+    return out
+
+
+def _emit_ac_first(wtr: _BitWriter, band: np.ndarray, ac_enc: dict, al: int) -> None:
+    """Progressive AC first-scan entropy coding for one block's band
+    (T.81 G.1.2.2): point-transformed magnitudes (round toward zero),
+    ZRL for 16-zero runs, EOB per block (no cross-block EOB runs, so
+    the standard AC tables suffice — only symbols 0x00/0xF0/(r,s))."""
+    run = 0
+    for v in band:
+        v = int(v)
+        m = abs(v) >> al
+        if m == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]
+            wtr.write(zc, zl)
+            run -= 16
+        vp = m if v > 0 else -m
+        size, bitsval = _magnitude(vp)
+        code, length = ac_enc[(run << 4) | size]
+        wtr.write(code, length)
+        wtr.write(bitsval, size)
+        run = 0
+    if run:
+        ec, el = ac_enc[0x00]
+        wtr.write(ec, el)
+
+
+def _emit_ac_refine(wtr: _BitWriter, band: np.ndarray, ac_enc: dict, al: int) -> None:
+    """Progressive AC refinement entropy coding for one block's band
+    (T.81 G.1.2.3): newly-nonzero coefficients (|v|>>al == 1) emit
+    (run, 1) + sign; already-nonzero history coefficients passed over
+    buffer one correction bit each, appended after the next symbol;
+    trailing state flushes as EOB + buffered bits."""
+    vals = [int(v) for v in band]
+    absv = [abs(v) >> al for v in vals]
+    eob_idx = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob_idx = i
+    run = 0
+    br: list[int] = []
+    for i, v in enumerate(vals):
+        a = absv[i]
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_idx:
+            zc, zl = ac_enc[0xF0]
+            wtr.write(zc, zl)
+            run -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if a > 1:  # history-nonzero: one correction bit, transparent to runs
+            br.append(a & 1)
+            continue
+        code, length = ac_enc[(run << 4) | 1]
+        wtr.write(code, length)
+        wtr.write(1 if v > 0 else 0, 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        ec, el = ac_enc[0x00]
+        wtr.write(ec, el)
+        for b in br:
+            wtr.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    qtable_luma: np.ndarray = QTABLE_FLAT8,
+    qtable_chroma: np.ndarray = QTABLE_FLAT8,
+    band_split: int = 6,
+) -> bytes:
+    """Progressive (SOF2) encoder — grayscale, or 4:2:0 YCbCr when
+    pre-subsampled chroma planes are given (same plane contract as
+    encode_jpeg_color420). The scan script exercises BOTH progressive
+    dimensions so the decoder's every path round-trips:
+
+    1. DC first, interleaved, Al=1 (arithmetic-shifted diffs);
+    2-3(per comp). AC first, bands [1, band_split-1] and
+       [band_split, 63], Al=1 (spectral selection + point transform);
+    4. DC refinement, Ah=1 → Al=0 (one raw bit per block);
+    5-6(per comp). AC refinement of both bands, Ah=1 → Al=0
+       (correction bits + newly-nonzero insertions).
+
+    A progressive stream transmits exactly the same quantized
+    coefficients as the baseline encoding of the same planes, so
+    jpeg_decode(progressive) == jpeg_decode(baseline) bit-for-bit —
+    the round-trip suite pins that identity."""
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    if cb is None:
+        comps = [(1, 1, 1, 0)]
+        coefs = [_quantized_blocks(y, qtable_luma, 8)]
+    else:
+        cb = np.asarray(cb, dtype=np.uint8)
+        cr = np.asarray(cr, dtype=np.uint8)
+        if cb.shape != ((h + 1) // 2, (w + 1) // 2) or cr.shape != cb.shape:
+            raise ValueError("chroma planes must be ceil(h/2) x ceil(w/2)")
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        coefs = [
+            _quantized_blocks(y, qtable_luma, 16),
+            _quantized_blocks(cb, qtable_chroma, 8),
+            _quantized_blocks(cr, qtable_chroma, 8),
+        ]
+    hmax = max(hi for _cid, hi, _vi, _tq in comps)
+    vmax = max(vi for _cid, _hi, vi, _tq in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def dc_units():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                    for v in range(vi):
+                        for hh in range(hi):
+                            yield ci, my * vi + v, mx * hi + hh
+
+    def sos(scan_comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid, tda in scan_comps:
+            body += bytes([cid, tda])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    chunks: list[bytes] = []
+    # scan 1: DC first, interleaved, Al=1
+    wtr = _BitWriter()
+    preds = [0] * len(comps)
+    for ci, by, bx in dc_units():
+        dc = int(coefs[ci][by, bx, 0]) >> 1
+        size, bitsval = _magnitude(dc - preds[ci])
+        preds[ci] = dc
+        code, length = dc_enc[size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(bitsval, size)
+    chunks.append(sos([(cid, 0x00) for cid, *_ in comps], 0, 0, 0, 1) + wtr.flush())
+    # AC first scans: per component, two spectral bands, Al=1
+    bands = [(1, band_split - 1), (band_split, 63)]
+    for ci, (cid, _hi, _vi, _tq) in enumerate(comps):
+        cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
+        for ss, se in bands:
+            wtr = _BitWriter()
+            for by in range(cbh):
+                for bx in range(cbw):
+                    _emit_ac_first(wtr, coefs[ci][by, bx, ss:se + 1], ac_enc, 1)
+            chunks.append(sos([(cid, 0x00)], ss, se, 0, 1) + wtr.flush())
+    # DC refinement: one raw bit per block, Ah=1 -> Al=0
+    wtr = _BitWriter()
+    for ci, by, bx in dc_units():
+        wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    chunks.append(sos([(cid, 0x00) for cid, *_ in comps], 0, 0, 1, 0) + wtr.flush())
+    # AC refinement scans
+    for ci, (cid, _hi, _vi, _tq) in enumerate(comps):
+        cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
+        for ss, se in bands:
+            wtr = _BitWriter()
+            for by in range(cbh):
+                for bx in range(cbw):
+                    _emit_ac_refine(wtr, coefs[ci][by, bx, ss:se + 1], ac_enc, 0)
+            chunks.append(sos([(cid, 0x00)], ss, se, 1, 0) + wtr.flush())
+
+    zzl = bytes(int(qtable_luma.ravel()[ZIGZAG[i]]) for i in range(64))
+    if cb is None:
+        dqt = _seg(0xDB, b"\x00" + zzl)
+        sof = _seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+    else:
+        zzc = bytes(int(qtable_chroma.ravel()[ZIGZAG[i]]) for i in range(64))
+        dqt = _seg(0xDB, b"\x00" + zzl) + _seg(0xDB, b"\x01" + zzc)
+        sof = _seg(0xC2, b"\x08" + struct.pack(">HH", h, w) +
+                   b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
+        _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(chunks) + b"\xff\xd9"
 
 
 def encode_jpeg_rgb(img: np.ndarray) -> bytes:

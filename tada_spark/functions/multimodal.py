@@ -3,11 +3,13 @@
 Decode status by modality: AUDIO is REAL for PCM WAV (wav_audio_decoder,
 stdlib wave + numpy — no external libs); IMAGE is REAL for PNG
 (png_image_decoder, stdlib zlib + numpy — all five scanline filters,
-gray/RGB/alpha color types) AND for baseline JPEG — grayscale and
-4:2:0/4:4:4 YCbCr color (functions/jpeg.jpeg_decode — pure stdlib
-Huffman + numpy IDCT, since round 8), with the PIL twin
-(pil_image_decoder) still wired for the long-tail JPEG feature range
-(progressive, exotic sampling) the moment an environment has Pillow;
+gray/RGB/alpha color types) AND for JPEG — baseline SOF0 since round
+8 and progressive SOF2 (spectral selection + successive
+approximation) since round 9, grayscale and 4:2:0/4:4:4 YCbCr color
+(functions/jpeg.jpeg_decode — pure stdlib Huffman + numpy IDCT), with
+the PIL twin (pil_image_decoder) still wired for the long-tail JPEG
+feature range (arithmetic coding, exotic sampling, 12-bit) the moment
+an environment has Pillow;
 compressed audio/video need ffmpeg/torchaudio and stay stubbed. Everything
 Spark-side is real and tested either way: schemas, Arrow batch shapes,
 mapInPandas partition flow, metadata propagation. The decoder parameter

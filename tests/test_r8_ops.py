@@ -150,11 +150,17 @@ def test_jpeg_decoder_rejects_out_of_scope_streams():
         jpeg_decode_gray(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError, match="EOI before SOS"):
         jpeg_decode_gray(b"\xff\xd8\xff\xd9")
-    # progressive marker (SOF2) must refuse, not mis-decode
+    # arithmetic-coded marker (SOF9) must refuse, not mis-decode
     good = bytearray(encode_jpeg_gray(np.full((8, 8), 50, dtype=np.uint8)))
     sof = good.find(b"\xff\xc0")
-    good[sof + 1] = 0xC2
+    good[sof + 1] = 0xC9
     with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode_gray(bytes(good))
+    # a baseline stream whose SOF marker is flipped to SOF2 carries a
+    # baseline scan script (Ss=0, Se=63) that is malformed AS
+    # progressive — the decoder must refuse it, not mis-decode
+    good[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         jpeg_decode_gray(bytes(good))
     # a stream cut mid-entropy-data raises the contract ValueError,
     # not IndexError (r8 ADVICE: _BitReader bounds)
