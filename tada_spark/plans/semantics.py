@@ -243,14 +243,19 @@ def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     With ``order_by``: the zipWithIndex pattern — range-repartition on
     the keys, per-partition local index (monotonically_increasing_id
     ascends in physical row order), then broadcast per-partition
-    offsets. The offsets branch re-executes the range exchange (the
-    nondeterministic id blocks exchange reuse), so the frame passes
-    through TWO parallel range shuffles — still strictly better than
-    the naive ``Window.orderBy(keys)`` with no partitionBy, which
-    funnels the WHOLE frame through one task. Deterministic when the
-    keys are unique (the engine's positional discipline); verified by a
-    cross-partition stress test. Low-cardinality keys concentrate into
-    few range partitions — inherent to ordering by such keys.
+    offsets. The ranged/sorted frame is pinned ONCE with a lazy
+    localCheckpoint before fanning out to the offsets branch and the
+    join-back: RangePartitioner picks its boundaries from a SAMPLE
+    whose seed differs between plan executions, so letting each branch
+    re-execute the exchange pairs one partitioning's local indices
+    with another's offsets — rank inversions at every boundary (found
+    by the 15M-row replica gate in round 9; invisible below one
+    partition per range). The checkpoint materializes the frame to
+    executor storage — the honest cost of a consistent positional
+    snapshot, and it replaces the second shuffle the old design paid.
+    Deterministic when the keys are unique (the engine's positional
+    discipline). Low-cardinality keys concentrate into few range
+    partitions — inherent to ordering by such keys.
 
     Without keys: ingest order via monotonically_increasing_id ranked
     into a contiguous sequence — this one IS a single global sort;
@@ -271,6 +276,7 @@ def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
             .sortWithinPartitions(*keys)
             .withColumn("__pid__", F.spark_partition_id())
             .withColumn("__mid__", F.monotonically_increasing_id())
+            .localCheckpoint(eager=False)
         )
         w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
         offsets = (

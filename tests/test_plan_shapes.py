@@ -482,3 +482,30 @@ def test_pit_join_single_key_shuffle_no_range_join(spark, catalog):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_lookup_first_ordered_pick_is_group_limit_and_broadcast(spark, catalog):
+    plan = plan_of(catalog["lookup_first_ordered_customer"][0](spark, SF))
+    # the first-match pick must run as a WindowGroupLimit (per-group
+    # top-1, partial+final) on the right side, never a global sort of
+    # the join result; the join itself stays broadcast-eligible
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_join_is_broadcast_left(spark, catalog):
+    plan = plan_of(catalog["cms_probe_unseen_users"][0](spark, SF))
+    # the sketch side broadcasts; absent probe keys survive via the
+    # LEFT join (an inner join here was the r8 bug)
+    assert "BroadcastHashJoin LeftOuter" in plan or (
+        "BroadcastHashJoin" in plan and "LeftOuter" in plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_jpeg_progressive_stays_arrow_batched(spark, catalog):
+    plan = plan_of(catalog["jpeg_progressive_decode"][0](spark, SF))
+    # encode + decode both cross to Python via Arrow mapInPandas;
+    # never a row-at-a-time BatchEvalPython
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan

@@ -120,3 +120,183 @@ def test_progressive_through_image_features_adapter(spark):
     assert len(out) == 6
     for mid, _enc, (h, w) in rows:
         assert out[mid] == (w, h)
+
+
+# ---------------------------------------------------------------------------
+# Property: progressive transport is coefficient-lossless vs baseline.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @given(
+        img=arrays(
+            np.uint8,
+            shape=st.tuples(st.integers(1, 33), st.integers(1, 33)),
+            elements=st.integers(0, 255),
+        ),
+        band_split=st.integers(2, 63),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_progressive_identity_property(img, band_split):
+        from tada_spark.functions.jpeg import (
+            encode_jpeg_gray, encode_jpeg_progressive, jpeg_decode)
+
+        base = jpeg_decode(encode_jpeg_gray(img))
+        prog = jpeg_decode(encode_jpeg_progressive(img, band_split=band_split))
+        assert np.array_equal(prog, base)
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_ac_refinement_lockstep_on_synthetic_bands():
+    """Drive _emit_ac_refine/_decode_ac_refine directly on crafted
+    coefficient bands — guarantees the ZRL-in-refinement, EOB-with-
+    buffered-correction-bits, and history-transparency paths all run,
+    which DCT-produced images cannot be relied on to hit."""
+    import numpy as np
+
+    from tada_spark.functions.jpeg import (
+        AC_LUMA_BITS, AC_LUMA_VALS, _BitReader, _BitWriter,
+        _build_decode_table, _build_encode_table,
+        _decode_ac_refine, _emit_ac_refine)
+
+    ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    ac_dec = _build_decode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    def roundtrip(band):
+        band = np.asarray(band, dtype=np.int64)
+        # decoder state BEFORE the refinement scan: the Al=1 first
+        # scan transmitted sign(v) * ((|v| >> 1) << 1)
+        pre = np.sign(band) * ((np.abs(band) >> 1) << 1)
+        coef = np.zeros(64, dtype=np.int64)
+        coef[1:1 + len(band)] = pre
+        wtr = _BitWriter()
+        _emit_ac_refine(wtr, band, ac_enc, 0)
+        r = _BitReader(wtr.flush(), 0)
+        _decode_ac_refine(r, ac_dec, coef, 1, len(band), 0, 0)
+        assert list(coef[1:1 + len(band)]) == list(band), band
+
+    # ZRL in refinement: >15 zero-HISTORY positions before a new ±1,
+    # with history coefficients (|v|>=2) sprinkled in (transparent to
+    # the run but consuming correction bits)
+    band = [0] * 63
+    band[4] = 5       # history, correction bit 1
+    band[9] = -4      # history, correction bit 0
+    band[30] = 1      # newly nonzero after 28 zero-history positions
+    band[40] = -1
+    roundtrip(band)
+    # EOB with buffered correction bits only (no new nonzeros at all)
+    band = [0] * 20
+    band[3], band[7] = 3, -2
+    roundtrip(band)
+    # all-zero band: bare EOB
+    roundtrip([0] * 30)
+    # dense band, everything newly nonzero or history
+    rng = np.random.default_rng(905)
+    for _ in range(50):
+        roundtrip(rng.integers(-9, 10, size=int(rng.integers(1, 64))))
+
+
+def test_ac_first_eobrun_gt_one_decodes():
+    """Real progressive streams (libjpeg with optimized per-scan
+    tables) emit EOBn symbols with run > 0 — multi-block end-of-band
+    runs — which our encoder never produces (standard tables lack the
+    symbols). Hand-build a Huffman table and bitstream to pin the
+    decoder's EOB-run accounting across blocks."""
+    import numpy as np
+
+    from tada_spark.functions.jpeg import (
+        _BitReader, _BitWriter, _decode_ac_first)
+
+    # prefix code: '0' -> (run0,size1); '10' -> EOB2 (0x20)
+    table = {(1, 0b0): 0x01, (2, 0b10): 0x20}
+    wtr = _BitWriter()
+    # block A: one coefficient +1 at k=ss, then EOB2 + 2 extra bits '11'
+    wtr.write(0b0, 1)   # symbol (0,1)
+    wtr.write(1, 1)     # magnitude bit -> +1
+    wtr.write(0b10, 2)  # EOB2
+    wtr.write(0b11, 2)  # receive(2) = 3 -> eobrun = (1<<2)-1+3 = 6
+    data = wtr.flush()
+    r = _BitReader(data, 0)
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(7)]
+    eobrun = _decode_ac_first(r, table, blocks[0], 1, 5, 0, 0)
+    assert blocks[0][1] == 1 and eobrun == 6
+    for i in range(1, 7):
+        eobrun = _decode_ac_first(r, table, blocks[i], 1, 5, 0, eobrun)
+        assert not blocks[i].any()
+    assert eobrun == 0
+
+
+def test_ac_refine_eobrun_blocks_still_consume_correction_bits():
+    """During an EOB run in a refinement scan, skipped blocks STILL
+    read one correction bit per nonzero-history coefficient (T.81
+    G.1.2.3) — miscounting desynchronizes every later scan."""
+    import numpy as np
+
+    from tada_spark.functions.jpeg import (
+        _BitReader, _BitWriter, _decode_ac_refine)
+
+    table = {(1, 0b0): 0x00, (2, 0b10): 0x10}  # '0'->EOB1, '10'->EOB2... unused
+    wtr = _BitWriter()
+    # block A: EOB1 (eobrun=1) -> tail correction bits for its two
+    # nonzero-history coefficients: 1 (adds p1 toward sign) then 0
+    wtr.write(0b0, 1)
+    wtr.write(1, 1)
+    wtr.write(0, 1)
+    data = wtr.flush()
+    r = _BitReader(data, 0)
+    coef = np.zeros(64, dtype=np.int64)
+    coef[2] = 2    # history: correction bit 1 -> 3
+    coef[4] = -2   # history: correction bit 0 -> stays -2
+    eobrun = _decode_ac_refine(r, table, coef, 1, 5, 0, 0)
+    assert eobrun == 0
+    assert coef[2] == 3 and coef[4] == -2
+
+
+def test_with_rowid_branch_divergence_regression(spark, tmp_path):
+    """Round-9 replica finding: with_rowid fans the ranged/sorted frame
+    into two branches (offsets + join-back); when Catalyst prunes them
+    into DIFFERENT subplans (parquet scan with different column sets),
+    each branch re-executed its own range exchange and RangePartitioner
+    re-SAMPLED boundaries per execution — pairing one partitioning's
+    local indices with another's offsets, i.e. rank inversions at
+    partition boundaries (wrong 'first' rows in ordered lookup at the
+    15M-row replica; invisible when everything fits one partition).
+    with_rowid now pins the frame with a lazy localCheckpoint before
+    branching. This test replays the failing shape — parquet source,
+    pruned lookup columns, duplicate order-key prefixes, forced
+    multi-partition ranges — and cross-checks the ordered first-match
+    pick against a window-computed truth."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tada_spark.frame import Frame
+
+    n = 60_000
+    src = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 500).alias("k"),                      # join key: 120 dups each
+            (F.col("id") % 37).alias("d"),                       # order prefix: heavy dups
+            (F.col("id") * 2654435761 % 999999937).alias("u"),   # unique tiebreak
+            (F.col("id") % 7).alias("payload"),
+        )
+    )
+    path = str(tmp_path / "orders_like.parquet")
+    src.write.parquet(path)
+    right_df = spark.read.parquet(path)
+    left = Frame(spark.range(500).select(F.col("id").alias("k")))
+    right = Frame(right_df, order_keys=["d", "u"])
+    got = left.lookup(
+        right, left_on=["k"], right_on=["k"], first_match="ordered"
+    ).df.select("k", "u")
+    w = Window.partitionBy("k").orderBy("d", "u")
+    want = (
+        right_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "u")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
