@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tada_spark.queries import CATALOG, q1_pricing_summary
 from tada_spark.rotation import driver_order, narrative
 
-__doc__ += "\n" + narrative(CATALOG) + "\n"
+__doc__ = (__doc__ or "") + "\n" + narrative(CATALOG) + "\n"
 
 
 def entry(spark: SparkSession) -> DataFrame:

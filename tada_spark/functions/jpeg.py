@@ -858,6 +858,11 @@ def encode_jpeg_progressive(
     coefficients as the baseline encoding of the same planes, so
     jpeg_decode(progressive) == jpeg_decode(baseline) bit-for-bit —
     the round-trip suite pins that identity."""
+    if not 2 <= band_split <= 63:
+        # Ss must satisfy 1 <= Ss <= Se <= 63 in both emitted AC bands;
+        # out-of-range splits would emit a spec-invalid (undecodable)
+        # stream — fail at encode time, not in some later decoder
+        raise ValueError(f"band_split must be in [2, 63], got {band_split}")
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
     dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)

@@ -774,13 +774,20 @@ def kcenter_select(
         return spark.createDataFrame([], out_schema)
     # the filtered/cast corpus is re-scanned by every one of the k
     # argmax jobs — cache it once instead of recomputing from source
-    # k times (r8 ADVICE); unpersisted before returning
+    # k times (r8 ADVICE); the try/finally guarantees the unpersist
+    # even when a mid-loop job fails
     pts = pts.persist()
+    try:
+        return _kcenter_greedy(spark, pts, k, out_schema)
+    finally:
+        pts.unpersist()
+
+
+def _kcenter_greedy(spark, pts: DataFrame, k: int, out_schema: str) -> DataFrame:
     seed_rows = pts.orderBy("__kid__").limit(1).collect()
     if not seed_rows:
         # empty corpus: zero rows, like the oracle's LIMIT 1 over
         # nothing — not a driver-side IndexError
-        pts.unpersist()
         return spark.createDataFrame([], out_schema)
     first = seed_rows[0]
     chosen: list[tuple[int, list[float], int | None]] = [(first["__kid__"], list(first["__kv__"]), None)]
@@ -817,7 +824,8 @@ def kcenter_select(
             break  # k exceeds the corpus: stop at n selections
         top = rows[0]
         chosen.append((-top["ni"], list(top["vec"]), top["d"]))
-    pts.unpersist()
+    # the result is built from driver-side literals, so the caller's
+    # finally-unpersist cannot invalidate it
     return spark.createDataFrame(
         [(i, cid, d) for i, (cid, _v, d) in enumerate(chosen)], out_schema
     )

@@ -209,21 +209,27 @@ def pit_join(
     # run/partitioning. Facts have a NULL __ver__ and sort before the
     # versions at their (pos, kind) slot, which changes nothing — kind
     # already separates them. Struct ordering requires every field to
-    # be orderable; a map-typed value column falls back to the bare
+    # be orderable; a value column of a non-orderable type (map,
+    # calendar interval, variant, ...) falls back to the bare
     # (pos, kind) order, where such ties pick an arbitrary version —
-    # keep (key, valid_from) unique per key in that case.
-    from pyspark.sql.types import MapType
+    # keep (key, valid_from) unique per key in that case. Orderability
+    # is a WHITELIST of known-sortable leaves, not a map blacklist: an
+    # unknown type must degrade to the old behavior, never crash the
+    # window at analysis.
+    from pyspark.sql import types as T
+
+    _ORDERABLE_LEAVES = (
+        T.NumericType, T.StringType, T.BinaryType, T.BooleanType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
+        T.DayTimeIntervalType, T.YearMonthIntervalType, T.NullType,
+    )
 
     def _orderable(dt) -> bool:
-        if isinstance(dt, MapType):
-            return False
-        fields = getattr(dt, "fields", None)
-        if fields is not None:
-            return all(_orderable(f.dataType) for f in fields)
-        elem = getattr(dt, "elementType", None)
-        if elem is not None:
-            return _orderable(elem)
-        return True
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        return isinstance(dt, _ORDERABLE_LEAVES)
 
     order = ["__pos__", "__kind__"]
     if _orderable(ver_type):

@@ -72,17 +72,23 @@ def _row_is_green(row: object) -> bool:
     )
 
 
-def newest_green(root: Path | str = REPO_ROOT) -> dict[str, int]:
-    """entry -> newest round with a fully-green driver row."""
+def _greens_from(arts: dict[int, dict]) -> dict[str, int]:
     newest: dict[str, int] = {}
-    for rnd, rows in correctness_artifacts(root).items():
+    for rnd, rows in arts.items():
         for name, row in rows.items():
             if _row_is_green(row):
                 newest[name] = max(newest.get(name, rnd), rnd)
     return newest
 
 
-def driver_order(catalog: dict, root: Path | str = REPO_ROOT) -> list[str]:
+def newest_green(root: Path | str = REPO_ROOT) -> dict[str, int]:
+    """entry -> newest round with a fully-green driver row."""
+    return _greens_from(correctness_artifacts(root))
+
+
+def driver_order(
+    catalog: dict, root: Path | str = REPO_ROOT, *, greens: dict[str, int] | None = None
+) -> list[str]:
     """The full queries() ordering per the three-tier rule above.
 
     ``catalog`` maps name -> (callable, oracle_sql_or_None); insertion
@@ -91,7 +97,8 @@ def driver_order(catalog: dict, root: Path | str = REPO_ROOT) -> list[str]:
     index = {name: i for i, name in enumerate(catalog)}
     oracle_able = [n for n, (_fn, sql) in catalog.items() if sql is not None]
     rows_only = [n for n, (_fn, sql) in catalog.items() if sql is None]
-    greens = newest_green(root)
+    if greens is None:
+        greens = newest_green(root)
     never = sorted((n for n in oracle_able if n not in greens),
                    key=lambda n: -index[n])
     seen = sorted((n for n in oracle_able if n in greens),
@@ -99,15 +106,18 @@ def driver_order(catalog: dict, root: Path | str = REPO_ROOT) -> list[str]:
     return never + seen + rows_only
 
 
-def freshness_report(catalog: dict, root: Path | str = REPO_ROOT) -> dict:
+def freshness_report(
+    catalog: dict, root: Path | str = REPO_ROOT, *, arts: dict[int, dict] | None = None
+) -> dict:
     """Honest accounting of the driver evidence, computed not narrated.
 
     Returned dict: rounds_on_disk, union size (distinct ever-green
     oracle-able entries), never_green count, per-round green counts,
     and the minimum full-coverage cycle length at 50 rows/round.
     """
-    arts = correctness_artifacts(root)
-    greens = newest_green(root)
+    if arts is None:
+        arts = correctness_artifacts(root)
+    greens = _greens_from(arts)
     oracle_able = [n for n, (_fn, sql) in catalog.items() if sql is not None]
     ever = [n for n in oracle_able if n in greens]
     return {
@@ -134,14 +144,15 @@ def narrative(catalog: dict, root: Path | str = REPO_ROOT) -> str:
     is the fix, and tests/test_inventory_sync.py now asserts this exact
     text appears in the docstring (i.e. that generation ran).
     """
-    rep = freshness_report(catalog, root)
-    order = driver_order(catalog, root)
+    arts = correctness_artifacts(root)  # ONE disk read feeds everything
+    greens = _greens_from(arts)
+    rep = freshness_report(catalog, root, arts=arts)
+    order = driver_order(catalog, root, greens=greens)
     rounds = rep["rounds_on_disk"]
     hist = ", ".join(f"r{r:02d}={n}" for r, n in
                      sorted(rep["newest_green_histogram"].items()))
     window = order[:50]
     oracle = {n for n, (_fn, sql) in catalog.items() if sql is not None}
-    greens = newest_green(root)
     n_never_in_window = sum(1 for n in window if n in oracle and n not in greens)
     missing = sorted(set(range(1, max(rounds) + 1)) - set(rounds)) if rounds else []
     missing_note = (

@@ -300,3 +300,34 @@ def test_with_rowid_branch_divergence_regression(spark, tmp_path):
         .select("k", "u")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_encode_progressive_rejects_bad_band_split():
+    import numpy as np
+    import pytest
+
+    from tada_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    for bad in (0, 1, 64, -3):
+        with pytest.raises(ValueError, match="band_split"):
+            encode_jpeg_progressive(img, band_split=bad)
+
+
+def test_pit_join_nonorderable_value_column_degrades_not_crashes(spark):
+    """A history value column of a non-orderable type (calendar
+    interval) must fall back to the bare (pos, kind) window order —
+    the r9 tiebreak is a whitelist, so unknown types degrade to the
+    pre-r9 behavior instead of failing analysis."""
+    from pyspark.sql import functions as F
+
+    from tada_spark.operators.cdc import pit_join
+
+    hist = spark.createDataFrame(
+        [(1, 10, None, "a")], "k long, valid_from long, valid_to long, v string"
+    ).withColumn("dur", F.expr("make_interval(0, 0, 0, 1, 0, 0, 0)"))
+    facts = spark.createDataFrame([(1, 15)], "k long, pos long")
+    # PySpark cannot collect() interval-typed rows — select around it;
+    # the point is that the JOIN plans and runs
+    out = pit_join(facts, hist, "k", "pos").select("k", "pos", "v").collect()
+    assert len(out) == 1 and out[0]["v"] == "a"
