@@ -17,7 +17,8 @@ Scope (documented, enforced by explicit errors): baseline DCT
 (SOF0) and progressive DCT (SOF2, both spectral selection and
 successive approximation — T.81 §G), 8-bit, grayscale (1×1) or
 YCbCr with 4:2:0 (luma 2×2, chroma 1×1) or 4:4:4 (all 1×1)
-sampling, no restart markers, no arithmetic coding.  Between them,
+sampling, restart intervals (DRI/RSTn with predictor + EOB-run
+reset, both frame types), no arithmetic coding.  Between them,
 SOF0+SOF2 cover effectively the whole web corpus: crawls run
 roughly 85-95% baseline and 5-15% progressive (large photos
 re-encoded by CDNs skew progressive), while arithmetic coding
@@ -142,6 +143,22 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self, expected: int) -> None:
+        """Consume an RSTn marker (T.81 § E.2.4): discard the rest of
+        the current byte (the encoder padded it with 1-bits), then the
+        two marker bytes, verifying the 0-7 restart sequence number."""
+        if self.bit != 0:
+            # mid-byte: the partially-read byte may be a stuffed 0xFF00
+            self.pos += 2 if self.data[self.pos] == 0xFF else 1
+            self.bit = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expected:
+            raise ValueError(
+                f"expected restart marker RST{expected} at byte {self.pos}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, n: int) -> int:
@@ -339,6 +356,7 @@ def _comp_block_grid(comps, ci, hmax, vmax, w, h) -> tuple[int, int]:
 def _progressive_scan(
     payload: bytes, pos: int, seglen: int, seg: bytes, comps,
     htables, coef_store: list[np.ndarray], w: int, h: int,
+    restart_interval: int = 0,
 ) -> int:
     """Decode ONE progressive scan into the per-component coefficient
     stores (zigzag order) and return the position of the next marker.
@@ -347,7 +365,9 @@ def _progressive_scan(
     have Se=0; AC scans are single-component and non-interleaved; first
     scans (Ah=0) Huffman-decode point-transformed values; refinement
     scans (Ah=Al+1) send one bit per coefficient. DC prediction and the
-    EOB run reset at every scan start."""
+    EOB run reset at every scan start, and — when a DRI restart
+    interval is active — at every RSTn marker (the interval counts MCUs
+    in interleaved scans, data units in single-component scans)."""
     if not seg:
         raise ValueError("truncated scan header")
     ns = seg[0]
@@ -392,20 +412,28 @@ def _progressive_scan(
             elif r.read_bit():
                 coef[0] |= 1 << al
 
+        rst_seq = 0
         if ns == 1:
             ci = scan_comps[0][0]
             cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
-            for by in range(cbh):
-                for bx in range(cbw):
-                    dc_unit(ci, by, bx)
+            for i in range(cbh * cbw):
+                if restart_interval and i and i % restart_interval == 0:
+                    r.restart(rst_seq)
+                    rst_seq = (rst_seq + 1) % 8
+                    preds = {c: 0 for c in preds}
+                dc_unit(ci, i // cbw, i % cbw)
         else:
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for ci, _td, _ta in scan_comps:
-                        _cid, hi, vi, _tq = comps[ci]
-                        for v in range(vi):
-                            for hh in range(hi):
-                                dc_unit(ci, my * vi + v, mx * hi + hh)
+            for mcu in range(mcuy * mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart(rst_seq)
+                    rst_seq = (rst_seq + 1) % 8
+                    preds = {c: 0 for c in preds}
+                my, mx = divmod(mcu, mcux)
+                for ci, _td, _ta in scan_comps:
+                    _cid, hi, vi, _tq = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            dc_unit(ci, my * vi + v, mx * hi + hh)
     else:  # AC scan: always single-component, non-interleaved
         if ns != 1:
             raise ValueError("progressive AC scans must be single-component")
@@ -417,10 +445,14 @@ def _progressive_scan(
             raise ValueError("scan references missing Huffman table")
         cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
         eobrun = 0
+        rst_seq = 0
         fn = _decode_ac_first if ah == 0 else _decode_ac_refine
-        for by in range(cbh):
-            for bx in range(cbw):
-                eobrun = fn(r, ac_tab, coef_store[ci][by, bx], ss, se, al, eobrun)
+        for i in range(cbh * cbw):
+            if restart_interval and i and i % restart_interval == 0:
+                r.restart(rst_seq)
+                rst_seq = (rst_seq + 1) % 8
+                eobrun = 0
+            eobrun = fn(r, ac_tab, coef_store[ci][i // cbw, i % cbw], ss, se, al, eobrun)
     return _next_marker(payload, r)
 
 
@@ -448,6 +480,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     progressive = False
     coef_store: list[np.ndarray] = []  # per comp: (gridv, gridh, 64) zigzag-order
     any_scan = False
+    restart_interval = 0  # DRI: 0 = no restarts
     pos = 2
     while True:
         if payload[pos] != 0xFF:
@@ -526,14 +559,17 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline frame marker 0xFF{marker:02X}")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs/units
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if w == 0:
                 raise ValueError("SOS before SOF0")
             if progressive:
                 pos = _progressive_scan(
-                    payload, pos, seglen, seg, comps, htables, coef_store, w, h
+                    payload, pos, seglen, seg, comps, htables, coef_store,
+                    w, h, restart_interval,
                 )
                 any_scan = True
                 continue
@@ -562,18 +598,24 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 tabs.append(sel[cid])
                 qs.append(q)
             r = _BitReader(payload, pos + seglen)
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for ci, (_cid, hi, vi, _tq) in enumerate(comps):
-                        dc_tab, ac_tab = tabs[ci]
-                        for v in range(vi):
-                            for hh in range(hi):
-                                spatial, preds[ci] = _decode_block(
-                                    r, dc_tab, ac_tab, qs[ci], preds[ci]
-                                )
-                                y0 = (my * vi + v) * 8
-                                x0 = (mx * hi + hh) * 8
-                                planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+            rst_seq = 0
+            for mcu in range(mcuy * mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    # RSTn: byte-align, consume marker, reset DC preds
+                    r.restart(rst_seq)
+                    rst_seq = (rst_seq + 1) % 8
+                    preds = [0] * len(comps)
+                my, mx = divmod(mcu, mcux)
+                for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                    dc_tab, ac_tab = tabs[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            spatial, preds[ci] = _decode_block(
+                                r, dc_tab, ac_tab, qs[ci], preds[ci]
+                            )
+                            y0 = (my * vi + v) * 8
+                            x0 = (mx * hi + hh) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             return _reconstruct_planes(planes, comps, hmax, vmax, w, h)
         else:
             pass  # APPn / COM: skip
@@ -606,6 +648,19 @@ class _BitWriter:
                     self.out.append(0x00)  # byte stuffing
                 self.acc = 0
                 self.n = 0
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align with 1-padding (stuffed if the padded byte is
+        0xFF) and emit a raw marker — the RSTn insertion point."""
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        self.out.append(0xFF)
+        self.out.append(marker)
 
     def flush(self) -> bytes:
         if self.n:
@@ -674,32 +729,46 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray = QTABLE_FLAT8) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray,
+    qtable: np.ndarray = QTABLE_FLAT8,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode a (h, w) uint8 array as a baseline grayscale JPEG with
     the standard luminance Huffman tables. General: full forward DCT +
     quantization + run-length/magnitude coding — the round-trip
     property suite drives it with arbitrary images; the catalog entry
     drives it with flat blocks where QTABLE_FLAT8 makes the round trip
-    exact."""
+    exact. ``restart_interval`` > 0 emits a DRI segment and an RSTn
+    marker (with DC-predictor reset) every that-many MCUs — the
+    camera-encoder shape the decoder's restart path needs payloads
+    for."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
     padded = _pad_edge(img, 8)
+    nbx = padded.shape[1] // 8
     wtr = _BitWriter()
     pred = 0
-    for by in range(padded.shape[0] // 8):
-        for bx in range(padded.shape[1] // 8):
-            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
-            pred = _encode_block(wtr, block, qtable, pred, dc_enc, ac_enc)
+    rst_seq = 0
+    for mcu in range(padded.shape[0] // 8 * nbx):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wtr.emit_marker(0xD0 + rst_seq)
+            rst_seq = (rst_seq + 1) % 8
+            pred = 0
+        by, bx = divmod(mcu, nbx)
+        block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
+        pred = _encode_block(wtr, block, qtable, pred, dc_enc, ac_enc)
     scan = wtr.flush()
     zzq = bytes(int(qtable.ravel()[ZIGZAG[i]]) for i in range(64))
     dqt = _seg(0xDB, b"\x00" + zzq)
     sof = _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
     dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
         _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_color420(
@@ -841,6 +910,7 @@ def encode_jpeg_progressive(
     qtable_luma: np.ndarray = QTABLE_FLAT8,
     qtable_chroma: np.ndarray = QTABLE_FLAT8,
     band_split: int = 6,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encoder — grayscale, or 4:2:0 YCbCr when
     pre-subsampled chroma planes are given (same plane contract as
@@ -886,13 +956,12 @@ def encode_jpeg_progressive(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    def dc_units():
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci, (_cid, hi, vi, _tq) in enumerate(comps):
-                    for v in range(vi):
-                        for hh in range(hi):
-                            yield ci, my * vi + v, mx * hi + hh
+    def mcu_blocks(mcu: int):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+            for v in range(vi):
+                for hh in range(hi):
+                    yield ci, my * vi + v, mx * hi + hh
 
     def sos(scan_comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(scan_comps)])
@@ -900,42 +969,61 @@ def encode_jpeg_progressive(
             body += bytes([cid, tda])
         return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
+    ri = restart_interval
+
+    def maybe_rst(wtr: _BitWriter, unit: int, seq: list[int]) -> None:
+        if ri and unit and unit % ri == 0:
+            wtr.emit_marker(0xD0 + seq[0])
+            seq[0] = (seq[0] + 1) % 8
+
     chunks: list[bytes] = []
-    # scan 1: DC first, interleaved, Al=1
+    # scan 1: DC first, interleaved, Al=1 (restarts count MCUs)
     wtr = _BitWriter()
     preds = [0] * len(comps)
-    for ci, by, bx in dc_units():
-        dc = int(coefs[ci][by, bx, 0]) >> 1
-        size, bitsval = _magnitude(dc - preds[ci])
-        preds[ci] = dc
-        code, length = dc_enc[size]
-        wtr.write(code, length)
-        if size:
-            wtr.write(bitsval, size)
+    seq = [0]
+    for mcu in range(mcuy * mcux):
+        if ri and mcu and mcu % ri == 0:
+            wtr.emit_marker(0xD0 + seq[0])
+            seq[0] = (seq[0] + 1) % 8
+            preds = [0] * len(comps)
+        for ci, by, bx in mcu_blocks(mcu):
+            dc = int(coefs[ci][by, bx, 0]) >> 1
+            size, bitsval = _magnitude(dc - preds[ci])
+            preds[ci] = dc
+            code, length = dc_enc[size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(bitsval, size)
     chunks.append(sos([(cid, 0x00) for cid, *_ in comps], 0, 0, 0, 1) + wtr.flush())
     # AC first scans: per component, two spectral bands, Al=1
+    # (restarts count the component's data units)
     bands = [(1, band_split - 1), (band_split, 63)]
     for ci, (cid, _hi, _vi, _tq) in enumerate(comps):
         cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
         for ss, se in bands:
             wtr = _BitWriter()
-            for by in range(cbh):
-                for bx in range(cbw):
-                    _emit_ac_first(wtr, coefs[ci][by, bx, ss:se + 1], ac_enc, 1)
+            seq = [0]
+            for i in range(cbh * cbw):
+                maybe_rst(wtr, i, seq)
+                _emit_ac_first(wtr, coefs[ci][i // cbw, i % cbw, ss:se + 1], ac_enc, 1)
             chunks.append(sos([(cid, 0x00)], ss, se, 0, 1) + wtr.flush())
     # DC refinement: one raw bit per block, Ah=1 -> Al=0
     wtr = _BitWriter()
-    for ci, by, bx in dc_units():
-        wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    seq = [0]
+    for mcu in range(mcuy * mcux):
+        maybe_rst(wtr, mcu, seq)
+        for ci, by, bx in mcu_blocks(mcu):
+            wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
     chunks.append(sos([(cid, 0x00) for cid, *_ in comps], 0, 0, 1, 0) + wtr.flush())
     # AC refinement scans
     for ci, (cid, _hi, _vi, _tq) in enumerate(comps):
         cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
         for ss, se in bands:
             wtr = _BitWriter()
-            for by in range(cbh):
-                for bx in range(cbw):
-                    _emit_ac_refine(wtr, coefs[ci][by, bx, ss:se + 1], ac_enc, 0)
+            seq = [0]
+            for i in range(cbh * cbw):
+                maybe_rst(wtr, i, seq)
+                _emit_ac_refine(wtr, coefs[ci][i // cbw, i % cbw, ss:se + 1], ac_enc, 0)
             chunks.append(sos([(cid, 0x00)], ss, se, 1, 0) + wtr.flush())
 
     zzl = bytes(int(qtable_luma.ravel()[ZIGZAG[i]]) for i in range(64))
@@ -949,7 +1037,8 @@ def encode_jpeg_progressive(
                    b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
     dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
         _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    return b"\xff\xd8" + dqt + sof + dht + b"".join(chunks) + b"\xff\xd9"
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + b"".join(chunks) + b"\xff\xd9"
 
 
 def encode_jpeg_rgb(img: np.ndarray) -> bytes:

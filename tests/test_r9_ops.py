@@ -331,3 +331,48 @@ def test_pit_join_nonorderable_value_column_degrades_not_crashes(spark):
     # the point is that the JOIN plans and runs
     out = pit_join(facts, hist, "k", "pos").select("k", "pos", "v").collect()
     assert len(out) == 1 and out[0]["v"] == "a"
+
+
+def test_restart_intervals_roundtrip_all_frame_types():
+    """DRI/RSTn support (the camera-encoder shape): restarts byte-align
+    the stream, reset DC predictors (and EOB runs in progressive
+    scans), and must not change a single pixel vs the no-restart
+    encoding — for baseline gray, progressive gray, and progressive
+    4:2:0 color, across intervals that land mid-byte and at block
+    boundaries (including ri=1, a restart after every MCU)."""
+    from tada_spark.functions.jpeg import (
+        encode_jpeg_color420, encode_jpeg_gray, encode_jpeg_progressive,
+        jpeg_decode)
+
+    rng = np.random.default_rng(906)
+    for _ in range(5):
+        img = _rand_gray(rng, 9, 50)
+        ref = jpeg_decode(encode_jpeg_gray(img))
+        for ri in (1, 2, 3, 7):
+            assert np.array_equal(
+                jpeg_decode(encode_jpeg_gray(img, restart_interval=ri)), ref)
+            assert np.array_equal(
+                jpeg_decode(encode_jpeg_progressive(img, restart_interval=ri)), ref)
+    y = rng.integers(0, 256, size=(30, 41), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(15, 21), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(15, 21), dtype=np.uint8)
+    ref = jpeg_decode(encode_jpeg_color420(y, cb, cr))
+    assert np.array_equal(
+        jpeg_decode(encode_jpeg_progressive(y, cb, cr, restart_interval=2)), ref)
+
+
+def test_restart_marker_sequence_is_verified():
+    """A stream whose RSTn sequence number is wrong must refuse — a
+    decoder that ignores the 0-7 cycle silently accepts dropped or
+    duplicated restart segments."""
+    import pytest
+
+    from tada_spark.functions.jpeg import encode_jpeg_gray, jpeg_decode
+
+    img = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+    enc = bytearray(encode_jpeg_gray(img, restart_interval=2))
+    i = enc.find(b"\xff\xd0")  # first RST0 -> corrupt to RST3
+    assert i > 0
+    enc[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="expected restart marker RST0"):
+        jpeg_decode(bytes(enc))
