@@ -1,5 +1,5 @@
 """Pure-stdlib JPEG codec — baseline (SOF0) AND progressive (SOF2),
-grayscale + 4:2:0/4:4:4 color — no Pillow.
+grayscale + 4:2:0/4:2:2/4:4:0/4:4:4 color — no Pillow.
 
 Closes the last dormant decode path the round-4/7 verdicts tracked:
 PNG decode has been REAL since round 5 (stdlib zlib, all five scanline
@@ -16,9 +16,9 @@ upsampling, and YCbCr→RGB conversion.
 Scope (documented, enforced by explicit errors): baseline DCT
 (SOF0) and progressive DCT (SOF2, both spectral selection and
 successive approximation — T.81 §G), 8-bit, grayscale (1×1) or
-YCbCr with 4:2:0 (luma 2×2, chroma 1×1) or 4:4:4 (all 1×1)
-sampling, restart intervals (DRI/RSTn with predictor + EOB-run
-reset, both frame types), no arithmetic coding.  Between them,
+YCbCr with luma sampling up to 2×2 over 1×1 chroma — 4:2:0, 4:2:2,
+4:4:0 and 4:4:4 — plus restart intervals (DRI/RSTn with predictor +
+EOB-run reset, both frame types); no arithmetic coding.  Between them,
 SOF0+SOF2 cover effectively the whole web corpus: crawls run
 roughly 85-95% baseline and 5-15% progressive (large photos
 re-encoded by CDNs skew progressive), while arithmetic coding
@@ -551,11 +551,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             samplings = [(hi, vi) for _cid, hi, vi, _tq in comps]
             if ncomp == 1 and samplings != [(1, 1)]:
                 raise ValueError("subsampling on a 1-component scan unsupported")
-            if ncomp == 3 and samplings not in (
-                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
-                [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+            if ncomp == 3 and (
+                samplings[0] not in ((1, 1), (2, 1), (1, 2), (2, 2))
+                or samplings[1:] != [(1, 1), (1, 1)]
             ):
-                raise ValueError(f"sampling {samplings} unsupported (4:2:0/4:4:4 only)")
+                # luma up to 2x in either axis over 1x1 chroma covers
+                # 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 — everything a real
+                # YCbCr corpus uses; exotic ratios refuse
+                raise ValueError(f"sampling {samplings} unsupported")
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline frame marker 0xFF{marker:02X}")
@@ -718,10 +721,13 @@ def _encode_block(
     return pred
 
 
-def _pad_edge(img: np.ndarray, mult: int) -> np.ndarray:
-    """Edge-replicate pad both dims up to a multiple of ``mult``."""
+def _pad_edge(img: np.ndarray, mult: int | tuple[int, int]) -> np.ndarray:
+    """Edge-replicate pad up to a multiple of ``mult`` per dim (an int
+    applies to both; a (mult_h, mult_w) pair pads asymmetrically — the
+    4:2:2 luma plane pads to 8 rows but 16 columns)."""
+    mh, mw = (mult, mult) if isinstance(mult, int) else mult
     h, w = img.shape
-    ph, pw = -h % mult, -w % mult
+    ph, pw = -h % mh, -w % mw
     return np.pad(img, ((0, ph), (0, pw)), mode="edge")
 
 
@@ -771,54 +777,96 @@ def encode_jpeg_gray(
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
+def _chroma_shape(h: int, w: int, samp: tuple[int, int]) -> tuple[int, int]:
+    hs, vs = samp
+    return (h + vs - 1) // vs, (w + hs - 1) // hs
+
+
+def _encode_color_baseline(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, samp: tuple[int, int],
+    qtable_luma: np.ndarray, qtable_chroma: np.ndarray,
+    restart_interval: int = 0,
+) -> bytes:
+    """Shared baseline YCbCr encoder over a luma sampling factor
+    (hs, vs) ∈ {1,2}² with 1×1 chroma: interleaved MCUs (hs·vs luma
+    blocks + Cb + Cr), per-component DC predictors, two quant tables,
+    shared standard Huffman tables, optional restart markers."""
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    hs, vs = samp
+    h, w = y.shape
+    want = _chroma_shape(h, w, samp)
+    if cb.shape != want or cr.shape != want:
+        raise ValueError(f"chroma planes must be {want} for sampling {samp}")
+    dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    yp = _pad_edge(y, (8 * vs, 8 * hs))
+    cbp = _pad_edge(cb, 8)
+    crp = _pad_edge(cr, 8)
+    mcuy, mcux = yp.shape[0] // (8 * vs), yp.shape[1] // (8 * hs)
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    rst_seq = 0
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wtr.emit_marker(0xD0 + rst_seq)
+            rst_seq = (rst_seq + 1) % 8
+            preds = [0, 0, 0]
+        my, mx = divmod(mcu, mcux)
+        for v in range(vs):  # luma blocks, raster order in the MCU
+            for hh in range(hs):
+                y0, x0 = (my * vs + v) * 8, (mx * hs + hh) * 8
+                block = yp[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+                preds[0] = _encode_block(wtr, block, qtable_luma, preds[0], dc_enc, ac_enc)
+        for ci, plane in ((1, cbp), (2, crp)):
+            block = plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8].astype(np.float64) - 128.0
+            preds[ci] = _encode_block(wtr, block, qtable_chroma, preds[ci], dc_enc, ac_enc)
+    scan = wtr.flush()
+    zzl = bytes(int(qtable_luma.ravel()[ZIGZAG[i]]) for i in range(64))
+    zzc = bytes(int(qtable_chroma.ravel()[ZIGZAG[i]]) for i in range(64))
+    dqt = _seg(0xDB, b"\x00" + zzl) + _seg(0xDB, b"\x01" + zzc)
+    sof = _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) +
+               b"\x03" + bytes([0x01, (hs << 4) | vs, 0x00]) + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
+        _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = _seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+
+
 def encode_jpeg_color420(
     y: np.ndarray,
     cb: np.ndarray,
     cr: np.ndarray,
     qtable_luma: np.ndarray = QTABLE_FLAT8,
     qtable_chroma: np.ndarray = QTABLE_FLAT8,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode pre-subsampled YCbCr planes as a baseline 4:2:0 JPEG:
     luma (h, w) at 2×2 sampling, chroma (ceil(h/2), ceil(w/2)) at 1×1,
-    interleaved MCUs (4 Y + 1 Cb + 1 Cr per 16×16), per-component DC
-    predictors, two quant tables, shared standard Huffman tables."""
-    y = np.asarray(y, dtype=np.uint8)
-    cb = np.asarray(cb, dtype=np.uint8)
-    cr = np.asarray(cr, dtype=np.uint8)
-    h, w = y.shape
-    if cb.shape != ((h + 1) // 2, (w + 1) // 2) or cr.shape != cb.shape:
-        raise ValueError("chroma planes must be ceil(h/2) x ceil(w/2)")
-    dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
-    yp = _pad_edge(y, 16)
-    cbp = _pad_edge(cb, 8)
-    crp = _pad_edge(cr, 8)
-    mcuy, mcux = yp.shape[0] // 16, yp.shape[1] // 16
-    wtr = _BitWriter()
-    preds = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for v in range(2):  # 4 luma blocks, raster order in the MCU
-                for hh in range(2):
-                    y0, x0 = my * 16 + v * 8, mx * 16 + hh * 8
-                    block = yp[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
-                    preds[0] = _encode_block(wtr, block, qtable_luma, preds[0], dc_enc, ac_enc)
-            for ci, plane in ((1, cbp), (2, crp)):
-                block = plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8].astype(np.float64) - 128.0
-                preds[ci] = _encode_block(wtr, block, qtable_chroma, preds[ci], dc_enc, ac_enc)
-    scan = wtr.flush()
-    zzl = bytes(int(qtable_luma.ravel()[ZIGZAG[i]]) for i in range(64))
-    zzc = bytes(int(qtable_chroma.ravel()[ZIGZAG[i]]) for i in range(64))
-    dqt = _seg(0xDB, b"\x00" + zzl) + _seg(0xDB, b"\x01" + zzc)
-    sof = _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) +
-               b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
-    dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
-        _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    sos = _seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    interleaved MCUs (4 Y + 1 Cb + 1 Cr per 16×16)."""
+    return _encode_color_baseline(
+        y, cb, cr, (2, 2), qtable_luma, qtable_chroma, restart_interval)
 
 
-def _quantized_blocks(plane: np.ndarray, qtable: np.ndarray, pad_mult: int) -> np.ndarray:
+def encode_jpeg_color422(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtable_luma: np.ndarray = QTABLE_FLAT8,
+    qtable_chroma: np.ndarray = QTABLE_FLAT8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode pre-subsampled YCbCr planes as a baseline 4:2:2 JPEG —
+    the video/scanner shape: luma (h, w) at 2×1 sampling, chroma
+    (h, ceil(w/2)) at 1×1, interleaved MCUs (2 Y + Cb + Cr per
+    8×16)."""
+    return _encode_color_baseline(
+        y, cb, cr, (2, 1), qtable_luma, qtable_chroma, restart_interval)
+
+
+def _quantized_blocks(plane: np.ndarray, qtable: np.ndarray, pad_mult: int | tuple[int, int]) -> np.ndarray:
     """(nby, nbx, 64) zigzag-order quantized DCT coefficients of an
     edge-padded uint8 plane — the shared front half of every encoder."""
     padded = _pad_edge(np.asarray(plane, dtype=np.uint8), pad_mult)
@@ -911,11 +959,14 @@ def encode_jpeg_progressive(
     qtable_chroma: np.ndarray = QTABLE_FLAT8,
     band_split: int = 6,
     restart_interval: int = 0,
+    sampling: tuple[int, int] = (2, 2),
 ) -> bytes:
-    """Progressive (SOF2) encoder — grayscale, or 4:2:0 YCbCr when
-    pre-subsampled chroma planes are given (same plane contract as
-    encode_jpeg_color420). The scan script exercises BOTH progressive
-    dimensions so the decoder's every path round-trips:
+    """Progressive (SOF2) encoder — grayscale, or YCbCr when
+    pre-subsampled chroma planes are given (plane contract as the
+    baseline color encoders; ``sampling`` is the luma (hs, vs) factor:
+    (2, 2) = 4:2:0, (2, 1) = 4:2:2, (1, 1) = 4:4:4). The scan script
+    exercises BOTH progressive dimensions so the decoder's every path
+    round-trips:
 
     1. DC first, interleaved, Al=1 (arithmetic-shifted diffs);
     2-3(per comp). AC first, bands [1, band_split-1] and
@@ -943,11 +994,15 @@ def encode_jpeg_progressive(
     else:
         cb = np.asarray(cb, dtype=np.uint8)
         cr = np.asarray(cr, dtype=np.uint8)
-        if cb.shape != ((h + 1) // 2, (w + 1) // 2) or cr.shape != cb.shape:
-            raise ValueError("chroma planes must be ceil(h/2) x ceil(w/2)")
-        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        hs, vs = sampling
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise ValueError(f"sampling factors must be 1 or 2, got {sampling}")
+        want = _chroma_shape(h, w, sampling)
+        if cb.shape != want or cr.shape != want:
+            raise ValueError(f"chroma planes must be {want} for sampling {sampling}")
+        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
         coefs = [
-            _quantized_blocks(y, qtable_luma, 16),
+            _quantized_blocks(y, qtable_luma, (8 * vs, 8 * hs)),
             _quantized_blocks(cb, qtable_chroma, 8),
             _quantized_blocks(cr, qtable_chroma, 8),
         ]
@@ -1033,8 +1088,10 @@ def encode_jpeg_progressive(
     else:
         zzc = bytes(int(qtable_chroma.ravel()[ZIGZAG[i]]) for i in range(64))
         dqt = _seg(0xDB, b"\x00" + zzl) + _seg(0xDB, b"\x01" + zzc)
+        hs, vs = sampling
         sof = _seg(0xC2, b"\x08" + struct.pack(">HH", h, w) +
-                   b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+                   b"\x03" + bytes([0x01, (hs << 4) | vs, 0x00]) +
+                   b"\x02\x11\x01" + b"\x03\x11\x01")
     dht = _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)) + \
         _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
     dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""

@@ -287,12 +287,13 @@ def test_jpeg_gray_strictness_and_unsupported_sampling():
     color = encode_jpeg_color420(y, c, c)
     with pytest.raises(ValueError, match="color JPEG"):
         jpeg_decode_gray(color)
-    # 4:2:2 (luma 2x1) must refuse, not mis-tile
+    # exotic sampling (luma 3x1 — outside the 2x2-over-1x1 family that
+    # r9 extended support to) must refuse, not mis-tile
     bad = bytearray(color)
     sof = bad.find(b"\xff\xc0")
     # SOF0 layout: FFC0 len(2) prec(1) h(2) w(2) ncomp(1) [id HV tq]...
     assert bad[sof + 11] == 0x22  # luma HV byte
-    bad[sof + 11] = 0x21
+    bad[sof + 11] = 0x31
     with pytest.raises(ValueError, match="sampling"):
         jpeg_decode(bytes(bad))
 

@@ -376,3 +376,50 @@ def test_restart_marker_sequence_is_verified():
     enc[i + 1] = 0xD3
     with pytest.raises(ValueError, match="expected restart marker RST0"):
         jpeg_decode(bytes(enc))
+
+
+def test_color422_all_paths_agree():
+    """4:2:2 (the video/scanner chroma layout): baseline, progressive,
+    and restart-interval encodings must decode identically, and flat
+    planes must match the T.871 conversion computed independently in
+    numpy (exactly invertible planes make the comparison exact)."""
+    from tada_spark.functions.jpeg import (
+        encode_jpeg_color422, encode_jpeg_progressive, jpeg_decode)
+
+    rng = np.random.default_rng(907)
+    for _ in range(5):
+        y = _rand_gray(rng, 5, 40)
+        h, w = y.shape
+        cb = rng.integers(0, 256, size=(h, (w + 1) // 2), dtype=np.uint8)
+        cr = rng.integers(0, 256, size=(h, (w + 1) // 2), dtype=np.uint8)
+        base = jpeg_decode(encode_jpeg_color422(y, cb, cr))
+        assert base.shape == (h, w, 3)
+        assert np.array_equal(
+            jpeg_decode(encode_jpeg_progressive(y, cb, cr, sampling=(2, 1))), base)
+        assert np.array_equal(
+            jpeg_decode(encode_jpeg_color422(y, cb, cr, restart_interval=3)), base)
+    yv, cbv, crv = 70.0, 160.0, 90.0
+    out = jpeg_decode(encode_jpeg_color422(
+        np.full((16, 24), 70, dtype=np.uint8),
+        np.full((16, 12), 160, dtype=np.uint8),
+        np.full((16, 12), 90, dtype=np.uint8)))
+    exp = np.clip(np.round(np.array([
+        yv + 1.402 * (crv - 128.0),
+        yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0),
+        yv + 1.772 * (cbv - 128.0)])), 0, 255)
+    assert np.array_equal(out[0, 0], exp)
+    assert (out == out[0, 0]).all()
+
+
+def test_color_sampling_contract_errors():
+    import pytest
+
+    from tada_spark.functions.jpeg import (
+        encode_jpeg_color422, encode_jpeg_progressive)
+
+    y = np.full((16, 16), 50, dtype=np.uint8)
+    wrong = np.full((8, 8), 128, dtype=np.uint8)  # 4:2:0-shaped chroma
+    with pytest.raises(ValueError, match="chroma planes must be"):
+        encode_jpeg_color422(y, wrong, wrong)
+    with pytest.raises(ValueError, match="sampling factors"):
+        encode_jpeg_progressive(y, wrong, wrong, sampling=(3, 1))
