@@ -9867,10 +9867,14 @@ def jpeg_progressive_decode(spark, sf):
     PROGRESSIVELY (6 scans gray / 14 scans color: DC first Al=1, AC
     first per band Al=1, DC+AC refinement to Al=0), decoded by the
     multi-scan path, and hash-checked against the analytic DuckDB
-    pixel-sum oracle. Odd media_ids are 4:2:0 color with neutral
-    chroma (interleaved DC MCU order + per-component AC scans run for
-    real; R=G=B=Y keeps the luma analytic). Dims differ from the
-    baseline twin so the two entries can't mask each other."""
+    pixel-sum oracle. The doc_id % 4 residue rotates the transport so
+    one entry drives every decoder dimension: 0 = gray with a
+    restart interval of 2 (DRI/RSTn resets inside every scan), 1 =
+    4:2:0 color (interleaved 2×2 DC MCUs + per-component AC scans),
+    2 = plain gray, 3 = 4:2:2 color with restart interval 3 (2×1
+    MCU geometry). Color uses neutral chroma so R=G=B=Y keeps the
+    luma analytic. Dims differ from the baseline twin so the two
+    entries can't mask each other."""
     from tada_spark.functions import jpeg, multimodal
 
     docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
@@ -9889,10 +9893,17 @@ def jpeg_progressive_decode(spark, sf):
                 for y in range(h):
                     for x in range(w):
                         img[y, x] = (41 + 31 * mid + 59 * ((y // 8) * bw + x // 8)) % 256
-                if mid % 2:
+                mode = mid % 4
+                if mode == 1:  # 4:2:0 color
                     neutral = np.full(((h + 1) // 2, (w + 1) // 2), 128, dtype=np.uint8)
                     payloads.append(jpeg.encode_jpeg_progressive(img, neutral, neutral))
-                else:
+                elif mode == 3:  # 4:2:2 color with restarts
+                    neutral = np.full((h, (w + 1) // 2), 128, dtype=np.uint8)
+                    payloads.append(jpeg.encode_jpeg_progressive(
+                        img, neutral, neutral, sampling=(2, 1), restart_interval=3))
+                elif mode == 0:  # gray with restarts
+                    payloads.append(jpeg.encode_jpeg_progressive(img, restart_interval=2))
+                else:  # plain gray
                     payloads.append(jpeg.encode_jpeg_progressive(img))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
