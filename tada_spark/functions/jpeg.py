@@ -146,12 +146,20 @@ class _BitReader:
 
     def restart(self, expected: int) -> None:
         """Consume an RSTn marker (T.81 § E.2.4): discard the rest of
-        the current byte (the encoder padded it with 1-bits), then the
-        two marker bytes, verifying the 0-7 restart sequence number."""
+        the current byte (the encoder padded it with 1-bits), skip any
+        0xFF fill bytes (B.1.1.2 allows any number before a marker),
+        then the two marker bytes, verifying the 0-7 restart sequence
+        number."""
         if self.bit != 0:
             # mid-byte: the partially-read byte may be a stuffed 0xFF00
             self.pos += 2 if self.data[self.pos] == 0xFF else 1
             self.bit = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill byte
         if self.pos + 1 >= len(self.data):
             raise ValueError("truncated entropy stream")
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expected:
@@ -459,7 +467,8 @@ def _progressive_scan(
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG to uint8:
     (h, w) for grayscale, (h, w, 3) RGB for three-component YCbCr
-    (4:2:0 or 4:4:4).
+    (any luma sampling up to 2×2 over 1×1 chroma — 4:2:0, 4:2:2, 4:4:0,
+    4:4:4), with DRI/RSTn restart intervals.
 
     Full bitstream path: SOI, table/frame/scan segments, Huffman decode
     with per-component DC prediction, dezigzag, dequantize, IDCT,
@@ -735,6 +744,14 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
+def _check_restart_interval(restart_interval: int) -> None:
+    """DRI carries a 16-bit MCU count; negative values would also
+    corrupt the modulo-driven marker placement — refuse up front."""
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError(
+            f"restart_interval must be in [0, 65535], got {restart_interval}")
+
+
 def encode_jpeg_gray(
     img: np.ndarray,
     qtable: np.ndarray = QTABLE_FLAT8,
@@ -749,6 +766,7 @@ def encode_jpeg_gray(
     marker (with DC-predictor reset) every that-many MCUs — the
     camera-encoder shape the decoder's restart path needs payloads
     for."""
+    _check_restart_interval(restart_interval)
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
@@ -791,6 +809,7 @@ def _encode_color_baseline(
     (hs, vs) ∈ {1,2}² with 1×1 chroma: interleaved MCUs (hs·vs luma
     blocks + Cb + Cr), per-component DC predictors, two quant tables,
     shared standard Huffman tables, optional restart markers."""
+    _check_restart_interval(restart_interval)
     y = np.asarray(y, dtype=np.uint8)
     cb = np.asarray(cb, dtype=np.uint8)
     cr = np.asarray(cr, dtype=np.uint8)
@@ -984,6 +1003,7 @@ def encode_jpeg_progressive(
         # out-of-range splits would emit a spec-invalid (undecodable)
         # stream — fail at encode time, not in some later decoder
         raise ValueError(f"band_split must be in [2, 63], got {band_split}")
+    _check_restart_interval(restart_interval)
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
     dc_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
@@ -1026,10 +1046,12 @@ def encode_jpeg_progressive(
 
     ri = restart_interval
 
-    def maybe_rst(wtr: _BitWriter, unit: int, seq: list[int]) -> None:
+    def maybe_rst(wtr: _BitWriter, unit: int, seq: list[int]) -> bool:
         if ri and unit and unit % ri == 0:
             wtr.emit_marker(0xD0 + seq[0])
             seq[0] = (seq[0] + 1) % 8
+            return True
+        return False
 
     chunks: list[bytes] = []
     # scan 1: DC first, interleaved, Al=1 (restarts count MCUs)
@@ -1037,9 +1059,7 @@ def encode_jpeg_progressive(
     preds = [0] * len(comps)
     seq = [0]
     for mcu in range(mcuy * mcux):
-        if ri and mcu and mcu % ri == 0:
-            wtr.emit_marker(0xD0 + seq[0])
-            seq[0] = (seq[0] + 1) % 8
+        if maybe_rst(wtr, mcu, seq):
             preds = [0] * len(comps)
         for ci, by, bx in mcu_blocks(mcu):
             dc = int(coefs[ci][by, bx, 0]) >> 1

@@ -423,3 +423,48 @@ def test_color_sampling_contract_errors():
         encode_jpeg_color422(y, wrong, wrong)
     with pytest.raises(ValueError, match="sampling factors"):
         encode_jpeg_progressive(y, wrong, wrong, sampling=(3, 1))
+
+
+def test_color440_roundtrips_and_fill_bytes_before_restart():
+    """4:4:0 ((1,2) luma — vertical-only subsample) is in the accepted
+    family and must round-trip baseline == progressive; and a
+    spec-legal 0xFF fill byte before an RSTn marker (T.81 B.1.1.2)
+    must decode, not refuse."""
+    from tada_spark.functions.jpeg import (
+        _encode_color_baseline, QTABLE_FLAT8, encode_jpeg_gray,
+        encode_jpeg_progressive, jpeg_decode)
+
+    rng = np.random.default_rng(908)
+    for _ in range(4):
+        y = _rand_gray(rng, 5, 40)
+        h, w = y.shape
+        cb = rng.integers(0, 256, size=((h + 1) // 2, w), dtype=np.uint8)
+        cr = rng.integers(0, 256, size=((h + 1) // 2, w), dtype=np.uint8)
+        base = jpeg_decode(_encode_color_baseline(
+            y, cb, cr, (1, 2), QTABLE_FLAT8, QTABLE_FLAT8))
+        assert base.shape == (h, w, 3)
+        assert np.array_equal(
+            jpeg_decode(encode_jpeg_progressive(y, cb, cr, sampling=(1, 2))), base)
+    img = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+    ref = jpeg_decode(encode_jpeg_gray(img))
+    enc = bytearray(encode_jpeg_gray(img, restart_interval=2))
+    i = enc.find(b"\xff\xd0")
+    enc[i:i] = b"\xff"  # fill byte before RST0
+    assert np.array_equal(jpeg_decode(bytes(enc)), ref)
+
+
+def test_encoders_reject_bad_restart_interval():
+    import pytest
+
+    from tada_spark.functions.jpeg import (
+        encode_jpeg_color422, encode_jpeg_gray, encode_jpeg_progressive)
+
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    c = np.full((8, 4), 128, dtype=np.uint8)
+    for bad in (-1, 70000):
+        with pytest.raises(ValueError, match="restart_interval"):
+            encode_jpeg_gray(img, restart_interval=bad)
+        with pytest.raises(ValueError, match="restart_interval"):
+            encode_jpeg_progressive(img, restart_interval=bad)
+        with pytest.raises(ValueError, match="restart_interval"):
+            encode_jpeg_color422(img, c, c, restart_interval=bad)
