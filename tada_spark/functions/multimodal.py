@@ -232,13 +232,16 @@ def audio_features(
 
 def png_decode_pixels(payload: bytes):
     """REAL PNG decode to the raw pixel array — stdlib ``zlib`` +
-    ``struct`` + numpy, no external libraries. Handles non-interlaced
-    8-bit-depth PNGs in all five standard scanline filters
-    (None/Sub/Up/Average/Paeth) and color types 0 (gray), 2 (RGB),
-    4 (gray+alpha), 6 (RGBA); palette, 16-bit and interlaced images
-    raise (drop policy, like unsupported PCM widths). Returns an
-    int64 ndarray of shape (h, w, channels) — the decode half every
-    pixel operator (features, resize) builds on."""
+    ``struct`` + numpy, no external libraries. Handles 8-bit-depth
+    PNGs in all five standard scanline filters
+    (None/Sub/Up/Average/Paeth), color types 0 (gray), 2 (RGB),
+    3 (palette — mapped through PLTE to RGB, since round 9),
+    4 (gray+alpha), 6 (RGBA), and BOTH interlace modes — progressive
+    Adam7 streams de-filter each of the seven sub-images independently
+    and interleave back (round 9); 16-bit depth raises (drop policy,
+    like unsupported PCM widths). Returns an int64 ndarray of shape
+    (h, w, channels) — the decode half every pixel operator
+    (features, resize) builds on."""
     import struct
     import zlib
 
@@ -249,7 +252,7 @@ def png_decode_pixels(payload: bytes):
     b = bytes(payload)
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, idat, meta = 8, bytearray(), None
+    pos, idat, meta, palette = 8, bytearray(), None, None
     while pos + 8 <= len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
@@ -257,6 +260,10 @@ def png_decode_pixels(payload: bytes):
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
             meta = (w, h, depth, color, interlace)
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0:
+                raise ValueError("malformed PLTE chunk")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -265,43 +272,78 @@ def png_decode_pixels(payload: bytes):
     if meta is None:
         raise ValueError("no IHDR")
     w, h, depth, color, interlace = meta
-    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 4, 6):
         raise ValueError(f"unsupported PNG (depth={depth} color={color} interlace={interlace})")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    stride = w * ch
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("truncated image data")
 
-    prev = np.zeros(stride, dtype=np.int64)
-    rows = []
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int64)
-        if ft == 0:
-            rec = line
-        elif ft == 2:  # Up — vectorized
-            rec = (line + prev) & 255
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
-            rec = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0  # left
-                bb = prev[x]  # up
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + bb) // 2
-                else:
-                    c = prev[x - ch] if x >= ch else 0  # up-left
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                rec[x] = (line[x] + pred) & 255
-        else:
-            raise ValueError(f"bad filter type {ft}")
-        rows.append(rec)
-        prev = rec
-    return np.stack(rows).reshape(h, w, ch)
+    def unfilter(offset: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
+        """De-filter one image (a whole non-interlaced frame, or one
+        Adam7 pass): ph scanlines of pw pixels, each prefixed by its
+        filter-type byte; the prev-row predictor resets at the top."""
+        stride = pw * ch
+        if len(raw) < offset + ph * (stride + 1):
+            raise ValueError("truncated image data")
+        prev = np.zeros(stride, dtype=np.int64)
+        rows = []
+        for y in range(ph):
+            base = offset + y * (stride + 1)
+            ft = raw[base]
+            line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int64)
+            if ft == 0:
+                rec = line
+            elif ft == 2:  # Up — vectorized
+                rec = (line + prev) & 255
+            elif ft in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+                rec = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = rec[x - ch] if x >= ch else 0  # left
+                    bb = prev[x]  # up
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + bb) // 2
+                    else:
+                        c = prev[x - ch] if x >= ch else 0  # up-left
+                        p = a + bb - c
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 255
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            rows.append(rec)
+            prev = rec
+        img = np.stack(rows).reshape(ph, pw, ch) if ph else \
+            np.zeros((0, pw, ch), dtype=np.int64)
+        return img, offset + ph * (stride + 1)
+
+    if interlace == 0:
+        px, end = unfilter(0, w, h)
+        if end != len(raw):
+            raise ValueError("trailing image data")
+    else:  # Adam7: seven sub-images, each filtered independently
+        px = np.zeros((h, w, ch), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images
+            sub, off = unfilter(off, pw, ph)
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("trailing image data")
+    if color == 3:  # indexed: map through the PLTE to RGB
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx].astype(np.int64)
+    return px
 
 
 def png_image_decoder(payload: bytes) -> tuple[int, int, float]:

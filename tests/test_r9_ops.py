@@ -468,3 +468,81 @@ def test_encoders_reject_bad_restart_interval():
             encode_jpeg_progressive(img, restart_interval=bad)
         with pytest.raises(ValueError, match="restart_interval"):
             encode_jpeg_color422(img, c, c, restart_interval=bad)
+
+
+# ---------------------------------------------------------------------------
+# PNG round-9 extensions: Adam7 interlace + palette (PLTE) color type.
+# ---------------------------------------------------------------------------
+
+def _png_chunk(ctype, data):
+    import struct
+    import zlib
+
+    c = ctype + data
+    return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+
+def _make_png(w, h, color, interlace, idat, extra=b""):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + extra +
+            _png_chunk(b"IDAT", zlib.compress(idat)) + _png_chunk(b"IEND", b""))
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _interlaced_idat(img):
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if pw == 0 or ph == 0:
+            continue  # empty pass (small images)
+        for y in range(ph):
+            out += b"\x00" + sub[y].tobytes()
+    return bytes(out)
+
+
+def test_png_adam7_interlace_decodes():
+    """Adam7 streams carry seven independently-filtered sub-images;
+    the decoder must de-filter each and interleave back — checked
+    against the known pixels for gray and RGB across sizes that leave
+    some passes empty (1x1 has six empty passes)."""
+    from tada_spark.functions.multimodal import png_decode_pixels
+
+    rng = np.random.default_rng(909)
+    for h, w in ((1, 1), (3, 5), (8, 8), (17, 23), (31, 9)):
+        img = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+        got = png_decode_pixels(_make_png(w, h, 0, 1, _interlaced_idat(img)))
+        assert np.array_equal(got, img.astype(np.int64)), (h, w)
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = png_decode_pixels(_make_png(w, h, 2, 1, _interlaced_idat(rgb)))
+        assert np.array_equal(got, rgb.astype(np.int64)), (h, w)
+
+
+def test_png_palette_decodes_and_guards():
+    """Color type 3 maps indices through the PLTE to RGB — including
+    under Adam7; a missing PLTE and an out-of-range index refuse."""
+    import pytest
+
+    from tada_spark.functions.multimodal import png_decode_pixels
+
+    rng = np.random.default_rng(910)
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(9, 13, 1), dtype=np.uint8)
+    plain = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+    want = pal[idx[:, :, 0]].astype(np.int64)
+    plte = _png_chunk(b"PLTE", pal.tobytes())
+    assert np.array_equal(
+        png_decode_pixels(_make_png(13, 9, 3, 0, plain, extra=plte)), want)
+    assert np.array_equal(
+        png_decode_pixels(_make_png(13, 9, 3, 1, _interlaced_idat(idx), extra=plte)), want)
+    with pytest.raises(ValueError, match="without PLTE"):
+        png_decode_pixels(_make_png(13, 9, 3, 0, plain))
+    short = _png_chunk(b"PLTE", pal[:5].tobytes())
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode_pixels(_make_png(13, 9, 3, 0, plain, extra=short))
