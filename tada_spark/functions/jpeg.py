@@ -635,9 +635,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
 
 
 def jpeg_decode_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG to a (h, w) uint8 array
-    (strict: a color stream is a contract error here — use
-    jpeg_decode for either)."""
+    """Decode a single-component (grayscale) JPEG — baseline or
+    progressive — to a (h, w) uint8 array (strict: a color stream is a
+    contract error here; use jpeg_decode for either)."""
     out = jpeg_decode(payload)
     if out.ndim != 2:
         raise ValueError("color JPEG passed to jpeg_decode_gray")

@@ -20,7 +20,9 @@ def main() -> None:
     import tada_spark.frame as fr
     import tada_spark.operators.grouped as gr
     from tada_spark.operators import bloomjoin, cdc, interval, layout, linkage, reshape, skew, validate
-    from tada_spark.functions import dedup, multimodal, sampling, similarity, stats, text
+    from tada_spark.functions import dedup, jpeg, multimodal, sampling, similarity, stats, text
+    from tada_spark.functions import sketches
+    from tada_spark.operators import spatial
     import tada_spark.sources.bucketed as bucketed
     import tada_spark.sources.codec as codec
     import tada_spark.sources.records as records
@@ -70,6 +72,9 @@ def main() -> None:
         ("Fuzzy linkage (operators.linkage)", modfuncs(linkage)),
         ("Expectations (operators.validate)", modfuncs(validate)),
         ("Multimodal (functions.multimodal)", modfuncs(multimodal)),
+        ("JPEG codec (functions.jpeg)", modfuncs(jpeg)),
+        ("Sketches (functions.sketches)", modfuncs(sketches)),
+        ("Spatial (operators.spatial)", modfuncs(spatial)),
         (
             "Sources (records / structs / codec / bucketed)",
             modfuncs(records) + modfuncs(structs) + modfuncs(codec) + modfuncs(bucketed),
