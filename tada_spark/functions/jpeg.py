@@ -27,7 +27,11 @@ ValueError('non-baseline frame marker').  Undecodable rows are
 caught and DROPPED per row by the mapInPandas adapter
 (multimodal.image_features) rather than failing the task.
 Truncated payloads raise ValueError('truncated entropy stream'),
-never IndexError.
+never IndexError — and jpeg_decode's boundary is additionally wrapped
+by functions/decode_guard.corrupt_input_guard, so ANY mutated
+bitstream (flipped Huffman bits reaching table lookups, short header
+reads hitting struct.unpack, magnitude overflows) surfaces as the
+contract ValueError, fuzz-pinned by tests/test_decode_fuzz.py.
 
 Oracle strategy (the png_decode_real discipline): the ENCODER here is
 general — forward DCT, quantization, standard-table Huffman — and the
@@ -48,6 +52,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from tada_spark.functions.decode_guard import corrupt_input_guard
 
 #: Zigzag order: zigzag_index -> raster (row*8+col) position.
 ZIGZAG = [
@@ -464,6 +470,7 @@ def _progressive_scan(
     return _next_marker(payload, r)
 
 
+@corrupt_input_guard("JPEG")
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG to uint8:
     (h, w) for grayscale, (h, w, 3) RGB for three-component YCbCr

@@ -23,6 +23,12 @@ Design for 100 TB of media:
   * decode/feature-extract runs in mapInPandas — Arrow batches, one
     Python worker per core, no per-row pickling.
   * never collect payloads to the driver.
+  * corrupt bytes NEVER kill a task: the public decode entry points
+    are wrapped by functions/decode_guard.corrupt_input_guard, which
+    normalizes low-level stdlib/numpy failures (struct.error,
+    zlib.error, wave.Error, IndexError …) into the documented
+    ValueError so the adapters' drop policy applies uniformly
+    (fuzz-pinned by tests/test_decode_fuzz.py).
 """
 
 from __future__ import annotations
@@ -34,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from tada_spark.functions.decode_guard import corrupt_input_guard
 
 #: Schema for a decoded-image feature batch.
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -140,6 +148,7 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, float, float]:
     return sample_rate, duration_s, rms
 
 
+@corrupt_input_guard("WAV")
 def wav_audio_decoder(payload: bytes) -> tuple[int, float, float]:
     """REAL audio decoder for PCM WAV — stdlib ``wave`` + numpy, no
     external libraries. Pass as ``audio_features(..., decoder=
@@ -230,6 +239,7 @@ def audio_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+@corrupt_input_guard("PNG")
 def png_decode_pixels(payload: bytes):
     """REAL PNG decode to the raw pixel array — stdlib ``zlib`` +
     ``struct`` + numpy, no external libraries. Handles 8-bit-depth
@@ -486,6 +496,7 @@ def image_resize_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+@corrupt_input_guard("WAV")
 def wav_pcm_samples(payload: bytes):
     """Raw-sample PCM WAV decode (mono 16/8-bit, stdlib wave + numpy):
     returns (sample_rate, float64 samples in [-1, 1)). The sample-level

