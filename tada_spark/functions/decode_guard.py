@@ -32,16 +32,20 @@ import zlib
 from collections.abc import Callable
 
 #: Exception types a mutated payload can provoke from the stdlib/numpy
-#: primitives the decoders are built on. RuntimeError is included for
-#: the stdlib ``chunk``/``wave`` readers, which raise it bare on some
-#: malformed size fields.
+#: primitives the decoders are built on. Deliberately NOT here:
+#: MemoryError (a valid payload on a memory-tight executor is not
+#: corrupt — rewrapping it would make the drop policy nondeterministic
+#: across runs) and RuntimeError subclasses like RecursionError /
+#: NotImplementedError (genuine programming errors must fail loudly).
+#: Bare RuntimeError IS a corrupt-input signal — CPython's ``wave``
+#: reader raises it unsubclassed on malformed RIFF chunk sizes
+#: (wave.py initfp, verified on 3.11) — so the handler admits it by
+#: exact type only.
 _CORRUPT_PAYLOAD_ERRORS: tuple[type[BaseException], ...] = (
     IndexError,
     KeyError,
     OverflowError,
     EOFError,
-    MemoryError,
-    RuntimeError,
     struct.error,
     zlib.error,
     wave.Error,
@@ -62,6 +66,12 @@ def corrupt_input_guard(fmt: str) -> Callable:
                 return fn(*args, **kwargs)
             except ValueError:
                 raise
+            except RuntimeError as e:
+                if type(e) is not RuntimeError:  # RecursionError etc.
+                    raise
+                raise ValueError(
+                    f"corrupt {fmt} payload ({type(e).__name__}: {e})"
+                ) from e
             except _CORRUPT_PAYLOAD_ERRORS as e:
                 raise ValueError(
                     f"corrupt {fmt} payload ({type(e).__name__}: {e})"

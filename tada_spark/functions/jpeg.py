@@ -175,6 +175,45 @@ class _BitReader:
         self.pos += 2
 
 
+class _RestartCadence:
+    """Shared RSTn cadence for every scan loop, decode and encode.
+
+    T.81 restarts fire before unit ``interval``, ``2*interval``, …
+    (never before unit 0): byte-align and verify the expected marker on
+    decode (``sync``) or emit it on encode (``emit``), then cycle the
+    3-bit sequence number. Both return True exactly when a restart
+    happened, and the CALLER resets its own entropy state (DC
+    predictors / EOB run) on True — the reset stays visible at each
+    call site while the cadence arithmetic and marker handling live in
+    one place. Before this class the idiom was copied at six sites
+    across the two frame types, and a round-9 review fix (fill-byte
+    tolerance) had to touch every copy.
+    """
+
+    __slots__ = ("interval", "seq")
+
+    def __init__(self, interval: int) -> None:
+        self.interval = interval
+        self.seq = 0
+
+    def _due(self, unit: int) -> bool:
+        return bool(self.interval) and unit != 0 and unit % self.interval == 0
+
+    def sync(self, unit: int, r: _BitReader) -> bool:
+        if not self._due(unit):
+            return False
+        r.restart(self.seq)
+        self.seq = (self.seq + 1) % 8
+        return True
+
+    def emit(self, unit: int, wtr: "_BitWriter") -> bool:
+        if not self._due(unit):
+            return False
+        wtr.emit_marker(0xD0 + self.seq)
+        self.seq = (self.seq + 1) % 8
+        return True
+
+
 def _extend(v: int, n: int) -> int:
     """T.81 F.2.2.1 sign extension: n-bit magnitude to signed value."""
     if n == 0:
@@ -426,21 +465,17 @@ def _progressive_scan(
             elif r.read_bit():
                 coef[0] |= 1 << al
 
-        rst_seq = 0
+        cadence = _RestartCadence(restart_interval)
         if ns == 1:
             ci = scan_comps[0][0]
             cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
             for i in range(cbh * cbw):
-                if restart_interval and i and i % restart_interval == 0:
-                    r.restart(rst_seq)
-                    rst_seq = (rst_seq + 1) % 8
+                if cadence.sync(i, r):
                     preds = {c: 0 for c in preds}
                 dc_unit(ci, i // cbw, i % cbw)
         else:
             for mcu in range(mcuy * mcux):
-                if restart_interval and mcu and mcu % restart_interval == 0:
-                    r.restart(rst_seq)
-                    rst_seq = (rst_seq + 1) % 8
+                if cadence.sync(mcu, r):
                     preds = {c: 0 for c in preds}
                 my, mx = divmod(mcu, mcux)
                 for ci, _td, _ta in scan_comps:
@@ -459,12 +494,10 @@ def _progressive_scan(
             raise ValueError("scan references missing Huffman table")
         cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
         eobrun = 0
-        rst_seq = 0
+        cadence = _RestartCadence(restart_interval)
         fn = _decode_ac_first if ah == 0 else _decode_ac_refine
         for i in range(cbh * cbw):
-            if restart_interval and i and i % restart_interval == 0:
-                r.restart(rst_seq)
-                rst_seq = (rst_seq + 1) % 8
+            if cadence.sync(i, r):
                 eobrun = 0
             eobrun = fn(r, ac_tab, coef_store[ci][i // cbw, i % cbw], ss, se, al, eobrun)
     return _next_marker(payload, r)
@@ -617,12 +650,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 tabs.append(sel[cid])
                 qs.append(q)
             r = _BitReader(payload, pos + seglen)
-            rst_seq = 0
+            cadence = _RestartCadence(restart_interval)
             for mcu in range(mcuy * mcux):
-                if restart_interval and mcu and mcu % restart_interval == 0:
-                    # RSTn: byte-align, consume marker, reset DC preds
-                    r.restart(rst_seq)
-                    rst_seq = (rst_seq + 1) % 8
+                if cadence.sync(mcu, r):
                     preds = [0] * len(comps)
                 my, mx = divmod(mcu, mcux)
                 for ci, (_cid, hi, vi, _tq) in enumerate(comps):
@@ -782,11 +812,9 @@ def encode_jpeg_gray(
     nbx = padded.shape[1] // 8
     wtr = _BitWriter()
     pred = 0
-    rst_seq = 0
+    cadence = _RestartCadence(restart_interval)
     for mcu in range(padded.shape[0] // 8 * nbx):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            wtr.emit_marker(0xD0 + rst_seq)
-            rst_seq = (rst_seq + 1) % 8
+        if cadence.emit(mcu, wtr):
             pred = 0
         by, bx = divmod(mcu, nbx)
         block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
@@ -833,11 +861,9 @@ def _encode_color_baseline(
     mcuy, mcux = yp.shape[0] // (8 * vs), yp.shape[1] // (8 * hs)
     wtr = _BitWriter()
     preds = [0, 0, 0]
-    rst_seq = 0
+    cadence = _RestartCadence(restart_interval)
     for mcu in range(mcuy * mcux):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            wtr.emit_marker(0xD0 + rst_seq)
-            rst_seq = (rst_seq + 1) % 8
+        if cadence.emit(mcu, wtr):
             preds = [0, 0, 0]
         my, mx = divmod(mcu, mcux)
         for v in range(vs):  # luma blocks, raster order in the MCU
@@ -1010,6 +1036,11 @@ def encode_jpeg_progressive(
         # out-of-range splits would emit a spec-invalid (undecodable)
         # stream — fail at encode time, not in some later decoder
         raise ValueError(f"band_split must be in [2, 63], got {band_split}")
+    if (cb is None) != (cr is None):
+        # a lone chroma plane is always a caller mix-up: silently
+        # encoding gray (cb missing) or dying in np.asarray(None)
+        # (cr missing) both hide the real mistake
+        raise ValueError("chroma planes must be given both-or-neither (got one)")
     _check_restart_interval(restart_interval)
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
@@ -1051,22 +1082,13 @@ def encode_jpeg_progressive(
             body += bytes([cid, tda])
         return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
-    ri = restart_interval
-
-    def maybe_rst(wtr: _BitWriter, unit: int, seq: list[int]) -> bool:
-        if ri and unit and unit % ri == 0:
-            wtr.emit_marker(0xD0 + seq[0])
-            seq[0] = (seq[0] + 1) % 8
-            return True
-        return False
-
     chunks: list[bytes] = []
     # scan 1: DC first, interleaved, Al=1 (restarts count MCUs)
     wtr = _BitWriter()
     preds = [0] * len(comps)
-    seq = [0]
+    cadence = _RestartCadence(restart_interval)
     for mcu in range(mcuy * mcux):
-        if maybe_rst(wtr, mcu, seq):
+        if cadence.emit(mcu, wtr):
             preds = [0] * len(comps)
         for ci, by, bx in mcu_blocks(mcu):
             dc = int(coefs[ci][by, bx, 0]) >> 1
@@ -1084,16 +1106,16 @@ def encode_jpeg_progressive(
         cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
         for ss, se in bands:
             wtr = _BitWriter()
-            seq = [0]
+            cadence = _RestartCadence(restart_interval)
             for i in range(cbh * cbw):
-                maybe_rst(wtr, i, seq)
+                cadence.emit(i, wtr)  # AC-first has no cross-block state
                 _emit_ac_first(wtr, coefs[ci][i // cbw, i % cbw, ss:se + 1], ac_enc, 1)
             chunks.append(sos([(cid, 0x00)], ss, se, 0, 1) + wtr.flush())
     # DC refinement: one raw bit per block, Ah=1 -> Al=0
     wtr = _BitWriter()
-    seq = [0]
+    cadence = _RestartCadence(restart_interval)
     for mcu in range(mcuy * mcux):
-        maybe_rst(wtr, mcu, seq)
+        cadence.emit(mcu, wtr)  # refinement bits carry no prediction
         for ci, by, bx in mcu_blocks(mcu):
             wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
     chunks.append(sos([(cid, 0x00) for cid, *_ in comps], 0, 0, 1, 0) + wtr.flush())
@@ -1102,9 +1124,9 @@ def encode_jpeg_progressive(
         cbh, cbw = _comp_block_grid(comps, ci, hmax, vmax, w, h)
         for ss, se in bands:
             wtr = _BitWriter()
-            seq = [0]
+            cadence = _RestartCadence(restart_interval)
             for i in range(cbh * cbw):
-                maybe_rst(wtr, i, seq)
+                cadence.emit(i, wtr)  # _emit_ac_refine flushes per block
                 _emit_ac_refine(wtr, coefs[ci][i // cbw, i % cbw, ss:se + 1], ac_enc, 0)
             chunks.append(sos([(cid, 0x00)], ss, se, 1, 0) + wtr.flush())
 

@@ -253,6 +253,14 @@ def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     partition per range). The checkpoint materializes the frame to
     executor storage — the honest cost of a consistent positional
     snapshot, and it replaces the second shuffle the old design paid.
+    When the session has a checkpoint dir configured
+    (``sc.setCheckpointDir``), the pin upgrades to a RELIABLE
+    checkpoint, which survives executor loss; the local variant fails
+    the job loudly (never silently wrong) if an executor holding its
+    blocks dies between the branch reads — set a checkpoint dir under
+    dynamic allocation. The pin carries the frame's full width, so
+    project before attaching rowids if only a few columns are needed
+    downstream.
     Deterministic when the keys are unique (the engine's positional
     discipline). Low-cardinality keys concentrate into few range
     partitions — inherent to ordering by such keys.
@@ -271,13 +279,23 @@ def with_rowid(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
         # window here would NOT reuse the range partitioning (window
         # needs hash partitioning on __pid__) and would re-shuffle the
         # whole frame a second time
-        d = (
+        ranged = (
             df.repartitionByRange(*keys)
             .sortWithinPartitions(*keys)
             .withColumn("__pid__", F.spark_partition_id())
             .withColumn("__mid__", F.monotonically_increasing_id())
-            .localCheckpoint(eager=False)
         )
+        # localCheckpoint blocks are NOT recoverable: losing an executor
+        # that holds them between the two branch reads fails the job
+        # (loudly — never silently wrong). Deployments with executor
+        # churn (dynamic allocation) set a checkpoint dir and get the
+        # reliable variant instead; the pin itself is non-negotiable
+        # because re-executing the range exchange re-samples its
+        # boundaries (the round-9 replica-gate bug).
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            d = ranged.checkpoint(eager=False)
+        else:
+            d = ranged.localCheckpoint(eager=False)
         w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
         offsets = (
             d.groupBy("__pid__")

@@ -123,3 +123,60 @@ def test_guard_does_not_mask_programming_errors():
     # TypeError (a caller bug, not corrupt data) must NOT become ValueError.
     with pytest.raises(TypeError):
         jpeg_decode(None)
+
+
+def test_guard_exception_taxonomy():
+    # MemoryError = environment, RecursionError/NotImplementedError =
+    # programming bugs: all must propagate so the drop policy stays a
+    # deterministic function of the payload. Bare RuntimeError is the
+    # stdlib wave reader's corrupt-chunk signal and must rewrap.
+    from tada_spark.functions.decode_guard import corrupt_input_guard
+
+    def raiser(exc):
+        @corrupt_input_guard("TEST")
+        def f(_payload):
+            raise exc
+
+        return f
+
+    for exc in (MemoryError("oom"), RecursionError("deep"), NotImplementedError("todo")):
+        with pytest.raises(type(exc)):
+            raiser(exc)(b"x")
+    with pytest.raises(ValueError, match="corrupt TEST payload"):
+        raiser(RuntimeError())(b"x")
+
+
+def test_wave_bare_runtimeerror_rewraps_end_to_end():
+    # CPython's wave.initfp raises bare (unsubclassed) RuntimeError on
+    # this malformed chunk-size mutation (found by the seeded sweep,
+    # verified raw against the stdlib); the boundary must present the
+    # documented ValueError instead.
+    import contextlib
+
+    base = bytearray(_wav_payload())
+    base[17], base[172] = 34, 120
+    payload = bytes(base)
+    raw_types = set()
+    with contextlib.suppress(Exception):
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as r:
+                r.readframes(r.getnframes())
+        except BaseException as e:  # record what the stdlib really raises
+            raw_types.add(type(e))
+            raise
+    if raw_types == {RuntimeError}:  # stdlib behavior may vary by version
+        with pytest.raises(ValueError, match="corrupt WAV payload"):
+            wav_audio_decoder(payload)
+    else:  # other versions may signal differently; contract still holds
+        _expect_decode_or_valueerror("wav", wav_audio_decoder, payload)
+
+
+def test_progressive_encoder_rejects_lone_chroma_plane():
+    from tada_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = _img(16, 16)
+    half = img[::2, ::2]
+    with pytest.raises(ValueError, match="both-or-neither"):
+        encode_jpeg_progressive(img, half, None)
+    with pytest.raises(ValueError, match="both-or-neither"):
+        encode_jpeg_progressive(img, None, half)

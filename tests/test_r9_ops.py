@@ -302,6 +302,35 @@ def test_with_rowid_branch_divergence_regression(spark, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_with_rowid_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """Deployments with executor churn set a checkpoint dir; with_rowid
+    must then pin the ranged frame with a RELIABLE checkpoint (which
+    survives executor loss) instead of localCheckpoint (whose blocks
+    are unrecoverable), and produce identical rowids either way."""
+    from pyspark.sql import functions as F
+
+    from tada_spark.plans.semantics import with_rowid
+
+    src = spark.range(10_000).select(
+        (F.col("id") % 97).alias("d"),
+        (F.col("id") * 2654435761 % 999999937).alias("u"),
+    )
+    local = {(r.d, r.u): r["__rowid__"] for r in with_rowid(src, ["d", "u"]).collect()}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {(r.d, r.u): r["__rowid__"] for r in with_rowid(src, ["d", "u"]).collect()}
+    finally:
+        # no public unset API; restore None via the Scala var's
+        # bytecode-public setter so later tests see the default
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert sc.getCheckpointDir() is None
+    assert reliable == local
+
+
 def test_encode_progressive_rejects_bad_band_split():
     import numpy as np
     import pytest
