@@ -94,6 +94,14 @@ AC_LUMA_VALS = [
 #: property suite.
 QTABLE_FLAT8 = np.array([[8] + [16] * 7] + [[16] * 8] * 7, dtype=np.int32)
 
+#: Decompression-bomb cap shared by the media decoders (PIL's
+#: MAX_IMAGE_PIXELS discipline, rounded to a power of two): 2**27 =
+#: ~134 M pixels clears every consumer camera while bounding a
+#: float64 luma plane to ~1 GiB. Checked at header-parse time, BEFORE
+#: any plane allocation or inflate, so a forged dimension field fails
+#: as the contract ValueError instead of a task-killing MemoryError.
+MAX_DECODE_PIXELS = 1 << 27
+
 
 def _idct_matrix() -> np.ndarray:
     """8×8 DCT-III basis C with C[k, n] = c(k)/2 · cos((2n+1)kπ/16);
@@ -591,6 +599,15 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
+            if h * w > MAX_DECODE_PIXELS:
+                # decompression-bomb guard (PIL's MAX_IMAGE_PIXELS
+                # discipline): a flipped SOF dimension byte would
+                # otherwise drive a multi-GB plane allocation and kill
+                # the task with MemoryError instead of the drop policy
+                raise ValueError(
+                    f"image {w}x{h} exceeds MAX_DECODE_PIXELS "
+                    f"({MAX_DECODE_PIXELS}) — decompression-bomb guard"
+                )
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component frames unsupported")
             comps = []

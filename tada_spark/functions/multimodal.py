@@ -29,6 +29,11 @@ Design for 100 TB of media:
     zlib.error, wave.Error, IndexError …) into the documented
     ValueError so the adapters' drop policy applies uniformly
     (fuzz-pinned by tests/test_decode_fuzz.py).
+  * nor do decompression bombs: header dimensions are capped at
+    jpeg.MAX_DECODE_PIXELS before any allocation, and the PNG inflate
+    is bounded at the exact filtered byte count the header implies —
+    a 1.5 MB payload claiming a 12 GiB image refuses instead of
+    OOM-killing the executor.
 """
 
 from __future__ import annotations
@@ -52,6 +57,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),
     ]
+)
+
+#: Adam7 pass geometry (x-start, y-start, x-step, y-step), PNG spec §8.2.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 )
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -286,8 +297,36 @@ def png_decode_pixels(payload: bytes):
         raise ValueError(f"unsupported PNG (depth={depth} color={color} interlace={interlace})")
     if color == 3 and palette is None:
         raise ValueError("palette PNG without PLTE chunk")
+    from tada_spark.functions.jpeg import MAX_DECODE_PIXELS
+
+    if w * h > MAX_DECODE_PIXELS:
+        # decompression-bomb guard, BEFORE the inflate: zeros compress
+        # ~1000:1, so a 1.5 MB payload can claim a 12 GiB image — the
+        # cap turns that into the contract ValueError (drop policy)
+        # instead of a task-killing MemoryError
+        raise ValueError(
+            f"image {w}x{h} exceeds MAX_DECODE_PIXELS "
+            f"({MAX_DECODE_PIXELS}) — decompression-bomb guard"
+        )
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    raw = zlib.decompress(bytes(idat))
+    # The filtered byte count is fully determined by the header, so the
+    # inflate is BOUNDED at exactly that size — an oversized zlib
+    # stream under an honest IHDR (the other bomb shape) surfaces as
+    # the same trailing-data ValueError the unbounded decode gave,
+    # without ever materializing the excess.
+    if interlace == 0:
+        expected = h * (w * ch + 1)
+    else:
+        expected = sum(
+            ph * (pw * ch + 1)
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            for pw, ph in (((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy),)
+            if pw > 0 and ph > 0
+        )
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected)
+    if dobj.decompress(dobj.unconsumed_tail, 1):
+        raise ValueError("trailing image data")
 
     def unfilter(offset: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
         """De-filter one image (a whole non-interlaced frame, or one
@@ -336,10 +375,7 @@ def png_decode_pixels(payload: bytes):
     else:  # Adam7: seven sub-images, each filtered independently
         px = np.zeros((h, w, ch), dtype=np.int64)
         off = 0
-        for x0, y0, dx, dy in (
-            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
-        ):
+        for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:

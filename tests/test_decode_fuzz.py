@@ -171,6 +171,52 @@ def test_wave_bare_runtimeerror_rewraps_end_to_end():
         _expect_decode_or_valueerror("wav", wav_audio_decoder, payload)
 
 
+def _png_raw(w, h, idat_raw):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b""))
+
+
+def test_png_dimension_bomb_refused_before_inflate():
+    # 40000x40000 of zeros compresses ~1000:1 — a 1.5 MB payload that
+    # claimed a 12 GiB image and killed the task with MemoryError
+    # before the MAX_DECODE_PIXELS guard existed.
+    w = h = 40_000
+    payload = _png_raw(w, h, (b"\x00" + bytes(w)) * h)
+    assert len(payload) < 4_000_000
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        png_decode_pixels(payload)
+
+
+def test_png_oversized_stream_under_honest_header_is_trailing_data():
+    # honest 4x3 header, but the zlib stream inflates to 100k rows: the
+    # bounded inflate must stop at the expected byte count and refuse,
+    # never materialize the excess.
+    payload = _png_raw(4, 3, (b"\x00" + bytes(4)) * 100_000)
+    with pytest.raises(ValueError, match="trailing image data"):
+        png_decode_pixels(payload)
+
+
+def test_jpeg_sof_dimension_bomb_refused_before_allocation():
+    from tada_spark.functions.jpeg import MAX_DECODE_PIXELS, encode_jpeg_gray
+
+    base = bytearray(encode_jpeg_gray(_img(8, 8)))
+    sof = base.find(b"\xff\xc0")
+    assert sof > 0
+    # SOF0 body: len(2) precision(1) h(2) w(2) ... — forge 65535x65535
+    base[sof + 5:sof + 9] = b"\xff\xff\xff\xff"
+    assert 65535 * 65535 > MAX_DECODE_PIXELS
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        jpeg_decode(bytes(base))
+
+
 def test_progressive_encoder_rejects_lone_chroma_plane():
     from tada_spark.functions.jpeg import encode_jpeg_progressive
 
