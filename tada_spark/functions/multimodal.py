@@ -185,6 +185,11 @@ def wav_audio_decoder(payload: bytes) -> tuple[int, float, float]:
         # interleaved multi-channel would silently blend channels into
         # one RMS; refuse (drop policy) like the unsupported-width path
         raise ValueError(f"unsupported channel count {nch} (mono PCM only)")
+    if len(raw) != n * width * nch:
+        # a forged/corrupt data-chunk size would otherwise report the
+        # HEADER's duration over the ACTUAL samples' rms — silently
+        # inconsistent features; refuse (drop policy)
+        raise ValueError("WAV data shorter than the declared frame count")
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:  # 8-bit WAV is unsigned, offset-128
@@ -554,6 +559,9 @@ def wav_pcm_samples(payload: bytes):
         raw = w.readframes(n)
     if nch != 1:
         raise ValueError(f"unsupported channel count {nch} (mono PCM only)")
+    if len(raw) != n * width * nch:
+        # same header/data consistency refusal as wav_audio_decoder
+        raise ValueError("WAV data shorter than the declared frame count")
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:

@@ -217,6 +217,20 @@ def test_jpeg_sof_dimension_bomb_refused_before_allocation():
         jpeg_decode(bytes(base))
 
 
+def test_wav_forged_data_size_refused_not_misreported():
+    # A forged data-chunk size used to yield duration_s from the HEADER
+    # (5.0 s) over the ACTUAL 100 frames' rms — silently inconsistent
+    # features. Both entry points must refuse instead.
+    import struct
+
+    b = bytearray(_wav_payload())
+    i = bytes(b).find(b"data")
+    b[i + 4:i + 8] = struct.pack("<I", 80_000)  # claim 40k frames
+    for fn in (wav_audio_decoder, wav_pcm_samples):
+        with pytest.raises(ValueError, match="declared frame count"):
+            fn(bytes(b))
+
+
 def test_progressive_encoder_rejects_lone_chroma_plane():
     from tada_spark.functions.jpeg import encode_jpeg_progressive
 
