@@ -52,6 +52,48 @@ def _wav_payload() -> bytes:
     return buf.getvalue()
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    c = ctype + data
+    return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_palette_payload() -> bytes:
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(9, 13), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+    ihdr = struct.pack(">IIBBBBB", 13, 9, 8, 3, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+
+
+def _png_adam7_payload() -> bytes:
+    import struct
+    import zlib
+
+    img = _img(17, 23)[:, :, None]
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        for y in range(sub.shape[0]):
+            out += b"\x00" + sub[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", 23, 17, 8, 0, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
 def _targets():
     img = _img()
     cb = ((_img()[::2, ::2].astype(int) + 40) % 256).astype(np.uint8)
@@ -61,6 +103,8 @@ def _targets():
         ("jpeg_progressive", jpeg_decode, encode_jpeg_progressive(img)),
         ("jpeg_color420", jpeg_decode, encode_jpeg_color420(img, cb, cr)),
         ("png", png_decode_pixels, encode_png_gray8(24, 16, lambda x, y: (x * 7 + y * 13) % 256)),
+        ("png_palette", png_decode_pixels, _png_palette_payload()),
+        ("png_adam7", png_decode_pixels, _png_adam7_payload()),
         ("wav_features", wav_audio_decoder, _wav_payload()),
         ("wav_samples", wav_pcm_samples, _wav_payload()),
     ]
@@ -72,6 +116,14 @@ def _expect_decode_or_valueerror(name, fn, payload):
     except ValueError:
         pass  # the one permitted failure mode
     # anything else propagates and fails the test with its own traceback
+
+
+@pytest.mark.parametrize("name,fn,payload", _targets(), ids=lambda t: t if isinstance(t, str) else "")
+def test_base_payloads_decode(name, fn, payload):
+    # the sweep's pass criterion is decode-or-ValueError, so the
+    # unmutated baselines must actually DECODE or the mutations below
+    # pass vacuously
+    assert fn(payload) is not None
 
 
 @pytest.mark.parametrize("name,fn,payload", _targets(), ids=lambda t: t if isinstance(t, str) else "")
