@@ -44,7 +44,24 @@ def apply_changes(
         .drop("__rn__")
     )
     untouched = base.join(latest.select(key), key, "left_anti")
-    applied = latest.filter(F.col(op_col) != "D").select(*payload)
+    # An op outside {I, U, D} (NULL, lowercase, corrupt) must fail
+    # LOUDLY: the anti-join above already removed the key from base,
+    # so silently excluding the row here — what a plain op != 'D'
+    # filter does to NULL — would DELETE the key as a side effect of
+    # bad data. raise_error fires per offending row at runtime.
+    keep = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col) != "D"
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("apply_changes: unknown op '"),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+                F.lit("' (expected I/U/D) for key "),
+                F.col(key).cast("string"),
+            )
+        ).cast("boolean")
+    )
+    applied = latest.filter(keep).select(*payload)
     return untouched.unionByName(applied)
 
 
@@ -190,15 +207,21 @@ def pit_join(
     )
     fact_cols = [c for c in facts.columns if c not in (key, pos_col)]
     ver_type = ver.schema["__ver__"].dataType
+    # __pos__ is the long-cast ORDERING key; the original pos column
+    # rides along untouched so the output keeps its type and value
+    # (a timestamp pos must come back a timestamp, and an uncastable
+    # pos value must not silently null the passthrough column)
     fct = facts.select(
         F.col(key),
         F.col(pos_col).try_cast("long").alias("__pos__"),
+        F.col(pos_col).alias("__pos_orig__"),
         F.lit(1).alias("__kind__"),
         F.lit(None).cast(ver_type).alias("__ver__"),
         *[F.col(c) for c in fact_cols],
     )
     ver_padded = ver.select(
         key, "__pos__", "__kind__", "__ver__",
+        F.lit(None).cast(facts.schema[pos_col].dataType).alias("__pos_orig__"),
         *[F.lit(None).cast(facts.schema[c].dataType).alias(c) for c in fact_cols],
     )
     u = ver_padded.unionByName(fct)
@@ -245,7 +268,7 @@ def pit_join(
     )
     return carried.filter(F.col("__kind__") == 1).select(
         F.col(key),
-        F.col("__pos__").alias(pos_col),
+        F.col("__pos_orig__").alias(pos_col),
         *[F.col(c) for c in fact_cols],
         *[F.when(covered, F.col(f"__c__.{c}")).alias(c) for c in val_cols],
         F.when(covered, F.col("__c__.__vf__")).alias(valid_from),

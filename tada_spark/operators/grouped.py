@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tada_spark.frame import Frame, _strs
-from tada_spark.plans.semantics import ROWID, canon_key, canon_str, with_rowid
+from tada_spark.plans.semantics import canon_key, canon_str
 
 _SIMPLE = {
     "sum": F.sum,
@@ -42,6 +42,23 @@ _SIMPLE = {
     "earliest": F.min,
     "latest": F.max,
 }
+
+
+def _windowed_median(col: str, frame) -> Column:
+    """Exact median over a window frame. Spark's median aggregate
+    rejects window frames (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC),
+    so the sorted frame's middle pair is averaged — O(n log n) per row
+    with n the (small, bounded) window length, never a shuffle.
+    collect_list skips NULLs, so an all-null window has an EMPTY array
+    — the median must be NULL like the other aggs. try_element_at
+    nulls out-of-range indexes but index 0 is reserved and ALWAYS an
+    error, hence the clamp to 1 (on the empty array, 1 is out-of-range
+    → NULL)."""
+    arr = F.array_sort(F.collect_list(F.col(col)).over(frame))
+    sz = F.size(arr)
+    lo = F.try_element_at(arr, F.greatest(F.floor((sz + 1) / 2).cast("int"), F.lit(1)))
+    hi = F.try_element_at(arr, F.greatest(F.floor((sz + 2) / 2).cast("int"), F.lit(1)))
+    return (lo + hi).cast("double") / F.lit(2.0)
 
 
 class GroupedFrame:
@@ -128,8 +145,12 @@ class GroupedFrame:
 
     def approx_nunique(self, *cols: str, rsd: float = 0.05) -> Frame:
         """HyperLogLog++ sketch — the 100 TB path for cardinality
-        (beyond-reference; exact nunique shuffles every distinct value)."""
-        exprs = {f"approx_nunique_{c}": F.approx_count_distinct(F.col(c), rsd) for c in cols}
+        (beyond-reference; exact nunique shuffles every distinct value).
+        No columns ⇒ all value columns, like the exact twin."""
+        exprs = {
+            f"approx_nunique_{c}": F.approx_count_distinct(F.col(c), rsd)
+            for c in (cols or tuple(c for c in self.frame.value_columns if c not in self.keys))
+        }
         return self._agg_distinct_safe(exprs)
 
     def _agg_distinct_safe(self, exprs: dict[str, Column]) -> Frame:
@@ -143,8 +164,21 @@ class GroupedFrame:
             *[e.alias(n) for n, e in exprs.items()]
         )
         cond = None
+        fields = {f.name: f.dataType for f in self.frame.df.schema.fields}
         for k in self.keys:
-            c = self.frame.df[k].eqNullSafe(grouped[k])
+            # with canon=True the grouped keys are canonical STRINGS;
+            # the join-back must compare the same transform of the
+            # source column, or NULL-keyed rows (raw NULL vs the
+            # non-null sentinel) and sub-second timestamps would get
+            # NULL aggregates instead of their group's value. Built
+            # from the DATAFRAME-qualified column (canon_key's bare
+            # F.col would be ambiguous inside the self-ish join).
+            left = (
+                canon_str(self.frame.df[k], fields[k])
+                if self.canon
+                else self.frame.df[k]
+            )
+            c = left.eqNullSafe(grouped[k])
             cond = c if cond is None else (cond & c)
         joined = self.frame.df.join(F.broadcast(grouped), cond, "left")
         for k in self.keys:
@@ -265,8 +299,13 @@ class GroupedFrame:
         f = self.frame
         for k, v in key_values.items():
             # null-SAFE equality: a NULL-keyed group is a real group
-            # (grouping treats NULL as a key value) and must be fetchable
-            f = f.filter(F.col(k).eqNullSafe(F.lit(v)))
+            # (grouping treats NULL as a key value) and must be fetchable.
+            # Canon grouping lists groups by their canonical STRING, so
+            # the fetch must canon-transform the raw column too — else
+            # the NULL group ('\\x00null') and sub-second timestamp
+            # groups come back empty
+            expr = canon_key(f.df, [k]) if self.canon else F.col(k)
+            f = f.filter(expr.eqNullSafe(F.lit(v)))
         return f
 
     def list_groups(self) -> Frame:
@@ -307,21 +346,7 @@ class GroupedFrame:
         frame = w.rowsBetween(0, n - 1) if forward else w.rowsBetween(-(n - 1), 0)
         cnt = F.count(F.lit(1)).over(frame)
         if agg == "median":
-            # Spark's median aggregate rejects window frames
-            # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); an exact
-            # windowed median is the sorted n-element frame's middle
-            # pair averaged — O(n log n) per row with n the (small,
-            # fixed) window length, never a shuffle
-            arr = F.array_sort(F.collect_list(F.col(col)).over(frame))
-            sz = F.size(arr)
-            # collect_list skips NULLs, so an all-null (but complete)
-            # window has an EMPTY array — the median must be NULL like
-            # the other aggs. try_element_at nulls out-of-range indexes
-            # but index 0 is reserved and ALWAYS an error, hence the
-            # clamp to 1 (on the empty array, 1 is out-of-range → NULL)
-            lo = F.try_element_at(arr, F.greatest(F.floor((sz + 1) / 2).cast("int"), F.lit(1)))
-            hi = F.try_element_at(arr, F.greatest(F.floor((sz + 2) / 2).cast("int"), F.lit(1)))
-            val = (lo + hi).cast("double") / F.lit(2.0)
+            val = _windowed_median(col, frame)
         else:
             val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(frame)
         expr = F.when(cnt < n, F.lit(None)).otherwise(val)
@@ -330,7 +355,8 @@ class GroupedFrame:
     def rolling_duration(self, seconds: int, ts: str, col: str, agg: str, *, out: str | None = None) -> Frame:
         """Time-based rolling window: per row, rows with timestamp in
         [t, t+d) (reference groupers.go:317-345) — forward rangeBetween
-        on epoch seconds."""
+        on epoch seconds. 'median' takes the same sorted-array path as
+        rolling_n (Spark's median aggregate rejects window frames)."""
         fn = _SIMPLE[agg]
         df = self.frame.df.withColumn("__ts_s__", F.unix_timestamp(F.col(ts)))
         w = (
@@ -338,5 +364,8 @@ class GroupedFrame:
             .orderBy(F.col("__ts_s__"))
             .rangeBetween(0, seconds - 1)
         )
-        val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(w)
+        if agg == "median":
+            val = _windowed_median(col, w)
+        else:
+            val = fn(F.col(col).cast("double") if agg in ("sum", "mean", "std") else F.col(col)).over(w)
         return Frame(df.withColumn(out or f"rolling_{agg}_{col}", val).drop("__ts_s__"), self.frame.labels, self.frame.name)

@@ -26,10 +26,17 @@ def _same_target(a: str, b: str) -> bool:
     scheme+normalized path, the strongest check possible without a
     filesystem round-trip."""
 
+    # scheme aliases that address the SAME storage (s3a/s3n are the
+    # Hadoop connectors for s3; abfss/wasbs the TLS variants) — without
+    # folding them, compact('s3a://b/t', 's3://b/t') would pass the
+    # guard and overwrite the source mid-scan
+    aliases = {"s3a": "s3", "s3n": "s3", "abfss": "abfs", "wasbs": "wasb"}
+
     def canon(p: str) -> tuple[str, str]:
         scheme, sep, rest = p.partition("://")
         if not sep:
             scheme, rest = "file", p
+        scheme = aliases.get(scheme.lower(), scheme.lower())
         if scheme == "file":
             return "file", os.path.realpath(os.path.abspath(rest))
         return scheme, os.path.normpath("/" + rest.strip("/"))

@@ -43,10 +43,16 @@ def fuzzy_join(
     lb = left.withColumn("__blk__", block(F.col(left_col))).alias("__fz_l__")
     rb = right.withColumn("__blk__", block(F.col(right_col))).alias("__fz_r__")
     j = lb.join(rb, F.col("__fz_l__.__blk__") == F.col("__fz_r__.__blk__"))
-    dist = F.levenshtein(F.col(f"__fz_l__.{left_col}"), F.col(f"__fz_r__.{right_col}"))
+    # bounded levenshtein (Spark 3.5+): abandons a pair's DP early once
+    # the running distance exceeds max_dist and returns -1 — exact
+    # distances for every kept row, less CPU per rejected co-blocked
+    # pair (the dominant cost on long strings)
+    dist = F.levenshtein(
+        F.col(f"__fz_l__.{left_col}"), F.col(f"__fz_r__.{right_col}"), max_dist
+    )
     return (
         j.withColumn("dist", dist)
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") != -1)
         .drop("__blk__")
     )
 

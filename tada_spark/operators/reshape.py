@@ -41,14 +41,25 @@ def transpose(frame: Frame, *, max_rows: int = 10_000) -> Frame:
     become column names; column names become a label column. Small-data
     only — collects via Arrow; errors above max_rows."""
     df = frame.to_df()
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(f"transpose: {n} rows > cap {max_rows}; transpose is a small-data op")
-    pdf = df.toPandas()
+    # one action, not count()-then-toPandas(): fetch cap+1 rows and
+    # refuse on overflow without a second job
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(f"transpose: >{max_rows} rows; transpose is a small-data op")
     label_cols = frame.labels or []
     if label_cols:
         pdf = pdf.set_index(label_cols[0] if len(label_cols) == 1 else label_cols)
-    tp = pdf.T.reset_index().rename(columns={"index": "name"})
+    tp = pdf.T
+    # multi-label frames transpose to a pandas MultiIndex of tuples;
+    # encode them with the module's '|' level scheme (join_levels) so
+    # split_levels/col_names_at_level round-trip — str(tuple) names
+    # ("('a', 'b')") parse as one garbled level and crashed the Frame
+    # ctor before reset_index even produced a 'name' column
+    tp.columns = [
+        join_levels([str(x) for x in c]) if isinstance(c, tuple) else str(c)
+        for c in tp.columns
+    ]
+    tp = tp.reset_index().rename(columns={"index": "name"})
     tp.columns = [str(c) for c in tp.columns]
     spark = SparkSession.getActiveSession()
     # heterogeneous rows after transpose ⇒ coerce to string (reference

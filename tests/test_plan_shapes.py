@@ -251,7 +251,13 @@ def test_interval_islands_single_shuffle_no_self_join(spark, catalog):
 
 def test_pareto_no_quadratic_join(spark, catalog):
     plan = plan_of(catalog["pareto_frontier_parts"][0](spark, SF))
-    assert "Join" not in plan  # two window prunes, never a self-anti-join
+    # one BROADCAST equi-join against the frontier-sized distinct-x
+    # spine (the exact strictly-smaller-x pass, correct for fractional
+    # x) — never a self-anti-join or an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") <= 1
     assert "BatchEvalPython" not in plan
 
 
