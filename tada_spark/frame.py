@@ -51,7 +51,17 @@ def _det_repr(col: Column, dt: T.DataType) -> Column:
     from tada_spark.plans.timeutil import epoch_us
 
     if isinstance(dt, (T.FloatType, T.DoubleType)):
-        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string")
+        # |x| ≥ ~9.22e12 would saturate the e6-quantized long (every
+        # huge value collapsing to Long.MAX — content_digest losing
+        # discrimination; the DuckDB twin errors instead): out-of-range
+        # values fall back to a DECIMAL(38,6) render, which both
+        # engines print identically. Twin:
+        #   CASE WHEN ABS(x) < 9000000000000 THEN
+        #     CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)::VARCHAR
+        #   ELSE TRY_CAST(x AS DECIMAL(38,6))::VARCHAR END
+        quantized = F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long").cast("string")
+        exact = col.try_cast("decimal(38,6)").cast("string")
+        return F.when(F.abs(col) < F.lit(9.0e12), quantized).otherwise(exact)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return epoch_us(col, dt).cast("string")
     return col.cast("string")
@@ -143,17 +153,38 @@ class Frame:
             reader = reader.option("mergeSchema", "true")
         if not nanos_cols:
             return cls(reader.parquet(path), labels)
+        # the legacy flag is session-global: restore it after the read
+        # so unrelated later parquet reads keep failing loudly on nanos
+        # instead of silently surfacing raw longs
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = reader.parquet(path)
-        for c in nanos_cols:
-            # legacy INT96 files ALSO report unit='ns' through pyarrow,
-            # but Spark reads them natively as TIMESTAMP (nanosAsLong
-            # only affects INT64-nanos) — shim only columns that
-            # actually surfaced as raw long nanos
-            if isinstance(df.schema[c].dataType, T.LongType):
-                df = df.withColumn(
-                    c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
-                )
+        try:
+            df = reader.parquet(path)
+            for c in nanos_cols:
+                # legacy INT96 files ALSO report unit='ns' through
+                # pyarrow, but Spark reads them natively as TIMESTAMP
+                # (nanosAsLong only affects INT64-nanos) — shim only
+                # columns that actually surfaced as raw long nanos.
+                # ns→us must be INTEGER floor-division: the double
+                # detour (n/1000.0) rounds modern epoch values to a
+                # multiple of 256 ns and shifts some stamps by 1 µs
+                if isinstance(df.schema[c].dataType, T.LongType):
+                    q = F.expr(f"`{c}` div 1000")
+                    r = F.expr(f"`{c}` % 1000")
+                    df = df.withColumn(
+                        c,
+                        F.timestamp_micros(
+                            F.when(r < 0, q - F.lit(1)).otherwise(q)
+                        ),
+                    )
+            # the shim columns are resolved eagerly above; reading the
+            # schema forces plan analysis while the flag is still set
+            df.schema
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return cls(df, labels)
 
     @classmethod
@@ -437,6 +468,8 @@ class Frame:
         return self._wrap_reordered(df.filter((F.col(ROWID) >= first) & (F.col(ROWID) < last)))
 
     def subset(self, positions: Sequence[int]) -> "Frame":
+        if not positions:  # isin() with no args raises; [] means no rows
+            return self._wrap_reordered(self.df.filter(F.lit(False)))
         df = self._require_rowid()
         return self._wrap_reordered(df.filter(F.col(ROWID).isin(*positions)))
 
@@ -559,7 +592,11 @@ class Frame:
             if order_by:
                 keys = _strs(order_by)
             else:
-                df = with_rowid(df)
+                # honor the frame's declared order (and any live rowid)
+                # — bare with_rowid(df) would fill in PHYSICAL ingest
+                # order, silently wrong whenever disk order differs
+                # from the declared one
+                df = self._require_rowid()
                 keys = [ROWID]
             base = Window.partitionBy(*[F.col(c) for c in (_strs(partition_by) or [])])
             if how == "forward":
@@ -600,7 +637,14 @@ class Frame:
         xs = [x_col, *(_strs(tiebreak) or [])]
         w = Window.partitionBy(*[F.col(c) for c in part]).orderBy(*[F.col(c) for c in xs])
         c = F.col(name)
-        known = F.when(c.isNotNull(), F.struct(F.col(x_col).alias("x"), c.alias("v")))
+        # a NULL-x row can never be a neighbor: it sorts first and its
+        # null x makes dx NULL, which the coincident-x otherwise-branch
+        # would treat as "fall back to prev" — extrapolating from a row
+        # that has no position on the axis
+        known = F.when(
+            c.isNotNull() & F.col(x_col).isNotNull(),
+            F.struct(F.col(x_col).alias("x"), c.alias("v")),
+        )
         prev = F.last(known, ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, -1)
         )
@@ -765,13 +809,27 @@ class Frame:
         o = other.rename({right_col: rc}) if rc != right_col else other
         joined = self.lookup(o.cols(rc))
         if op == "/":
-            return joined.divide(out, left_col, rc).drop_cols(rc)
+            ca, cb = F.col(left_col).cast("double"), F.col(rc).cast("double")
+            if ignore_nulls:
+                # reference combineMath treats a missing/null side as 0
+                # for EVERY op (internal.go:1519-1558): 0/x = 0, and
+                # x/0 still hits the ÷0→null rule below
+                ca, cb = F.coalesce(ca, F.lit(0.0)), F.coalesce(cb, F.lit(0.0))
+            return joined.with_col(out, null_safe_div(ca, cb)).drop_cols(rc)
         return joined._arith(out, left_col, rc, op, ignore_nulls).drop_cols(rc)
 
     def filter_index(self, predicate: Column, *, order_by: Sequence[str] | None = None) -> "Frame":
         """Row positions matching a predicate (reference FilterIndex
-        series.go:613-627) — positions defined by the explicit ordering."""
-        df = with_rowid(self.df, _strs(order_by) if order_by else None)
+        series.go:613-627) — positions defined by the explicit ordering,
+        else the frame's declared order, else ingest order."""
+        if order_by:
+            # an existing __rowid__ (e.g. from .ordered(other_key))
+            # would short-circuit with_rowid and silently ignore the
+            # EXPLICITLY requested ordering — drop it first
+            base = self.df.drop(ROWID) if ROWID in self.df.columns else self.df
+            df = with_rowid(base, _strs(order_by))
+        else:
+            df = self._require_rowid()
         return Frame(df.filter(predicate).select(F.col(ROWID).alias("position")), [], self.name)
 
     # ------------------------------------------------------------------
@@ -1197,6 +1255,11 @@ class Frame:
 
             if isinstance(on_dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
                 return epoch_us(c, on_dt)
+            if isinstance(on_dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+                # cast('long') would TRUNCATE fractional on-values,
+                # corrupting nearest-direction gap comparisons and
+                # tolerance arithmetic (gap 0.4 vs 0.5 both became 0)
+                return c.cast("double")
             return c.cast("long")
 
         def masked(row_col, forward: bool):
@@ -1235,7 +1298,13 @@ class Frame:
         """Lookup + append looked-up columns + name dedupe `_n` suffix
         (reference dataframe.go:1633-1657). Join keys are exempt from
         the rename — suffixing a shared-name key would break the join."""
-        keys = list(kwargs.get("right_on") or []) or [
+        # exempt BOTH sides' explicit keys from the rename: a bare
+        # string must not be split into characters (list("key") ==
+        # ['k','e','y'] left the real key un-exempt → renamed → the
+        # join crashed), and a left_on-only call must still protect
+        # the columns the join resolves against
+        explicit = [*_strs(kwargs.get("right_on") or []), *_strs(kwargs.get("left_on") or [])]
+        keys = explicit or [
             c for c in self.labels if c in other.labels
         ] or [c for c in self.columns if c in other.columns]
         overlapping = [
@@ -1285,10 +1354,13 @@ class Frame:
         """value→count map over stringified non-null values (reference
         internal.go:2481-2496)."""
         c = canon_str(F.col(name), self.dtype(name))
+        # counting a column literally named "count" must not produce two
+        # "count" columns (ambiguous downstream)
+        cnt = "count" if name != "count" else "count_1"
         return self._wrap(
             self.df.filter(F.col(name).isNotNull())
             .groupBy(c.alias(name))
-            .agg(F.count("*").alias("count")),
+            .agg(F.count("*").alias(cnt)),
             labels=[],
         )
 

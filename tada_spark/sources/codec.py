@@ -12,6 +12,7 @@ import json
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from tada_spark.frame import Frame
 
@@ -55,23 +56,38 @@ def frame_from_json(spark: SparkSession, payload: str) -> Frame:
     rows = [
         tuple(None if c["nulls"][i] else c["values"][i] for c in cols) for i in range(n)
     ]
+    time_types = ("timestamp", "timestamp_ntz", "date")
     if all("dtype" in c for c in cols):
-        # timestamps/dates serialized as ISO strings — declare string and
-        # let Frame.cast re-parse; everything else keeps its dtype
+        # timestamps/dates serialized as ISO strings — declare string,
+        # then CAST BACK below (the round-trip previously left them as
+        # strings: the declared-then-never-applied re-parse)
         def sql_type(c):
-            return "string" if c["dtype"] in ("timestamp", "date") else c["dtype"]
+            return "string" if c["dtype"] in time_types else c["dtype"]
 
         schema = ", ".join(f"`{c['name']}` {sql_type(c)}" for c in cols)
     else:
         schema = names  # legacy payloads without dtype hints
     df = spark.createDataFrame(rows, schema=schema)
+    if all("dtype" in c for c in cols):
+        for c in cols:
+            if c["dtype"] in time_types:
+                # isoformat round-trips losslessly through a plain cast
+                # (Spark parses the optional fractional part natively,
+                # which the multi-format Frame.cast list does not)
+                df = df.withColumn(c["name"], F.col(c["name"]).cast(c["dtype"]))
     return Frame(df, labels=[c["name"] for c in cols if c.get("is_label")], name=doc.get("name", ""))
 
 
 def read_matrix(spark: SparkSession, matrix, col_names: list[str] | None = None) -> Frame:
     """2-D numeric array (numpy / nested lists) → all-float64 Frame
     (reference MatrixReader io.go:505-532)."""
-    data = [[float(x) for x in row] for row in matrix]
+    # NaN → NULL like every other reader (reference options.go:18 —
+    # from_pandas and the record readers already normalize; a matrix
+    # cell must not be the one place NaN leaks through)
+    data = [
+        [None if (x != x) else float(x) for x in row]  # NaN != NaN
+        for row in matrix
+    ]
     if not data:
         raise ValueError("read_matrix: empty matrix")
     names = col_names or [str(i) for i in range(len(data[0]))]
