@@ -248,6 +248,25 @@ def temperature_resample(
     )
 
 
+def _aes_priority_e6(key: str, weight: Column) -> Column:
+    """The Efraimidis-Spirakis priority both weighted samplers draw:
+    E_i = -ln(u_i)/w_i with a content-addressed md5 uniform ("ws#" salt,
+    1048576/1048577 scaling) and det_ln, e6 floor-quantized. ONE
+    definition — the global and per-group samplers previously carried
+    verbatim copies, so a fix to one could silently miss the other."""
+    from tada_spark.functions.text import md5_hash32
+    from tada_spark.plans.semantics import det_ln
+
+    u = (
+        F.pmod(
+            md5_hash32(F.concat(F.lit("ws#"), F.col(key).cast("string"))), F.lit(1048576)
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(1048577.0)
+    pri = (F.lit(0.0) - det_ln(u)) / weight.cast("double")
+    return F.floor(pri * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,
@@ -274,21 +293,13 @@ def weighted_sample(
     sample) while SQL engines rank it last — and sampling without a
     stable identity is meaningless anyway.
     """
-    from tada_spark.functions.text import md5_hash32
-    from tada_spark.plans.semantics import det_ln
-
     df = df.filter(F.col(key).isNotNull())
-    u = (
-        F.pmod(
-            md5_hash32(F.concat(F.lit("ws#"), F.col(key).cast("string"))), F.lit(1048576)
-        )
-        + F.lit(1)
-    ).cast("double") / F.lit(1048577.0)
-    pri = (F.lit(0.0) - det_ln(u)) / weight.cast("double")
-    pri_e6 = F.floor(pri * F.lit(1e6) + F.lit(0.5)).cast("long")
     return (
-        df.withColumn(out, pri_e6)
-        .orderBy(F.col(out).asc(), F.col(key).asc())
+        df.withColumn(out, _aes_priority_e6(key, weight))
+        # NULLS LAST, matching the DuckDB oracle: a NULL weight gives a
+        # NULL priority, and Spark's bare asc() (NULLS FIRST) would put
+        # that row in the k winners every run
+        .orderBy(F.col(out).asc_nulls_last(), F.col(key).asc())
         .limit(k)
     )
 
@@ -316,22 +327,12 @@ def weighted_sample_per_group(
     """
     from pyspark.sql.window import Window
 
-    from tada_spark.functions.text import md5_hash32
-    from tada_spark.plans.semantics import det_ln
-
     df = df.filter(F.col(key).isNotNull())
-    u = (
-        F.pmod(
-            md5_hash32(F.concat(F.lit("ws#"), F.col(key).cast("string"))), F.lit(1048576)
-        )
-        + F.lit(1)
-    ).cast("double") / F.lit(1048577.0)
-    pri_e6 = F.floor(((F.lit(0.0) - det_ln(u)) / weight.cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
-        "long"
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(out).asc_nulls_last(), F.col(key).asc()
     )
-    w = Window.partitionBy(group_col).orderBy(F.col(out).asc(), F.col(key).asc())
     return (
-        df.withColumn(out, pri_e6)
+        df.withColumn(out, _aes_priority_e6(key, weight))
         .withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
@@ -369,10 +370,13 @@ def length_bucket_batches(
     """
     from pyspark.sql.window import Window
 
+    from tada_spark.functions.text import token_count
+
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.size(F.split(F.trim(F.lower(txt)), r"\s+")) - F.when(
-        F.length(F.trim(txt)) == 0, F.lit(1)
-    ).otherwise(F.lit(0))
+    # the canonical whitespace tokenizer — an inline re-implementation
+    # here would silently drift from text.token_count (and the oracles
+    # that mirror it) one site at a time
+    toks = token_count(txt)
     base = df.filter(F.col(id_col).isNotNull() & F.col(shard_col).isNotNull()).select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("did"),

@@ -2766,7 +2766,8 @@ def stream_running_totals_users(spark, sf):
 
 
 STREAM_STATE_SQL = """
-SELECT user_id::VARCHAR AS key, COUNT(value) AS n_events, FLOOR((FLOOR((SUM(value)) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS total
+SELECT user_id::VARCHAR AS key, COUNT(value) AS n_events,
+       FLOOR((SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0) * 10000 + 0.5) / 10000 AS total
 FROM events GROUP BY user_id
 """
 
@@ -2956,7 +2957,7 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM (
   SELECT user_id, ts,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ) GROUP BY user_id
 """
 

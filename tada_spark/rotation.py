@@ -46,9 +46,20 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 _ARTIFACT_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
 
 
+#: Artifact files that existed but could not be parsed on the last
+#: correctness_artifacts() call — surfaced by freshness_report and the
+#: narrative. Silently skipping a truncated CORRECTNESS_r*.json would
+#: reclassify that round's greens as never-green and quietly reshuffle
+#: the window — the exact silent drift this module exists to prevent.
+_UNREADABLE: list[str] = []
+
+
 def correctness_artifacts(root: Path | str = REPO_ROOT) -> dict[int, dict]:
-    """All committed driver-correctness artifacts, keyed by round."""
+    """All committed driver-correctness artifacts, keyed by round.
+    Unreadable/corrupt files are recorded in ``_UNREADABLE`` (and shown
+    by freshness_report/narrative) rather than silently skipped."""
     out: dict[int, dict] = {}
+    _UNREADABLE.clear()
     for p in sorted(Path(root).glob("CORRECTNESS_r*.json")):
         m = _ARTIFACT_RE.search(p.name)
         if not m:
@@ -56,9 +67,12 @@ def correctness_artifacts(root: Path | str = REPO_ROOT) -> dict[int, dict]:
         try:
             data = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
+            _UNREADABLE.append(p.name)
             continue
         if isinstance(data, dict):
             out[int(m.group(1))] = data
+        else:
+            _UNREADABLE.append(p.name)
     return out
 
 
@@ -122,6 +136,7 @@ def freshness_report(
     ever = [n for n in oracle_able if n in greens]
     return {
         "rounds_on_disk": sorted(arts),
+        "unreadable_artifacts": list(_UNREADABLE),
         "oracle_able": len(oracle_able),
         "ever_driver_green": len(ever),
         "never_driver_green": len(oracle_able) - len(ever),
@@ -160,6 +175,12 @@ def narrative(catalog: dict, root: Path | str = REPO_ROOT) -> str:
         f"{', '.join(map(str, missing))} produced no artifacts."
         if missing else ""
     )
+    if rep["unreadable_artifacts"]:
+        missing_note += (
+            "  WARNING: unreadable artifact file(s) SKIPPED: "
+            f"{', '.join(rep['unreadable_artifacts'])} — evidence below "
+            "understates those rounds."
+        )
     return (
         "Honest accounting (GENERATED at import from the committed\n"
         "CORRECTNESS_r*.json artifacts by tada_spark.rotation.narrative;\n"

@@ -35,8 +35,12 @@ RUNNING_OUTPUT = StructType(
     ]
 )
 
+#: (count, e6-quantized micro-unit sum) — INTEGER accumulation so the
+#: running total is exactly associative: raw double += in chunk-arrival
+#: order could land an ulp from the oracle's differently-ordered SUM
+#: and flip the output quantization on a .5e-6 boundary.
 RUNNING_STATE = StructType(
-    [StructField("n", LongType()), StructField("s", DoubleType())]
+    [StructField("n", LongType()), StructField("s_e6", LongType())]
 )
 
 
@@ -132,9 +136,15 @@ def session_stats(
             }
         )
 
-    grouped = df.select(
-        df[key_col].cast("long").alias("user_id"), df[ts_col].alias(ts_col)
-    ).groupBy("user_id")
+    # NULL keys/timestamps don't degrade, they CRASH or corrupt the
+    # stream (int(None) on the key kills the query; NaT→int64 is the
+    # MIN int, wrapping the gap arithmetic and exploding span_seconds)
+    # — filter them like the ewma twin, and the oracle mirrors
+    grouped = (
+        df.filter(df[key_col].isNotNull() & df[ts_col].isNotNull())
+        .select(df[key_col].cast("long").alias("user_id"), df[ts_col].alias(ts_col))
+        .groupBy("user_id")
+    )
     return grouped.applyInPandasWithState(
         update,
         outputStructType=SESSION_OUTPUT,
@@ -154,15 +164,17 @@ def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s_e6 = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += int(pdf[value_col].count())
-            s += float(pdf[value_col].sum())
-        state.update((n, s))
-        # floor half-up idiom, not python round() (half-even) — matches
-        # the oracle's FLOOR(x*1e6 + 0.5)/1e6 bit-for-bit
+            vals = pdf[value_col][pdf[value_col].notna()].to_numpy()
+            n += int(vals.size)
+            # e6-quantize EACH value (floor half-up), then integer-sum:
+            # exact for money-scale inputs, associative for any — the
+            # oracle mirrors with SUM(CAST(FLOOR(v*1e6+0.5) AS BIGINT))
+            s_e6 += int(np.floor(vals * 1e6 + 0.5).astype("int64").sum())
+        state.update((n, s_e6))
         yield pd.DataFrame(
-            {"key": [str(key[0])], "n_events": [n], "total": [math.floor(s * 1e6 + 0.5) / 1e6]}
+            {"key": [str(key[0])], "n_events": [n], "total": [s_e6 / 1e6]}
         )
 
     grouped = df.select(
@@ -375,11 +387,18 @@ def pattern_within(
             }
         )
 
-    grouped = df.select(
-        df[key_col].cast("long").alias("user_id"),
-        df[ts_col].alias(ts_col),
-        df[type_col].alias(type_col),
-    ).groupBy("user_id")
+    # the oracle (STREAM_PATTERN_SQL) filters NULL keys AND timestamps;
+    # unfiltered they crash (int(None)) or corrupt (NaT→MIN-int sorts
+    # first and a NaT first/then pair self-matches) — keep lockstep
+    grouped = (
+        df.filter(df[key_col].isNotNull() & df[ts_col].isNotNull())
+        .select(
+            df[key_col].cast("long").alias("user_id"),
+            df[ts_col].alias(ts_col),
+            df[type_col].alias(type_col),
+        )
+        .groupBy("user_id")
+    )
     return grouped.applyInPandasWithState(
         update,
         outputStructType=PATTERN_OUTPUT,

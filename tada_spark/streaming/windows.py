@@ -183,7 +183,10 @@ def stream_interval_join(
     out = l.alias("l").join(r.alias("r"), cond, how)
     # leave in the INPUT's family on both sides (same convention as the
     # window operators — the LTZ cast above exists only for the
-    # watermark machinery)
+    # watermark machinery). Join keys are emitted ONCE, from the left
+    # side (always present, even for left_outer's null-padded rows) —
+    # duplicating them made every later by-name key reference
+    # AMBIGUOUS_REFERENCE
     return out.select(
         *[
             (l_restore(F.col(f"l.{c}")) if c == left_ts else F.col(f"l.{c}")).alias(c)
@@ -192,6 +195,7 @@ def stream_interval_join(
         *[
             (r_restore(F.col(f"r.{c}")) if c == right_ts else F.col(f"r.{c}")).alias(c)
             for c in right.columns
+            if c not in keys
         ],
     )
 
