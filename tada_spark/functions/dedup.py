@@ -33,6 +33,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     One hash-aggregate shuffle on the 128-bit key; fully scalable."""
     return (
         df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        # a NULL text has no fingerprint: without this filter every
+        # NULL-text doc collapsed into one fp=NULL group and the
+        # keep-min rule deleted unrelated docs as "duplicates"
+        # (incremental_dedup already guards; keep lockstep)
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )
@@ -347,14 +352,22 @@ def simhash(col: Column, num_bits: int = 64, hash_family: str = "xxhash64") -> C
             )
         return out
 
-    return F.aggregate(hashes, init, step, finish)
+    # empty/whitespace-only/NULL text → NULL fingerprint (the
+    # word_shingles convention): hashing the phantom [''] token gave
+    # every blank doc ONE shared fingerprint, and m blank docs became
+    # m² candidate pairs in the band join — the collision class the
+    # minhash path already guards against
+    return F.when(F.length(F.trim(col)) > 0, F.aggregate(hashes, init, step, finish))
 
 
 def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, chunk_bits: int = 16) -> DataFrame:
     """Candidate pairs whose 64-bit simhash matches on ≥1 of the 16-bit
-    chunks (Hamming ≤ 3 guarantee within 4 chunks)."""
+    chunks (Hamming ≤ 3 guarantee within 4 chunks). Blank/NULL docs
+    carry a NULL simhash and generate no candidates."""
     n_chunks = 64 // chunk_bits
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
     banded = sh.select(
         id_col,
         "sh",
@@ -643,7 +656,6 @@ def incremental_dedup(
     pre-pass can cut the probe volume further but never changes the
     result.
     """
-    from tada_spark.functions.text import fingerprint
 
     # NULL-text rows fingerprint to NULL; drop them explicitly so the
     # anti-join contract is NULL-free on both sides (a NULL fp would

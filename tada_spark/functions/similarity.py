@@ -35,7 +35,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (cosine undefined) — a
+    bare division would DIVIDE_BY_ZERO under the session's default
+    ANSI mode and kill every cosine-based operator on the first
+    zero/empty embedding. Window ranks use desc() (NULLS LAST), so
+    undefined pairs simply never make a top-k."""
+    na, nb = norm(a), norm(b)
+    return F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)), dot(a, b) / (na * nb))
 
 
 def cosine_topk(
@@ -58,6 +64,9 @@ def cosine_topk(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        # undefined pairs (zero-norm side -> NULL cos) are unrankable:
+        # row_number would still hand them a slot inside k
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -81,7 +90,9 @@ def ivf_assign(
     build step of an IVF index. Output: (id, vec, cent_id)."""
     c = centroids.select(F.col(cent_id), F.col(cent_vec))
     scored = df.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(c))
-    scored = scored.withColumn("cos", cosine(F.col(vec_col), F.col(cent_vec)))
+    scored = scored.withColumn(
+        "cos", cosine(F.col(vec_col), F.col(cent_vec))
+    ).filter(F.col("cos").isNotNull())
     w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cent_id).asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -110,7 +121,11 @@ def ivf_topk(
     assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qscored = q.join(F.broadcast(cent)).withColumn("cos", cosine(F.col("qv"), F.col("cent_vec")))
+    qscored = (
+        q.join(F.broadcast(cent))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cent_vec")))
+        .filter(F.col("cos").isNotNull())
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
     probes = (
         qscored.withColumn("rk", F.row_number().over(wq))
@@ -119,7 +134,9 @@ def ivf_topk(
     )
 
     cand = probes.join(assigned, on="cent_id").filter(F.col("query_id") != F.col(id_col))
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col(vec_col)))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col(vec_col))).filter(
+        F.col("cos").isNotNull()
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -179,6 +196,10 @@ def lsh_cosine_pairs(
     found by several tables (cheap — runs on the tiny post-threshold
     set). The 100 TB-safe replacement for all-pairs cosine scans.
     """
+    if not tables:
+        # reachable via random_planes(dim, n, n_tables=0); a bare
+        # per_table[0] IndexError carries no context
+        raise ValueError("lsh_cosine_pairs: tables must be non-empty")
     per_table = [
         lsh_cosine_candidates(
             df, planes, id_col=id_col, vec_col=vec_col, threshold=threshold
@@ -675,7 +696,6 @@ def label_silhouette(
     aggregate builds the k centroids; the k-row centroid broadcast ×
     partitioned corpus is the allowlisted O(n·k) sweep; one final
     label-keyed aggregate."""
-    from pyspark.sql.window import Window
 
     q = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0) & F.col(label_col).isNotNull()
@@ -768,7 +788,10 @@ def kcenter_select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__kv__"),
     )
     spark = corpus.sparkSession
-    out_schema = "sel_order int, " + id_col + " long, maxmin_d2_e6 long"
+    # the id keeps ITS OWN type — hardcoding long crashed string ids
+    # (CAST_INVALID_INPUT under ANSI) though the siblings accept any
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"sel_order int, {id_col} {id_type}, maxmin_d2_e6 long"
     if k <= 0:
         # a zero-size coreset is zero rows, not the seed row (r8 ADVICE)
         return spark.createDataFrame([], out_schema)
@@ -810,20 +833,23 @@ def _kcenter_greedy(spark, pts: DataFrame, k: int, out_schema: str) -> DataFrame
         cand = pts.filter(
             ~F.col("__kid__").isin([cid for cid, _v, _d in chosen])
         )
+        # argmax distance, tie → LOWEST id: min over (-d, id) — the
+        # negation lives on the (always-numeric) distance, never the
+        # id, so string ids order correctly too
         rows = (
             cand.select(
                 F.struct(
-                    d2_e6.alias("d"), (-F.col("__kid__")).alias("ni"), v.alias("vec")
+                    (-d2_e6).alias("nd"), F.col("__kid__").alias("id"), v.alias("vec")
                 ).alias("s")
             )
-            .agg(F.max("s").alias("s"))
-            .select("s.d", "s.ni", "s.vec")
+            .agg(F.min("s").alias("s"))
+            .select("s.nd", "s.id", "s.vec")
             .collect()
         )
-        if not rows or rows[0]["ni"] is None:
+        if not rows or rows[0]["id"] is None:
             break  # k exceeds the corpus: stop at n selections
         top = rows[0]
-        chosen.append((-top["ni"], list(top["vec"]), top["d"]))
+        chosen.append((top["id"], list(top["vec"]), -top["nd"]))
     # the result is built from driver-side literals, so the caller's
     # finally-unpersist cannot invalidate it
     return spark.createDataFrame(

@@ -93,11 +93,16 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")) -> Column:
-    """Fraction of tokens that are stopwords."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    """Fraction of tokens that are stopwords; NULL for empty/blank text
+    (0 tokens — the module's null convention, like punct_ratio and
+    mean_word_length). The previous size(toks)==0 guard was unreachable:
+    split('') yields [''], a phantom token that silently made the
+    empty-text ratio 0.0."""
+    t = F.trim(F.lower(col))
+    toks = F.split(t, r"\s+")
     sw = F.array(*[F.lit(s) for s in stopwords])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) == 0, F.lit(None)).otherwise(n_sw / F.size(toks))
+    n_sw = F.size(F.filter(toks, lambda tk: F.array_contains(sw, tk)))
+    return F.when(F.length(t) > 0, n_sw / F.size(toks))
 
 
 def quality_score(col: Column) -> Column:
@@ -371,16 +376,21 @@ def contamination_hits(
     keyed by doc id. The corpus never self-joins and never shuffles
     its text.
     """
+    # keep only FULL-length shingles: char_shingles of an empty or
+    # sub-ngram_chars doc emits one phantom/partial shingle, which made
+    # an empty benchmark row 'hit' empty corpus docs below the nominal
+    # n-gram guarantee (the source_overlap guard, applied here too)
     bench_shingles = (
         benchmark.select(
             F.explode(char_shingles(F.col(text_col), ngram_chars)).alias("sh")
         )
+        .filter(F.length("sh") == ngram_chars)
         .distinct()
     )
     corpus_shingles = corpus.select(
         F.col(id_col),
         F.explode(char_shingles(F.col(text_col), ngram_chars)).alias("sh"),
-    )
+    ).filter(F.length("sh") == ngram_chars)
     return (
         corpus_shingles.join(F.broadcast(bench_shingles), "sh")
         .groupBy(id_col)
@@ -414,7 +424,6 @@ def bigram_familiarity(
     tables are vocabulary-sized, not corpus-sized. One final
     groupBy(doc).
     """
-    from pyspark.sql import functions as F
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sz = F.size(toks)
@@ -695,7 +704,6 @@ def token_entropy(
     then a group-level agg; the k-row group-totals table broadcasts
     back. Two shuffles, corpus text never shuffles.
     """
-    from tada_spark.plans.semantics import det_ln
 
     toks = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
@@ -741,7 +749,6 @@ def kl_divergence(
     1-row corpus total rides the allowlisted scalar-broadcast
     crossJoin. Corpus text shuffles once.
     """
-    from tada_spark.plans.semantics import det_ln
 
     toks = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
@@ -911,9 +918,13 @@ def exact_substring_hits(
     allowlisted ann-style nested loop, linear in the corpus; the JVM
     substring search runs at scan speed and emits only hits. Never a
     corpus×corpus product."""
-    hits = corpus.select(corpus_id, corpus_text).join(
-        F.broadcast(needles.select(needle_id, needle_text))
+    # an empty/blank needle would "hit" EVERY document at position 1
+    # (locate('', text) = 1) — one blank eval row marking the whole
+    # corpus contaminated and producing corpus-sized output
+    clean = needles.select(needle_id, needle_text).filter(
+        F.length(F.col(needle_text)) > 0
     )
+    hits = corpus.select(corpus_id, corpus_text).join(F.broadcast(clean))
     pos = F.expr(f"locate(`{needle_text}`, `{corpus_text}`)")
     return (
         hits.select(corpus_id, needle_id, pos.alias("position"))
@@ -939,7 +950,6 @@ def pmi_bigrams(
     100 TB shape: two token-keyed aggregates over one scan family;
     count tables are vocabulary-sized → broadcast joins; N rides the
     allowlisted 1-row crossJoin; top-k is TakeOrderedAndProject."""
-    from tada_spark.plans.semantics import det_ln
 
     docs = df.filter(F.col(text_col).isNotNull())
     toks = docs.select(

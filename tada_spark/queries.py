@@ -1640,7 +1640,7 @@ def dedup_exact_fingerprint(spark, sf):
 DEDUP_EXACT_SQL = """
 SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
        MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
 """
 
 
@@ -1745,9 +1745,9 @@ WITH sh AS (
                 i -> SUBSTR(text, i::INT, 24)))) AS g
   FROM documents
 ), bench AS (
-  SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0
+  SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0 AND LENGTH(g) = 24
 ), corp AS (
-  SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 50 != 0
+  SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 50 != 0 AND LENGTH(g) = 24
 )
 SELECT c.doc_id, COUNT(*) AS n_hits
 FROM corp c JOIN bench b USING (g)
@@ -3952,10 +3952,13 @@ def simhash_oracle(spark, sf):
     DuckDB's replica of the per-bit majority vote (the third LSH family
     upgraded from rows-only; 64-bit xxhash64 stays production)."""
     docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
-    # pin the NULL-text contract explicitly: the oracle's UNNEST drops
-    # NULL-text docs entirely, while a Spark aggregate over a NULL token
-    # array would emit a row with a NULL fingerprint — filter both sides
-    return docs.filter(F.col("text").isNotNull()).select(
+    # pin the blank/NULL-text contract explicitly: simhash is NULL for
+    # empty/whitespace-only/NULL text (r9 blank-doc guard) while the
+    # oracle's UNNEST would still hash the phantom '' token — filter
+    # both sides identically
+    return docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    ).select(
         "doc_id", dedup.simhash(F.col("text"), num_bits=32, hash_family="md5").alias("sh")
     )
 
@@ -3968,7 +3971,7 @@ SIMHASH_ORACLE_SQL = rf"""
 WITH toks AS (
   SELECT doc_id,
          UNNEST(list_distinct(regexp_split_to_array(lower(TRIM(text)), '\s+'))) AS t
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND TRIM(text) != ''
 ), h AS (
   SELECT doc_id, ('0x' || md5(t)[1:8])::BIGINT AS hv FROM toks
 ), votes AS (

@@ -56,7 +56,10 @@ def equal_structs(frame: Frame, want: list[Any], *, sort_key: str | None = None)
     """Compare typed rows against expected dataclass instances
     (reference EqualStructs io.go:575-597)."""
     if not want:
-        return (frame.to_df().count() == 0, [])
+        n = frame.to_df().count()
+        # a failure must carry a diff: (False, []) reads as a pass to
+        # callers that check `if diffs:` and asserts print nothing
+        return (n == 0, [] if n == 0 else [f"row count: got {n} != want 0"])
     cls = type(want[0])
     got = write_structs(frame, cls)
     if sort_key is not None:
