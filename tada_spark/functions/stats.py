@@ -286,7 +286,13 @@ def ks_statistic(
         F.col("n1").alias("n_g1"),
         F.col("n2").alias("n_g2"),
         "d_num",
-        F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d_e6"),
+        # one-sided input (a group empty/misspelled): 0/0 is NaN and
+        # floor(NaN) casts to 0 — reading "distributions identical";
+        # the statistic is undefined, so NULL (the mann_whitney guard)
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("d_e6"),
     )
 
 
@@ -311,7 +317,7 @@ def time_weighted_mean(
 
     from tada_spark.plans.timeutil import epoch_us
 
-    dts = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))[ts_col]
+    dts = df.schema[ts_col].dataType
     ev = df.filter(
         F.col(value_col).isNotNull() & F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
@@ -773,7 +779,10 @@ def benford_chi2(df: DataFrame, value: Column) -> DataFrame:
         chi2_e6 = chi2_e6 + t
     return agg.select(
         "n",
-        chi2_e6.alias("chi2_e6"),
+        # an empty (or all-non-positive, e.g. unscaled-fractional)
+        # input has no first digits: each term is 0/0 → NaN → 0 after
+        # the cast, reading "perfect Benford fit" — undefined is NULL
+        F.when(F.col("n") > 0, chi2_e6).alias("chi2_e6"),
         *[f"obs_{i}" for i in range(1, 10)],
     )
 
@@ -1046,16 +1055,23 @@ def best_split_by_group(
 ) -> DataFrame:
     """Per-group single-feature decision stump: the split threshold s
     (left = feature ≤ s) minimizing weighted Gini impurity over a
-    binary label — the CART split-finding primitive, solved EXACTLY
-    with integers: minimizing nL·G_L + nR·G_R is maximizing
-    score = (aL² + bL²)·nR + (aR² + bR²)·nL (cross-multiplied by
-    nL·nR; a/b = label counts). One (group, feature-value) spine
-    aggregate, running counts over the spine window, an integer argmax
-    via max_by (ties → smallest threshold). Splits with an empty side
-    are excluded. Integer bound: n³ < 2^63 → n ≲ 2e6 rows per group
-    (lift to DECIMAL(38,0) beyond).
+    binary label — the CART split-finding primitive. Minimizing
+    nL·G_L + nR·G_R is maximizing the purity gain
+    (aL² + bL²)/nL + (aR² + bR²)/nR (a/b = label counts). The two
+    divisions run on EXACT integer operands (squares and counts are
+    longs; exact as doubles up to 2^53 → n ≲ 9e7 rows per group) and
+    the sum is e6 floor-quantized — the ols_by_group discipline, so
+    both engines produce the identical score_e6. NOTE: the round-8
+    version ranked by the cross-multiplied numerator
+    (aL²+bL²)·nR + (aR²+bR²)·nL alone, whose implicit denominator
+    nL·nR varies per split — NOT order-equivalent (a perfect
+    separation could lose to an impure middle split); fixed in round 9
+    with the oracle and brute-force property test updated in lockstep.
+    One (group, feature-value) spine aggregate, running counts over the
+    spine window, argmax via max_by (quantized ties → smallest
+    threshold). Splits with an empty side are excluded.
 
-    Emits (group, split_at, n_left, n_right, score)."""
+    Emits (group, split_at, n_left, n_right, score_e6)."""
     from pyspark.sql.window import Window
 
     base = df.filter(
@@ -1083,26 +1099,28 @@ def best_split_by_group(
     aR = F.col("A") - F.col("aL")
     bR = F.col("B") - F.col("bL")
     nR = aR + bR
-    score = (F.col("aL") * F.col("aL") + F.col("bL") * F.col("bL")) * nR + (
-        aR * aR + bR * bR
-    ) * nL
+    gain = (
+        (F.col("aL") * F.col("aL") + F.col("bL") * F.col("bL")).cast("double")
+        / nL.cast("double")
+    ) + ((aR * aR + bR * bR).cast("double") / nR.cast("double"))
+    score = F.floor(gain * F.lit(1e6) + F.lit(0.5)).cast("long")
     cand = run.filter((nL > 0) & (nR > 0)).select(
         group_col,
         "split_at",
         nL.alias("n_left"),
         nR.alias("n_right"),
-        score.alias("score"),
+        score.alias("score_e6"),
     )
     pick = F.max_by(
-        F.struct("split_at", "n_left", "n_right", "score"),
-        F.struct(F.col("score"), -F.col("split_at")),
+        F.struct("split_at", "n_left", "n_right", "score_e6"),
+        F.struct(F.col("score_e6"), -F.col("split_at")),
     )
     return cand.groupBy(group_col).agg(pick.alias("__p__")).select(
         group_col,
         F.col("__p__.split_at").alias("split_at"),
         F.col("__p__.n_left").alias("n_left"),
         F.col("__p__.n_right").alias("n_right"),
-        F.col("__p__.score").alias("score"),
+        F.col("__p__.score_e6").alias("score_e6"),
     )
 
 
@@ -1203,7 +1221,15 @@ def ndcg_at_10(
 
     One group-keyed aggregate collects ≤ 10 (rank, gain) pairs; all
     arithmetic is per-group on that tiny array."""
-    gain = F.expr(f"shiftleft(1, cast({rel_col} as int)) - 1")
+    # negative relevance is a labeling error, not a gain: Java shift
+    # masking makes shiftleft(1, -1) = 1<<31, silently driving the
+    # whole group's DCG hugely negative — fail loudly instead
+    gain = F.expr(
+        f"CASE WHEN cast({rel_col} as int) >= 0"
+        f" THEN shiftleft(1, cast({rel_col} as int)) - 1"
+        f" ELSE raise_error(concat('ndcg_at_10: negative relevance ', "
+        f"cast({rel_col} as string))) END"
+    )
     top = df.filter(
         F.col(group_col).isNotNull()
         & F.col(rank_col).isNotNull()

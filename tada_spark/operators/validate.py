@@ -74,8 +74,15 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             aggs.append(F.count(c).alias(f"c{i}"))
         else:
             # value rules skip nulls: checked = non-null, violation =
-            # non-null AND NOT pred
-            aggs.append(F.count(F.when(c.isNotNull() & ~e.pred, 1)).alias(f"v{i}"))
+            # non-null AND NOT pred. A predicate that evaluates to SQL
+            # NULL on a non-null value (e.g. expect_in_set with None in
+            # the set — IN with NULL) must count as a VIOLATION, not
+            # silently pass: ~NULL is NULL and F.when would skip it
+            aggs.append(
+                F.count(
+                    F.when(c.isNotNull() & ~F.coalesce(e.pred, F.lit(False)), 1)
+                ).alias(f"v{i}")
+            )
             aggs.append(F.count(c).alias(f"c{i}"))
     row = df.agg(*aggs)
     reports = F.array(
@@ -174,6 +181,13 @@ def fk_candidates(
     evidence)."""
     from functools import reduce
 
+    labels = [label for _df, _col, label in columns]
+    if len(set(labels)) != len(labels):
+        # two columns sharing a label would silently MERGE their
+        # distinct-value sets under one col_id, corrupting n_child and
+        # every containment score (the mutual_information r8 rule)
+        dupes = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(f"fk_candidates: duplicate column label(s) {dupes}")
     stacks = [
         df.select(
             F.lit(label).alias("col_id"),

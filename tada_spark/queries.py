@@ -8974,15 +8974,18 @@ WITH b AS (
 ), cand AS (
   SELECT event_type, split_at,
          (aL + bL) AS n_left, (A - aL + B - bL) AS n_right,
-         ((aL * aL + bL * bL) * (A - aL + B - bL)
-          + ((A - aL) * (A - aL) + (B - bL) * (B - bL)) * (aL + bL)) AS score
+         CAST(FLOOR((
+           (aL * aL + bL * bL)::DOUBLE / (aL + bL)
+           + ((A - aL) * (A - aL) + (B - bL) * (B - bL))::DOUBLE
+             / (A - aL + B - bL)
+         ) * 1000000 + 0.5) AS BIGINT) AS score_e6
   FROM run WHERE (aL + bL) > 0 AND (A - aL + B - bL) > 0
 ), rk AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                               ORDER BY score DESC, split_at ASC) AS pick
+                               ORDER BY score_e6 DESC, split_at ASC) AS pick
   FROM cand
 )
-SELECT event_type, split_at, n_left, n_right, score FROM rk WHERE pick = 1
+SELECT event_type, split_at, n_left, n_right, score_e6 FROM rk WHERE pick = 1
 """
 
 

@@ -215,14 +215,27 @@ def test_best_split_matches_brute(spark, rows):
         nL, nR = aL + bL, aR + bR
         if nL == 0 or nR == 0:
             continue
-        score = (aL * aL + bL * bL) * nR + (aR * aR + bR * bR) * nL
+        # the TRUE objective: per-side purity sum, e6-quantized like
+        # the operator (the r8 cross-multiplied numerator was NOT
+        # order-equivalent — this brute force used to replicate it,
+        # which is why it couldn't catch the bug)
+        score = math.floor(
+            ((aL * aL + bL * bL) / nL + (aR * aR + bR * bR) / nR) * 1e6 + 0.5
+        )
         if best is None or score > best[0] or (score == best[0] and s < best[1]):
             best = (score, s, nL, nR)
     if best is None:
         assert got == []
         return
     r = got[0]
-    assert (r.score, r.split_at, r.n_left, r.n_right) == best
+    assert (r.score_e6, r.split_at, r.n_left, r.n_right) == best
+    # the r8 counterexample shape: a perfect separation must always win
+    df2 = spark.createDataFrame(
+        [("h", 1, True)] + [("h", 2 + i, False) for i in range(9)],
+        "g string, f long, y boolean",
+    )
+    r2 = best_split_by_group(df2, "g", F.col("f"), F.col("y")).collect()[0]
+    assert r2.split_at == 1  # impurity 0; the old score picked f=5
 
 
 # ---------------------------------------------------------------------------
