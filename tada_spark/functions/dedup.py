@@ -33,13 +33,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     One hash-aggregate shuffle on the 128-bit key; fully scalable."""
     return (
         df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
         # a NULL text has no fingerprint: without this filter every
         # NULL-text doc collapsed into one fp=NULL group and the
         # keep-min rule deleted unrelated docs as "duplicates"
-        # (incremental_dedup already guards; keep lockstep)
+        # (incremental_dedup already guards; keep lockstep). Filtering
+        # AFTER the aggregate drops the one NULL group without pushing
+        # the predicate into the scan, where it would evaluate the
+        # md5+regexp fingerprint a second time per row (bench-measured)
         .filter(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )
 
 

@@ -852,14 +852,15 @@ def test_weighted_quantile_known(spark):
 
 
 def test_best_split_known(spark):
-    """Feature 1,2 all-True; 3,4 all-False → perfect split at 2
-    (score = (2²+0)·2 + (0+2²)·2 = 16, the max possible for n=4)."""
+    """Feature 1,2 all-True; 3,4 all-False → perfect split at 2.
+    Purity gain = 4/2 + 4/2 = 4 exactly (e6-quantized; the r9 objective
+    fix replaced the non-order-equivalent cross-multiplied score)."""
     from tada_spark.functions.stats import best_split_by_group
 
     rows = [("g", 1, True), ("g", 2, True), ("g", 3, False), ("g", 4, False)]
     df = spark.createDataFrame(rows, "g string, f long, y boolean")
     r = best_split_by_group(df, "g", F.col("f"), F.col("y")).first()
-    assert (r.split_at, r.n_left, r.n_right, r.score) == (2, 2, 2, 16)
+    assert (r.split_at, r.n_left, r.n_right, r.score_e6) == (2, 2, 2, 4_000_000)
 
 
 def test_jackknife_constant_values_zero_se(spark):
