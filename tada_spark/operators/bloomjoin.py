@@ -30,13 +30,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
+def _positions(key: Column, m_bits: int, k_hashes: int, dtype=None) -> list[Column]:
+    """Hash positions over the CANONICAL key string (canon_str when the
+    dtype is known): a raw per-dtype cast would hash int 1 as '1' but
+    double 1.0 as '1.0' — different positions, so a cross-type equi-join
+    (which Spark coerces to a match) got FALSE NEGATIVES, breaking the
+    no-false-negative contract."""
     from tada_spark.functions.text import md5_hash32
+    from tada_spark.plans.semantics import canon_str
 
+    k = canon_str(key, dtype) if dtype is not None else key.cast("string")
     return [
-        F.pmod(
-            md5_hash32(F.concat(F.lit(f"bloom{i}#"), key.cast("string"))), F.lit(m_bits)
-        ).cast("long")
+        F.pmod(md5_hash32(F.concat(F.lit(f"bloom{i}#"), k)), F.lit(m_bits)).cast("long")
         for i in range(k_hashes)
     ]
 
@@ -53,7 +58,20 @@ def bloom_bitmap(
     and read as 0 at probe time). One explode + distinct + bit_or
     aggregate — work ∝ k·|keys|, output ≤ m_bits/64 entries."""
     pos = (
-        keys.select(F.explode(F.array(*_positions(F.col(key_col), m_bits, k_hashes))).alias("pos"))
+        # NULL keys carry no membership evidence (a semi-join never
+        # matches NULL) and would put a NULL word into the map, which
+        # map_from_entries rejects as a map key at runtime
+        keys.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *_positions(
+                        F.col(key_col), m_bits, k_hashes,
+                        dtype=keys.schema[key_col].dataType,
+                    )
+                )
+            ).alias("pos")
+        )
         .distinct()
         .select(
             F.shiftright(F.col("pos"), 6).cast("int").alias("word"),
@@ -71,12 +89,14 @@ def bloom_bitmap(
 
 
 def bloom_might_contain(
-    bloom_map: Column, key: Column, *, m_bits: int = 1 << 16, k_hashes: int = 4
+    bloom_map: Column, key: Column, *, m_bits: int = 1 << 16, k_hashes: int = 4, dtype=None
 ) -> Column:
     """True iff every one of the key's k bits is set — the standard
-    no-false-negative Bloom test, as codegen-able Column algebra."""
+    no-false-negative Bloom test, as codegen-able Column algebra. Pass
+    ``dtype`` so the probe hashes the same canonical string the bitmap
+    side used (cross-type join keys)."""
     tests = []
-    for pos in _positions(key, m_bits, k_hashes):
+    for pos in _positions(key, m_bits, k_hashes, dtype=dtype):
         lane = F.coalesce(
             F.element_at(bloom_map, F.shiftright(pos, 6).cast("int")), F.lit(0).cast("long")
         )
@@ -101,7 +121,8 @@ def bloom_prefilter(
         .crossJoin(F.broadcast(bitmap))
         .filter(
             bloom_might_contain(
-                F.col("__bloom__"), F.col(key_col), m_bits=m_bits, k_hashes=k_hashes
+                F.col("__bloom__"), F.col(key_col), m_bits=m_bits, k_hashes=k_hashes,
+                dtype=fact.schema[key_col].dataType,
             )
         )
         .drop("__bloom__")

@@ -244,8 +244,6 @@ class GroupedFrame:
         window + one aggregate on the same keyed sort; the sum of the
         kept values is exact, with a single division at the end.
         Groups where trimming empties the sample (n ≤ 2k) drop."""
-        from pyspark.sql.window import Window
-
         keys = self._key_cols()
         w = Window.partitionBy(*keys).orderBy(F.col(col))
         tot = Window.partitionBy(*keys)

@@ -35,7 +35,15 @@ def _same_target(a: str, b: str) -> bool:
     def canon(p: str) -> tuple[str, str]:
         scheme, sep, rest = p.partition("://")
         if not sep:
-            scheme, rest = "file", p
+            # Hadoop also prints the single-slash URI form 'file:/x'
+            # (and 'hdfs:/x'): without this branch 'file:/tmp/t' read
+            # as a RELATIVE local path named 'file:', bypassing the
+            # same-target guard against 'file:///tmp/t' or '/tmp/t'
+            head, colon, tail = p.partition(":/")
+            if colon and head.isalpha() and len(head) >= 2:  # not 'C:\\'
+                scheme, rest = head, "/" + tail.lstrip("/")
+            else:
+                scheme, rest = "file", p
         scheme = aliases.get(scheme.lower(), scheme.lower())
         if scheme == "file":
             return "file", os.path.realpath(os.path.abspath(rest))

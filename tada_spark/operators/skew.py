@@ -104,6 +104,12 @@ def salted_join(
         hot_keys = (
             left.groupBy(*on).count().filter(F.col("count") > hot_threshold).select(*on)
         )
+    else:
+        # a caller-supplied list with a repeated key would multiply
+        # both sides' rows in the left-join below (each matched pair
+        # duplicated per extra copy, squared) — the auto-detect path is
+        # distinct by construction; make the explicit path match
+        hot_keys = hot_keys.select(*on).distinct()
     hot = F.broadcast(hot_keys.withColumn("__hot__", F.lit(True)))
 
     l = left.join(hot, on=on, how="left")

@@ -40,8 +40,17 @@ def frame_to_json(frame: Frame) -> str:
 
 
 def _jsonable(v):
+    import base64
+    import decimal
+
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # str round-trips exactly; frame_from_json casts back via the
+        # declared decimal dtype (float() would corrupt the low digits)
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
     return v
 
 
@@ -56,13 +65,18 @@ def frame_from_json(spark: SparkSession, payload: str) -> Frame:
     rows = [
         tuple(None if c["nulls"][i] else c["values"][i] for c in cols) for i in range(n)
     ]
-    time_types = ("timestamp", "timestamp_ntz", "date")
+    def _string_coded(dtype: str) -> bool:
+        # serialized as strings, cast back after createDataFrame:
+        # timestamps/dates (isoformat), decimals (exact str), binary
+        # (base64 — cast via unbase64 below)
+        return (
+            dtype in ("timestamp", "timestamp_ntz", "date", "binary")
+            or dtype.startswith("decimal")
+        )
+
     if all("dtype" in c for c in cols):
-        # timestamps/dates serialized as ISO strings — declare string,
-        # then CAST BACK below (the round-trip previously left them as
-        # strings: the declared-then-never-applied re-parse)
         def sql_type(c):
-            return "string" if c["dtype"] in time_types else c["dtype"]
+            return "string" if _string_coded(c["dtype"]) else c["dtype"]
 
         schema = ", ".join(f"`{c['name']}` {sql_type(c)}" for c in cols)
     else:
@@ -70,10 +84,13 @@ def frame_from_json(spark: SparkSession, payload: str) -> Frame:
     df = spark.createDataFrame(rows, schema=schema)
     if all("dtype" in c for c in cols):
         for c in cols:
-            if c["dtype"] in time_types:
-                # isoformat round-trips losslessly through a plain cast
-                # (Spark parses the optional fractional part natively,
-                # which the multi-format Frame.cast list does not)
+            if c["dtype"] == "binary":
+                df = df.withColumn(c["name"], F.unbase64(F.col(c["name"])))
+            elif _string_coded(c["dtype"]):
+                # isoformat/decimal strings round-trip losslessly
+                # through a plain cast (Spark parses the optional
+                # fractional part natively, which the multi-format
+                # Frame.cast list does not)
                 df = df.withColumn(c["name"], F.col(c["name"]).cast(c["dtype"]))
     return Frame(df, labels=[c["name"] for c in cols if c.get("is_label")], name=doc.get("name", ""))
 

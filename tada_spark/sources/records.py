@@ -67,6 +67,12 @@ def read_records(
     """[][]string → Frame (reference io.go:213-268)."""
     if not records:
         raise ValueError("read_records: must have at least one record")
+    if by_column:
+        # zip(*ragged) TRUNCATES to the shortest column before the
+        # width check below could ever see the discrepancy — silent
+        # data loss where the row-major path correctly raises
+        if any(len(c) != len(records[0]) for c in records):
+            raise ValueError("read_records: ragged records (columns differ in length)")
     rows = [list(r) for r in (zip(*records) if by_column else records)]
     width = len(rows[0])
     if any(len(r) != width for r in rows):

@@ -34,14 +34,28 @@ def write_structs(frame: Frame, cls: type, *, strict: bool = False) -> list[Any]
     io.go:470-500). Driver-side sink."""
     if not dataclasses.is_dataclass(cls):
         raise TypeError("write_structs: cls must be a dataclass")
-    fields = [f.name for f in dataclasses.fields(cls)]
     cols = set(frame.columns)
-    missing = [f for f in fields if f not in cols]
+    has_default = {
+        f.name: (
+            f.default is not dataclasses.MISSING
+            or f.default_factory is not dataclasses.MISSING
+        )
+        for f in dataclasses.fields(cls)
+    }
+    # the documented contract: outside strict, a field WITH a default
+    # may be absent from the frame (it takes its default); only
+    # defaultless fields are required
+    required = [
+        f for f, dflt in has_default.items() if not dflt or strict
+    ]
+    missing = [f for f in required if f not in cols]
     if missing:
         raise KeyError(f"write_structs: columns missing for fields {missing}")
     if strict:
-        extra = [c for c in frame.columns if c not in fields]
+        extra = [c for c in frame.columns if c not in has_default]
         if extra:
             raise KeyError(f"write_structs (strict): extra columns {extra}")
-    rows = frame.to_df().select(*fields).collect()
-    return [cls(**{f: row[f] for f in fields}) for row in rows]
+    present = [f in cols for f in has_default]
+    use = [f for f, p in zip(has_default, present) if p]
+    rows = frame.to_df().select(*use).collect()
+    return [cls(**{f: row[f] for f in use}) for row in rows]
