@@ -85,3 +85,38 @@ def test_salted_join_duplicate_hot_keys_no_multiplication(spark):
     rows = sorted((r.k, r.lv, r.rv) for r in out.collect())
     # before: each u1 pair appeared 4x (2 left copies x 2 right copies)
     assert rows == [("u1", 1, 10), ("u2", 2, 20)]
+
+
+def test_transcendental_lint_covers_log_variants():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("co", "tools/check_oracle.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    # LOG10/LOG2 previously sailed past the LN|LOG|EXP pattern
+    assert m.transcendental_lint("SELECT LOG10(x), LOG2(y) FROM t") == ["LOG10(", "LOG2("]
+    assert m.transcendental_lint("SELECT det_ln_term FROM t") == []
+
+
+def test_replica_preserves_doc_embedding_id_domain(tmp_path):
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out = str(tmp_path / "rep")
+    subprocess.run(
+        [sys.executable, "tools/make_replica.py", "/root/testdata/sf0.001", out, "2"],
+        check=True, capture_output=True,
+    )
+    # doc_id == vec_id pairs rows ACROSS tables (rrf fusion depends on
+    # it); mismatched shifts previously left copy i>=1 unpaired
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out}/documents.parquet' d "
+        f"JOIN '{out}/embeddings.parquet' e ON d.doc_id = e.vec_id"
+    ).fetchone()[0]
+    base = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet' d "
+        "JOIN '/root/testdata/sf0.001/embeddings.parquet' e ON d.doc_id = e.vec_id"
+    ).fetchone()[0]
+    assert n == 2 * base

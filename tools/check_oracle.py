@@ -8,7 +8,9 @@ values canonicalized). Run before every commit that touches queries or
 operator semantics.
 
 Usage:
-  python tools/check_oracle.py [--sf DIR] [-q NAME ...] [--rows-only]
+  python tools/check_oracle.py [--sf DIR] [-q NAME ...]
+
+Entries without an oracle always run and are marked [rows-only].
 """
 
 from __future__ import annotations
@@ -187,7 +189,7 @@ def transcendental_lint(sql: str) -> list[str]:
 
     return [
         m.group(0)
-        for m in re.finditer(r"\b(?:LN|LOG|EXP|POW|POWER)\s*\(", sql, re.IGNORECASE)
+        for m in re.finditer(r"\b(?:LN|LOG2|LOG10|LOG|EXP|POW|POWER)\s*\(", sql, re.IGNORECASE)
     ]
 
 
@@ -202,7 +204,6 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--query", action="append")
-    ap.add_argument("--rows-only", action="store_true", help="also run no-oracle queries")
     ap.add_argument(
         "--cpus", type=int, default=8,
         help="local[N] parallelism — run the gate at two different N to prove partition-count invariance",

@@ -13,13 +13,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def first_line(doc):
-    return doc.strip().splitlines()[0].rstrip(".") if doc else ""
+    lines = doc.strip().splitlines() if doc else []
+    return lines[0].rstrip(".") if lines else ""
 
 
 def main() -> None:
     import tada_spark.frame as fr
     import tada_spark.operators.grouped as gr
-    from tada_spark.operators import bloomjoin, cdc, interval, layout, linkage, reshape, skew, validate
+    from tada_spark.operators import bloomjoin, cdc, interval, layout, linkage, reshape, skew, skyline, validate
     from tada_spark.functions import dedup, jpeg, multimodal, sampling, similarity, stats, text
     from tada_spark.functions import sketches
     from tada_spark.operators import spatial
@@ -60,6 +61,7 @@ def main() -> None:
         ("GroupedFrame (tada_spark.operators.grouped)", clsfuncs(gr.GroupedFrame)),
         ("Reshape (operators.reshape)", modfuncs(reshape)),
         ("Skew mitigation (operators.skew)", modfuncs(skew)),
+        ("Pareto frontier (operators.skyline)", modfuncs(skyline)),
         ("Range join (operators.interval)", modfuncs(interval)),
         ("Text analysis (functions.text)", modfuncs(text)),
         ("Dedup (functions.dedup)", modfuncs(dedup)),

@@ -36,8 +36,12 @@ def build(src: str, out: str, n: int) -> None:
         "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
         "customer": [("c_custkey", 1_000_000)],
         "events": [("event_id", 1_000_000), ("user_id", 1_000_000)],
+        # documents and embeddings SHARE an id domain (doc_id == vec_id
+        # pairs rows across the tables — rrf_hybrid_retrieval's fusion
+        # depends on it), so they must share ONE shift or every copy
+        # i >= 1 would fuse unrelated rows
         "documents": [("doc_id", 5_000_000)],
-        "embeddings": [("vec_id", 1_000_000)],
+        "embeddings": [("vec_id", 5_000_000)],
     }
     for table, cols in shifts.items():
         for kc, shift in cols:
@@ -73,7 +77,7 @@ def build(src: str, out: str, n: int) -> None:
             SELECT doc_id + i * 5000000 AS doc_id, text, lang, source, n_chars
             FROM '{src}/documents.parquet', {rng}""",
         "embeddings": f"""
-            SELECT vec_id + i * 1000000 AS vec_id, embedding, label
+            SELECT vec_id + i * 5000000 AS vec_id, embedding, label
             FROM '{src}/embeddings.parquet', {rng}""",
     }
     for table, sql in copies.items():
