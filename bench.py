@@ -122,6 +122,13 @@ def main() -> None:
                 "load_1m_end": round(os.getloadavg()[0], 2),
                 "calibration_sec": round(calib, 3),
                 "queries": times,
+                # tide normalization (r9 verdict ask #7): per-query
+                # time ÷ calibration time. The box's speed swings ±40%
+                # with neighbor load and moves ALL queries in lockstep;
+                # a real regression moves one query's RATIO while the
+                # others hold. Compare ratios across rounds, not raw
+                # seconds (rule documented in SCALE.md).
+                "ratios": {n: round(t / calib, 2) for n, t in times.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

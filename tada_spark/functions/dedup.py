@@ -30,19 +30,23 @@ from tada_spark.plans.semantics import round_det
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id document per normalized-text fingerprint.
-    One hash-aggregate shuffle on the 128-bit key; fully scalable."""
+    One hash-aggregate shuffle on the 128-bit key; fully scalable.
+
+    A NULL text has no fingerprint and must not form a group (every
+    NULL-text doc would collapse into one fp=NULL group and the
+    keep-min rule would delete unrelated docs as "duplicates"). The
+    guard filters the RAW column: fingerprint() is NULL iff text is
+    NULL (md5/trim/regexp of non-null is non-null), so this is
+    equivalent to fp.isNotNull() — but the raw-column predicate is
+    free at the scan, whereas a computed-column null filter gets
+    pushed down as isnotnull(md5(regexp_replace(...))) and evaluates
+    the fingerprint TWICE per row (plan-confirmed, bench-measured).
+    """
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
-        # a NULL text has no fingerprint: without this filter every
-        # NULL-text doc collapsed into one fp=NULL group and the
-        # keep-min rule deleted unrelated docs as "duplicates"
-        # (incremental_dedup already guards; keep lockstep). Filtering
-        # AFTER the aggregate drops the one NULL group without pushing
-        # the predicate into the scan, where it would evaluate the
-        # md5+regexp fingerprint a second time per row (bench-measured)
-        .filter(F.col("fp").isNotNull())
     )
 
 
@@ -119,30 +123,38 @@ def minhash_signatures(
     # shingles via arrays_zip of shifted slices — pure codegen-able
     # expressions (a transform() lambda here runs interpreted and is
     # ~1.5× slower); duplicates need no array_distinct since min() is
-    # duplicate-insensitive
+    # duplicate-insensitive. ONE scan, ONE projection, ONE explode:
+    # the per-doc shingle array is built in a single CASE expression —
+    # blank/NULL text → empty array (doc drops out), short docs
+    # (< shingle_words tokens) → their single partial-head shingle,
+    # else slice(zip, 1, sz - w + 1) keeps exactly the complete
+    # shingles (the zip's last w-1 entries are the null-padded tails
+    # the old post-explode filter removed). A prior revision unioned a
+    # SECOND full read of df for the short-doc branch — at 100 TB a
+    # duplicate scan of the text column dominates everything else here.
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sz = F.size(toks)
     parts = [toks] + [
         F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))) for i in range(1, shingle_words)
     ]
-    zipped = df.select(F.col(id_col), F.explode(F.arrays_zip(*parts)).alias("z"))
-    not_null = F.lit(True)
-    for i in range(shingle_words):
-        not_null = not_null & F.col(f"z.{i}").isNotNull()
-    sh = zipped.filter(not_null).select(
+    zipped = F.arrays_zip(*parts)
+    # struct field names must match arrays_zip's "0".."w-1" so the CASE
+    # branches share one type; concat_ws skips the NULL pad fields
+    short_struct = F.struct(
+        F.concat_ws(" ", toks).alias("0"),
+        *[F.lit(None).cast("string").alias(str(i)) for i in range(1, shingle_words)],
+    )
+    shingle_arr = (
+        F.when(
+            F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0,
+            F.slice(zipped, 1, 0),
+        )
+        .when(sz < shingle_words, F.array(short_struct))
+        .otherwise(F.slice(zipped, 1, sz - (shingle_words - 1)))
+    )
+    sh = df.select(F.col(id_col), F.explode(shingle_arr).alias("z")).select(
         id_col, F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(shingle_words)]).alias("s")
     )
-    # docs shorter than shingle_words have NO complete shingle and would
-    # vanish; a second (near-empty) branch contributes their single
-    # partial-head shingle — same output as word_shingles, so the two
-    # minhash paths agree, and the hot path above stays untouched
-    # (folding a position filter into it measured 3× slower)
-    short = (
-        df.select(F.col(id_col), F.concat_ws(" ", toks).alias("s"), sz.alias("__sz__"))
-        .filter((F.col("__sz__") < shingle_words) & (F.col("s") != ""))
-        .drop("__sz__")
-    )
-    sh = sh.unionByName(short)
     return sh.groupBy(id_col).agg(
         *[
             F.min(_minhash_hash(i, F.col("s"), hash_family)).alias(f"h{i}")
@@ -368,8 +380,24 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     chunks (Hamming ≤ 3 guarantee within 4 chunks). Blank/NULL docs
     carry a NULL simhash and generate no candidates."""
     n_chunks = 64 // chunk_bits
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh")).filter(
-        F.col("sh").isNotNull()
+    # simhash() is NULL exactly when text is NULL or blank — guard on
+    # the RAW column so the (cheap) predicate pushes to the scan. A
+    # sh.isNotNull() filter instead gets pushed down as
+    # isnotnull(aggregate(transform(...xxhash64...))) and evaluates the
+    # full 64-bit fold TWICE per row on EACH side of the self-join
+    # (plan-confirmed). Without the guard, every blank doc shares ONE
+    # fingerprint and m blank docs become m² candidate pairs.
+    # the coalesce is a semantic no-op (under the non-blank filter the
+    # simhash CASE always takes its aggregate branch, which never
+    # yields NULL) but makes sh provably non-nullable, so the
+    # IsNotNull(band-key) constraint Catalyst infers from the self-join
+    # folds to TRUE instead of being pushed through the Project as a
+    # SECOND full fold evaluation per row per side (plan-confirmed)
+    sh = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
+        F.col(id_col),
+        F.coalesce(simhash(F.col(text_col)), F.lit(0).cast("long")).alias("sh"),
     )
     banded = sh.select(
         id_col,
@@ -663,12 +691,21 @@ def incremental_dedup(
     # NULL-text rows fingerprint to NULL; drop them explicitly so the
     # anti-join contract is NULL-free on both sides (a NULL fp would
     # survive left_anti here while SQL NOT IN/NOT EXISTS semantics
-    # differ — the oracle pins the same filter)
-    new_fp = new_df.select(
+    # differ — the oracle pins the same filter). Guard on the RAW
+    # column — fingerprint() is NULL iff text is NULL — so the scan
+    # predicate is free; an fp.isNotNull() filter gets pushed down as
+    # isnotnull(md5(...)) and double-evaluates the fingerprint per row
+    # on both sides (plan-confirmed).
+    new_fp = new_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
-    ).filter(F.col("fp").isNotNull())
-    corpus_fp = corpus_df.select(fingerprint(F.col(text_col)).alias("fp")).filter(
-        F.col("fp").isNotNull()
+    )
+    # the coalesce is a semantic no-op (md5 of non-null text is never
+    # NULL) but makes the expression provably non-nullable, so the
+    # IsNotNull(fp) constraint Catalyst infers on the anti-join's build
+    # side folds to TRUE instead of being pushed through the Project as
+    # a second md5 evaluation per corpus row (plan-confirmed)
+    corpus_fp = corpus_df.filter(F.col(text_col).isNotNull()).select(
+        F.coalesce(fingerprint(F.col(text_col)), F.lit("")).alias("fp")
     )
     fresh = new_fp.join(corpus_fp, "fp", "left_anti")
     return (

@@ -515,3 +515,51 @@ def test_jpeg_progressive_stays_arrow_batched(spark, catalog):
     # never a row-at-a-time BatchEvalPython
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_guards_evaluate_hash_once(spark, catalog):
+    # r9 regression class: filtering on a COMPUTED column's null-ness
+    # (fp.isNotNull()) pushes isnotnull(md5(...)) into the scan and the
+    # fingerprint evaluates TWICE per row. r10 filters the RAW text
+    # column instead — the expensive hash must never appear inside an
+    # isnotnull guard anywhere in the plan (Filter nodes echo their
+    # DataFilters textually, so raw substring counts over-count; the
+    # isnotnull(<hash> pattern is the anti-pattern signature itself).
+    plan = plan_of(catalog["dedup_exact_fingerprint"][0](spark, SF))
+    assert plan.count("md5(") == 1
+    assert "isnotnull(md5" not in plan
+
+    # incremental: the corpus side's coalesce() folds away the
+    # anti-join's inferred IsNotNull(fp) constraint that would
+    # re-introduce a second md5 per corpus row
+    plan = plan_of(catalog["incremental_dedup_delta"][0](spark, SF))
+    assert "isnotnull(md5" not in plan
+
+
+def test_simhash_fold_once_per_row_per_side(spark, catalog):
+    # the 64-bit simhash fold (aggregate over xxhash64'd shingles) is
+    # the expensive expression; the self-join has two sides, so exactly
+    # TWO fold evaluations may appear — never four (the r9 computed-
+    # column guard double-eval) — and never inside an isnotnull filter
+    plan = plan_of(catalog["simhash_candidates"][0](spark, SF))
+    assert plan.count("aggregate(") == 2
+    assert "isnotnull(aggregate" not in plan
+
+
+def test_minhash_single_scan(spark, catalog):
+    # r9's short-doc branch unioned a SECOND full read of documents
+    # into the signature pipeline (2 scans per join side = 4 total in
+    # the LSH self-join); r10 builds the shingle array in one CASE
+    # projection — one FileScan per pipeline evaluation. The LSH
+    # self-join shows 2 static scans (one per side); AQE reuses the
+    # materialized signature shuffle stage at runtime.
+    from tada_spark.functions.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert plan.count("FileScan") == 1
+    plan = plan_of(catalog["minhash_candidate_pairs"][0](spark, SF))
+    assert plan.count("FileScan") == 2
+    plan = plan_of(catalog["minhash_lsh_oracle"][0](spark, SF))
+    assert plan.count("FileScan") == 2
+    assert "isnotnull(md5" not in plan

@@ -10,6 +10,17 @@ Flags, per query:
                                 (Arrow variants MapInPandas/ArrowEvalPython
                                 are fine and reported separately)
   * exchange count            — shuffle budget; review anything that grows
+  * DUP_EXPR                  — an EXPENSIVE expression (md5/xxhash64/
+                                aggregate-fold/regexp_replace) appearing in
+                                a Filter or scan DataFilters AND in a
+                                Project: the guard-double-evaluation
+                                anti-pattern. Filtering on a COMPUTED
+                                column's null-ness lets Catalyst push
+                                isnotnull(expr) into the scan, where the
+                                full expression runs a SECOND time per
+                                row. Fix: filter the RAW column before the
+                                projection (r9 shipped three of these;
+                                this check would have caught all three)
 
 Run after adding operators: a correct-but-shuffle-happy plan is a bug
 at 100 TB even when the oracle passes.
@@ -124,6 +135,37 @@ ALLOWED_BNLJ = {
 }
 
 
+#: Function tokens expensive enough that evaluating them twice per row
+#: (once in a pushed-down filter, once in the projection) is a real
+#: scan-CPU regression at 100 TB. Cheap predicates (isnotnull on a raw
+#: column, comparisons) are fine in filters and are not listed.
+EXPENSIVE_EXPRS = ("md5(", "xxhash64(", "aggregate(", "regexp_replace(", "sha2(", "crc32(")
+
+#: Queries where an expensive expression legitimately appears in BOTH a
+#: filter and a projection (e.g. the filter semantics genuinely depend
+#: on the computed value, not merely its null-ness). Keep empty unless a
+#: plan read proves the duplication is load-bearing.
+ALLOWED_DUP_EXPR: set[str] = set()
+
+
+def dup_expensive_exprs(plan: str) -> list[str]:
+    """Return the expensive-function tokens that appear both in a
+    Filter/DataFilters line and in a Project line of the plan — the
+    guard-double-evaluation anti-pattern (each hit means the expression
+    is evaluated twice per row: once at the scan, once in the project).
+    """
+    filter_text: list[str] = []
+    project_text: list[str] = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*()0123456789")
+        if stripped.startswith("Filter ") or "DataFilters: [" in line:
+            filter_text.append(line)
+        if stripped.startswith("Project ") or stripped.startswith("HashAggregate("):
+            project_text.append(line)
+    fil, proj = "\n".join(filter_text), "\n".join(project_text)
+    return [tok for tok in EXPENSIVE_EXPRS if tok in fil and tok in proj]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -155,6 +197,9 @@ def main() -> int:
             flags.append("BNLJ")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON_UDF")
+        dup = dup_expensive_exprs(plan)
+        if dup and name not in ALLOWED_DUP_EXPR:
+            flags.append("DUP_EXPR(" + ",".join(t.rstrip("(") for t in dup) + ")")
         # shuffle exchanges only: BroadcastExchange/ReusedExchange are
         # not shuffles and must not consume the budget
         nex = (
