@@ -469,9 +469,17 @@ def dsir_scores(
         .select(
             id_col,
             "__tgt__",
-            (md5_hash32(F.concat(F.lit("dsir#"), F.col("__feat__"))) % F.lit(n_buckets)).alias(
-                "bucket"
-            ),
+            # the coalesce is a semantic no-op (__feat__ explodes from
+            # arrays of non-null token strings, so the hash is never
+            # NULL) but makes bucket provably non-nullable: the
+            # broadcast join below otherwise infers IsNotNull(bucket)
+            # and pushes it through this Project, evaluating the md5
+            # bucket hash TWICE per exploded feature (plan-confirmed
+            # by the r10 DUP_EXPR audit)
+            F.coalesce(
+                md5_hash32(F.concat(F.lit("dsir#"), F.col("__feat__"))) % F.lit(n_buckets),
+                F.lit(0),
+            ).alias("bucket"),
         )
     )
     counts = fb.groupBy("bucket").agg(

@@ -9612,7 +9612,16 @@ def sentence_chunks_docs(spark, sf):
     )
     return (
         docs.select("doc_id", folded.alias("chunks"))
-        .select("doc_id", F.explode("chunks").alias("c"))
+        # explode_outer, NOT explode: InferFiltersFromGenerate turns a
+        # plain explode into a pushed-down size(<full fold>)>0 scan
+        # filter that re-runs the greedy fold per row (the r10
+        # DUP_EXPR audit caught it); the rule skips outer generates,
+        # and the cheap isnotnull on the GENERATED column (which
+        # cannot push below the Generate) drops the empty-doc rows the
+        # inner explode would have dropped — fold-built structs are
+        # never NULL inside a non-empty array, so semantics are equal
+        .select("doc_id", F.explode_outer("chunks").alias("c"))
+        .filter(F.col("c").isNotNull())
         .select(
             "doc_id",
             F.col("c.idx").alias("chunk_idx"),

@@ -292,3 +292,63 @@ def test_progressive_encoder_rejects_lone_chroma_plane():
         encode_jpeg_progressive(img, half, None)
     with pytest.raises(ValueError, match="both-or-neither"):
         encode_jpeg_progressive(img, None, half)
+
+
+# ---- arithmetic / lossless / extended-precision JPEG refusals (r10) --
+# The decoder supports baseline (SOF0) + progressive (SOF2) Huffman —
+# ~95%+ of real corpora (SCALE.md). Everything else must REFUSE with
+# the documented ValueError (never mis-decode, never crash with a
+# non-contract exception), so a real-corpus sweep records a drop
+# reason for the ~0% tail: SOF9-11 arithmetic coding (patent-era
+# non-adoption), SOF3/7 lossless, SOF5/6 differential sequential,
+# SOF13-15 differential arithmetic, and 12-bit sample precision.
+
+_UNSUPPORTED_SOF = [0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+
+
+@pytest.mark.parametrize("sof", _UNSUPPORTED_SOF, ids=lambda m: f"SOF_0x{m:02X}")
+def test_arithmetic_and_lossless_frames_refused(sof):
+    base = bytearray(encode_jpeg_gray(_img(8, 8)))
+    off = base.find(b"\xff\xc0")
+    assert off > 0
+    base[off + 1] = sof
+    with pytest.raises(ValueError, match="non-baseline frame marker"):
+        jpeg_decode(bytes(base))
+
+
+def test_arithmetic_frame_with_dac_segment_refused():
+    # a real SOF9 file carries a DAC (0xFFCC) conditioning-table
+    # segment; inserting one before the (rewritten) frame marker must
+    # not confuse the parser — the refusal still fires at the frame
+    base = bytearray(encode_jpeg_gray(_img(8, 8)))
+    off = base.find(b"\xff\xc0")
+    base[off + 1] = 0xC9
+    dac = b"\xff\xcc\x00\x04\x00\x10"  # marker, len=4, Tb=0, Cs=0x10
+    payload = bytes(base[:off]) + dac + bytes(base[off:])
+    with pytest.raises(ValueError, match="non-baseline frame marker"):
+        jpeg_decode(payload)
+
+
+def test_twelve_bit_precision_refused():
+    base = bytearray(encode_jpeg_gray(_img(8, 8)))
+    off = base.find(b"\xff\xc0")
+    base[off + 4] = 12  # SOF body: len(2) precision(1) — forge 12-bit
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(base))
+
+
+def test_refusals_survive_mutation_sweep():
+    # the progressive fuzz discipline applied to the refusal path:
+    # truncating an arithmetic-coded payload at every offset must still
+    # produce only the contract failure mode (ValueError), never a
+    # mis-decode into pixels or a non-contract exception
+    base = bytearray(encode_jpeg_gray(_img(8, 8)))
+    off = base.find(b"\xff\xc0")
+    base[off + 1] = 0xC9
+    payload = bytes(base)
+    for cut in range(2, len(payload), 7):
+        try:
+            out = jpeg_decode(payload[:cut])
+        except ValueError:
+            continue
+        raise AssertionError(f"truncation at {cut} decoded: {type(out)}")

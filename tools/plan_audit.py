@@ -142,17 +142,61 @@ ALLOWED_BNLJ = {
 EXPENSIVE_EXPRS = ("md5(", "xxhash64(", "aggregate(", "regexp_replace(", "sha2(", "crc32(")
 
 #: Queries where an expensive expression legitimately appears in BOTH a
-#: filter and a projection (e.g. the filter semantics genuinely depend
-#: on the computed value, not merely its null-ness). Keep empty unless a
-#: plan read proves the duplication is load-bearing.
-ALLOWED_DUP_EXPR: set[str] = set()
+#: filter and a projection: the filter semantics genuinely depend on
+#: the computed VALUE, not merely its null-ness, so there is no
+#: raw-column predicate that could replace it. Add only after a plan
+#: read proves the duplication is load-bearing.
+ALLOWED_DUP_EXPR: set[str] = {
+    # the eval split SELECTS rows by the md5 bucket value (hash < 20)
+    # and the projection labels survivors with the same hash — the
+    # filter is a 20% selectivity cut, so the duplicated md5-on-bigint
+    # runs only on survivors; restructuring would push the filter back
+    # through any projection and re-derive it identically
+    "sample_splits_docs",
+}
+
+
+def _balanced_exprs(text: str, token: str) -> set[str]:
+    """Every full ``token(...)`` call substring in text, parens balanced.
+
+    Plan lines are often TRUNCATED by Spark's string renderer ("..."),
+    so an unclosed call is returned as-is up to the cut — prefix
+    matching downstream still distinguishes md5(text#1) from
+    md5(doc_id#0)."""
+    out: set[str] = set()
+    start = 0
+    while True:
+        i = text.find(token, start)
+        if i < 0:
+            return out
+        # word boundary: "aggregate(" must not match inside
+        # "HashAggregate(" / "partial_aggregate(" renders
+        if i > 0 and (text[i - 1].isalnum() or text[i - 1] == "_"):
+            start = i + len(token)
+            continue
+        depth, j = 0, i + len(token) - 1  # j at the opening paren
+        while j < len(text):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        out.add(text[i : j + 1])
+        start = i + len(token)
 
 
 def dup_expensive_exprs(plan: str) -> list[str]:
-    """Return the expensive-function tokens that appear both in a
-    Filter/DataFilters line and in a Project line of the plan — the
-    guard-double-evaluation anti-pattern (each hit means the expression
-    is evaluated twice per row: once at the scan, once in the project).
+    """Expensive-function CALLS (full balanced-paren expression text)
+    that appear both in a Filter/DataFilters line and in a
+    Project/HashAggregate line of the plan — the guard-double-
+    evaluation anti-pattern: each hit means the same expression is
+    evaluated twice per row, once at the scan and once in the project.
+    Token-only matching over-flags (hash_bucket's md5-on-id filter vs a
+    fingerprint md5-on-text projection are DIFFERENT expressions), so
+    the comparison is on the expression text; truncated renders
+    ("...") are compared by common prefix.
     """
     filter_text: list[str] = []
     project_text: list[str] = []
@@ -163,7 +207,20 @@ def dup_expensive_exprs(plan: str) -> list[str]:
         if stripped.startswith("Project ") or stripped.startswith("HashAggregate("):
             project_text.append(line)
     fil, proj = "\n".join(filter_text), "\n".join(project_text)
-    return [tok for tok in EXPENSIVE_EXPRS if tok in fil and tok in proj]
+    hits: list[str] = []
+    for tok in EXPENSIVE_EXPRS:
+        f_exprs = _balanced_exprs(fil, tok)
+        p_exprs = _balanced_exprs(proj, tok)
+        for fe in f_exprs:
+            # a truncated render compares by the shorter side's prefix;
+            # require a healthy prefix so `md5(` alone never matches
+            if any(
+                (fe[:60] and (pe.startswith(fe[:60]) or fe.startswith(pe[:60])))
+                for pe in p_exprs
+            ):
+                hits.append(tok)
+                break
+    return hits
 
 
 def main() -> int:
