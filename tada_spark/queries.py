@@ -10060,6 +10060,316 @@ FROM customer c LEFT JOIN (
 """
 
 
+def nb_classify_lang_docs(spark, sf):
+    """Multinomial Naive Bayes language classifier
+    (functions/classify.naive_bayes_classify) — the fastText-style
+    trainable-filter tier: train on the deterministic 80% of documents
+    by md5(doc_id) bucket, classify the held-out 20%. Hashed unigram
+    features (512 md5 buckets), Laplace smoothing, det_ln
+    integer-millionth log-weights, argmax with lexicographic tiebreak
+    and runner-up margin. (The synthetic corpus draws the same word
+    soup for every lang, so accuracy ~= the majority prior — the gate
+    pins the EXACT score arithmetic, which is what transfers to a real
+    corpus.) Scale: two bounded train aggregates, an L×512 broadcast
+    weight grid, one per-(doc, label) score shuffle."""
+    from tada_spark.functions.classify import naive_bayes_classify
+    from tada_spark.functions.sampling import hash_bucket
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text", "lang")
+    b = hash_bucket(F.col("doc_id").cast("string"))
+    train = docs.filter(b < 80)
+    test = docs.filter(b >= 80)
+    return naive_bayes_classify(train, test)
+
+
+_DET_LN_SQL_CHAIN = """
+  SELECT kind, lang, bucket,
+         ((CAST(LENGTH(BIN(r)) - 1 AS DOUBLE) * 0.6931471805599453)
+          + ((2.0 * z) * (1.0 + (z*z) * ((1.0/3.0) + (z*z) * ((1.0/5.0) + (z*z) * ((1.0/7.0)
+             + (z*z) * ((1.0/9.0) + (z*z) * ((1.0/11.0) + (z*z) * ((1.0/13.0) + (z*z) * (1.0/15.0)))))))))
+         ) - 13.815510557964274 AS lnr
+  FROM (
+    SELECT kind, lang, bucket, r,
+           (((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (LENGTH(BIN(r)) - 1)) AS DOUBLE)) - 1.0)
+            / ((CAST(r AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (LENGTH(BIN(r)) - 1)) AS DOUBLE)) + 1.0)) AS z
+    FROM rin
+  )
+"""
+
+NB_CLASSIFY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 AS hb
+  FROM documents
+), train AS (
+  SELECT * FROM base WHERE hb < 80 AND lang IS NOT NULL
+                       AND text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), test AS (
+  SELECT * FROM base WHERE hb >= 80 AND text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), ttok AS (
+  SELECT lang, ('0x' || md5('nb#' || t.tok)[1:8])::BIGINT % 512 AS bucket
+  FROM train, UNNEST(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) t(tok)
+), lb AS (
+  SELECT lang, bucket, COUNT(*) AS c_lb FROM ttok GROUP BY 1, 2
+), nl AS (
+  SELECT lang, SUM(c_lb) AS n_l FROM lb GROUP BY 1
+), dl AS (
+  SELECT lang, COUNT(*) AS d_l FROM train GROUP BY 1
+), sc AS (
+  SELECT SUM(d_l) AS d, COUNT(*) AS l FROM dl
+), grid AS (
+  SELECT dl.lang, b.bucket, nl.n_l, COALESCE(lb.c_lb, 0) AS c_lb
+  FROM dl
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 511)) AS bucket) b
+  JOIN nl USING (lang)
+  LEFT JOIN lb ON lb.lang = dl.lang AND lb.bucket = b.bucket
+), rin AS (
+  -- det_ln (plans/semantics.py) replicated CTE for CTE; one shared
+  -- chain scores both the L*512 token weights and the L priors
+  SELECT 'w' AS kind, lang, bucket,
+         GREATEST(CAST(FLOOR(((c_lb + 1)::DOUBLE / (n_l + 512)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS r
+  FROM grid
+  UNION ALL
+  SELECT 'p', dl.lang, -1,
+         GREATEST(CAST(FLOOR(((d_l + 1)::DOUBLE / (sc.d + sc.l)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT),
+                  CAST(1 AS BIGINT))
+  FROM dl CROSS JOIN sc
+), lncte AS (
+""" + _DET_LN_SQL_CHAIN + r"""
+), w AS (
+  SELECT lang, bucket, CAST(FLOOR(lnr * 1000000 + 0.5) AS BIGINT) AS lw_e6
+  FROM lncte WHERE kind = 'w'
+), pr AS (
+  SELECT lang, CAST(FLOOR(lnr * 1000000 + 0.5) AS BIGINT) AS prior_e6
+  FROM lncte WHERE kind = 'p'
+), dtok AS (
+  SELECT doc_id, ('0x' || md5('nb#' || t.tok)[1:8])::BIGINT % 512 AS bucket, COUNT(*) AS c
+  FROM test, UNNEST(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) t(tok)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT dtok.doc_id, w.lang,
+         (pr.prior_e6 + SUM(c * lw_e6))::BIGINT AS score_e6,
+         SUM(c)::BIGINT AS n_toks
+  FROM dtok JOIN w USING (bucket) JOIN pr ON pr.lang = w.lang
+  GROUP BY 1, 2, pr.prior_e6
+), ranked AS (
+  SELECT doc_id, lang, score_e6, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, lang ASC) AS rk,
+         score_e6 - LEAD(score_e6) OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, lang ASC) AS gap
+  FROM scored
+)
+SELECT doc_id, lang AS pred_label, score_e6,
+       COALESCE(gap, 0)::BIGINT AS margin_e6, n_toks
+FROM ranked WHERE rk = 1
+"""
+
+
+def split_leakage_report_docs(spark, sf):
+    """Train/test leakage audit at PARAGRAPH granularity: the naive
+    id-keyed split (sampling.assign_split on doc_id) puts repeated
+    20-word chunks (dedup.paragraph_chunks — the CCNet paragraph unit)
+    on both sides of the split, so a test doc whose boilerplate was
+    trained on scores as memorized — the classic eval-contamination
+    bug. Reports every chunk fingerprint straddling ≥ 2 splits with
+    its occurrence/doc counts and the straddled split set (document
+    granularity is vacuous on this corpus: zero exact-dup texts, but
+    100+ cross-doc repeated chunks). leakage_safe_split_docs is the
+    acting half at content granularity. Scale: chunk explode → ONE
+    fingerprint-keyed aggregate; the chunk stream is ∝ corpus tokens /
+    20, never pairwise."""
+    from tada_spark.functions.dedup import paragraph_chunks
+    from tada_spark.functions.sampling import assign_split
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    ch = paragraph_chunks(docs)
+    with_split = assign_split(ch, "doc_id")
+    return (
+        with_split.select(F.md5("chunk").alias("chunk_fp"), "doc_id", "split")
+        .groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.concat_ws(",", F.sort_array(F.collect_set("split"))).alias("splits"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )
+
+
+SPLIT_LEAKAGE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t FROM documents
+), chunks AS (
+  SELECT doc_id, array_to_string(t[c.cid * 20 + 1 : c.cid * 20 + 20], ' ') AS chunk
+  FROM toks, UNNEST(generate_series(0, CAST(CEIL(len(t) / 20.0) AS INT) - 1)) c(cid)
+  WHERE len(t) >= 1
+), s AS (
+  SELECT MD5(chunk) AS chunk_fp, doc_id,
+         CASE WHEN ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM chunks WHERE chunk <> ''
+)
+SELECT chunk_fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT split) AS n_splits,
+       STRING_AGG(DISTINCT split, ',' ORDER BY split) AS splits
+FROM s GROUP BY chunk_fp HAVING COUNT(DISTINCT split) >= 2
+"""
+
+
+def leakage_safe_split_docs(spark, sf):
+    """Leakage-safe split assignment — the acting half of
+    split_leakage_report_docs: key the split on the CONTENT fingerprint
+    instead of the doc id, so every exact duplicate of a text lands in
+    the same split by construction (the md5 bucket of the fp, same
+    80/10/10 rule as sampling.assign_split). Emits (doc_id, fp, split);
+    the report run on THIS split is empty — pinned in tests. Zero
+    joins: one projection over the scan."""
+    from tada_spark.functions.text import fingerprint, md5_hash32
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    fp = fingerprint(F.col("text"))
+    b = F.pmod(md5_hash32(fp), F.lit(100))
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        fp.alias("fp"),
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH f AS (
+  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, fp,
+       CASE WHEN ('0x' || md5(fp)[1:8])::BIGINT % 100 < 80 THEN 'train'
+            WHEN ('0x' || md5(fp)[1:8])::BIGINT % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM f
+"""
+
+
+def mojibake_stats_sources(spark, sf):
+    """Encoding-health audit per source — the corpus-hygiene pass real
+    crawls need before training: occurrence counts of the classic
+    UTF-8-decoded-as-Latin-1 mojibake signatures ('Ã' from two-byte
+    sequences, 'â€' from punctuation, the U+FFFD replacement char) and
+    the affected-doc count. Fixed-string occurrence counting via
+    length arithmetic (no regex engine variance between Spark and
+    DuckDB). Column-only, one aggregate over the scan."""
+    docs = load(spark, sf, "documents").to_df()
+
+    def occ(s: str) -> Column:
+        return F.coalesce(
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), F.lit(s), F.lit(""))))
+            / F.lit(len(s)),
+            F.lit(0.0),
+        ).cast("long")
+
+    sigs = {"moji_a": "Ã", "moji_punct": "â€", "moji_replacement": "�"}
+    cols = {k: occ(v) for k, v in sigs.items()}
+    return (
+        docs.select(
+            "source",
+            *[c.alias(k) for k, c in cols.items()],
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(k).alias(f"{k}_occ") for k in sigs],
+            F.sum(
+                F.when(sum(F.col(k) for k in sigs) > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_affected"),
+        )
+    )
+
+
+MOJIBAKE_SQL = """
+WITH occ AS (
+  SELECT source,
+         COALESCE((LENGTH(text) - LENGTH(REPLACE(text, 'Ã', ''))) // LENGTH('Ã'), 0) AS moji_a,
+         COALESCE((LENGTH(text) - LENGTH(REPLACE(text, 'â€', ''))) // LENGTH('â€'), 0) AS moji_punct,
+         COALESCE((LENGTH(text) - LENGTH(REPLACE(text, '�', ''))) // LENGTH('�'), 0) AS moji_replacement
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(moji_a)::BIGINT AS moji_a_occ,
+       SUM(moji_punct)::BIGINT AS moji_punct_occ,
+       SUM(moji_replacement)::BIGINT AS moji_replacement_occ,
+       SUM(CASE WHEN moji_a + moji_punct + moji_replacement > 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected
+FROM occ GROUP BY source
+"""
+
+
+def mmr_rerank_embeddings(spark, sf):
+    """Maximal Marginal Relevance diversity re-ranking
+    (functions/similarity.mmr_rerank, Carbonell & Goldstein 1998):
+    greedy top-4 from each query's cosine top-12 pool maximizing the
+    exact-integer objective 7·rel_e6 − 3·max_sel_e6 (λ = 0.7 kept as
+    an integer numerator — a /10 cannot change an argmax). The
+    anti-crowding pass retrieval stacks run after ANN. Oracle unrolls
+    the k greedy steps as chained CTEs — no recursion, bit-exact."""
+    from tada_spark.functions import similarity
+
+    emb = load(spark, sf, "embeddings").to_df()
+    return similarity.mmr_rerank(emb, emb.filter(F.col("vec_id") < 3), k=4, pool=12)
+
+
+def _mmr_sql(k: int = 4, pool: int = 12) -> str:
+    """Unroll the MMR greedy loop as chained CTEs (standard SQL forbids
+    aggregates in a recursive CTE member; k is a small constant, so the
+    unrolled form is both portable and fast)."""
+    cos = (
+        "LIST_DOT_PRODUCT({a}, {b}) / "
+        "(SQRT(LIST_DOT_PRODUCT({a}, {a})) * SQRT(LIST_DOT_PRODUCT({b}, {b})))"
+    )
+    parts = [
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        "FROM embeddings WHERE vec_id < 3),",
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),",
+        "scored0 AS (SELECT query_id, neighbor_id, "
+        + cos.format(a="qv", b="cv")
+        + " AS raw FROM q JOIN c ON query_id != neighbor_id),",
+        f"cands AS (SELECT query_id, neighbor_id, "
+        f"CAST(FLOOR(raw * 1000000 + 0.5) AS BIGINT) AS rel_e6 FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS rk "
+        f"FROM scored0 WHERE raw IS NOT NULL) WHERE rk <= {pool}),",
+        "pairs AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b, "
+        "CAST(FLOOR(" + cos.format(a="ca.cv", b="cb.cv") + " * 1000000 + 0.5) AS BIGINT) AS sim_e6 "
+        "FROM cands a JOIN cands b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id "
+        "JOIN c ca ON ca.neighbor_id = a.neighbor_id "
+        "JOIN c cb ON cb.neighbor_id = b.neighbor_id),",
+        "sel1 AS (SELECT query_id, neighbor_id AS sel_id, 1 AS step, mmr_num FROM ("
+        "SELECT query_id, neighbor_id, 7 * rel_e6 AS mmr_num, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY 7 * rel_e6 DESC, neighbor_id) AS rn "
+        "FROM cands) WHERE rn = 1),",
+        "cum1 AS (SELECT * FROM sel1),",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"sc{i} AS (SELECT c.query_id, c.neighbor_id, "
+            f"7 * c.rel_e6 - 3 * (SELECT MAX(p.sim_e6) FROM pairs p "
+            f"JOIN cum{i - 1} s ON p.query_id = s.query_id AND p.id_b = s.sel_id "
+            f"WHERE p.query_id = c.query_id AND p.id_a = c.neighbor_id) AS mmr_num "
+            f"FROM cands c WHERE NOT EXISTS (SELECT 1 FROM cum{i - 1} s "
+            f"WHERE s.query_id = c.query_id AND s.sel_id = c.neighbor_id)),"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT query_id, neighbor_id AS sel_id, {i} AS step, mmr_num FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr_num DESC, neighbor_id) AS rn "
+            f"FROM sc{i}) WHERE rn = 1),"
+        )
+        parts.append(f"cum{i} AS (SELECT * FROM cum{i - 1} UNION ALL SELECT * FROM sel{i}),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT query_id, sel_id, step, mmr_num FROM cum{k}")
+    return "\n".join(parts)
+
+
+MMR_SQL = _mmr_sql(k=4, pool=12)
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -10322,4 +10632,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         LOOKUP_FIRST_ORDERED_SQL,
     ),
     "jpeg_progressive_decode": (jpeg_progressive_decode, JPEG_PROGRESSIVE_SQL),
+    "nb_classify_lang_docs": (nb_classify_lang_docs, NB_CLASSIFY_SQL),
+    "split_leakage_report_docs": (split_leakage_report_docs, SPLIT_LEAKAGE_SQL),
+    "leakage_safe_split_docs": (leakage_safe_split_docs, LEAKAGE_SAFE_SPLIT_SQL),
+    "mojibake_stats_sources": (mojibake_stats_sources, MOJIBAKE_SQL),
+    "mmr_rerank_embeddings": (mmr_rerank_embeddings, MMR_SQL),
 }

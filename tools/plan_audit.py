@@ -132,6 +132,14 @@ ALLOWED_BNLJ = {
     # 20-row probe broadcast × partitioned corpus — the ann sweep,
     # reused for the label-noise audit
     "knn_label_noise",
+    # two BOUNDED crossjoins in the TRAIN phase: the L-label × 512-
+    # bucket weight grid and the 1-row prior-denominator scalar —
+    # both sides constant-sized, never corpus-sized
+    "nb_classify_lang_docs",
+    # cosine_topk's broadcast-probe inequality join (3 query rows ×
+    # partitioned corpus) riding inside the MMR pool build — the
+    # ann_topk_exact_ivf shape
+    "mmr_rerank_embeddings",
 }
 
 
@@ -223,6 +231,36 @@ def dup_expensive_exprs(plan: str) -> list[str]:
     return hits
 
 
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*()0123456789"))
+
+
+def live_exchanges(plan: str) -> int:
+    """Shuffle exchanges OUTSIDE InMemoryRelation build subtrees.
+
+    A cached (persisted) table prints its one-time build plan under the
+    InMemoryRelation node at EVERY scan site, so raw substring counts
+    multiply the build cost by the number of cache hits — an iterative
+    operator (MMR's k greedy steps) reads as hundreds of textual
+    exchanges while executing a handful. Build-plan exchanges run once
+    at materialization; only exchanges above cache boundaries recur.
+    """
+    n = 0
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        ind = _indent(line)
+        if skip_depth is not None:
+            if ind > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = ind
+            continue
+        if "Exchange" in line and "BroadcastExchange" not in line and "ReusedExchange" not in line:
+            n += 1
+    return n
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -258,12 +296,10 @@ def main() -> int:
         if dup and name not in ALLOWED_DUP_EXPR:
             flags.append("DUP_EXPR(" + ",".join(t.rstrip("(") for t in dup) + ")")
         # shuffle exchanges only: BroadcastExchange/ReusedExchange are
-        # not shuffles and must not consume the budget
-        nex = (
-            plan.count("Exchange")
-            - plan.count("BroadcastExchange")
-            - plan.count("ReusedExchange")
-        )
+        # not shuffles, and exchanges inside InMemoryRelation build
+        # subtrees run once at cache materialization — neither consumes
+        # the recurring-shuffle budget
+        nex = live_exchanges(plan)
         budget = ALLOWED_EXCHANGES.get(name, args.max_exchanges)
         if nex > budget:
             flags.append(f"EXCHANGES>{budget}")
