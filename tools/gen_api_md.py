@@ -21,7 +21,7 @@ def main() -> None:
     import tada_spark.frame as fr
     import tada_spark.operators.grouped as gr
     from tada_spark.operators import bloomjoin, cdc, interval, layout, linkage, reshape, skew, skyline, validate
-    from tada_spark.functions import dedup, jpeg, multimodal, sampling, similarity, stats, text
+    from tada_spark.functions import classify, dedup, jpeg, multimodal, sampling, similarity, stats, text
     from tada_spark.functions import sketches
     from tada_spark.operators import spatial
     import tada_spark.sources.bucketed as bucketed
@@ -66,6 +66,7 @@ def main() -> None:
         ("Text analysis (functions.text)", modfuncs(text)),
         ("Dedup (functions.dedup)", modfuncs(dedup)),
         ("Similarity / ANN (functions.similarity)", modfuncs(similarity)),
+        ("Classification (functions.classify)", modfuncs(classify)),
         ("Sampling & splits (functions.sampling)", modfuncs(sampling)),
         ("Statistics (functions.stats)", modfuncs(stats)),
         ("Bloom join pruning (operators.bloomjoin)", modfuncs(bloomjoin)),
