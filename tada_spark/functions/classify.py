@@ -78,13 +78,20 @@ def naive_bayes_scores(
     # (≤ L rows) likewise feeds both the grid and the prior scalars.
     from pyspark import StorageLevel
 
-    lb = feature_counts(train.filter(F.col(label_col).isNotNull()), label_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # a trainable row needs BOTH a label and at least one token: a
+    # blank-text labeled doc trains nothing — including it only in the
+    # prior denominators would score test docs under a label that has
+    # no weight-grid rows (hypothesis-caught; the SQL oracle pins this
+    # contract)
+    trainable = train.filter(
+        F.col(label_col).isNotNull()
+        & F.col(text_col).isNotNull()
+        & (F.length(F.trim(F.col(text_col))) > 0)
     )
+    lb = feature_counts(trainable, label_col).persist(StorageLevel.MEMORY_AND_DISK)
     label_tok = lb.groupBy(label_col).agg(F.sum("c").alias("n_l"))
     doc_counts = (
-        train.filter(F.col(label_col).isNotNull())
-        .groupBy(label_col)
+        trainable.groupBy(label_col)
         .agg(F.count(F.lit(1)).alias("d_l"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
