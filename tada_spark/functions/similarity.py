@@ -295,7 +295,11 @@ def kmeans_quantized(
 
     assigned = assign(cents)
     for _ in range(iters - 1):
-        dims = assigned.select("cid", F.posexplode(F.col("v")).alias("dim", "val"))
+        # posexplode_outer + dim filter: see embedding_outliers — the
+        # inferred size(transform(...)) filter would re-quantize at the scan
+        dims = assigned.select(
+            "cid", F.posexplode_outer(F.col("v")).alias("dim", "val")
+        ).filter(F.col("dim").isNotNull())
         upd = dims.groupBy("cid", "dim").agg(
             F.floor(F.sum("val") / F.count("*") + F.lit(0.5)).cast("long").alias("cval")
         )
@@ -479,7 +483,16 @@ def embedding_outliers(
             F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
         ).alias("v"),
     )
-    dims = q.select(label_col, F.posexplode("v").alias("dim", "val"))
+    # posexplode_outer, NOT posexplode: InferFiltersFromGenerate turns a
+    # plain explode of a COMPUTED array into a pushed-down
+    # size(transform(...))>0 scan filter that re-runs the quantize
+    # transform per row (r10 DUP_EXPR audit); the rule skips outer
+    # generates, and dim IS NULL only for the empty/NULL arrays the
+    # inner explode would have dropped — elements (even NULL-valued
+    # ones) always carry a position, so semantics are identical
+    dims = q.select(label_col, F.posexplode_outer("v").alias("dim", "val")).filter(
+        F.col("dim").isNotNull()
+    )
     cents = dims.groupBy(label_col, "dim").agg(
         F.floor(F.sum("val") / F.count("*") + F.lit(0.5)).cast("long").alias("cval")
     )
@@ -543,11 +556,20 @@ def semdedup(
             F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
         ).alias("v"),
     ).withColumn(
+        # the coalesce changes no surviving pair (a NULL norm — only
+        # possible from a NULL embedding element — nulls the cosine,
+        # which the >= tau filter drops, exactly as NULL n2 did) but
+        # makes n2 provably non-nullable, so the IsNotNull constraint
+        # the threshold filter infers folds to TRUE instead of pushing
+        # the squared-norm fold into the scan (r10 DUP_EXPR audit)
         "n2",
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: x * x),
+        F.coalesce(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
             F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
         ),
     )
     t = q.join(assigned.withColumnRenamed(id_col, "vid"), "vid")
@@ -558,15 +580,22 @@ def semdedup(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # try_divide, not an (na > 0) guard: the guard predicate pushes
+    # below the join into BOTH scans, where it re-runs the full
+    # squared-norm fold per row (r10 DUP_EXPR audit). A zero norm makes
+    # try_divide — and so c_e6 — NULL, and the >= tau filter drops it:
+    # the same pairs survive with zero extra scan CPU.
     cos_e6 = F.floor(
-        dot.cast("double")
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        F.try_divide(
+            dot.cast("double"),
+            F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")),
+        )
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
     pruned = (
         a.join(b, "cluster")
-        .filter((F.col("va") < F.col("vb")) & (F.col("na") > 0) & (F.col("nb") > 0))
+        .filter(F.col("va") < F.col("vb"))
         .select(F.col("vb").alias("__dup__"), cos_e6.alias("c_e6"))
         .filter(F.col("c_e6") >= F.lit(tau_e6))
         .select("__dup__")
@@ -701,7 +730,16 @@ def label_silhouette(
             F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
         ).alias("v"),
     )
-    dims = q.select("lbl", F.posexplode("v").alias("dim", "val"))
+    # posexplode_outer, NOT posexplode: InferFiltersFromGenerate turns a
+    # plain explode of a COMPUTED array into a pushed-down
+    # size(transform(...))>0 scan filter that re-runs the quantize
+    # transform per row (r10 DUP_EXPR audit); the rule skips outer
+    # generates, and dim IS NULL only for the empty/NULL arrays the
+    # inner explode would have dropped — elements (even NULL-valued
+    # ones) always carry a position, so semantics are identical
+    dims = q.select("lbl", F.posexplode_outer("v").alias("dim", "val")).filter(
+        F.col("dim").isNotNull()
+    )
     cents = (
         dims.groupBy("lbl", "dim")
         .agg(F.floor(F.sum("val") / F.count("*") + F.lit(0.5)).cast("long").alias("cval"))

@@ -72,6 +72,10 @@ def test_live_dedup_plans_are_clean(spark):
         "daily_ingest_pipeline",
         "sentence_chunks_docs",
         "dsir_select_docs",
+        "embedding_outliers_labels",
+        "semdedup_embeddings",
+        "silhouette_labels_embeddings",
+        "kmeans_embeddings",
     ):
         plan = CATALOG[name][0](spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert dup_expensive_exprs(plan) == [], name

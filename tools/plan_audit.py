@@ -147,7 +147,21 @@ ALLOWED_BNLJ = {
 #: (once in a pushed-down filter, once in the projection) is a real
 #: scan-CPU regression at 100 TB. Cheap predicates (isnotnull on a raw
 #: column, comparisons) are fine in filters and are not listed.
-EXPENSIVE_EXPRS = ("md5(", "xxhash64(", "aggregate(", "regexp_replace(", "sha2(", "crc32(")
+EXPENSIVE_EXPRS = (
+    "md5(",
+    "xxhash64(",
+    "aggregate(",
+    "regexp_replace(",
+    "sha2(",
+    "crc32(",
+    # array HOFs: a per-row array rebuild duplicated into a scan filter
+    # is the same 2× scan-CPU bug as a duplicated hash (the balanced-
+    # expression comparison keeps legitimate different-expression
+    # filters from flagging)
+    "transform(",
+    "zip_with(",
+    "arrays_zip(",
+)
 
 #: Queries where an expensive expression legitimately appears in BOTH a
 #: filter and a projection: the filter semantics genuinely depend on
