@@ -647,19 +647,27 @@ def _span_stream(df: DataFrame, text_col: str, id_col: str, k: int):
     the 2^20 position packing can never drift between the measuring and
     acting halves (the md5_hash32 single-definition rule)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # no (n >= k) pre-filter: a filter on the computed token count gets
+    # pushed into the scan as size(split(...)) >= k and re-tokenizes
+    # every document a second time (r10 DUP_EXPR audit). Instead the
+    # window array is NULL for short docs (the when has no otherwise)
+    # and posexplode_outer + the pos filter drops them — the rule that
+    # would re-infer a size() filter skips outer generates.
+    windows = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    )
     spans = (
-        df.select(F.col(id_col).alias("sid"), toks.alias("toks"), F.size(toks).alias("n"))
-        .filter(F.col("n") >= k)
-        .select(
-            "sid",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n") - k),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
-                )
-            ).alias("pos", "span"),
-        )
-        .select("sid", "pos", F.md5(F.col("span")).alias("fp"),
+        df.select(F.col(id_col).alias("sid"), F.posexplode_outer(windows).alias("pos", "span"))
+        .filter(F.col("pos").isNotNull())
+        # the coalesce is a no-op (md5 of a concat_ws window is never
+        # NULL) but makes fp provably non-nullable, so the fp
+        # equi-join's inferred IsNotNull folds to TRUE instead of
+        # re-hashing every span in a filter (r10 DUP_EXPR audit)
+        .select("sid", "pos", F.coalesce(F.md5(F.col("span")), F.lit("")).alias("fp"),
                 (F.col("sid") * F.lit(1 << 20) + F.col("pos")).alias("occ"))
     )
     first = spans.groupBy("fp").agg(F.min("occ").alias("first_occ"))
@@ -747,8 +755,17 @@ def remove_duplicate_spans(
     # token_count convention: whitespace-only / empty text is ZERO
     # tokens, not the phantom [''] that size(split) reports
     n = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
-    base = df.select(F.col(id_col).alias("sid"), toks.alias("toks"), n.alias("n"))
-    long_docs = base.filter(F.col("n") >= k)
+    # ONE unfiltered scan answers every doc: the token count and the
+    # md5 of the unmodified text (the short-doc result AND the value a
+    # long doc's cleaned_md5 falls back to never being — see the left
+    # join below). The previous long/short filtered UNION pushed
+    # size(split(...)) comparisons into BOTH scans, re-tokenizing every
+    # document per branch (r10 DUP_EXPR audit).
+    base_stats = df.select(
+        F.col(id_col).alias("sid"),
+        n.cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", toks)).alias("full_md5"),
+    )
 
     spans, first = _span_stream(df, text_col, id_col, k)
     dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0).alias("dup")
@@ -760,7 +777,13 @@ def remove_duplicate_spans(
         .groupBy("sid", "t")
         .agg(F.min("dup").alias("all_dup"))
     )
-    tokens = long_docs.select("sid", F.posexplode("toks").alias("t", "tok"))
+    # posexplode_outer + pos filter, not a filter on the computed token
+    # count (same rationale as _span_stream): short docs carry a NULL
+    # window array and explode to a filtered NULL row
+    tokens = df.select(
+        F.col(id_col).alias("sid"),
+        F.posexplode_outer(F.when(n >= k, toks)).alias("t", "tok"),
+    ).filter(F.col("t").isNotNull())
     kept_sorted = F.array_sort(
         F.collect_list(F.when(F.col("all_dup") == 0, F.struct("t", "tok")))
     )
@@ -768,20 +791,24 @@ def remove_duplicate_spans(
         tokens.join(cover, ["sid", "t"])
         .groupBy("sid")
         .agg(
-            F.count("*").alias("n_tokens"),
             F.sum("all_dup").alias("n_removed"),
             F.md5(
                 F.array_join(F.transform(kept_sorted, lambda s: s["tok"]), " ")
             ).alias("cleaned_md5"),
         )
     )
-    short_docs = base.filter(F.col("n") < k).select(
-        "sid",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.lit(0).cast("long").alias("n_removed"),
-        F.md5(F.concat_ws(" ", F.col("toks"))).alias("cleaned_md5"),
+    # every n >= k doc has a rebuilt row (its tokens all have cover
+    # rows); docs without one are exactly the short docs, whose text
+    # survives verbatim — coalesce onto the base answers
+    return (
+        base_stats.join(rebuilt, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce(F.col("cleaned_md5"), F.col("full_md5")).alias("cleaned_md5"),
+        )
     )
-    return rebuilt.unionByName(short_docs).withColumnRenamed("sid", id_col)
 
 
 def source_overlap(

@@ -452,7 +452,12 @@ def bigram_familiarity(
     # when a web-scale vocabulary (100M+ types) would OOM an executor.
     # Only the 1-row vocab count is explicitly broadcast.
     j = (
-        grams.withColumn("w1", F.split(F.col("g"), " ")[0])
+        # substring_index, not split(g)[0]: the uni join's inferred
+        # constraints (IsNotNull(w1), w1 != '') duplicate the w1
+        # expression into the gram-stream filter — a scalar prefix read
+        # duplicates for free, a per-gram ARRAY allocation does not
+        # (r10 DUP_EXPR audit)
+        grams.withColumn("w1", F.substring_index(F.col("g"), " ", 1))
         .join(big, "g")
         .join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
@@ -829,10 +834,16 @@ def greedy_segment_stats(
       END,
       acc -> named_struct('n', acc.n, 'n1', acc.n1))"""
     toks = F.expr(rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x != '')")
+    # explode_outer + null filter: a plain explode of the computed
+    # token array invites InferFiltersFromGenerate to push
+    # size(filter(split(...)))>0 into the scan, tokenizing every doc a
+    # second time (r10 DUP_EXPR audit); w IS NULL only for the empty
+    # arrays the inner explode dropped
     words = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), toks.alias("__tk__"))
-        .select(id_col, F.explode("__tk__").alias("w"))
+        .select(id_col, F.explode_outer("__tk__").alias("w"))
+        .filter(F.col("w").isNotNull())
     )
     seg = words.select(id_col, F.length("w").alias("wlen"), F.expr(agg).alias("s"))
     ratio = F.col("chars").cast("double") / F.col("n_pieces").cast("double")
@@ -955,23 +966,34 @@ def pmi_bigrams(
     toks = docs.select(
         F.expr(f"filter(split(lower({text_col}), '[^a-z]+'), t -> t != '')").alias("ts")
     )
-    uni = toks.select(F.explode("ts").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c")
+    # explode_outer + null filter, NOT a plain explode: the generate
+    # inference pushes size(filter(split(...)))>0 into the scan and
+    # re-tokenizes every doc (r10 DUP_EXPR audit); outer generates are
+    # skipped by the rule, and w/b IS NULL only for the empty arrays
+    # the inner explode dropped
+    uni = (
+        toks.select(F.explode_outer("ts").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     total = uni.agg(F.sum("c").alias("N"))
-    # guard size < 2: sequence(0, -1) silently DESCENDS ([0, -1]) and
-    # ts[1] on a 1-token doc is an ANSI index error — the same
-    # default-step footgun range_join pins
+    # guard size < 2 via the CASE (NULL array for 1-token docs), never
+    # a filter on the computed array: sequence(0, -1) silently DESCENDS
+    # ([0, -1]) and ts[1] on a 1-token doc is an ANSI index error — the
+    # same default-step footgun range_join pins — while a size() filter
+    # re-tokenizes at the scan
     bi = (
-        toks.filter(F.expr("size(ts) >= 2"))
-        .select(
-            F.explode(
+        toks.select(
+            F.explode_outer(
                 F.expr(
-                    "transform(sequence(0, size(ts) - 2),"
-                    " i -> struct(ts[i] as w1, ts[i+1] as w2))"
+                    "CASE WHEN size(ts) >= 2 THEN"
+                    " transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] as w1, ts[i+1] as w2)) END"
                 )
             ).alias("b")
         )
+        .filter(F.col("b").isNotNull())
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))

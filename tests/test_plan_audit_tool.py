@@ -69,9 +69,13 @@ def test_live_dedup_plans_are_clean(spark):
         "incremental_dedup_delta",
         "simhash_candidates",
         "minhash_candidate_pairs",
-        "daily_ingest_pipeline",
         "sentence_chunks_docs",
         "dsir_select_docs",
+        "duplicate_span_stats_docs",
+        "remove_duplicate_spans_docs",
+        "pmi_phrases_docs",
+        "wordpiece_apply_docs",
+        "bigram_familiarity_docs",
         "embedding_outliers_labels",
         "semdedup_embeddings",
         "silhouette_labels_embeddings",
@@ -79,3 +83,18 @@ def test_live_dedup_plans_are_clean(spark):
     ):
         plan = CATALOG[name][0](spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert dup_expensive_exprs(plan) == [], name
+
+
+def test_allowlisted_dups_are_exactly_the_quality_gate_class(spark):
+    """daily_ingest / corpus_prep keep a split() duplicate by design:
+    the gopher_keep gate SELECTS by computed stat values. Pin that the
+    duplication stays in that class (split/regexp only — a hash or
+    HOF-fold duplicate appearing here would be a new bug, not the
+    gate)."""
+    from tada_spark.queries import CATALOG
+
+    SF = "/root/testdata/sf0.001"
+    for name in ("daily_ingest_pipeline", "corpus_prep_pipeline"):
+        plan = CATALOG[name][0](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        dup = set(dup_expensive_exprs(plan))
+        assert dup <= {"split(", "regexp_replace("}, (name, dup)

@@ -161,6 +161,10 @@ EXPENSIVE_EXPRS = (
     "transform(",
     "zip_with(",
     "arrays_zip(",
+    # tokenization: cheaper than md5 per byte, but a tokenize duplicated
+    # into a scan filter still doubles the dominant cost of text
+    # operators at corpus scale
+    "split(",
 )
 
 #: Queries where an expensive expression legitimately appears in BOTH a
@@ -175,6 +179,13 @@ ALLOWED_DUP_EXPR: set[str] = {
     # runs only on survivors; restructuring would push the filter back
     # through any projection and re-derive it identically
     "sample_splits_docs",
+    # the gopher_keep quality GATE is the operator: the filter selects
+    # by the computed stats' VALUES (token count >= 30, symbol ratio,
+    # stop hits...), and the report projection re-derives a subset on
+    # the SURVIVORS only — no raw-column predicate can replace a
+    # quality gate
+    "daily_ingest_pipeline",
+    "corpus_prep_pipeline",
 }
 
 
