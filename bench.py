@@ -95,14 +95,16 @@ def main() -> None:
     # runs); the min over three is the standard steady-state estimator
     # and what a throughput claim at scale should report
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in bench_queries.items():
-        best = float("inf")
+        rs: list[float] = []
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            rs.append(round(time.time() - t0, 3))
+        runs[name] = rs
+        times[name] = min(rs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -129,6 +131,10 @@ def main() -> None:
                 # others hold. Compare ratios across rounds, not raw
                 # seconds (rule documented in SCALE.md).
                 "ratios": {n: round(t / calib, 2) for n, t in times.items()},
+                # per-query spread (r10 verdict ask #6): ALL n runs, in
+                # order, so a single noisy run can't masquerade as (or
+                # hide) a regression — read the min, judge by the spread
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -76,7 +76,11 @@ def naive_bayes_scores(
     # weight grid share ONE tokenization pass instead of re-deriving
     # it per consumer (the minhash single-scan lesson). doc_counts
     # (≤ L rows) likewise feeds both the grid and the prior scalars.
-    from pyspark import StorageLevel
+    # Both caches outlive this call by design (the returned plan is
+    # lazy); ownership goes to the cachereg ledger — long-lived
+    # sessions call functions.cachereg.release() between corpora
+    # (always safe: unpersisted plans recompute, never error).
+    from tada_spark.functions.cachereg import owned_persist
 
     # a trainable row needs BOTH a label and at least one token: a
     # blank-text labeled doc trains nothing — including it only in the
@@ -88,12 +92,10 @@ def naive_bayes_scores(
         & F.col(text_col).isNotNull()
         & (F.length(F.trim(F.col(text_col))) > 0)
     )
-    lb = feature_counts(trainable, label_col).persist(StorageLevel.MEMORY_AND_DISK)
+    lb = owned_persist(feature_counts(trainable, label_col))
     label_tok = lb.groupBy(label_col).agg(F.sum("c").alias("n_l"))
-    doc_counts = (
-        trainable.groupBy(label_col)
-        .agg(F.count(F.lit(1)).alias("d_l"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    doc_counts = owned_persist(
+        trainable.groupBy(label_col).agg(F.count(F.lit(1)).alias("d_l"))
     )
     # 1-row scalar broadcast for the prior denominators (D docs, L
     # labels) — the tfidf/q11 scalar-subquery shape, never a

@@ -119,6 +119,15 @@ def minhash_signatures(
     length. ~5× faster than a higher-order-function aggregate, which
     runs interpreted. Docs with no shingles (empty text) drop out.
     Output: (id, h0..h{n-1}).
+
+    Blank-doc convention (pinned since r10's single-scan rewrite, for
+    EVERY shingle_words including 1): NULL, empty, or whitespace-only
+    text produces NO signature row — the doc cannot be a near-dup
+    candidate of anything. Before r10, shingle_words=1 emitted a
+    single empty-string shingle for blank docs (an accidental
+    signature that could pair all blank docs together); the CASE's
+    blank branch now drops them, matching word_shingles' blank→no-
+    shingle convention. Pinned by tests/test_r11_ops.py.
     """
     # shingles via arrays_zip of shifted slices — pure codegen-able
     # expressions (a transform() lambda here runs interpreted and is

@@ -948,12 +948,16 @@ def mmr_rerank(
     # n_queries × pool² rows): without the cache every greedy step
     # re-derives them from scratch and the k-step plan re-scans the
     # corpus ~k² times (measured: 144 exchanges at k=4 uncached, 17
-    # cached). They stay cached for the session — tiny by construction
-    # — so the returned frame remains lazily re-computable.
-    from pyspark import StorageLevel
+    # cached). They must stay cached past return — the result is a
+    # LAZY plan over them — so ownership goes to the cachereg ledger:
+    # long-lived sessions call functions.cachereg.release() between
+    # batches (always safe: an unpersisted plan recomputes, never
+    # errors). Tested: a call loop with release() keeps the Spark
+    # cache registry empty (tests/test_r11_ops.py).
+    from tada_spark.functions.cachereg import owned_persist
 
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = owned_persist(cands)
+    pairs = owned_persist(pairs)
     selected: DataFrame | None = None
     for step in range(1, k + 1):
         if selected is None:
@@ -998,7 +1002,7 @@ def mmr_rerank(
             # references every earlier pick, so uncached picks nest
             # copies of all prior window chains — plan size goes
             # exponential in k (197 exchanges at k=4; 17 with caching)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pick = owned_persist(pick)
         selected = pick if selected is None else selected.unionByName(pick)
     return selected

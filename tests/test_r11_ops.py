@@ -1,0 +1,119 @@
+"""Round-11 hygiene pins (r10 VERDICT asks #5/#6 + ADVICE items):
+
+* cachereg: the persisting operators (mmr_rerank, naive_bayes_scores)
+  register their bounded caches in a ledger and a call loop with
+  ``release()`` keeps the Spark cache registry empty — no session-
+  lifetime accumulation (r10 ADVICE #1/#2).
+* minhash blank-doc convention at shingle_words=1 (r10 ADVICE #3):
+  blank/whitespace docs produce NO signature row, for every
+  shingle_words — the r10 single-scan rewrite made this uniform.
+* plan_audit _same_expr (r10 ADVICE #4): complete renders compare by
+  full expression equality (a long shared prefix between two DIFFERENT
+  expressions no longer false-positives); truncated renders keep the
+  prefix fallback.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+
+def _cache_mgr_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_cachereg_loop_does_not_grow_cache_registry(spark):
+    from tada_spark.functions import cachereg
+    from tada_spark.functions.classify import naive_bayes_scores
+
+    cachereg.release()
+    train = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "fr"), (3, "a c e", "en")],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame([(9, "a b"), (10, "e f")], "doc_id long, text string")
+    for _ in range(100):
+        naive_bayes_scores(train, test, n_buckets=8)
+        assert cachereg.live_count() == 2  # lb + doc_counts, this call only
+        released = cachereg.release()
+        assert released == 2
+        assert cachereg.live_count() == 0
+    assert _cache_mgr_empty(spark)
+
+
+def test_cachereg_covers_mmr_rerank(spark):
+    from tada_spark.functions import cachereg
+    from tada_spark.functions.similarity import mmr_rerank
+
+    cachereg.release()
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(emb, emb.filter(F.col("vec_id") < 2), k=2, pool=4)
+    # cands + pairs + one pick frame per greedy step
+    assert cachereg.live_count() == 2 + 2
+    rows = out.collect()
+    assert len(rows) == 2 * 2
+    # release AFTER materialization: result already computed; the
+    # lazy plan stays valid (it would just recompute if re-used)
+    assert cachereg.release() == 4
+    assert _cache_mgr_empty(spark)
+    assert len(out.collect()) == 2 * 2  # recompute-after-release is safe
+
+
+def test_minhash_blank_doc_has_no_signature_at_shingle_words_1(spark):
+    from tada_spark.functions.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    for w in (1, 2, 3):
+        sig = minhash_signatures(docs, shingle_words=w, num_hashes=4)
+        ids = sorted(r["doc_id"] for r in sig.collect())
+        assert ids == [4], f"shingle_words={w}: blank docs must drop out, got {ids}"
+
+
+def test_same_expr_full_equality_when_complete():
+    from plan_audit import dup_expensive_exprs
+
+    # two COMPLETE (balanced) renders sharing a >60-char prefix but
+    # differing at the tail (same function over columns whose names
+    # differ only after char 60) — must NOT flag
+    name = "text_column_with_a_really_long_shared_name_prefix_padding_padding_"
+    ea = f"md5(cast({name}aa#1 as binary))"
+    eb = f"md5(cast({name}bb#2 as binary))"
+    assert ea[:60] == eb[:60]  # the r10 false-positive precondition
+    plan = f"""
++- Project [{ea} AS fp#6]
+   +- Filter isnotnull({eb})
+      +- FileScan parquet [a#1,b#2] DataFilters: [isnotnull({eb})]
+"""
+    assert dup_expensive_exprs(plan) == []
+
+    # identical complete renders still flag
+    dup_plan = f"""
++- Project [{ea} AS fp#6]
+   +- Filter isnotnull({ea})
+      +- FileScan parquet [a#1] DataFilters: [isnotnull({ea})]
+"""
+    assert "md5(" in dup_expensive_exprs(dup_plan)
+
+
+def test_same_expr_truncated_falls_back_to_prefix():
+    from plan_audit import dup_expensive_exprs
+
+    # the filter side's render is cut by Spark's "..." — prefix match
+    # must still catch the duplicate
+    expr = "md5(cast(trim(regexp_replace(lower(text#1), [^a-z0-9]+,  , 1), None) as binary))"
+    plan = f"""
++- Project [{expr} AS fp#6]
+   +- FileScan parquet [text#1] DataFilters: [isnotnull({expr[:70]}...
+"""
+    assert "md5(" in dup_expensive_exprs(plan)

@@ -245,15 +245,27 @@ def dup_expensive_exprs(plan: str) -> list[str]:
         f_exprs = _balanced_exprs(fil, tok)
         p_exprs = _balanced_exprs(proj, tok)
         for fe in f_exprs:
-            # a truncated render compares by the shorter side's prefix;
-            # require a healthy prefix so `md5(` alone never matches
-            if any(
-                (fe[:60] and (pe.startswith(fe[:60]) or fe.startswith(pe[:60])))
-                for pe in p_exprs
-            ):
+            if any(_same_expr(fe, pe) for pe in p_exprs):
                 hits.append(tok)
                 break
     return hits
+
+
+def _same_expr(fe: str, pe: str) -> bool:
+    """Two rendered expressions are 'the same call' iff they compare
+    EQUAL when both renders are complete; only a truncated render
+    (Spark's '...' cut, which leaves the balanced-paren scan running
+    off the end of the line) falls back to prefix matching (r10
+    ADVICE: prefix-only matching false-positived two different
+    expressions sharing a 60-char common prefix). A healthy 60-char
+    prefix is still required so `md5(` alone never matches."""
+
+    def truncated(e: str) -> bool:
+        return "..." in e or not e.endswith(")")
+
+    if not truncated(fe) and not truncated(pe):
+        return fe == pe
+    return bool(fe[:60]) and (pe.startswith(fe[:60]) or fe.startswith(pe[:60]))
 
 
 def _indent(line: str) -> int:
