@@ -1023,3 +1023,36 @@ def pagerank_quantized(
             .localCheckpoint()
         )
     return ranks.select("node", "deg", F.col("rank").alias("pagerank_e9"))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level (provenance) dedup — the standard PRE-text dedup stage
+    (CCNet, Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023): crawls
+    re-fetch the same resource under tracking params, fragments, case
+    and port noise, so dedup keys on text.canonical_url, not the raw
+    string. Returns one row per canonical URL: (canon_url, keep_id =
+    min id, n_occ, n_dropped). Beyond-reference (the reference has no
+    text/URL surface; its string handling is fmt.Sprint coercion,
+    valueContainers.go:341-398).
+
+    Scale: the canonicalization is a pure regexp/array projection at
+    scan speed; the dedup is ONE hash-aggregate shuffle keyed on the
+    canonical URL — exactly exact_dedup's profile. The null guard
+    filters the RAW column so the canon expression evaluates once
+    (DUP_EXPR discipline)."""
+    from tada_spark.functions.text import canonical_url
+
+    return (
+        df.filter(F.col(url_col).isNotNull())
+        .select(F.col(id_col), canonical_url(F.col(url_col)).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_occ"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+        )
+    )

@@ -1013,3 +1013,154 @@ def pmi_bigrams(
         .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus ingest: HTML boilerplate stripping + URL canonicalization.
+# The first two stages of every crawl-based pretraining pipeline (CCNet,
+# Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023; text-density line
+# filtering after jusText, Pomikálek 2011). Beyond-reference: the
+# reference engine has no text surface at all (its string handling is
+# fmt.Sprint coercion, valueContainers.go:341-398) — these exist because
+# real corpora arrive as HTML with duplicated provenance URLs.
+# All pure Column regexp/array algebra: RE2-compatible patterns (no
+# backreferences, no lookaround; flags embedded as (?is)) so the SAME
+# pattern strings run under Spark's Java regex and DuckDB's RE2 oracle.
+# ---------------------------------------------------------------------------
+
+#: Container blocks removed WITH their content — rendered pages never
+#: show script/style/comment text, so it must not leak into training
+#: text. Non-greedy + (?s) so each block closes at ITS end tag.
+MARKUP_BLOCK_PATTERNS: tuple[str, ...] = (
+    r"(?is)<!--.*?-->",
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+)
+
+#: Closing a block-level element ends a visual line — replaced with \n
+#: (not space) so the text-density filter sees the page's real line
+#: structure instead of one glued mega-line.
+MARKUP_BLOCK_CLOSE_PATTERN = (
+    r"(?is)</(?:p|div|li|ul|ol|h[1-6]|tr|table|section|article|header"
+    r"|footer|nav|blockquote|title)\s*>|<br\s*/?>"
+)
+
+#: Any remaining tag → single space (inline tags like <b> must not glue
+#: the words around them together).
+MARKUP_ANY_TAG_PATTERN = r"(?s)<[^>]*>"
+
+#: The entities worth decoding without an HTML parser; ordered so that
+#: &amp; decodes LAST (else '&amp;lt;' would double-decode into '<').
+MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column) -> Column:
+    """Markup → text: drop comment/script/style blocks with content,
+    turn block-close tags into newlines, drop every other tag, decode
+    the common entities, collapse horizontal whitespace, and squeeze
+    blank lines. NULL text stays NULL. Pure regexp_replace chain —
+    one pass per pattern at scan speed, no parser, no UDF. (A browser-
+    grade HTML5 parser is out of scope by design: for corpus prep the
+    regex strip is the standard cheap pass, and malformed markup
+    degrades to extra whitespace, never to an exception.)"""
+    out = col
+    for pat in MARKUP_BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, MARKUP_BLOCK_CLOSE_PATTERN, "\n")
+    out = F.regexp_replace(out, MARKUP_ANY_TAG_PATTERN, " ")
+    for ent, rep in MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t\r]+", " ")  # horizontal collapse
+    out = F.regexp_replace(out, r" ?\n[ \n]*", "\n")  # blank-line squeeze
+    # edge trim by PATTERN, not TRIM(): both engines' TRIM eats spaces
+    # only, which would leave a trailing \n from a final block close
+    return F.regexp_replace(out, r"^[\n ]+|[\n ]+$", "")
+
+
+def density_line_filter(col: Column, *, min_words: int = 5) -> Column:
+    """Text-density boilerplate line filter (the jusText heuristic's
+    cheap core): keep only lines with >= ``min_words`` space-separated
+    words — navigation / footer / menu lines are short. Expects
+    strip_markup's normalized output (single-space word gaps, \\n line
+    gaps). Returns the kept lines rejoined with \\n; all-boilerplate
+    input returns the empty string."""
+    lines = F.split(col, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.size(F.split(F.trim(ln), " ")) >= F.lit(int(min_words)),
+    )
+    return F.array_join(F.transform(kept, F.trim), "\n")
+
+
+def strip_boilerplate(col: Column, *, min_words: int = 5) -> Column:
+    """strip_markup → density_line_filter: the composed HTML-to-clean-
+    text ingest stage every web corpus runs before any quality /
+    dedup op applies."""
+    return density_line_filter(strip_markup(col), min_words=min_words)
+
+
+#: Query params that identify a CAMPAIGN, not a resource — stripping
+#: them is the core of URL canonicalization (CCNet / RefinedWeb dedup
+#: keys on the canonical URL). Matched against 'key=' or bare 'key'.
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref|igshid|mc_eid)(=|$)"
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonicalize a URL for provenance-level dedup: lowercase scheme
+    and host, strip a leading 'www.', drop the default port (:80 http /
+    :443 https), drop the fragment, strip trailing slashes from the
+    path, remove tracking params, and SORT the surviving query params
+    (param order is transport noise). Pure regexp/array algebra with an
+    exact DuckDB twin (URL_CANON_SQL_STEPS in queries.py). Not a full
+    RFC 3986 resolver — no percent-decoding or path-segment dot
+    removal, the same scope CCNet's URL keys use."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), r"#.*$", ""
+    )
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+    )
+
+
+def url_host(col: Column) -> Column:
+    """The canonical host alone (lowercased, www-stripped, port
+    dropped) — the per-domain grouping key for crawl stats."""
+    u = F.trim(col)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    )

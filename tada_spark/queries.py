@@ -10370,6 +10370,272 @@ def _mmr_sql(k: int = 4, pool: int = 12) -> str:
 MMR_SQL = _mmr_sql(k=4, pool=12)
 
 
+# ---------------------------------------------------------------------------
+# round 11: web-corpus ingest — HTML boilerplate stripping + URL
+# canonicalization/dedup (r10 verdict asks #1/#2). The corpus tables
+# carry no markup or URLs, so each query PLANTS them deterministically
+# from doc fields (the pii_scrub convention) with the IDENTICAL
+# construction on both engines, then runs the real operator.
+# ---------------------------------------------------------------------------
+
+
+def _synth_html_col() -> Column:
+    """Deterministic fake web page per doc: comment, head with title +
+    script (containing a bare '<' — the reason script blocks must go
+    before tag removal) + style, nav div, h1, the doc text inside a
+    paragraph WITH entities, boilerplate list/footer lines."""
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><!-- id "),
+        d,
+        F.lit(" --><head><title>Title for document "),
+        d,
+        F.lit(" in "),
+        F.col("lang"),
+        F.lit('</title><script type="text/javascript">var n = 1 < 2; track("'),
+        F.col("source"),
+        F.lit(
+            '");</script><style>.nav { color: #fff }</style></head>'
+            '<body><div class="nav">Home | About</div><h1>Doc '
+        ),
+        d,
+        F.lit("</h1><p>Quote &quot;"),
+        F.col("text"),
+        F.lit(
+            "&quot; &amp; more</p><ul><li>one</li><li>two</li></ul>"
+            "<p>Short tail</p><footer>&copy; 2026</footer></body></html>"
+        ),
+    )
+
+
+def strip_boilerplate_docs(spark, sf):
+    """HTML → clean training text (functions/text.strip_markup +
+    density_line_filter): comment/script/style blocks drop WITH
+    content, block closes become line breaks, tags drop, common
+    entities decode, then the jusText-style density filter keeps only
+    lines with >= 5 words (title + paragraph survive; nav/h1/list/
+    footer boilerplate drops). Emits the cleaned text plus kept-line /
+    word counts. Scale: a pure regexp_replace chain + array algebra in
+    ONE projection over the scan (the clean column is derived once in
+    its own Project — CollapseProject never inlines non-cheap exprs
+    referenced 3×), no UDF, no shuffle."""
+    docs = load(spark, sf, "documents").to_df()
+    aug = docs.select("doc_id", _synth_html_col().alias("html"))
+    cleaned = aug.select(
+        "doc_id", text.strip_boilerplate(F.col("html"), min_words=5).alias("clean")
+    )
+    empty = F.length("clean") == 0
+    return cleaned.select(
+        "doc_id",
+        "clean",
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.split(F.col("clean"), "\n")))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.split(F.col("clean"), "[ \n]")))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
+STRIP_BOILERPLATE_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         '<html><!-- id ' || doc_id || ' --><head><title>Title for document ' || doc_id ||
+         ' in ' || lang ||
+         '</title><script type="text/javascript">var n = 1 < 2; track("' || source ||
+         '");</script><style>.nav { color: #fff }</style></head>' ||
+         '<body><div class="nav">Home | About</div><h1>Doc ' || doc_id ||
+         '</h1><p>Quote &quot;' || text ||
+         '&quot; &amp; more</p><ul><li>one</li><li>two</li></ul>' ||
+         '<p>Short tail</p><footer>&copy; 2026</footer></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+    REGEXP_REPLACE(REGEXP_REPLACE(
+      REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+          '(?is)<!--.*?-->', ' ', 'g'),
+          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+          '(?is)</(?:p|div|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|nav|blockquote|title)\s*>|<br\s*/?>', chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      '[ \t\r]+', ' ', 'g'),
+      ' ?\n[ \n]*', chr(10), 'g') AS c0
+  FROM aug
+), trimmed AS (
+  SELECT doc_id, REGEXP_REPLACE(c0, '^[\n ]+|[\n ]+$', '', 'g') AS c1 FROM stripped
+), filtered AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(c1, chr(10)),
+           ln -> LEN(STRING_SPLIT(TRIM(ln), ' ')) >= 5), ln -> TRIM(ln)), chr(10)) AS clean
+  FROM trimmed
+)
+SELECT doc_id, clean,
+       (CASE WHEN LENGTH(clean) = 0 THEN 0 ELSE LEN(STRING_SPLIT(clean, chr(10))) END)::BIGINT AS n_lines,
+       (CASE WHEN LENGTH(clean) = 0 THEN 0 ELSE LEN(REGEXP_SPLIT_TO_ARRAY(clean, '[ \n]')) END)::BIGINT AS n_words
+FROM filtered
+"""
+
+
+def _synth_url_col() -> Column:
+    """Deterministic messy crawl URL per doc. Canonical identity is
+    (doc_id%7 domain, %13 path, %5 id param); everything else — scheme/
+    host case, www., default :80, trailing slash, tracking params,
+    param order, fragment — is transport noise canonicalization must
+    erase, so docs sharing the identity triple MUST collide."""
+    d = F.col("doc_id")
+
+    def num(m: int) -> Column:
+        return (d % m).cast("string")
+
+    idp = F.concat(F.lit("id="), num(5))
+    q = (
+        F.when(d % 3 == 1, F.concat(F.lit("?utm_source=feed&"), idp, F.lit("&utm_campaign=x")))
+        .when(d % 3 == 2, F.concat(F.lit("?"), idp, F.lit("&fbclid=abc123")))
+        .otherwise(F.concat(F.lit("?"), idp))
+    )
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site-"),
+        num(7),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        num(13),
+        F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        q,
+        F.when(d % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+#: Shared oracle CTEs: URL synthesis (must mirror _synth_url_col
+#: byte-for-byte) + the canonicalization steps (must mirror
+#: text.canonical_url / text.url_host step-for-step).
+_URL_SYNTH_CTE = """urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+         'Site-' || (doc_id % 7) || '.Example.COM' ||
+         (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+         '/articles/' || (doc_id % 13) ||
+         (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&id=' || (doc_id % 5) || '&utm_campaign=x'
+               WHEN doc_id % 3 = 2 THEN '?id=' || (doc_id % 5) || '&fbclid=abc123'
+               ELSE '?id=' || (doc_id % 5) END) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+)"""
+
+_URL_CANON_CTES = r"""s1 AS (
+  SELECT doc_id, url,
+         LOWER(REGEXP_EXTRACT(TRIM(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         REGEXP_REPLACE(REGEXP_REPLACE(TRIM(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+  FROM urls
+), s2 AS (
+  SELECT doc_id, url, scheme,
+         REGEXP_EXTRACT(rest, '^([^/?]*)', 1) AS hostport,
+         REGEXP_REPLACE(rest, '^[^/?]*', '') AS pathq
+  FROM s1
+), s3 AS (
+  SELECT doc_id, url, scheme,
+         REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
+         REGEXP_EXTRACT(hostport, ':([0-9]+)$', 1) AS port,
+         REGEXP_REPLACE(REGEXP_EXTRACT(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+         REGEXP_EXTRACT(pathq, '\?(.*)$', 1) AS query
+  FROM s2
+), s4 AS (
+  SELECT doc_id, url, scheme, host, port, path,
+         ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STRING_SPLIT(query, '&'),
+           p -> p <> '' AND NOT REGEXP_MATCHES(p, '^(utm_[^=]*|gclid|fbclid|ref|igshid|mc_eid)(=|$)'))), '&') AS qcanon
+  FROM s3
+), canon AS (
+  SELECT doc_id, url, host,
+         scheme || '://' || host ||
+         (CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END) ||
+         path ||
+         (CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END) AS canon_url
+  FROM s4
+)"""
+
+
+def canonical_url_docs(spark, sf):
+    """URL canonicalization (functions/text.canonical_url): lowercase
+    scheme/host, strip www. / default port / fragment / trailing
+    slashes / tracking params, sort surviving query params. Emits
+    (doc_id, url, canon_url) — the full strings hash-compare, so every
+    canonicalization step is pinned byte-for-byte. Pure regexp/array
+    projection at scan speed."""
+    docs = load(spark, sf, "documents").to_df()
+    aug = docs.select("doc_id", _synth_url_col().alias("url"))
+    return aug.select(
+        "doc_id", "url", text.canonical_url(F.col("url")).alias("canon_url")
+    )
+
+
+CANONICAL_URL_SQL = (
+    "WITH " + _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+    + "\nSELECT doc_id, url, canon_url FROM canon"
+)
+
+
+def url_dedup_docs(spark, sf):
+    """URL-level (provenance) dedup — functions/dedup.url_dedup: the
+    CCNet/RefinedWeb pre-text dedup stage, keyed on the canonical URL.
+    One hash-aggregate shuffle (exact_dedup's profile); the ~2.6
+    raw-URLs-per-canonical collision rate here is planted by
+    construction (case/port/param/fragment noise over a 7×13×5
+    identity grid)."""
+    docs = load(spark, sf, "documents").to_df()
+    aug = docs.select("doc_id", _synth_url_col().alias("url"))
+    return dedup.url_dedup(aug, url_col="url", id_col="doc_id")
+
+
+URL_DEDUP_SQL = (
+    "WITH " + _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+    + """
+SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_occ,
+       (COUNT(*) - 1)::BIGINT AS n_dropped
+FROM canon GROUP BY canon_url"""
+)
+
+
+def url_domain_stats(spark, sf):
+    """Per-domain crawl stats (functions/text.url_host): raw URL count,
+    distinct canonical URLs, and the duplicate fraction — the
+    per-domain health report a crawl curator reads before weighting
+    domains (pairs with sampling.domain_mix_weights). One aggregate
+    keyed on the host."""
+    docs = load(spark, sf, "documents").to_df()
+    aug = docs.select("doc_id", _synth_url_col().alias("url"))
+    per_url = aug.select(
+        text.url_host(F.col("url")).alias("domain"),
+        text.canonical_url(F.col("url")).alias("canon_url"),
+    )
+    return per_url.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("canon_url").alias("n_unique"),
+        _round_det(
+            F.lit(1.0) - F.countDistinct("canon_url").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+URL_DOMAIN_STATS_SQL = (
+    "WITH " + _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+    + """
+SELECT host AS domain, COUNT(*) AS n_urls, COUNT(DISTINCT canon_url) AS n_unique,
+       FLOOR((1 - COUNT(DISTINCT canon_url)::DOUBLE / COUNT(*)) * 1000000 + 0.5) / 1000000 AS dup_frac
+FROM canon GROUP BY host"""
+)
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -10637,4 +10903,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "leakage_safe_split_docs": (leakage_safe_split_docs, LEAKAGE_SAFE_SPLIT_SQL),
     "mojibake_stats_sources": (mojibake_stats_sources, MOJIBAKE_SQL),
     "mmr_rerank_embeddings": (mmr_rerank_embeddings, MMR_SQL),
+    # -- round 11: web-corpus ingest (HTML strip, URL canon/dedup) --
+    "strip_boilerplate_docs": (strip_boilerplate_docs, STRIP_BOILERPLATE_SQL),
+    "canonical_url_docs": (canonical_url_docs, CANONICAL_URL_SQL),
+    "url_dedup_docs": (url_dedup_docs, URL_DEDUP_SQL),
+    "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
 }
