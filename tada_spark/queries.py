@@ -10636,6 +10636,130 @@ FROM canon GROUP BY host"""
 )
 
 
+# ---------------------------------------------------------------------------
+# round 11: unigram-LM (SentencePiece-style) tokenizer apply — completes
+# the tokenizer family (bpe_merge_candidates trains, greedy_segment_stats
+# applies WordPiece; this is the probabilistic Viterbi apply, Kudo 2018).
+# ---------------------------------------------------------------------------
+
+#: Fixed subword vocab with occurrence counts — ONE Python constant
+#: renders into BOTH the Spark literal map and the SQL VALUES list (the
+#: _WORDPIECE_VOCAB discipline). Log-probs are computed ONCE in Python
+#: (math.log) and embedded as integer-e6 literals on both sides, so no
+#: engine ln() is ever evaluated — bit-exact by construction.
+_UNIGRAM_VOCAB_COUNTS: dict[str, int] = {
+    **{c: 50 for c in "abcdefghijklmnopqrstuvwxyz"},
+    "data": 30, "sort": 30, "part": 28, "join": 28, "fast": 26, "hash": 26,
+    "row": 25, "line": 25, "tab": 22, "key": 22, "agg": 20, "scan": 20,
+    "the": 40, "er": 40, "ta": 40, "in": 38, "on": 36, "at": 36, "or": 34,
+    "ar": 32, "st": 32, "le": 30, "ue": 28, "um": 24, "ow": 24, "an": 30,
+    "sm": 18, "qu": 18, "ery": 18, "val": 20, "win": 18, "dow": 18,
+    "ect": 16, "eam": 16, "sl": 14, "merg": 16, "filt": 16, "cust": 16,
+}
+_UNIGRAM_TOTAL = sum(_UNIGRAM_VOCAB_COUNTS.values())
+_UNIGRAM_LP_E6: dict[str, int] = {
+    p: math.floor(math.log(c / _UNIGRAM_TOTAL) * 1e6 + 0.5)
+    for p, c in _UNIGRAM_VOCAB_COUNTS.items()
+}
+_UNIGRAM_MISSING_E6 = -20_000_000
+_UNIGRAM_W, _UNIGRAM_L = 12, 4
+
+
+def unigram_tokenize_words(spark, sf):
+    """Unigram-LM tokenizer apply (functions/text.
+    unigram_viterbi_segment): Viterbi-segment every DISTINCT corpus
+    word against the fixed integer-log-prob vocabulary; emits the
+    best segmentation, piece count and exact-integer path score per
+    word, with the corpus occurrence count. Scale shape: the DP runs
+    on the distinct-word table only (Zipf: distinct ≪ tokens — ONE
+    word-keyed aggregate builds it), so tokenizing 100 TB costs one
+    token shuffle plus a bounded projection chain; applying back to
+    the token stream is a broadcast join (see the function docstring).
+    Oracle: generated SQL unrolling the same DP/backtrack, vocab
+    rendered from the same constant."""
+    docs = load(spark, sf, "documents").to_df()
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word")
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    seg = text.unigram_viterbi_segment(
+        words,
+        _UNIGRAM_LP_E6,
+        max_piece_len=_UNIGRAM_L,
+        max_word_len=_UNIGRAM_W,
+        missing_lp_e6=_UNIGRAM_MISSING_E6,
+    )
+    return seg.select(
+        "word", "n_occ", "pieces", F.col("n_pieces").cast("long").alias("n_pieces"), "score_e6"
+    )
+
+
+def _unigram_sql(W: int = _UNIGRAM_W, L: int = _UNIGRAM_L) -> str:
+    """Unroll the Viterbi DP + backtrack as chained CTEs (the _mmr_sql
+    discipline: no aggregates-in-recursion, portable, and bit-exact
+    because every dp value is a BIGINT sum of embedded literals). One
+    q/p/r CTE triple per position (candidates, dp = GREATEST, ptr =
+    largest-k-first CASE — the tie-break twin of Spark's struct max),
+    then one a/b pair per backtrack step (CASE-ladder pointer read,
+    list_prepend piece)."""
+    vocab_vals = ", ".join(f"('{p}', {lp})" for p, lp in sorted(_UNIGRAM_LP_E6.items()))
+    m = _UNIGRAM_MISSING_E6
+    parts = [
+        "WITH toks AS (SELECT f.w AS word FROM (SELECT list_filter("
+        r"regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tkl "
+        "FROM documents) t, UNNEST(tkl) AS f(w)),",
+        "words AS (SELECT word, COUNT(*)::BIGINT AS n_occ FROM toks GROUP BY word),",
+        f"vocab(piece, lp) AS (VALUES {vocab_vals}),",
+        "p0 AS (SELECT word, n_occ, LENGTH(word) AS n, 0::BIGINT AS dp0, 0 AS ptr0 FROM words),",
+    ]
+    for i in range(1, W + 1):
+        ks = list(range(min(L, i), 0, -1))
+        cand_defs = ", ".join(
+            f"dp{i - k} + COALESCE((SELECT lp FROM vocab v WHERE v.piece = "
+            f"substr(word, {i - k + 1}, {k})), {m}) AS c{i}_{k}"
+            for k in ks
+        )
+        parts.append(f"q{i} AS (SELECT *, {cand_defs} FROM r{i - 1 if i > 1 else 0}),".replace("r0", "p0"))
+        greatest = (
+            f"GREATEST({', '.join(f'c{i}_{k}' for k in ks)})" if len(ks) > 1 else f"c{i}_{ks[0]}"
+        )
+        parts.append(f"p{i} AS (SELECT *, CASE WHEN n >= {i} THEN {greatest} END AS dp{i} FROM q{i}),")
+        ptr_case = "CASE " + " ".join(f"WHEN c{i}_{k} = dp{i} THEN {i - k}" for k in ks) + " END"
+        parts.append(f"r{i} AS (SELECT *, CASE WHEN n >= {i} THEN ({ptr_case}) END AS ptr{i} FROM p{i}),")
+    parts.append(
+        f"b0 AS (SELECT *, CASE WHEN n <= {W} THEN n END AS cur0, []::VARCHAR[] AS pieces0 FROM r{W}),"
+    )
+    for s in range(1, W + 1):
+        ladder = (
+            f"CASE cur{s - 1} "
+            + " ".join(f"WHEN {i} THEN ptr{i}" for i in range(1, W + 1))
+            + " ELSE NULL END"
+        )
+        parts.append(f"a{s} AS (SELECT *, {ladder} AS prev{s} FROM b{s - 1}),")
+        parts.append(
+            f"b{s} AS (SELECT *, CASE WHEN cur{s - 1} > 0 THEN "
+            f"list_prepend(substr(word, prev{s} + 1, cur{s - 1} - prev{s}), pieces{s - 1}) "
+            f"ELSE pieces{s - 1} END AS pieces{s}, "
+            f"CASE WHEN cur{s - 1} > 0 THEN prev{s} ELSE 0 END AS cur{s} FROM a{s}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    score_case = "CASE n " + " ".join(f"WHEN {i} THEN dp{i}" for i in range(1, W + 1)) + " END"
+    parts.append(
+        f"SELECT word, n_occ, CASE WHEN n <= {W} THEN ARRAY_TO_STRING(pieces{W}, '|') END AS pieces, "
+        f"(CASE WHEN n <= {W} THEN LEN(pieces{W}) END)::BIGINT AS n_pieces, "
+        f"(CASE WHEN n <= {W} THEN ({score_case}) END)::BIGINT AS score_e6 FROM b{W}"
+    )
+    return "\n".join(parts)
+
+
+UNIGRAM_SQL = _unigram_sql()
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -10908,4 +11032,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "canonical_url_docs": (canonical_url_docs, CANONICAL_URL_SQL),
     "url_dedup_docs": (url_dedup_docs, URL_DEDUP_SQL),
     "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
+    "unigram_tokenize_words": (unigram_tokenize_words, UNIGRAM_SQL),
 }

@@ -198,3 +198,86 @@ def test_url_dedup_null_guard_and_counts(spark):
     assert set(rows) == {"http://a.com/x", "http://b.com/y"}
     a = rows["http://a.com/x"]
     assert (a["keep_id"], a["n_occ"], a["n_dropped"]) == (1, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer: property test vs a pure-Python Viterbi reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_viterbi(word: str, lp: dict[str, int], L: int = 4, missing: int = -20_000_000):
+    """Independent reference: identical spec (max score; ties prefer
+    the longer final piece), written over plain dicts/loops."""
+    n = len(word)
+    dp: list[int] = [0] + [0] * n
+    ptr: list[int] = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        for k in range(min(L, i), 0, -1):  # larger k first wins ties
+            s = dp[i - k] + lp.get(word[i - k : i], missing)
+            if best is None or s > best[0]:
+                best = (s, k)
+        dp[i] = best[0]
+        ptr[i] = i - best[1]
+    pieces: list[str] = []
+    cur = n
+    while cur > 0:
+        pieces.append(word[ptr[cur] : cur])
+        cur = ptr[cur]
+    pieces.reverse()
+    return "|".join(pieces), len(pieces), dp[n]
+
+
+def test_unigram_viterbi_matches_python_reference(spark):
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tada_spark.functions.text import unigram_viterbi_segment
+
+    counts = {c: 50 for c in "abcdst"}
+    # engineered tie: lp('ab') == lp('a') + lp('b') would need exact
+    # integers — instead plant 'ab' well above and 'ta' exactly equal
+    # to two chars via direct lp dict (bypassing counts)
+    total = sum(counts.values())
+    lp = {p: math.floor(math.log(c / total) * 1e6 + 0.5) for p, c in counts.items()}
+    lp["ab"] = -2_000_000
+    lp["abc"] = -2_500_000
+    lp["st"] = lp["s"] + lp["t"]  # exact tie vs s|t → longer piece must win
+    lp["dast"] = -3_000_000
+
+    @given(st.lists(st.text(alphabet="abcdst", min_size=1, max_size=12), min_size=1, max_size=12, unique=True))
+    @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    def check(words):
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: (r["pieces"], r["n_pieces"], r["score_e6"])
+            for r in unigram_viterbi_segment(df, lp).collect()
+        }
+        for w in words:
+            assert got[w] == _ref_viterbi(w, lp), f"word {w!r}: {got[w]} vs {_ref_viterbi(w, lp)}"
+
+    check()
+
+
+def test_unigram_viterbi_edges(spark):
+    from tada_spark.functions.text import unigram_viterbi_segment
+
+    lp = {"a": -1_000_000, "b": -1_500_000, "ab": -2_000_000}
+    df = spark.createDataFrame(
+        [("",), ("ab",), ("zq",), ("a" * 13,)], "word string"
+    )
+    got = {
+        r["word"]: (r["pieces"], r["n_pieces"], r["score_e6"])
+        for r in unigram_viterbi_segment(df, lp, max_word_len=12).collect()
+    }
+    assert got[""] == ("", 0, None)  # no position → no path score
+    # tie: lp(ab) < lp(a)+lp(b)? -2.0M vs -2.5M → 'ab' wins outright
+    assert got["ab"] == ("ab", 1, -2_000_000)
+    # out-of-vocab: ANY piece not in vocab costs the flat missing
+    # penalty, so the optimum is ONE big unknown piece (fewest misses)
+    # — the same answer the reference gives; never a crash
+    assert got["zq"] == ("zq", 1, -20_000_000)
+    # word longer than max_word_len: flagged NULL, not truncated
+    assert got["a" * 13] == (None, None, None)
