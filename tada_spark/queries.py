@@ -10439,19 +10439,23 @@ def strip_boilerplate_docs(spark, sf):
     )
 
 
-STRIP_BOILERPLATE_SQL = r"""
-WITH aug AS (
-  SELECT doc_id,
-         '<html><!-- id ' || doc_id || ' --><head><title>Title for document ' || doc_id ||
-         ' in ' || lang ||
-         '</title><script type="text/javascript">var n = 1 < 2; track("' || source ||
-         '");</script><style>.nav { color: #fff }</style></head>' ||
-         '<body><div class="nav">Home | About</div><h1>Doc ' || doc_id ||
-         '</h1><p>Quote &quot;' || text ||
-         '&quot; &amp; more</p><ul><li>one</li><li>two</li></ul>' ||
-         '<p>Short tail</p><footer>&copy; 2026</footer></body></html>' AS html
-  FROM documents
-), stripped AS (
+#: SQL twin of _synth_html_col — a fragment expecting doc_id/lang/
+#: source/text in scope; shared by strip_boilerplate_docs and the
+#: composed web_ingest_pipeline so the two can never drift.
+_HTML_SYNTH_EXPR = (
+    "'<html><!-- id ' || doc_id || ' --><head><title>Title for document ' || doc_id ||\n"
+    "         ' in ' || lang ||\n"
+    "         '</title><script type=\"text/javascript\">var n = 1 < 2; track(\"' || source ||\n"
+    "         '\");</script><style>.nav { color: #fff }</style></head>' ||\n"
+    "         '<body><div class=\"nav\">Home | About</div><h1>Doc ' || doc_id ||\n"
+    "         '</h1><p>Quote &quot;' || text ||\n"
+    "         '&quot; &amp; more</p><ul><li>one</li><li>two</li></ul>' ||\n"
+    "         '<p>Short tail</p><footer>&copy; 2026</footer></body></html>'"
+)
+
+#: SQL twin of text.strip_markup + density_line_filter: CTE chain from
+#: an ``aug(doc_id, html)`` CTE to ``filtered(doc_id, clean)``.
+_STRIP_CHAIN_CTES = r"""stripped AS (
   SELECT doc_id,
     REGEXP_REPLACE(REGEXP_REPLACE(
       REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
@@ -10472,12 +10476,20 @@ WITH aug AS (
          ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(c1, chr(10)),
            ln -> LEN(STRING_SPLIT(TRIM(ln), ' ')) >= 5), ln -> TRIM(ln)), chr(10)) AS clean
   FROM trimmed
-)
+)"""
+
+STRIP_BOILERPLATE_SQL = (
+    "WITH aug AS (\n  SELECT doc_id,\n         "
+    + _HTML_SYNTH_EXPR
+    + " AS html\n  FROM documents\n), "
+    + _STRIP_CHAIN_CTES
+    + r"""
 SELECT doc_id, clean,
        (CASE WHEN LENGTH(clean) = 0 THEN 0 ELSE LEN(STRING_SPLIT(clean, chr(10))) END)::BIGINT AS n_lines,
        (CASE WHEN LENGTH(clean) = 0 THEN 0 ELSE LEN(REGEXP_SPLIT_TO_ARRAY(clean, '[ \n]')) END)::BIGINT AS n_words
 FROM filtered
 """
+)
 
 
 def _synth_url_col() -> Column:
@@ -10633,6 +10645,71 @@ URL_DOMAIN_STATS_SQL = (
 SELECT host AS domain, COUNT(*) AS n_urls, COUNT(DISTINCT canon_url) AS n_unique,
        FLOOR((1 - COUNT(DISTINCT canon_url)::DOUBLE / COUNT(*)) * 1000000 + 0.5) / 1000000 AS dup_frac
 FROM canon GROUP BY host"""
+)
+
+
+def web_ingest_pipeline(spark, sf):
+    """The composed crawl-ingest stage end-to-end — what clean_web_docs
+    means in practice: (1) canonicalize the provenance URL, (2) keep
+    ONE doc per canonical URL (row_number window — single scan, single
+    shuffle; the keep-min rule of url_dedup), (3) strip HTML
+    boilerplate from the survivors, (4) emit the cleaned text with a
+    `kept` quality flag (n_words >= 10) instead of filtering — the
+    gate is a value-dependent decision downstream owns, and flagging
+    keeps the plan free of computed-column scan filters (DUP_EXPR
+    discipline). Output: one row per canonical URL."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").to_df()
+    aug = docs.select(
+        "doc_id", "lang", "source", "text", _synth_url_col().alias("url")
+    )
+    canon = aug.select("*", text.canonical_url(F.col("url")).alias("canon_url"))
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    survivors = (
+        canon.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    cleaned = survivors.select(
+        "doc_id", "canon_url", _synth_html_col().alias("html")
+    ).select(
+        "doc_id",
+        "canon_url",
+        text.strip_boilerplate(F.col("html"), min_words=5).alias("clean"),
+    )
+    empty = F.length("clean") == 0
+    stats = cleaned.select(
+        "doc_id",
+        "canon_url",
+        "clean",
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.split(F.col("clean"), "\n")))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.split(F.col("clean"), "[ \n]")))
+        .cast("long")
+        .alias("n_words"),
+    )
+    return stats.select("*", (F.col("n_words") >= 10).alias("kept"))
+
+
+WEB_INGEST_SQL = (
+    "WITH " + _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+    + ",\nsurv AS (SELECT doc_id, canon_url FROM (SELECT doc_id, canon_url, "
+    "ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn FROM canon) WHERE rn = 1),\n"
+    "aug AS (\n  SELECT doc_id,\n         "
+    + _HTML_SYNTH_EXPR
+    + " AS html\n  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)\n), "
+    + _STRIP_CHAIN_CTES
+    + r"""
+SELECT f.doc_id, s.canon_url, f.clean,
+       (CASE WHEN LENGTH(f.clean) = 0 THEN 0 ELSE LEN(STRING_SPLIT(f.clean, chr(10))) END)::BIGINT AS n_lines,
+       (CASE WHEN LENGTH(f.clean) = 0 THEN 0 ELSE LEN(REGEXP_SPLIT_TO_ARRAY(f.clean, '[ \n]')) END)::BIGINT AS n_words,
+       ((CASE WHEN LENGTH(f.clean) = 0 THEN 0 ELSE LEN(REGEXP_SPLIT_TO_ARRAY(f.clean, '[ \n]')) END) >= 10) AS kept
+FROM filtered f JOIN surv s ON f.doc_id = s.doc_id
+"""
 )
 
 
@@ -11033,4 +11110,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_dedup_docs": (url_dedup_docs, URL_DEDUP_SQL),
     "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
     "unigram_tokenize_words": (unigram_tokenize_words, UNIGRAM_SQL),
+    "web_ingest_pipeline": (web_ingest_pipeline, WEB_INGEST_SQL),
 }
