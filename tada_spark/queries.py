@@ -10396,7 +10396,7 @@ def _synth_html_col() -> Column:
         F.col("source"),
         F.lit(
             '");</script><style>.nav { color: #fff }</style></head>'
-            '<body><div class="nav">Home | About</div><h1>Doc '
+            '<body><div class="nav"><a href="/home">Home</a> | <a href="/about">About</a></div><h1>Doc '
         ),
         d,
         F.lit("</h1><p>Quote &quot;"),
@@ -10447,7 +10447,7 @@ _HTML_SYNTH_EXPR = (
     "         ' in ' || lang ||\n"
     "         '</title><script type=\"text/javascript\">var n = 1 < 2; track(\"' || source ||\n"
     "         '\");</script><style>.nav { color: #fff }</style></head>' ||\n"
-    "         '<body><div class=\"nav\">Home | About</div><h1>Doc ' || doc_id ||\n"
+    "         '<body><div class=\"nav\"><a href=\"/home\">Home</a> | <a href=\"/about\">About</a></div><h1>Doc ' || doc_id ||\n"
     "         '</h1><p>Quote &quot;' || text ||\n"
     "         '&quot; &amp; more</p><ul><li>one</li><li>two</li></ul>' ||\n"
     "         '<p>Short tail</p><footer>&copy; 2026</footer></body></html>'"
@@ -10488,6 +10488,44 @@ SELECT doc_id, clean,
        (CASE WHEN LENGTH(clean) = 0 THEN 0 ELSE LEN(STRING_SPLIT(clean, chr(10))) END)::BIGINT AS n_lines,
        (CASE WHEN LENGTH(clean) = 0 THEN 0 ELSE LEN(REGEXP_SPLIT_TO_ARRAY(clean, '[ \n]')) END)::BIGINT AS n_words
 FROM filtered
+"""
+)
+
+
+def markup_stats_docs(spark, sf):
+    """Per-doc markup diagnostics BEFORE stripping — the crawl-health
+    report that decides whether a page is worth extracting: tag /
+    anchor / comment counts (regexp_count at scan speed) and the
+    text-to-markup ratio (stripped length ÷ raw length — low ratio =
+    boilerplate-dominated page). One projection over the scan; the
+    html column is derived once in its own Project (non-cheap,
+    referenced 5× — CollapseProject keeps it materialized)."""
+    docs = load(spark, sf, "documents").to_df()
+    aug = docs.select("doc_id", _synth_html_col().alias("html"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("html"), F.lit(r"<[^>]*>")).cast("long").alias("n_tags"),
+        F.regexp_count(F.col("html"), F.lit(r"(?i)<a\b")).cast("long").alias("n_links"),
+        F.regexp_count(F.col("html"), F.lit(r"(?s)<!--.*?-->")).cast("long").alias("n_comments"),
+        _round_det(
+            F.length(text.strip_markup(F.col("html"))).cast("double") / F.length("html"),
+            6,
+        ).alias("text_ratio"),
+    )
+
+
+MARKUP_STATS_SQL = (
+    "WITH aug AS (\n  SELECT doc_id,\n         "
+    + _HTML_SYNTH_EXPR
+    + " AS html\n  FROM documents\n), "
+    + _STRIP_CHAIN_CTES
+    + r"""
+SELECT a.doc_id,
+       LEN(REGEXP_EXTRACT_ALL(a.html, '<[^>]*>'))::BIGINT AS n_tags,
+       LEN(REGEXP_EXTRACT_ALL(a.html, '(?i)<a\b'))::BIGINT AS n_links,
+       LEN(REGEXP_EXTRACT_ALL(a.html, '(?s)<!--.*?-->'))::BIGINT AS n_comments,
+       FLOOR(LENGTH(t.c1)::DOUBLE / LENGTH(a.html) * 1000000 + 0.5) / 1000000 AS text_ratio
+FROM aug a JOIN trimmed t USING (doc_id)
 """
 )
 
@@ -10787,10 +10825,13 @@ def _unigram_sql(W: int = _UNIGRAM_W, L: int = _UNIGRAM_L) -> str:
     vocab_vals = ", ".join(f"('{p}', {lp})" for p, lp in sorted(_UNIGRAM_LP_E6.items()))
     m = _UNIGRAM_MISSING_E6
     parts = [
-        "WITH toks AS (SELECT f.w AS word FROM (SELECT list_filter("
+        "WITH toks AS (SELECT doc_id, f.w AS word FROM (SELECT doc_id, list_filter("
         r"regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tkl "
         "FROM documents) t, UNNEST(tkl) AS f(w)),",
-        "words AS (SELECT word, COUNT(*)::BIGINT AS n_occ FROM toks GROUP BY word),",
+        # pairs feeds BOTH the distinct-word DP and the per-doc apply
+        # join (unigram_apply_docs) — ONE tokenization CTE for both
+        "pairs AS (SELECT doc_id, word, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),",
+        "words AS (SELECT word, SUM(c)::BIGINT AS n_occ FROM pairs GROUP BY word),",
         f"vocab(piece, lp) AS (VALUES {vocab_vals}),",
         "p0 AS (SELECT word, n_occ, LENGTH(word) AS n, 0::BIGINT AS dp0, 0 AS ptr0 FROM words),",
     ]
@@ -10824,17 +10865,74 @@ def _unigram_sql(W: int = _UNIGRAM_W, L: int = _UNIGRAM_L) -> str:
             f"ELSE pieces{s - 1} END AS pieces{s}, "
             f"CASE WHEN cur{s - 1} > 0 THEN prev{s} ELSE 0 END AS cur{s} FROM a{s}),"
         )
-    parts[-1] = parts[-1].rstrip(",")
     score_case = "CASE n " + " ".join(f"WHEN {i} THEN dp{i}" for i in range(1, W + 1)) + " END"
     parts.append(
-        f"SELECT word, n_occ, CASE WHEN n <= {W} THEN ARRAY_TO_STRING(pieces{W}, '|') END AS pieces, "
+        f"seg AS (SELECT word, n_occ, CASE WHEN n <= {W} THEN ARRAY_TO_STRING(pieces{W}, '|') END AS pieces, "
         f"(CASE WHEN n <= {W} THEN LEN(pieces{W}) END)::BIGINT AS n_pieces, "
-        f"(CASE WHEN n <= {W} THEN ({score_case}) END)::BIGINT AS score_e6 FROM b{W}"
+        f"(CASE WHEN n <= {W} THEN ({score_case}) END)::BIGINT AS score_e6 FROM b{W})"
     )
     return "\n".join(parts)
 
 
-UNIGRAM_SQL = _unigram_sql()
+UNIGRAM_SQL = _unigram_sql() + "\nSELECT word, n_occ, pieces, n_pieces, score_e6 FROM seg"
+
+def unigram_apply_docs(spark, sf):
+    """The tokenizer-apply contract at corpus scale: segment the
+    DISTINCT-word table once (unigram_viterbi_segment — Zipf: distinct
+    words ≪ tokens), then BROADCAST the per-word results back onto the
+    (doc_id, word, count) pair stream and aggregate per doc — token
+    counts, piece counts, exact-integer corpus log-prob, and the
+    chars-per-piece compression ratio (the wordpiece_apply_docs
+    output convention). Cost: the pair stream is derived twice (once
+    for the distinct words, once for the apply join) — the df/tf
+    two-pass every retrieval stat pays (tfidf precedent); the apply
+    join is a broadcast (the seg table is distinct-words-sized), and
+    the per-doc aggregate is the only shuffle at token volume."""
+    docs = load(spark, sf, "documents").to_df()
+    toksd = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word"),
+    )
+    pairs = toksd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    seg = text.unigram_viterbi_segment(
+        pairs.select("word").distinct(),
+        _UNIGRAM_LP_E6,
+        max_piece_len=_UNIGRAM_L,
+        max_word_len=_UNIGRAM_W,
+        missing_lp_e6=_UNIGRAM_MISSING_E6,
+    ).select("word", "n_pieces", "score_e6")
+    joined = pairs.join(F.broadcast(seg), "word")
+    return joined.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+        F.sum(F.col("c") * F.col("score_e6")).alias("score_e6"),
+        F.floor(
+            F.sum(F.col("c") * F.length("word")).cast("double")
+            / F.sum(F.col("c") * F.col("n_pieces")).cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("chars_per_piece_e6"),
+    )
+
+
+#: Per-doc apply: weight each word's segmentation by its in-doc count —
+#: the SQL twin of unigram_apply_docs' broadcast-apply join.
+UNIGRAM_APPLY_SQL = (
+    _unigram_sql()
+    + """
+SELECT p.doc_id, SUM(p.c)::BIGINT AS n_words,
+       SUM(p.c * s.n_pieces)::BIGINT AS n_pieces,
+       SUM(p.c * s.score_e6)::BIGINT AS score_e6,
+       CAST(FLOOR(SUM(p.c * LENGTH(p.word))::DOUBLE / SUM(p.c * s.n_pieces)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS chars_per_piece_e6
+FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id"""
+)
 
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -11111,4 +11209,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_domain_stats": (url_domain_stats, URL_DOMAIN_STATS_SQL),
     "unigram_tokenize_words": (unigram_tokenize_words, UNIGRAM_SQL),
     "web_ingest_pipeline": (web_ingest_pipeline, WEB_INGEST_SQL),
+    "unigram_apply_docs": (unigram_apply_docs, UNIGRAM_APPLY_SQL),
+    "markup_stats_docs": (markup_stats_docs, MARKUP_STATS_SQL),
 }
