@@ -281,3 +281,58 @@ def test_unigram_viterbi_edges(spark):
     assert got["zq"] == ("zq", 1, -20_000_000)
     # word longer than max_word_len: flagged NULL, not truncated
     assert got["a" * 13] == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline + second-batch entries: cross-entry invariants
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_web_ingest_pipeline_invariants(spark):
+    from tada_spark.queries import CATALOG
+
+    out = CATALOG["web_ingest_pipeline"][0](spark, SF).collect()
+    dedup_rows = CATALOG["url_dedup_docs"][0](spark, SF).collect()
+    # one survivor per canonical URL, and the survivor is the keep-min id
+    assert len(out) == len(dedup_rows)
+    keep = {r["canon_url"]: r["keep_id"] for r in dedup_rows}
+    for r in out:
+        assert r["doc_id"] == keep[r["canon_url"]]
+        assert r["kept"] == (r["n_words"] >= 10)
+
+
+def test_unigram_apply_consistent_with_word_level(spark):
+    from pyspark.sql import functions as F
+
+    from tada_spark.queries import CATALOG, load
+
+    per_doc = CATALOG["unigram_apply_docs"][0](spark, SF)
+    agg = per_doc.agg(
+        F.sum("n_words").alias("w"), F.sum("score_e6").alias("s")
+    ).collect()[0]
+    # total words across docs == Σ n_occ of the word-level entry, and
+    # the corpus log-prob decomposes identically
+    words = CATALOG["unigram_tokenize_words"][0](spark, SF)
+    wagg = words.agg(
+        F.sum("n_occ").alias("w"),
+        F.sum(F.col("n_occ") * F.col("score_e6")).alias("s"),
+    ).collect()[0]
+    assert agg["w"] == wagg["w"]
+    assert agg["s"] == wagg["s"]
+    # and the doc count matches the corpus (every doc has ≥1 token here)
+    n_docs = load(spark, SF, "documents").to_df().filter(F.col("text").isNotNull()).count()
+    assert per_doc.count() == n_docs
+
+
+def test_markup_stats_expected_counts(spark):
+    from tada_spark.queries import CATALOG
+
+    rows = CATALOG["markup_stats_docs"][0](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_links"] == 2  # the two nav anchors planted per page
+        assert r["n_comments"] == 1
+        assert r["n_tags"] > 10
+        assert 0.0 < r["text_ratio"] < 1.0
