@@ -1118,7 +1118,7 @@ def canonical_url(col: Column) -> Column:
     :443 https), drop the fragment, strip trailing slashes from the
     path, remove tracking params, and SORT the surviving query params
     (param order is transport noise). Pure regexp/array algebra with an
-    exact DuckDB twin (URL_CANON_SQL_STEPS in queries.py). Not a full
+    exact DuckDB twin (_URL_CANON_CTES in queries.py). Not a full
     RFC 3986 resolver — no percent-decoding or path-segment dot
     removal, the same scope CCNet's URL keys use."""
     u = F.trim(col)
