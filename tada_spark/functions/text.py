@@ -1069,7 +1069,13 @@ def strip_markup(col: Column) -> Column:
     one pass per pattern at scan speed, no parser, no UDF. (A browser-
     grade HTML5 parser is out of scope by design: for corpus prep the
     regex strip is the standard cheap pass, and malformed markup
-    degrades to extra whitespace, never to an exception.)"""
+    degrades to extra whitespace, never to an exception.)
+
+    SINGLE-application contract: entity decode runs AFTER tag removal,
+    so escaped markup in the source ('&lt;b&gt;' — literal text a user
+    typed) correctly survives as '<b>' text. Re-applying the cleaner
+    to its own output would strip that literal — apply once, at
+    ingest (pinned in tests/test_r11_ops.py)."""
     out = col
     for pat in MARKUP_BLOCK_PATTERNS:
         out = F.regexp_replace(out, pat, " ")

@@ -336,3 +336,34 @@ def test_markup_stats_expected_counts(spark):
         assert r["n_comments"] == 1
         assert r["n_tags"] > 10
         assert 0.0 < r["text_ratio"] < 1.0
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) — the defining canonicalization
+    invariant: a second pass must find nothing left to normalize
+    (params stay sorted, stripped noise stays stripped)."""
+    from tada_spark.functions.text import canonical_url
+    from tada_spark.queries import _synth_url_col
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    urls = docs.select(_synth_url_col().alias("url"))
+    once = canonical_url(F.col("url"))
+    out = urls.select(once.alias("c1"), canonical_url(once).alias("c2"))
+    assert out.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_strip_markup_single_application_semantics(spark):
+    """strip_markup is a SINGLE-application cleaner by design: entity
+    decode runs after tag removal, so escaped markup in the SOURCE
+    ('&lt;b&gt;' — literal text a user typed) survives as '<b>' text.
+    Re-applying the cleaner would eat that literal — pin the behavior
+    so the pipeline contract (apply once, at ingest) stays explicit."""
+    from tada_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [(1, "<p>user wrote &lt;b&gt; literally</p>")], "id long, t string"
+    )
+    once = df.select(strip_markup(F.col("t")).alias("c1"))
+    assert once.collect()[0]["c1"] == "user wrote <b> literally"
+    twice = once.select(strip_markup(F.col("c1")).alias("c2"))
+    assert twice.collect()[0]["c2"] == "user wrote literally"  # <b> eaten, spaces re-collapsed
