@@ -10686,6 +10686,108 @@ FROM canon GROUP BY host"""
 )
 
 
+def domain_boilerplate_removal_docs(spark, sf):
+    """Frequency-based boilerplate discovery + removal (the CCNet-class
+    cross-document pass): a line is boilerplate in a domain iff it
+    appears in MORE THAN HALF of the domain's docs (2·n_line_docs >
+    n_domain_docs) — nav/footer/list chrome repeats on every page of a
+    site, real content doesn't. The cross-document complement of the
+    within-page density filter: here strip_markup runs WITHOUT the
+    word-count heuristic and the repeated-line statistic does the
+    discovery. Doc-fraction thresholds are replication-invariant (both
+    counts scale together), so the 100× replica checks the same truth.
+
+    Shape: posexplode_outer of the line array + a position filter (the
+    sentence_chunks pattern — a plain explode would push the whole
+    regexp chain into the scan as inferred isnotnull/size filters),
+    then (domain, line)- and domain-keyed COUNT DISTINCT aggregates
+    and an order-preserving per-doc rebuild (array_sort on (pos,
+    line) structs). The line stream feeds three aggregates; lineage
+    recomputes it per consumer here — a production ingest pipeline
+    materializes the line table between stages (the daily_ingest
+    checkpoint pattern), and a web-scale run would key the aggregates
+    on md5(line) instead of the raw line string."""
+    docs = load(spark, sf, "documents").to_df()
+    base = docs.select(
+        "doc_id", "lang", "source", "text", _synth_url_col().alias("url")
+    )
+    aug = base.select(
+        "doc_id",
+        # no-op coalesce (url_host of a non-null url is non-null): the
+        # domain JOIN keys below would otherwise re-infer
+        # IsNotNull(domain) and push the whole url_host regexp chain
+        # into every scan branch (plan-confirmed; the semdedup lesson)
+        F.coalesce(text.url_host(F.col("url")), F.lit("")).alias("domain"),
+        _synth_html_col().alias("html"),
+    )
+    cleaned = aug.select(
+        "doc_id", "domain", text.strip_markup(F.col("html")).alias("clean")
+    )
+    lines = cleaned.select(
+        "doc_id",
+        "domain",
+        F.posexplode_outer(F.split(F.col("clean"), "\n")).alias("pos", "line"),
+    ).filter(F.col("pos").isNotNull())
+    line_freq = lines.groupBy("domain", "line").agg(
+        F.countDistinct("doc_id").alias("nld")
+    )
+    dom_docs = lines.groupBy("domain").agg(F.countDistinct("doc_id").alias("ndd"))
+    kept = (
+        lines.join(line_freq, ["domain", "line"])
+        .join(F.broadcast(dom_docs), "domain")
+        .filter(F.lit(2) * F.col("nld") <= F.col("ndd"))
+    )
+    raw = lines.groupBy("doc_id").agg(
+        F.min("domain").alias("domain"), F.count(F.lit(1)).alias("n_raw")
+    )
+    keptg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("rebuilt"),
+    )
+    return raw.join(keptg, "doc_id", "left").select(
+        "doc_id",
+        "domain",
+        "n_raw",
+        (F.col("n_raw") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("rebuilt"), F.lit("")).alias("rebuilt"),
+    )
+
+
+DOMAIN_BOILERPLATE_SQL = (
+    "WITH " + _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+    + ",\naug AS (\n  SELECT d.doc_id,\n         "
+    + _HTML_SYNTH_EXPR
+    + " AS html\n  FROM documents d\n), "
+    + _STRIP_CHAIN_CTES
+    + r"""
+, lines AS (
+  SELECT t.doc_id, c.host AS domain, s.i AS pos, t.l[s.i] AS line
+  FROM (SELECT doc_id, STRING_SPLIT(c1, chr(10)) AS l FROM trimmed) t
+  JOIN canon c USING (doc_id), UNNEST(generate_series(1, len(t.l))) s(i)
+), freq AS (
+  SELECT domain, line, COUNT(DISTINCT doc_id) AS nld FROM lines GROUP BY 1, 2
+), domd AS (
+  SELECT domain, COUNT(DISTINCT doc_id) AS ndd FROM lines GROUP BY 1
+), kept AS (
+  SELECT l.* FROM lines l JOIN freq f USING (domain, line) JOIN domd d USING (domain)
+  WHERE 2 * f.nld <= d.ndd
+)
+SELECT r.doc_id, r.domain, r.n_raw,
+       (r.n_raw - COALESCE(k.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(k.rebuilt, '') AS rebuilt
+FROM (SELECT doc_id, MIN(domain) AS domain, COUNT(*) AS n_raw FROM lines GROUP BY 1) r
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept, STRING_AGG(line, chr(10) ORDER BY pos) AS rebuilt
+           FROM kept GROUP BY 1) k USING (doc_id)
+"""
+)
+
+
 def web_ingest_pipeline(spark, sf):
     """The composed crawl-ingest stage end-to-end — what clean_web_docs
     means in practice: (1) canonicalize the provenance URL, (2) keep
@@ -11211,4 +11313,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "web_ingest_pipeline": (web_ingest_pipeline, WEB_INGEST_SQL),
     "unigram_apply_docs": (unigram_apply_docs, UNIGRAM_APPLY_SQL),
     "markup_stats_docs": (markup_stats_docs, MARKUP_STATS_SQL),
+    "domain_boilerplate_removal_docs": (
+        domain_boilerplate_removal_docs,
+        DOMAIN_BOILERPLATE_SQL,
+    ),
 }

@@ -367,3 +367,21 @@ def test_strip_markup_single_application_semantics(spark):
     assert once.collect()[0]["c1"] == "user wrote <b> literally"
     twice = once.select(strip_markup(F.col("c1")).alias("c2"))
     assert twice.collect()[0]["c2"] == "user wrote literally"  # <b> eaten, spaces re-collapsed
+
+
+def test_domain_boilerplate_discovers_planted_chrome(spark):
+    """The frequency pass must discover EXACTLY the per-page chrome
+    (nav, list items, short tail, footer — lines repeated on every
+    page of a domain) and keep the unique lines (title, heading,
+    content paragraph)."""
+    from tada_spark.queries import CATALOG
+
+    rows = CATALOG["domain_boilerplate_removal_docs"][0](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_raw"] == 8  # the synth page always renders 8 lines
+        assert r["n_removed"] == 5  # nav, 'one', 'two', short tail, footer
+        kept = r["rebuilt"].split("\n")
+        assert kept[0].startswith("Title for document ")
+        assert kept[1].startswith("Doc ")
+        assert kept[2].startswith('Quote "')
