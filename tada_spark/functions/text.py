@@ -1029,12 +1029,21 @@ def pmi_bigrams(
 # ---------------------------------------------------------------------------
 
 #: Container blocks removed WITH their content — rendered pages never
-#: show script/style/comment text, so it must not leak into training
-#: text. Non-greedy + (?s) so each block closes at ITS end tag.
+#: show script/style/comment/noscript/template/svg text, and <head>
+#: content (meta, link, base, title) is chrome, not page text (r11
+#: VERDICT: all of these previously survived the tag-only strip AS
+#: TEXT). Non-greedy + (?s) so each block closes at ITS end tag.
+#: <head> runs FIRST so a script/style inside it can't eat past the
+#: head's own close tag; script/style/svg still match standalone
+#: occurrences in the body.
 MARKUP_BLOCK_PATTERNS: tuple[str, ...] = (
     r"(?is)<!--.*?-->",
+    r"(?is)<head\b[^>]*>.*?</head\s*>",
     r"(?is)<script\b[^>]*>.*?</script\s*>",
     r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?is)<noscript\b[^>]*>.*?</noscript\s*>",
+    r"(?is)<template\b[^>]*>.*?</template\s*>",
+    r"(?is)<svg\b[^>]*>.*?</svg\s*>",
 )
 
 #: Closing a block-level element ends a visual line — replaced with \n
@@ -1049,40 +1058,79 @@ MARKUP_BLOCK_CLOSE_PATTERN = (
 #: the words around them together).
 MARKUP_ANY_TAG_PATTERN = r"(?s)<[^>]*>"
 
-#: The entities worth decoding without an HTML parser; ordered so that
-#: &amp; decodes LAST (else '&amp;lt;' would double-decode into '<').
+#: The named entities worth decoding without an HTML parser; ordered so
+#: that &amp; decodes LAST (else '&amp;lt;' would double-decode into
+#: '<').
 MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
-    ("&#39;", "'"),
     ("&amp;", "&"),
 )
 
+#: Numeric/hex character references (r11 VERDICT: '&#xAB;' previously
+#: passed through undecoded): the common punctuation set decodes to its
+#: character — each pattern accepts decimal and (?i) hex forms with
+#: leading zeros — and MARKUP_NUMERIC_CATCHALL turns any OTHER numeric
+#: reference into a space (rare codepoints are noise for corpus text;
+#: a space never glues words). Runs BEFORE the &amp; decode so escaped
+#: references a user literally typed ('&amp;#65;' → text '&#65;')
+#: survive, the same single-application contract as &lt;.
+MARKUP_NUMERIC_ENTITIES: tuple[tuple[str, str], ...] = (
+    (r"(?i)&#(?:0*39|x0*27);", "'"),
+    (r"(?i)&#(?:0*34|x0*22);", '"'),
+    (r"(?i)&#(?:0*60|x0*3c);", "<"),
+    (r"(?i)&#(?:0*62|x0*3e);", ">"),
+    (r"(?i)&#(?:0*160|x0*a0);", " "),  # nbsp
+    (r"(?i)&#(?:0*8211|x0*2013);", "–"),  # en dash
+    (r"(?i)&#(?:0*8212|x0*2014);", "—"),  # em dash
+    (r"(?i)&#(?:0*8216|x0*2018);", "‘"),  # left single quote
+    (r"(?i)&#(?:0*8217|x0*2019);", "’"),  # right single quote
+    (r"(?i)&#(?:0*8220|x0*201c);", "“"),  # left double quote
+    (r"(?i)&#(?:0*8221|x0*201d);", "”"),  # right double quote
+    (r"(?i)&#(?:0*8230|x0*2026);", "…"),  # ellipsis
+)
+#: The ampersand reference normalizes to the NAMED form before the
+#: catchall (so the catchall can't eat it) and then decodes with &amp;
+#: at the very end — '&#38;#60;' becomes literal text '&#60;', never a
+#: chain-decoded '<' or a swallowed space.
+MARKUP_AMP_NUMERIC = r"(?i)&#(?:0*38|x0*26);"
+MARKUP_NUMERIC_CATCHALL = r"(?i)&#(?:[0-9]+|x[0-9a-f]+);"
+
 
 def strip_markup(col: Column) -> Column:
-    """Markup → text: drop comment/script/style blocks with content,
-    turn block-close tags into newlines, drop every other tag, decode
-    the common entities, collapse horizontal whitespace, and squeeze
-    blank lines. NULL text stays NULL. Pure regexp_replace chain —
-    one pass per pattern at scan speed, no parser, no UDF. (A browser-
-    grade HTML5 parser is out of scope by design: for corpus prep the
-    regex strip is the standard cheap pass, and malformed markup
-    degrades to extra whitespace, never to an exception.)
+    """Markup → text: drop comment/head/script/style/noscript/template/
+    svg blocks with content (none renders as page text), turn
+    block-close tags into newlines, drop every other tag, decode the
+    common named + numeric entities (unrecognized numeric references →
+    space), collapse horizontal whitespace, and squeeze blank lines.
+    NULL text stays NULL. Pure regexp_replace chain — one pass per
+    pattern at scan speed, no parser, no UDF. (A browser-grade HTML5
+    parser is out of scope by design: for corpus prep the regex strip
+    is the standard cheap pass, and malformed markup degrades to extra
+    whitespace, never to an exception.)
 
     SINGLE-application contract: entity decode runs AFTER tag removal,
     so escaped markup in the source ('&lt;b&gt;' — literal text a user
-    typed) correctly survives as '<b>' text. Re-applying the cleaner
-    to its own output would strip that literal — apply once, at
-    ingest (pinned in tests/test_r11_ops.py)."""
+    typed) correctly survives as '<b>' text, and '&amp;#60;' survives
+    as '&#60;' (the ampersand forms — &amp; and &#38; — decode LAST,
+    after the numeric catchall, so no chain-decode is possible).
+    Re-applying the cleaner to its own output would strip those
+    literals — apply once, at ingest (pinned in tests/test_r11_ops.py
+    and tests/test_r12_ops.py)."""
     out = col
     for pat in MARKUP_BLOCK_PATTERNS:
         out = F.regexp_replace(out, pat, " ")
     out = F.regexp_replace(out, MARKUP_BLOCK_CLOSE_PATTERN, "\n")
     out = F.regexp_replace(out, MARKUP_ANY_TAG_PATTERN, " ")
-    for ent, rep in MARKUP_ENTITIES:
+    for ent, rep in MARKUP_ENTITIES[:-1]:  # all named except &amp;
         out = F.replace(out, F.lit(ent), F.lit(rep))
+    for pat, rep in MARKUP_NUMERIC_ENTITIES:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.regexp_replace(out, MARKUP_AMP_NUMERIC, "&amp;")
+    out = F.regexp_replace(out, MARKUP_NUMERIC_CATCHALL, " ")
+    out = F.replace(out, F.lit("&amp;"), F.lit("&"))  # LAST, by contract
     out = F.regexp_replace(out, r"[ \t\r]+", " ")  # horizontal collapse
     out = F.regexp_replace(out, r" ?\n[ \n]*", "\n")  # blank-line squeeze
     # edge trim by PATTERN, not TRIM(): both engines' TRIM eats spaces
@@ -1114,11 +1162,29 @@ def strip_boilerplate(col: Column, *, min_words: int = 5) -> Column:
 
 #: Query params that identify a CAMPAIGN, not a resource — stripping
 #: them is the core of URL canonicalization (CCNet / RefinedWeb dedup
-#: keys on the canonical URL). Matched against 'key=' or bare 'key'.
-TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref|igshid|mc_eid)(=|$)"
+#: keys on the canonical URL). Each entry is a regex alternative
+#: matched against 'key=' or bare 'key'. A DEFAULT, not a law: on some
+#: corpora 'ref' is content-bearing (code-hosting branch refs, ?ref=rss
+#: article variants — r11 ADVICE) — pass ``tracking_params`` to
+#: canonical_url to override per corpus.
+DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_[^=]*", "gclid", "fbclid", "ref", "igshid", "mc_eid",
+)
 
 
-def canonical_url(col: Column) -> Column:
+def tracking_param_pattern(params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS) -> str:
+    """The anchored alternation canonical_url filters query params with."""
+    return "^(" + "|".join(params) + ")(=|$)"
+
+
+#: The rendered default — kept as a module constant so the SQL oracle
+#: CTEs (queries.py _URL_CANON_CTES) can pin the same literal pattern.
+TRACKING_PARAM_PATTERN = tracking_param_pattern()
+
+
+def canonical_url(
+    col: Column, *, tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS
+) -> Column:
     """Canonicalize a URL for provenance-level dedup: lowercase scheme
     and host, strip a leading 'www.', drop the default port (:80 http /
     :443 https), drop the fragment, strip trailing slashes from the
@@ -1126,7 +1192,10 @@ def canonical_url(col: Column) -> Column:
     (param order is transport noise). Pure regexp/array algebra with an
     exact DuckDB twin (_URL_CANON_CTES in queries.py). Not a full
     RFC 3986 resolver — no percent-decoding or path-segment dot
-    removal, the same scope CCNet's URL keys use."""
+    removal, the same scope CCNet's URL keys use. ``tracking_params``
+    overrides the campaign-param list (regex alternatives) for corpora
+    where a default entry — 'ref' especially — is content-bearing
+    (r11 ADVICE)."""
     u = F.trim(col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(
@@ -1148,7 +1217,7 @@ def canonical_url(col: Column) -> Column:
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PATTERN),
+        lambda p: (p != F.lit("")) & ~p.rlike(tracking_param_pattern(tracking_params)),
     )
     qcanon = F.array_join(F.array_sort(params), "&")
     return F.concat(
@@ -1294,3 +1363,31 @@ def unigram_viterbi_segment(
             (n >= 1) & (n <= W), F.try_element_at(dps, n + 1)
         ).cast("long").alias("score_e6"),
     )
+
+
+def lm_bits_per_piece_e6(score_e6: Column, n_pieces: Column) -> Column:
+    """Document LM quality score: bits-per-piece ×1e6 from an
+    exact-integer unigram-LM path score (the CCNet-class wellformedness
+    signal — Wenzek et al. 2020 filter on LM perplexity; bits/piece =
+    log2 perplexity, the same ordering with no exp() to disagree on).
+
+    ``score_e6`` is the summed piece log-prob ×1e6 (BIGINT, from
+    unigram_viterbi_segment), ``n_pieces`` the piece count, so
+    -score_e6 / n_pieces is nats-per-piece ×1e6; one division by ln 2
+    converts to bits. Both engines compute the same IEEE-754 double
+    quotient and FLOOR(x + 0.5) half-up rounding — the chars_per_piece
+    discipline — so the result hash-matches the DuckDB twin. Empty
+    docs (n_pieces = 0) yield NULL: no pieces ⇒ no rate."""
+    import math
+
+    return (
+        F.when(
+            n_pieces > 0,
+            F.floor(
+                -score_e6.cast("double")
+                / n_pieces.cast("double")
+                / F.lit(math.log(2.0))
+                + F.lit(0.5)
+            ),
+        )
+    ).cast("long")

@@ -10381,28 +10381,32 @@ MMR_SQL = _mmr_sql(k=4, pool=12)
 
 def _synth_html_col() -> Column:
     """Deterministic fake web page per doc: comment, head with title +
-    script (containing a bare '<' — the reason script blocks must go
-    before tag removal) + style, nav div, h1, the doc text inside a
-    paragraph WITH entities, boilerplate list/footer lines."""
+    meta + script (containing a bare '<' — the reason script blocks
+    must go before tag removal) + style, a noscript banner and an svg
+    icon (both render NO text — r12: removed with content), nav div,
+    h1, the doc text inside a paragraph WITH named AND numeric/hex
+    entities (&#8212; em dash, &#x27; apostrophe, &#9999; exercising
+    the unknown-reference catchall), boilerplate list/footer lines."""
     d = F.col("doc_id").cast("string")
     return F.concat(
         F.lit("<html><!-- id "),
         d,
-        F.lit(" --><head><title>Title for document "),
-        d,
-        F.lit(" in "),
-        F.col("lang"),
-        F.lit('</title><script type="text/javascript">var n = 1 < 2; track("'),
+        F.lit(' --><head><title>Tab title</title><meta name="gen" content="synth"><script type="text/javascript">var n = 1 < 2; track("'),
         F.col("source"),
         F.lit(
             '");</script><style>.nav { color: #fff }</style></head>'
-            '<body><div class="nav"><a href="/home">Home</a> | <a href="/about">About</a></div><h1>Doc '
+            "<body><noscript>Please enable JavaScript to continue</noscript>"
+            '<svg viewBox="0 0 1 1"><title>icon</title></svg>'
+            '<div class="nav"><a href="/home">Home</a> | <a href="/about">About</a></div><h1>Doc '
         ),
         d,
+        F.lit(" in "),
+        F.col("lang"),
         F.lit("</h1><p>Quote &quot;"),
         F.col("text"),
         F.lit(
-            "&quot; &amp; more</p><ul><li>one</li><li>two</li></ul>"
+            "&quot; &amp; more &#8212; it&#x27;s rated &#9999; stars</p>"
+            "<ul><li>one</li><li>two</li></ul>"
             "<p>Short tail</p><footer>&copy; 2026</footer></body></html>"
         ),
     )
@@ -10443,40 +10447,63 @@ def strip_boilerplate_docs(spark, sf):
 #: source/text in scope; shared by strip_boilerplate_docs and the
 #: composed web_ingest_pipeline so the two can never drift.
 _HTML_SYNTH_EXPR = (
-    "'<html><!-- id ' || doc_id || ' --><head><title>Title for document ' || doc_id ||\n"
-    "         ' in ' || lang ||\n"
-    "         '</title><script type=\"text/javascript\">var n = 1 < 2; track(\"' || source ||\n"
+    "'<html><!-- id ' || doc_id ||\n"
+    "         ' --><head><title>Tab title</title><meta name=\"gen\" content=\"synth\">"
+    "<script type=\"text/javascript\">var n = 1 < 2; track(\"' || source ||\n"
     "         '\");</script><style>.nav { color: #fff }</style></head>' ||\n"
-    "         '<body><div class=\"nav\"><a href=\"/home\">Home</a> | <a href=\"/about\">About</a></div><h1>Doc ' || doc_id ||\n"
+    "         '<body><noscript>Please enable JavaScript to continue</noscript>' ||\n"
+    "         '<svg viewBox=\"0 0 1 1\"><title>icon</title></svg>' ||\n"
+    "         '<div class=\"nav\"><a href=\"/home\">Home</a> | <a href=\"/about\">About</a></div><h1>Doc ' || doc_id ||\n"
+    "         ' in ' || lang ||\n"
     "         '</h1><p>Quote &quot;' || text ||\n"
-    "         '&quot; &amp; more</p><ul><li>one</li><li>two</li></ul>' ||\n"
+    "         '&quot; &amp; more &#8212; it&#x27;s rated &#9999; stars</p>' ||\n"
+    "         '<ul><li>one</li><li>two</li></ul>' ||\n"
     "         '<p>Short tail</p><footer>&copy; 2026</footer></body></html>'"
 )
 
+def _sql_str(s: str) -> str:
+    """A DuckDB single-quoted string literal (regex backslashes pass
+    through verbatim — standard-conforming strings)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _strip_markup_sql_expr(var: str = "html") -> str:
+    """The DuckDB expression equal to text.strip_markup(var), RENDERED
+    from the very same pattern constants the Spark Column chain uses —
+    r12: the previous hand-written twin had to be edited in lockstep by
+    discipline; generating it makes drift structurally impossible."""
+    e = var
+    for pat in text.MARKUP_BLOCK_PATTERNS:
+        e = f"REGEXP_REPLACE({e},\n      {_sql_str(pat)}, ' ', 'g')"
+    e = f"REGEXP_REPLACE({e},\n      {_sql_str(text.MARKUP_BLOCK_CLOSE_PATTERN)}, chr(10), 'g')"
+    e = f"REGEXP_REPLACE({e},\n      {_sql_str(text.MARKUP_ANY_TAG_PATTERN)}, ' ', 'g')"
+    for ent, rep in text.MARKUP_ENTITIES[:-1]:  # all named except &amp;
+        e = f"REPLACE({e}, {_sql_str(ent)}, {_sql_str(rep)})"
+    for pat, rep in text.MARKUP_NUMERIC_ENTITIES:
+        e = f"REGEXP_REPLACE({e},\n      {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    e = f"REGEXP_REPLACE({e},\n      {_sql_str(text.MARKUP_AMP_NUMERIC)}, '&amp;', 'g')"
+    e = f"REGEXP_REPLACE({e},\n      {_sql_str(text.MARKUP_NUMERIC_CATCHALL)}, ' ', 'g')"
+    e = f"REPLACE({e}, '&amp;', '&')"
+    horiz = _sql_str(r"[ \t\r]+")
+    squeeze = _sql_str(r" ?\n[ \n]*")
+    e = f"REGEXP_REPLACE({e}, {horiz}, ' ', 'g')"
+    e = f"REGEXP_REPLACE({e}, {squeeze}, chr(10), 'g')"
+    return e
+
+
 #: SQL twin of text.strip_markup + density_line_filter: CTE chain from
 #: an ``aug(doc_id, html)`` CTE to ``filtered(doc_id, clean)``.
-_STRIP_CHAIN_CTES = r"""stripped AS (
-  SELECT doc_id,
-    REGEXP_REPLACE(REGEXP_REPLACE(
-      REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
-        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
-          '(?is)<!--.*?-->', ' ', 'g'),
-          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
-          '(?is)</(?:p|div|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|nav|blockquote|title)\s*>|<br\s*/?>', chr(10), 'g'),
-          '(?s)<[^>]*>', ' ', 'g'),
-        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-      '[ \t\r]+', ' ', 'g'),
-      ' ?\n[ \n]*', chr(10), 'g') AS c0
-  FROM aug
-), trimmed AS (
-  SELECT doc_id, REGEXP_REPLACE(c0, '^[\n ]+|[\n ]+$', '', 'g') AS c1 FROM stripped
-), filtered AS (
-  SELECT doc_id,
-         ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(c1, chr(10)),
-           ln -> LEN(STRING_SPLIT(TRIM(ln), ' ')) >= 5), ln -> TRIM(ln)), chr(10)) AS clean
-  FROM trimmed
-)"""
+_STRIP_CHAIN_CTES = (
+    "stripped AS (\n  SELECT doc_id,\n    "
+    + _strip_markup_sql_expr("html")
+    + " AS c0\n  FROM aug\n), trimmed AS (\n"
+    "  SELECT doc_id, REGEXP_REPLACE(c0, '^[\\n ]+|[\\n ]+$', '', 'g') AS c1 FROM stripped\n"
+    "), filtered AS (\n"
+    "  SELECT doc_id,\n"
+    "         ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(c1, chr(10)),\n"
+    "           ln -> LEN(STRING_SPLIT(TRIM(ln), ' ')) >= 5), ln -> TRIM(ln)), chr(10)) AS clean\n"
+    "  FROM trimmed\n)"
+)
 
 STRIP_BOILERPLATE_SQL = (
     "WITH aug AS (\n  SELECT doc_id,\n         "
@@ -10640,18 +10667,30 @@ def url_dedup_docs(spark, sf):
     One hash-aggregate shuffle (exact_dedup's profile); the ~2.6
     raw-URLs-per-canonical collision rate here is planted by
     construction (case/port/param/fragment noise over a 7×13×5
-    identity grid)."""
+    identity grid). Every 11th doc (mod 7) has a NULL url — missing
+    provenance — and must survive as a singleton 'urn:missing:<id>'
+    group, never vanish from the keep-list (r11 ADVICE fix, pinned
+    here AND in tests/test_r12_ops.py)."""
     docs = load(spark, sf, "documents").to_df()
-    aug = docs.select("doc_id", _synth_url_col().alias("url"))
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 7, F.lit(None).cast("string"))
+        .otherwise(_synth_url_col())
+        .alias("url"),
+    )
     return dedup.url_dedup(aug, url_col="url", id_col="doc_id")
 
 
 URL_DEDUP_SQL = (
-    "WITH " + _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+    "WITH "
+    + _URL_SYNTH_CTE.replace("urls AS (", "urls0 AS (")
+    + ",\nurls AS (SELECT doc_id, CASE WHEN doc_id % 11 = 7 THEN NULL ELSE url END AS url FROM urls0),\n"
+    + _URL_CANON_CTES
     + """
-SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_occ,
+SELECT COALESCE(canon_url, 'urn:missing:' || doc_id) AS canon_url,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_occ,
        (COUNT(*) - 1)::BIGINT AS n_dropped
-FROM canon GROUP BY canon_url"""
+FROM canon GROUP BY 1"""
 )
 
 
@@ -10697,16 +10736,13 @@ def domain_boilerplate_removal_docs(spark, sf):
     discovery. Doc-fraction thresholds are replication-invariant (both
     counts scale together), so the 100× replica checks the same truth.
 
-    Shape: posexplode_outer of the line array + a position filter (the
-    sentence_chunks pattern — a plain explode would push the whole
-    regexp chain into the scan as inferred isnotnull/size filters),
-    then (domain, line)- and domain-keyed COUNT DISTINCT aggregates
-    and an order-preserving per-doc rebuild (array_sort on (pos,
-    line) structs). The line stream feeds three aggregates; lineage
-    recomputes it per consumer here — a production ingest pipeline
-    materializes the line table between stages (the daily_ingest
-    checkpoint pattern), and a web-scale run would key the aggregates
-    on md5(line) instead of the raw line string."""
+    Shape: see functions/dedup.domain_boilerplate_removal (the factored
+    operator this entry drives — r12: factored out so the
+    min_domain_docs floor is unit-testable on a 1-doc domain, which the
+    7-domain synthetic grid can never produce; every grid domain has
+    dozens of docs so the floor is a no-op HERE and the oracle hash is
+    unchanged, but the SQL twin carries the same clause so the two
+    cannot drift)."""
     docs = load(spark, sf, "documents").to_df()
     base = docs.select(
         "doc_id", "lang", "source", "text", _synth_url_col().alias("url")
@@ -10723,39 +10759,9 @@ def domain_boilerplate_removal_docs(spark, sf):
     cleaned = aug.select(
         "doc_id", "domain", text.strip_markup(F.col("html")).alias("clean")
     )
-    lines = cleaned.select(
-        "doc_id",
-        "domain",
-        F.posexplode_outer(F.split(F.col("clean"), "\n")).alias("pos", "line"),
-    ).filter(F.col("pos").isNotNull())
-    line_freq = lines.groupBy("domain", "line").agg(
-        F.countDistinct("doc_id").alias("nld")
-    )
-    dom_docs = lines.groupBy("domain").agg(F.countDistinct("doc_id").alias("ndd"))
-    kept = (
-        lines.join(line_freq, ["domain", "line"])
-        .join(F.broadcast(dom_docs), "domain")
-        .filter(F.lit(2) * F.col("nld") <= F.col("ndd"))
-    )
-    raw = lines.groupBy("doc_id").agg(
-        F.min("domain").alias("domain"), F.count(F.lit(1)).alias("n_raw")
-    )
-    keptg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("rebuilt"),
-    )
-    return raw.join(keptg, "doc_id", "left").select(
-        "doc_id",
-        "domain",
-        "n_raw",
-        (F.col("n_raw") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
-        F.coalesce(F.col("rebuilt"), F.lit("")).alias("rebuilt"),
+    return dedup.domain_boilerplate_removal(
+        cleaned, text_col="clean", domain_col="domain", id_col="doc_id",
+        min_domain_docs=3,
     )
 
 
@@ -10776,7 +10782,7 @@ DOMAIN_BOILERPLATE_SQL = (
   SELECT domain, COUNT(DISTINCT doc_id) AS ndd FROM lines GROUP BY 1
 ), kept AS (
   SELECT l.* FROM lines l JOIN freq f USING (domain, line) JOIN domd d USING (domain)
-  WHERE 2 * f.nld <= d.ndd
+  WHERE 2 * f.nld <= d.ndd OR d.ndd < 3
 )
 SELECT r.doc_id, r.domain, r.n_raw,
        (r.n_raw - COALESCE(k.n_kept, 0))::BIGINT AS n_removed,
@@ -11034,6 +11040,102 @@ SELECT p.doc_id, SUM(p.c)::BIGINT AS n_words,
        SUM(p.c * s.score_e6)::BIGINT AS score_e6,
        CAST(FLOOR(SUM(p.c * LENGTH(p.word))::DOUBLE / SUM(p.c * s.n_pieces)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS chars_per_piece_e6
 FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id"""
+)
+
+
+#: Fixed bits-per-piece cuts (×1e6) for the CCNet-style head/middle/
+#: tail split — chosen as the sf0.001 corpus tertiles (observed range
+#: 5.84M–6.44M) and PINNED as constants: a quantile-derived cut would
+#: need a global sort or a collected percentile at 100 TB, while a
+#: fixed threshold keeps the filter a pure projection (the
+#: gopher_keep discipline). CCNet derives its cuts the same way — once,
+#: offline, per language — then applies them as constants.
+_PPL_HEAD_BITS_E6 = 6_070_000
+_PPL_TAIL_BITS_E6 = 6_135_000
+_LN2 = math.log(2.0)
+
+
+def perplexity_filter_docs(spark, sf):
+    """Document-level LM quality scoring — the CCNet wellformedness
+    stage (Wenzek et al. 2020 §3.3: score each doc with a LM, keep the
+    low-perplexity head/middle), completing the repo's strip →
+    url-dedup → boilerplate → LM-quality → gopher ingest chain. Emits
+    per doc the exact-integer corpus log-prob (score_e6), piece count,
+    bits-per-piece ×1e6 (functions/text.lm_bits_per_piece_e6 — log2
+    perplexity, same ordering as perplexity with no exp() for engines
+    to disagree on), the head/middle/tail bucket at the pinned tertile
+    cuts, and keep = NOT tail.
+
+    Scale shape: identical to unigram_apply_docs (proven 3 exchanges) —
+    the Viterbi DP runs over DISTINCT words only (Zipf), broadcasts
+    back onto the (doc, word, count) pair stream, and the per-doc
+    aggregate is the only token-volume shuffle; the bucket/keep split
+    is a pure projection on the aggregate output (no quantile pass —
+    the cuts are constants, see _PPL_HEAD_BITS_E6)."""
+    docs = load(spark, sf, "documents").to_df()
+    toksd = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word"),
+    )
+    pairs = toksd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    seg = text.unigram_viterbi_segment(
+        pairs.select("word").distinct(),
+        _UNIGRAM_LP_E6,
+        max_piece_len=_UNIGRAM_L,
+        max_word_len=_UNIGRAM_W,
+        missing_lp_e6=_UNIGRAM_MISSING_E6,
+    ).select("word", "n_pieces", "score_e6")
+    per_doc = (
+        pairs.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+            F.sum(F.col("c") * F.col("score_e6")).alias("score_e6"),
+        )
+    )
+    bits = text.lm_bits_per_piece_e6(F.col("score_e6"), F.col("n_pieces"))
+    scored = per_doc.select("*", bits.alias("bits_per_piece_e6"))
+    b = F.col("bits_per_piece_e6")
+    return scored.select(
+        "*",
+        F.when(b.isNull(), F.lit(None).cast("string"))
+        .when(b <= _PPL_HEAD_BITS_E6, F.lit("head"))
+        .when(b <= _PPL_TAIL_BITS_E6, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        (b <= _PPL_TAIL_BITS_E6).alias("keep"),
+    )
+
+
+PERPLEXITY_FILTER_SQL = (
+    _unigram_sql()
+    + f"""
+, per_doc AS (
+  SELECT p.doc_id, SUM(p.c)::BIGINT AS n_words,
+         SUM(p.c * s.n_pieces)::BIGINT AS n_pieces,
+         SUM(p.c * s.score_e6)::BIGINT AS score_e6
+  FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id
+), scored AS (
+  SELECT *, CASE WHEN n_pieces > 0 THEN
+    -- log-of-2 embedded as the PYTHON-computed double literal (the
+    -- det_ln discipline): both engines divide the identical bit pattern
+    CAST(FLOOR(-score_e6::DOUBLE / n_pieces::DOUBLE / {_LN2!r} + 0.5) AS BIGINT)
+  END AS bits_per_piece_e6
+  FROM per_doc
+)
+SELECT doc_id, n_words, n_pieces, score_e6, bits_per_piece_e6,
+       CASE WHEN bits_per_piece_e6 IS NULL THEN NULL
+            WHEN bits_per_piece_e6 <= {_PPL_HEAD_BITS_E6} THEN 'head'
+            WHEN bits_per_piece_e6 <= {_PPL_TAIL_BITS_E6} THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       bits_per_piece_e6 <= {_PPL_TAIL_BITS_E6} AS keep
+FROM scored"""
 )
 
 
@@ -11312,6 +11414,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unigram_tokenize_words": (unigram_tokenize_words, UNIGRAM_SQL),
     "web_ingest_pipeline": (web_ingest_pipeline, WEB_INGEST_SQL),
     "unigram_apply_docs": (unigram_apply_docs, UNIGRAM_APPLY_SQL),
+    "perplexity_filter_docs": (perplexity_filter_docs, PERPLEXITY_FILTER_SQL),
     "markup_stats_docs": (markup_stats_docs, MARKUP_STATS_SQL),
     "domain_boilerplate_removal_docs": (
         domain_boilerplate_removal_docs,

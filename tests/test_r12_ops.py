@@ -1,0 +1,207 @@
+"""Round-12 pins (r11 VERDICT asks + ADVICE items):
+
+* strip_markup hardening (VERDICT #7): head/noscript/template/svg
+  blocks drop WITH content; numeric/hex character references decode
+  (common punctuation) or become a space (catchall); the ampersand
+  forms decode LAST so escaped references survive single application.
+* url_dedup NULL passthrough (ADVICE #2): docs with missing provenance
+  survive as singleton 'urn:missing:<id>' groups instead of vanishing
+  from the keep-list.
+* domain_boilerplate_removal floor (ADVICE #3): the >50%-of-domain
+  threshold applies only when the domain has >= min_domain_docs docs —
+  a 1-doc domain keeps every line instead of being emptied.
+* canonical_url tracking_params override (ADVICE #4): corpora where
+  'ref' is content-bearing can keep it.
+* cachereg scope (ADVICE #1): per-call ownership — releasing one
+  operator call's caches no longer guillotines another's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _strip1(spark, html: str) -> str:
+    from tada_spark.functions import text
+
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(text.strip_markup(F.col("html")).alias("c")).head()[0]
+
+
+def test_strip_markup_drops_invisible_blocks(spark):
+    out = _strip1(
+        spark,
+        "<head><title>Tab</title><meta x=1></head>"
+        "<noscript>enable js</noscript>"
+        "<template><p>ghost row</p></template>"
+        '<svg viewBox="0 0 1 1"><title>icon</title><path d="M0 0"/></svg>'
+        "<p>real body text</p>",
+    )
+    assert out == "real body text"
+
+
+def test_strip_markup_decodes_numeric_and_hex_entities(spark):
+    # &#x27; -> ASCII apostrophe; &#33; (!) is not in the common set ->
+    # catchall space (then edge-trimmed), never glued
+    out = _strip1(spark, "<p>it&#x27;s &#8212; fine &#8230; ok&#33;</p>")
+    assert out == "it's — fine … ok"
+
+
+def test_strip_markup_numeric_leading_zeros_and_case(spark):
+    assert _strip1(spark, "a&#x0A0;b") == "a b"  # hex nbsp, leading zero
+    assert _strip1(spark, "a&#0160;b") == "a b"  # decimal, leading zero
+    assert _strip1(spark, "a&#X2014;b") == "a—b"  # uppercase X hex
+
+
+def test_strip_markup_ampersand_forms_decode_last(spark):
+    # literal text '&#60;' escaped as '&amp;#60;' / '&#38;#60;' must
+    # survive ONE application as '&#60;' — never chain-decode to '<'
+    # and never be eaten by the catchall
+    assert _strip1(spark, "x &amp;#60; y") == "x &#60; y"
+    assert _strip1(spark, "x &#38;#60; y") == "x &#60; y"
+    assert _strip1(spark, "x &#38; y") == "x & y"
+    assert _strip1(spark, "x &#x26; y") == "x & y"
+
+
+def test_strip_markup_unknown_numeric_to_space(spark):
+    assert _strip1(spark, "a&#9999;b") == "a b"
+    assert _strip1(spark, "a&#xABCDE;b") == "a b"
+
+
+def test_url_dedup_null_url_docs_survive_as_singletons(spark):
+    from tada_spark.functions.dedup import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_source=f"),
+            (2, "http://A.COM/x"),
+            (3, None),
+            (4, None),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canon_url"]: r for r in url_dedup(df).collect()}
+    assert rows["http://a.com/x"]["n_occ"] == 2
+    assert rows["http://a.com/x"]["keep_id"] == 1
+    # the two NULL-url docs are SEPARATE singleton groups
+    assert rows["urn:missing:3"]["keep_id"] == 3
+    assert rows["urn:missing:3"]["n_occ"] == 1
+    assert rows["urn:missing:4"]["keep_id"] == 4
+    # nothing vanished: total keep-list covers all 4 docs' groups
+    assert len(rows) == 3
+
+
+def test_domain_boilerplate_floor_protects_small_domains(spark):
+    from tada_spark.functions.dedup import domain_boilerplate_removal
+
+    # big.com: 4 docs sharing a nav line (true boilerplate, removed);
+    # tiny.org: ONE doc — every line is trivially in 100% of its docs,
+    # the floor must keep them all (r11 ADVICE: the bare rule emptied it)
+    rows = [
+        (i, "big.com", "nav home about\nreal content line %d here" % i)
+        for i in range(1, 5)
+    ] + [(9, "tiny.org", "only doc first line\nonly doc second line")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, clean string")
+    out = {r["doc_id"]: r for r in domain_boilerplate_removal(df).collect()}
+    assert out[1]["n_removed"] == 1 and "nav home about" not in out[1]["rebuilt"]
+    assert out[9]["n_removed"] == 0
+    assert out[9]["rebuilt"] == "only doc first line\nonly doc second line"
+    # and with the floor disabled the tiny domain WOULD be emptied —
+    # the guarded behavior is a real change, not a coincidence
+    bare = {
+        r["doc_id"]: r
+        for r in domain_boilerplate_removal(df, min_domain_docs=1).collect()
+    }
+    assert bare[9]["n_removed"] == 2 and bare[9]["rebuilt"] == ""
+
+
+def test_canonical_url_tracking_params_override(spark):
+    from tada_spark.functions.text import DEFAULT_TRACKING_PARAMS, canonical_url
+
+    df = spark.createDataFrame(
+        [("https://host.com/repo?ref=main&utm_source=x",)], "url string"
+    )
+    default = df.select(canonical_url(F.col("url")).alias("c")).head()[0]
+    assert default == "https://host.com/repo"  # ref stripped by default
+    keep_ref = tuple(p for p in DEFAULT_TRACKING_PARAMS if p != "ref")
+    kept = df.select(
+        canonical_url(F.col("url"), tracking_params=keep_ref).alias("c")
+    ).head()[0]
+    assert kept == "https://host.com/repo?ref=main"  # content-bearing ref kept
+
+
+def test_cachereg_scope_releases_only_its_own(spark):
+    from tada_spark.functions import cachereg
+
+    cachereg.release()
+    outer = spark.range(10)
+    cachereg.owned_persist(outer)  # an unscoped (other operator's) cache
+    with cachereg.scope():
+        inner = cachereg.owned_persist(spark.range(20))
+        inner.count()
+        assert cachereg.live_count() == 2
+    # scope exit freed ONLY the inner frame
+    assert cachereg.live_count() == 1
+    assert outer.storageLevel.useMemory  # outer cache untouched
+    assert cachereg.release() == 1
+    assert cachereg.live_count() == 0
+
+
+def test_cachereg_nested_scopes_own_their_persists(spark):
+    from tada_spark.functions import cachereg
+
+    cachereg.release()
+    with cachereg.scope():
+        cachereg.owned_persist(spark.range(5))
+        with cachereg.scope() as s2:
+            cachereg.owned_persist(spark.range(6))
+            assert cachereg.live_count() == 2
+        assert cachereg.live_count() == 1  # inner released its one
+        assert s2.release() == 0  # idempotent
+    assert cachereg.live_count() == 0
+
+
+# ---------------------------------------------------------------------------
+# perplexity filter (r11 VERDICT #1): CCNet-style LM quality scoring
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_perplexity_filter_consistent_with_unigram_apply(spark):
+    import math
+
+    from tada_spark.queries import CATALOG, _PPL_TAIL_BITS_E6
+
+    ppl = {r["doc_id"]: r for r in CATALOG["perplexity_filter_docs"][0](spark, SF).collect()}
+    app = {r["doc_id"]: r for r in CATALOG["unigram_apply_docs"][0](spark, SF).collect()}
+    assert set(ppl) == set(app)
+    buckets = set()
+    for d, r in ppl.items():
+        # same per-doc aggregate as the tokenizer apply
+        assert (r["n_words"], r["n_pieces"], r["score_e6"]) == (
+            app[d]["n_words"], app[d]["n_pieces"], app[d]["score_e6"]
+        )
+        # bits-per-piece recomputed independently
+        want = math.floor(-r["score_e6"] / r["n_pieces"] / math.log(2.0) + 0.5)
+        assert r["bits_per_piece_e6"] == want
+        assert r["keep"] == (r["bits_per_piece_e6"] <= _PPL_TAIL_BITS_E6)
+        assert r["keep"] == (r["bucket"] != "tail")
+        buckets.add(r["bucket"])
+    # the pinned tertile cuts split the synthetic corpus non-degenerately
+    assert buckets == {"head", "middle", "tail"}
+
+
+def test_lm_bits_per_piece_null_on_empty(spark):
+    from tada_spark.functions.text import lm_bits_per_piece_e6
+
+    df = spark.createDataFrame(
+        [(-12_000_000, 2), (-5_000_000, 0), (None, None)],
+        "score_e6 long, n_pieces long",
+    )
+    rows = df.select(
+        lm_bits_per_piece_e6(F.col("score_e6"), F.col("n_pieces")).alias("b")
+    ).collect()
+    assert rows[0]["b"] == 8656170  # 6e6 nats/piece / log 2, floor+.5
+    assert rows[1]["b"] is None  # zero pieces -> no rate, never /0
+    assert rows[2]["b"] is None
