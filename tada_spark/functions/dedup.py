@@ -101,6 +101,51 @@ def _minhash_hash(seed: int, s: Column, family: str) -> Column:
     raise ValueError(f"unknown minhash hash family: {family}")
 
 
+def _shingle_stream(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int
+) -> DataFrame:
+    """The exploded (id, shingle-string) stream both minhash families
+    consume — factored (r12) so classic and one-permutation minhash
+    shingle IDENTICALLY by construction.
+
+    Shingles via arrays_zip of shifted slices — pure codegen-able
+    expressions (a transform() lambda here runs interpreted and is
+    ~1.5× slower); duplicates need no array_distinct since min() is
+    duplicate-insensitive. ONE scan, ONE projection, ONE explode:
+    the per-doc shingle array is built in a single CASE expression —
+    blank/NULL text → empty array (doc drops out), short docs
+    (< shingle_words tokens) → their single partial-head shingle,
+    else slice(zip, 1, sz - w + 1) keeps exactly the complete
+    shingles (the zip's last w-1 entries are the null-padded tails
+    the old post-explode filter removed). A prior revision unioned a
+    SECOND full read of df for the short-doc branch — at 100 TB a
+    duplicate scan of the text column dominates everything else here.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sz = F.size(toks)
+    parts = [toks] + [
+        F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))) for i in range(1, shingle_words)
+    ]
+    zipped = F.arrays_zip(*parts)
+    # struct field names must match arrays_zip's "0".."w-1" so the CASE
+    # branches share one type; concat_ws skips the NULL pad fields
+    short_struct = F.struct(
+        F.concat_ws(" ", toks).alias("0"),
+        *[F.lit(None).cast("string").alias(str(i)) for i in range(1, shingle_words)],
+    )
+    shingle_arr = (
+        F.when(
+            F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0,
+            F.slice(zipped, 1, 0),
+        )
+        .when(sz < shingle_words, F.array(short_struct))
+        .otherwise(F.slice(zipped, 1, sz - (shingle_words - 1)))
+    )
+    return df.select(F.col(id_col), F.explode(shingle_arr).alias("z")).select(
+        id_col, F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(shingle_words)]).alias("s")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -129,41 +174,7 @@ def minhash_signatures(
     blank branch now drops them, matching word_shingles' blank→no-
     shingle convention. Pinned by tests/test_r11_ops.py.
     """
-    # shingles via arrays_zip of shifted slices — pure codegen-able
-    # expressions (a transform() lambda here runs interpreted and is
-    # ~1.5× slower); duplicates need no array_distinct since min() is
-    # duplicate-insensitive. ONE scan, ONE projection, ONE explode:
-    # the per-doc shingle array is built in a single CASE expression —
-    # blank/NULL text → empty array (doc drops out), short docs
-    # (< shingle_words tokens) → their single partial-head shingle,
-    # else slice(zip, 1, sz - w + 1) keeps exactly the complete
-    # shingles (the zip's last w-1 entries are the null-padded tails
-    # the old post-explode filter removed). A prior revision unioned a
-    # SECOND full read of df for the short-doc branch — at 100 TB a
-    # duplicate scan of the text column dominates everything else here.
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    sz = F.size(toks)
-    parts = [toks] + [
-        F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))) for i in range(1, shingle_words)
-    ]
-    zipped = F.arrays_zip(*parts)
-    # struct field names must match arrays_zip's "0".."w-1" so the CASE
-    # branches share one type; concat_ws skips the NULL pad fields
-    short_struct = F.struct(
-        F.concat_ws(" ", toks).alias("0"),
-        *[F.lit(None).cast("string").alias(str(i)) for i in range(1, shingle_words)],
-    )
-    shingle_arr = (
-        F.when(
-            F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0,
-            F.slice(zipped, 1, 0),
-        )
-        .when(sz < shingle_words, F.array(short_struct))
-        .otherwise(F.slice(zipped, 1, sz - (shingle_words - 1)))
-    )
-    sh = df.select(F.col(id_col), F.explode(shingle_arr).alias("z")).select(
-        id_col, F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(shingle_words)]).alias("s")
-    )
+    sh = _shingle_stream(df, text_col, id_col, shingle_words)
     return sh.groupBy(id_col).agg(
         *[
             F.min(_minhash_hash(i, F.col("s"), hash_family)).alias(f"h{i}")
@@ -202,11 +213,25 @@ def minhash_lsh_pairs(
         # bands > num_hashes would give empty band keys and degenerate
         # the bucket join into a full cross join
         raise ValueError(f"minhash_lsh_pairs: bands={bands} must divide num_hashes={num_hashes}")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col,
         num_hashes=num_hashes, shingle_words=shingle_words, hash_family=hash_family,
     )
+    return _banded_pairs(sig, id_col, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)
+
+
+def _banded_pairs(
+    sig: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Banded LSH candidate pairing over a (id, h0..h{n-1}) signature
+    table — shared by classic and one-permutation minhash (r12 factor;
+    the banding/bucket-join/skew-guard algebra is family-agnostic)."""
+    rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
         F.explode(
@@ -1142,3 +1167,134 @@ def domain_boilerplate_removal(
         (F.col("n_raw") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
         F.coalesce(F.col("rebuilt"), F.lit("")).alias("rebuilt"),
     )
+
+
+#: Densification offset per borrow distance: borrowed slot values live
+#: above the 32-bit real-value range so a slot borrowed from distance j
+#: can never collide with a real minimum or a different-distance borrow
+#: (Shrivastava & Li 2014's "improved" densification uses the same
+#: distance-tagging idea). 16 borrows × 2^33 stays far below 2^63 — no
+#: ANSI overflow possible.
+_OPH_BORROW_OFFSET = 1 << 33
+_OPH_RANGE = 1 << 32
+
+
+def minhash_oph_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """One-permutation MinHash signatures (Li, Owen & Zhang 2012) with
+    rotation densification (Shrivastava & Li 2014) — the known-better
+    algorithm for the repo's heaviest query: classic minhash computes
+    ``num_hashes`` hashes PER SHINGLE (dedup.minhash_signatures), OPH
+    computes ONE hash per shingle and partitions the hash space into
+    ``num_hashes`` bins (bin = h mod k), taking the min within each
+    bin; empty bins borrow the nearest filled bin to the right
+    (circular), offset by distance so borrowed values never collide
+    across distances. Same (id, h0..h{n-1}) output contract and the
+    same banded-LSH guarantees downstream.
+
+    Scale shape — per-shingle work is O(1), independent of k (the whole
+    point of OPH; classic is O(k) hashes per shingle):
+
+    * project ONE hash + its bin, then a (doc, bin)-keyed min aggregate
+      — map-side combine compresses each partition to ≤ docs×k rows
+      before the shuffle, exactly the classic profile's volume;
+    * a second doc-keyed aggregate collects the ≤ k (bin, min) entries
+      into a map — a second exchange, but over the already-tiny
+      docs×k-row frame (the extra exchange IS the price of O(1)
+      per-shingle work, and it is negligible next to the shingle
+      stream);
+    * rotation densification runs as ONE right-to-left scan
+      (F.aggregate over the doubled slot array, 2k steps per DOC row).
+      A per-slot COALESCE chain is O(k²) expression terms — at k=128
+      it blew past janino's method limits, killed whole-stage codegen
+      for the entire stage, and ran 3.6× SLOWER than classic
+      (measured; that failure is why this is a scan).
+
+    The hash is folded into [0, 2^32) (pmod) so bin assignment, minima,
+    and the md5 oracle twin share one arithmetic domain on both
+    engines. Docs with at least one shingle always densify (≥ 1 bin
+    filled in both copies of the doubled array, so the carry is set
+    before the scan reaches the output positions); blank docs drop out
+    exactly as in minhash_signatures (shared _shingle_stream — the
+    pinned blank-doc convention).
+    """
+    k = int(num_hashes)
+    sh = _shingle_stream(df, text_col, id_col, shingle_words)
+    h = F.pmod(_minhash_hash(0, F.col("s"), hash_family), F.lit(_OPH_RANGE))
+    hs = sh.select(F.col(id_col), h.alias("h")).select(
+        id_col, "h", F.pmod(F.col("h"), F.lit(k)).cast("int").alias("b")
+    )
+    binmin = hs.groupBy(id_col, "b").agg(F.min("h").alias("mh"))
+    sig = binmin.groupBy(id_col).agg(
+        # keys are distinct by construction (grouped on b upstream), so
+        # map_from_entries is deterministic despite collect_list order
+        F.map_from_entries(F.collect_list(F.struct("b", "mh"))).alias("m")
+    )
+    # densify: nearest filled bin to the RIGHT (circular) + distance
+    # offset. doubled[p] = slot[p mod k] for p in [0, 2k); one scan from
+    # p = 2k-1 down to 0 carries (value, position) of the nearest fill
+    # and emits h_i = v + (p_v - i)*OFFSET at each output position i < k.
+    m = F.col("m")
+    doubled = F.transform(
+        F.sequence(F.lit(0), F.lit(2 * k - 1)),
+        lambda j: F.element_at(m, F.pmod(j, F.lit(k)).cast("int")),
+    )
+    zipped = F.reverse(
+        F.arrays_zip(doubled.alias("v"), F.sequence(F.lit(0), F.lit(2 * k - 1)).alias("p"))
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("cv"),
+        F.lit(0).alias("cp"),
+        F.array().cast("array<long>").alias("out"),
+    )
+
+    def scan(acc: Column, z: Column) -> Column:
+        cv = F.when(z["v"].isNotNull(), z["v"]).otherwise(acc["cv"])
+        cp = F.when(z["v"].isNotNull(), z["p"]).otherwise(acc["cp"])
+        emit = cv + (cp - z["p"]).cast("long") * F.lit(_OPH_BORROW_OFFSET)
+        out = F.when(
+            z["p"] < k, F.concat(F.array(emit), acc["out"])
+        ).otherwise(acc["out"])
+        return F.struct(cv.alias("cv"), cp.alias("cp"), out.alias("out"))
+
+    dense = F.aggregate(zipped, init, scan, lambda st: st["out"])
+    out = sig.select(F.col(id_col), dense.alias("hs"))
+    return out.select(
+        id_col, *[F.element_at(F.col("hs"), i + 1).alias(f"h{i}") for i in range(k)]
+    )
+
+
+def minhash_oph_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over ONE-PERMUTATION
+    minhash signatures — same banding, bucket self-join and skew guard
+    as minhash_lsh_pairs (shared _banded_pairs), with the cheaper OPH
+    signature stage. Candidate quality parity vs the classic family is
+    pinned by tests/test_r12_ops.py (recall against true-Jaccard
+    ground truth on the documents fixture) and the A/B is recorded in
+    SCALE.md."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_oph_lsh_pairs: bands={bands} must divide num_hashes={num_hashes}"
+        )
+    sig = minhash_oph_signatures(
+        df, text_col, id_col,
+        num_hashes=num_hashes, shingle_words=shingle_words, hash_family=hash_family,
+    )
+    return _banded_pairs(sig, id_col, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)

@@ -1776,8 +1776,10 @@ def minhash_lsh_oracle(spark, sf):
     )
 
 
-MINHASH_ORACLE_SQL = r"""
-WITH toks AS (
+#: The (doc_id, shingle) stream CTEs shared by every md5-family minhash
+#: oracle (classic and one-permutation) — the SQL twin of
+#: dedup._shingle_stream at shingle_words=3.
+_MINHASH_SHINGLE_CTES = r"""toks AS (
   SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t FROM documents
 ), sh AS (
   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -1786,7 +1788,10 @@ WITH toks AS (
   UNION ALL
   SELECT doc_id, array_to_string(t, ' ') AS s
   FROM toks WHERE len(t) < 3 AND array_to_string(t, ' ') <> ''
-), sig AS (
+)"""
+
+MINHASH_ORACLE_SQL = (
+    "\nWITH " + _MINHASH_SHINGLE_CTES + r""", sig AS (
   SELECT doc_id,
          MIN(('0x' || md5('0#' || s)[1:8])::BIGINT) AS h0,
          MIN(('0x' || md5('1#' || s)[1:8])::BIGINT) AS h1,
@@ -1807,6 +1812,83 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
+)
+
+
+def minhash_oph_pairs(spark, sf):
+    """One-permutation MinHash + banded LSH candidate pairs
+    (dedup.minhash_oph_lsh_pairs) — the cheaper signature stage for the
+    repo's heaviest query: ONE xxhash64 per shingle binned into 16
+    slots (classic computes 16 hashes per shingle), rotation-densified,
+    same banding downstream. Rows-only (xxhash64 is engine-specific);
+    the md5 twin minhash_oph_oracle hash-matches the full pipeline and
+    candidate-quality parity vs the classic family is pinned by
+    tests/test_r12_ops.py + the SCALE.md A/B."""
+    docs = load(spark, sf, "documents")
+    return dedup.minhash_oph_lsh_pairs(docs.to_df(), num_hashes=16, bands=4)
+
+
+def minhash_oph_oracle(spark, sf):
+    """The SAME one-permutation pipeline as minhash_oph_pairs with the
+    md5 hash family DuckDB replicates bit-for-bit — shingling, the
+    single-hash bin minima, rotation densification with distance
+    offsets, banding, and the bucket self-join all check value-exactly
+    (the minhash_lsh_oracle discipline). 8 bins × 4 bands keeps the
+    generated SQL readable; xxhash64/16 remains the production family."""
+    docs = load(spark, sf, "documents")
+    return dedup.minhash_oph_lsh_pairs(
+        docs.to_df(), num_hashes=8, bands=4, hash_family="md5"
+    )
+
+
+def _oph_oracle_sql(k: int = 8, bands: int = 4) -> str:
+    """Generated SQL twin of minhash_oph_lsh_pairs(md5, k, bands):
+    rendered from the same k/bands/offset constants as the Spark path
+    (the _strip_markup_sql_expr discipline — lockstep by construction)."""
+    off = dedup._OPH_BORROW_OFFSET
+    sparse = ",\n         ".join(
+        f"MIN(CASE WHEN h % {k} = {i} THEN h END) AS r{i}" for i in range(k)
+    )
+    dense = ",\n         ".join(
+        "COALESCE("
+        + ", ".join(
+            f"r{(i + j) % k}" if j == 0 else f"r{(i + j) % k} + {j * off}"
+            for j in range(k)
+        )
+        + f") AS h{i}"
+        for i in range(k)
+    )
+    rpb = k // bands
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + " AS key FROM dens"
+        for b in range(bands)
+    )
+    return (
+        "\nWITH "
+        + _MINHASH_SHINGLE_CTES
+        + f""", hh AS (
+  SELECT doc_id, ('0x' || md5('0#' || s)[1:8])::BIGINT AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sparse}
+  FROM hh GROUP BY doc_id
+), dens AS (
+  SELECT doc_id,
+         {dense}
+  FROM sig
+), bands AS (
+  {band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+    )
+
+
+MINHASH_OPH_ORACLE_SQL = _oph_oracle_sql()
 
 
 def simhash_candidates(spark, sf):
@@ -11221,6 +11303,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "near_dup_components": (near_dup_components, NEAR_DUP_CC_SQL),
     "decontamination_check": (decontamination_check, DECONTAMINATION_SQL),
     "minhash_candidate_pairs": (minhash_candidate_pairs, None),
+    "minhash_oph_pairs": (minhash_oph_pairs, None),
+    "minhash_oph_oracle": (minhash_oph_oracle, MINHASH_OPH_ORACLE_SQL),
     "minhash_lsh_oracle": (minhash_lsh_oracle, MINHASH_ORACLE_SQL),
     "simhash_candidates": (simhash_candidates, None),
     # -- similarity tier --

@@ -205,3 +205,82 @@ def test_lm_bits_per_piece_null_on_empty(spark):
     assert rows[0]["b"] == 8656170  # 6e6 nats/piece / log 2, floor+.5
     assert rows[1]["b"] is None  # zero pieces -> no rate, never /0
     assert rows[2]["b"] is None
+
+
+# ---------------------------------------------------------------------------
+# one-permutation minhash (r11 VERDICT #2): quality parity vs classic
+# ---------------------------------------------------------------------------
+
+
+def _word_shingles3(t: str) -> set:
+    w = t.strip().split()
+    if not w:
+        return set()
+    if len(w) < 3:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def test_oph_candidate_quality_parity_with_classic(spark):
+    """OPH must recall true near-dup pairs at least as well as the
+    classic family at the production config (16 hashes / 4 bands).
+    Ground truth is brute-force 3-word-shingle Jaccard on the fixture.
+    Measured at HEAD: OPH recall 1.000 vs classic 0.929 at every
+    threshold >= 0.5 (the two classic misses are unlucky band splits;
+    OPH's bin minima are correlated across bands differently and catch
+    them). The pin asserts >=, not the exact values, so an engine
+    upgrade can only fail this if OPH genuinely regresses."""
+    from tada_spark.functions import dedup
+    from tada_spark.queries import load
+
+    docs = load(spark, SF, "documents").to_df()
+    rows = docs.select("doc_id", "text").collect()
+    sh = {
+        r["doc_id"]: _word_shingles3(r["text"])
+        for r in rows
+        if r["text"] and r["text"].strip()
+    }
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+                truth.add((a, b))
+    assert truth  # the fixture plants near-dups; an empty truth set
+    # would make both recalls vacuous
+    classic = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    oph = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_oph_lsh_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    recall_classic = len(classic & truth) / len(truth)
+    recall_oph = len(oph & truth) / len(truth)
+    assert recall_oph >= recall_classic
+    assert recall_oph >= 0.9
+    # candidate volume stays in the same ballpark (no degenerate
+    # everything-pairs bucket)
+    assert len(oph) <= 3 * max(len(classic), 1)
+
+
+def test_oph_blank_docs_drop_and_densify_lands(spark):
+    from tada_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "   "), (4, None), (5, "x")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_oph_signatures(df, num_hashes=8).collect()
+    got = {r["doc_id"]: r for r in sigs}
+    # blank/NULL docs produce NO signature row (the pinned convention)
+    assert set(got) == {1, 5}
+    # every slot densified (no NULLs), even for the 1-shingle doc
+    for d in (1, 5):
+        assert all(got[d][f"h{i}"] is not None for i in range(8))
+    # borrowed slots are distance-tagged above the 32-bit real range;
+    # doc 5 has ONE shingle -> exactly one real slot, 7 borrows
+    real = [i for i in range(8) if got[5][f"h{i}"] < (1 << 32)]
+    assert len(real) == 1
