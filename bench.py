@@ -49,10 +49,44 @@ def groupby_sum(spark, sf):
     return li.group_by("l_returnflag").sum("l_quantity").df
 
 
+def _load_gate(max_load: float, wait_s: int = 120, poll_s: int = 10) -> dict:
+    """Quiet-window gate (r11 verdict #5): the committed r11 artifact was
+    taken at load 7.46 and only the ratio table rescued comparability.
+    Before the first timed query, poll the 1-minute load average for up
+    to ``wait_s`` seconds; if it never drops below ``max_load``, STILL
+    run (the driver needs an artifact) but stamp the output
+    noisy=True so no reader mistakes it for a quiet-window number.
+    Returns the gate report dict merged into the JSON output."""
+    import time as _t
+
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > max_load and waited < wait_s:
+        print(
+            f"load gate: load_1m={load:.2f} > {max_load:.2f}, waiting "
+            f"({waited}/{wait_s}s)...",
+            file=sys.stderr,
+        )
+        _t.sleep(poll_s)
+        waited += poll_s
+        load = os.getloadavg()[0]
+    return {
+        "load_gate_max": max_load,
+        "load_gate_waited_sec": waited,
+        "noisy": load > max_load,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from tada_spark.queries import CATALOG, cosine_topk_neighbors, rolling_1h_sum
     from tada_spark.session import get_spark
+
+    # gate BEFORE Spark spins up (the JVM itself adds load): threshold
+    # 2×cpus/8 — at the default 8 bench cpus that is 2.0, meaning "the
+    # box has at most ~2 busy cores of neighbor work"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    gate = _load_gate(max_load=2.0 * cpus / 8.0)
 
     spark = get_spark("tada_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -123,6 +157,10 @@ def main() -> None:
                 "load_1m_start": round(load_start, 2),
                 "load_1m_end": round(os.getloadavg()[0], 2),
                 "calibration_sec": round(calib, 3),
+                # quiet-window gate (r11 verdict #5): noisy=True means
+                # the gate timed out waiting for the box to quiet down —
+                # read only the ratios from such an artifact
+                **gate,
                 "queries": times,
                 # tide normalization (r9 verdict ask #7): per-query
                 # time ÷ calibration time. The box's speed swings ±40%
