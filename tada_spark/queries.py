@@ -2834,17 +2834,10 @@ def stream_running_totals_users(spark, sf):
 
     stream = _stream_events(spark, sf)
     out = running_totals(stream, "user_id", "value")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_stream_state")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        q.stop()
-        raise TimeoutError("stream_running_totals_users did not finish")
-    return spark.table("q_stream_state").select("key", "n_events", _round_det("total", 4).alias("total"))
+    from tada_spark.streaming import run_available_now
+
+    res = run_available_now(out, "q_stream_state", timeout_s=240, output_mode="update")
+    return res.select("key", "n_events", _round_det("total", 4).alias("total"))
 
 
 STREAM_STATE_SQL = """
@@ -3015,17 +3008,10 @@ def stream_session_stats_users(spark, sf):
 
     stream = _stream_events(spark, sf)
     out = session_stats(stream, "user_id", "ts", gap_s=1800)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_stream_sessions")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        q.stop()
-        raise TimeoutError("stream_session_stats_users did not finish")
-    return spark.table("q_stream_sessions").select(
+    from tada_spark.streaming import run_available_now
+
+    res = run_available_now(out, "q_stream_sessions", timeout_s=240, output_mode="update")
+    return res.select(
         "user_id", "n_events", "n_sessions", "span_seconds"
     )
 
@@ -7655,17 +7641,10 @@ def stream_ewma_users(spark, sf):
         F.col("value").isNotNull() & F.col("user_id").isNotNull()
     )
     out = ewma_scores(stream, "user_id", "value", "ts", "event_id", alpha=0.25)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_stream_ewma")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        q.stop()
-        raise TimeoutError("stream_ewma_users did not finish")
-    return spark.table("q_stream_ewma").select("user_id", "n_events", "ewma_e6")
+    from tada_spark.streaming import run_available_now
+
+    res = run_available_now(out, "q_stream_ewma", timeout_s=240, output_mode="update")
+    return res.select("user_id", "n_events", "ewma_e6")
 
 
 STREAM_EWMA_SQL = """
@@ -8946,17 +8925,10 @@ def stream_pattern_conversion(spark, sf):
     out = pattern_within(
         stream, "user_id", "ts", "event_type", first="click", then="purchase", within_s=1800
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_stream_pattern")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        q.stop()
-        raise TimeoutError("stream_pattern_conversion did not finish")
-    return spark.table("q_stream_pattern").select("user_id", "n_then", "n_matched")
+    from tada_spark.streaming import run_available_now
+
+    res = run_available_now(out, "q_stream_pattern", timeout_s=240, output_mode="update")
+    return res.select("user_id", "n_then", "n_matched")
 
 
 STREAM_PATTERN_SQL = """

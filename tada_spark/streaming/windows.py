@@ -111,6 +111,23 @@ def stream_session_agg(
     )
 
 
+#: query_name -> physical plan string of the LAST executed micro-batch,
+#: captured by run_available_now. An UNSTARTED streaming DataFrame
+#: refuses QueryExecution ("must be executed with writeStream.start()"),
+#: so the only physical plan a streaming query can surface is the one
+#: its executed batch ran — this registry is how tools/plan_audit.py
+#: audits the stream_* catalog entries (r11 verdict #6: they were SKIP,
+#: a blind spot for non-broadcast static enrich / unbounded state keys).
+LAST_EXPLAINS: dict[str, str] = {}
+
+
+def _capture_explain(q, query_name: str) -> None:
+    try:
+        LAST_EXPLAINS[query_name] = q._jsq.explainInternal(False)
+    except Exception:  # noqa: BLE001 — diagnostics must never fail the run
+        pass
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -139,6 +156,7 @@ def run_available_now(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming query {query_name!r} exceeded {timeout_s}s")
+    _capture_explain(q, query_name)
     return spark.table(query_name)
 
 

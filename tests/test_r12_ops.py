@@ -284,3 +284,37 @@ def test_oph_blank_docs_drop_and_densify_lands(spark):
     # doc 5 has ONE shingle -> exactly one real slot, 7 borrows
     real = [i for i in range(8) if got[5][f"h{i}"] < (1 << 32)]
     assert len(real) == 1
+
+
+# ---------------------------------------------------------------------------
+# persist-convention guard (r11 VERDICT #8): every operator persist goes
+# through cachereg (or a documented local try-finally), mechanically
+# ---------------------------------------------------------------------------
+
+
+def test_no_unledgered_persist_sites():
+    """Grep guard: a bare .persist( anywhere in operator code outside
+    cachereg.owned_persist and the allowlisted local try-finally sites
+    fails this test — so the r10 session-lifetime cache-leak class
+    cannot silently return. Extend ALLOWED only with a site that
+    unpersists in the SAME function (try-finally) or ledgers via
+    cachereg."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "tada_spark"
+    # file -> allowed .persist( call sites (function name containing it)
+    ALLOWED = {
+        "functions/cachereg.py": 1,  # the ledger itself
+        "functions/similarity.py": 1,  # kcenter's local persist/try-finally
+    }
+    found: dict[str, int] = {}
+    for p in pkg.rglob("*.py"):
+        n = len(re.findall(r"\.persist\(", p.read_text()))
+        if n:
+            found[str(p.relative_to(pkg))] = n
+    assert found == ALLOWED, (
+        f"unledgered .persist( sites: {found} — route new persists "
+        "through cachereg.owned_persist or a local try-finally + "
+        "extend the allowlist with justification"
+    )
