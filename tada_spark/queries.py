@@ -11097,6 +11097,97 @@ FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id"""
 )
 
 
+def unigram_train_step(spark, sf):
+    """Unigram-LM EM TRAINING step (Kudo 2018 §3.2) — the train-side
+    twin of the r11 Viterbi apply, completing the tokenizer family's
+    train/apply loop (BPE trains via bpe_merge_candidates, WordPiece
+    applies via greedy_segment_stats, unigram now does both): E-step
+    Viterbi-segments the corpus under the CURRENT piece probabilities
+    (unigram_viterbi_segment over DISTINCT words, occurrence-weighted —
+    Zipf makes this the only tractable shape at corpus scale); M-step
+    re-estimates each piece's log-prob from its usage share. Emits per
+    piece: n_uses (occurrence-weighted count), new_lp_e6 (the
+    re-estimated integer log-prob, det_ln(n_uses) − det_ln(total) —
+    the transcendental-free cross-engine ln), old_lp_e6 (NULL for
+    out-of-vocab fallback pieces — candidate additions), delta_e6.
+
+    Scale shape: words aggregate (1 token-volume shuffle) → Viterbi
+    projection over distinct words → piece explode + piece aggregate
+    (1 small shuffle) → 1-row total broadcast (the documented scalar
+    crossJoin). Words longer than max_word_len segment to NULL and are
+    EXCLUDED from the counts (flagged upstream, not silently
+    truncated). det_ln's domain needs total·1e6 < 2^53 — shard the
+    M-step count aggregation per corpus partition beyond ~10^9 total
+    piece uses and combine counts before the ln."""
+    from tada_spark.plans.semantics import det_ln
+
+    docs = load(spark, sf, "documents").to_df()
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word")
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    seg = text.unigram_viterbi_segment(
+        words,
+        _UNIGRAM_LP_E6,
+        max_piece_len=_UNIGRAM_L,
+        max_word_len=_UNIGRAM_W,
+        missing_lp_e6=_UNIGRAM_MISSING_E6,
+    )
+    # explode_outer + generated-column filter (the sentence_chunks
+    # pattern): a plain explode would push isnotnull(<viterbi fold>)
+    # into the scan and run the whole DP twice per row (DUP_EXPR)
+    pieces = (
+        seg.select(
+            F.explode_outer(F.split(F.col("pieces"), r"\|")).alias("piece"), "n_occ"
+        )
+        .filter(F.col("piece").isNotNull())
+    )
+    pc = pieces.groupBy("piece").agg(F.sum("n_occ").alias("n_uses"))
+    tot = pc.agg(F.sum("n_uses").alias("t"))
+    lpmap = F.create_map(
+        *[x for p, lp in sorted(_UNIGRAM_LP_E6.items()) for x in (F.lit(p), F.lit(int(lp)))]
+    )
+    scored = pc.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "n_uses",
+        F.floor(
+            (det_ln(F.col("n_uses").cast("double")) - det_ln(F.col("t").cast("double")))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("new_lp_e6"),
+        F.element_at(lpmap, F.col("piece")).cast("long").alias("old_lp_e6"),
+    )
+    return scored.select(
+        "*", (F.col("new_lp_e6") - F.col("old_lp_e6")).alias("delta_e6")
+    )
+
+
+UNIGRAM_TRAIN_SQL = (
+    _unigram_sql()
+    + f""", pc AS (
+  SELECT u.p AS piece, SUM(s.n_occ)::BIGINT AS n_uses
+  FROM seg s, UNNEST(STRING_SPLIT(s.pieces, '|')) u(p)
+  WHERE s.pieces IS NOT NULL GROUP BY 1
+), base AS (
+  SELECT piece, n_uses, (SELECT SUM(n_uses)::DOUBLE FROM pc) AS t FROM pc
+), {_det_ln_ctes("CAST(n_uses AS DOUBLE)", "base", "piece, n_uses, t", "lnc", "__a")},
+{_det_ln_ctes("t", "__an", "piece, n_uses, lnc", "lnt", "__b")}
+SELECT b.piece, b.n_uses,
+       CAST(FLOOR((b.lnc - b.lnt) * 1000000 + 0.5) AS BIGINT) AS new_lp_e6,
+       v.lp::BIGINT AS old_lp_e6,
+       (CAST(FLOOR((b.lnc - b.lnt) * 1000000 + 0.5) AS BIGINT) - v.lp)::BIGINT AS delta_e6
+FROM __bn b LEFT JOIN vocab v ON v.piece = b.piece
+"""
+)
+
+
 #: Fixed bits-per-piece cuts (×1e6) for the CCNet-style head/middle/
 #: tail split — chosen as the sf0.001 corpus tertiles (observed range
 #: 5.84M–6.44M) and PINNED as constants: a quantile-derived cut would
@@ -11471,6 +11562,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "web_ingest_pipeline": (web_ingest_pipeline, WEB_INGEST_SQL),
     "unigram_apply_docs": (unigram_apply_docs, UNIGRAM_APPLY_SQL),
     "perplexity_filter_docs": (perplexity_filter_docs, PERPLEXITY_FILTER_SQL),
+    "unigram_train_step": (unigram_train_step, UNIGRAM_TRAIN_SQL),
     "markup_stats_docs": (markup_stats_docs, MARKUP_STATS_SQL),
     "domain_boilerplate_removal_docs": (
         domain_boilerplate_removal_docs,

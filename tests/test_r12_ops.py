@@ -318,3 +318,71 @@ def test_no_unledgered_persist_sites():
         "through cachereg.owned_persist or a local try-finally + "
         "extend the allowlist with justification"
     )
+
+
+def test_unigram_train_step_reestimates_probs(spark):
+    """The EM M-step's counts must equal a pure-Python replay: segment
+    every distinct word with the same Viterbi reference used by the r11
+    apply tests, weight by corpus occurrences, and re-derive each
+    piece's usage share."""
+    import math
+    from collections import Counter
+
+    from tada_spark.queries import (
+        CATALOG,
+        _UNIGRAM_L,
+        _UNIGRAM_LP_E6,
+        _UNIGRAM_MISSING_E6,
+        _UNIGRAM_W,
+        load,
+    )
+    from tada_spark.plans.semantics import det_ln  # noqa: F401 — parity is via the catalog entry
+
+    rows = CATALOG["unigram_train_step"][0](spark, SF).collect()
+    got = {r["piece"]: r for r in rows}
+
+    docs = load(spark, SF, "documents").to_df().select("text").collect()
+    words = Counter()
+    for r in docs:
+        for w in (r["text"] or "").lower().split():
+            words[w] += 1
+
+    def ref_viterbi(word):
+        n = len(word)
+        if n > _UNIGRAM_W:
+            return None
+        dp = [0] * (n + 1)
+        ptr = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best = None
+            for k in range(min(_UNIGRAM_L, i), 0, -1):
+                s = dp[i - k] + _UNIGRAM_LP_E6.get(word[i - k : i], _UNIGRAM_MISSING_E6)
+                if best is None or s > best[0]:
+                    best = (s, k)
+            dp[i] = best[0]
+            ptr[i] = i - best[1]
+        out, cur = [], n
+        while cur > 0:
+            out.append(word[ptr[cur] : cur])
+            cur = ptr[cur]
+        return list(reversed(out))
+
+    want = Counter()
+    for w, c in words.items():
+        seg = ref_viterbi(w)
+        if seg is None:
+            continue  # over-length words are flagged out upstream
+        for p in seg:
+            want[p] += c
+    assert {p: r["n_uses"] for p, r in got.items()} == dict(want)
+    total = sum(want.values())
+    for p, r in got.items():
+        # the integer log-prob tracks the true usage share within the
+        # det_ln error envelope (quantize + series, well under 1e-4)
+        true_lp = math.log(want[p] / total) * 1e6
+        assert abs(r["new_lp_e6"] - true_lp) < 150
+        if p in _UNIGRAM_LP_E6:
+            assert r["old_lp_e6"] == _UNIGRAM_LP_E6[p]
+            assert r["delta_e6"] == r["new_lp_e6"] - r["old_lp_e6"]
+        else:
+            assert r["old_lp_e6"] is None and r["delta_e6"] is None

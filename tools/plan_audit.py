@@ -121,6 +121,9 @@ ALLOWED_BNLJ = {
     "triplet_mining_embeddings",
     # 1-row pooled-count broadcast (the documented scalar crossJoin)
     "quantile_normalize_docs",
+    # 1-row total-piece-uses broadcast (the EM M-step denominator —
+    # same scalar-subquery shape as q11/q22)
+    "unigram_train_step",
     # eval-set needle broadcast × partitioned corpus: the exact-match
     # decontamination sweep — linear in the corpus
     "exact_decontamination_hits",
