@@ -27,7 +27,10 @@ run() {
 }
 
 run "pytest (full suite)" python -m pytest tests/ -q
-run "oracle gate sf0.001 (all entries)" python tools/check_oracle.py
+# --sf explicit: check_oracle's DEFAULT is sf0.01, so the bare call this
+# line used to make ran the driver SF twice and never sf0.001
+run "oracle gate sf0.001 (all entries)" \
+    python tools/check_oracle.py --sf /root/testdata/sf0.001
 run "plan audit (CARTESIAN/BNLJ/row-Python/exchanges/DUP_EXPR)" \
     python tools/plan_audit.py
 if [ "$quick" -eq 0 ]; then
