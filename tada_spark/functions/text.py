@@ -1391,3 +1391,51 @@ def lm_bits_per_piece_e6(score_e6: Column, n_pieces: Column) -> Column:
             ),
         )
     ).cast("long")
+
+
+#: A fixed BPE merge table (rank order — each compound's constituents
+#: appear earlier, the property real BPE training guarantees) — ONE
+#: Python constant rendered into BOTH the Spark REPLACE chain and the
+#: SQL oracle (the _UNIGRAM_VOCAB_COUNTS discipline).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("t", "a"), ("th", "e"), ("a", "n"), ("i", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"),
+    ("e", "n"), ("o", "r"), ("d", "a"), ("da", "ta"), ("l", "e"),
+    ("an", "d"), ("o", "u"), ("q", "u"), ("qu", "er"), ("in", "g"),
+)
+
+#: REPLACE passes per merge rank: one left-to-right non-overlapping
+#: pass misses every second pair in a run (" a b a b " consumes the
+#: shared boundary space), a second pass catches them; runs longer
+#: than 4 identical adjacent pairs in a <=W-char word cannot survive
+#: two passes. Both engines share the exact REPLACE semantics, so any
+#: fixed pass count is cross-engine deterministic — 2 is also CORRECT
+#: for the bounded word lengths tokenization feeds.
+BPE_APPLY_PASSES = 2
+
+
+def bpe_apply(col: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> Column:
+    """BPE tokenizer APPLY (Sennrich et al. 2016; the GPT-2 scheme):
+    split the word into characters and apply the merge table in RANK
+    order, each rank merging ALL its occurrences. Rank-order full-merge
+    is exact BPE because a pair of rank r can only be created by merges
+    of rank < r (the training invariant). Completes the BPE family —
+    bpe_merge_candidates TRAINS the table, this applies it; pairs with
+    greedy_segment_stats (WordPiece apply) and unigram_viterbi_segment
+    (unigram apply).
+
+    Pure string algebra — char split via one regexp, then a BOUNDED
+    chain of constant-literal REPLACEs (len(merges) × BPE_APPLY_PASSES),
+    whole-stage-codegen'd, no UDF. Intended input is the DISTINCT-word
+    table (Zipf: distinct words ≪ tokens); broadcast the result back
+    onto the token stream, never re-apply per occurrence. Returns the
+    piece ARRAY (derive joins/counts from the one array so the chain
+    evaluates once); NULL word → NULL."""
+    # " a b c " — every token flanked by spaces so ' l r ' matches
+    # exactly one adjacency
+    e = F.concat(F.lit(" "), F.regexp_replace(col, r"(.)", r"$1 "))
+    for left, right in merges:
+        pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        for _ in range(BPE_APPLY_PASSES):
+            e = F.replace(e, pat, rep)
+    return F.split(F.trim(e), " ")

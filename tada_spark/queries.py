@@ -11097,6 +11097,60 @@ FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id"""
 )
 
 
+def bpe_apply_words(spark, sf):
+    """BPE tokenizer APPLY (functions/text.bpe_apply — Sennrich 2016 /
+    GPT-2 scheme) over the DISTINCT corpus vocabulary: chars → the
+    fixed merge table in rank order, all occurrences per rank. The
+    apply-side twin of bpe_merge_candidates (train), closing the BPE
+    family next to WordPiece (greedy_segment_stats) and unigram
+    (unigram_viterbi_segment). Scale shape: ONE word-keyed aggregate
+    builds the Zipf vocabulary; the merge chain is a bounded
+    constant-literal REPLACE projection (codegen'd, no UDF); applying
+    back to a token stream is a broadcast join (the unigram_apply
+    contract). Oracle: the same chain RENDERED from the same merge
+    constant (_strip_markup_sql_expr discipline)."""
+    docs = load(spark, sf, "documents").to_df()
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word")
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    ap = words.select("word", "n_occ", text.bpe_apply(F.col("word")).alias("arr"))
+    return ap.select(
+        "word",
+        "n_occ",
+        F.array_join(F.col("arr"), "|").alias("pieces"),
+        F.size(F.col("arr")).cast("long").alias("n_pieces"),
+    )
+
+
+def _bpe_apply_sql_expr(var: str = "word") -> str:
+    """DuckDB expression equal to text.bpe_apply(var) BEFORE the final
+    split — the spaced piece string, rendered from the same constants."""
+    e = f"' ' || REGEXP_REPLACE({var}, '(.)', '\\1 ', 'g')"
+    for left, right in text.BPE_MERGES:
+        for _ in range(text.BPE_APPLY_PASSES):
+            e = f"REPLACE({e}, ' {left} {right} ', ' {left}{right} ')"
+    return e
+
+
+BPE_APPLY_SQL = rf"""
+WITH toks AS (SELECT f.w AS word FROM (SELECT list_filter(
+    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tkl
+  FROM documents) t, UNNEST(tkl) AS f(w)),
+words AS (SELECT word, COUNT(*)::BIGINT AS n_occ FROM toks GROUP BY 1),
+ap AS (SELECT word, n_occ,
+              STRING_SPLIT(TRIM({_bpe_apply_sql_expr("word")}), ' ') AS arr
+       FROM words)
+SELECT word, n_occ, ARRAY_TO_STRING(arr, '|') AS pieces, LEN(arr)::BIGINT AS n_pieces
+FROM ap
+"""
+
+
 def unigram_train_step(spark, sf):
     """Unigram-LM EM TRAINING step (Kudo 2018 §3.2) — the train-side
     twin of the r11 Viterbi apply, completing the tokenizer family's
@@ -11563,6 +11617,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unigram_apply_docs": (unigram_apply_docs, UNIGRAM_APPLY_SQL),
     "perplexity_filter_docs": (perplexity_filter_docs, PERPLEXITY_FILTER_SQL),
     "unigram_train_step": (unigram_train_step, UNIGRAM_TRAIN_SQL),
+    "bpe_apply_words": (bpe_apply_words, BPE_APPLY_SQL),
     "markup_stats_docs": (markup_stats_docs, MARKUP_STATS_SQL),
     "domain_boilerplate_removal_docs": (
         domain_boilerplate_removal_docs,

@@ -386,3 +386,43 @@ def test_unigram_train_step_reestimates_probs(spark):
             assert r["delta_e6"] == r["new_lp_e6"] - r["old_lp_e6"]
         else:
             assert r["old_lp_e6"] is None and r["delta_e6"] is None
+
+
+def test_bpe_apply_matches_pure_python_reference(spark):
+    """Exact-BPE pin: rank-order full-merge must equal the classic
+    iterative lowest-rank-first algorithm (the HF/GPT-2 apply), replayed
+    in pure Python over every distinct corpus word plus adversarial
+    fixtures (repeated-pair runs that exercise the two-pass REPLACE)."""
+    from tada_spark.functions.text import BPE_MERGES, bpe_apply
+    from tada_spark.queries import load
+
+    ranks = {pair: i for i, pair in enumerate(BPE_MERGES)}
+
+    def ref_bpe(word):
+        toks = list(word)
+        while len(toks) > 1:
+            pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+            ranked = [(ranks[p], i) for i, p in enumerate(pairs) if p in ranks]
+            if not ranked:
+                break
+            r, i = min(ranked)  # lowest rank, leftmost occurrence
+            toks[i : i + 2] = [toks[i] + toks[i + 1]]
+        return toks
+
+    words = [
+        r["word"]
+        for r in load(spark, SF, "documents")
+        .to_df()
+        .selectExpr("explode(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) AS word")
+        .distinct()
+        .collect()
+    ]
+    # adversarial: repeated merge-pair runs, chained compounds, unknowns
+    words += ["thth", "thethe", "tatata", "database", "querying", "zzz", "x"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["arr"]
+        for r in df.select("word", bpe_apply(F.col("word")).alias("arr")).collect()
+    }
+    for w in words:
+        assert got[w] == ref_bpe(w), f"{w}: {got[w]} != {ref_bpe(w)}"
