@@ -11097,6 +11097,162 @@ FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id"""
 )
 
 
+#: Stupid-backoff constants (Brants et al. 2007): the fixed backoff
+#: penalty ln(0.4) as a Python-computed double literal (det_ln
+#: discipline), and the OOV floor for bigrams whose w2 is unseen even
+#: as a unigram (more negative than any reachable backoff score).
+_SB_LN04 = math.log(0.4)
+_SB_OOV_E6 = -20_000_000
+_LN2 = math.log(2.0)
+
+
+def bigram_backoff_logprob_docs(spark, sf):
+    """Held-out bigram LM scoring with STUPID BACKOFF (Brants et al.
+    2007 — the web-scale LM scheme: no discounting, score(w2|w1) =
+    c(w1w2)/c(w1) when seen, else 0.4·c(w2)/T) — the n-gram upgrade of
+    perplexity_filter_docs' unigram signal and the log-domain upgrade
+    of bigram_familiarity. The LM trains on the md5-bucket 80% split
+    (assign_split's content-keyed convention) and scores ALL docs, so
+    held-out docs genuinely exercise the backoff and OOV paths instead
+    of self-scoring (a corpus scored against itself contains every one
+    of its own bigrams — the backoff branch would be dead code).
+
+    Per doc: n_bigrams, logprob_e6 (exact BIGINT sum of per-bigram
+    floor((det_ln ratio)·1e6 + 0.5) scores — integer once, summed
+    exactly), bits_per_bigram_e6, held_out. Docs with fewer than two
+    tokens have no bigrams and drop out (no score ≠ score of zero).
+
+    Scale shape: two vocabulary-sized train-count aggregates (bigram,
+    unigram — map-side partials over the gram/word streams) joined
+    back onto the per-doc gram stream (AQE broadcasts them while they
+    fit, shuffles when a 100M-type web vocabulary would not), ONE
+    1-row total-tokens broadcast (allowlisted scalar crossJoin), one
+    final doc aggregate. det_ln is computed ON THE COUNT TABLES
+    (per gram/word TYPE), never on the occurrence stream — at corpus
+    scale that is the difference between V ln-evaluations and N, and
+    locally it is what keeps the scoring projection inside janino's
+    method limits (a per-occurrence 3-chain det_ln projection
+    measurably failed whole-stage codegen compile and fell back to
+    interpreted). The md5 split expression appears in the train
+    filters AND the held_out projection — the sample_splits_docs
+    ALLOWED_DUP_EXPR class: the filter selects by the bucket VALUE, no
+    raw-column predicate can replace it."""
+    from tada_spark.functions.sampling import hash_bucket
+    from tada_spark.plans.semantics import det_ln
+
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sz = F.size(toks)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                sz >= 2,
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(sz - 1, F.lit(1))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            )
+        ).alias("g"),
+    ).filter(F.col("g").contains(" "))
+    words = docs.select("doc_id", F.explode(toks).alias("w")).filter(F.col("w") != "")
+    train = hash_bucket(F.col("doc_id"), 100) < 80
+    big_t = (
+        grams.filter(train)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .select("g", det_ln(F.col("cb").cast("double")).alias("lnb"))
+    )
+    uni_t = (
+        words.filter(train)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .select("w", det_ln(F.col("cu").cast("double")).alias("lnu"))
+    )
+    tot_t = (
+        words.filter(train)
+        .agg(F.count(F.lit(1)).alias("t"))
+        .select(det_ln(F.col("t").cast("double")).alias("lnt"))
+    )
+    j = (
+        grams.withColumn("w1", F.substring_index(F.col("g"), " ", 1))
+        .withColumn("w2", F.substring_index(F.col("g"), " ", -1))
+        .join(big_t, "g", "left")
+        .join(uni_t.withColumnRenamed("w", "w1").withColumnRenamed("lnu", "ln1"), "w1", "left")
+        .join(uni_t.withColumnRenamed("w", "w2").withColumnRenamed("lnu", "ln2"), "w2", "left")
+        .crossJoin(F.broadcast(tot_t))
+    )
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    score = (
+        F.when(
+            F.col("lnb").isNotNull() & F.col("ln1").isNotNull(),
+            e6(F.col("lnb") - F.col("ln1")),
+        )
+        .when(
+            F.col("ln2").isNotNull(),
+            e6(F.lit(_SB_LN04) + F.col("ln2") - F.col("lnt")),
+        )
+        .otherwise(F.lit(_SB_OOV_E6))
+    )
+    per_doc = j.select("doc_id", score.alias("s")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("s").alias("logprob_e6")
+    )
+    bits = text.lm_bits_per_piece_e6(F.col("logprob_e6"), F.col("n_bigrams"))
+    return per_doc.select(
+        "*",
+        bits.alias("bits_per_bigram_e6"),
+        (~(hash_bucket(F.col("doc_id"), 100) < 80)).alias("held_out"),
+    )
+
+
+BIGRAM_BACKOFF_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM tk, UNNEST(generate_series(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 2
+), gb AS (
+  SELECT doc_id, g, ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 AS bucket FROM g
+), w AS (
+  SELECT doc_id, f.x AS w,
+         ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 AS bucket
+  FROM (SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> x != '') AS l
+        FROM documents) t, UNNEST(l) f(x)
+), big0 AS (SELECT g, COUNT(*)::BIGINT AS cb FROM gb WHERE bucket < 80 GROUP BY 1),
+uni0 AS (SELECT w, COUNT(*)::BIGINT AS cu FROM w WHERE bucket < 80 GROUP BY 1),
+tot0 AS (SELECT COUNT(*)::BIGINT AS t FROM w WHERE bucket < 80),
+{_det_ln_ctes("CAST(cb AS DOUBLE)", "big0", "g", "lnb", "__a")},
+{_det_ln_ctes("CAST(cu AS DOUBLE)", "uni0", "w", "lnu", "__b")},
+{_det_ln_ctes("CAST(t AS DOUBLE)", "tot0", "t", "lnt", "__c")},
+base AS (
+  SELECT gb.doc_id, b.lnb, u1.lnu AS ln1, u2.lnu AS ln2, (SELECT lnt FROM __cn) AS lnt
+  FROM gb
+  LEFT JOIN __an b USING (g)
+  LEFT JOIN __bn u1 ON u1.w = SPLIT_PART(gb.g, ' ', 1)
+  LEFT JOIN __bn u2 ON u2.w = SPLIT_PART(gb.g, ' ', 2)
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN lnb IS NOT NULL AND ln1 IS NOT NULL
+                THEN CAST(FLOOR((lnb - ln1) * 1000000 + 0.5) AS BIGINT)
+              WHEN ln2 IS NOT NULL
+                THEN CAST(FLOOR(({_SB_LN04!r} + ln2 - lnt) * 1000000 + 0.5) AS BIGINT)
+              ELSE {_SB_OOV_E6} END AS s
+  FROM base
+), per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(s)::BIGINT AS logprob_e6
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, logprob_e6,
+       CASE WHEN n_bigrams > 0 THEN
+         CAST(FLOOR(-logprob_e6::DOUBLE / n_bigrams::DOUBLE / {_LN2!r} + 0.5) AS BIGINT)
+       END AS bits_per_bigram_e6,
+       NOT (('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 100 < 80) AS held_out
+FROM per_doc
+"""
+
+
 def bpe_apply_words(spark, sf):
     """BPE tokenizer APPLY (functions/text.bpe_apply — Sennrich 2016 /
     GPT-2 scheme) over the DISTINCT corpus vocabulary: chars → the
@@ -11251,7 +11407,6 @@ FROM __bn b LEFT JOIN vocab v ON v.piece = b.piece
 #: offline, per language — then applies them as constants.
 _PPL_HEAD_BITS_E6 = 6_070_000
 _PPL_TAIL_BITS_E6 = 6_135_000
-_LN2 = math.log(2.0)
 
 
 def perplexity_filter_docs(spark, sf):
@@ -11618,6 +11773,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "perplexity_filter_docs": (perplexity_filter_docs, PERPLEXITY_FILTER_SQL),
     "unigram_train_step": (unigram_train_step, UNIGRAM_TRAIN_SQL),
     "bpe_apply_words": (bpe_apply_words, BPE_APPLY_SQL),
+    "bigram_backoff_logprob_docs": (bigram_backoff_logprob_docs, BIGRAM_BACKOFF_SQL),
     "markup_stats_docs": (markup_stats_docs, MARKUP_STATS_SQL),
     "domain_boilerplate_removal_docs": (
         domain_boilerplate_removal_docs,

@@ -426,3 +426,66 @@ def test_bpe_apply_matches_pure_python_reference(spark):
     }
     for w in words:
         assert got[w] == ref_bpe(w), f"{w}: {got[w]} != {ref_bpe(w)}"
+
+
+def test_bigram_backoff_exercises_all_three_paths(spark):
+    """Held-out stupid-backoff invariants: the LM trains on the 80%
+    md5-bucket split, so held-out docs must show strictly worse (or
+    equal) mean scores than train docs in aggregate, and the three
+    scoring paths (seen bigram / unigram backoff / OOV floor) must all
+    be reachable — verified by recomputing one held-out doc's score in
+    pure Python from the train counts."""
+    import math
+    from collections import Counter
+
+    from tada_spark.queries import CATALOG, _SB_LN04, _SB_OOV_E6, load
+    from tada_spark.plans.semantics import det_ln  # noqa: F401
+
+    rows = {r["doc_id"]: r for r in CATALOG["bigram_backoff_logprob_docs"][0](spark, SF).collect()}
+    assert rows
+    held = [r for r in rows.values() if r["held_out"]]
+    train = [r for r in rows.values() if not r["held_out"]]
+    assert held and train
+    for r in rows.values():
+        assert r["n_bigrams"] >= 1
+        want_bits = math.floor(-r["logprob_e6"] / r["n_bigrams"] / math.log(2.0) + 0.5)
+        assert r["bits_per_bigram_e6"] == want_bits
+    # the self-scored train docs see every one of their own bigrams, so
+    # their mean bits must be LOWER than the held-out mean
+    mean = lambda xs: sum(x["bits_per_bigram_e6"] for x in xs) / len(xs)  # noqa: E731
+    assert mean(train) < mean(held)
+    # spot-replay one held-out doc in pure Python
+    docs = load(spark, SF, "documents").to_df().select("doc_id", "text").collect()
+    def bucket(d):
+        import hashlib
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+    big, uni, tot = Counter(), Counter(), 0
+    texts = {}
+    for r in docs:
+        t = (r["text"] or "").strip().split()
+        texts[r["doc_id"]] = t
+        if bucket(r["doc_id"]) < 80:
+            tot += len(t)
+            uni.update(t)
+            big.update(zip(t, t[1:]))
+    target = next(d for d in sorted(texts) if bucket(d) >= 80 and len(texts[d]) >= 2)
+
+    # pure-Python det_ln replay (atanh series, same spec)
+    def dln(x):
+        r = max(math.floor(x * 1e6 + 0.5), 1)
+        k = r.bit_length() - 1
+        m = r / (1 << k)
+        z = (m - 1) / (m + 1)
+        s = 2 * z * sum(z ** (2 * i) / (2 * i + 1) for i in range(8))
+        return k * 0.6931471805599453 + s - 13.815510557964274
+
+    t = texts[target]
+    score = 0
+    for a, b in zip(t, t[1:]):
+        if (a, b) in big:
+            score += math.floor((dln(big[(a, b)]) - dln(uni[a])) * 1e6 + 0.5)
+        elif b in uni:
+            score += math.floor((_SB_LN04 + dln(uni[b]) - dln(tot)) * 1e6 + 0.5)
+        else:
+            score += _SB_OOV_E6
+    assert rows[target]["logprob_e6"] == score

@@ -124,6 +124,8 @@ ALLOWED_BNLJ = {
     # 1-row total-piece-uses broadcast (the EM M-step denominator —
     # same scalar-subquery shape as q11/q22)
     "unigram_train_step",
+    # 1-row train-token-total broadcast (the stupid-backoff denominator)
+    "bigram_backoff_logprob_docs",
     # eval-set needle broadcast × partitioned corpus: the exact-match
     # decontamination sweep — linear in the corpus
     "exact_decontamination_hits",
