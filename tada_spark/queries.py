@@ -10976,20 +10976,24 @@ def unigram_tokenize_words(spark, sf):
     )
 
 
-def _unigram_sql(W: int = _UNIGRAM_W, L: int = _UNIGRAM_L) -> str:
+def _unigram_sql(
+    W: int = _UNIGRAM_W, L: int = _UNIGRAM_L, *, src: str = "documents", lead: str = "WITH "
+) -> str:
     """Unroll the Viterbi DP + backtrack as chained CTEs (the _mmr_sql
     discipline: no aggregates-in-recursion, portable, and bit-exact
     because every dp value is a BIGINT sum of embedded literals). One
     q/p/r CTE triple per position (candidates, dp = GREATEST, ptr =
     largest-k-first CASE — the tie-break twin of Spark's struct max),
     then one a/b pair per backtrack step (CASE-ladder pointer read,
-    list_prepend piece)."""
+    list_prepend piece). ``src`` is the (doc_id, text) relation to
+    tokenize; ``lead=''`` lets a composing oracle (ccnet_pipeline_docs)
+    splice this chain after its own CTEs."""
     vocab_vals = ", ".join(f"('{p}', {lp})" for p, lp in sorted(_UNIGRAM_LP_E6.items()))
     m = _UNIGRAM_MISSING_E6
     parts = [
-        "WITH toks AS (SELECT doc_id, f.w AS word FROM (SELECT doc_id, list_filter("
+        f"{lead}toks AS (SELECT doc_id, f.w AS word FROM (SELECT doc_id, list_filter("
         r"regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tkl "
-        "FROM documents) t, UNNEST(tkl) AS f(w)),",
+        f"FROM {src}) t, UNNEST(tkl) AS f(w)),",
         # pairs feeds BOTH the distinct-word DP and the per-doc apply
         # join (unigram_apply_docs) — ONE tokenization CTE for both
         "pairs AS (SELECT doc_id, word, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),",
@@ -11097,13 +11101,225 @@ FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id"""
 )
 
 
+#: ccnet_pipeline_docs constants: LM tertile cuts on the REBUILT text
+#: (observed sf0.001 range 6.49M–9.33M bits×1e6 — higher than the raw
+#: corpus because stripping leaves punctuation-fused tokens that cost
+#: the OOV piece penalty) and the gopher knobs scaled to the synthetic
+#: page (rebuilt docs run 21–110 words; the 50-word prose default
+#: would blanket-reject).
+_LN2 = math.log(2.0)
+_CCNET_HEAD_BITS_E6 = 6_830_000
+_CCNET_TAIL_BITS_E6 = 7_230_000
+_CCNET_MIN_WORDS = 10
+_CCNET_MIN_STOP_HITS = 1
+
+
+def ccnet_pipeline_docs(spark, sf):
+    """The CCNet ingest chain END-TO-END in one hash-matched entry
+    (Wenzek et al. 2020 — the stage order real web corpora run):
+    (1) canonical-URL provenance dedup (keep-min per canon_url),
+    (2) HTML strip (markup blocks + entities, NO density heuristic —
+    the frequency pass replaces it in CCNet),
+    (3) frequency-based domain boilerplate removal (>50%-of-domain
+    lines, 3-doc floor),
+    (4) unigram-LM perplexity scoring of the REBUILT text with
+    head/middle/tail at pinned tertile cuts,
+    (5) Gopher quality gate on the rebuilt text,
+    emitting every stage's signal per doc plus the composed keep
+    (= NOT LM-tail AND gopher). Each stage is individually verified by
+    its own entry (url_dedup_docs, strip_boilerplate_docs,
+    domain_boilerplate_removal_docs, perplexity_filter_docs,
+    gopher_quality_filters); THIS entry pins that they compose — the
+    oracle splices the same shared SQL fragments, so a drift in any
+    stage breaks two hashes.
+
+    Scale: union of the stage shapes — one window shuffle (url dedup),
+    the boilerplate pass's aggregates, the LM's pair/distinct/doc
+    aggregates (DP over DISTINCT words only), gopher as a pure
+    projection; no new shuffle class is introduced by composing
+    (exchanges budget documented in plan_audit's ALLOWED_EXCHANGES)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").to_df()
+    aug = docs.select(
+        "doc_id", "lang", "source", "text", _synth_url_col().alias("url")
+    )
+    canon = aug.select(
+        "*",
+        text.canonical_url(F.col("url")).alias("canon_url"),
+        # no-op coalesce: keeps IsNotNull(domain) join inference from
+        # pushing the url_host chain into scans (the semdedup lesson)
+        F.coalesce(text.url_host(F.col("url")), F.lit("")).alias("domain"),
+    )
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    surv = (
+        canon.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    cleaned = surv.select(
+        "doc_id", "canon_url", "domain",
+        text.strip_markup(_synth_html_col()).alias("clean"),
+    )
+    # localCheckpoint (the daily_ingest/pagerank pattern): rb feeds FOUR
+    # consumers (LM pair stream, its distinct-word side, the gopher
+    # projection, the final join) — uncheckpointed, lineage re-derives
+    # the 6-exchange boilerplate subtree per consumer (plan-measured:
+    # 42 exchanges vs 7 after the cut). A production ingest pipeline
+    # materializes exactly this stage boundary.
+    rb = dedup.domain_boilerplate_removal(
+        cleaned, text_col="clean", domain_col="domain", id_col="doc_id",
+        min_domain_docs=3,
+    ).localCheckpoint()
+    toksd = rb.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("rebuilt"))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word"),
+    )
+    pairs = toksd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    seg = text.unigram_viterbi_segment(
+        pairs.select("word").distinct(),
+        _UNIGRAM_LP_E6,
+        max_piece_len=_UNIGRAM_L,
+        max_word_len=_UNIGRAM_W,
+        missing_lp_e6=_UNIGRAM_MISSING_E6,
+    ).select("word", "n_pieces", "score_e6")
+    per_doc = (
+        pairs.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+            F.sum(F.col("c") * F.col("score_e6")).alias("score_e6"),
+        )
+    )
+    lm = per_doc.select(
+        "doc_id", "n_words",
+        text.lm_bits_per_piece_e6(F.col("score_e6"), F.col("n_pieces")).alias("bits"),
+    )
+    gop = rb.select(
+        "doc_id",
+        text.gopher_keep(
+            F.col("rebuilt"),
+            min_words=_CCNET_MIN_WORDS,
+            min_stop_hits=_CCNET_MIN_STOP_HITS,
+        ).alias("gopher_keep"),
+    )
+    b = F.col("bits")
+    return (
+        surv.select("doc_id", "canon_url")
+        .join(rb, "doc_id")
+        .join(lm, "doc_id", "left")
+        .join(gop, "doc_id")
+        .select(
+            "doc_id", "canon_url", "domain", "n_raw", "n_removed",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            b.alias("bits_per_piece_e6"),
+            F.when(b.isNull(), F.lit(None).cast("string"))
+            .when(b <= _CCNET_HEAD_BITS_E6, F.lit("head"))
+            .when(b <= _CCNET_TAIL_BITS_E6, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("lm_bucket"),
+            "gopher_keep",
+            (
+                F.coalesce(b <= _CCNET_TAIL_BITS_E6, F.lit(False))
+                & F.col("gopher_keep")
+            ).alias("keep"),
+        )
+    )
+
+
+#: ccnet_pipeline_docs oracle: every fragment is the SAME shared
+#: constant its stage-entry oracle uses (_URL_SYNTH_CTE /
+#: _URL_CANON_CTES / _HTML_SYNTH_EXPR / _STRIP_CHAIN_CTES / the
+#: generated unigram DP) — composition cannot drift from the stages.
+CCNET_SQL = (
+    "WITH " + _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+    + ",\nsurv AS (SELECT doc_id, canon_url, host AS domain FROM "
+    "(SELECT doc_id, canon_url, host, ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn FROM canon) WHERE rn = 1),\n"
+    "aug AS (\n  SELECT doc_id,\n         "
+    + _HTML_SYNTH_EXPR
+    + " AS html\n  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)\n), "
+    + _STRIP_CHAIN_CTES
+    + r""",
+cl AS (
+  SELECT s.doc_id, s.domain, t.c1 AS clean FROM surv s JOIN trimmed t USING (doc_id)
+), lines AS (
+  SELECT t.doc_id, t.domain, s.i AS pos, t.l[s.i] AS line
+  FROM (SELECT doc_id, domain, STRING_SPLIT(clean, chr(10)) AS l FROM cl) t,
+       UNNEST(generate_series(1, len(t.l))) s(i)
+), freq AS (
+  SELECT domain, line, COUNT(DISTINCT doc_id) AS nld FROM lines GROUP BY 1, 2
+), domd AS (
+  SELECT domain, COUNT(DISTINCT doc_id) AS ndd FROM lines GROUP BY 1
+), keptl AS (
+  SELECT l.* FROM lines l JOIN freq f USING (domain, line) JOIN domd d USING (domain)
+  WHERE 2 * f.nld <= d.ndd OR d.ndd < 3
+), rawc AS (
+  SELECT doc_id, MIN(domain) AS domain, COUNT(*) AS n_raw FROM lines GROUP BY 1
+), keptg AS (
+  SELECT doc_id, COUNT(*) AS n_kept, STRING_AGG(line, chr(10) ORDER BY pos) AS rebuilt
+  FROM keptl GROUP BY 1
+), rb AS (
+  SELECT r.doc_id, r.domain, r.n_raw,
+         (r.n_raw - COALESCE(k.n_kept, 0))::BIGINT AS n_removed,
+         COALESCE(k.rebuilt, '') AS rebuilt
+  FROM rawc r LEFT JOIN keptg k USING (doc_id)
+), lm_src AS (SELECT doc_id, rebuilt AS text FROM rb),
+"""
+    + _unigram_sql(src="lm_src", lead="")
+    + f""", per_doc AS (
+  SELECT p.doc_id, SUM(p.c)::BIGINT AS n_words,
+         SUM(p.c * s.n_pieces)::BIGINT AS n_pieces,
+         SUM(p.c * s.score_e6)::BIGINT AS score_e6
+  FROM pairs p JOIN seg s USING (word) GROUP BY p.doc_id
+), lm AS (
+  SELECT doc_id, n_words, CASE WHEN n_pieces > 0 THEN
+    CAST(FLOOR(-score_e6::DOUBLE / n_pieces::DOUBLE / {_LN2!r} + 0.5) AS BIGINT)
+  END AS bits FROM per_doc
+), gt AS (
+  SELECT doc_id, rebuilt,
+         CASE WHEN LENGTH(TRIM(rebuilt)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(rebuilt), '\\s+')) END AS n_words,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(rebuilt), '\\s+') AS toks2,
+         REGEXP_SPLIT_TO_ARRAY(rebuilt, '\\n') AS lines2
+  FROM rb
+), gop AS (
+  SELECT doc_id,
+         (n_words BETWEEN {_CCNET_MIN_WORDS} AND 100000)
+         AND (CASE WHEN n_words = 0 THEN NULL ELSE FLOOR((LENGTH(REGEXP_REPLACE(rebuilt, '\\s', '', 'g'))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 END BETWEEN 3 AND 10)
+         AND (CASE WHEN n_words = 0 THEN NULL ELSE FLOOR((LEN(REGEXP_EXTRACT_ALL(rebuilt, '#|\\.\\.\\.'))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 END < 0.1)
+         AND (CASE WHEN LEN(lines2) = 0 THEN NULL ELSE FLOOR((LEN(LIST_FILTER(lines2, x -> REGEXP_MATCHES(x, '^\\s*[-*•]')))::DOUBLE / LEN(lines2)) * 1000000 + 0.5) / 1000000 END < 0.9)
+         AND (CASE WHEN LEN(lines2) = 0 THEN NULL ELSE FLOOR((LEN(LIST_FILTER(lines2, x -> REGEXP_MATCHES(x, '\\.\\.\\.\\s*$')))::DOUBLE / LEN(lines2)) * 1000000 + 0.5) / 1000000 END < 0.3)
+         AND (CASE WHEN n_words = 0 THEN NULL ELSE FLOOR((LEN(LIST_FILTER(toks2, x -> REGEXP_MATCHES(x, '[A-Za-z]')))::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 END > 0.8)
+         AND (LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(rebuilt)), '\\s+'),
+                                 ['the','be','to','of','and','that','have','with'])) >= {_CCNET_MIN_STOP_HITS}) AS gopher_keep
+  FROM gt
+)
+SELECT s.doc_id, s.canon_url, r.domain, r.n_raw, r.n_removed,
+       COALESCE(l.n_words, 0) AS n_words,
+       l.bits AS bits_per_piece_e6,
+       CASE WHEN l.bits IS NULL THEN NULL
+            WHEN l.bits <= {_CCNET_HEAD_BITS_E6} THEN 'head'
+            WHEN l.bits <= {_CCNET_TAIL_BITS_E6} THEN 'middle'
+            ELSE 'tail' END AS lm_bucket,
+       g.gopher_keep,
+       (COALESCE(l.bits <= {_CCNET_TAIL_BITS_E6}, FALSE) AND g.gopher_keep) AS keep
+FROM surv s JOIN rb r USING (doc_id) LEFT JOIN lm l USING (doc_id) JOIN gop g USING (doc_id)
+"""
+)
+
+
 #: Stupid-backoff constants (Brants et al. 2007): the fixed backoff
 #: penalty ln(0.4) as a Python-computed double literal (det_ln
 #: discipline), and the OOV floor for bigrams whose w2 is unseen even
 #: as a unigram (more negative than any reachable backoff score).
 _SB_LN04 = math.log(0.4)
 _SB_OOV_E6 = -20_000_000
-_LN2 = math.log(2.0)
 
 
 def bigram_backoff_logprob_docs(spark, sf):
@@ -11772,6 +11988,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unigram_apply_docs": (unigram_apply_docs, UNIGRAM_APPLY_SQL),
     "perplexity_filter_docs": (perplexity_filter_docs, PERPLEXITY_FILTER_SQL),
     "unigram_train_step": (unigram_train_step, UNIGRAM_TRAIN_SQL),
+    "ccnet_pipeline_docs": (ccnet_pipeline_docs, CCNET_SQL),
     "bpe_apply_words": (bpe_apply_words, BPE_APPLY_SQL),
     "bigram_backoff_logprob_docs": (bigram_backoff_logprob_docs, BIGRAM_BACKOFF_SQL),
     "markup_stats_docs": (markup_stats_docs, MARKUP_STATS_SQL),

@@ -489,3 +489,34 @@ def test_bigram_backoff_exercises_all_three_paths(spark):
         else:
             score += _SB_OOV_E6
     assert rows[target]["logprob_e6"] == score
+
+
+def test_ccnet_pipeline_composes_stage_entries(spark):
+    """Composition pin: the end-to-end entry's per-stage signals must
+    agree with the standalone stage entries computed on the same
+    inputs — url survivors with web_ingest's keep-min rule, boilerplate
+    stats with domain_boilerplate_removal's, and the keep gate exactly
+    NOT-LM-tail AND gopher."""
+    from tada_spark.queries import CATALOG
+
+    rows = {r["doc_id"]: r for r in CATALOG["ccnet_pipeline_docs"][0](spark, SF).collect()}
+    assert rows
+    # stage 1: one row per canonical URL, survivor = keep-min doc
+    canon_seen = {}
+    for d, r in rows.items():
+        assert r["canon_url"] not in canon_seen, "two survivors for one canon_url"
+        canon_seen[r["canon_url"]] = d
+    # stage 3: boilerplate removal numbers match the standalone entry's
+    # semantics (same synth page -> 7 raw lines, 5 removed when the
+    # domain is big enough; all synthetic domains are)
+    for r in rows.values():
+        assert r["n_raw"] == 7 and r["n_removed"] == 5
+    # stage 4+5: the composed gate
+    buckets = set()
+    for r in rows.values():
+        assert r["keep"] == ((r["lm_bucket"] in ("head", "middle")) and r["gopher_keep"])
+        buckets.add(r["lm_bucket"])
+    assert buckets == {"head", "middle", "tail"}
+    # the gate is non-degenerate in BOTH directions
+    keeps = {r["keep"] for r in rows.values()}
+    assert keeps == {True, False}
