@@ -83,9 +83,12 @@ def main() -> None:
     from tada_spark.session import get_spark
 
     # gate BEFORE Spark spins up (the JVM itself adds load): threshold
-    # 2×cpus/8 — at the default 8 bench cpus that is 2.0, meaning "the
-    # box has at most ~2 busy cores of neighbor work"
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # 2×cpus/8 — "at most ~2 busy cores of neighbor work per 8 cpus".
+    # cpus resolves EXACTLY like get_spark (env override, else the
+    # machine) so the gate's denominator matches the parallelism the
+    # bench actually runs at (r12 review: a hardcoded 8 fallback on a
+    # 32-core box mislabeled quiet runs noisy)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     gate = _load_gate(max_load=2.0 * cpus / 8.0)
 
     spark = get_spark("tada_spark_bench")

@@ -1130,18 +1130,30 @@ def domain_boilerplate_removal(
     materializes the line table between stages (the daily_ingest
     checkpoint pattern), and a web-scale run keys the aggregates on
     md5(line) instead of the raw line string."""
+    # NULL guards (r12 review): a NULL domain would fail every equi-join
+    # below and empty the doc (the url_dedup absent-evidence class) —
+    # coalesce it to the '' domain; NULL text would drop the doc from
+    # the OUTPUT entirely (a downstream inner join then deletes it from
+    # the corpus) — coalesce to '' so it flows through as one empty
+    # line, the same as genuinely empty text.
     lines = df.select(
         F.col(id_col),
-        F.col(domain_col).alias("domain"),
-        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.coalesce(F.col(domain_col), F.lit("")).alias("domain"),
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).filter(F.col("pos").isNotNull())
     line_freq = lines.groupBy("domain", "line").agg(
         F.countDistinct(id_col).alias("nld")
     )
     dom_docs = lines.groupBy("domain").agg(F.countDistinct(id_col).alias("ndd"))
+    # no forced broadcast on dom_docs (r12 review): one row per domain
+    # is millions of rows on a web crawl — AQE broadcasts it while it
+    # fits and falls back to a shuffled join when it would not, the
+    # same policy bigram_familiarity documents for its count tables
     kept = (
         lines.join(line_freq, ["domain", "line"])
-        .join(F.broadcast(dom_docs), "domain")
+        .join(dom_docs, "domain")
         .filter(
             (F.lit(2) * F.col("nld") <= F.col("ndd"))
             | (F.col("ndd") < F.lit(int(min_domain_docs)))

@@ -1402,40 +1402,41 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
     ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"),
     ("e", "n"), ("o", "r"), ("d", "a"), ("da", "ta"), ("l", "e"),
     ("an", "d"), ("o", "u"), ("q", "u"), ("qu", "er"), ("in", "g"),
+    ("l", "l"),  # SELF-pair: exercises the 2-space delimiter scheme
 )
-
-#: REPLACE passes per merge rank: one left-to-right non-overlapping
-#: pass misses every second pair in a run (" a b a b " consumes the
-#: shared boundary space), a second pass catches them; runs longer
-#: than 4 identical adjacent pairs in a <=W-char word cannot survive
-#: two passes. Both engines share the exact REPLACE semantics, so any
-#: fixed pass count is cross-engine deterministic — 2 is also CORRECT
-#: for the bounded word lengths tokenization feeds.
-BPE_APPLY_PASSES = 2
-
 
 def bpe_apply(col: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> Column:
     """BPE tokenizer APPLY (Sennrich et al. 2016; the GPT-2 scheme):
     split the word into characters and apply the merge table in RANK
-    order, each rank merging ALL its occurrences. Rank-order full-merge
+    order, each rank merging ALL its occurrences leftmost-first.
+    Rank-order full-merge
     is exact BPE because a pair of rank r can only be created by merges
     of rank < r (the training invariant). Completes the BPE family —
     bpe_merge_candidates TRAINS the table, this applies it; pairs with
     greedy_segment_stats (WordPiece apply) and unigram_viterbi_segment
     (unigram apply).
 
+    Delimiter design (load-bearing): tokens are separated by TWO
+    spaces and each rank's pattern ``' l  r '`` consumes only the
+    INNER space of each flanking delimiter, so adjacent matches never
+    overlap and ONE left-to-right REPLACE pass merges every
+    occurrence, leftmost-first — including runs under SELF-pair merges
+    like ('l','l'), where a single-space scheme strands every second
+    pair ('llll' -> [ll, l, l] instead of [ll, ll]; review-caught,
+    pinned in tests/test_r12_ops.py). The replacement ``' lr '``
+    restores the 2-space delimiter via the unconsumed outer spaces.
+    Space is the one character a whitespace-split token can never
+    contain, so the delimiter cannot collide with word content.
+
     Pure string algebra — char split via one regexp, then a BOUNDED
-    chain of constant-literal REPLACEs (len(merges) × BPE_APPLY_PASSES),
+    chain of constant-literal REPLACEs (ONE per merge rank),
     whole-stage-codegen'd, no UDF. Intended input is the DISTINCT-word
     table (Zipf: distinct words ≪ tokens); broadcast the result back
     onto the token stream, never re-apply per occurrence. Returns the
     piece ARRAY (derive joins/counts from the one array so the chain
     evaluates once); NULL word → NULL."""
-    # " a b c " — every token flanked by spaces so ' l r ' matches
-    # exactly one adjacency
-    e = F.concat(F.lit(" "), F.regexp_replace(col, r"(.)", r"$1 "))
+    # '  a  b  c  ' — 2-space delimiters everywhere, incl. the edges
+    e = F.concat(F.lit("  "), F.regexp_replace(col, r"(.)", r"$1  "))
     for left, right in merges:
-        pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
-        for _ in range(BPE_APPLY_PASSES):
-            e = F.replace(e, pat, rep)
-    return F.split(F.trim(e), " ")
+        e = F.replace(e, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+    return F.split(F.trim(e), "  ")

@@ -11152,10 +11152,15 @@ def ccnet_pipeline_docs(spark, sf):
         F.coalesce(text.url_host(F.col("url")), F.lit("")).alias("domain"),
     )
     w = Window.partitionBy("canon_url").orderBy("doc_id")
+    # surv is the OTHER fork point (feeds the strip/boilerplate branch
+    # AND the final join) — checkpoint it too (r12 review: rb's
+    # checkpoint alone left the corpus scan + canon window running
+    # twice, once into the checkpoint and once live for the join)
     surv = (
         canon.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
+        .localCheckpoint()
     )
     cleaned = surv.select(
         "doc_id", "canon_url", "domain",
@@ -11502,11 +11507,12 @@ def bpe_apply_words(spark, sf):
 
 def _bpe_apply_sql_expr(var: str = "word") -> str:
     """DuckDB expression equal to text.bpe_apply(var) BEFORE the final
-    split — the spaced piece string, rendered from the same constants."""
-    e = f"' ' || REGEXP_REPLACE({var}, '(.)', '\\1 ', 'g')"
+    split — the 2-space-delimited piece string, rendered from the same
+    constants (see bpe_apply's delimiter-design docstring: one REPLACE
+    pass per rank is exact, self-pairs included)."""
+    e = f"'  ' || REGEXP_REPLACE({var}, '(.)', '\\1  ', 'g')"
     for left, right in text.BPE_MERGES:
-        for _ in range(text.BPE_APPLY_PASSES):
-            e = f"REPLACE({e}, ' {left} {right} ', ' {left}{right} ')"
+        e = f"REPLACE({e}, ' {left}  {right} ', ' {left}{right} ')"
     return e
 
 
@@ -11516,7 +11522,7 @@ WITH toks AS (SELECT f.w AS word FROM (SELECT list_filter(
   FROM documents) t, UNNEST(tkl) AS f(w)),
 words AS (SELECT word, COUNT(*)::BIGINT AS n_occ FROM toks GROUP BY 1),
 ap AS (SELECT word, n_occ,
-              STRING_SPLIT(TRIM({_bpe_apply_sql_expr("word")}), ' ') AS arr
+              STRING_SPLIT(TRIM({_bpe_apply_sql_expr("word")}), '  ') AS arr
        FROM words)
 SELECT word, n_occ, ARRAY_TO_STRING(arr, '|') AS pieces, LEN(arr)::BIGINT AS n_pieces
 FROM ap

@@ -417,8 +417,11 @@ def test_bpe_apply_matches_pure_python_reference(spark):
         .distinct()
         .collect()
     ]
-    # adversarial: repeated merge-pair runs, chained compounds, unknowns
-    words += ["thth", "thethe", "tatata", "database", "querying", "zzz", "x"]
+    # adversarial: repeated merge-pair runs, chained compounds, unknowns,
+    # and SELF-pair runs ('l','l' is in the table) — the review-caught
+    # class where single-space REPLACE strands every second pair
+    words += ["thth", "thethe", "tatata", "database", "querying", "zzz", "x",
+              "ll", "lll", "llll", "llllll", "small", "allall"]
     df = spark.createDataFrame([(w,) for w in words], "word string")
     got = {
         r["word"]: r["arr"]
@@ -520,3 +523,26 @@ def test_ccnet_pipeline_composes_stage_entries(spark):
     # the gate is non-degenerate in BOTH directions
     keeps = {r["keep"] for r in rows.values()}
     assert keeps == {True, False}
+
+
+def test_domain_boilerplate_null_domain_and_text_guards(spark):
+    """r12 review fixes: a NULL domain must not empty the doc (equi-join
+    key loss), and a NULL-text doc must stay IN the output (absence
+    would let a downstream inner join delete it from the corpus)."""
+    from tada_spark.functions.dedup import domain_boilerplate_removal
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "keep this line intact\nsecond real line"),
+            (2, "big.com", "normal doc line"),
+            (3, "big.com", None),
+        ],
+        "doc_id long, domain string, clean string",
+    )
+    out = {r["doc_id"]: r for r in domain_boilerplate_removal(df).collect()}
+    assert set(out) == {1, 2, 3}  # nobody vanishes
+    # NULL domain -> singleton '' domain, protected by the 3-doc floor
+    assert out[1]["n_removed"] == 0
+    assert out[1]["rebuilt"] == "keep this line intact\nsecond real line"
+    # NULL text flows through as one empty line, same as empty text
+    assert out[3]["n_raw"] == 1 and out[3]["domain"] == "big.com"
