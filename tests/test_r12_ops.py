@@ -546,3 +546,73 @@ def test_domain_boilerplate_null_domain_and_text_guards(spark):
     assert out[1]["rebuilt"] == "keep this line intact\nsecond real line"
     # NULL text flows through as one empty line, same as empty text
     assert out[3]["n_raw"] == 1 and out[3]["domain"] == "big.com"
+
+
+def _random_bpe_table(rng, alphabet: str, n_merges: int):
+    """A random merge table satisfying the BPE TRAINING INVARIANT —
+    each pair's constituents are base characters or the products of
+    strictly earlier merges (real BPE training always yields this; the
+    rank-order full-merge equivalence bpe_apply relies on holds for
+    exactly this class of tables, so the generator must stay inside
+    it). Piece length is capped so run-on self-merges keep the pattern
+    literals small."""
+    tokens, merges, seen = list(alphabet), [], set()
+    while len(merges) < n_merges:
+        left, right = rng.choice(tokens), rng.choice(tokens)
+        if (left, right) in seen or len(left + right) > 8:
+            continue
+        seen.add((left, right))
+        merges.append((left, right))
+        tokens.append(left + right)
+    return tuple(merges)
+
+
+def _classic_bpe(word: str, ranks: dict) -> list:
+    """The GPT-2/HF apply: repeatedly merge the lowest-rank pair,
+    leftmost occurrence first, one merge per step."""
+    toks = list(word)
+    while len(toks) > 1:
+        ranked = [
+            (ranks[(toks[i], toks[i + 1])], i)
+            for i in range(len(toks) - 1)
+            if (toks[i], toks[i + 1]) in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        toks[i : i + 2] = [toks[i] + toks[i + 1]]
+    return toks
+
+
+def test_bpe_apply_random_tables_match_classic_reference(spark):
+    """Randomized pin for the 2-space delimiter scheme (r12 review fix):
+    across random VALID merge tables — including self-pairs and chained
+    compounds the fixed table can't cover — one REPLACE pass per rank
+    must equal the classic iterative lowest-rank-leftmost algorithm on
+    random words (plus chars outside the table's alphabet, which must
+    pass through unmerged)."""
+    import random
+
+    from tada_spark.functions.text import bpe_apply
+
+    rng = random.Random(0xB9E)
+    for _ in range(6):
+        table = _random_bpe_table(rng, "ab", n_merges=10)
+        ranks = {p: i for i, p in enumerate(table)}
+        words = sorted(
+            {
+                "".join(rng.choice("aabbc") for _ in range(rng.randint(1, 12)))
+                for _ in range(150)
+            }
+        )
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: r["arr"]
+            for r in df.select(
+                "word", bpe_apply(F.col("word"), merges=table).alias("arr")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == _classic_bpe(w, ranks), (
+                f"table={table} word={w!r}: {got[w]} != {_classic_bpe(w, ranks)}"
+            )
