@@ -208,11 +208,6 @@ def minhash_lsh_pairs(
     — plus a broadcast anti-join on the tiny oversized-key set. Worth
     it exactly when skew would otherwise dominate the self-join.
     """
-    if bands <= 0 or num_hashes % bands != 0:
-        # a silent remainder would drop trailing hashes (recall loss);
-        # bands > num_hashes would give empty band keys and degenerate
-        # the bucket join into a full cross join
-        raise ValueError(f"minhash_lsh_pairs: bands={bands} must divide num_hashes={num_hashes}")
     sig = minhash_signatures(
         df, text_col, id_col,
         num_hashes=num_hashes, shingle_words=shingle_words, hash_family=hash_family,
@@ -230,7 +225,15 @@ def _banded_pairs(
 ) -> DataFrame:
     """Banded LSH candidate pairing over a (id, h0..h{n-1}) signature
     table — shared by classic and one-permutation minhash (r12 factor;
-    the banding/bucket-join/skew-guard algebra is family-agnostic)."""
+    the banding/bucket-join/skew-guard algebra is family-agnostic).
+    Owns the bands validation too (r12 review: both wrappers carried
+    hand-copied checks that had already drifted — the classic copy
+    lacked the bands<=0 guard)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # a silent remainder would drop trailing hashes (recall loss);
+        # bands > num_hashes would give empty band keys and degenerate
+        # the bucket join into a full cross join
+        raise ValueError(f"banded LSH: bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
@@ -1301,10 +1304,6 @@ def minhash_oph_lsh_pairs(
     pinned by tests/test_r12_ops.py (recall against true-Jaccard
     ground truth on the documents fixture) and the A/B is recorded in
     SCALE.md."""
-    if bands <= 0 or num_hashes % bands != 0:
-        raise ValueError(
-            f"minhash_oph_lsh_pairs: bands={bands} must divide num_hashes={num_hashes}"
-        )
     sig = minhash_oph_signatures(
         df, text_col, id_col,
         num_hashes=num_hashes, shingle_words=shingle_words, hash_family=hash_family,

@@ -1029,10 +1029,16 @@ def pmi_bigrams(
 # ---------------------------------------------------------------------------
 
 #: Container blocks removed WITH their content — rendered pages never
-#: show script/style/comment/noscript/template/svg text, and <head>
+#: show script/style/comment/noscript/template text, and <head>
 #: content (meta, link, base, title) is chrome, not page text (r11
 #: VERDICT: all of these previously survived the tag-only strip AS
-#: TEXT). Non-greedy + (?s) so each block closes at ITS end tag.
+#: TEXT). <svg> is a KNOWN OVER-REMOVAL: SVG <text>/<title> elements
+#: DO render (inline charts, SVG headings) and are lost with the
+#: block — accepted because the overwhelming bulk of SVG content is
+#: path data that would otherwise leak into the corpus as junk
+#: attribute soup; a caller who needs SVG text extraction wants a real
+#: parser, not this pass. Non-greedy + (?s) so each block closes at
+#: ITS end tag.
 #: <head> runs FIRST so a script/style inside it can't eat past the
 #: head's own close tag; script/style/svg still match standalone
 #: occurrences in the body.
@@ -1058,6 +1064,43 @@ MARKUP_BLOCK_CLOSE_PATTERN = (
 #: the words around them together).
 MARKUP_ANY_TAG_PATTERN = r"(?s)<[^>]*>"
 
+#: Latin-1 letter codepoints decoded BY CHARACTER (r12 review: the
+#: numeric catchall turned '&#233;' into a space, splitting 'café'
+#: into 'caf' + junk — accented-letter references are ubiquitous on
+#: older/non-English pages, and a letter reference sits INSIDE a word,
+#: so space-substitution corrupts the token every downstream stage
+#: consumes: LM scores, BPE vocab, shingles, boilerplate line
+#: frequencies). Symbol/punctuation codepoints stay with the catchall:
+#: a symbol→space never splits a word. 215/247 (×, ÷) are excluded as
+#: symbols; the Latin-Extended tail covers the œ/š/ž/Ÿ family French,
+#: Czech and transliterated names actually use.
+_LETTER_CODEPOINTS: tuple[int, ...] = tuple(
+    cp for cp in range(192, 256) if cp not in (215, 247)
+) + (338, 339, 352, 353, 376, 381, 382)
+
+
+def _letter_entity_patterns() -> tuple[tuple[str, str], ...]:
+    """ONE (pattern, char) per letter codepoint, folding the named form
+    ('&eacute;' — case-SENSITIVE, from the stdlib HTML4 table; absent
+    for the few HTML5-only names like &zcaron;) together with the
+    decimal and hex numeric forms ((?i:) group — hex digits and the
+    'x' are case-insensitive, names are not). One pass per CHARACTER,
+    not per form: the DuckDB oracle binds the rendered chain with a
+    hard expression-recursion limit (128), and the driver runs it on a
+    vanilla connection — depth is a correctness budget here, not a
+    style preference (and fewer passes is strictly faster on the Spark
+    side as well)."""
+    import html.entities as _he
+
+    out = []
+    for cp in _LETTER_CODEPOINTS:
+        num = rf"(?i:#(?:0*{cp}|x0*{cp:x});)"
+        name = _he.codepoint2name.get(cp)
+        pat = rf"&(?:{name};|{num})" if name else rf"&{num}"
+        out.append((pat, chr(cp)))
+    return tuple(out)
+
+
 #: The named entities worth decoding without an HTML parser; ordered so
 #: that &amp; decodes LAST (else '&amp;lt;' would double-decode into
 #: '<').
@@ -1070,19 +1113,25 @@ MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
 )
 
 #: Numeric/hex character references (r11 VERDICT: '&#xAB;' previously
-#: passed through undecoded): the common punctuation set decodes to its
-#: character — each pattern accepts decimal and (?i) hex forms with
-#: leading zeros — and MARKUP_NUMERIC_CATCHALL turns any OTHER numeric
-#: reference into a space (rare codepoints are noise for corpus text;
-#: a space never glues words). Runs BEFORE the &amp; decode so escaped
-#: references a user literally typed ('&amp;#65;' → text '&#65;')
-#: survive, the same single-application contract as &lt;.
+#: passed through undecoded): the common punctuation set AND the
+#: Latin-1 letter range decode to their characters — each pattern
+#: accepts decimal and (?i) hex forms with leading zeros — and
+#: MARKUP_NUMERIC_CATCHALL turns any OTHER numeric reference into a
+#: space (rare SYMBOL codepoints are noise for corpus text; a space
+#: never glues words — but letters MUST decode, see _LETTER_CODEPOINTS:
+#: a space inside 'caf&#233;' splits the word). The soft hyphen (173)
+#: is the other in-word case: it must vanish entirely. Runs BEFORE the
+#: &amp; decode so escaped references a user literally typed
+#: ('&amp;#65;' → text '&#65;') survive, the same single-application
+#: contract as &lt;.
 MARKUP_NUMERIC_ENTITIES: tuple[tuple[str, str], ...] = (
     (r"(?i)&#(?:0*39|x0*27);", "'"),
     (r"(?i)&#(?:0*34|x0*22);", '"'),
     (r"(?i)&#(?:0*60|x0*3c);", "<"),
     (r"(?i)&#(?:0*62|x0*3e);", ">"),
     (r"(?i)&#(?:0*160|x0*a0);", " "),  # nbsp
+    # soft hyphen (named + numeric): in-word, must VANISH, never space
+    (r"&(?:shy;|(?i:#(?:0*173|x0*ad);))", ""),
     (r"(?i)&#(?:0*8211|x0*2013);", "–"),  # en dash
     (r"(?i)&#(?:0*8212|x0*2014);", "—"),  # em dash
     (r"(?i)&#(?:0*8216|x0*2018);", "‘"),  # left single quote
@@ -1090,7 +1139,7 @@ MARKUP_NUMERIC_ENTITIES: tuple[tuple[str, str], ...] = (
     (r"(?i)&#(?:0*8220|x0*201c);", "“"),  # left double quote
     (r"(?i)&#(?:0*8221|x0*201d);", "”"),  # right double quote
     (r"(?i)&#(?:0*8230|x0*2026);", "…"),  # ellipsis
-)
+) + _letter_entity_patterns()
 #: The ampersand reference normalizes to the NAMED form before the
 #: catchall (so the catchall can't eat it) and then decodes with &amp;
 #: at the very end — '&#38;#60;' becomes literal text '&#60;', never a
@@ -1175,11 +1224,6 @@ DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
 def tracking_param_pattern(params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS) -> str:
     """The anchored alternation canonical_url filters query params with."""
     return "^(" + "|".join(params) + ")(=|$)"
-
-
-#: The rendered default — kept as a module constant so the SQL oracle
-#: CTEs (queries.py _URL_CANON_CTES) can pin the same literal pattern.
-TRACKING_PARAM_PATTERN = tracking_param_pattern()
 
 
 def canonical_url(

@@ -10540,9 +10540,13 @@ def _strip_markup_sql_expr(var: str = "html") -> str:
     e = f"REPLACE({e}, '&amp;', '&')"
     horiz = _sql_str(r"[ \t\r]+")
     squeeze = _sql_str(r" ?\n[ \n]*")
+    edge = _sql_str(r"^[\n ]+|[\n ]+$")
     e = f"REGEXP_REPLACE({e}, {horiz}, ' ', 'g')"
     e = f"REGEXP_REPLACE({e}, {squeeze}, chr(10), 'g')"
-    return e
+    # the edge trim is PART of strip_markup (r12 review: omitting it
+    # here made the docstring's equality claim false — a composer using
+    # this expr directly got leading/trailing-newline divergence)
+    return f"REGEXP_REPLACE({e}, {edge}, '', 'g')"
 
 
 #: SQL twin of text.strip_markup + density_line_filter: CTE chain from
@@ -10551,7 +10555,10 @@ _STRIP_CHAIN_CTES = (
     "stripped AS (\n  SELECT doc_id,\n    "
     + _strip_markup_sql_expr("html")
     + " AS c0\n  FROM aug\n), trimmed AS (\n"
-    "  SELECT doc_id, REGEXP_REPLACE(c0, '^[\\n ]+|[\\n ]+$', '', 'g') AS c1 FROM stripped\n"
+    # pass-through: the edge trim now lives INSIDE _strip_markup_sql_expr
+    # (exact strip_markup equality); the CTE name stays so splicing
+    # oracles keep their shape
+    "  SELECT doc_id, c0 AS c1 FROM stripped\n"
     "), filtered AS (\n"
     "  SELECT doc_id,\n"
     "         ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(c1, chr(10)),\n"
@@ -10682,7 +10689,7 @@ _URL_CANON_CTES = r"""s1 AS (
 ), s4 AS (
   SELECT doc_id, url, scheme, host, port, path,
          ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STRING_SPLIT(query, '&'),
-           p -> p <> '' AND NOT REGEXP_MATCHES(p, '^(utm_[^=]*|gclid|fbclid|ref|igshid|mc_eid)(=|$)'))), '&') AS qcanon
+           p -> p <> '' AND NOT REGEXP_MATCHES(p, __TRACKING_PATTERN__))), '&') AS qcanon
   FROM s3
 ), canon AS (
   SELECT doc_id, url, host,
@@ -10692,7 +10699,13 @@ _URL_CANON_CTES = r"""s1 AS (
          path ||
          (CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END) AS canon_url
   FROM s4
-)"""
+)""".replace(
+    # rendered from the SAME constant canonical_url uses (r12 review:
+    # the hand-written copy could silently drift from the Spark path
+    # if DEFAULT_TRACKING_PARAMS were ever edited)
+    "__TRACKING_PATTERN__",
+    _sql_str(text.tracking_param_pattern()),
+)
 
 
 def canonical_url_docs(spark, sf):
@@ -11136,8 +11149,12 @@ def ccnet_pipeline_docs(spark, sf):
     Scale: union of the stage shapes — one window shuffle (url dedup),
     the boilerplate pass's aggregates, the LM's pair/distinct/doc
     aggregates (DP over DISTINCT words only), gopher as a pure
-    projection; no new shuffle class is introduced by composing
-    (exchanges budget documented in plan_audit's ALLOWED_EXCHANGES)."""
+    projection; no new shuffle class is introduced by composing. The
+    audited plan shows 3 exchanges because the two localCheckpoints
+    truncate the url-dedup and boilerplate subtrees out of the audited
+    lineage — remove a checkpoint and the plan re-inflates past the
+    default budget (plan-measured 42 exchanges without them), which
+    the audit will correctly flag."""
     from pyspark.sql import Window
 
     docs = load(spark, sf, "documents").to_df()
@@ -11321,10 +11338,16 @@ FROM surv s JOIN rb r USING (doc_id) LEFT JOIN lm l USING (doc_id) JOIN gop g US
 
 #: Stupid-backoff constants (Brants et al. 2007): the fixed backoff
 #: penalty ln(0.4) as a Python-computed double literal (det_ln
-#: discipline), and the OOV floor for bigrams whose w2 is unseen even
-#: as a unigram (more negative than any reachable backoff score).
+#: discipline), and the OOV margin. The OOV floor is DERIVED from the
+#: train-token total — floor = e6(ln(0.4) − ln(T)) − margin, one nat
+#: below the rarest possible singleton's backoff score — because a
+#: CONSTANT floor inverts the ordering at scale (r12 review: a
+#: once-seen w2 scores ln(0.4) − ln(T), which drops below any fixed
+#: constant once T exceeds e^(|const| − 0.92) train tokens — at −20
+#: nats that is ~1.9e8 tokens, far under web scale — and then
+#: never-seen words would outscore legitimately rare ones).
 _SB_LN04 = math.log(0.4)
-_SB_OOV_E6 = -20_000_000
+_SB_OOV_MARGIN_E6 = 1_000_000
 
 
 def bigram_backoff_logprob_docs(spark, sf):
@@ -11414,7 +11437,9 @@ def bigram_backoff_logprob_docs(spark, sf):
             F.col("ln2").isNotNull(),
             e6(F.lit(_SB_LN04) + F.col("ln2") - F.col("lnt")),
         )
-        .otherwise(F.lit(_SB_OOV_E6))
+        # OOV floor derived from ln(T): one margin-nat below the rarest
+        # singleton's backoff score at ANY corpus size (see _SB_LN04)
+        .otherwise(e6(F.lit(_SB_LN04) - F.col("lnt")) - F.lit(_SB_OOV_MARGIN_E6))
     )
     per_doc = j.select("doc_id", score.alias("s")).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("s").alias("logprob_e6")
@@ -11459,7 +11484,7 @@ base AS (
                 THEN CAST(FLOOR((lnb - ln1) * 1000000 + 0.5) AS BIGINT)
               WHEN ln2 IS NOT NULL
                 THEN CAST(FLOOR(({_SB_LN04!r} + ln2 - lnt) * 1000000 + 0.5) AS BIGINT)
-              ELSE {_SB_OOV_E6} END AS s
+              ELSE CAST(FLOOR(({_SB_LN04!r} - lnt) * 1000000 + 0.5) AS BIGINT) - {_SB_OOV_MARGIN_E6} END AS s
   FROM base
 ), per_doc AS (
   SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(s)::BIGINT AS logprob_e6

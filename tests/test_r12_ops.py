@@ -441,7 +441,7 @@ def test_bigram_backoff_exercises_all_three_paths(spark):
     import math
     from collections import Counter
 
-    from tada_spark.queries import CATALOG, _SB_LN04, _SB_OOV_E6, load
+    from tada_spark.queries import CATALOG, _SB_LN04, _SB_OOV_MARGIN_E6, load
     from tada_spark.plans.semantics import det_ln  # noqa: F401
 
     rows = {r["doc_id"]: r for r in CATALOG["bigram_backoff_logprob_docs"][0](spark, SF).collect()}
@@ -490,7 +490,9 @@ def test_bigram_backoff_exercises_all_three_paths(spark):
         elif b in uni:
             score += math.floor((_SB_LN04 + dln(uni[b]) - dln(tot)) * 1e6 + 0.5)
         else:
-            score += _SB_OOV_E6
+            # derived floor: one margin-nat below the rarest singleton's
+            # backoff score (scale-safe, r12 review)
+            score += math.floor((_SB_LN04 - dln(tot)) * 1e6 + 0.5) - _SB_OOV_MARGIN_E6
     assert rows[target]["logprob_e6"] == score
 
 
@@ -616,3 +618,38 @@ def test_bpe_apply_random_tables_match_classic_reference(spark):
             assert got[w] == _classic_bpe(w, ranks), (
                 f"table={table} word={w!r}: {got[w]} != {_classic_bpe(w, ranks)}"
             )
+
+
+def test_strip_markup_decodes_letter_references(spark):
+    """r12 review fix: numeric/hex/named references for Latin-1 LETTERS
+    decode to the letter (the catchall's space split words: 'caf&#233;'
+    became 'caf'); the soft hyphen vanishes in-word; symbol references
+    still catchall to a space; escaped forms survive single
+    application."""
+    out = _strip1(
+        spark,
+        "<p>caf&#233; ol&#xE9; na&iuml;ve &Eacute;tat "
+        "hy&shy;phen&#173;ated &#169;2026 &#9999; star "
+        "literal &amp;eacute; and &amp;#233; stay</p>",
+    )
+    assert out == (
+        "café olé naïve État hyphenated 2026 star "
+        "literal &eacute; and &#233; stay"
+    )
+
+
+def test_bigram_backoff_oov_floor_below_singleton_backoff(spark):
+    """r12 review fix: the OOV score must sit BELOW the backoff score of
+    a once-seen word at ANY train-corpus size — pinned by construction
+    (floor = e6(ln0.4 − lnT) − margin vs singleton = e6(ln0.4 + ln1 −
+    lnT)), checked here numerically at margins of the det_ln envelope."""
+    import math
+
+    from tada_spark.queries import _SB_LN04, _SB_OOV_MARGIN_E6
+
+    for total in (10, 1_000_000, 190_000_000, 10**12):
+        lnt = math.log(total)
+        singleton = math.floor((_SB_LN04 + math.log(1) - lnt) * 1e6 + 0.5)
+        oov = math.floor((_SB_LN04 - lnt) * 1e6 + 0.5) - _SB_OOV_MARGIN_E6
+        # strictly below, with room for det_ln's quantization envelope
+        assert oov < singleton - 500_000, (total, oov, singleton)
