@@ -653,3 +653,29 @@ def test_bigram_backoff_oov_floor_below_singleton_backoff(spark):
         oov = math.floor((_SB_LN04 - lnt) * 1e6 + 0.5) - _SB_OOV_MARGIN_E6
         # strictly below, with room for det_ln's quantization envelope
         assert oov < singleton - 500_000, (total, oov, singleton)
+
+
+def test_strip_sql_chain_depth_under_duckdb_binder_limit():
+    """The rendered strip chain must BIND on a VANILLA DuckDB
+    connection — the driver runs oracle SQL with default settings,
+    where expression-recursion depth caps at 128. The letter-entity
+    work landed at depth ~101 by folding named+decimal+hex forms into
+    one pass per character; this pin makes the budget explicit so a
+    future entity addition fails here, not in the driver."""
+    import re
+
+    import duckdb
+
+    from tada_spark import queries as q
+
+    expr = q._strip_markup_sql_expr("html")
+    depth = len(re.findall(r"REGEXP_REPLACE\(|REPLACE\(", expr))
+    assert depth < 120, f"strip SQL chain depth {depth} nearing DuckDB's 128 limit"
+    got = (
+        duckdb.connect()
+        .execute(
+            "SELECT " + expr.replace("html", "'<p>caf&#233; ol&eacute;</p>'") + " AS c"
+        )
+        .fetchone()[0]
+    )
+    assert got == "café olé"
