@@ -11740,6 +11740,147 @@ FROM scored"""
 )
 
 
+#: Gopher repetition-removal thresholds (Rae et al. 2021, Table A1):
+#: top-n-gram FRACTION caps for n=2..4, duplicate-n-gram CHARACTER
+#: fraction caps for n=5..10. A doc exceeding ANY cap is removed.
+_GOPHER_REP_THR: dict[int, float] = {
+    2: 0.20, 3: 0.18, 4: 0.16,
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def gopher_repetition_docs(spark, sf):
+    """The FULL Gopher §A1.1 n-gram repetition battery (Rae et al.
+    2021; the filter set Dolma / RefinedWeb / NeMo-Curator reimplement):
+    per document, top-n-gram occurrence fraction for n=2..4 and
+    duplicate-n-gram character fraction for n=5..10 (characters across
+    ALL occurrences of grams seen >= 2 times, over characters across
+    all gram occurrences — the standard no-overlap-accounting
+    approximation), plus the composite ``repetition_keep`` flag (a doc
+    too short to have n-grams at some n passes that n's cap — absence
+    of evidence). Completes repetition_ngram_stats (the n=2 half);
+    the line/paragraph duplicate half of A1.1 is the cross-document
+    paragraph_dedup_docs signal restricted per-doc, degenerate on the
+    single-line synthetic corpus and deliberately out of scope here.
+    Docs with fewer than 2 tokens have no grams and drop out (no score
+    != a perfect score), the bigram_backoff convention.
+
+    Scale shape: ONE scan; a single 10-way arrays_zip of shifted token
+    slices whose null-padded tails mark gram completeness; TWO chained
+    explodes (positions, then the 9 (n, gram) structs per position —
+    both codegen'd Generate nodes, no lambda, no UDF) feeding a
+    (doc, n, gram) hash-aggregate whose map-side partials compress the
+    9x-token stream before its one shuffle; then two bounded
+    aggregates ((doc, n) -> doc). At 100 TB the 9x explode IS the
+    workload floor for this battery — every public implementation
+    streams the same volume — and the gram strings never leave the
+    first aggregate's partial-combine."""
+    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sz = F.size(toks)
+    parts = [toks] + [
+        F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))) for i in range(1, 10)
+    ]
+    zipped = F.arrays_zip(*parts)
+    pos = docs.select("doc_id", F.explode(zipped).alias("z"))
+    # gram of size n starting here is COMPLETE iff token n-1 exists
+    # (zip tails are null-padded); concat_ws would silently skip nulls,
+    # so completeness must gate, not the join
+    per_pos = pos.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        F.when(
+                            F.col("z")[str(n - 1)].isNotNull(),
+                            F.concat_ws(
+                                " ", *[F.col("z")[str(i)] for i in range(n)]
+                            ),
+                        ).alias("g"),
+                    )
+                    for n in range(2, 11)
+                ]
+            )
+        ).alias("s"),
+    )
+    grams = per_pos.filter(F.col("s.g").isNotNull()).select(
+        "doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("occ"),
+        F.max("c").alias("top_c"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+        F.sum(F.col("c") * F.length("g")).alias("all_chars"),
+    )
+    frac_cols = [
+        _round_det(
+            F.max(F.when(F.col("n") == n, F.col("top_c") / F.col("occ"))), 6
+        ).alias(f"top_{n}gram_frac")
+        for n in (2, 3, 4)
+    ] + [
+        _round_det(
+            F.max(F.when(F.col("n") == n, F.col("dup_chars") / F.col("all_chars"))),
+            6,
+        ).alias(f"dup_{n}gram_char_frac")
+        for n in range(5, 11)
+    ]
+    wide = per_n.groupBy("doc_id").agg(*frac_cols)
+    keep = None
+    for n in (2, 3, 4):
+        c = F.coalesce(
+            F.col(f"top_{n}gram_frac") <= F.lit(_GOPHER_REP_THR[n]), F.lit(True)
+        )
+        keep = c if keep is None else keep & c
+    for n in range(5, 11):
+        c = F.coalesce(
+            F.col(f"dup_{n}gram_char_frac") <= F.lit(_GOPHER_REP_THR[n]), F.lit(True)
+        )
+        keep = keep & c
+    return wide.select("*", keep.alias("repetition_keep"))
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, nn.n AS n, ARRAY_TO_STRING(t[s.i:s.i+nn.n-1], ' ') AS g
+  FROM toks,
+       UNNEST([2,3,4,5,6,7,8,9,10]) AS nn(n),
+       UNNEST(generate_series(1, len(t) - nn.n + 1)) AS s(i)
+  WHERE len(t) >= nn.n
+), per_gram AS (
+  SELECT doc_id, n, g, COUNT(*)::BIGINT AS c FROM grams GROUP BY 1, 2, 3
+), per_n AS (
+  SELECT doc_id, n, SUM(c)::BIGINT AS occ, MAX(c)::BIGINT AS top_c,
+         SUM(CASE WHEN c >= 2 THEN c * LENGTH(g) ELSE 0 END)::BIGINT AS dup_chars,
+         SUM(c * LENGTH(g))::BIGINT AS all_chars
+  FROM per_gram GROUP BY 1, 2
+), wide AS (
+  SELECT doc_id,
+{",".join(
+    f"         FLOOR(MAX(CASE WHEN n = {n} THEN top_c::DOUBLE / occ END) * 1000000 + 0.5) / 1000000 AS top_{n}gram_frac"
+    for n in (2, 3, 4)
+)},
+{",".join(
+    f"         FLOOR(MAX(CASE WHEN n = {n} THEN dup_chars::DOUBLE / all_chars END) * 1000000 + 0.5) / 1000000 AS dup_{n}gram_char_frac"
+    for n in range(5, 11)
+)}
+  FROM per_n GROUP BY doc_id
+)
+SELECT *,
+       ({" AND ".join(
+           [f"COALESCE(top_{n}gram_frac <= {_GOPHER_REP_THR[n]}, TRUE)" for n in (2, 3, 4)]
+           + [f"COALESCE(dup_{n}gram_char_frac <= {_GOPHER_REP_THR[n]}, TRUE)" for n in range(5, 11)]
+       )}) AS repetition_keep
+FROM wide
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- flagship TPC-H-style (joins, reducers, top-k) --
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -12027,4 +12168,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         domain_boilerplate_removal_docs,
         DOMAIN_BOILERPLATE_SQL,
     ),
+    "gopher_repetition_docs": (gopher_repetition_docs, GOPHER_REPETITION_SQL),
 }

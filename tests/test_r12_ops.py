@@ -679,3 +679,91 @@ def test_strip_sql_chain_depth_under_duckdb_binder_limit():
         .fetchone()[0]
     )
     assert got == "café olé"
+
+
+def test_gopher_repetition_matches_pure_python_reference(spark):
+    """Full-battery pin: every doc's 9 fractions and the keep flag must
+    equal a direct pure-Python replay of the Gopher A1.1 definitions
+    (top-n-gram occurrence fraction n=2..4; duplicate-n-gram character
+    fraction n=5..10; ANY cap exceeded -> removed; too-short-for-n
+    passes that n)."""
+    import math
+    from collections import Counter
+
+    from tada_spark.queries import _GOPHER_REP_THR, CATALOG, load
+
+    rows = {
+        r["doc_id"]: r
+        for r in CATALOG["gopher_repetition_docs"][0](spark, SF).collect()
+    }
+    assert rows
+    docs = load(spark, SF, "documents").to_df().select("doc_id", "text").collect()
+    checked_keep = {True: 0, False: 0}
+    for d in docs:
+        t = (d["text"] or "").strip().split()
+        if len(t) < 2:
+            assert d["doc_id"] not in rows  # no grams -> no row
+            continue
+        r = rows[d["doc_id"]]
+        keep = True
+        for n in range(2, 11):
+            grams = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+            col = (
+                f"top_{n}gram_frac" if n <= 4 else f"dup_{n}gram_char_frac"
+            )
+            if not grams:
+                assert r[col] is None
+                continue
+            cnt = Counter(grams)
+            if n <= 4:
+                frac = max(cnt.values()) / sum(cnt.values())
+            else:
+                frac = sum(c * len(g) for g, c in cnt.items() if c >= 2) / sum(
+                    c * len(g) for g, c in cnt.items()
+                )
+            want = math.floor(frac * 1e6 + 0.5) / 1e6
+            assert r[col] == want, (d["doc_id"], n, r[col], want)
+            keep = keep and want <= _GOPHER_REP_THR[n]
+        assert r["repetition_keep"] == keep
+        checked_keep[keep] += 1
+    assert checked_keep[True] > 0  # the corpus itself is all-keep
+
+
+def test_gopher_repetition_keep_flag_flips(spark):
+    """The removal direction, on crafted fixtures the all-keep corpus
+    can't reach: a one-phrase loop trips every cap; a short doc passes
+    the n-caps it has no grams for (absence of evidence)."""
+    from tada_spark.functions import text as _t  # noqa: F401  (import parity)
+    from tada_spark.queries import CATALOG
+
+    import tada_spark.queries as q
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 40),     # top-2-gram frac ~0.5, dup chars ~1.0
+            (2, "one two"),           # only a single 2-gram; no n>=3 grams
+        ],
+        "doc_id long, text string",
+    )
+    # drive the same column algebra the entry uses, via a temp view swap
+    toks_entry = q.gopher_repetition_docs
+    import unittest.mock as _m
+
+    class _FakeFrame:
+        def __init__(self, d):
+            self._d = d
+
+        def to_df(self):
+            return self._d
+
+    with _m.patch.object(q, "load", lambda spark, sf, t: _FakeFrame(df)):
+        rows = {r["doc_id"]: r for r in toks_entry(spark, "ignored").collect()}
+    assert rows[1]["repetition_keep"] is False
+    assert rows[1]["top_2gram_frac"] > 0.2
+    assert rows[1]["dup_5gram_char_frac"] == 1.0
+    # doc 2: one 2-gram occurrence -> top_2gram_frac 1.0 trips the cap,
+    # while every n>=3 column is NULL and passes by absence
+    assert rows[2]["top_2gram_frac"] == 1.0
+    assert rows[2]["top_3gram_frac"] is None
+    assert rows[2]["dup_10gram_char_frac"] is None
+    assert rows[2]["repetition_keep"] is False
