@@ -11752,13 +11752,32 @@ _GOPHER_REP_THR: dict[int, float] = {
 def gopher_repetition_docs(spark, sf):
     """The FULL Gopher §A1.1 n-gram repetition battery (Rae et al.
     2021; the filter set Dolma / RefinedWeb / NeMo-Curator reimplement):
-    per document, top-n-gram occurrence fraction for n=2..4 and
-    duplicate-n-gram character fraction for n=5..10 (characters across
+    per document, top-n-gram CHARACTER fraction for n=2..4 — the
+    paper's measure: characters across all occurrences of the single
+    most frequent n-gram over the document's (whitespace-normalized)
+    characters, scored 0 when the top gram occurs once (a singleton is
+    not repetition — the NeMo-Curator convention; without that gate
+    every two-word doc's lone bigram scores 1.0 and trips the cap).
+    Ties on the count break deterministically to the LONGEST gram
+    (MAX over the packed long c*2^31+len — numeric order IS the
+    lexicographic (count, length) order, and a plain long max stays a
+    codegen'd HashAggregate where a struct max would demote the
+    battery's biggest aggregate to a SortAggregate); grams tying on
+    BOTH count and length give the same c*len numerator, so the pick
+    beyond that is value-irrelevant.
+    Overlapping self-occurrences ("a a a...") multi-count characters,
+    exactly as count*len does in every public reimplementation, so the
+    fraction can exceed 1 — decision-irrelevant, caps are <= 0.20.
+    For n=5..10, duplicate-n-gram character fraction (characters across
     ALL occurrences of grams seen >= 2 times, over characters across
     all gram occurrences — the standard no-overlap-accounting
-    approximation), plus the composite ``repetition_keep`` flag (a doc
-    too short to have n-grams at some n passes that n's cap — absence
-    of evidence). Completes repetition_ngram_stats (the n=2 half);
+    approximation; its ~n× numerator multi-count of a duplicated span
+    and its ~n× denominator inflation vs raw document characters cancel,
+    which is what keeps the paper's caps calibrated under it), plus the
+    composite ``repetition_keep`` flag (a doc too short to have n-grams
+    at some n passes that n's cap — absence of evidence). Completes
+    repetition_ngram_stats (the n=2 half, which keeps its own documented
+    occurrence-fraction column);
     the line/paragraph duplicate half of A1.1 is the cross-document
     paragraph_dedup_docs signal restricted per-doc, degenerate on the
     single-line synthetic corpus and deliberately out of scope here.
@@ -11782,12 +11801,20 @@ def gopher_repetition_docs(spark, sf):
         F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))) for i in range(1, 10)
     ]
     zipped = F.arrays_zip(*parts)
-    pos = docs.select("doc_id", F.explode(zipped).alias("z"))
+    # doc_chars rides the explode as a per-row long (functionally
+    # dependent on doc_id, so adding it to the group keys is free);
+    # concat_ws(" ", split(trim(text))) IS the replay's " ".join(t)
+    pos = docs.select(
+        "doc_id",
+        F.length(F.concat_ws(" ", toks)).alias("doc_chars"),
+        F.explode(zipped).alias("z"),
+    )
     # gram of size n starting here is COMPLETE iff token n-1 exists
     # (zip tails are null-padded); concat_ws would silently skip nulls,
     # so completeness must gate, not the join
     per_pos = pos.select(
         "doc_id",
+        "doc_chars",
         F.explode(
             F.array(
                 *[
@@ -11806,30 +11833,51 @@ def gopher_repetition_docs(spark, sf):
         ).alias("s"),
     )
     grams = per_pos.filter(F.col("s.g").isNotNull()).select(
-        "doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g")
+        "doc_id", "doc_chars", F.col("s.n").alias("n"), F.col("s.g").alias("g")
     )
-    per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_n = per_gram.groupBy("doc_id", "n").agg(
-        F.sum("c").alias("occ"),
-        F.max("c").alias("top_c"),
+    per_gram = grams.groupBy("doc_id", "doc_chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # (count, length) tie-break packed into ONE long — c*2^31 + l orders
+    # exactly like the lexicographic struct (0 <= l < 2^31 always: Spark
+    # strings cap at 2^31 chars, and c <= token positions < 2^31 keeps
+    # the product under 2^62, no overflow even under ANSI). A struct MAX
+    # here is NOT equivalent in cost: structs aren't mutable aggregation
+    # buffer types, so max(struct) demotes this — the battery's biggest
+    # aggregate, the full distinct-gram stream — from a codegen'd
+    # HashAggregate to a SortAggregate (measured: the 100x replica run
+    # went from ~12 min to >25 min before this was caught).
+    per_n = per_gram.groupBy("doc_id", "doc_chars", "n").agg(
+        F.max(
+            F.col("c") * F.lit(2147483648) + F.length("g").cast("long")
+        ).alias("top_key"),
         F.sum(
             F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(F.lit(0))
         ).alias("dup_chars"),
         F.sum(F.col("c") * F.length("g")).alias("all_chars"),
     )
+    top_c = F.shiftright(F.col("top_key"), 31)
+    top_l = F.col("top_key").bitwiseAND(F.lit(2147483647))
+    fr = per_n.select(
+        "doc_id",
+        "n",
+        F.when(top_c >= 2, (top_c * top_l) / F.col("doc_chars"))
+        .otherwise(F.lit(0.0))
+        .alias("top_frac"),
+        (F.col("dup_chars") / F.col("all_chars")).alias("dup_frac"),
+    )
     frac_cols = [
-        _round_det(
-            F.max(F.when(F.col("n") == n, F.col("top_c") / F.col("occ"))), 6
-        ).alias(f"top_{n}gram_frac")
+        _round_det(F.max(F.when(F.col("n") == n, F.col("top_frac"))), 6).alias(
+            f"top_{n}gram_frac"
+        )
         for n in (2, 3, 4)
     ] + [
-        _round_det(
-            F.max(F.when(F.col("n") == n, F.col("dup_chars") / F.col("all_chars"))),
-            6,
-        ).alias(f"dup_{n}gram_char_frac")
+        _round_det(F.max(F.when(F.col("n") == n, F.col("dup_frac"))), 6).alias(
+            f"dup_{n}gram_char_frac"
+        )
         for n in range(5, 11)
     ]
-    wide = per_n.groupBy("doc_id").agg(*frac_cols)
+    wide = fr.groupBy("doc_id").agg(*frac_cols)
     keep = None
     for n in (2, 3, 4):
         c = F.coalesce(
@@ -11845,32 +11893,42 @@ def gopher_repetition_docs(spark, sf):
 
 
 GOPHER_REPETITION_SQL = f"""
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t FROM documents
+), toks AS (
+  SELECT doc_id, t, LENGTH(ARRAY_TO_STRING(t, ' '))::BIGINT AS doc_chars FROM toks0
 ), grams AS (
-  SELECT doc_id, nn.n AS n, ARRAY_TO_STRING(t[s.i:s.i+nn.n-1], ' ') AS g
+  SELECT doc_id, doc_chars, nn.n AS n, ARRAY_TO_STRING(t[s.i:s.i+nn.n-1], ' ') AS g
   FROM toks,
        UNNEST([2,3,4,5,6,7,8,9,10]) AS nn(n),
        UNNEST(generate_series(1, len(t) - nn.n + 1)) AS s(i)
   WHERE len(t) >= nn.n
 ), per_gram AS (
-  SELECT doc_id, n, g, COUNT(*)::BIGINT AS c FROM grams GROUP BY 1, 2, 3
+  SELECT doc_id, doc_chars, n, g, COUNT(*)::BIGINT AS c FROM grams GROUP BY 1, 2, 3, 4
 ), per_n AS (
-  SELECT doc_id, n, SUM(c)::BIGINT AS occ, MAX(c)::BIGINT AS top_c,
+  SELECT doc_id, doc_chars, n,
+         MAX(c * 2147483648 + LENGTH(g)) AS top_key,
          SUM(CASE WHEN c >= 2 THEN c * LENGTH(g) ELSE 0 END)::BIGINT AS dup_chars,
          SUM(c * LENGTH(g))::BIGINT AS all_chars
-  FROM per_gram GROUP BY 1, 2
+  FROM per_gram GROUP BY 1, 2, 3
+), fr AS (
+  SELECT doc_id, n,
+         CASE WHEN top_key // 2147483648 >= 2
+              THEN ((top_key // 2147483648) * (top_key % 2147483648))::DOUBLE / doc_chars
+              ELSE 0.0 END AS top_frac,
+         dup_chars::DOUBLE / all_chars AS dup_frac
+  FROM per_n
 ), wide AS (
   SELECT doc_id,
 {",".join(
-    f"         FLOOR(MAX(CASE WHEN n = {n} THEN top_c::DOUBLE / occ END) * 1000000 + 0.5) / 1000000 AS top_{n}gram_frac"
+    f"         FLOOR(MAX(CASE WHEN n = {n} THEN top_frac END) * 1000000 + 0.5) / 1000000 AS top_{n}gram_frac"
     for n in (2, 3, 4)
 )},
 {",".join(
-    f"         FLOOR(MAX(CASE WHEN n = {n} THEN dup_chars::DOUBLE / all_chars END) * 1000000 + 0.5) / 1000000 AS dup_{n}gram_char_frac"
+    f"         FLOOR(MAX(CASE WHEN n = {n} THEN dup_frac END) * 1000000 + 0.5) / 1000000 AS dup_{n}gram_char_frac"
     for n in range(5, 11)
 )}
-  FROM per_n GROUP BY doc_id
+  FROM fr GROUP BY doc_id
 )
 SELECT *,
        ({" AND ".join(
