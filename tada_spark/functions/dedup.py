@@ -196,17 +196,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
-    signatures → explode(bands) → band-bucket self-join → distinct
-    pairs. No O(n²) cross join: pairs only form inside a band bucket.
-    Skewed buckets (boilerplate docs) are the classic hazard — AQE
-    skew-join handles moderate skew; ``max_bucket`` drops degenerate
-    buckets outright (a bucket of m docs yields m² comparisons; at
-    m = 10⁵ boilerplate docs that is 10¹⁰ pairs nobody wants — such
-    groups are better handled by exact dedup first). Cost: one (band,
-    key) count aggregate — its exchange is near the banded frame's size
-    when buckets are mostly unique (map-side combine compresses little)
-    — plus a broadcast anti-join on the tiny oversized-key set. Worth
-    it exactly when skew would otherwise dominate the self-join.
+    signatures → explode(bands) → bucket-grouped combination expansion
+    → distinct pairs. No O(n²) cross join: pairs only form inside a
+    band bucket (see _banded_pairs — one grouped pass, no self-join).
+    Skewed buckets (boilerplate docs) are the classic hazard —
+    ``max_bucket`` drops degenerate buckets outright (a bucket of m
+    docs yields m² comparisons; at m = 10⁵ boilerplate docs that is
+    10¹⁰ pairs nobody wants — such groups are better handled by exact
+    dedup first). Since the r12 grouped rewrite the guard is a free
+    size() filter on the collected bucket — no extra aggregate, no
+    anti-join.
     """
     sig = minhash_signatures(
         df, text_col, id_col,
@@ -228,7 +227,23 @@ def _banded_pairs(
     the banding/bucket-join/skew-guard algebra is family-agnostic).
     Owns the bands validation too (r12 review: both wrappers carried
     hand-copied checks that had already drifted — the classic copy
-    lacked the bands<=0 guard)."""
+    lacked the bands<=0 guard).
+
+    r12 optimization: pairing is a grouped COMBINATION EXPANSION, not a
+    self-join. The previous bucket self-join assumed Spark would reuse
+    the banded exchange across the two join sides; under AQE it does
+    NOT (each side becomes an independent query stage; measured: the
+    executed plan held the full scan→shingle→min-agg signature subtree
+    TWICE, zero ReusedExchange — the whole signature computation ran
+    2×). Grouping each (band, key) bucket once and emitting the sorted
+    in-bucket id combinations produces the identical pair set from ONE
+    signature computation and drops two exchanges (the second banded
+    shuffle and, when max_bucket is set, the count-aggregate +
+    broadcast anti-join — the size guard becomes a free filter on the
+    collected bucket). Per-bucket state is |bucket| ids (longs), the
+    same m that the join's hash relation held per bucket; the m²
+    candidate blowup of a degenerate bucket exists in either shape and
+    is what ``max_bucket`` caps."""
     if bands <= 0 or num_hashes % bands != 0:
         # a silent remainder would drop trailing hashes (recall loss);
         # bands > num_hashes would give empty band keys and degenerate
@@ -252,38 +267,33 @@ def _banded_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # ONE shuffle on (band, key) collects each bucket's member ids;
+    # array_sort makes the bucket order deterministic under any
+    # partitioning (collect_list alone is partition-order-dependent)
+    # and lets the i<j slice emit each unordered pair exactly once with
+    # id_a < id_b — the same pair set the old a.id < b.id join built.
+    grouped = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_bucket is not None:
-        oversized = (
-            banded.groupBy("band", "key")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .select("band", "key")
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        banded = banded.join(F.broadcast(oversized), ["band", "key"], "left_anti")
-    # shuffle_hash, NOT broadcast: at cluster scale the banded frame
-    # (n_docs × bands rows) isn't broadcast-able, and a planner-time
-    # broadcast of the un-staged pipeline would execute the signature
-    # computation (scan + explode + 16-way min-agg) once per join side.
-    # Controlled A/B at sf0.1 (3 reps, same session): shuffle_hash
-    # 0.618s / explicit broadcast 0.594s / unhinted 0.587s minimum —
-    # a tie within noise, because under AQE every strategy reuses the
-    # materialized signature shuffle stage. The pin is kept for the
-    # deterministic, scale-safe plan, not for a local win. (An earlier
-    # "2.2×" claim was measured against the pre-AQE-stage double
-    # execution, not against round 1's plan.)
-    left = banded.alias("a").hint("shuffle_hash")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def connected_components(
@@ -451,20 +461,43 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             )
         ).alias("bk"),
     ).select(id_col, "sh", F.col("bk.chunk").alias("chunk"), F.col("bk.key").alias("key"))
-    # shuffle self-join so the fingerprint pipeline runs once (see
-    # minhash_lsh_pairs) instead of once per broadcast side
-    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # grouped combination expansion, not a self-join: under AQE the
+    # bucket self-join executed the whole simhash fold pipeline once
+    # PER SIDE (no exchange reuse across AQE query stages — see
+    # _banded_pairs). One shuffle on (chunk, key) collects each
+    # bucket's (id, sh) members; the sorted i<j slice emits the same
+    # id_a < id_b pair set with the hamming distance computed from the
+    # carried fingerprints. Per-bucket state is |bucket| (long, long)
+    # structs — what the join's per-bucket hash relation held anyway.
+    grouped = (
+        banded.groupBy("chunk", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("sh").alias("s")))
+            ).alias("ms")
         )
+        .filter(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    F.bit_count(x["s"].bitwiseXOR(y["s"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.hamming").alias("hamming"),
         )
         .distinct()
     )

@@ -59,12 +59,31 @@ def cosine_topk(
     Plan shape at scale: corpus scan stays partitioned; broadcast hash
     join (queries are small by construction); per-query top-k via
     window — AQE keeps the shuffle at n_queries × k rows.
+
+    r12 optimization (guide §1.2 step 2 — per-task work): the norms are
+    hoisted BELOW the join. cosine() inline would re-fold norm(qv) once
+    per corpus row and norm(cv) once per query — 2 of the 3 per-pair
+    array folds are loop-invariant. Projecting each side's norm once
+    (per query / per corpus row) leaves only the dot fold per pair;
+    the quotient dot/(qn·cn) multiplies the identical doubles in the
+    identical order, so results are bit-identical (oracle-hash-matched).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("__qn__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("__cn__"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("__qn__") * F.col("__cn__")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     # undefined pairs (zero-norm side -> NULL cos) are unrankable: desc
@@ -90,10 +109,21 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF list assignment: each vector joins its nearest centroid
     (by cosine). Centroids broadcast; corpus stays partitioned — the
-    build step of an IVF index. Output: (id, vec, cent_id)."""
-    c = centroids.select(F.col(cent_id), F.col(cent_vec))
-    scored = df.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(c))
-    scored = scored.withColumn("cos", cosine(F.col(vec_col), F.col(cent_vec)))
+    build step of an IVF index. Output: (id, vec, cent_id).
+
+    Norms hoisted below the join (r12, see cosine_topk): one fold per
+    vector / per centroid instead of per (vector, centroid) pair —
+    bit-identical quotient."""
+    c = centroids.select(
+        F.col(cent_id), F.col(cent_vec), norm(F.col(cent_vec)).alias("__cn__")
+    )
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__vn__")
+    ).join(F.broadcast(c))
+    scored = scored.withColumn(
+        "cos",
+        F.try_divide(dot(F.col(vec_col), F.col(cent_vec)), F.col("__vn__") * F.col("__cn__")),
+    )
     w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cent_id).asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -121,17 +151,35 @@ def ivf_topk(
     )
     assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qscored = q.join(F.broadcast(cent)).withColumn("cos", cosine(F.col("qv"), F.col("cent_vec")))
+    # norms hoisted below every join (r12, see cosine_topk): the query
+    # norm is folded once per query and carried through the probe set;
+    # the corpus norm once per assigned vector — the per-candidate work
+    # is the dot fold alone, quotient bit-identical.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("__qn__"),
+    )
+    centn = cent.withColumn("__cn__", norm(F.col("cent_vec")))
+    qscored = q.join(F.broadcast(centn)).withColumn(
+        "cos",
+        F.try_divide(dot(F.col("qv"), F.col("cent_vec")), F.col("__qn__") * F.col("__cn__")),
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
     probes = (
         qscored.withColumn("rk", F.row_number().over(wq))
         .filter((F.col("rk") <= nprobe) & F.col("cos").isNotNull())
-        .select("query_id", "qv", "cent_id")
+        .select("query_id", "qv", "__qn__", "cent_id")
     )
 
-    cand = probes.join(assigned, on="cent_id").filter(F.col("query_id") != F.col(id_col))
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col(vec_col)))
+    cand = (
+        probes.join(assigned.withColumn("__vn__", norm(F.col(vec_col))), on="cent_id")
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    scored = cand.withColumn(
+        "cos",
+        F.try_divide(dot(F.col("qv"), F.col(vec_col)), F.col("__qn__") * F.col("__vn__")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -217,9 +265,20 @@ def lsh_cosine_candidates(
 ) -> DataFrame:
     """Near-neighbor pairs within LSH buckets — the ANN scale path.
     Recall is tunable via number of planes / OR-ed tables."""
-    b = lsh_sign_buckets(df, planes, id_col=id_col, vec_col=vec_col)
-    # shuffle self-join so the plane-projection pipeline runs once per
-    # table instead of once per broadcast side (see dedup.minhash_lsh_pairs)
+    # norm hoisted into the bucketed table (r12, see cosine_topk): one
+    # fold per vector instead of two per candidate pair — quotient
+    # bit-identical. The eager=False localCheckpoint materializes the
+    # bucket pipeline ONCE: under AQE the self-join otherwise executes
+    # the scan → plane-projection → bucket subtree once PER SIDE (no
+    # exchange reuse across AQE query stages — measured, see
+    # dedup._banded_pairs). Checkpoint state is the (id, bucket, vec,
+    # norm) table itself — the payload the join shuffles anyway; it is
+    # recomputed per invocation (nothing persists across runs).
+    b = (
+        lsh_sign_buckets(df, planes, id_col=id_col, vec_col=vec_col)
+        .withColumn("__n__", norm(F.col(vec_col)))
+        .localCheckpoint(eager=False)
+    )
     a, c = b.alias("a").hint("shuffle_hash"), b.alias("b")
     return (
         a.join(
@@ -230,7 +289,16 @@ def lsh_cosine_candidates(
         # float discipline: threshold the ROUNDED cosine — oracles compare
         # ROUND(cos, 6) >= t, and a raw-value filter would drop pairs
         # whose true cosine sits in [t - 5e-7, t)
-        .withColumn("cos", round_det(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6))
+        .withColumn(
+            "cos",
+            round_det(
+                F.try_divide(
+                    dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                    F.col("a.__n__") * F.col("b.__n__"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

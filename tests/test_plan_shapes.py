@@ -538,28 +538,30 @@ def test_dedup_guards_evaluate_hash_once(spark, catalog):
 
 def test_simhash_fold_once_per_row_per_side(spark, catalog):
     # the 64-bit simhash fold (aggregate over xxhash64'd shingles) is
-    # the expensive expression; the self-join has two sides, so exactly
-    # TWO fold evaluations may appear — never four (the r9 computed-
-    # column guard double-eval) — and never inside an isnotnull filter
+    # the expensive expression. Since the r12 grouped-combination
+    # rewrite there is NO self-join: the whole pipeline appears exactly
+    # ONCE (the old bucket self-join held it twice, and under AQE both
+    # sides really executed — no exchange reuse across AQE stages).
+    # Never inside an isnotnull filter (the r9 guard double-eval).
     plan = plan_of(catalog["simhash_candidates"][0](spark, SF))
-    assert plan.count("aggregate(") == 2
+    assert plan.count("aggregate(") == 1
     assert "isnotnull(aggregate" not in plan
 
 
 def test_minhash_single_scan(spark, catalog):
     # r9's short-doc branch unioned a SECOND full read of documents
-    # into the signature pipeline (2 scans per join side = 4 total in
-    # the LSH self-join); r10 builds the shingle array in one CASE
-    # projection — one FileScan per pipeline evaluation. The LSH
-    # self-join shows 2 static scans (one per side); AQE reuses the
-    # materialized signature shuffle stage at runtime.
+    # into the signature pipeline; r10 builds the shingle array in one
+    # CASE projection — one FileScan per pipeline evaluation. Since the
+    # r12 grouped-combination rewrite the pair queries hold exactly ONE
+    # pipeline (the old LSH self-join held two, and under AQE both
+    # sides really executed — the assumed exchange reuse never fired).
     from tada_spark.functions.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_signatures(docs))
     assert plan.count("FileScan") == 1
     plan = plan_of(catalog["minhash_candidate_pairs"][0](spark, SF))
-    assert plan.count("FileScan") == 2
+    assert plan.count("FileScan") == 1
     plan = plan_of(catalog["minhash_lsh_oracle"][0](spark, SF))
-    assert plan.count("FileScan") == 2
+    assert plan.count("FileScan") == 1
     assert "isnotnull(md5" not in plan
