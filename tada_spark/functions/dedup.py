@@ -552,15 +552,23 @@ def jaccard_pairs(
         F.col(text_col).alias("__txt__"),
     )
     grp = Window.partitionBy(*blocks, F.md5(F.col("__txt__")))
-    docs = docs.withColumn("rep", F.min("jid").over(grp))
+    # staged (r12): the rep-window table feeds SIX subtrees (both join
+    # sides via sh, ma/mb member expansion, m1/m2 intra pairs) and the
+    # shingle table feeds both sides of the representative self-join.
+    # Under AQE none of those share stages (no exchange reuse across
+    # AQE query stages — see _banded_pairs), so the scan + md5 window
+    # ran up to 6× and char_shingles 2× per invocation. The two lazy
+    # localCheckpoints materialize each exactly once per invocation
+    # (recomputed every run — nothing persists across runs); state is
+    # the blocked input slice + its shingle arrays, which the join
+    # shuffles anyway.
+    docs = docs.withColumn("rep", F.min("jid").over(grp)).localCheckpoint(eager=False)
     members = docs.select("jid", "rep")
     sh = docs.filter(F.col("jid") == F.col("rep")).select(
         "jid",
         *[F.col(c) for c in blocks],
         char_shingles(F.col("__txt__"), ngram).alias("sh"),
-    )
-    # shuffle self-join: shingle arrays are expensive to recompute and
-    # cheap to shuffle within blocks
+    ).localCheckpoint(eager=False)
     a, b = sh.alias("a").hint("shuffle_hash"), sh.alias("b")
     cond = F.col("a.jid") < F.col("b.jid")
     for c in blocks:
@@ -901,6 +909,11 @@ def source_overlap(
     corpus-sized) — so the pair stream is |shared shingles| × O(1),
     never doc-pairwise. Per-source set sizes are a k-row broadcast.
     """
+    # staged (r12): the distinct (source, shingle) stream feeds THREE
+    # subtrees (both pair-join sides and the per-source counts); under
+    # AQE each re-ran the scan + shingle explode + distinct shuffle
+    # (no cross-stage exchange reuse — see _banded_pairs). One lazy
+    # localCheckpoint computes it once per invocation.
     sh = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
@@ -909,6 +922,7 @@ def source_overlap(
         )
         .filter(F.col("g").isNotNull() & (F.col("g") != ""))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     counts = sh.groupBy("src").agg(F.count("*").alias("n"))
     a = sh.select(F.col("src").alias("source_a"), "g")

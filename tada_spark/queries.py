@@ -2726,11 +2726,34 @@ def winnow_shared_fingerprints(spark, sf):
     twin."""
     docs = load(spark, sf, "documents").to_df().filter(F.col("doc_id") < 100)
     fps = text.winnow_fingerprints_long(docs, id_col="doc_id", text_col="text", k=8, w=16)
-    # shuffle self-join: winnowing is window-heavy, recompute-per-side is waste
-    a, b = fps.alias("a").hint("shuffle_hash"), fps.alias("b")
+    # grouped combination expansion, not a self-join (r12): under AQE
+    # the fp self-join executed the window-heavy winnowing pipeline
+    # once PER SIDE (no exchange reuse across AQE stages — see
+    # dedup._banded_pairs). One shuffle on fp collects each
+    # fingerprint's sorted doc list; the i<j slice emits the same
+    # multiset of (id_a < id_b) pairs the join built (the id_a != id_b
+    # guard drops same-doc pairs when one doc repeats a fingerprint,
+    # which the join's strict < excluded). Pair-set equality vs the
+    # old join verified by collect-compare at sf0.001/sf0.01.
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.id_a") != F.col("p.id_b"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 5)
     )
