@@ -229,21 +229,20 @@ def _banded_pairs(
     hand-copied checks that had already drifted — the classic copy
     lacked the bands<=0 guard).
 
-    r12 optimization: pairing is a grouped COMBINATION EXPANSION, not a
-    self-join. The previous bucket self-join assumed Spark would reuse
-    the banded exchange across the two join sides; under AQE it does
-    NOT (each side becomes an independent query stage; measured: the
-    executed plan held the full scan→shingle→min-agg signature subtree
-    TWICE, zero ReusedExchange — the whole signature computation ran
-    2×). Grouping each (band, key) bucket once and emitting the sorted
-    in-bucket id combinations produces the identical pair set from ONE
-    signature computation and drops two exchanges (the second banded
-    shuffle and, when max_bucket is set, the count-aggregate +
-    broadcast anti-join — the size guard becomes a free filter on the
-    collected bucket). Per-bucket state is |bucket| ids (longs), the
-    same m that the join's hash relation held per bucket; the m²
-    candidate blowup of a degenerate bucket exists in either shape and
-    is what ``max_bucket`` caps."""
+    r12: pairing is a grouped COMBINATION EXPANSION, not a self-join.
+    Context (measured, OPTIMIZATION_r12.md): AQE DOES reuse the map
+    stage of the old self-join's two canonically identical banded
+    exchanges, so the signature pipeline already ran once — the r11
+    comment here was right about that, and wall-clock is a measured
+    TIE between both shapes at sf0.1 and on a 64-partition
+    core-saturated synthetic. The grouped form is kept because the
+    plan is strictly smaller: one banded subtree instead of two, one
+    shuffle read instead of two, and the ``max_bucket`` skew guard
+    becomes a free size() filter on the collected bucket (previously a
+    whole count-aggregate + broadcast anti-join). Per-bucket state is
+    |bucket| ids (longs), the same m the join's per-bucket hash
+    relation held; the m² candidate blowup of a degenerate bucket
+    exists in either shape and is what ``max_bucket`` caps."""
     if bands <= 0 or num_hashes % bands != 0:
         # a silent remainder would drop trailing hashes (recall loss);
         # bands > num_hashes would give empty band keys and degenerate
@@ -461,10 +460,10 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             )
         ).alias("bk"),
     ).select(id_col, "sh", F.col("bk.chunk").alias("chunk"), F.col("bk.key").alias("key"))
-    # grouped combination expansion, not a self-join: under AQE the
-    # bucket self-join executed the whole simhash fold pipeline once
-    # PER SIDE (no exchange reuse across AQE query stages — see
-    # _banded_pairs). One shuffle on (chunk, key) collects each
+    # grouped combination expansion, not a self-join (r12, see
+    # _banded_pairs: wall-clock tie vs the reused-exchange self-join,
+    # kept for the strictly smaller plan — one banded subtree, one
+    # shuffle read). One shuffle on (chunk, key) collects each
     # bucket's (id, sh) members; the sorted i<j slice emits the same
     # id_a < id_b pair set with the hamming distance computed from the
     # carried fingerprints. Per-bucket state is |bucket| (long, long)
@@ -553,15 +552,17 @@ def jaccard_pairs(
     )
     grp = Window.partitionBy(*blocks, F.md5(F.col("__txt__")))
     # staged (r12): the rep-window table feeds SIX subtrees (both join
-    # sides via sh, ma/mb member expansion, m1/m2 intra pairs) and the
-    # shingle table feeds both sides of the representative self-join.
-    # Under AQE none of those share stages (no exchange reuse across
-    # AQE query stages — see _banded_pairs), so the scan + md5 window
-    # ran up to 6× and char_shingles 2× per invocation. The two lazy
-    # localCheckpoints materialize each exactly once per invocation
-    # (recomputed every run — nothing persists across runs); state is
-    # the blocked input slice + its shingle arrays, which the join
-    # shuffles anyway.
+    # sides via sh, ma/mb member expansion, m1/m2 intra pairs). AQE
+    # reuses only the map side of the window's partition exchange;
+    # each consumer re-evaluates the window function and the
+    # projections above it, and iterative consumers
+    # (connected_components) re-derive the whole lineage per round.
+    # The two lazy localCheckpoints pin the window output and the
+    # shingle table once per invocation (recomputed every run —
+    # nothing persists across runs). Measured at sf0.1: jaccard alone
+    # 25.6→24.2 s (intersects dominate), but near_dup_components —
+    # which iterates over this plan — dropped 43.3→27.8 s (−36%)
+    # (OPTIMIZATION_r12.md).
     docs = docs.withColumn("rep", F.min("jid").over(grp)).localCheckpoint(eager=False)
     members = docs.select("jid", "rep")
     sh = docs.filter(F.col("jid") == F.col("rep")).select(

@@ -267,13 +267,13 @@ def lsh_cosine_candidates(
     Recall is tunable via number of planes / OR-ed tables."""
     # norm hoisted into the bucketed table (r12, see cosine_topk): one
     # fold per vector instead of two per candidate pair — quotient
-    # bit-identical. The eager=False localCheckpoint materializes the
-    # bucket pipeline ONCE: under AQE the self-join otherwise executes
-    # the scan → plane-projection → bucket subtree once PER SIDE (no
-    # exchange reuse across AQE query stages — measured, see
-    # dedup._banded_pairs). Checkpoint state is the (id, bucket, vec,
-    # norm) table itself — the payload the join shuffles anyway; it is
-    # recomputed per invocation (nothing persists across runs).
+    # bit-identical. The eager=False localCheckpoint pins the bucket
+    # table once per invocation: the self-join's identical shuffle
+    # sides are AQE-reused anyway, but each OR-ed table otherwise
+    # replicates the plane-projection subtree through planning, and
+    # the checkpoint measured slightly faster and much more stable
+    # (3.62 s vs 3.80 s same-session, OPTIMIZATION_r12.md). Recomputed
+    # per invocation — nothing persists across runs.
     b = (
         lsh_sign_buckets(df, planes, id_col=id_col, vec_col=vec_col)
         .withColumn("__n__", norm(F.col(vec_col)))
@@ -640,7 +640,16 @@ def semdedup(
             F.lit(0).cast("long"),
         ),
     )
-    t = q.join(assigned.withColumnRenamed(id_col, "vid"), "vid")
+    # staged (r12): t feeds BOTH pair-join sides and the final keep
+    # join. The kmeans assignment rides a broadcast (BNLJ) build —
+    # exactly the shape AQE does NOT reuse (replanning strips the
+    # inner shuffle, so the canonical stage forms differ) — so the
+    # assignment + quantization + norm folds re-ran per consumer. The
+    # lazy localCheckpoint pins the working set (id, v, n2, cluster)
+    # once per invocation — measured −5% at sf0.1 (the pairwise dot
+    # fold dominates locally; at scale the staging removes two full
+    # re-runs of the assignment pipeline — OPTIMIZATION_r12.md).
+    t = q.join(assigned.withColumnRenamed(id_col, "vid"), "vid").localCheckpoint(eager=False)
     a = t.select("cluster", F.col("vid").alias("va"), F.col("v").alias("xa"), F.col("n2").alias("na"))
     b = t.select("cluster", F.col("vid").alias("vb"), F.col("v").alias("xb"), F.col("n2").alias("nb"))
     dot = F.aggregate(

@@ -618,17 +618,28 @@ def bm25_rank(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # staged (r12): toks previously fed THREE consumers (dl, a single-
+    # partition corpus token total, tf). total_toks = Σ dl is the
+    # identical exact integer the old toks-count computed, so the
+    # corpus text is now exploded twice (dl, tf) instead of three
+    # times. The lazy localCheckpoints on the two reduced tables are
+    # REQUIRED, not optional: df_t and the stats total are broadcast /
+    # single-partition builds over tf/dl, the shape AQE stage reuse
+    # does NOT unify (OPTIMIZATION_r12.md finding #2) — an A/B without
+    # them re-ran the explode subtrees per consumer and measured ~4×
+    # slower at sf0.1 (OPTIMIZATION_r12.md).
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(eager=False)
     # corpus stats: N = ALL docs (blank docs count toward avgdl's
     # denominator — pinned convention, mirrored in the oracle)
     stats = df.select(F.lit(1).alias("one")).groupBy().agg(F.count("*").alias("n_docs")).crossJoin(
-        toks.groupBy().agg(F.count("*").alias("total_toks"))
+        dl.groupBy().agg(F.sum("dl").alias("total_toks"))
     )
     qterms = list(query_terms)
     tf = (
         toks.filter(F.col("term").isin(qterms))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = F.col("total_toks").cast("double") / F.col("n_docs").cast("double")
@@ -763,7 +774,18 @@ def kl_divergence(
         )
         .filter(F.col("term") != "")
     )
-    tf_g = toks.groupBy("grp", "term").agg(F.count("*").alias("n"))
+    # staged (r12): tf_g feeds FOUR consumers (three marginals + the
+    # contribution probe). AQE reuses only the map side of the shared
+    # (grp, term) exchange; each consumer re-executes the reduce-side
+    # final aggregate (vocabulary-sized) and replicates the subtree
+    # through planning (the det_ln expression trees are large). The
+    # lazy localCheckpoint pins the aggregate once per invocation —
+    # measured −11% at sf0.1 (OPTIMIZATION_r12.md).
+    tf_g = (
+        toks.groupBy("grp", "term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot_g = tf_g.groupBy("grp").agg(F.sum("n").alias("t_g"))
     tf_c = tf_g.groupBy("term").agg(F.sum("n").alias("n_c"))
     tot_c = tf_g.groupBy().agg(F.sum("n").alias("t"))

@@ -108,9 +108,21 @@ def dbscan_classify(
     neighbor-cell equi-join (work ∝ Σ cell², never |P|²); the border
     test is one semi-join of the pair list against the broadcastable
     core set. Integer distances throughout — no float admits a tie."""
+    # staged (r12): the grid-join pair list feeds both the neighbor
+    # counts and the border semi-join, and the counts feed the core
+    # set and the final classification. AQE reuses only the input
+    # exchanges' map sides; each consumer re-executed the join
+    # evaluation (probe + exact dist2 filter — the expensive part of a
+    # radius join) and the aggregates above it. Two lazy
+    # localCheckpoints: the pair list (the join output that gets
+    # aggregated anyway) and the point-cardinality count table; both
+    # recomputed per invocation. Measured −5% at sf0.1 (the radius
+    # join is cheap on one file locally; at scale each staged table
+    # replaces a full re-execution of the grid join per consumer —
+    # OPTIMIZATION_r12.md).
     pairs = grid_radius_join(
         points, id_col=id_col, x_col=x_col, y_col=y_col, radius=eps
-    )
+    ).localCheckpoint(eager=False)
     sym = pairs.select(F.col("id_a").alias("pid"), F.col("id_b").alias("nbr")).unionByName(
         pairs.select(F.col("id_b").alias("pid"), F.col("id_a").alias("nbr"))
     )
@@ -122,6 +134,7 @@ def dbscan_classify(
         .agg(F.count(F.lit(1)).alias("__nb__"))
         .join(ids, "pid", "right")
         .select("pid", (F.coalesce(F.col("__nb__"), F.lit(0)) + F.lit(1)).alias("n_in_eps"))
+        .localCheckpoint(eager=False)
     )
     core = counts.filter(F.col("n_in_eps") >= min_pts).select("pid")
     near_core = (

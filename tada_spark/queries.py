@@ -2726,34 +2726,17 @@ def winnow_shared_fingerprints(spark, sf):
     twin."""
     docs = load(spark, sf, "documents").to_df().filter(F.col("doc_id") < 100)
     fps = text.winnow_fingerprints_long(docs, id_col="doc_id", text_col="text", k=8, w=16)
-    # grouped combination expansion, not a self-join (r12): under AQE
-    # the fp self-join executed the window-heavy winnowing pipeline
-    # once PER SIDE (no exchange reuse across AQE stages — see
-    # dedup._banded_pairs). One shuffle on fp collects each
-    # fingerprint's sorted doc list; the i<j slice emits the same
-    # multiset of (id_a < id_b) pairs the join built (the id_a != id_b
-    # guard drops same-doc pairs when one doc repeats a fingerprint,
-    # which the join's strict < excluded). Pair-set equality vs the
-    # old join verified by collect-compare at sf0.001/sf0.01.
-    grouped = (
-        fps.groupBy("fp")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # shuffle self-join. Both sides shuffle on fp with canonically
+    # identical subtrees, so AQE reuses the map stage and the
+    # window-heavy winnowing pipeline runs ONCE (verified r12: the
+    # second side's map stage is skipped at runtime). An r12 grouped
+    # collect_list-combination rewrite measured 10-20% SLOWER here
+    # (ObjectHashAggregate overhead, no compensating win) and was
+    # reverted — see OPTIMIZATION_r12.md.
+    a, b = fps.alias("a").hint("shuffle_hash"), fps.alias("b")
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .filter(F.col("p.id_a") != F.col("p.id_b"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 5)
     )
@@ -5075,6 +5058,11 @@ def funnel_conversion_events(spark, sf):
     same key, so AQE reuses the partitioning); no window, no UDF. Output
     is one row per funnel step with how many users reached it."""
     ev = load(spark, sf, "events").to_df().select("user_id", "event_type", "ts")
+    # NOT staged (r12): an A/B of lazy-localCheckpointing t1/t2 (each
+    # feeds the next step AND the counts union) measured +138% at sf0.1
+    # — the step tables are tiny (user-cardinality) and cheap to
+    # re-derive, so the materialization barriers cost far more than the
+    # duplicate reduce-side aggregates they remove (OPTIMIZATION_r12.md).
     t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t1")
     )
@@ -5612,9 +5600,16 @@ def assoc_rules_events(spark, sf):
     never corpus-pairwise), item and basket totals broadcast back.
     Emits both rule directions; all ratios floor-e6."""
     ev = load(spark, sf, "events").to_df()
+    # staged (r12): the distinct basket table feeds FOUR consumers
+    # (basket count, item totals, both pair-join sides). AQE reuses
+    # only the map side of the shared distinct exchange; each consumer
+    # re-ran the reduce-side distinct finalization and its own
+    # downstream shuffle over it. One lazy localCheckpoint computes
+    # the basket table once per invocation — measured −11% at sf0.1
+    # (OPTIMIZATION_r12.md).
     baskets = ev.select(
         "user_id", F.to_date("ts").alias("day"), F.col("event_type").alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     n_baskets = baskets.select("user_id", "day").distinct().groupBy().agg(
         F.count("*").alias("n_baskets")
     )

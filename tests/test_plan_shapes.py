@@ -274,14 +274,16 @@ def test_psi_no_joins_beyond_scalar_broadcast(spark, catalog):
 
 def test_semdedup_pairs_stay_cluster_keyed(spark, catalog):
     plan = plan_of(catalog["semdedup_embeddings"][0](spark, SF))
-    # the k-row centroid-assignment broadcast is the ONLY nested loop;
-    # the static plan replicates that subtree under each consumer of the
-    # assignment table (3 copies, unified by ReusedExchange at runtime)
-    # — what must NEVER appear is an all-pairs product: the pairwise
-    # phase is an equi-join on cluster
-    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 3
+    # since the r12 staging, the k-row centroid-assignment broadcast
+    # (the only legitimate nested loop) lives BEHIND the working-set
+    # localCheckpoint: the visible plan consumes the staged RDD, so no
+    # BNLJ appears at all — and what must NEVER appear is an all-pairs
+    # product: the pairwise phase is an equi-join on cluster over the
+    # staged (ExistingRDD) working set
+    assert plan.count("BroadcastNestedLoopJoin") == 0
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_pq_adc_all_equi_joins(spark, catalog):
@@ -430,13 +432,14 @@ def test_mi_single_fact_pass_no_bnlj(spark, catalog):
     static = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in static
     assert "CartesianProduct" not in static
-    # "fact table touched exactly once" is an AQE runtime property:
-    # the cells shuffle (scan -> explode -> partial agg -> exchange) is
-    # the shared subtree and its exchange must be REUSED by the three
-    # marginal re-aggs instead of re-scanning events three more times
-    df.collect()
-    final = plan_of(df)
-    assert final.count("ReusedExchange") >= 3
+    # "fact table touched exactly once" holds by construction since
+    # the r12 staging: the cell table is a lazy localCheckpoint, so
+    # all four consumers (three marginals + the contribution probe)
+    # read the staged RDD — the plan contains NO parquet scan at all
+    # (previously the exchange was AQE-reused but every consumer still
+    # re-ran the reduce-side final aggregate)
+    assert static.count("Scan parquet") == 0
+    assert static.count("ExistingRDD") >= 4
 
 
 def test_roc_auc_no_fact_sort(spark, catalog):
