@@ -569,18 +569,62 @@ def jaccard_pairs(
         "jid",
         *[F.col(c) for c in blocks],
         char_shingles(F.col("__txt__"), ngram).alias("sh"),
-    ).localCheckpoint(eager=False)
-    a, b = sh.alias("a").hint("shuffle_hash"), sh.alias("b")
-    cond = F.col("a.jid") < F.col("b.jid")
+    ).withColumn("__n__", F.size("sh")).localCheckpoint(eager=False)
+    # fragment-replicate salt for the pairwise verify (r12, guide §2.5):
+    # blocked on low-cardinality keys (e.g. 5 langs) the self-join's
+    # CPU-heavy intersect stage gets block-cardinality parallelism at
+    # best — and AQE then coalesces those small-BYTE partitions further
+    # (measured: the whole sf0.1 intersect stage ran as TWO tasks on 32
+    # cores; AQE coalescing is byte-based and blind to O(|A|·|B|)
+    # per-partition CPU). Each a-row is replicated to every salt bucket,
+    # each b-row keyed by its own hash bucket, so pair (a, b) is
+    # evaluated exactly once (in b's bucket) and the intersect work
+    # spreads over blocks × S tasks. The explicit repartition(S, keys)
+    # on BOTH sides pins a non-coalescible user shuffle the join
+    # consumes co-partitioned (no ENSURE_REQUIREMENTS exchange for AQE
+    # to shrink). S multiplies one side's shuffle bytes by S — the
+    # right trade when blocks are few and fat (this demo, hot-block
+    # skew at scale); set TADA_JACCARD_SALT=1 when block cardinality
+    # already exceeds cluster parallelism. Measured at sf0.1 (125k
+    # pairs, 32 cores): 11.98 s → 2.25 s on the pair stage.
+    import os as _os
+
+    spark = df.sparkSession
+    salt = int(
+        _os.environ.get("TADA_JACCARD_SALT", "0")
+    ) or min(max(spark.sparkContext.defaultParallelism, 1), 64)
+    a = (
+        sh.withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .repartition(salt, *blocks, "__salt__")
+        .alias("a")
+    )
+    b = (
+        sh.withColumn("__salt__", F.pmod(F.xxhash64(F.col("jid")), F.lit(salt)).cast("int"))
+        .repartition(salt, *blocks, "__salt__")
+        .hint("shuffle_hash")
+        .alias("b")
+    )
+    cond = (F.col("a.__salt__") == F.col("b.__salt__")) & (F.col("a.jid") < F.col("b.jid"))
     for c in blocks:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # size-ratio prefilter (similarity-join length filter): jaccard is
+    # at most min(|a|,|b|)/max(|a|,|b|), so pairs below the threshold's
+    # size band can never pass the final rounded filter — skip their
+    # intersect entirely. The 1e-6 slack covers the floor-e6 rounding
+    # (a pair passes round_det(j) >= t only if j >= t - 5.1e-7), so no
+    # surviving pair is ever dropped: filter + exact verify ≡ verify.
+    cond = cond & (
+        F.least(F.col("a.__n__"), F.col("b.__n__")).cast("double")
+        >= F.lit(float(threshold) - 1e-6)
+        * F.greatest(F.col("a.__n__"), F.col("b.__n__")).cast("double")
+    )
     # |a ∪ b| = |a| + |b| - |a ∩ b| (shingle arrays are distinct):
     # deriving the union size arithmetically skips materializing the
     # union array per pair — the intersect is the only set op left, and
     # codegen CSE evaluates it once. Measured ~2× on the verification
     # stage at sf0.01 (5.3s vs 11.4s), hash-identical result.
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    union = F.col("a.__n__") + F.col("b.__n__") - inter
     jac = inter / union
     rep_pairs = (
         a.join(b, cond)
