@@ -762,13 +762,25 @@ def duplicate_span_stats(
     )
 
 
-def _span_stream(df: DataFrame, text_col: str, id_col: str, k: int):
+def _span_stream(df: DataFrame, text_col: str, id_col: str, k: int, carry: tuple = ()):
     """Shared k-gram span stream for the substring-dedup pair
     (duplicate_span_stats / remove_duplicate_spans): per doc with >= k
     tokens, every k-token window as (sid, pos, fp, occ) plus the per-fp
     minimum occurrence key. ONE definition so the fingerprint recipe and
     the 2^20 position packing can never drift between the measuring and
-    acting halves (the md5_hash32 single-definition rule)."""
+    acting halves (the md5_hash32 single-definition rule). ``carry``
+    projects extra per-doc columns through the span side so aggregating
+    consumers (curation_report_langs' per-lang sums) skip the join back
+    onto the doc table — the carried values never enter fp or occ.
+
+    The doc stream is widened to cluster parallelism first (r12,
+    operators/layout.widen_narrow_scan): the k-gram explode + per-
+    window md5 is this family's CPU floor and otherwise runs serially
+    above a narrow (single-split) scan; on wide inputs the widen is a
+    no-op."""
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    df = widen_narrow_scan(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # no (n >= k) pre-filter: a filter on the computed token count gets
     # pushed into the scan as size(split(...)) >= k and re-tokenizes
@@ -784,13 +796,18 @@ def _span_stream(df: DataFrame, text_col: str, id_col: str, k: int):
         ),
     )
     spans = (
-        df.select(F.col(id_col).alias("sid"), F.posexplode_outer(windows).alias("pos", "span"))
+        df.select(
+            F.col(id_col).alias("sid"),
+            *[F.col(c) for c in carry],
+            F.posexplode_outer(windows).alias("pos", "span"),
+        )
         .filter(F.col("pos").isNotNull())
         # the coalesce is a no-op (md5 of a concat_ws window is never
         # NULL) but makes fp provably non-nullable, so the fp
         # equi-join's inferred IsNotNull folds to TRUE instead of
         # re-hashing every span in a filter (r10 DUP_EXPR audit)
-        .select("sid", "pos", F.coalesce(F.md5(F.col("span")), F.lit("")).alias("fp"),
+        .select("sid", *carry, "pos",
+                F.coalesce(F.md5(F.col("span")), F.lit("")).alias("fp"),
                 (F.col("sid") * F.lit(1 << 20) + F.col("pos")).alias("occ"))
     )
     first = spans.groupBy("fp").agg(F.min("occ").alias("first_occ"))

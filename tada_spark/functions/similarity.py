@@ -891,12 +891,23 @@ def kcenter_select(
     — never a join, never a collect of the corpus); O(n·k) total work,
     the same job profile as kmeans_quantized. k is small by
     construction (a coreset), so the k jobs are the honest cost."""
-    pts = corpus.filter(
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    # widen a narrow scan first (r12): the k argmax jobs each fold up
+    # to k-1 dot products per row over the PERSISTED partitioning — a
+    # single-split source would pin every round to one core
+    pts = widen_narrow_scan(corpus.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    ).select(
+    )).select(
         F.col(id_col).alias("__kid__"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__kv__"),
     )
+    # a·a per row, folded ONCE into the persisted table (r12): the k
+    # argmax rounds all reuse the identical left-to-right fold value,
+    # so hoisting it out of the per-round expression is bit-neutral
+    # (dot is deterministic) and removes one interpreted HOF fold per
+    # center per row per round
+    pts = pts.withColumn("__sd__", dot(F.col("__kv__"), F.col("__kv__")))
     spark = corpus.sparkSession
     # the id keeps ITS OWN type — hardcoding long crashed string ids
     # (CAST_INVALID_INPUT under ANSI) though the siblings accept any
@@ -929,12 +940,19 @@ def _kcenter_greedy(spark, pts: DataFrame, k: int, out_schema: str) -> DataFrame
         return F.array(*[F.lit(float(x)) for x in vals])
 
     v = F.col("__kv__")
-    self_dot = dot(v, v)
+    self_dot = F.col("__sd__")
     for _ in range(1, k):
         d2s = []
         for _cid, cvec, _d in chosen:
             cv = _lit_vec(cvec)
-            d2s.append(self_dot + dot(cv, cv) - F.lit(2.0) * dot(v, cv))
+            # c·c is constant across rows: fold it on the driver with
+            # the identical left-to-right IEEE recipe dot() uses (each
+            # product and add correctly rounded), so the literal is
+            # bit-identical to the in-plan fold it replaces
+            cc = 0.0
+            for x in cvec:
+                cc = cc + float(x) * float(x)
+            d2s.append(self_dot + F.lit(cc) - F.lit(2.0) * dot(v, cv))
         mind2 = F.least(*d2s) if len(d2s) > 1 else d2s[0]
         d2_e6 = F.floor(mind2 * F.lit(1e6) + F.lit(0.5)).cast("long")
         # exclude already-chosen ids: on e6-floored ties (duplicate

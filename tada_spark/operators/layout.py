@@ -133,3 +133,28 @@ def compact(
     w.write.mode("overwrite").parquet(out_path)
     after = len(spark.read.parquet(out_path).inputFiles())
     return {"files_before": before, "files_after": after}
+
+
+def widen_narrow_scan(df, min_parallelism: int | None = None):
+    """Scale-adaptive parallelism floor for CPU-heavy per-row pipelines
+    (r12, guide §2.1/§2.3): a small input — locally, a single-row-group
+    parquet file — plans as ONE scan partition, so everything up to the
+    first shuffle (k-gram explodes + per-window md5, regex batteries,
+    signature folds) runs on one core no matter how many the cluster
+    has. Round-robin repartition to ``defaultParallelism`` ONLY when the
+    source provides fewer partitions; at 100 TB the scan has thousands
+    of splits and this is a provable no-op (no exchange added), so the
+    shuffle cost is paid exactly when it buys parallelism and the bytes
+    shuffled are small by the same condition. Results are unaffected:
+    every operator in this library is partition-order-independent by
+    the determinism discipline (the oracle gate re-proves it per entry).
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(min_parallelism or sc.defaultParallelism)
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # non-queryable plan (e.g. streaming) — leave it
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)

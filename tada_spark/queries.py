@@ -57,10 +57,14 @@ def _ctx_stopped(sc) -> bool:
         return True
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
+def load(spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False) -> Frame:
     sc = spark.sparkContext
     app = sc.applicationId
-    path = f"{sf_dir}/{name}.parquet"
+    # spread=True: widen a narrow scan to cluster parallelism before
+    # CPU-heavy per-row work (operators/layout.widen_narrow_scan — a
+    # no-op whenever the file layout already provides >= core splits).
+    # Cached under its own key so the plain scan plan stays shared.
+    path = f"{sf_dir}/{name}.parquet" + ("#spread" if spread else "")
     plans = _SCAN_CACHE.setdefault(app, (sc, {}))[1]
     df = plans.get(path)
     if df is None:
@@ -69,7 +73,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> Frame:
         # live sibling sessions keep theirs (no cross-session thrash)
         for k in [k for k, (octx, _) in _SCAN_CACHE.items() if k != app and _ctx_stopped(octx)]:
             del _SCAN_CACHE[k]
-        df = Frame.read_parquet(spark, path).df
+        df = Frame.read_parquet(spark, f"{sf_dir}/{name}.parquet").df
+        if spread:
+            from tada_spark.operators.layout import widen_narrow_scan
+
+            df = widen_narrow_scan(df)
         plans[path] = df
     return Frame(df)
 
@@ -4412,29 +4420,55 @@ def curation_report_langs(spark, sf):
     its parts. Zero-survivor languages report 0 (left join + coalesce on
     BOTH engines); a zero-span language reports a NULL fraction (never a
     divide — Spark 4 ANSI would throw)."""
-    docs = load(spark, sf, "documents").to_df()
-    base = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    kept = (
-        docs.filter(text.gopher_keep(F.col("text"), min_words=30, min_stop_hits=1))
+    docs = load(spark, sf, "documents", spread=True).to_df()
+    # r12 single-pass restructure (guide §2.3/§1.2): the old shape
+    # scanned+tokenized documents FOUR times (base, gate, span join,
+    # chunk explode+join) and 4-way left-joined per-lang aggregates.
+    # (a) base/kept/chunks collapse into ONE per-doc projection + one
+    # lang aggregate: the chunk COUNT is chunk_windows' window rule in
+    # closed form ((n-1) div 48 + 1 for non-empty docs — exactly the
+    # expression the DuckDB oracle always used), so the 64-token slice
+    # + md5 explode never runs for a count-only consumer. (b) the span
+    # pipeline carries lang through the k-gram stream (_span_stream
+    # carry=) and aggregates per lang directly — the per-doc
+    # aggregation + join back onto documents disappears (summing
+    # per-doc counts per lang ≡ counting occurrences per lang).
+    # Result columns and values are identical (oracle hash-match at
+    # sf0.001 + sf0.01). Measured at sf0.1: 32.4 s → see
+    # OPTIMIZATION_r12.md.
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    chunk_cnt = F.when(
+        F.length(F.trim(F.col("text"))) > 0,
+        F.floor((F.size(toks) - 1) / F.lit(48)) + 1,
+    ).otherwise(0).cast("long")
+    base = (
+        docs.select(
+            "lang",
+            text.gopher_keep(F.col("text"), min_words=30, min_stop_hits=1).alias("__keep__"),
+            chunk_cnt.alias("__chunks__"),
+        )
         .groupBy("lang")
-        .agg(F.count("*").alias("n_gate_kept"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("__keep__"), 1).otherwise(0)).alias("n_gate_kept"),
+            F.sum("__chunks__").alias("n_chunks"),
+        )
     )
+    sp, first = dedup._span_stream(
+        docs.select("doc_id", "lang", "text"), "text", "doc_id", 8, carry=("lang",)
+    )
+    dup = F.when(F.col("occ") != F.col("first_occ"), 1).otherwise(0)
     spans = (
-        dedup.duplicate_span_stats(docs.select("doc_id", "text"), k=8)
-        .join(docs.select("doc_id", "lang"), "doc_id")
+        # the sid filter mirrors the old shape's inner join back onto
+        # documents (NULL-id docs never matched there); `first` is
+        # unaffected — min(occ) skips the NULL occ such rows carry
+        sp.filter(F.col("sid").isNotNull())
+        .join(first, "fp")
         .groupBy("lang")
-        .agg(F.sum("n_spans").alias("spans"), F.sum("n_dup_spans").alias("dups"))
-    )
-    chunks = (
-        text.chunk_windows(docs.select("doc_id", "text"), size=64, stride=48)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_chunks"))
+        .agg(F.count("*").alias("spans"), F.sum(dup).alias("dups"))
     )
     return (
-        base.join(kept, "lang", "left")
-        .join(spans, "lang", "left")
-        .join(chunks, "lang", "left")
+        base.join(spans, "lang", "left")
         .select(
             "lang",
             "n_docs",
@@ -8700,7 +8734,7 @@ def ngram_novelty_docs(spark, sf):
     Two aggregates over one explode (gram→min doc, then per-doc
     conditional count via a gram-keyed join); one division at the end
     (floor idiom)."""
-    docs = load(spark, sf, "documents").to_df().filter(
+    docs = load(spark, sf, "documents", spread=True).to_df().filter(
         F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     grams = docs.select(
@@ -9936,7 +9970,7 @@ def jpeg_decode_real(spark, sf):
     computes collapses to the same analytic value as the gray half."""
     from tada_spark.functions import jpeg, multimodal
 
-    docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
+    docs = load(spark, sf, "documents", spread=True).to_df().select(F.col("doc_id").alias("media_id"))
 
     def build(batches):
         import numpy as np
@@ -10001,7 +10035,7 @@ def jpeg_progressive_decode(spark, sf):
     entries can't mask each other."""
     from tada_spark.functions import jpeg, multimodal
 
-    docs = load(spark, sf, "documents").to_df().select(F.col("doc_id").alias("media_id"))
+    docs = load(spark, sf, "documents", spread=True).to_df().select(F.col("doc_id").alias("media_id"))
 
     def build(batches):
         import numpy as np
@@ -10642,7 +10676,7 @@ def markup_stats_docs(spark, sf):
     boilerplate-dominated page). One projection over the scan; the
     html column is derived once in its own Project (non-cheap,
     referenced 5× — CollapseProject keeps it materialized)."""
-    docs = load(spark, sf, "documents").to_df()
+    docs = load(spark, sf, "documents", spread=True).to_df()
     aug = docs.select("doc_id", _synth_html_col().alias("html"))
     return aug.select(
         "doc_id",
@@ -10864,7 +10898,7 @@ def domain_boilerplate_removal_docs(spark, sf):
     dozens of docs so the floor is a no-op HERE and the oracle hash is
     unchanged, but the SQL twin carries the same clause so the two
     cannot drift)."""
-    docs = load(spark, sf, "documents").to_df()
+    docs = load(spark, sf, "documents", spread=True).to_df()
     base = docs.select(
         "doc_id", "lang", "source", "text", _synth_url_col().alias("url")
     )
@@ -11211,7 +11245,7 @@ def ccnet_pipeline_docs(spark, sf):
     the audit will correctly flag."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf, "documents").to_df()
+    docs = load(spark, sf, "documents", spread=True).to_df()
     aug = docs.select(
         "doc_id", "lang", "source", "text", _synth_url_col().alias("url")
     )
@@ -11848,7 +11882,7 @@ def gopher_repetition_docs(spark, sf):
     workload floor for this battery — every public implementation
     streams the same volume — and the gram strings never leave the
     first aggregate's partial-combine."""
-    docs = load(spark, sf, "documents").to_df().select("doc_id", "text")
+    docs = load(spark, sf, "documents", spread=True).to_df().select("doc_id", "text")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     sz = F.size(toks)
     parts = [toks] + [

@@ -763,7 +763,7 @@ def test_gopher_repetition_keep_flag_flips(spark):
         def to_df(self):
             return self._d
 
-    with _m.patch.object(q, "load", lambda spark, sf, t: _FakeFrame(df)):
+    with _m.patch.object(q, "load", lambda spark, sf, t, **kw: _FakeFrame(df)):
         rows = {r["doc_id"]: r for r in toks_entry(spark, "ignored").collect()}
     assert rows[1]["repetition_keep"] is False
     # "buy now" occurs 40x of 79 bigram slots: 40*7 chars over 319
@@ -776,3 +776,52 @@ def test_gopher_repetition_keep_flag_flips(spark):
     assert rows[2]["top_3gram_frac"] is None
     assert rows[2]["dup_10gram_char_frac"] is None
     assert rows[2]["repetition_keep"] is True
+
+
+def test_widen_narrow_scan_widens_only_narrow_inputs(spark):
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1)  # single partition
+    widened = widen_narrow_scan(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    # value-neutral: same multiset of rows
+    assert sorted(r.id for r in widened.collect()) == list(range(1000))
+    # already-wide input comes back untouched (no exchange added)
+    wide = spark.range(0, 1000, 1, target)
+    assert widen_narrow_scan(wide) is wide
+    over = spark.range(0, 1000, 1, target + 7)
+    assert widen_narrow_scan(over) is over
+
+
+def test_curation_chunk_count_closed_form_matches_chunk_windows(spark):
+    """curation_report_langs replaced the chunk_windows explode with the
+    window rule in closed form: ceil(n/stride) == (n-1) div 48 + 1 for
+    non-empty trimmed text, else 0. Pin the equivalence on the edge
+    cases (empty, whitespace-only, 1, 47, 48, 49, 96, 97 tokens)."""
+    from tada_spark.functions import text as T
+
+    cases = [
+        (1, ""), (2, "   "), (3, "a"), (4, " ".join(["w"] * 47)),
+        (5, " ".join(["w"] * 48)), (6, " ".join(["w"] * 49)),
+        (7, " ".join(["w"] * 96)), (8, " ".join(["w"] * 97)),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    real = {
+        r["doc_id"]: r["n"]
+        for r in T.chunk_windows(df, size=64, stride=48)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    closed = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            F.when(
+                F.length(F.trim(F.col("text"))) > 0,
+                F.floor((F.size(toks) - 1) / F.lit(48)) + 1,
+            ).otherwise(0).cast("long").alias("n"),
+        ).collect()
+    }
+    for doc_id, _ in cases:
+        assert closed[doc_id] == real.get(doc_id, 0), doc_id
