@@ -1425,52 +1425,135 @@ def theil_sen_by_group(
     100 TB shape: the quadratic is over the per-group DISTINCT-x spine
     (collapse y onto it first — for daily series the spine is calendar-
     bounded: 10 years ≈ 3.7k points → ≈ 6.7M pairs per group), never
-    over fact rows. The pair self-join is a per-group hash join; the
-    median pass is a bounded per-group window."""
+    over fact rows. The pair self-join is a per-group hash join over a
+    probe side repartitioned to cluster parallelism (the spine is tiny,
+    so AQE would otherwise coalesce the probe to ONE task). The median
+    is distributed rank selection, not a per-group full sort (r12,
+    guide §2.1/§2.2): a row_number window partitioned by group sorts
+    every pair slope with group-cardinality parallelism — measured at
+    sf0.1, 14.5M nearly-unique slopes across 5 groups ran the sort on
+    ≤5 cores (20 executor-core-seconds in a 5-task stage). Instead
+    (1) one parallel aggregate takes each group's slope envelope
+    (min/max/count), (2) slopes land in ≤65537 monotonic equal-width
+    buckets per group and a map-side-combined count per (group,
+    bucket) locates — in-plan, via a cumulative window over the small
+    bucket table — the ≤2 buckets holding the middle ranks, and
+    (3) only those buckets' rows are sorted; global rank = bucket
+    base + within-bucket row_number. Bucketing is a monotonic function
+    of the value, so the selected order statistics are positionally
+    identical to the full sort's for any input — ties never straddle a
+    bucket edge. The three passes re-probe the checkpointed spine (12k
+    rows at sf0.1) rather than staging the pair stream: measured, one
+    probe is ~40 executor-core-seconds while READING a 14.5M-row
+    localCheckpoint costs the same or more and its storage pressure
+    made later passes 5-10x slower — the probe's input is three orders
+    of magnitude smaller than its output, so recompute beats staging
+    (the inverse of the bm25/kl staging trade, where the staged table
+    is the REDUCED side).
+"""
     from pyspark.sql.window import Window
 
+    spark = df.sparkSession
     pts = (
         df.filter(x.isNotNull() & y.isNotNull() & F.col(group_col).isNotNull())
-        .groupBy(F.col(group_col), x.cast("long").alias("__x__"))
+        .groupBy(F.col(group_col).alias("__g__"), x.cast("long").alias("__x__"))
         .agg(F.sum(y.cast("long")).alias("__y__"))
+        # staged: feeds both self-join sides (b is a broadcast build —
+        # the AQE no-reuse shape), npts, and three probe passes
+        .localCheckpoint(eager=False)
     )
-    a, b = pts.alias("a"), pts.alias("b")
-    g = F.col(f"a.{group_col}")
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    # explicit-numPartitions repartition: AQE never coalesces it, so
+    # the probe (pair generation + slope fold) keeps 'par'-way
+    # parallelism instead of riding the coalesced spine partitioning
+    a = pts.repartition(par).alias("a")
+    b = pts.alias("b")
     slope = (F.col("b.__y__") - F.col("a.__y__")).cast("double") / (
         F.col("b.__x__") - F.col("a.__x__")
     ).cast("double")
     pairs = a.join(
         b,
-        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        (F.col("a.__g__") == F.col("b.__g__"))
         & (F.col("a.__x__") < F.col("b.__x__")),
     ).select(
-        g.alias(group_col),
+        F.col("a.__g__").alias("__g__"),
         F.floor(slope * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__s_e6__"),
     )
-    w = Window.partitionBy(group_col).orderBy("__s_e6__")
-    cnt = Window.partitionBy(group_col)
-    mid = pairs.select(
-        group_col,
-        "__s_e6__",
-        F.row_number().over(w).alias("__rn__"),
-        F.count(F.lit(1)).over(cnt).alias("__np__"),
-    ).filter(
-        (F.col("__rn__") == F.expr("(__np__ + 1) div 2"))
-        | (F.col("__rn__") == F.expr("(__np__ + 2) div 2"))
+    # pass 1 — per-group envelope; bucket width spans [min, max] in
+    # ≤65537 buckets (width ≥ 1, so a constant-slope group is bucket 0).
+    # Integer div keeps the mapping exact and monotonic: s ↦ bucket
+    # never reorders, so bucket-prefix counts ARE global rank bases.
+    gstats = (
+        pairs.groupBy("__g__")
+        .agg(
+            F.min("__s_e6__").alias("__mn__"),
+            F.max("__s_e6__").alias("__mx__"),
+            F.count(F.lit(1)).alias("__np__"),
+        )
+        .withColumn("__w__", F.expr("(__mx__ - __mn__) div 65536 + 1"))
+        .withColumn("__rn1__", F.expr("(__np__ + 1) div 2"))
+        .withColumn("__rn2__", F.expr("(__np__ + 2) div 2"))
+        .localCheckpoint(eager=False)
+    )
+    pb = pairs.join(F.broadcast(gstats), "__g__").withColumn(
+        "__b__", F.expr("(__s_e6__ - __mn__) div __w__")
+    )
+    # pass 2 — bucket histogram (≤ groups × 65537 rows after map-side
+    # combine) → cumulative counts → the ≤2 target buckets per group.
+    # 65536 buckets, not 4096: slope distributions peak at the median,
+    # so the middle bucket holds far more than np/nbuckets (measured at
+    # sf0.1: 5.9M of 14.5M rows at 4096 buckets, ~400k at 65536) and
+    # the final sort's size follows the bucket width.
+    cum_w = Window.partitionBy("__g__").orderBy("__b__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    btgt = (
+        pb.groupBy("__g__", "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .withColumn("__cum__", F.sum("__c__").over(cum_w))
+        .withColumn("__base__", F.col("__cum__") - F.col("__c__"))
+        .join(F.broadcast(gstats.select("__g__", "__rn1__", "__rn2__")), "__g__")
+        .filter(
+            (
+                (F.col("__base__") < F.col("__rn1__"))
+                & (F.col("__rn1__") <= F.col("__cum__"))
+            )
+            | (
+                (F.col("__base__") < F.col("__rn2__"))
+                & (F.col("__rn2__") <= F.col("__cum__"))
+            )
+        )
+        .select("__g__", "__b__", "__base__", "__rn1__", "__rn2__")
+        .localCheckpoint(eager=False)
+    )
+    # pass 3 — sort ONLY the target buckets; ties share a slope value
+    # (bucket is a function of the value), so within-bucket row_number
+    # selects the same values the whole-group row_number did
+    sel_w = Window.partitionBy("__g__", "__b__").orderBy("__s_e6__")
+    sel = (
+        pb.select("__g__", "__b__", "__s_e6__")
+        .join(F.broadcast(btgt), ["__g__", "__b__"])
+        .withColumn("__rn__", F.col("__base__") + F.row_number().over(sel_w))
+        .filter(
+            (F.col("__rn__") == F.col("__rn1__"))
+            | (F.col("__rn__") == F.col("__rn2__"))
+        )
     )
     return (
-        mid.groupBy(group_col)
+        sel.groupBy("__g__")
         .agg(
-            F.max("__np__").alias("n_pairs"),
             (F.sum("__s_e6__") * F.lit(2) / F.count(F.lit(1))).cast("long").alias(
                 "slope_med_e6_x2"
             ),
         )
+        .join(gstats.select("__g__", F.col("__np__").alias("n_pairs")), "__g__")
         .join(
-            pts.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_points")),
-            group_col,
+            pts.groupBy("__g__").agg(F.count(F.lit(1)).alias("n_points")),
+            "__g__",
         )
-        .select(group_col, "n_points", "n_pairs", "slope_med_e6_x2")
+        .select(
+            F.col("__g__").alias(group_col), "n_points", "n_pairs", "slope_med_e6_x2"
+        )
     )
 
 
