@@ -565,7 +565,15 @@ def jaccard_pairs(
     # (OPTIMIZATION_r12.md).
     docs = docs.withColumn("rep", F.min("jid").over(grp)).localCheckpoint(eager=False)
     members = docs.select("jid", "rep")
-    sh = docs.filter(F.col("jid") == F.col("rep")).select(
+    spark = df.sparkSession
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    # explicit repartition BEFORE the shingle fold (r12, guide §2.1):
+    # the checkpointed rep table materializes with the AQE-coalesced
+    # window partitioning (ONE partition at sf0.1), so without this the
+    # char-shingle explode+distinct — the family's CPU floor — and the
+    # salt-replicated exchange write both ran single-task (measured:
+    # ~4 s of serial stages ahead of the pair join)
+    sh = docs.filter(F.col("jid") == F.col("rep")).repartition(par).select(
         "jid",
         *[F.col(c) for c in blocks],
         char_shingles(F.col("__txt__"), ngram).alias("sh"),
@@ -589,18 +597,26 @@ def jaccard_pairs(
     # pairs, 32 cores): 11.98 s → 2.25 s on the pair stage.
     import os as _os
 
-    spark = df.sparkSession
+    # salt count 4× the partition count (r12 balance fix): with salt ==
+    # partitions, each partition drew ~5 random (block, salt) cells and
+    # balls-in-bins skew left the hottest task at ~2× the median
+    # (measured: max 4.1 s vs median 2.0 s on the intersect stage at
+    # sf0.1). 4× more cells per partition shrinks the relative spread
+    # by ~2× at the cost of 4× a-side replication — the right trade
+    # while blocks are few and fat; TADA_JACCARD_SALT still overrides
+    # both (set it to 1 when block cardinality already exceeds cluster
+    # parallelism and replication would pay for nothing).
     salt = int(
         _os.environ.get("TADA_JACCARD_SALT", "0")
-    ) or min(max(spark.sparkContext.defaultParallelism, 1), 64)
+    ) or min(max(4 * par, 1), 256)
     a = (
         sh.withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        .repartition(salt, *blocks, "__salt__")
+        .repartition(par, *blocks, "__salt__")
         .alias("a")
     )
     b = (
         sh.withColumn("__salt__", F.pmod(F.xxhash64(F.col("jid")), F.lit(salt)).cast("int"))
-        .repartition(salt, *blocks, "__salt__")
+        .repartition(par, *blocks, "__salt__")
         .hint("shuffle_hash")
         .alias("b")
     )
