@@ -318,6 +318,16 @@ def connected_components(
     drops the last reference. Convergence is
     checked with a count of changed labels — O(diameter) actions total,
     the standard Spark shape for iterative algorithms.
+
+    r12 round shape (guide §2.2): the changed flag is computed IN the
+    label pass (nmin < label — exactly the rows the old new-vs-old
+    self-join found) and the per-round checkpoint is lazy, so the
+    convergence count is the action that materializes it: ONE job per
+    round instead of a checkpoint job plus a compare-join job.
+    Measured at sf0.1 (1.5k-node near-dup graph, 5 rounds): iteration
+    6.0 → 2.9 s, rounds 0.95-1.3 → 0.42-0.6 s. (Pointer jumping was
+    tried and rejected: near-dup components are dense blobs, the round
+    count didn't drop and the label-of-label join made rounds slower.)
     """
     # undirected: propagate both ways
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -348,16 +358,18 @@ def connected_components(
             )
             new_labels = (
                 labels.join(neigh, "node", "left")
-                .select("node", F.least("label", "nmin").alias("label"))
-                .localCheckpoint()
+                .select(
+                    "node",
+                    F.least("label", "nmin").alias("label"),
+                    # label shrank iff some neighbor's label beat ours;
+                    # NULL nmin (isolated this round) compares NULL →
+                    # dropped by the filter below, i.e. unchanged
+                    (F.col("nmin") < F.col("label")).alias("__chg__"),
+                )
+                .localCheckpoint(eager=False)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("__chg__")).count()
+            labels = new_labels.drop("__chg__")
             if changed == 0:
                 break
         else:
