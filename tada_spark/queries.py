@@ -2809,6 +2809,39 @@ def approx_distinct_suppliers(spark, sf):
     )
 
 
+def _stream_state_partitions(spark, sf, name: str = "events") -> int:
+    """Scale-adaptive state-store partition count for the availableNow
+    replays (r12, guide §2.3): stateful streaming operators pay one
+    state-store instance + one delta-file commit per shuffle partition
+    per micro-batch, and streaming has no AQE to coalesce tiny state —
+    at sf0.1 the stream-stream outer join measured 8.7 s at 32
+    partitions vs 2.7 s at 2. Derive the count from the input bytes
+    (~1 MB of compressed source per state partition, floor 1, capped at
+    4× cluster parallelism so a 100 TB replay still fans out), exactly
+    the size-adaptive posture AQE applies to batch shuffles.
+    TADA_STREAM_SHUFFLE_PARTITIONS overrides for clusters whose
+    state-to-source ratio is unusual."""
+    import os as _os
+
+    env = int(_os.environ.get("TADA_STREAM_SHUFFLE_PARTITIONS", "0"))
+    if env:
+        return env
+    path = f"{sf}/{name}.parquet"
+    try:
+        if _os.path.isfile(path):
+            nbytes = _os.path.getsize(path)
+        else:
+            nbytes = sum(
+                _os.path.getsize(_os.path.join(path, f))
+                for f in _os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except OSError:
+        nbytes = 0
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    return max(1, min(4 * par, nbytes // (1 << 20) + 1))
+
+
 def _stream_events(spark, sf):
     """readStream over the events table, robust to the file's actual
     timestamp encoding (the batch twin is Frame.read_parquet):
@@ -2865,7 +2898,7 @@ def stream_hourly_totals(spark, sf):
     out = stream_resample(
         stream, "ts", "1 hour", {"n": F.count("*"), "total": _round_det(F.sum("value"), 4)}
     )
-    res = run_available_now(out, "q_stream_hourly")
+    res = run_available_now(out, "q_stream_hourly", state_partitions=_stream_state_partitions(spark, sf))
     return res.select("window_start", "n", "total")
 
 
@@ -2886,7 +2919,7 @@ def stream_running_totals_users(spark, sf):
     out = running_totals(stream, "user_id", "value")
     from tada_spark.streaming import run_available_now
 
-    res = run_available_now(out, "q_stream_state", timeout_s=240, output_mode="update")
+    res = run_available_now(out, "q_stream_state", timeout_s=240, output_mode="update", state_partitions=_stream_state_partitions(spark, sf))
     return res.select("key", "n_events", _round_det("total", 4).alias("total"))
 
 
@@ -2913,7 +2946,7 @@ def stream_sliding_hourly(spark, sf):
         "30 minutes",
         {"n": F.count("*"), "total": _round_det(F.sum("value"), 4)},
     )
-    res = run_available_now(out, "q_stream_sliding")
+    res = run_available_now(out, "q_stream_sliding", state_partitions=_stream_state_partitions(spark, sf))
     return res.select("window_start", "n", "total")
 
 
@@ -2941,7 +2974,7 @@ def stream_session_windows(spark, sf):
         {"n_events": F.count("*")},
         keys=["user_id"],
     )
-    res = run_available_now(out, "q_stream_sessions_w")
+    res = run_available_now(out, "q_stream_sessions_w", state_partitions=_stream_state_partitions(spark, sf))
     return res.select(
         "user_id", F.col("window_start").alias("session_start"), "n_events"
     )
@@ -2997,7 +3030,7 @@ def stream_dedup_fingerprints(spark, sf):
         .parquet(sf)
     )
     out = stream.select(fingerprint(F.col("text")).alias("fp")).dropDuplicates(["fp"])
-    return run_available_now(out, "q_stream_dedup", output_mode="append")
+    return run_available_now(out, "q_stream_dedup", output_mode="append", state_partitions=_stream_state_partitions(spark, sf))
 
 
 STREAM_DEDUP_SQL = """
@@ -3033,6 +3066,7 @@ def stream_interval_join_purchases(spark, sf):
         out.select("p_id", "c_id", F.col("p_ts").alias("purchase_ts")),
         "q_stream_ivj",
         output_mode="append",
+        state_partitions=_stream_state_partitions(spark, sf),
         timeout_s=240,
     )
     return res
@@ -3060,7 +3094,7 @@ def stream_session_stats_users(spark, sf):
     out = session_stats(stream, "user_id", "ts", gap_s=1800)
     from tada_spark.streaming import run_available_now
 
-    res = run_available_now(out, "q_stream_sessions", timeout_s=240, output_mode="update")
+    res = run_available_now(out, "q_stream_sessions", timeout_s=240, output_mode="update", state_partitions=_stream_state_partitions(spark, sf))
     return res.select(
         "user_id", "n_events", "n_sessions", "span_seconds"
     )
@@ -4136,7 +4170,7 @@ def stream_corpus_prep(spark, sf):
         .select("lang", fingerprint(F.col("text")).alias("fp"))
         .dropDuplicates(["lang", "fp"])
     )
-    batch = run_available_now(kept, "q_stream_corpus_prep", output_mode="append")
+    batch = run_available_now(kept, "q_stream_corpus_prep", output_mode="append", state_partitions=_stream_state_partitions(spark, sf, "documents"))
     return batch.groupBy("lang").agg(F.count("*").alias("n_unique_docs"))
 
 
@@ -4881,7 +4915,7 @@ def stream_trending_types(spark, sf):
     out = stream_resample(
         stream, "ts", "1 hour", {"n": F.count("*")}, keys=["event_type"]
     )
-    snap = run_available_now(out, "q_stream_trending")
+    snap = run_available_now(out, "q_stream_trending", state_partitions=_stream_state_partitions(spark, sf))
     w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type").asc())
     return (
         snap.withColumn("rk", F.row_number().over(w))
@@ -5618,7 +5652,7 @@ def stream_dedup_watermarked(spark, sf):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_available_now(out, "q_stream_dedup_wm", timeout_s=240, output_mode="append")
+    return run_available_now(out, "q_stream_dedup_wm", timeout_s=240, output_mode="append", state_partitions=_stream_state_partitions(spark, sf))
 
 
 STREAM_DEDUP_WM_SQL = """
@@ -6177,7 +6211,7 @@ def stream_static_enrich(spark, sf):
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"), _round_det(F.sum("value"), 4).alias("total_value")
     )
-    res = run_available_now(agg, "q_stream_static_enrich")
+    res = run_available_now(agg, "q_stream_static_enrich", state_partitions=_stream_state_partitions(spark, sf))
     return res.select("c_mktsegment", "n_events", "total_value")
 
 
@@ -7168,7 +7202,8 @@ def stream_outer_join_purchases(spark, sf):
         max_delay="1 hour", how="left_outer",
     )
     res = run_available_now(
-        out.select("p_id", "c_id"), "q_stream_oj", output_mode="append", timeout_s=240
+        out.select("p_id", "c_id"), "q_stream_oj", output_mode="append",
+        timeout_s=240, state_partitions=_stream_state_partitions(spark, sf),
     )
     return res.select("p_id", "c_id")
 
@@ -7731,7 +7766,7 @@ def stream_ewma_users(spark, sf):
     out = ewma_scores(stream, "user_id", "value", "ts", "event_id", alpha=0.25)
     from tada_spark.streaming import run_available_now
 
-    res = run_available_now(out, "q_stream_ewma", timeout_s=240, output_mode="update")
+    res = run_available_now(out, "q_stream_ewma", timeout_s=240, output_mode="update", state_partitions=_stream_state_partitions(spark, sf))
     return res.select("user_id", "n_events", "ewma_e6")
 
 
@@ -9015,7 +9050,7 @@ def stream_pattern_conversion(spark, sf):
     )
     from tada_spark.streaming import run_available_now
 
-    res = run_available_now(out, "q_stream_pattern", timeout_s=240, output_mode="update")
+    res = run_available_now(out, "q_stream_pattern", timeout_s=240, output_mode="update", state_partitions=_stream_state_partitions(spark, sf))
     return res.select("user_id", "n_then", "n_matched")
 
 

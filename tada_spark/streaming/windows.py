@@ -134,6 +134,7 @@ def run_available_now(
     *,
     timeout_s: int = 120,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (trigger availableNow) into a memory sink and return the batch
@@ -144,18 +145,38 @@ def run_available_now(
     'update' for stateful update-mode operators — Spark rejects
     complete mode for those. Raises on timeout instead of returning a
     partially-populated table while the query runs on in the
-    background."""
+    background.
+
+    ``state_partitions`` (r12, guide §2.3): stateful streaming
+    operators create one state-store instance per shuffle partition,
+    and every micro-batch commits a delta file per instance — on a
+    bounded replay with tiny state, partition count IS the cost
+    (measured at sf0.1, stream-stream outer join: 32 partitions 8.7 s,
+    2 partitions 2.7 s). Streaming has no AQE to coalesce this, so the
+    caller derives a count from the INPUT SIZE (see queries.
+    _stream_state_partitions) and it is applied to
+    spark.sql.shuffle.partitions only for the lifetime of this query
+    (set before start, restored after termination — partition count
+    never changes any operator's result, the oracle gate re-proves it
+    per entry). None keeps the session setting."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"streaming query {query_name!r} exceeded {timeout_s}s")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"streaming query {query_name!r} exceeded {timeout_s}s")
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     _capture_explain(q, query_name)
     return spark.table(query_name)
 
