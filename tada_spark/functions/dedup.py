@@ -120,7 +120,16 @@ def _shingle_stream(
     the old post-explode filter removed). A prior revision unioned a
     SECOND full read of df for the short-doc branch — at 100 TB a
     duplicate scan of the text column dominates everything else here.
+
+    The doc stream is widened to cluster parallelism first (r12,
+    operators/layout.widen_narrow_scan): the tokenize + zip + explode +
+    per-shingle hashing above the signatures' first shuffle is the
+    minhash families' CPU floor and otherwise runs serially on a
+    narrow (single-split) scan; on wide inputs the widen is a no-op.
     """
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    df = widen_narrow_scan(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sz = F.size(toks)
     parts = [toks] + [
@@ -271,8 +280,16 @@ def _banded_pairs(
     # partitioning (collect_list alone is partition-order-dependent)
     # and lets the i<j slice emit each unordered pair exactly once with
     # id_a < id_b — the same pair set the old a.id < b.id join built.
+    # Explicit repartition (r12, guide §2.3): AQE coalesces the bucket
+    # shuffle by BYTES, and the banded key stream is tiny — measured at
+    # sf0.1 the whole m² combination expansion ran on ONE task. A
+    # user-specified repartition on the same keys satisfies the
+    # aggregate's distribution (no extra exchange) and AQE never
+    # shrinks it, so expansion work keeps bucket-level parallelism.
+    par = max(int(sig.sparkSession.sparkContext.defaultParallelism), 1)
     grouped = (
-        banded.groupBy("band", "key")
+        banded.repartition(par, "band", "key")
+        .groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -450,7 +467,13 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # yields NULL) but makes sh provably non-nullable, so the
     # IsNotNull(band-key) constraint Catalyst infers from the self-join
     # folds to TRUE instead of being pushed through the Project as a
-    # SECOND full fold evaluation per row per side (plan-confirmed)
+    # SECOND full fold evaluation per row per side (plan-confirmed).
+    # widen first (r12): the 64-bit vote fold (xxhash64 per token +
+    # 64-lane majority) is this operator's CPU floor and runs above
+    # the scan, before any shuffle — serial on a single-split input.
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    df = widen_narrow_scan(df)
     sh = df.filter(
         F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
     ).select(
@@ -480,8 +503,14 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # id_a < id_b pair set with the hamming distance computed from the
     # carried fingerprints. Per-bucket state is |bucket| (long, long)
     # structs — what the join's per-bucket hash relation held anyway.
+    # explicit repartition before the bucket agg — same AQE-coalesce
+    # blindness as _banded_pairs: the 1M-pair combination expansion ran
+    # on ONE task at sf0.1 (2.7 s serial) because the banded stream is
+    # small in BYTES
+    par = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
     grouped = (
-        banded.groupBy("chunk", "key")
+        banded.repartition(par, "chunk", "key")
+        .groupBy("chunk", "key")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("sh").alias("s")))
@@ -1003,9 +1032,13 @@ def source_overlap(
     # subtrees (both pair-join sides and the per-source counts); under
     # AQE each re-ran the scan + shingle explode + distinct shuffle
     # (no cross-stage exchange reuse — see _banded_pairs). One lazy
-    # localCheckpoint computes it once per invocation.
+    # localCheckpoint computes it once per invocation. Widened first
+    # (r12): the 16-gram explode above the distinct's shuffle is the
+    # CPU floor here and runs serially on a single-split scan.
+    from tada_spark.operators.layout import widen_narrow_scan
+
     sh = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        widen_narrow_scan(df).filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(group_col).alias("src"),
             F.explode(char_shingles(F.col(text_col), shingle_chars)).alias("g"),
