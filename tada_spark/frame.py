@@ -1520,6 +1520,13 @@ class Frame:
         HLL pass, no Expand, ±5%).
         """
         df = self.to_df()
+        # widen a narrow scan first (r12, operators/layout): k exact-
+        # NDV aggregates Expand the input k+1 ways ABOVE the scan —
+        # on a single-split local file the whole Expand + partial
+        # aggregation ran one-task; on wide inputs this is a no-op
+        from tada_spark.operators.layout import widen_narrow_scan
+
+        df = widen_narrow_scan(df)
         names = list(cols or df.columns)
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         ndv = F.approx_count_distinct if approx_ndv else F.count_distinct

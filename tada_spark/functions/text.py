@@ -387,6 +387,12 @@ def contamination_hits(
         .filter(F.length("sh") == ngram_chars)
         .distinct()
     )
+    # widen the CORPUS side (r12): the 24-char shingle explode + map-
+    # side broadcast join run above the scan and went serial on a
+    # single-split input; the benchmark side is tiny by contract
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    corpus = widen_narrow_scan(corpus)
     corpus_shingles = corpus.select(
         F.col(id_col),
         F.explode(char_shingles(F.col(text_col), ngram_chars)).alias("sh"),
@@ -1346,7 +1352,16 @@ def unigram_viterbi_segment(
     a 100 TB token stream, run this over distinct words and broadcast
     the result back; never re-run the DP per occurrence.)
     No UDF, no join, no shuffle, no collect.
+
+    The word table is widened to cluster parallelism first (r12,
+    operators/layout.widen_narrow_scan): the per-word DP fold is the
+    whole cost here and the distinct-word input usually arrives
+    AQE-coalesced to one tiny partition — serial without the widen; on
+    already-wide inputs the widen is a no-op.
     """
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    df = widen_narrow_scan(df)
     W, L = int(max_word_len), int(max_piece_len)
     w = F.col(word_col)
     n = F.length(w)
