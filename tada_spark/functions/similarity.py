@@ -238,21 +238,78 @@ def lsh_cosine_pairs(
     cosine filters false positives, and a final distinct dedupes pairs
     found by several tables (cheap — runs on the tiny post-threshold
     set). The 100 TB-safe replacement for all-pairs cosine scans.
+
+    r12 single-pipeline form: the old shape built T independent
+    candidate subplans (T bucket checkpoints + T self-joins + a
+    union). Executed work was small but the T-fold subplan replication
+    dominated DRIVER time (measured at sf0.1: 1.6 s of jobs inside a
+    4.2 s wall). Now ONE projection computes every table's sign bucket
+    (same 32 plane dots total), the (table, bucket) pairs explode, and
+    ONE self-join on (table, bucket) finds all candidates; the same
+    final dropDuplicates collapses multi-table hits. Pair set and
+    cosine expression are unchanged, so results are identical.
     """
     if not tables:
         # reachable via random_planes(dim, n, n_tables=0); a bare
-        # per_table[0] IndexError carries no context
+        # IndexError carries no context
         raise ValueError("lsh_cosine_pairs: tables must be non-empty")
-    per_table = [
-        lsh_cosine_candidates(
-            df, planes, id_col=id_col, vec_col=vec_col, threshold=threshold
+    tb_structs = []
+    for t, planes in enumerate(tables):
+        bits = []
+        for p in planes:
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(
+                F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        tb_structs.append(
+            F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket"))
         )
-        for planes in tables
-    ]
-    out = per_table[0]
-    for t in per_table[1:]:
-        out = out.unionByName(t)
-    return out.dropDuplicates(["id_a", "id_b"])
+    # norm hoisted BEFORE the explode: one fold per vector, not per
+    # (vector, table) row (the cosine_topk hoist discipline)
+    b = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("__n__"),
+            F.explode(F.array(*tb_structs)).alias("__tb__"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "__n__",
+            F.col("__tb__.t").alias("__t__"),
+            F.col("__tb__.bucket").alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, c = b.alias("a").hint("shuffle_hash"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.__t__") == F.col("b.__t__"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        # float discipline: threshold the ROUNDED cosine (see
+        # lsh_cosine_candidates)
+        .withColumn(
+            "cos",
+            round_det(
+                F.try_divide(
+                    dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                    F.col("a.__n__") * F.col("b.__n__"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def lsh_cosine_candidates(
