@@ -644,11 +644,25 @@ def jaccard_pairs(
     # char-shingle explode+distinct — the family's CPU floor — and the
     # salt-replicated exchange write both ran single-task (measured:
     # ~4 s of serial stages ahead of the pair join)
+    import os as _os
+
+    salt = int(
+        _os.environ.get("TADA_JACCARD_SALT", "0")
+    ) or min(max(4 * par, 1), 256)
+    # b's hash-salt is materialized INTO the checkpointed table (r12
+    # plan-audit fix): computed in the post-checkpoint projection, the
+    # join's inferred isnotnull(__salt__) constraint pushed below the
+    # Project and re-evaluated pmod(xxhash64(jid), S) per row in a
+    # Filter — the DUP_EXPR guard-double-evaluation class. Stored as a
+    # column of the staged RDD, the inferred filter lands on a plain
+    # attribute and the hash runs exactly once per rep row.
     sh = docs.filter(F.col("jid") == F.col("rep")).repartition(par).select(
         "jid",
         *[F.col(c) for c in blocks],
         char_shingles(F.col("__txt__"), ngram).alias("sh"),
-    ).withColumn("__n__", F.size("sh")).localCheckpoint(eager=False)
+    ).withColumn("__n__", F.size("sh")).withColumn(
+        "__hsalt__", F.pmod(F.xxhash64(F.col("jid")), F.lit(salt)).cast("int")
+    ).localCheckpoint(eager=False)
     # fragment-replicate salt for the pairwise verify (r12, guide §2.5):
     # blocked on low-cardinality keys (e.g. 5 langs) the self-join's
     # CPU-heavy intersect stage gets block-cardinality parallelism at
@@ -666,8 +680,6 @@ def jaccard_pairs(
     # skew at scale); set TADA_JACCARD_SALT=1 when block cardinality
     # already exceeds cluster parallelism. Measured at sf0.1 (125k
     # pairs, 32 cores): 11.98 s → 2.25 s on the pair stage.
-    import os as _os
-
     # salt count 4× the partition count (r12 balance fix): with salt ==
     # partitions, each partition drew ~5 random (block, salt) cells and
     # balls-in-bins skew left the hottest task at ~2× the median
@@ -677,16 +689,14 @@ def jaccard_pairs(
     # while blocks are few and fat; TADA_JACCARD_SALT still overrides
     # both (set it to 1 when block cardinality already exceeds cluster
     # parallelism and replication would pay for nothing).
-    salt = int(
-        _os.environ.get("TADA_JACCARD_SALT", "0")
-    ) or min(max(4 * par, 1), 256)
     a = (
-        sh.withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        sh.drop("__hsalt__")
+        .withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         .repartition(par, *blocks, "__salt__")
         .alias("a")
     )
     b = (
-        sh.withColumn("__salt__", F.pmod(F.xxhash64(F.col("jid")), F.lit(salt)).cast("int"))
+        sh.withColumnRenamed("__hsalt__", "__salt__")
         .repartition(par, *blocks, "__salt__")
         .hint("shuffle_hash")
         .alias("b")
@@ -1328,24 +1338,33 @@ def domain_boilerplate_removal(
     upstream expression chain into the scan as inferred isnotnull/size
     filters), then (domain, line)- and domain-keyed COUNT DISTINCT
     aggregates and an order-preserving per-doc rebuild (array_sort on
-    (pos, line) structs). The line stream feeds three aggregates;
-    lineage recomputes it per consumer — a production ingest pipeline
-    materializes the line table between stages (the daily_ingest
-    checkpoint pattern), and a web-scale run keys the aggregates on
-    md5(line) instead of the raw line string."""
+    (pos, line) structs). The line stream feeds four consumers; it is
+    staged with a lazy localCheckpoint (the daily_ingest checkpoint
+    pattern) so the scan + split + explode runs once per invocation,
+    and a web-scale run keys the aggregates on md5(line) instead of
+    the raw line string."""
     # NULL guards (r12 review): a NULL domain would fail every equi-join
     # below and empty the doc (the url_dedup absent-evidence class) —
     # coalesce it to the '' domain; NULL text would drop the doc from
     # the OUTPUT entirely (a downstream inner join then deletes it from
     # the corpus) — coalesce to '' so it flows through as one empty
     # line, the same as genuinely empty text.
+    # staged (r12): the line stream feeds FOUR consumers (line_freq,
+    # dom_docs, the kept join-back, raw) whose downstream exchanges all
+    # differ — AQE stage reuse unifies none of them, so the scan +
+    # split + posexplode ran four times per invocation (plan before:
+    # FileScan ×4, 10 live exchanges). The lazy localCheckpoint pins
+    # the exploded line table once per invocation (recomputed every
+    # run — nothing persists across runs); the docstring's "a
+    # production ingest pipeline materializes the line table between
+    # stages" is now what the operator itself does.
     lines = df.select(
         F.col(id_col),
         F.coalesce(F.col(domain_col), F.lit("")).alias("domain"),
         F.posexplode_outer(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("pos", "line"),
-    ).filter(F.col("pos").isNotNull())
+    ).filter(F.col("pos").isNotNull()).localCheckpoint(eager=False)
     line_freq = lines.groupBy("domain", "line").agg(
         F.countDistinct(id_col).alias("nld")
     )

@@ -569,3 +569,28 @@ def test_minhash_single_scan(spark, catalog):
     plan = plan_of(catalog["minhash_lsh_oracle"][0](spark, SF))
     assert plan.count("FileScan") == 1
     assert "isnotnull(md5" not in plan
+
+
+def test_jaccard_salt_hash_evaluates_once(spark, catalog):
+    # r12 plan-audit catch: computing b's salt AFTER the staged rep
+    # table let the join's inferred isnotnull(__salt__) constraint push
+    # below the Project and re-evaluate pmod(xxhash64(jid), S) per row
+    # in a Filter. The salt is now a stored column of the checkpointed
+    # table, so the final plan must hold NO xxhash64-in-filter echo and
+    # no xxhash64 at all (it runs once, inside the staged build).
+    for name in ("jaccard_near_dups", "dedup_threshold_sweep_docs"):
+        plan = plan_of(catalog[name][0](spark, SF))
+        assert "isnotnull(cast(pmod(xxhash64" not in plan
+        assert "Filter isnotnull(pmod(xxhash64" not in plan
+
+
+def test_domain_boilerplate_line_stream_staged(spark, catalog):
+    # r12: the exploded (doc, domain, line) stream feeds four consumers
+    # whose downstream exchanges all differ — AQE stage reuse unifies
+    # none, so the scan + split + posexplode ran 4× (FileScan ×4, 10
+    # live exchanges; plan audit EXCHANGES>8). Staged with a lazy
+    # localCheckpoint: the final plan reads the staged RDD everywhere
+    # and holds no parquet scan at all.
+    plan = plan_of(catalog["domain_boilerplate_removal_docs"][0](spark, SF))
+    assert "Scan parquet" not in plan
+    assert plan.count("ExistingRDD") >= 4
