@@ -2809,6 +2809,20 @@ def approx_distinct_suppliers(spark, sf):
     )
 
 
+def _fs_input_bytes(spark, path: str) -> int:
+    """Total bytes under ``path``, resolved through the Hadoop
+    FileSystem Spark itself reads with — so hdfs://, s3a://, abfs://
+    and nested partitioned directories are all sized correctly, where
+    the previous ``os.path`` probe silently returned 0 off local disk
+    (r12 verdict item 2). ``getContentSummary`` is recursive, one
+    driver-side RPC per call. Raises on an unreachable path/scheme;
+    the caller decides the fallback."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
 def _stream_state_partitions(spark, sf, name: str = "events") -> int:
     """Scale-adaptive state-store partition count for the availableNow
     replays (r12, guide §2.3): stateful streaming operators pay one
@@ -2820,25 +2834,24 @@ def _stream_state_partitions(spark, sf, name: str = "events") -> int:
     4× cluster parallelism so a 100 TB replay still fans out), exactly
     the size-adaptive posture AQE applies to batch shuffles.
     TADA_STREAM_SHUFFLE_PARTITIONS overrides for clusters whose
-    state-to-source ratio is unusual."""
+    state-to-source ratio is unusual.
+
+    Sizing goes through the Hadoop FileSystem (r13, verdict item 2):
+    the old os.path probe raised on any non-local URI, nbytes became 0
+    and a 100 TB replay ran with ONE state partition. If sizing fails
+    now, fall back to full fan-out (4×parallelism), never to serial."""
     import os as _os
 
     env = int(_os.environ.get("TADA_STREAM_SHUFFLE_PARTITIONS", "0"))
     if env:
         return env
-    path = f"{sf}/{name}.parquet"
-    try:
-        if _os.path.isfile(path):
-            nbytes = _os.path.getsize(path)
-        else:
-            nbytes = sum(
-                _os.path.getsize(_os.path.join(path, f))
-                for f in _os.listdir(path)
-                if f.endswith(".parquet")
-            )
-    except OSError:
-        nbytes = 0
     par = max(int(spark.sparkContext.defaultParallelism), 1)
+    try:
+        nbytes = _fs_input_bytes(spark, f"{sf}/{name}.parquet")
+    except Exception:
+        # Unsizable input (scheme without a FS impl, permissions, moved
+        # path): the safe failure mode at scale is wide, not serial.
+        return 4 * par
     return max(1, min(4 * par, nbytes // (1 << 20) + 1))
 
 

@@ -17,12 +17,23 @@ Rule (deterministic, artifact-only — no clock, no hand list):
    standing policy that new entries earn their first driver row the
    round after they land, and clears the backlog from the newest
    additions backwards.
-2. **Then driver-green entries, oldest green round first (LRU)**,
-   tie-broken by catalog order.  An entry verified in round N outranks
-   one verified in round N+1, so every entry's evidence age is bounded
-   by ``ceil(oracle_able / 50)`` rounds once the never-green backlog
-   drains.
-3. **Rows-only-by-nature entries last** (``oracle_sql()`` omits them;
+2. **Then stale-evidence entries: driver-green but REWRITTEN in a
+   later round** (per the committed ``REWRITES_r*.json`` artifacts —
+   each optimization round commits the list of entries whose
+   implementation it restructured).  A green row that predates a
+   rewrite verified the OLD implementation; the entry's risk reset
+   when the code changed, so its evidence age must too (r12 verdict
+   item 1: q3/q5/theil_sen/curation/cosine-ANN/bm25/stream_* were
+   rewritten in r12 on builder-side evidence only and LRU pushed them
+   to the back of the queue exactly when their risk was highest).
+   Ordered newest rewrite round first (the most recent rewrites are
+   the least-verified), then oldest green round, then catalog order.
+3. **Then fresh driver-green entries, oldest green round first
+   (LRU)**, tie-broken by catalog order.  An entry verified in round
+   N outranks one verified in round N+1, so every entry's evidence
+   age is bounded by ``ceil(oracle_able / 50)`` rounds once the
+   never-green backlog drains.
+4. **Rows-only-by-nature entries last** (``oracle_sql()`` omits them;
    the driver can only count their rows).  Their hash-verified md5 /
    bounded-error twins compete for window slots instead.
 
@@ -44,6 +55,7 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
 _ARTIFACT_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+_REWRITE_RE = re.compile(r"REWRITES_r(\d+)\.json$")
 
 
 #: Artifact files that existed but could not be parsed on the last
@@ -100,10 +112,45 @@ def newest_green(root: Path | str = REPO_ROOT) -> dict[str, int]:
     return _greens_from(correctness_artifacts(root))
 
 
+def newest_rewrite(root: Path | str = REPO_ROOT) -> dict[str, int]:
+    """entry -> newest round whose REWRITES_r*.json lists it.
+
+    ``REWRITES_rN.json`` is committed by round N's builder and holds a
+    JSON array of catalog-entry names whose implementation round N
+    restructured (a rename/refactor that cannot change results does
+    not belong in it; a changed plan shape does).  Unreadable files
+    are surfaced via ``_UNREADABLE`` just like correctness artifacts —
+    silently skipping one would silently unstale that round's
+    rewrites.
+    """
+    out: dict[str, int] = {}
+    for p in sorted(Path(root).glob("REWRITES_r*.json")):
+        m = _REWRITE_RE.search(p.name)
+        if not m:
+            continue
+        try:
+            names = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            _UNREADABLE.append(p.name)
+            continue
+        if not isinstance(names, list):
+            _UNREADABLE.append(p.name)
+            continue
+        rnd = int(m.group(1))
+        for name in names:
+            if isinstance(name, str):
+                out[name] = max(out.get(name, rnd), rnd)
+    return out
+
+
 def driver_order(
-    catalog: dict, root: Path | str = REPO_ROOT, *, greens: dict[str, int] | None = None
+    catalog: dict,
+    root: Path | str = REPO_ROOT,
+    *,
+    greens: dict[str, int] | None = None,
+    rewrites: dict[str, int] | None = None,
 ) -> list[str]:
-    """The full queries() ordering per the three-tier rule above.
+    """The full queries() ordering per the four-tier rule above.
 
     ``catalog`` maps name -> (callable, oracle_sql_or_None); insertion
     order is the append order used for recency/tie-breaks.
@@ -113,11 +160,21 @@ def driver_order(
     rows_only = [n for n, (_fn, sql) in catalog.items() if sql is None]
     if greens is None:
         greens = newest_green(root)
+    if rewrites is None:
+        rewrites = newest_rewrite(root)
     never = sorted((n for n in oracle_able if n not in greens),
                    key=lambda n: -index[n])
-    seen = sorted((n for n in oracle_able if n in greens),
-                  key=lambda n: (greens[n], index[n]))
-    return never + seen + rows_only
+    # Green but rewritten since: the green row verified the OLD code.
+    stale = sorted(
+        (n for n in oracle_able if n in greens and rewrites.get(n, -1) > greens[n]),
+        key=lambda n: (-rewrites[n], greens[n], index[n]),
+    )
+    stale_set = set(stale)
+    seen = sorted(
+        (n for n in oracle_able if n in greens and n not in stale_set),
+        key=lambda n: (greens[n], index[n]),
+    )
+    return never + stale + seen + rows_only
 
 
 def freshness_report(
@@ -132,14 +189,17 @@ def freshness_report(
     if arts is None:
         arts = correctness_artifacts(root)
     greens = _greens_from(arts)
+    rewrites = newest_rewrite(root)
     oracle_able = [n for n, (_fn, sql) in catalog.items() if sql is not None]
     ever = [n for n in oracle_able if n in greens]
+    stale = [n for n in ever if rewrites.get(n, -1) > greens[n]]
     return {
         "rounds_on_disk": sorted(arts),
         "unreadable_artifacts": list(_UNREADABLE),
         "oracle_able": len(oracle_able),
         "ever_driver_green": len(ever),
         "never_driver_green": len(oracle_able) - len(ever),
+        "stale_evidence": len(stale),
         "newest_green_histogram": {
             r: sum(1 for n in ever if greens[n] == r)
             for r in sorted(set(greens[n] for n in ever))
@@ -193,7 +253,10 @@ def narrative(catalog: dict, root: Path | str = REPO_ROOT) -> str:
         f"{rep['never_driver_green']} entries have never had a "
         f"driver-green row.  With 50 rows/round the\n"
         f"minimum full-coverage cycle is ceil({rep['oracle_able']}/50) = "
-        f"{rep['min_cycle_rounds']} rounds.  The current window\n"
+        f"{rep['min_cycle_rounds']} rounds.\n"
+        f"{rep['stale_evidence']} green entries were rewritten after "
+        f"their newest green round (REWRITES_r*.json)\n"
+        f"and are re-queued ahead of the LRU tier.  The current window\n"
         f"leads with {n_never_in_window} never-green entries, head "
         f"{window[0]!r}."
     )

@@ -23,34 +23,65 @@ def test_readme_counts_match_catalog():
 
 def test_driver_order_is_artifact_derived():
     """The window rule (rotation.py): never-green newest-first, then
+    rewritten-since-green (stale evidence, newest rewrite first), then
     oldest-green LRU, rows-only last — recomputed here from the
-    committed CORRECTNESS_r*.json files, independently of the module's
-    own sort."""
+    committed CORRECTNESS_r*.json / REWRITES_r*.json files,
+    independently of the module's own sort."""
     import __spark_entry__ as entry
     from tada_spark.queries import CATALOG
-    from tada_spark.rotation import newest_green
+    from tada_spark.rotation import newest_green, newest_rewrite
 
     q = list(entry.queries())
     assert len(q) == len(CATALOG)
     assert set(q) == set(CATALOG)
 
     greens = newest_green()
+    rewrites = newest_rewrite()
     idx = {n: i for i, n in enumerate(CATALOG)}
     oracle = {n for n, (_f, s) in CATALOG.items() if s is not None}
     never = [n for n in q if n in oracle and n not in greens]
-    seen = [n for n in q if n in oracle and n in greens]
+    stale = [n for n in q if n in oracle and n in greens
+             and rewrites.get(n, -1) > greens[n]]
+    seen = [n for n in q if n in oracle and n in greens
+            and rewrites.get(n, -1) <= greens[n]]
     rows_only = [n for n in q if n not in oracle]
 
-    # tier order: all never-green before all green before all rows-only
-    assert q == never + seen + rows_only
+    # tier order: never-green, then stale-evidence, then fresh green,
+    # then rows-only
+    assert q == never + stale + seen + rows_only
     # tier 1: newest catalog position first
     assert [idx[n] for n in never] == sorted((idx[n] for n in never),
                                              reverse=True)
-    # tier 2: non-decreasing newest-green round (LRU)
+    # tier 2: newest rewrite round first, oldest green within it
+    stale_keys = [(-rewrites[n], greens[n], idx[n]) for n in stale]
+    assert stale_keys == sorted(stale_keys)
+    # tier 3: non-decreasing newest-green round (LRU)
     rounds = [greens[n] for n in seen]
     assert rounds == sorted(rounds)
     # the driver's 50-slot window never wastes a slot on rows-only
     assert all(n in oracle for n in q[:50])
+
+
+def test_rewrites_r12_requeued_in_r13_window():
+    """r12 verdict item 1: every entry the r12 round rewrote on
+    builder-side evidence only (green round < 12) must appear in the
+    next driver window so CORRECTNESS_r13 verifies the NEW code."""
+    import __spark_entry__ as entry
+    from tada_spark.queries import CATALOG
+    from tada_spark.rotation import newest_green, newest_rewrite
+
+    greens = newest_green()
+    rewrites = newest_rewrite()
+    window = list(entry.queries())[:50]
+    oracle = {n for n, (_f, s) in CATALOG.items() if s is not None}
+    unverified_rewrites = [
+        n for n in oracle
+        if n in greens and rewrites.get(n, -1) > greens[n]
+    ]
+    missing = [n for n in unverified_rewrites if n not in window]
+    assert not missing, (
+        f"{len(unverified_rewrites)} rewritten-unverified entries, "
+        f"window holds 50; missing: {missing}")
 
 
 def test_entry_docstring_matches_artifacts():
@@ -146,7 +177,30 @@ def test_rotation_on_synthetic_artifacts(tmp_path):
     assert rep["oracle_able"] == 5
     assert rep["ever_driver_green"] == 2
     assert rep["never_driver_green"] == 3
+    assert rep["stale_evidence"] == 0
     assert rep["newest_green_histogram"] == {2: 1, 9: 1}
+
+    # A rewrite AFTER an entry's newest green round requeues it ahead
+    # of the LRU tier ("a" green r9, rewritten r10 -> stale); a rewrite
+    # in/before the green round does not ("b" green r2 covers an r2
+    # rewrite); rewrites of never-green or rows-only entries change
+    # nothing (they are already first / pinned last).
+    (tmp_path / "REWRITES_r10.json").write_text(json.dumps(["a", "e", "f"]))
+    (tmp_path / "REWRITES_r02.json").write_text(json.dumps(["b"]))
+    assert driver_order(catalog, tmp_path) == ["f", "d", "c", "a", "b", "e"]
+    assert freshness_report(catalog, tmp_path)["stale_evidence"] == 1
+
+
+def test_rotation_ignores_malformed_rewrites(tmp_path):
+    import json
+
+    from tada_spark.rotation import newest_rewrite
+
+    (tmp_path / "REWRITES_r03.json").write_text("{ not json")
+    (tmp_path / "REWRITES_r04.json").write_text(json.dumps({"not": "a list"}))
+    (tmp_path / "REWRITES_r05.json").write_text(json.dumps(["x", 7, "y"]))
+    (tmp_path / "REWRITES_r06.json").write_text(json.dumps(["x"]))
+    assert newest_rewrite(tmp_path) == {"x": 6, "y": 5}
 
 
 def test_rotation_ignores_malformed_artifacts(tmp_path):
