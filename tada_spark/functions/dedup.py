@@ -646,57 +646,96 @@ def jaccard_pairs(
     # ~4 s of serial stages ahead of the pair join)
     import os as _os
 
-    salt = int(
-        _os.environ.get("TADA_JACCARD_SALT", "0")
-    ) or min(max(4 * par, 1), 256)
-    # b's hash-salt is materialized INTO the checkpointed table (r12
-    # plan-audit fix): computed in the post-checkpoint projection, the
-    # join's inferred isnotnull(__salt__) constraint pushed below the
-    # Project and re-evaluated pmod(xxhash64(jid), S) per row in a
-    # Filter — the DUP_EXPR guard-double-evaluation class. Stored as a
-    # column of the staged RDD, the inferred filter lands on a plain
-    # attribute and the hash runs exactly once per rep row.
-    sh = docs.filter(F.col("jid") == F.col("rep")).repartition(par).select(
+    # Two-tier (size-aware) salting (r13, verdict item 4 / guide §2.5):
+    # the r12 blanket salt replicated EVERY a-side rep row ×S even when
+    # a block was too small to need spreading — up to 256× one side's
+    # shuffle bytes on a big cluster for no parallelism gain. The salt
+    # factor is now PER BLOCK, derived from the block's rep count (one
+    # tiny broadcast-joined aggregate over the already-staged rep
+    # table): a block with p = cnt·(cnt−1)/2 candidate pairs gets
+    # S_b = clamp(ceil(p / pairs_per_cell), 1, cap) salt cells, so cold
+    # blocks degenerate to the unsalted join (S_b = 1, no replication)
+    # while hot blocks spread their quadratic intersect CPU over up to
+    # ``cap`` tasks. pairs_per_cell = 4096 reproduces the r12 behaviour
+    # on the hot sf0.1 blocks (~1k reps/block → S_b ≈ 122 ≈ the old
+    # 4×32) and is env-tunable; TADA_JACCARD_SALT still forces one
+    # constant factor for every block. Correctness is salt-invariant:
+    # both sides of a pair share the block, hence the block's S_b, so
+    # pair (a,b) is still evaluated exactly once (in b's hash cell).
+    env_salt = int(_os.environ.get("TADA_JACCARD_SALT", "0"))
+    cap = min(max(4 * par, 1), 256)
+    pairs_per_cell = int(_os.environ.get("TADA_JACCARD_PAIRS_PER_CELL", "4096"))
+    reps = docs.filter(F.col("jid") == F.col("rep"))
+    if env_salt:
+        sfac = F.lit(env_salt)
+        cnts = None
+    else:
+        two_p = F.col("__bcnt__") * (F.col("__bcnt__") - F.lit(1))
+        sfac = F.least(
+            F.lit(cap),
+            F.greatest(F.lit(1), F.ceil(two_p / F.lit(2.0 * pairs_per_cell))),
+        )
+        cnts = reps.groupBy(*blocks).agg(F.count(F.lit(1)).alias("__bcnt__"))
+    # b's hash-salt AND the block's salt factor are materialized INTO
+    # the checkpointed table (r12 plan-audit fix): computed in a
+    # post-checkpoint projection, the join's inferred
+    # isnotnull(__salt__) constraint pushed below the Project and
+    # re-evaluated pmod(xxhash64(jid), S) per row in a Filter — the
+    # DUP_EXPR guard-double-evaluation class. Stored as columns of the
+    # staged RDD, the inferred filters land on plain attributes and the
+    # hash runs exactly once per rep row.
+    sh = reps.repartition(par).select(
         "jid",
         *[F.col(c) for c in blocks],
         char_shingles(F.col("__txt__"), ngram).alias("sh"),
-    ).withColumn("__n__", F.size("sh")).withColumn(
-        "__hsalt__", F.pmod(F.xxhash64(F.col("jid")), F.lit(salt)).cast("int")
-    ).localCheckpoint(eager=False)
+    ).withColumn("__n__", F.size("sh"))
+    if cnts is not None:
+        # broadcast: #rows = block cardinality, which blocking keys keep
+        # small by construction (they exist to bound the quadratic);
+        # reads the SAME staged docs checkpoint, so no recompute
+        sh = (
+            sh.join(F.broadcast(cnts), blocks)
+            if blocks
+            else sh.crossJoin(F.broadcast(cnts))
+        )
+    sh = (
+        sh.withColumn("__sfac__", sfac.cast("int"))
+        .withColumn(
+            "__hsalt__",
+            F.pmod(F.xxhash64(F.col("jid")), F.col("__sfac__")).cast("int"),
+        )
+        .drop("__bcnt__")
+        .localCheckpoint(eager=False)
+    )
     # fragment-replicate salt for the pairwise verify (r12, guide §2.5):
     # blocked on low-cardinality keys (e.g. 5 langs) the self-join's
     # CPU-heavy intersect stage gets block-cardinality parallelism at
     # best — and AQE then coalesces those small-BYTE partitions further
     # (measured: the whole sf0.1 intersect stage ran as TWO tasks on 32
     # cores; AQE coalescing is byte-based and blind to O(|A|·|B|)
-    # per-partition CPU). Each a-row is replicated to every salt bucket,
-    # each b-row keyed by its own hash bucket, so pair (a, b) is
-    # evaluated exactly once (in b's bucket) and the intersect work
-    # spreads over blocks × S tasks. The explicit repartition(S, keys)
-    # on BOTH sides pins a non-coalescible user shuffle the join
-    # consumes co-partitioned (no ENSURE_REQUIREMENTS exchange for AQE
-    # to shrink). S multiplies one side's shuffle bytes by S — the
-    # right trade when blocks are few and fat (this demo, hot-block
-    # skew at scale); set TADA_JACCARD_SALT=1 when block cardinality
-    # already exceeds cluster parallelism. Measured at sf0.1 (125k
-    # pairs, 32 cores): 11.98 s → 2.25 s on the pair stage.
-    # salt count 4× the partition count (r12 balance fix): with salt ==
-    # partitions, each partition drew ~5 random (block, salt) cells and
-    # balls-in-bins skew left the hottest task at ~2× the median
-    # (measured: max 4.1 s vs median 2.0 s on the intersect stage at
-    # sf0.1). 4× more cells per partition shrinks the relative spread
-    # by ~2× at the cost of 4× a-side replication — the right trade
-    # while blocks are few and fat; TADA_JACCARD_SALT still overrides
-    # both (set it to 1 when block cardinality already exceeds cluster
-    # parallelism and replication would pay for nothing).
+    # per-partition CPU). Each a-row is replicated to its block's
+    # __sfac__ salt cells, each b-row keyed by its own hash cell, so
+    # pair (a, b) is evaluated exactly once (in b's cell) and a hot
+    # block's intersect work spreads over up to ``cap`` tasks. The
+    # explicit repartition on BOTH sides pins a non-coalescible user
+    # shuffle the join consumes co-partitioned (no ENSURE_REQUIREMENTS
+    # exchange for AQE to shrink). Measured at sf0.1 (125k pairs, 32
+    # cores): 11.98 s → 2.25 s on the pair stage vs unsalted; the r13
+    # per-block factor keeps that spread on hot blocks while cold
+    # blocks pay zero replication (r12 advice: the blanket ×S shipped
+    # every shingle array S times even where one cell sufficed).
     a = (
         sh.drop("__hsalt__")
-        .withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .withColumn(
+            "__salt__", F.explode(F.sequence(F.lit(0), F.col("__sfac__") - 1))
+        )
+        .drop("__sfac__")
         .repartition(par, *blocks, "__salt__")
         .alias("a")
     )
     b = (
         sh.withColumnRenamed("__hsalt__", "__salt__")
+        .drop("__sfac__")
         .repartition(par, *blocks, "__salt__")
         .hint("shuffle_hash")
         .alias("b")

@@ -51,3 +51,64 @@ def test_fs_input_bytes_matches_flat_file(spark, tmp_path):
     p = tmp_path / "events.parquet"
     p.write_bytes(b"x" * 4096)
     assert _fs_input_bytes(spark, str(p)) == 4096
+
+
+# ---------------------------------------------------------------------------
+# jaccard_pairs: two-tier (size-aware) salting (r12 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _skewed_corpus():
+    # one hot block ("en", 40 distinct texts -> 780 rep pairs) and many
+    # cold blocks (3 reps each -> 3 rep pairs): the two-tier salt must
+    # treat them differently without changing a single output row
+    rows = []
+    did = 0
+    for i in range(40):
+        rows.append((did, f"hot doc {i} " + "tok%d " % (i % 7) * (3 + i % 5), "en"))
+        did += 1
+    for b in range(12):
+        for i in range(3):
+            rows.append((did, f"cold {b} doc {i} common tail words here", f"l{b}"))
+            did += 1
+    return rows
+
+
+def test_jaccard_two_tier_salt_matches_blanket_salt(spark, monkeypatch):
+    """The per-block salt factor is a pure execution detail: output must
+    be row-for-row identical to the r12 blanket salt (env-forced) and
+    to the unsalted join (salt=1) on a skew-shaped corpus."""
+    from tada_spark.functions.dedup import jaccard_pairs
+
+    df = _jaccard_rows(spark, _skewed_corpus())
+
+    def pairs(env):
+        if env is None:
+            monkeypatch.delenv("TADA_JACCARD_SALT", raising=False)
+        else:
+            monkeypatch.setenv("TADA_JACCARD_SALT", str(env))
+        out = jaccard_pairs(df, block_cols=["lang"], ngram=3, threshold=0.3)
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in out.collect())
+
+    two_tier = pairs(None)
+    assert two_tier, "corpus must produce pairs for the test to bite"
+    assert two_tier == pairs(128) == pairs(1)
+
+
+def test_jaccard_salt_factor_is_per_block_in_plan(spark, monkeypatch):
+    """The a-side replication must be data-dependent (sequence bounded
+    by the block's __sfac__ column), not the r12 constant ``lit(S)`` —
+    the plan-level signature that cold blocks pay zero replication."""
+    from tada_spark.functions.dedup import jaccard_pairs
+
+    monkeypatch.delenv("TADA_JACCARD_SALT", raising=False)
+    df = _jaccard_rows(spark, _skewed_corpus())
+    out = jaccard_pairs(df, block_cols=["lang"], ngram=3, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the a-side Generate explodes sequence(0, __sfac__ - 1): the bound
+    # is the staged PER-BLOCK column, not the r12 round-constant
+    assert "sequence(0, (__sfac__" in plan
