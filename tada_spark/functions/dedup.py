@@ -483,9 +483,16 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # so this is bit-identical to the fold), then the same majority
     # finish. simhash() itself is unchanged — it remains the column
     # form for single-expression callers (md5/32-bit oracle twin).
-    def _mask(b: int) -> int:
-        return (1 << b) if b < 63 else -(1 << 63)
-
+    # r13: the 64 vote lanes and the 64-term majority finish are built
+    # as SQL STRINGS (one JVM parse per expression) instead of ~900
+    # py4j column-operator round trips — the r12 "driver-side planning
+    # tail" was measured this round to be PYTHON-side tree
+    # construction (2.2 s of the 4.6 s steady state; Catalyst
+    # analysis+planning itself is 0.12 s), so shrinking the py4j
+    # chatter, not the algebra, is the fix. The parsed expressions are
+    # the identical CASE WHEN / sum forms as before
+    # (shiftleft(1L, b) == the old mask literal for every b incl. 63),
+    # so the logical plan and the emitted pairs are unchanged.
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     votes = (
         df.filter(F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0))
@@ -494,18 +501,22 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .groupBy(id_col)
         .agg(
             *[
-                F.sum(
-                    F.when(F.col("__h__").bitwiseAND(F.lit(_mask(b))) != 0, 1).otherwise(-1)
-                ).alias(f"__v{b}__")
+                F.expr(
+                    f"sum(CASE WHEN (__h__ & shiftleft(CAST(1 AS BIGINT), {b})) != 0 "
+                    f"THEN 1 ELSE -1 END) AS __v{b}__"
+                )
                 for b in range(64)
             ]
         )
     )
-    fp: Column = F.lit(0).cast("long")
-    for b in range(64):
-        fp = fp + F.when(
-            F.col(f"__v{b}__") > 0, F.lit(_mask(b)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    fp: Column = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"CASE WHEN __v{b}__ > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            "ELSE CAST(0 AS BIGINT) END"
+            for b in range(64)
+        )
+    )
     # the coalesce is a semantic no-op (every group has >= 1 token, so
     # no vote sum is NULL) but keeps sh provably non-nullable — the
     # same constraint-folding posture as before
