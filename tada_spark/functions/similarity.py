@@ -397,13 +397,19 @@ def kmeans_quantized(
             F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
         ).alias("v"),
     )
+    # lazy checkpoints (r13, the connected_components posture): each
+    # round's centroid table is k·dim values consumed ONLY by the next
+    # assign's broadcast build, which materializes it there — an eager
+    # checkpoint per round scheduled an extra blocking job per round
+    # for the same bytes. Lineage is still cut at every round.
     cents = (
         q.orderBy("vid")
         .limit(k)
         .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    def assign(cents_df):
+
+    def assign(cents_df, *, with_v: bool):
         pairs = q.crossJoin(F.broadcast(cents_df)).withColumn(
             "dist",
             F.aggregate(
@@ -412,14 +418,28 @@ def kmeans_quantized(
                 lambda acc, x: acc + x,
             ),
         )
-        w = Window.partitionBy("vid").orderBy("dist", "cid")
-        return (
-            pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-            .select("vid", "cid", "v")
+        # r13 (guide §2.3, aggregate before you shuffle): the old
+        # row_number window shuffled and sorted all n·k assignment rows
+        # per round; min(struct(dist, cid)) is the identical
+        # (dist, cid)-ascending winner (cid is unique per vid, so the
+        # later fields never tie-break; nulls order first in both
+        # forms — probed) computed with map-side partial aggregation:
+        # the exchange carries n partially-reduced rows, no sort. The
+        # final round skips carrying v through the aggregate so column
+        # pruning still reaches the scan.
+        m = (
+            F.min(F.struct("dist", "cid", "v"))
+            if with_v
+            else F.min(F.struct("dist", "cid"))
         )
+        out = pairs.groupBy("vid").agg(m.alias("__m__"))
+        cols = ["vid", F.col("__m__.cid").alias("cid")]
+        if with_v:
+            cols.append(F.col("__m__.v").alias("v"))
+        return out.select(*cols)
 
-    assigned = assign(cents)
-    for _ in range(iters - 1):
+    for it in range(iters - 1):
+        assigned = assign(cents, with_v=True)
         # posexplode_outer + dim filter: see embedding_outliers — the
         # inferred size(transform(...)) filter would re-quantize at the scan
         dims = assigned.select(
@@ -436,9 +456,9 @@ def kmeans_quantized(
                     lambda s: s["cval"],
                 ).alias("cv")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        assigned = assign(cents)
+    assigned = assign(cents, with_v=False)
     return assigned.select(F.col("vid").alias(id_col), F.col("cid").alias("cluster"))
 
 

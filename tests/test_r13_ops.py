@@ -99,6 +99,39 @@ def test_jaccard_two_tier_salt_matches_blanket_salt(spark, monkeypatch):
     assert two_tier == pairs(128) == pairs(1)
 
 
+# ---------------------------------------------------------------------------
+# kmeans_quantized: min-struct assignment, no per-round window shuffle (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_assignment_uses_aggregate_not_window(spark):
+    """The r12 assign step ranked all n*k (vector, centroid) rows with a
+    row_number window — a full shuffle + sort per Lloyd round. The
+    min(struct(dist, cid)) rewrite is the identical winner computed
+    with map-side partial aggregation; the plan must hold no Window."""
+    from tada_spark.functions.similarity import kmeans_quantized
+
+    rows = [(i, [float(i % 3), float(i // 3)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_quantized(df, k=2, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_kmeans_ties_break_to_lower_centroid_id(spark):
+    """Equidistant vectors must keep the old window orderBy(dist, cid)
+    tie-break: the lower centroid id wins."""
+    from tada_spark.functions.similarity import kmeans_quantized
+
+    # centroids init at vec 0 ([0,0]) and vec 1 ([2,0]); vec 2 at [1,0]
+    # is exactly equidistant -> must join cluster 0
+    rows = [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in kmeans_quantized(df, k=2, iters=1).collect()}
+    assert got[2] == 0
+
+
 def test_jaccard_salt_factor_is_per_block_in_plan(spark, monkeypatch):
     """The a-side replication must be data-dependent (sequence bounded
     by the block's __sfac__ column), not the r12 constant ``lit(S)`` —
