@@ -143,6 +143,39 @@ def main() -> None:
         runs[name] = rs
         times[name] = min(rs)
 
+    # Catalog tier (r12 verdict item 3, ADDITIONS-ONLY): the heavy
+    # catalog entries the optimization rounds actually moved (jaccard
+    # verify, CC, rank-selection median, curation single-pass, LSH
+    # pair generation, Lloyd) are invisible in the 12 headliners, so
+    # round-over-round deltas on that class of work depended on
+    # builder-run A/Bs. Timed AFTER the headliners with the identical
+    # noop-sink methodology so the headline keys stay byte-comparable;
+    # best-of-2 (each entry runs seconds, not ms — one warm repeat
+    # de-noises the cold first run without doubling the bench again).
+    catalog_tier_names = [
+        "jaccard_near_dups",
+        "dedup_threshold_sweep_docs",
+        "near_dup_components",
+        "theil_sen_daily_revenue",
+        "curation_report_langs",
+        "minhash_oph_pairs",
+        "source_overlap_matrix",
+        "simhash_candidates",
+        "kmeans_embeddings",
+    ]
+    tier: dict[str, float] = {}
+    tier_runs: dict[str, list[float]] = {}
+    for name in catalog_tier_names:
+        fn = CATALOG[name][0]
+        rs = []
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            rs.append(round(time.time() - t0, 3))
+        tier_runs[name] = rs
+        tier[name] = min(rs)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -176,6 +209,17 @@ def main() -> None:
                 # order, so a single noisy run can't masquerade as (or
                 # hide) a regression — read the min, judge by the spread
                 "runs": runs,
+                # heavy-catalog section (r12 verdict item 3): separate
+                # keys, separate total — "value" above remains the
+                # 12-headliner total so every historical artifact stays
+                # directly comparable
+                "catalog_tier": tier,
+                "catalog_tier_total": round(sum(tier.values()), 3),
+                "catalog_tier_n": 2,
+                "catalog_tier_runs": tier_runs,
+                "catalog_tier_ratios": {
+                    n: round(t / calib, 2) for n, t in tier.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
