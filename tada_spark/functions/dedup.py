@@ -295,19 +295,26 @@ def _banded_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # two-level streaming expansion (r13, advice fix): the r12 form
+    # built the bucket's ENTIRE m(m−1)/2 pair array as one flatten'd
+    # cell before explode — a hot bucket (boilerplate docs) makes that
+    # a multi-GB single value and trips the 2^31 array-length limit.
+    # posexplode + per-anchor tail slice emits the identical i<j pair
+    # stream through two pipelined Generates; the largest single value
+    # anywhere is one bucket's id array (m longs), the same state the
+    # collect_list already held.
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        grouped.select("ids", F.posexplode("ids").alias("__i__", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("ids"),
+                    F.col("__i__") + F.lit(2),
+                    F.size("ids") - F.col("__i__") - F.lit(1),
+                )
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -559,26 +566,28 @@ def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         .filter(F.size("ms") >= 2)
     )
-    ms = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + F.lit(2), F.size(ms) - i - F.lit(1)),
-                lambda y: F.struct(
-                    x["i"].alias("id_a"),
-                    y["i"].alias("id_b"),
-                    F.bit_count(x["s"].bitwiseXOR(y["s"])).alias("hamming"),
-                ),
-            ),
-        )
-    )
+    # two-level streaming expansion (r13): same fix as _banded_pairs —
+    # never materialize the bucket's m²/2 pair array as one value; the
+    # anchor row and its i<j tail slice stream through two Generates
+    # and the hamming distance is computed per emitted pair.
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.select("ms", F.posexplode("ms").alias("__i__", "__a__"))
         .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("p.hamming").alias("hamming"),
+            "__a__",
+            F.explode(
+                F.slice(
+                    F.col("ms"),
+                    F.col("__i__") + F.lit(2),
+                    F.size("ms") - F.col("__i__") - F.lit(1),
+                )
+            ).alias("__b__"),
+        )
+        .select(
+            F.col("__a__.i").alias("id_a"),
+            F.col("__b__.i").alias("id_b"),
+            F.bit_count(
+                F.col("__a__.s").bitwiseXOR(F.col("__b__.s"))
+            ).alias("hamming"),
         )
         .distinct()
     )

@@ -100,6 +100,33 @@ def test_jaccard_two_tier_salt_matches_blanket_salt(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# banded LSH: streaming pair expansion, no single m^2 cell (r13 advice fix)
+# ---------------------------------------------------------------------------
+
+
+def test_banded_pairs_stream_without_pair_array_cell(spark):
+    """The r12 grouped expansion flatten'd each bucket's full m(m-1)/2
+    pair array into ONE cell before explode — a hot bucket builds a
+    multi-GB value and can trip the 2^31 array-length limit. The
+    two-level posexplode/slice form emits the identical pair set while
+    the largest single value stays one bucket's id array. Pin both the
+    result (all-pairs of a degenerate bucket) and the plan shape (two
+    Generates, no flatten)."""
+    from tada_spark.functions.dedup import minhash_lsh_pairs
+
+    # 60 identical docs -> one bucket of 60 in every band -> 1770 pairs
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "flatten" not in plan
+    assert plan.count("Generate") >= 2
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert len(pairs) == 60 * 59 // 2
+    assert all(a < b for a, b in pairs)
+
+
+# ---------------------------------------------------------------------------
 # kmeans_quantized: min-struct assignment, no per-round window shuffle (r13)
 # ---------------------------------------------------------------------------
 
