@@ -152,6 +152,27 @@ def widen_narrow_scan(df, min_parallelism: int | None = None):
     sc = df.sparkSession.sparkContext
     target = int(min_parallelism or sc.defaultParallelism)
     try:
+        # r13 (advice fix): .rdd finalizes the adaptive plan, which
+        # MATERIALIZES every upstream shuffle stage — on a post-shuffle
+        # input (the Viterbi distinct-word tables) the probe eagerly
+        # executed the whole upstream pipeline at plan-build time and
+        # the query re-executed it above the repartition. Probe the
+        # pre-adaptive physical plan (a lazy val, no execution): if it
+        # holds an Exchange the input is post-shuffle — its partition
+        # count is AQE-decided at runtime and unknowable plan-side, and
+        # these call sites pass small REDUCED streams (distinct words,
+        # grouped aggregates), so shuffle unconditionally; the widened
+        # stream is the stage's input either way. Scan-rooted plans
+        # (no Exchange) keep the exact conditional: getNumPartitions on
+        # a scan RDD only plans file splits, runs nothing, and the
+        # at-100TB no-op guarantee (thousands of splits >= cores, no
+        # exchange added) is unchanged. The probe reads executedPlan's
+        # STRING — on an unfinalized AdaptiveSparkPlan that prints the
+        # initial plan (post-EnsureRequirements, so exchanges are
+        # visible) without running any stage; sparkPlan() would be
+        # exchange-free and always miss.
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return df.repartition(target)
         cur = df.rdd.getNumPartitions()
     except Exception:  # non-queryable plan (e.g. streaming) — leave it
         return df

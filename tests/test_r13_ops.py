@@ -100,6 +100,37 @@ def test_jaccard_two_tier_salt_matches_blanket_salt(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# widen_narrow_scan: no eager materialization on post-shuffle inputs (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_widen_does_not_execute_post_shuffle_inputs_at_build_time(spark):
+    """Under AQE, .rdd finalizes the adaptive plan and RUNS every
+    upstream shuffle stage — the r12 probe eagerly executed the whole
+    pipeline when handed a groupBy/distinct table, then the query
+    re-executed it above the repartition. Building the widened frame
+    must schedule zero jobs now."""
+    from pyspark.sql import functions as F
+
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    df = (
+        spark.range(10_000)
+        .groupBy((F.col("id") % 100).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    out = widen_narrow_scan(df)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "widen ran upstream jobs at plan-build time"
+    # and the post-shuffle stream is still spread to the target floor
+    n = out.rdd.getNumPartitions()
+    assert n >= spark.sparkContext.defaultParallelism
+    assert out.count() == 100
+
+
+# ---------------------------------------------------------------------------
 # banded LSH: streaming pair expansion, no single m^2 cell (r13 advice fix)
 # ---------------------------------------------------------------------------
 
