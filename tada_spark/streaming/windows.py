@@ -158,7 +158,28 @@ def run_available_now(
     spark.sql.shuffle.partitions only for the lifetime of this query
     (set before start, restored after termination — partition count
     never changes any operator's result, the oracle gate re-proves it
-    per entry). None keeps the session setting."""
+    per entry). None keeps the session setting.
+
+    SCOPE CAVEAT (r13, advice note): the override mutates the
+    SESSION-global conf for the query's lifetime because Structured
+    Streaming offers no per-query shuffle-partition knob and the plan
+    is bound to its session (a conf-cloned spark.newSession() cannot
+    adopt an already-built streaming DataFrame). Any batch query
+    planned CONCURRENTLY on the same session inherits the streaming-
+    derived count, and concurrent callers race on save/restore — fine
+    in this library's one-query-at-a-time harness; callers embedding
+    it in a multi-threaded driver should serialize around it or build
+    their streams on a dedicated session.
+
+    Fixed floor (r13, measured): one availableNow micro-batch of a
+    trivial 10k-row aggregate costs ~2-3.5 s warm on this box —
+    addBatch (the batch's own Spark job incl. state-store init and the
+    memory-sink collect) is ~85% of it; queryPlanning ~0.25 s,
+    WAL/offset commits ~0.2 s. stateStore.maintenanceInterval and
+    minBatchesToRetain measured no effect (bounded replays never hit
+    maintenance or retention). That is the machinery's price, not an
+    operator defect — further tuning belongs to the sink/trigger, not
+    to operator code."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
