@@ -171,7 +171,17 @@ def widen_narrow_scan(df, min_parallelism: int | None = None):
         # initial plan (post-EnsureRequirements, so exchanges are
         # visible) without running any stage; sparkPlan() would be
         # exchange-free and always miss.
-        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        exchanges = [ln for ln in plan.splitlines() if "Exchange " in ln]
+        if exchanges:
+            # idempotence guard (caught by the r13 full-catalog plan
+            # audit): a stream already widened below (load(spread=True)
+            # followed by only narrow ops) has a round-robin exchange to
+            # the same target as its TOPMOST exchange — repartitioning
+            # again would stack a second identical shuffle (observed:
+            # curation's span stream gained a double RoundRobin).
+            if f"RoundRobinPartitioning({target})" in exchanges[0]:
+                return df
             return df.repartition(target)
         cur = df.rdd.getNumPartitions()
     except Exception:  # non-queryable plan (e.g. streaming) — leave it

@@ -130,6 +130,22 @@ def test_widen_does_not_execute_post_shuffle_inputs_at_build_time(spark):
     assert out.count() == 100
 
 
+def test_widen_is_idempotent_on_already_widened_streams(spark):
+    """load(spread=True) pipelines pass already-widened frames through
+    operators that widen again: the helper must not stack a second
+    identical RoundRobin exchange (caught by the r13 full-catalog plan
+    audit — curation's span stream gained a double repartition)."""
+    from pyspark.sql import functions as F
+
+    from tada_spark.operators.layout import widen_narrow_scan
+
+    base = spark.range(1000).withColumn("t", F.col("id") * 2)
+    once = widen_narrow_scan(base)
+    twice = widen_narrow_scan(once.select("id", (F.col("t") + 1).alias("t")))
+    plan = twice._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RoundRobinPartitioning") <= 1
+
+
 # ---------------------------------------------------------------------------
 # banded LSH: streaming pair expansion, no single m^2 cell (r13 advice fix)
 # ---------------------------------------------------------------------------
