@@ -962,12 +962,15 @@ def kcenter_select(
     k <= 0 returns zero rows (a zero-size coreset has no seed).
 
     100 TB shape: k rounds × one map-side max-struct aggregate over the
-    partitioned corpus, persisted once so the k jobs re-read the
-    filtered/cast frame instead of re-scanning source k times (the
+    partitioned corpus, persisted once so the seed job and round 1
+    re-read the filtered/cast frame instead of re-scanning source (the
     chosen set rides along as k literal vectors
-    — never a join, never a collect of the corpus); O(n·k) total work,
-    the same job profile as kmeans_quantized. k is small by
-    construction (a coreset), so the k jobs are the honest cost."""
+    — never a join, never a collect of the corpus). Each round carries
+    a running min-d² column forward through a lazy localCheckpoint
+    (r13), so the loop folds ONE new dot product per row per round —
+    O(n·k) total distance work, not the O(n·k²) of rebuilding min-d²
+    to every chosen center each round. k is small by construction
+    (a coreset), so the k jobs are the honest cost."""
     from tada_spark.operators.layout import widen_narrow_scan
 
     # widen a narrow scan first (r12): the k argmax jobs each fold up
@@ -1018,31 +1021,50 @@ def _kcenter_greedy(spark, pts: DataFrame, k: int, out_schema: str) -> DataFrame
 
     v = F.col("__kv__")
     self_dot = F.col("__sd__")
-    for _ in range(1, k):
-        d2s = []
-        for _cid, cvec, _d in chosen:
-            cv = _lit_vec(cvec)
-            # c·c is constant across rows: fold it on the driver with
-            # the identical left-to-right IEEE recipe dot() uses (each
-            # product and add correctly rounded), so the literal is
-            # bit-identical to the in-plan fold it replaces
-            cc = 0.0
-            for x in cvec:
-                cc = cc + float(x) * float(x)
-            d2s.append(self_dot + F.lit(cc) - F.lit(2.0) * dot(v, cv))
-        mind2 = F.least(*d2s) if len(d2s) > 1 else d2s[0]
-        d2_e6 = F.floor(mind2 * F.lit(1e6) + F.lit(0.5)).cast("long")
-        # exclude already-chosen ids: on e6-floored ties (duplicate
-        # vectors) the lowest-id tiebreak would otherwise re-select a
-        # chosen point forever instead of covering new ones
-        cand = pts.filter(
-            ~F.col("__kid__").isin([cid for cid, _v, _d in chosen])
+
+    def _d2_to(cvec: list[float]) -> Column:
+        cv = _lit_vec(cvec)
+        # c·c is constant across rows: fold it on the driver with
+        # the identical left-to-right IEEE recipe dot() uses (each
+        # product and add correctly rounded), so the literal is
+        # bit-identical to the in-plan fold it replaces
+        cc = 0.0
+        for x in cvec:
+            cc = cc + float(x) * float(x)
+        return self_dot + F.lit(cc) - F.lit(2.0) * dot(v, cv)
+
+    # Incremental running min (r13, guide §1.2 step 1): round i used to
+    # rebuild min-d² to ALL i chosen centers from scratch — Σi = k²/2
+    # interpreted dot folds per row across the greedy loop. The running
+    # __md__ column carries each row's min-d² to the chosen set forward
+    # (min is associative under Spark's total double ordering, and the
+    # e6 quantization happens AFTER the min, so least(md, d2_new) is
+    # bit-identical to least(d2_0..d2_i)), cutting the loop to ONE new
+    # dot fold per row per round — k²/2 → k folds, the dominant CPU
+    # term at corpus scale. Each round's frame is a lazy localCheckpoint
+    # materialized by that round's own argmax job (same k-job profile
+    # as before; the checkpoint write is one (id, vec, sd, md) row —
+    # cheap next to the i dot folds it replaces). Chosen ids are
+    # filtered out cumulatively, one per round — the same exclusion set
+    # the old ~isin(all chosen) rebuilt each round.
+    cur = pts
+    for rnd in range(1, k):
+        new_id, new_vec = chosen[-1][0], chosen[-1][1]
+        d2_new = _d2_to(new_vec)
+        md = F.least(F.col("__md__"), d2_new) if rnd > 1 else d2_new
+        cur = (
+            cur.filter(F.col("__kid__") != F.lit(new_id))
+            .withColumn("__md__", md)
+            .localCheckpoint(eager=False)
         )
+        d2_e6 = F.floor(F.col("__md__") * F.lit(1e6) + F.lit(0.5)).cast("long")
         # argmax distance, tie → LOWEST id: min over (-d, id) — the
         # negation lives on the (always-numeric) distance, never the
-        # id, so string ids order correctly too
+        # id, so string ids order correctly too. On e6-floored ties
+        # (duplicate vectors) the cumulative id filter above keeps a
+        # chosen point from re-selecting forever.
         rows = (
-            cand.select(
+            cur.select(
                 F.struct(
                     (-d2_e6).alias("nd"), F.col("__kid__").alias("id"), v.alias("vec")
                 ).alias("s")

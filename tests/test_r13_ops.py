@@ -219,3 +219,70 @@ def test_jaccard_salt_factor_is_per_block_in_plan(spark, monkeypatch):
     # the a-side Generate explodes sequence(0, __sfac__ - 1): the bound
     # is the staged PER-BLOCK column, not the r12 round-constant
     assert "sequence(0, (__sfac__" in plan
+
+
+def test_kcenter_folds_one_dot_per_round(spark, monkeypatch):
+    """The greedy loop must carry the running min-d² forward (r13):
+    round i folds ONE new dot product per row, not i re-folds of every
+    chosen center. dot() expression construction is the proxy — the
+    old form called it Σ(i) = k(k-1)/2 times across the loop, the
+    incremental form exactly k-1."""
+    from tada_spark.functions import similarity
+
+    calls = {"n": 0}
+    real_dot = similarity.dot
+
+    def counting_dot(a, b):
+        calls["n"] += 1
+        return real_dot(a, b)
+
+    monkeypatch.setattr(similarity, "dot", counting_dot)
+    rows = [(i, [float(i), float(i % 3)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 5
+    got = similarity.kcenter_select(df, k=k).collect()
+    assert len(got) == k
+    # one self-dot hoist (__sd__) + one per greedy round
+    assert calls["n"] == 1 + (k - 1), calls["n"]
+
+
+def test_kcenter_trajectory_matches_bruteforce_min(spark):
+    """The incremental running min must reproduce the from-scratch
+    min-to-all-chosen trajectory, including e6-floored tie handling on
+    duplicate vectors (d²=0 ties must advance, never re-select)."""
+    from tada_spark.functions.similarity import kcenter_select
+
+    rows = [
+        (10, [0.0, 0.0]),
+        (11, [0.0, 0.0]),  # exact duplicate of the seed
+        (12, [3.0, 4.0]),
+        (13, [3.0, 4.0]),  # duplicate of a later center
+        (14, [-1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.sel_order, r.vec_id, r.maxmin_d2_e6) for r in kcenter_select(df, k=5).collect()]
+    # brute force in python with the same left-to-right fold + e6 floor
+    import math
+
+    def d2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + (x - y) * (x - y)
+        return s
+
+    pts = {r[0]: r[1] for r in rows}
+    chosen = [10]
+    expect = [(0, 10, None)]
+    while len(chosen) < 5:
+        best = None
+        for pid, v in pts.items():
+            if pid in chosen:
+                continue
+            md = min(d2(v, pts[c]) for c in chosen)
+            md_e6 = math.floor(md * 1e6 + 0.5)
+            key = (-md_e6, pid)
+            if best is None or key < best:
+                best = key
+        expect.append((len(chosen), best[1], -best[0]))
+        chosen.append(best[1])
+    assert got == expect
